@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Test-table loader. The `events` table carries parquet TIMESTAMP(NANOS),
+ * which Spark only reads as a long (spark.sql.legacy.parquet.nanosAsLong);
+ * values in the suite are microsecond-aligned (verified), so converting
+ * ns -> us -> TimestampType is lossless and agrees exactly with DuckDB's
+ * TIMESTAMP_NS -> TIMESTAMP cast.
+ */
+object Tables {
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case None    => df
+    }
+  }
+}

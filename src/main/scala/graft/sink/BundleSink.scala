@@ -1,0 +1,91 @@
+package graft.sink
+
+import graft.functions.EsFunctions
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/**
+ * Shard-addressed bundle sink (SURVEY.md S5-S9 semantics, Spark-first).
+ *
+ * The reference routes each doc to its ES shard with a custom murmur3
+ * partitioner, builds a Lucene index per partition inside an embedded ES
+ * node, zips it and uploads to `{workDir}/{index}/{shardId}/p{partition}.zip`
+ * (`ESHashPartitioner.scala:10-29`, `ESContainer.scala:251-285`). Here the
+ * same placement contract is a `_shard` column + one hash exchange + a
+ * partitioned file write:
+ *
+ *   out/{index}/_shard={k}/part-*.{json.gz|parquet}   + manifest.json
+ *
+ * Correctness does not depend on Spark's exchange at all: files are
+ * bucketed by the `_shard` COLUMN VALUE via partitionBy, so two shards
+ * hashing into one Spark partition (or AQE coalescing) is harmless
+ * (SURVEY.md §7.5 "exchange collisions"). The repartition only controls
+ * file count/locality: numShards × multiples tasks, mirroring the
+ * reference's fan-out (`Hive2ES.scala:43`).
+ *
+ * Commit protocol: Spark's file committer gives temp+rename atomicity
+ * (parity with `CompressionUtils.java:61-82`); `_STARTED`/`manifest.json`
+ * mirror the reference's started/completed ZK states
+ * (`ServerNotifier.scala:21-50`).
+ */
+object BundleSink {
+
+  case class Result(outDir: String, numShards: Int, totalDocs: Long,
+                    shardCounts: Map[Int, Long])
+
+  /**
+   * @param docs DataFrame with at least (_id, _routing, doc) — see
+   *             [[graft.transform.DocTransform.docs]].
+   * @param repartition when false (reference default `--repartition false`)
+   *             the shuffle is skipped and each task writes to every shard
+   *             dir it sees — more small files, no exchange.
+   */
+  def write(docs: DataFrame, outDir: String, numShards: Int,
+            partitionMultiples: Int = 10, repartition: Boolean = true,
+            format: String = "json", mappingJson: Option[String] = None): Result = {
+    val spark = docs.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir), hadoopConf)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    fs.mkdirs(outPath)
+    fs.create(new org.apache.hadoop.fs.Path(outDir, "_STARTED"), true).close()
+
+    val sharded = docs.withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
+    val arranged =
+      if (repartition) sharded.repartition(numShards * partitionMultiples, col("_shard"))
+      else sharded
+
+    // per-shard counts in the same job via observable metrics (A3 parity:
+    // per-partition doc counts, `Hive2ES.scala:85-90`) — no second scan.
+    val obs = Observation("bundle-counts")
+    val countExprs = count(lit(1)).as("total") +:
+      (0 until numShards).map(i => sum(when(col("_shard") === i, 1L).otherwise(0L)).as(s"shard_$i"))
+    val observed = arranged.observe(obs, countExprs.head, countExprs.tail: _*)
+
+    val writer = observed.write.mode("overwrite").partitionBy("_shard")
+    (format match {
+      case "json"    => writer.option("compression", "gzip").json(outDir + "/data")
+      case "parquet" => writer.parquet(outDir + "/data")
+      case other     => throw new IllegalArgumentException(s"unsupported bundle format: $other")
+    })
+
+    val m = obs.get
+    val total = m("total").asInstanceOf[Long]
+    val perShard = (0 until numShards)
+      .map(i => i -> m(s"shard_$i").asInstanceOf[Long]).toMap
+
+    mappingJson.foreach { json =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(outDir, "mapping.json"), true)
+      out.write(json.getBytes("UTF-8")); out.close()
+    }
+    val manifest =
+      s"""{"numShards":$numShards,"format":"$format","totalDocs":$total,
+         |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
+         |"state":"completed"}""".stripMargin.replace("\n", "")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(outDir, "manifest.json"), true)
+    mf.write(manifest.getBytes("UTF-8")); mf.close()
+    fs.delete(new org.apache.hadoop.fs.Path(outDir, "_STARTED"), false)
+
+    Result(outDir, numShards, total, perShard)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.EsMurmur3
+import graft.pipeline.Hive2Es
+import graft.pipeline.Hive2Es.GraftConfig
+import java.nio.file.{Files, Paths}
+
+/** End-to-end pipeline test (SURVEY.md §7.4, t1 shape): sf0.001 lineitem ->
+  * filtered scan -> doc transform -> es_shard routing -> 3-shard bundle. */
+class BundleSinkSpec extends SparkSpec {
+
+  def tmpDir(): String = Files.createTempDirectory("graft-bundle").toString
+
+  test("end-to-end: per-shard counts match the reference hash, manifest written") {
+    import org.apache.spark.sql.functions._
+    val out = tmpDir()
+    val src = sf("sf0.001", "lineitem")
+      .withColumn("li_id", concat(col("l_orderkey"), lit("-"), col("l_linenumber")))
+    val view = "graft_li_view"
+    src.createOrReplaceTempView(view)
+
+    val numShards = 3
+    val cfg = GraftConfig(
+      input = s"/root/testdata/sf0.001/lineitem.parquet",
+      outDir = out, indexName = "li_idx", numShards = numShards,
+      where = "l_shipdate < timestamp'1996-01-01 00:00:00'",
+      id = null, repartition = true, partitionMultiples = 2)
+    // build id inside the pipeline via a pre-projected DataFrame instead:
+    val df = src.where("l_shipdate < timestamp'1996-01-01 00:00:00'")
+    val docs = graft.transform.DocTransform.docs(df, "li_id", None)
+    val res = graft.sink.BundleSink.write(docs, s"$out/li_idx", numShards,
+      partitionMultiples = 2, repartition = true)
+
+    // oracle: count per shard computed with the scala reference hash on the
+    // driver from the same source rows
+    val keys = df.select(col("li_id")).collect().map(_.getString(0))
+    val expected = keys.groupBy(k => EsMurmur3.shard(k, numShards)).view.mapValues(_.length.toLong).toMap
+    assert(res.totalDocs === keys.length.toLong)
+    assert(res.shardCounts === expected)
+
+    // bundle layout: data/_shard=k dirs + manifest.json, no _STARTED left
+    for (s <- 0 until numShards)
+      assert(Files.exists(Paths.get(s"$out/li_idx/data/_shard=$s")), s"missing shard dir $s")
+    assert(Files.exists(Paths.get(s"$out/li_idx/manifest.json")))
+    assert(!Files.exists(Paths.get(s"$out/li_idx/_STARTED")))
+
+    // docs are valid JSON: read back and count matches
+    val back = spark.read.json(s"$out/li_idx/data")
+    assert(back.count() === keys.length.toLong)
+
+    // re-run idempotency (create-or-replace parity, ESContainer.scala:155-158)
+    val res2 = graft.sink.BundleSink.write(docs, s"$out/li_idx", numShards,
+      partitionMultiples = 2, repartition = true)
+    assert(res2.shardCounts === expected)
+  }
+
+  test("runGeneric + runInferred over events (map-free) produce identical counts") {
+    val out = tmpDir()
+    val cfg = GraftConfig(
+      input = "/root/testdata/sf0.001/events.parquet",
+      outDir = out, indexName = "ev", numShards = 2,
+      where = "event_type <> 'error'", id = "event_id", routing = "user_id",
+      repartition = true, partitionMultiples = 2, format = "parquet")
+    val r1 = Hive2Es.runGeneric(spark, cfg)
+    val r2 = Hive2Es.runInferred(spark, cfg.copy(indexName = "ev2"))
+    assert(r1.totalDocs === r2.totalDocs)
+    assert(r1.shardCounts === r2.shardCounts)
+    assert(Files.exists(Paths.get(s"$out/ev2/mapping.json")))
+    val n = sf("sf0.001", "events").where("event_type <> 'error'").count()
+    assert(r1.totalDocs === n)
+  }
+}
