@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB correctness gate.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+Registers each testdata parquet as a view named after the table, runs every
+entry of <verifyOutDir>/oracle_sql.json, and compares against the Spark
+result parquet at <verifyOutDir>/<name>/ — columns sorted by name, rows
+sorted by all columns, exact value equality (floats compared exactly:
+stricter than any plausible driver)."""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+def table(con, sql):
+    rows = con.execute(sql).fetchall()
+    cols = [d[0] for d in con.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failed = []
+    for name in sorted(oracle):
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not files:
+            print(f"[MISS] {name}: no spark result parquet")
+            failed.append(name)
+            continue
+        try:
+            ocols, orows = table(con, oracle[name])
+            scols, srows = table(
+                con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+        except Exception as e:
+            print(f"[ERR ] {name}: {e}")
+            failed.append(name)
+            continue
+        if ocols != scols:
+            print(f"[FAIL] {name}: columns differ oracle={ocols} spark={scols}")
+            failed.append(name)
+        elif len(orows) != len(srows):
+            print(f"[FAIL] {name}: row count oracle={len(orows)} spark={len(srows)}")
+            failed.append(name)
+        elif orows != srows:
+            diff = next(i for i, (a, b) in enumerate(zip(orows, srows)) if a != b)
+            print(f"[FAIL] {name}: first diff at sorted row {diff}:")
+            print(f"        oracle: {orows[diff]}")
+            print(f"        spark : {srows[diff]}")
+            failed.append(name)
+        else:
+            print(f"[ OK ] {name}: {len(orows)} rows")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
+    sys.exit(1 if failed else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,361 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.EsFunctions
+import graft.operators.AsofJoin
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Declared operator surface (SURVEY.md §2 + §2.11): one registered query per
+ * operator, each with a DuckDB oracle when SQL-expressible. Spark side is
+ * DataFrame API (independent of the oracle SQL text, so a differential
+ * mismatch means a real semantic divergence, not a shared typo).
+ *
+ * Determinism rules (driver hash-compares row values after sorting columns
+ * by name):
+ *  - every query ORDER BYs a unique key prefix, identical on both sides;
+ *  - money aggregates are computed in DECIMAL(18,2) (exact, order-free) and
+ *    cast to a fixed final type on both sides;
+ *  - double aggregates are only used where values are integer-valued (sums
+ *    exactly representable => order-independent);
+ *  - all computed columns are aliased identically on both sides.
+ */
+case class QueryDef(name: String, oracle: Option[String],
+                    build: (SparkSession, String) => DataFrame)
+
+object Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val D2 = "DECIMAL(18,2)"
+  private val D4 = "DECIMAL(18,4)"
+
+  val relational: Seq[QueryDef] = Seq(
+
+    // ---- S1/S2: scan + filtered projection (pushdown surface) ----
+    QueryDef("q01_filter_project",
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_quantity > 45
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP'1995-06-01'") && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- A: hash aggregate, partial+final (TPC-H Q1 shape) ----
+    QueryDef("q02_agg",
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty,
+              |  CAST(sum(CAST(l_extendedprice AS $D2)) AS $D2) AS sum_base_price,
+              |  CAST(sum(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS $D4) AS sum_disc_price,
+              |  avg(l_quantity) AS avg_qty,
+              |  count(*) AS count_order
+              |FROM lineitem
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- J: multi-way broadcast join + agg (revenue per nation) ----
+    QueryDef("q03_join_agg",
+      Some(s"""SELECT n.n_name AS nation,
+              |  CAST(sum(CAST(l.l_extendedprice AS $D2) * (1 - CAST(l.l_discount AS $D2))) AS $D4) AS revenue,
+              |  count(*) AS line_cnt
+              |FROM lineitem l
+              |JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |JOIN customer c ON o.o_custkey = c.c_custkey
+              |JOIN nation n ON c.c_nationkey = n.n_nationkey
+              |GROUP BY n.n_name
+              |ORDER BY nation""".stripMargin),
+      (s, dir) => {
+        val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name").as("nation"))
+          .agg(
+            sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+              .cast(DecimalType(18, 4)).as("revenue"),
+            count(lit(1)).as("line_cnt"))
+          .orderBy("nation")
+      }),
+
+    // ---- J: left semi (EXISTS) ----
+    QueryDef("q04_semi_join",
+      Some("""SELECT o_orderpriority, count(*) AS order_cnt
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("order_cnt"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // ---- J: left anti (NOT EXISTS) ----
+    QueryDef("q05_anti_join",
+      Some("""SELECT c_custkey, c_name
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      }),
+
+    // ---- J: left outer + count-preserving agg ----
+    QueryDef("q06_outer_join",
+      Some("""SELECT c.c_custkey, count(o.o_orderkey) AS order_cnt
+             |FROM customer c
+             |LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             |GROUP BY c.c_custkey
+             |ORDER BY c.c_custkey""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey")).agg(count(o("o_orderkey")).as("order_cnt"))
+          .orderBy("c_custkey")
+      }),
+
+    // ---- W: ranking window, per-group top-k ----
+    QueryDef("q07_window_topk",
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) x
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      }),
+
+    // ---- W: analytic window (running sum + lag, framed) ----
+    QueryDef("q08_window_running",
+      // per-customer running spend; window ordered by the unique o_orderkey
+      // so frame contents are deterministic (lineitem has duplicate
+      // (orderkey, linenumber) pairs in this synthetic suite)
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |       AS DECIMAL(18,2)) AS running_spend,
+             |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+             |FROM orders
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("running_spend",
+            sum(dec2(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast(DecimalType(18, 2)))
+          .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+          .select("o_custkey", "o_orderkey", "running_spend", "prev_price")
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // ---- TopK: global order-by-limit (TakeOrderedAndProject) ----
+    QueryDef("q09_topk",
+      Some("""SELECT o_orderkey, o_totalprice
+             |FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 10""".stripMargin),
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)),
+
+    // ---- G: rollup ----
+    QueryDef("q10_rollup",
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty,
+              |  count(*) AS cnt
+              |FROM lineitem
+              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ---- S: union / intersect / except ----
+    QueryDef("q11_setops",
+      Some("""WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             |     hav AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+             |SELECT
+             |  (SELECT count(*) FROM (SELECT * FROM seg INTERSECT SELECT * FROM hav) x) AS n_intersect,
+             |  (SELECT count(*) FROM (SELECT * FROM seg EXCEPT SELECT * FROM hav) x) AS n_except,
+             |  (SELECT count(*) FROM (SELECT * FROM seg UNION SELECT * FROM hav) x) AS n_union""".stripMargin),
+      (s, dir) => {
+        val seg = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val hav = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+        val a = seg.intersect(hav).agg(count(lit(1)).as("n_intersect"))
+        val b = seg.except(hav).agg(count(lit(1)).as("n_except"))
+        val u = seg.union(hav).distinct().agg(count(lit(1)).as("n_union"))
+        a.crossJoin(b).crossJoin(u)
+      }),
+
+    // ---- A: distinct aggregation ----
+    QueryDef("q12_distinct",
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+             |       count(DISTINCT l_suppkey) AS n_supps,
+             |       count(*) AS n_rows
+             |FROM lineitem""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
+    // ---- J: range (theta) join — event pairs within 5 minutes per user ----
+    QueryDef("q13_range_join",
+      Some("""SELECT e1.user_id, count(*) AS pair_cnt
+             |FROM events e1
+             |JOIN events e2 ON e1.user_id = e2.user_id
+             |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+             |GROUP BY e1.user_id
+             |ORDER BY e1.user_id""".stripMargin),
+      (s, dir) => {
+        val e1 = t(s, dir, "events").alias("e1")
+        val e2 = t(s, dir, "events").alias("e2")
+        e1.join(e2, col("e1.user_id") === col("e2.user_id") &&
+            col("e2.ts") > col("e1.ts") &&
+            col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTE"))
+          .groupBy(col("e1.user_id").as("user_id"))
+          .agg(count(lit(1)).as("pair_cnt"))
+          .orderBy("user_id")
+      }),
+
+    // ---- J: as-of join — latest prior click for each purchase ----
+    QueryDef("q14_asof_join",
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+             |purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
+             |FROM purchases p
+             |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        AsofJoin.leftAsOf(purchases, clicks, "user_id", "ts", Seq("click_id"))
+          .select(col("event_id"), col("user_id"), col("asof_click_id"))
+          .orderBy("event_id")
+      }),
+
+    // ---- M: dynamic map flatten (§2.3) — JSON props to key/value rows ----
+    QueryDef("q15_map_flatten",
+      Some("""SELECT event_id, u.k AS prop_key,
+             |       CAST(props ->> ('$.' || u.k) AS BIGINT) AS prop_value
+             |FROM events, unnest(json_keys(props)) AS u(k)
+             |ORDER BY event_id, prop_key""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          explode(from_json(col("props"), MapType(StringType, LongType))))
+        .select(col("event_id"), col("key").as("prop_key"), col("value").as("prop_value"))
+        .orderBy("event_id", "prop_key")),
+
+    // ---- P2/P3: null-dropping + name normalization over data ----
+    QueryDef("q16_norm_clean",
+      Some("""SELECT doc_id,
+             |  lower(replace(replace(source, '&', '-'), '$', '-')) AS norm_source,
+             |  CASE WHEN text = '' OR lower(text) = 'null' THEN NULL ELSE text END IS NULL AS dropped,
+             |  length(text) AS text_chars
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.transform.Names.normalizeExpr(col("source")).as("norm_source"),
+          graft.transform.DocTransform.nullifyEmpty(col("text")).isNull.as("dropped"),
+          length(col("text")).as("text_chars"))
+        .orderBy("doc_id")),
+
+    // ---- P4: coercions (date->yyyyMMdd, double->int truncation) ----
+    QueryDef("q17_coerce",
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y%m%d') AS order_dt,
+             |  CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyyMMdd").as("order_dt"),
+          col("o_totalprice").cast(LongType).as("price_trunc"))
+        .orderBy("o_orderkey")),
+
+    // ---- X1-X3: es_shard routing histogram (no SQL oracle — custom hash;
+    //      placement law verified in EsMurmur3Spec + BundleSinkSpec) ----
+    QueryDef("q18_shard_hist", None,
+      (s, dir) => t(s, dir, "lineitem")
+        .withColumn("routing", concat(col("l_orderkey"), lit("-"), col("l_linenumber")))
+        .withColumn("shard", EsFunctions.es_shard(col("routing"), 8))
+        .groupBy("shard").agg(count(lit(1)).as("doc_cnt"))
+        .orderBy("shard")),
+
+    // ---- G: grouping sets (SQL surface) ----
+    QueryDef("q19_grouping_sets",
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_gs")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+            |FROM graft_lineitem_gs
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      }),
+
+    // ---- A: pivot-style conditional aggregation ----
+    QueryDef("q20_pivot",
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click_cnt,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view_cnt,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase_cnt,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup_cnt,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error_cnt
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        def cnt(tp: String) = count(when(col("event_type") === tp, 1)).as(s"${tp}_cnt")
+        t(s, dir, "events").groupBy("user_id")
+          .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+          .orderBy("user_id")
+      }),
+  )
+
+  def all: Seq[QueryDef] = relational
+}
