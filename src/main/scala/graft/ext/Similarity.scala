@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (array<float>).
+ *
+ * Baseline: brute-force cosine top-k (exact; crossJoin + ranking window —
+ * right answer for small query sets or one-off audits). Scale path:
+ * random-hyperplane LSH bucketing, which turns the O(|Q| x |C|) cross join
+ * into a bucket-equi-join; recall is tunable via tables x bits.
+ * All arithmetic in codegen'd higher-order functions (zip_with/aggregate) —
+ * no UDFs, no driver collection.
+ */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold — matches
+    * DuckDB's list arithmetic for differential testing). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null/zero-norm safe (returns 0.0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0 || nb === 0, 0.0).otherwise(d / (na * nb))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /**
+   * Exact top-k neighbors for each query row by brute force.
+   * @param queries (qidCol, vecCol); corpus (idCol, vecCol)
+   * Output: qid, neighbor id, rank, sim (rounded to `roundTo` for stable
+   * cross-engine ranking; ties broken by neighbor id).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                     idCol: String, vecCol: String, k: Int,
+                     roundTo: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), asDouble(col(vecCol)).as("_qv"))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("_cv"))
+    val scored = q.crossJoin(c)
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("_qv"), col("_cv")), roundTo).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane i derived
+    * from a hash — no RNG state to ship to executors. */
+  private def planeComponent(table: Int, bit: Int, j: Int): Double = {
+    val h = java.lang.Long.rotateLeft(
+      (table.toLong * 0x9E3779B97F4A7C15L) ^ (bit.toLong * 0xC2B2AE3D27D4EB4FL)
+        ^ (j.toLong * 0x165667B19E3779F9L), 17)
+    // map to (-1, 1)
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-bit signature of a vector for one LSH table: `bits` hyperplane
+    * sign bits packed into a long. */
+  def lshSignature(vec: Column, dim: Int, table: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val plane = array((0 until dim).map(j => lit(planeComponent(table, b, j))): _*)
+      when(dot(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a + b)
+  }
+
+  /**
+   * Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+   * with the query in ANY of `tables` tables; exact cosine + ranking within
+   * candidates. One explode (x tables) per side + an equi-join on
+   * (table, signature) — shuffle-friendly and skew-bounded (bucket size is
+   * controlled by `bits`).
+   */
+  def annTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+              idCol: String, vecCol: String, dim: Int, k: Int,
+              tables: Int = 4, bits: Int = 12, roundTo: Int = 4): DataFrame = {
+    def sigs(df: DataFrame, id: String): DataFrame = {
+      val v = asDouble(col(vecCol)).as("_v")
+      val sigArr = array((0 until tables).map(t =>
+        lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)
+      df.select(col(id), v, posexplode(sigArr))
+        .select(col(id), col("_v"), col("pos").as("_table"), col("col").as("_sig"))
+    }
+    val qs = sigs(queries, qidCol).withColumnsRenamed(Map(qidCol -> "qid", "_v" -> "_qv"))
+    val cs = sigs(corpus, idCol).withColumnsRenamed(Map(idCol -> "nid", "_v" -> "_cv"))
+    val cands = qs.join(cs, Seq("_table", "_sig"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("_qv"), col("_cv"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    cands.select(col("qid"), col("nid"),
+        round(cosine(col("_qv"), col("_cv")), roundTo).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+    * Brute variant for audit; LSH variant composes via annTopK. */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, roundTo: Int = 4): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("_vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_va"), col("_vb")), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

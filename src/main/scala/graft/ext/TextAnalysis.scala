@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline, built entirely from
+ * codegen'd Spark builtins (no UDFs): token counting, quality scoring,
+ * n-gram-heuristic language ID, document fingerprinting.
+ *
+ * Capability extension beyond the reference engine (SURVEY.md §7.1 "ext/"),
+ * designed so every expression stays inside WholeStageCodegen at 100 TB.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens; "" -> [""] (same as DuckDB string_split_regex). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words plus intra-word case/digit
+    * transitions (a cheap, deterministic proxy for a real tokenizer). */
+  def subwordCountEstimate(text: Column): Column =
+    tokenCount(text) +
+      size(split(text, "(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])")) - lit(1)
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(punctCount(text).cast("double") / length(text).cast("double"))
+
+  /** Stopword lists per language for the voting heuristic. Tiny on purpose:
+    * deterministic, order-free, and identical to the SQL oracle generated
+    * from the same lists (see Queries.langIdCaseSql). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+  )
+
+  /** How many tokens of `text` appear in `words` (multiset count). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(wordArr, t)))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val allWords = stopwords.flatMap(_._2).distinct
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(stopwordHits(text, allWords).cast("double") /
+        tokenCount(text).cast("double"))
+  }
+
+  /** Language-ID by stopword votes: the language with the most stopword hits
+    * wins; ties broken by list order ("en" first); zero hits -> "und". */
+  def langId(text: Column): Column = {
+    val hits = stopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val best = hits.tail.foldLeft((hits.head._1: String, hits.head._2, lit(hits.head._1))) {
+      case ((_, bestHits, bestLang), (lang, h)) =>
+        (lang, greatest(bestHits, h), when(h > bestHits, lit(lang)).otherwise(bestLang))
+    }
+    when(greatest(hits.map(_._2): _*) === 0, lit("und")).otherwise(best._3)
+  }
+
+  /** 64-bit document fingerprint: xxhash64 of the normalized text (lowercase,
+    * collapsed whitespace). Rolling/shingled variants: Dedup.shingles. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation density and some stopword mass. Deterministic arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 10.0, lit(1.0))
+    round((lenScore * 0.5 + swScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2), 6)
+  }
+}

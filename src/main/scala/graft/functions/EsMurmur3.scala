@@ -96,8 +96,15 @@ object EsFunctions {
   def es_shard(routing: Column, numShards: Int): Column =
     pmod(es_hash(coalesce(routing, lit(""))), lit(numShards))
 
-  /** Register `es_hash` for SQL use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** SimHash of an array<long> of token hashes (see [[SimHash64]]). */
+  def simhash64(c: Column): Column =
+    GraftSqlBridge.column(SimHash64Expr(GraftSqlBridge.expression(c)))
+
+  /** Register custom expressions for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "es_hash", exprs => EsHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
+  }
 }

@@ -357,5 +357,192 @@ object Queries {
       }),
   )
 
-  def all: Seq[QueryDef] = relational
+  /** DuckDB CASE expression mirroring TextAnalysis.langId's fold exactly:
+    * first language in list order with the maximal hit count wins; all-zero
+    * -> 'und'. Generated from the same stopword lists as the Spark side. */
+  private def langIdSql(textExpr: String): String = {
+    import graft.ext.TextAnalysis.stopwords
+    def hits(words: Seq[String]): String = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex($textExpr, '\\s+'), x -> x IN ($list)))"
+    }
+    val hitExprs = stopwords.map { case (lang, words) => lang -> hits(words) }
+    val maxExpr = s"greatest(${hitExprs.map(_._2).mkString(", ")})"
+    val whens = hitExprs
+      .map { case (lang, h) => s"WHEN $h = $maxExpr THEN '$lang'" }
+      .mkString(" ")
+    s"CASE WHEN $maxExpr = 0 THEN 'und' $whens END"
+  }
+
+  import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+  val ext: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: hash-groupBy representative + dup counts ----
+    QueryDef("q21_dedup_exact",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, dup_cnt
+             |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |        row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+             |                           ORDER BY l_quantity, l_extendedprice) AS rn,
+             |        count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS dup_cnt
+             |      FROM lineitem) x
+             |WHERE rn = 1
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => Dedup.exact(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- text stats: token count, punctuation, stopword ratio ----
+    QueryDef("q22_text_stats",
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(text, '\s+')) AS token_cnt,
+             |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+             |  round(len(list_filter(string_split_regex(text, '\s+'),
+             |          x -> x IN ('the','a','of','and','to','el','la','de','y','que',
+             |                     'der','die','das','und','zu','le','et','les')))
+             |        / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 6) AS stop_ratio
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("token_cnt"),
+          TextAnalysis.punctCount(col("text")).as("punct_cnt"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"))
+        .orderBy("doc_id")),
+
+    // ---- language ID by stopword votes (same lists both sides) ----
+    QueryDef("q23_langid",
+      Some(s"""SELECT doc_id, lang AS labeled_lang, ${langIdSql("text")} AS pred_lang
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // ---- ANN: brute-force cosine top-3 for 20 query vectors ----
+    QueryDef("q24_ann_topk",
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id < 20),
+             |     c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+             |           FROM embeddings),
+             |scored AS (SELECT qid, nid, round(list_cosine_similarity(qv, cv), 4) AS sim
+             |           FROM q, c WHERE qid <> nid)
+             |SELECT qid, nid, rank, sim FROM (
+             |  SELECT qid, nid, sim,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 3
+             |ORDER BY qid, rank""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", k = 3)
+          .orderBy("qid", "rank")
+      }),
+
+    // ---- n-gram (word-set) Jaccard over bucketed candidate pairs ----
+    QueryDef("q25_jaccard_pairs",
+      Some("""WITH d AS (SELECT doc_id, source, n_chars // 100 AS bucket,
+             |             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+             |           FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.words, b.words))
+             |        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE), 6) AS jaccard_sim
+             |FROM d a JOIN d b
+             |  ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          (col("n_chars") / 100).cast(IntegerType).as("bucket"),
+          array_distinct(split(lower(trim(col("text"))), "\\s+")).as("words"))
+        val a = d.alias("a")
+        val b = d.alias("b")
+        a.join(b, col("a.source") === col("b.source") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            round(Dedup.jaccard(col("a.words"), col("b.words")), 6).as("jaccard_sim"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- MinHash+LSH near-dup pipeline (no SQL oracle: hash-family
+    //      specific; recall/precision laws verified in DedupSpec) ----
+    QueryDef("q26_minhash_neardup", None,
+      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 32, bands = 16, k = 3, threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // ---- SimHash + fingerprint (no SQL oracle: custom hash exprs) ----
+    QueryDef("q27_simhash", None,
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash(col("text")).as("simhash"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ---- tumbling-window aggregation (batch form) ----
+    QueryDef("q28_tumbling",
+      Some(s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+              |  count(*) AS cnt,
+              |  CAST(sum(CAST(value AS $D2)) AS $D2) AS sum_value
+              |FROM events
+              |GROUP BY 1, 2
+              |ORDER BY hour_start, event_type""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("sum_value"))
+        .orderBy("hour_start", "event_type")),
+
+    // ---- sessionization: gaps-and-islands, 30-minute inactivity gap ----
+    QueryDef("q29_sessionize",
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, event_id,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM marked)
+             |SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+             |       count(*) AS n_events
+             |FROM sessions
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val marked = t(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+        marked
+          .withColumn("session_id", sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id")
+          .agg(countDistinct("session_id").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      }),
+
+    // ---- embedding near-duplicate pairs (cosine >= 0.35) ----
+    QueryDef("q30_embed_neardup",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+             |FROM e a, e b
+             |WHERE a.vec_id < b.vec_id
+             |  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Similarity.cosineNearDups(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+  )
+
+  def all: Seq[QueryDef] = relational ++ ext
 }
