@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/**
+ * Streaming surface (SURVEY.md §2.10 + §2.11 streaming categories).
+ *
+ * The reference's server daemon implements an incremental file consumer in
+ * imperative Java: poll an HDFS dir every 10 s, skip `*_tmp`/empty files,
+ * process only newly-appeared paths, stop on an external completion marker
+ * (`IndexBuilder.java:154-203`, `HdfsClient.java:45-62`). Structured
+ * Streaming's file source provides exactly those semantics declaratively:
+ * the seen-files log replaces `processedPaths`, `Trigger.ProcessingTime`
+ * replaces the sleep loop, `Trigger.AvailableNow` replaces drain-and-stop,
+ * and the committer's temp+rename means half-written files never appear.
+ */
+object BundleStream {
+
+  /** Schema of bundle data files written by [[graft.sink.BundleSink]]. */
+  val bundleSchema: StructType = StructType(Seq(
+    StructField("_id", StringType),
+    StructField("_routing", StringType),
+    StructField("doc", StringType),
+    StructField("_shard", IntegerType)))
+
+  /** Incremental reader over a bundle's data directory (file source =
+    * exactly-once per file, like the server's processedPaths diff). */
+  def read(spark: SparkSession, bundleDir: String,
+           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(bundleSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(s"$bundleDir/data")
+  }
+
+  /** Continuously consolidate arriving bundle files into per-shard doc
+    * counts (the server's per-shard progress view). `availableNow = true`
+    * drains what exists and stops — the reference's completion semantics. */
+  def consolidate(stream: DataFrame, checkpointDir: String,
+                  availableNow: Boolean = true,
+                  pollInterval: String = "10 seconds"): StreamingQuery = {
+    val counts = stream.groupBy(col("_shard")).agg(count(lit(1)).as("docs"))
+    val w = counts.writeStream
+      .format("memory")
+      .queryName("bundle_progress")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) w.trigger(Trigger.AvailableNow())
+     else w.trigger(Trigger.ProcessingTime(pollInterval))).start()
+  }
+}
+
+object EventStreams {
+
+  /** Tumbling-window counts with a watermark (late data beyond the
+    * watermark is dropped — the reference's "files after completion are
+    * ignored" analog, §2.10). */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding windows: 1-hour windows every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cnt"))
+
+  /** Session windows with a 30-minute gap (built-in session_window —
+    * the streaming form of the q29 gaps-and-islands query). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("events_in_session"))
+
+  /** Exactly-once-per-id within the watermark horizon. */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class UserState(events: Long, totalValue: Double)
+  case class UserSummary(user_id: Long, events: Long, totalValue: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event count
+    * and value total (the §2.10 "stateful progress" analog, checkpointed by
+    * the engine instead of a concurrent map). */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[UserSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout()) {
+        (userId, evs, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val batch = evs.toSeq
+          val next = UserState(prev.events + batch.size,
+            prev.totalValue + batch.map(_.value).sum)
+          state.update(next)
+          UserSummary(userId, next.events, next.totalValue)
+      }
+  }
+}

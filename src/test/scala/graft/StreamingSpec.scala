@@ -1,0 +1,99 @@
+package graft
+
+import graft.sink.BundleSink
+import graft.streaming.{BundleStream, EventStreams}
+import graft.transform.DocTransform
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class StreamingSpec extends SparkSpec {
+
+  test("bundle consumer: drains a written bundle with AvailableNow, counts per shard") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    val res = BundleSink.write(docs, s"$out/idx", numShards = 3,
+      partitionMultiples = 2, repartition = true)
+
+    val stream = BundleStream.read(spark, s"$out/idx")
+    assert(stream.isStreaming)
+    val q = BundleStream.consolidate(stream, s"$out/ckpt", availableNow = true)
+    q.awaitTermination(120000)
+    val got = spark.table("bundle_progress").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === res.shardCounts)
+  }
+
+  test("incremental arrival: second batch of files is picked up exactly once") {
+    val out = Files.createTempDirectory("graft-stream2").toString
+    val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    BundleSink.write(docs, s"$out/idx", 2, 2, repartition = true)
+    val stream = BundleStream.read(spark, s"$out/idx")
+    val q1 = BundleStream.consolidate(stream, s"$out/ckpt", availableNow = true)
+    q1.awaitTermination(120000)
+    val first = spark.table("bundle_progress").collect().map(_.getLong(1)).sum
+    // more files arrive (same docs, new part files, overwrite=false append dir)
+    DocTransform.docs(sf("sf0.001", "customer"), "c_custkey", None)
+      .withColumn("_shard", graft.functions.EsFunctions.es_shard(col("_routing"), 2))
+      .write.mode("append").partitionBy("_shard").json(s"$out/idx/data")
+    val q2 = BundleStream.consolidate(BundleStream.read(spark, s"$out/idx"),
+      s"$out/ckpt", availableNow = true)
+    q2.awaitTermination(120000)
+    val second = spark.table("bundle_progress").collect().map(_.getLong(1)).sum
+    assert(first === 1500L)
+    assert(second === 1500L + 150L) // complete-mode totals include new files once
+  }
+
+  test("tumbling/sliding/session windows + watermark over a file stream") {
+    // stream the events parquet through the file source
+    val dir = Files.createTempDirectory("graft-ev").toString
+    sf("sf0.001", "events").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+
+    val tq = EventStreams.tumblingCounts(stream).writeStream
+      .format("memory").queryName("tumbling").outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/c1").trigger(Trigger.AvailableNow()).start()
+    tq.awaitTermination(120000)
+    // append mode only emits windows the watermark has passed; with a
+    // single batch the final windows stay open, so compare the emitted
+    // subset against the batch computation
+    val batch = sf("sf0.001", "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0), r.getString(1)) -> r.getLong(2)).toMap
+    val emitted = spark.table("tumbling").collect()
+    assert(emitted.nonEmpty, "no tumbling windows emitted")
+    assert(emitted.forall { r =>
+      batch.get((r.getAs[java.sql.Timestamp](0), r.getString(1))).contains(r.getLong(2))
+    })
+
+    val sq = EventStreams.sessionCounts(stream).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/c2").trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination(120000)
+    assert(spark.table("sessions").count() > 0)
+  }
+
+  test("mapGroupsWithState: running per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.runningUserTotals(input.toDS()).writeStream
+      .format("memory").queryName("user_totals").outputMode(OutputMode.Update())
+      .start()
+    def ev(id: Long, u: Long, v: Double) =
+      EventStreams.Ev(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "click", v)
+    input.addData(ev(1, 7, 1.5), ev(2, 7, 2.5), ev(3, 8, 10.0))
+    q.processAllAvailable()
+    input.addData(ev(4, 7, 6.0))
+    q.processAllAvailable()
+    val rows = spark.table("user_totals").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.maxBy(_.getLong(1))).toMap
+    assert(rows(7L).getLong(1) === 3L)
+    assert(math.abs(rows(7L).getDouble(2) - 10.0) < 1e-9)
+    assert(rows(8L).getLong(1) === 1L)
+    q.stop()
+  }
+}
