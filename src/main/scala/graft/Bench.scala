@@ -1,26 +1,60 @@
 package graft
+
+import graft.queries.Queries
+import graft.sink.BundleSink
+import graft.transform.DocTransform
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and the
+ * end-to-end bundle pipeline, printing ONE JSON line. Queries are fully
+ * materialized through the noop sink (count() would let Catalyst skip
+ * computing projected columns, understating work).
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = Queries.all.map { q =>
+      q.name -> time {
+        q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
+      }
+    }
+
+    // end-to-end sink pipeline (scan -> docs -> es_shard -> bundle write)
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
+    var sinkDocs = 0L
+    val sinkSec = time {
+      val docs = DocTransform.docs(Tables.load(spark, sfDir, "lineitem")
+        .withColumn("li_id", org.apache.spark.sql.functions.concat_ws("-",
+          org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_linenumber"))), "li_id", None)
+      sinkDocs = BundleSink.write(docs, s"$sinkDir/bench_idx", numShards = 8,
+        partitionMultiples = 4, repartition = true).totalDocs
+    }
+
+    val all = results :+ ("sink_bundle" -> sinkSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

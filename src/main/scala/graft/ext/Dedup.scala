@@ -32,8 +32,14 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
-  /** 64-bit hashes of the shingles — the base set for MinHash/Jaccard. */
+  /** 64-bit hashes of the distinct shingles — the base set for
+    * MinHash/Jaccard. One codegen'd pass; bit-compatible with
+    * [[shingleHashesHof]] (pinned by spec). */
   def shingleHashes(text: Column, k: Int = 3): Column =
+    graft.functions.EsFunctions.shingle_hashes(text, k)
+
+  /** Composable-builtins formulation of the same hashes (spec-only). */
+  private[graft] def shingleHashesHof(text: Column, k: Int = 3): Column =
     transform(shingles(text, k), s => xxhash64(s))
 
   // universal-hash family for MinHash permutations over a 32-bit base
@@ -48,8 +54,16 @@ object Dedup {
     (r.nextInt((1 << 30) - 1).toLong + 1L, r.nextInt(Int.MaxValue).toLong)
   }
 
-  /** MinHash signature as an array<long> of `numHashes` minima. */
-  def minhashSignature(hashes: Column, numHashes: Int = 32): Column = {
+  /** MinHash signature as an array<long> of `numHashes` minima — one
+    * codegen'd pass (graft.functions.MinHashSig) instead of numHashes
+    * interpreted HOF traversals. The HOF formulation below is kept for the
+    * differential spec that pins the hash family.
+    */
+  def minhashSignature(hashes: Column, numHashes: Int = 32): Column =
+    graft.functions.EsFunctions.minhash_sig(hashes, numHashes)
+
+  /** Reference HOF formulation of the same family (spec-only). */
+  private[graft] def minhashSignatureHof(hashes: Column, numHashes: Int): Column = {
     val h32 = transform(hashes, h => h.bitwiseAND(lit(0xFFFFFFFFL)))
     array((0 until numHashes).map { i =>
       val (a, b) = perm(i)

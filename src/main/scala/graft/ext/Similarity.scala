@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two array<double> columns (sequential fold — matches
-    * DuckDB's list arithmetic for differential testing). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product over array<double> — a codegen'd custom
+    * expression (HOF zip_with+aggregate is interpreted and ~30x slower on
+    * pair joins; see graft.functions.DotProduct). */
+  def dot(a: Column, b: Column): Column = graft.functions.EsFunctions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -29,6 +29,12 @@ object Similarity {
     val na = norm(a)
     val nb = norm(b)
     when(na === 0 || nb === 0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Unit vector (zero vectors pass through, giving cosine 0 later). */
+  def unitize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0, v).otherwise(transform(v, x => x / n))
   }
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -42,12 +48,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
                      idCol: String, vecCol: String, k: Int,
                      roundTo: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(qidCol).as("qid"), asDouble(col(vecCol)).as("_qv"))
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("_cv"))
+    // unit vectors computed once per row; pair cost = one codegen'd dot
+    val q = queries.select(col(qidCol).as("qid"), unitize(asDouble(col(vecCol))).as("_qv"))
+    val c = corpus.select(col(idCol).as("nid"), unitize(asDouble(col(vecCol))).as("_cv"))
     val scored = q.crossJoin(c)
       .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
       .select(col("qid"), col("nid"),
-        round(cosine(col("_qv"), col("_cv")), roundTo).as("sim"))
+        round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -85,7 +92,7 @@ object Similarity {
               idCol: String, vecCol: String, dim: Int, k: Int,
               tables: Int = 4, bits: Int = 12, roundTo: Int = 4): DataFrame = {
     def sigs(df: DataFrame, id: String): DataFrame = {
-      val v = asDouble(col(vecCol)).as("_v")
+      val v = unitize(asDouble(col(vecCol))).as("_v")
       val sigArr = array((0 until tables).map(t =>
         lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)
       df.select(col(id), v, posexplode(sigArr))
@@ -99,7 +106,7 @@ object Similarity {
       .dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     cands.select(col("qid"), col("nid"),
-        round(cosine(col("_qv"), col("_cv")), roundTo).as("sim"))
+        round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
@@ -109,11 +116,11 @@ object Similarity {
     * Brute variant for audit; LSH variant composes via annTopK. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, roundTo: Int = 4): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("_va"))
-    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("_vb"))
+    val a = df.select(col(idCol).as("id_a"), unitize(asDouble(col(vecCol))).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), unitize(asDouble(col(vecCol))).as("_vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("_va"), col("_vb")), roundTo).as("sim"))
+        round(dot(col("_va"), col("_vb")), roundTo).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

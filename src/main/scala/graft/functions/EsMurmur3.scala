@@ -100,6 +100,19 @@ object EsFunctions {
   def simhash64(c: Column): Column =
     GraftSqlBridge.column(SimHash64Expr(GraftSqlBridge.expression(c)))
 
+  /** One-pass distinct word-k-shingle hashes (see [[ShingleHashes]]). */
+  def shingle_hashes(text: Column, k: Int): Column =
+    GraftSqlBridge.column(ShingleHashesExpr(GraftSqlBridge.expression(text), k))
+
+  /** One-pass codegen'd MinHash signature (see [[MinHashSig]]). */
+  def minhash_sig(hashes: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(hashes), numHashes))
+
+  /** Codegen'd dot product of two array<double> columns (see [[DotProduct]]). */
+  def dot_product(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProductExpr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Register custom expressions for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -32,6 +32,22 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(df.head().getDouble(0) - 0.5) < 1e-12)
   }
 
+  test("native shingle_hashes equals the HOF reference formulation") {
+    val texts = sf("sf0.001", "documents").select("text").limit(100)
+      .union(Seq("", "one", "one two", "  spaced   out  words here ").toDF("text"))
+    val native = texts.select(Dedup.shingleHashes(col("text"), 3).as("h")).collect()
+    val hof = texts.select(Dedup.shingleHashesHof(col("text"), 3).as("h")).collect()
+    assert(native.map(_.getSeq[Long](0)).toSeq === hof.map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("native minhash_sig equals the HOF reference formulation") {
+    val texts = sf("sf0.001", "documents").select("text").limit(50)
+    val base = texts.select(Dedup.shingleHashes(col("text")).as("h"))
+    val native = base.select(Dedup.minhashSignature(col("h"), 32).as("s")).collect()
+    val hof = base.select(Dedup.minhashSignatureHof(col("h"), 32).as("s")).collect()
+    assert(native.map(_.getSeq[Long](0)).toSeq === hof.map(_.getSeq[Long](0)).toSeq)
+  }
+
   test("minhash signature similarity tracks jaccard") {
     // two texts sharing most shingles vs two unrelated texts
     val near = ("the quick brown fox jumps over the lazy dog tonight",
