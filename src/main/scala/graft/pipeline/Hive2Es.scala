@@ -39,6 +39,16 @@ object Hive2Es {
     format: String = "json",
     inferSampleFraction: Double = 1.0)
 
+  /** S3/A2 parity (`PAHive2ES.scala:66-77`): collect a small metadata table
+    * of (field_name, data_type) into the driver-side override map that
+    * coercion and mapping inference consume — the broadcast-lookup-join
+    * pattern for tiny dimension tables. */
+  def typeOverridesFromTable(meta: DataFrame,
+                             fieldCol: String = "index_name",
+                             typeCol: String = "data_type"): Map[String, String] =
+    meta.select(trim(col(fieldCol)).as("f"), trim(col(typeCol)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
   def read(spark: SparkSession, config: GraftConfig): DataFrame = {
     val df =
       if (config.input.contains("/")) spark.read.parquet(config.input)

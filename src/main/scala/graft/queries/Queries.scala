@@ -111,12 +111,16 @@ object Queries {
 
     // ---- J: left anti (NOT EXISTS) ----
     QueryDef("q05_anti_join",
+      // customers with no urgent order (plain "no orders" is empty at small SF)
       Some("""SELECT c_custkey, c_name
              |FROM customer c
-             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin),
       (s, dir) => {
-        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name").orderBy("c_custkey")
       }),
@@ -544,5 +548,56 @@ object Queries {
         .orderBy("id_a", "id_b")),
   )
 
-  def all: Seq[QueryDef] = relational ++ ext
+  val extra: Seq[QueryDef] = Seq(
+
+    // ---- S4: JSON-column (schema-less) source semantics ----
+    QueryDef("q31_json_source",
+      Some("""SELECT event_id, props AS doc, props ->> '$.k' AS kid
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"), col("props").as("doc"),
+          get_json_object(col("props"), "$.k").as("kid"))
+        .orderBy("event_id")),
+
+    // ---- A5: min_by / max_by selection (deterministic composite key) ----
+    QueryDef("q32_minby_maxby",
+      Some("""SELECT c_nationkey,
+             |  min_by(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey) AS poorest,
+             |  max_by(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey) AS richest
+             |FROM customer
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin),
+      (s, dir) => {
+        val key = (round(col("c_acctbal") * 100)).cast(LongType) * 100000 + col("c_custkey")
+        t(s, dir, "customer").groupBy("c_nationkey")
+          .agg(min_by(col("c_custkey"), key).as("poorest"),
+            max_by(col("c_custkey"), key).as("richest"))
+          .orderBy("c_nationkey")
+      }),
+
+    // ---- approx_count_distinct (HLL++; no SQL oracle — sketch-specific,
+    //      error bound asserted in QueriesSpec) ----
+    QueryDef("q33_approx_distinct", None,
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // ---- UDAF surface: typed Aggregator (geometric mean) ----
+    QueryDef("q34_udaf_geomean",
+      Some("""SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 3) AS geomean_price
+             |FROM orders
+             |WHERE o_totalprice > 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val geomean = udaf(graft.functions.GeoMean)
+        t(s, dir, "orders").filter(col("o_totalprice") > 0)
+          .groupBy("o_orderpriority")
+          .agg(round(geomean(col("o_totalprice")), 3).as("geomean_price"))
+          .orderBy("o_orderpriority")
+      }),
+  )
+
+  def all: Seq[QueryDef] = relational ++ ext ++ extra
 }
