@@ -597,6 +597,22 @@ object Queries {
           .agg(round(geomean(col("o_totalprice")), 3).as("geomean_price"))
           .orderBy("o_orderpriority")
       }),
+    // ---- skew-mitigated join: salted equi-join result == plain join ----
+    QueryDef("q35_skew_join",
+      Some(s"""SELECT p.p_brand,
+              |  count(*) AS line_cnt,
+              |  CAST(sum(CAST(l.l_extendedprice AS $D2)) AS $D2) AS brand_rev
+              |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              |GROUP BY p.p_brand
+              |ORDER BY p.p_brand""".stripMargin),
+      (s, dir) => graft.operators.SkewJoin.saltedEquiJoin(
+          t(s, dir, "lineitem"),
+          t(s, dir, "part").withColumnRenamed("p_partkey", "l_partkey"),
+          "l_partkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("line_cnt"),
+          sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("brand_rev"))
+        .orderBy("p_brand")),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

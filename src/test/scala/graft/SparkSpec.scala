@@ -7,7 +7,13 @@ import org.scalatest.BeforeAndAfterAll
 /** Shared local SparkSession for all specs (one JVM; sbt forks tests). */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    // keep metastore/warehouse artifacts out of the repo working dir
+    val scratch = java.nio.file.Files.createTempDirectory("graft-spark-test")
+    System.setProperty("derby.system.home", scratch.toString)
     val s = SparkSession.builder()
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$scratch/metastore_db;create=true")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
