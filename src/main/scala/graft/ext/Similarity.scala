@@ -112,6 +112,47 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /**
+   * IVF-style approximate top-k: a coarse quantizer of `nlist` centroids
+   * (chosen deterministically: the corpus vectors with the `nlist` smallest
+   * ids — a real system would run k-means; the partition/search mechanics
+   * are identical), corpus vectors assigned to their nearest centroid, and
+   * each query searched only in its `nprobe` nearest cells.
+   *
+   * Scale shape: centroids are tiny -> crossJoin(broadcast) for assignment
+   * (corpus x nlist, map-side); search joins query cells to corpus cells on
+   * the cell id — an equi-join whose per-cell fan-in is corpus/nlist on
+   * average, vs the full corpus for brute force.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, roundTo: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
+      .select(col(idCol).as("cent_id"), unitize(asDouble(col(vecCol))).as("_centv"))
+    def assign(df: DataFrame, id: String, outIdCol: String, vOut: String,
+               probes: Int): DataFrame = {
+      val v = unitize(asDouble(col(vecCol))).as(vOut)
+      val w = Window.partitionBy(outIdCol).orderBy(col("_csim").desc, col("cent_id").asc)
+      df.select(col(id).as(outIdCol), v)
+        .crossJoin(broadcast(cents))
+        .select(col(outIdCol), col(vOut), col("cent_id"),
+          dot(col(vOut), col("_centv")).as("_csim"))
+        .withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= probes)
+        .drop("_csim", "_crank")
+    }
+    val corpusCells = assign(corpus, idCol, "nid", "_cv", probes = 1)
+    val queryCells = assign(queries, qidCol, "qid", "_qv", probes = nprobe)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    queryCells.join(corpusCells, Seq("cent_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     * Brute variant for audit; LSH variant composes via annTopK. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

@@ -613,6 +613,158 @@ object Queries {
         .agg(count(lit(1)).as("line_cnt"),
           sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("brand_rev"))
         .orderBy("p_brand")),
+    // ---- G: cube ----
+    QueryDef("q36_cube",
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(CAST(l_extendedprice AS $D2)) AS $D2) AS sum_price,
+              |  count(*) AS cnt
+              |FROM lineitem
+              |GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ---- S: multiset set ops (INTERSECT ALL / EXCEPT ALL) ----
+    QueryDef("q37_setops_all",
+      Some("""WITH f AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+             |     o AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+             |     i AS (SELECT * FROM f INTERSECT ALL SELECT * FROM o),
+             |     e AS (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
+             |SELECT 'intersect_all' AS op, o_orderpriority, count(*) AS cnt FROM i GROUP BY 2
+             |UNION ALL
+             |SELECT 'except_all' AS op, o_orderpriority, count(*) AS cnt FROM e GROUP BY 2
+             |ORDER BY op, o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val f = ord.filter(col("o_orderstatus") === "F").select("o_orderpriority")
+        val o = ord.filter(col("o_orderstatus") === "O").select("o_orderpriority")
+        val i = f.intersectAll(o).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt")).withColumn("op", lit("intersect_all"))
+        val e = f.exceptAll(o).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt")).withColumn("op", lit("except_all"))
+        i.unionByName(e).select("op", "o_orderpriority", "cnt")
+          .orderBy("op", "o_orderpriority")
+      }),
+
+    // ---- W: ranking/analytic battery ----
+    QueryDef("q38_window_battery",
+      Some("""SELECT c_custkey, c_nationkey,
+             |  dense_rank()   OVER w AS drank,
+             |  ntile(4)       OVER w AS quartile,
+             |  percent_rank() OVER w AS prank,
+             |  cume_dist()    OVER w AS cdist,
+             |  first_value(c_custkey) OVER w AS first_in_nation,
+             |  last_value(c_custkey)  OVER (PARTITION BY c_nationkey
+             |                               ORDER BY c_acctbal, c_custkey
+             |                               ROWS BETWEEN UNBOUNDED PRECEDING
+             |                               AND UNBOUNDED FOLLOWING) AS last_in_nation
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_nationkey, c_custkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+            dense_rank().over(w).as("drank"),
+            ntile(4).over(w).as("quartile"),
+            // raw divisions of exact ints are bitwise-identical across
+            // engines; round() would reintroduce half-tie divergence
+            // (41/640 = .0640625: half-even vs half-up)
+            percent_rank().over(w).as("prank"),
+            cume_dist().over(w).as("cdist"),
+            first(col("c_custkey")).over(w).as("first_in_nation"),
+            last(col("c_custkey")).over(full).as("last_in_nation"))
+          .orderBy("c_nationkey", "c_custkey")
+      }),
+
+    // ---- A: exact interpolated percentiles ----
+    QueryDef("q39_percentiles",
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+             |  round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+             |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+             |  round(median(l_extendedprice), 4) AS median_price
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.50)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("median(l_extendedprice)"), 4).as("median_price"))
+        .orderBy("l_returnflag")),
+
+    // ---- F: string function battery ----
+    QueryDef("q40_string_funcs",
+      Some("""SELECT c_custkey,
+             |  upper(c_mktsegment) AS seg_upper,
+             |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+             |  split_part(c_name, '#', 1) AS name_prefix,
+             |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+             |  length(c_name) AS name_len,
+             |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits
+             |FROM customer
+             |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          lpad(col("c_custkey").cast(StringType), 10, "0").as("key_padded"),
+          element_at(split(col("c_name"), "#"), 1).as("name_prefix"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+          length(col("c_name")).as("name_len"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"))
+        .orderBy("c_custkey")),
+
+    // ---- F: date/time function battery ----
+    QueryDef("q41_date_funcs",
+      Some("""SELECT o_orderkey,
+             |  extract(year FROM o_orderdate) AS yr,
+             |  extract(month FROM o_orderdate) AS mo,
+             |  CAST(o_orderdate AS DATE) + 7 AS week_later,
+             |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          date_add(col("o_orderdate").cast(DateType), 7).as("week_later"),
+          datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+            .as("days_since_95"),
+          last_day(col("o_orderdate").cast(DateType)).as("month_end"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"))
+        .orderBy("o_orderkey")),
+
+    // ---- correlated scalar subquery (window-avg formulation vs DuckDB
+    //      correlated subquery — same semantics, independent plans) ----
+    QueryDef("q42_correlated",
+      Some("""SELECT c_custkey, c_nationkey
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+             |                   WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+        t(s, dir, "customer")
+          .withColumn("_nation_avg", avg(col("c_acctbal")).over(w))
+          .filter(col("c_acctbal") > col("_nation_avg"))
+          .select("c_custkey", "c_nationkey")
+          .orderBy("c_custkey")
+      }),
+
+    // ---- IVF approximate ANN (no SQL oracle — recall law in
+    //      SimilaritySpec vs brute force) ----
+    QueryDef("q43_ivf_ann", None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.ext.Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
+            "vec_id", "vec_id", "embedding", k = 3, nlist = 16, nprobe = 8)
+          .orderBy("qid", "rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -52,6 +52,22 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 27, s"ANN top-1 recall too low: $hits/30")
   }
 
+  test("ivfTopK: recall against brute force on real embeddings") {
+    val e = sf("sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
+        k = 1, nlist = 8, nprobe = 8) // nprobe = nlist => exhaustive => exact
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf === brute, "nprobe=nlist IVF must equal brute force")
+    val ivfPartial = Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding",
+        k = 1, nlist = 8, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = brute.count { case (k2, v) => ivfPartial.get(k2).contains(v) }
+    assert(recall >= 8, s"IVF nprobe=4/8 top-1 recall too low: $recall/20")
+  }
+
   test("cosineNearDups agrees with brute pair filter") {
     val e = sf("sf0.001", "embeddings").limit(100)
     val nd = Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.3)
