@@ -56,14 +56,35 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val result = mode match {
-        case "generic" => Hive2Es.runGeneric(spark, cfg)
-        case "infer"   => Hive2Es.runInferred(spark, cfg)
-        case other     => throw new IllegalArgumentException(s"unknown --mode $other")
+      mode match {
+        case "generic" | "infer" =>
+          val result =
+            if (mode == "generic") Hive2Es.runGeneric(spark, cfg)
+            else Hive2Es.runInferred(spark, cfg)
+          println(s"bundle written: ${result.outDir}")
+          println(s"totalDocs=${result.totalDocs} shards=${result.numShards}")
+          result.shardCounts.toSeq.sorted.foreach { case (s, n) => println(s"  shard $s: $n docs") }
+        case "stream" =>
+          // incremental producer: watch a parquet directory of source rows,
+          // shard each arriving batch into the bundle (drains then stops;
+          // rerun with the same checkpoint to pick up only new files)
+          val src = spark.read.parquet(cfg.input)
+          val stream = spark.readStream.schema(src.schema).parquet(cfg.input)
+          val docs = graft.transform.DocTransform.docs(stream,
+            Option(cfg.id).getOrElse(src.columns.head), Option(cfg.routing))
+          val out = s"${cfg.outDir}/${cfg.indexName}"
+          val q = graft.streaming.BundleStreamWriter.start(
+            docs, out, cfg.numShards, s"${cfg.outDir}/.ckpt_${cfg.indexName}")
+          q.awaitTermination(600000)
+          val written = spark.read
+            .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+          val counts = written.groupBy("_shard").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          println(s"bundle written (streaming): $out")
+          println(s"totalDocs=${counts.map(_._2).sum} shards=${cfg.numShards}")
+          counts.foreach { case (s, n) => println(s"  shard $s: $n docs") }
+        case other => throw new IllegalArgumentException(s"unknown --mode $other")
       }
-      println(s"bundle written: ${result.outDir}")
-      println(s"totalDocs=${result.totalDocs} shards=${result.numShards}")
-      result.shardCounts.toSeq.sorted.foreach { case (s, n) => println(s"  shard $s: $n docs") }
     } finally spark.stop()
   }
 }

@@ -78,15 +78,24 @@ object Dedup {
    * within buckets — no all-pairs comparison.
    */
   def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
-                    sigLen: Int, bands: Int): DataFrame = {
+                    sigLen: Int, bands: Int,
+                    maxBucket: Int = 10000): DataFrame = {
     require(sigLen % bands == 0, s"signature length $sigLen not divisible by $bands bands")
     val r = sigLen / bands
     val banded = df.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col(sigCol), b * r + 1, lit(r)), b))))
       .select(col(idCol), col("pos").as("band"), col("col").as("band_key"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    // skew guard: a degenerate bucket of B docs yields B^2 pairs; buckets
+    // past maxBucket are near-identical dup clusters — cap them (their
+    // members still pair through their other, more selective bands)
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    val capped = banded
+      .withColumn("_bsize", count(lit(1)).over(wCnt))
+      .filter(col("_bsize") <= maxBucket)
+      .drop("_bsize")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -108,7 +117,9 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8, k: Int = 3,
                       threshold: Double = 0.7): DataFrame = {
-    val hashed = docs.select(col(idCol), shingleHashes(col(textCol), k).as("_sh"))
+    // sorted hashes: the per-pair verify is then an allocation-free merge
+    val hashed = docs.select(col(idCol),
+      array_sort(shingleHashes(col(textCol), k)).as("_sh"))
     val withSig = hashed.withColumn("_sig", minhashSignature(col("_sh"), numHashes))
     val cands = lshCandidates(withSig.select(col(idCol), col("_sig")), idCol, "_sig",
       numHashes, bands)
@@ -116,7 +127,8 @@ object Dedup {
     cands
       .join(slim.withColumnsRenamed(Map(idCol -> "id_a", "_sh" -> "_sh_a")), "id_a")
       .join(slim.withColumnsRenamed(Map(idCol -> "id_b", "_sh" -> "_sh_b")), "id_b")
-      .withColumn("jaccard_sim", jaccard(col("_sh_a"), col("_sh_b")))
+      .withColumn("jaccard_sim",
+        graft.functions.EsFunctions.jaccard_sorted(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
   }

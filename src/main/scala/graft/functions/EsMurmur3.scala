@@ -108,6 +108,11 @@ object EsFunctions {
   def minhash_sig(hashes: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(hashes), numHashes))
 
+  /** Jaccard of two sorted distinct array<long> columns (see [[JaccardSorted]]). */
+  def jaccard_sorted(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaccardSortedExpr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Codegen'd dot product of two array<double> columns (see [[DotProduct]]). */
   def dot_product(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductExpr(

@@ -52,6 +52,33 @@ object BundleStream {
   }
 }
 
+object BundleStreamWriter {
+
+  /**
+   * Streaming ingestion into shard bundles: each micro-batch of documents
+   * (any stream with _id/_routing/doc) is sharded with the ES routing hash
+   * and appended under `out/data/_shard=k/` — the streaming counterpart of
+   * [[graft.sink.BundleSink]] (foreachBatch gives the batch writer's
+   * partitionBy bucketing + committer atomicity per micro-batch).
+   */
+  def start(docs: org.apache.spark.sql.DataFrame, outDir: String, numShards: Int,
+            checkpointDir: String,
+            availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.EsFunctions
+    import org.apache.spark.sql.DataFrame
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
+          .write.mode("append").partitionBy("_shard")
+          .option("compression", "gzip").json(s"$outDir/data")
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow())
+     else w.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+}
+
 object EventStreams {
 
   /** Tumbling-window counts with a watermark (late data beyond the

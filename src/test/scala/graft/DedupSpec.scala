@@ -26,6 +26,15 @@ class DedupSpec extends SparkSpec {
     assert(rows(1) === Set("x y")) // fewer than k tokens
   }
 
+  test("jaccard_sorted equals generic jaccard on hashed shingles") {
+    val d = sf("sf0.001", "documents").limit(60)
+      .select(array_sort(Dedup.shingleHashes(col("text"))).as("h"))
+    val pairs = d.alias("a").crossJoin(d.alias("b")).limit(500)
+      .select(graft.functions.EsFunctions.jaccard_sorted(col("a.h"), col("b.h")).as("fast"),
+        Dedup.jaccard(col("a.h"), col("b.h")).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("jaccard: exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))

@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("sessions").count() > 0)
   }
 
+  test("streaming bundle writer: micro-batches land in correct shard dirs") {
+    val dir = Files.createTempDirectory("graft-sbw").toString
+    // stream docs from a file source built out of the batch transform
+    val docsBatch = DocTransform.docs(sf("sf0.001", "customer"), "c_custkey", None)
+    docsBatch.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docsBatch.schema).parquet(s"$dir/in")
+    val q = graft.streaming.BundleStreamWriter.start(stream, s"$dir/out", 3,
+      s"$dir/ckpt", availableNow = true)
+    q.awaitTermination(120000)
+    val back = spark.read.schema(graft.streaming.BundleStream.bundleSchema)
+      .json(s"$dir/out/data")
+    assert(back.count() === docsBatch.count())
+    // placement law: every row's _shard equals es_shard(_routing)
+    val misplaced = back.filter(
+      col("_shard") =!= graft.functions.EsFunctions.es_shard(col("_routing"), 3)).count()
+    assert(misplaced === 0L)
+  }
+
   test("mapGroupsWithState: running per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
