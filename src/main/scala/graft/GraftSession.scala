@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Tuned SparkSession factory: one place for the engine's scale-relevant
+ * defaults so every entry point (CLI, Verify, Bench, consumer) runs the
+ * same configuration.
+ *
+ * Rationale per knob (targets: local[32] here, 1000-executor cluster at
+ * 100 TB with the same relative settings):
+ *  - AQE on + coalesce + skew-join: runtime re-plan fixes stats misses at
+ *    scale; skewed SMJ partitions split automatically.
+ *  - shuffle.partitions: cores locally; at cluster scale set to 2-3x total
+ *    cores (the env override is the knob).
+ *  - files.maxPartitionBytes 128m: keeps scan tasks memory-bounded no
+ *    matter the input file layout.
+ *  - autoBroadcastJoinThreshold 64m: all TPC-H-style dims broadcast; at
+ *    100 TB the fact side never does.
+ *  - session UTC + parquet nanosAsLong: deterministic timestamps (suite
+ *    uses TIMESTAMP(NANOS) inputs).
+ */
+object GraftSession {
+  def builder(appName: String): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def get(appName: String): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

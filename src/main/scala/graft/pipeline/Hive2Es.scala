@@ -77,7 +77,15 @@ object Hive2Es {
           Option(config.routing))
       }
     BundleSink.write(docs, s"${config.outDir}/${config.indexName}", config.numShards,
-      config.partitionMultiples, config.repartition, config.format, config.mappingJson)
+      config.partitionMultiples, config.repartition, config.format, config.mappingJson,
+      indexName = config.indexName)
+  }
+
+  /** `indexName = {alias}_{dt}` split (reference `PAHive2ES.scala:41-42`). */
+  def aliasAndDt(indexName: String): (String, String) = {
+    val cut = indexName.lastIndexOf("_")
+    if (cut < 0) (indexName, "")
+    else (indexName.substring(0, cut), indexName.substring(cut + 1))
   }
 
   /** Schema-inferring production mode (`PAHive2ES.main`, SURVEY.md §3.2):
@@ -95,7 +103,8 @@ object Hive2Es {
       val docs = DocTransform.docs(src, Option(config.id).getOrElse(src.columns.head),
         Option(config.routing), config.typeOverrides)
       BundleSink.write(docs, s"${config.outDir}/${config.indexName}", config.numShards,
-        config.partitionMultiples, config.repartition, config.format, Some(mappingJson))
+        config.partitionMultiples, config.repartition, config.format, Some(mappingJson),
+        indexName = config.indexName)
     } finally if (hasMaps) src.unpersist()
   }
 }

@@ -42,7 +42,8 @@ object BundleSink {
    */
   def write(docs: DataFrame, outDir: String, numShards: Int,
             partitionMultiples: Int = 10, repartition: Boolean = true,
-            format: String = "json", mappingJson: Option[String] = None): Result = {
+            format: String = "json", mappingJson: Option[String] = None,
+            indexName: String = "", typeName: String = "doc"): Result = {
     val spark = docs.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir), hadoopConf)
@@ -78,8 +79,12 @@ object BundleSink {
       val out = fs.create(new org.apache.hadoop.fs.Path(outDir, "mapping.json"), true)
       out.write(json.getBytes("UTF-8")); out.close()
     }
+    // job-record parity with the reference's ZK node payload
+    // ({numberShards, hdfsWorkDir, indexName, typeName, state},
+    // ServerNotifier.scala:21-34) folded into the manifest
     val manifest =
-      s"""{"numShards":$numShards,"format":"$format","totalDocs":$total,
+      s"""{"indexName":"$indexName","typeName":"$typeName","workDir":"$outDir",
+         |"numShards":$numShards,"format":"$format","totalDocs":$total,
          |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
          |"state":"completed"}""".stripMargin.replace("\n", "")
     val mf = fs.create(new org.apache.hadoop.fs.Path(outDir, "manifest.json"), true)

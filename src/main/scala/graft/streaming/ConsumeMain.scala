@@ -17,14 +17,7 @@ object ConsumeMain {
     require(args.length >= 2, "usage: ConsumeMain <bundleDir> <checkpointDir> [--follow]")
     val Array(bundleDir, ckpt) = args.take(2)
     val follow = args.contains("--follow")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-bundle-consumer")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.get("graft-bundle-consumer")
     try {
       val q = BundleStream.consolidate(
         BundleStream.read(spark, bundleDir), ckpt, availableNow = !follow)
