@@ -457,16 +457,21 @@ object Queries {
              |  ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
              |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => {
+        // word-set jaccard computed over sorted xxhash64(word) arrays with
+        // the codegen'd two-pointer merge: identical counts to string-set
+        // intersection (distinct words; a 64-bit collision among a few
+        // thousand words is ~1e-13) at a fraction of the per-pair cost
         val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
           (col("n_chars") / 100).cast(IntegerType).as("bucket"),
-          array_distinct(split(lower(trim(col("text"))), "\\s+")).as("words"))
+          array_sort(graft.functions.EsFunctions.shingle_hashes(col("text"), 1)).as("wh"))
         val a = d.alias("a")
         val b = d.alias("b")
         a.join(b, col("a.source") === col("b.source") &&
             col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            round(Dedup.jaccard(col("a.words"), col("b.words")), 6).as("jaccard_sim"))
+            round(graft.functions.EsFunctions.jaccard_sorted(col("a.wh"), col("b.wh")), 6)
+              .as("jaccard_sim"))
           .orderBy("id_a", "id_b")
       }),
 
@@ -755,6 +760,42 @@ object Queries {
           .select("c_custkey", "c_nationkey")
           .orderBy("c_custkey")
       }),
+
+    // ---- multimodal plumbing: binary payloads -> stub features -> agg
+    //      (no SQL oracle — stub byte-fold; plumbing laws in MultimodalSpec) ----
+    QueryDef("q44_multimodal", None,
+      (s, dir) => {
+        val media = graft.ext.Multimodal.fromBinary(
+          t(s, dir, "documents").select(col("doc_id"),
+            col("text").cast(org.apache.spark.sql.types.BinaryType).as("payload")),
+          "doc_id", "payload", "image")
+        graft.ext.Multimodal.decodeFeatures(media, featureDim = 8)
+          .groupBy("modality")
+          .agg(count(lit(1)).as("n_media"),
+            sum("content_bytes").as("total_bytes"),
+            round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+      }),
+
+    // ---- composite text quality score (same arithmetic both sides) ----
+    QueryDef("q45_quality",
+      Some("""SELECT doc_id,
+             |  round(
+             |    least(length(text) / 400.0, 1.0) * 0.5
+             |    + least((CASE WHEN len(string_split_regex(text, '\s+')) = 0 THEN 0.0
+             |             ELSE len(list_filter(string_split_regex(text, '\s+'),
+             |                    x -> x IN ('the','a','of','and','to','el','la','de','y','que',
+             |                               'der','die','das','und','zu','le','et','les')))
+             |                  / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) END) * 10.0, 1.0) * 0.3
+             |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+             |        ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             |             / CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.2
+             |  , 6) AS quality
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
 
     // ---- IVF approximate ANN (no SQL oracle — recall law in
     //      SimilaritySpec vs brute force) ----
