@@ -13,10 +13,20 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** One-pass stats struct (token_cnt, punct_cnt, all_hits, hits_<lang>) —
+    * see graft.functions.TextStats. Repeated uses in one projection are
+    * deduplicated by Spark's subexpression elimination. */
+  private def stats(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TextStatsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
   /** Whitespace tokens; "" -> [""] (same as DuckDB string_split_regex). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = stats(text).getField("token_cnt")
+
+  private[graft] def tokenCountHof(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count estimate: words plus intra-word case/digit
     * transitions (a cheap, deterministic proxy for a real tokenizer). */
@@ -24,7 +34,9 @@ object TextAnalysis {
     tokenCount(text) +
       size(split(text, "(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])")) - lit(1)
 
-  def punctCount(text: Column): Column =
+  def punctCount(text: Column): Column = stats(text).getField("punct_cnt")
+
+  private[graft] def punctCountHof(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
 
   def punctRatio(text: Column): Column =
@@ -42,22 +54,32 @@ object TextAnalysis {
   )
 
   /** How many tokens of `text` appear in `words` (multiset count). */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
+  private[graft] def stopwordHitsHof(text: Column, words: Seq[String]): Column = {
     val wordArr = array(words.map(lit): _*)
     size(filter(tokens(text), t => array_contains(wordArr, t)))
   }
 
   def stopwordRatio(text: Column): Column = {
-    val allWords = stopwords.flatMap(_._2).distinct
-    when(tokenCount(text) === 0, 0.0)
-      .otherwise(stopwordHits(text, allWords).cast("double") /
-        tokenCount(text).cast("double"))
+    val st = stats(text)
+    when(st.getField("token_cnt") === 0, 0.0)
+      .otherwise(st.getField("all_hits").cast("double") /
+        st.getField("token_cnt").cast("double"))
   }
 
   /** Language-ID by stopword votes: the language with the most stopword hits
     * wins; ties broken by list order ("en" first); zero hits -> "und". */
   def langId(text: Column): Column = {
-    val hits = stopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val st = stats(text)
+    val hits = stopwords.map { case (lang, _) => lang -> st.getField(s"hits_$lang") }
+    val best = hits.tail.foldLeft((hits.head._1: String, hits.head._2, lit(hits.head._1))) {
+      case ((_, bestHits, bestLang), (lang, h)) =>
+        (lang, greatest(bestHits, h), when(h > bestHits, lit(lang)).otherwise(bestLang))
+    }
+    when(greatest(hits.map(_._2): _*) === 0, lit("und")).otherwise(best._3)
+  }
+
+  private[graft] def langIdHof(text: Column): Column = {
+    val hits = stopwords.map { case (lang, words) => lang -> stopwordHitsHof(text, words) }
     val best = hits.tail.foldLeft((hits.head._1: String, hits.head._2, lit(hits.head._1))) {
       case ((_, bestHits, bestLang), (lang, h)) =>
         (lang, greatest(bestHits, h), when(h > bestHits, lit(lang)).otherwise(bestLang))

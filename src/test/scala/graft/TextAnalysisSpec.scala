@@ -6,6 +6,20 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native text_stats equals the HOF reference formulations") {
+    val texts = sf("sf0.001", "documents").select("text").limit(150)
+      .union(Seq("", " ", "the the the", "a,b.c!d?e;f:g", "Der und DAS  zu").toDF("text"))
+    val both = texts.select(
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.tokenCountHof(col("text")).as("tc_ref"),
+      TextAnalysis.punctCount(col("text")).as("pc"),
+      TextAnalysis.punctCountHof(col("text")).as("pc_ref"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.langIdHof(col("text")).as("lang_ref"))
+    assert(both.filter(col("tc") =!= col("tc_ref") || col("pc") =!= col("pc_ref") ||
+      col("lang") =!= col("lang_ref")).count() === 0)
+  }
+
   test("tokenCount / punctCount / ratios") {
     val df = Seq("the cat, the dog!", "").toDF("t").select(
       TextAnalysis.tokenCount(col("t")).as("tc"),
