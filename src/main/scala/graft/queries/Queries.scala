@@ -797,6 +797,35 @@ object Queries {
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // ---- Generator/UDTF surface: posexplode with ordinality oracle ----
+    QueryDef("q46_posexplode",
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+             |           FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+             |FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+             |ORDER BY doc_id, pos""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .orderBy("doc_id", "pos")),
+
+    // ---- ordered array aggregation (collect with deterministic order) ----
+    QueryDef("q47_array_agg",
+      Some("""SELECT c_nationkey,
+             |  COALESCE(list(c_custkey ORDER BY c_custkey) FILTER (WHERE c_acctbal > 9000),
+             |           []) AS rich_keys,
+             |  count(*) AS n
+             |FROM customer
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin),
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(sort_array(collect_list(when(col("c_acctbal") > 9000, col("c_custkey"))))
+            .as("rich_keys"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")),
+
     // ---- IVF approximate ANN (no SQL oracle — recall law in
     //      SimilaritySpec vs brute force) ----
     QueryDef("q43_ivf_ann", None,
