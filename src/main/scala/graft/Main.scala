@@ -28,6 +28,16 @@ object Main {
     }
     def req(k: String): String =
       m.getOrElse(k, throw new IllegalArgumentException(s"missing required --$k"))
+    // fail fast on malformed user mapping (otherwise it lands verbatim in
+    // the bundle's mapping.json and breaks consumers much later)
+    m.get("mapping").foreach { json =>
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"--mapping is not valid JSON: ${e.getMessage}")
+      }
+    }
+    def listOf(k: String): Set[String] =
+      m.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val cfg = GraftConfig(
       input = req("input"),
       outDir = req("out"),
@@ -39,7 +49,11 @@ object Main {
       partitionMultiples = m.getOrElse("partition-multiples", "10").toInt,
       repartition = m.getOrElse("repartition", "false").toBoolean,
       jsonSource = m.contains("json-source"),
-      format = m.getOrElse("format", "json"))
+      mappingJson = m.get("mapping"),
+      indexHiveFields = listOf("index-hive-fields"),
+      indexEsFields = listOf("index-es-fields"),
+      format = m.getOrElse("format", "json"),
+      inferSampleFraction = m.getOrElse("infer-sample", "1.0").toDouble)
     (cfg, m("mode"))
   }
 

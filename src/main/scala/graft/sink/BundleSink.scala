@@ -74,6 +74,12 @@ object BundleSink {
     val total = m("total").asInstanceOf[Long]
     val perShard = (0 until numShards)
       .map(i => i -> m(s"shard_$i").asInstanceOf[Long]).toMap
+    // null/empty routing hashes to shard 0 (reference ESHashPartitioner
+    // semantics); a fully degenerate distribution usually means the routing
+    // extraction came up null for every row — surface it
+    if (numShards > 1 && total > 0 && perShard.getOrElse(0, 0L) == total)
+      System.err.println(s"[bundle] WARNING: all $total docs landed on shard 0 — " +
+        "routing may be null for every row (bad --routing/--id extraction?)")
 
     mappingJson.foreach { json =>
       val out = fs.create(new org.apache.hadoop.fs.Path(outDir, "mapping.json"), true)

@@ -107,13 +107,20 @@ object DocTransform {
   def docs(df: DataFrame, idCol: String, routingCol: Option[String],
            typeOverrides: Map[String, String] = Map.empty,
            randomSeed: Long = 42L): DataFrame = {
+    val idExpr =
+      if (idCol != null) col(idCol).cast(StringType)
+      else lit(null).cast(StringType)
     val routing = routingCol match {
-      case Some(r) => coalesce(col(r).cast(StringType), col(idCol).cast(StringType))
+      case Some(r) if idCol != null =>
+        coalesce(col(r).cast(StringType), col(idCol).cast(StringType))
+      case Some(r) => col(r).cast(StringType)
       case None if idCol != null => col(idCol).cast(StringType)
+      // neither routing nor id: seeded random key, the reference's
+      // round-robin-ish spread (`Hive2ES.scala:58-62`)
       case None => conv(floor(rand(randomSeed) * 1e10).cast(LongType).cast(StringType), 10, 36)
     }
     df.select(
-      col(idCol).cast(StringType).as("_id"),
+      idExpr.as("_id"),
       routing.as("_routing"),
       docColumn(df.schema, typeOverrides).as("doc"))
   }

@@ -55,6 +55,17 @@ class DocTransformSpec extends SparkSpec {
     assert(out(1).getString(1) === "20") // null routing falls back to id
   }
 
+  test("docs: no id and no routing -> seeded random key, null _id (P6 fallback)") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("s", "n")
+    val out = DocTransform.docs(df, null, None).collect()
+    assert(out.forall(_.isNullAt(0)))
+    val keys = out.map(_.getString(1))
+    assert(keys.forall(k => k != null && k.nonEmpty))
+    // deterministic under the seed
+    val again = DocTransform.docs(df, null, None).collect().map(_.getString(1))
+    assert(keys.toSeq === again.toSeq)
+  }
+
   test("SchemaInfer: mapping with type conversion, index rules, dynamic keys") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("age", IntegerType),
