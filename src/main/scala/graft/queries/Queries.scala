@@ -835,6 +835,56 @@ object Queries {
             "vec_id", "vec_id", "embedding", k = 3, nlist = 16, nprobe = 8)
           .orderBy("qid", "rank")
       }),
+    // ---- Catalyst subquery machinery: IN-subquery + uncorrelated scalar ----
+    QueryDef("q48_in_subquery",
+      Some("""SELECT o_orderpriority, count(*) AS cnt
+             |FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_mktsegment = 'MACHINERY')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_orders_sq")
+        t(s, dir, "customer").createOrReplaceTempView("graft_customer_sq")
+        s.sql("""SELECT o_orderpriority, count(*) AS cnt
+                |FROM graft_orders_sq
+                |WHERE o_custkey IN (SELECT c_custkey FROM graft_customer_sq
+                |                    WHERE c_mktsegment = 'MACHINERY')
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      }),
+
+    QueryDef("q49_scalar_subquery",
+      Some(s"""SELECT count(*) AS n_above,
+              |  CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS sum_above
+              |FROM orders
+              |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_orders_ssq")
+        s.sql(s"""SELECT count(*) AS n_above,
+                 |  CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS sum_above
+                 |FROM graft_orders_ssq
+                 |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM graft_orders_ssq)""".stripMargin)
+      }),
+
+    // ---- data-profiling operator: per-column null/distinct/min/max ----
+    QueryDef("q50_profile",
+      Some("""SELECT count(*) AS n_rows,
+             |  count(*) - count(o_custkey) AS custkey_nulls,
+             |  count(DISTINCT o_orderstatus) AS status_distinct,
+             |  CAST(min(o_totalprice) AS DECIMAL(18,2)) AS price_min,
+             |  CAST(max(o_totalprice) AS DECIMAL(18,2)) AS price_max,
+             |  min(CAST(o_orderdate AS DATE)) AS date_min,
+             |  max(CAST(o_orderdate AS DATE)) AS date_max
+             |FROM orders""".stripMargin),
+      (s, dir) => t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_custkey"))).as("custkey_nulls"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min(col("o_totalprice")).cast(DecimalType(18, 2)).as("price_min"),
+        max(col("o_totalprice")).cast(DecimalType(18, 2)).as("price_max"),
+        min(col("o_orderdate").cast(DateType)).as("date_min"),
+        max(col("o_orderdate").cast(DateType)).as("date_max"))),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -113,6 +113,14 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the event stream against a (periodically
+    * reloaded by Spark per micro-batch) dimension table — the streaming form
+    * of the broadcast dimension join (§2.6). */
+  def enriched(events: DataFrame, dim: DataFrame, eventKey: String,
+               dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left_outer")
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class UserState(events: Long, totalValue: Double)

@@ -94,6 +94,29 @@ class StreamingSpec extends SparkSpec {
     assert(misplaced === 0L)
   }
 
+  test("stream-static broadcast join enriches events with dimension rows") {
+    val dir = Files.createTempDirectory("graft-ss").toString
+    sf("sf0.001", "events").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    // dimension: user_id -> segment (from customer, key aligned to user space)
+    val dim = sf("sf0.001", "customer")
+      .select((col("c_custkey") - 1).as("dim_user"), col("c_mktsegment"))
+    val q = graft.streaming.EventStreams.enriched(stream, dim, "user_id", "dim_user")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$dir/ckpt").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("enriched").collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    val expect = sf("sf0.001", "events").join(dim,
+        col("user_id") === col("dim_user"), "left_outer")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("mapGroupsWithState: running per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
