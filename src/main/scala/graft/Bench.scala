@@ -32,6 +32,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // warmup: JIT + codegen + parquet footer caches, so the first measured
+    // query isn't charged the whole session's startup cost
+    time {
+      spark.range(1000000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+      Tables.load(spark, sfDir, "lineitem").limit(10000)
+        .write.mode("overwrite").format("noop").save()
+    }
+
     val results = Queries.all.map { q =>
       q.name -> time {
         q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
