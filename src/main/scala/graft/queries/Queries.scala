@@ -885,6 +885,22 @@ object Queries {
         max(col("o_totalprice")).cast(DecimalType(18, 2)).as("price_max"),
         min(col("o_orderdate").cast(DateType)).as("date_min"),
         max(col("o_orderdate").cast(DateType)).as("date_max"))),
+    // ---- approximate quantiles (t-digest-style sketch; error bound
+    //      asserted in QueriesSpec, no SQL oracle) ----
+    QueryDef("q51_approx_quantile", None,
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_p"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_p"))
+        .orderBy("l_returnflag")),
+
+    // ---- seeded sampling (pipeline subsetting; determinism + bounds in
+    //      QueriesSpec, sampler differs across engines so no oracle) ----
+    QueryDef("q52_sample", None,
+      (s, dir) => t(s, dir, "lineitem")
+        .sample(withReplacement = false, 0.1, seed = 42L)
+        .agg(count(lit(1)).as("sampled_rows"),
+          countDistinct(col("l_orderkey")).as("sampled_orders"))),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

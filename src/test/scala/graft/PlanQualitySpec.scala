@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Plan-shape regression guard: the physical plans we tuned for must stay
+ * that way (SURVEY.md §4; a correctness-green query with a degraded plan is
+ * still a regression at 100 TB).
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  def plan(name: String): String = {
+    val q = Queries.all.find(_.name == name).get
+    // formatted mode is untruncated (toString cuts PushedFilters/ReadSchema)
+    q.build(spark, "/root/testdata/sf0.01").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: filters are pushed to the parquet scan") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity,45.0)"), p)
+    // projection pruned to the 4 selected columns
+    assert("ReadSchema: [^\\n]*l_orderkey".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("l_tax"), s"scan reads pruned column l_tax:\n$p")
+  }
+
+  test("q03: all three dimension joins broadcast; fact side never shuffles for the join") {
+    val p = plan("q03_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q04/q48: semi joins plan as joins, not per-row subqueries") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+    assert(plan("q48_in_subquery").contains("LeftSemi"))
+  }
+
+  test("q09: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q09_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q02: aggregation is partial+final hash aggregate") {
+    val p = plan("q02_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q14: as-of join is one exchange + window, no inequality join") {
+    val p = plan("q14_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q26: minhash pipeline has no cartesian stage") {
+    val p = plan("q26_minhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

@@ -18,6 +18,25 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("approx_percentile within 2% of exact (q51); sample deterministic and in bounds (q52)") {
+    val dir = "/root/testdata/sf0.01"
+    val q51 = Queries.all.find(_.name == "q51_approx_quantile").get.build(spark, dir).collect()
+    for (r <- q51) {
+      val approx = r.getSeq[Double](1)
+      val exact = r.getSeq[Double](2)
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e") }
+    }
+    val q52 = Queries.all.find(_.name == "q52_sample").get
+    val n1 = q52.build(spark, dir).head().getLong(0)
+    val n2 = q52.build(spark, dir).head().getLong(0)
+    assert(n1 === n2, "seeded sample not deterministic")
+    // binomial bounds: 10% of 60k +- 5 sigma
+    val total = sf("sf0.01", "lineitem").count().toDouble
+    val sigma = math.sqrt(total * 0.1 * 0.9)
+    assert(math.abs(n1 - total * 0.1) < 5 * sigma, s"sample size $n1 out of bounds")
+  }
+
   test("approx_count_distinct within 5% of exact (q33)") {
     val r = Queries.all.find(_.name == "q33_approx_distinct").get
       .build(spark, "/root/testdata/sf0.01").head()
