@@ -11,8 +11,10 @@ stricter than any plausible driver)."""
 import sys, json, glob, math
 import duckdb
 
+# only the tables TESTDATA.md documents — the driver may not register
+# documents/embeddings, so oracles for those must use read_parquet paths
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+          "lineitem", "events"]
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -35,6 +37,8 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # harness parity probe: run with ONLY the TESTDATA.md-listed tables
+    # registered; doc/embedding oracles must be self-contained (read_parquet)
     failed = []
     for name in sorted(oracle):
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))

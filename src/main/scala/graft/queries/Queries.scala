@@ -296,7 +296,7 @@ object Queries {
              |  lower(replace(replace(source, '&', '-'), '$', '-')) AS norm_source,
              |  CASE WHEN text = '' OR lower(text) = 'null' THEN NULL ELSE text END IS NULL AS dropped,
              |  length(text) AS text_chars
-             |FROM documents
+             |FROM read_parquet('{SFDIR}/documents.parquet') documents
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
@@ -405,7 +405,7 @@ object Queries {
              |          x -> x IN ('the','a','of','and','to','el','la','de','y','que',
              |                     'der','die','das','und','zu','le','et','les')))
              |        / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 6) AS stop_ratio
-             |FROM documents
+             |FROM read_parquet('{SFDIR}/documents.parquet') documents
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
@@ -417,7 +417,7 @@ object Queries {
     // ---- language ID by stopword votes (same lists both sides) ----
     QueryDef("q23_langid",
       Some(s"""SELECT doc_id, lang AS labeled_lang, ${langIdSql("text")} AS pred_lang
-              |FROM documents
+              |FROM read_parquet('{SFDIR}/documents.parquet') documents
               |ORDER BY doc_id""".stripMargin),
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("labeled_lang"),
@@ -427,9 +427,9 @@ object Queries {
     // ---- ANN: brute-force cosine top-3 for 20 query vectors ----
     QueryDef("q24_ann_topk",
       Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-             |           FROM embeddings WHERE vec_id < 20),
+             |           FROM read_parquet('{SFDIR}/embeddings.parquet') embeddings WHERE vec_id < 20),
              |     c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
-             |           FROM embeddings),
+             |           FROM read_parquet('{SFDIR}/embeddings.parquet') embeddings),
              |scored AS (SELECT qid, nid, round(list_cosine_similarity(qv, cv), 4) AS sim
              |           FROM q, c WHERE qid <> nid)
              |SELECT qid, nid, rank, sim FROM (
@@ -449,7 +449,7 @@ object Queries {
     QueryDef("q25_jaccard_pairs",
       Some("""WITH d AS (SELECT doc_id, source, n_chars // 100 AS bucket,
              |             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
-             |           FROM documents)
+             |           FROM read_parquet('{SFDIR}/documents.parquet') documents)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  round(len(list_intersect(a.words, b.words))
              |        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE), 6) AS jaccard_sim
@@ -541,7 +541,7 @@ object Queries {
 
     // ---- embedding near-duplicate pairs (cosine >= 0.35) ----
     QueryDef("q30_embed_neardup",
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM read_parquet('{SFDIR}/embeddings.parquet') embeddings)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |       round(list_cosine_similarity(a.v, b.v), 4) AS sim
              |FROM e a, e b
@@ -790,7 +790,7 @@ object Queries {
              |        ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
              |             / CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.2
              |  , 6) AS quality
-             |FROM documents
+             |FROM read_parquet('{SFDIR}/documents.parquet') documents
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
@@ -800,7 +800,7 @@ object Queries {
     // ---- Generator/UDTF surface: posexplode with ordinality oracle ----
     QueryDef("q46_posexplode",
       Some("""WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-             |           FROM documents WHERE doc_id < 50)
+             |           FROM read_parquet('{SFDIR}/documents.parquet') documents WHERE doc_id < 50)
              |SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
              |FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
              |ORDER BY doc_id, pos""".stripMargin),
