@@ -46,19 +46,24 @@ object Bench {
       }
     }
 
-    // end-to-end sink pipeline (scan -> docs -> es_shard -> bundle write)
+    // end-to-end sink pipeline (scan -> docs -> es_shard -> bundle write),
+    // measured for both bundle formats
     val sinkDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
+    def sinkDocsDf = DocTransform.docs(Tables.load(spark, sfDir, "lineitem")
+      .withColumn("li_id", org.apache.spark.sql.functions.concat_ws("-",
+        org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_linenumber"))), "li_id", None)
     var sinkDocs = 0L
     val sinkSec = time {
-      val docs = DocTransform.docs(Tables.load(spark, sfDir, "lineitem")
-        .withColumn("li_id", org.apache.spark.sql.functions.concat_ws("-",
-          org.apache.spark.sql.functions.col("l_orderkey"),
-          org.apache.spark.sql.functions.col("l_linenumber"))), "li_id", None)
-      sinkDocs = BundleSink.write(docs, s"$sinkDir/bench_idx", numShards = 8,
+      sinkDocs = BundleSink.write(sinkDocsDf, s"$sinkDir/bench_idx", numShards = 8,
         partitionMultiples = 4, repartition = true).totalDocs
     }
+    val sinkParquetSec = time {
+      BundleSink.write(sinkDocsDf, s"$sinkDir/bench_idx_pq", numShards = 8,
+        partitionMultiples = 4, repartition = true, format = "parquet")
+    }
 
-    val all = results :+ ("sink_bundle" -> sinkSec)
+    val all = results :+ ("sink_bundle" -> sinkSec) :+ ("sink_bundle_parquet" -> sinkParquetSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1

@@ -56,12 +56,21 @@ object BundleSink {
       if (repartition) sharded.repartition(numShards * partitionMultiples, col("_shard"))
       else sharded
 
-    // per-shard counts in the same job via observable metrics (A3 parity:
-    // per-partition doc counts, `Hive2ES.scala:85-90`) — no second scan.
+    // per-shard counts: for modest shard counts they ride the write job as
+    // observable metrics (A3 parity: per-partition doc counts,
+    // `Hive2ES.scala:85-90`) — one conditional-sum expression per shard.
+    // Past ~64 shards that expression list itself becomes the bottleneck,
+    // so large layouts count by scanning the (much smaller, columnar-
+    // prunable) written output instead of re-running the pipeline.
+    val observeCounts = numShards <= 64
     val obs = Observation("bundle-counts")
-    val countExprs = count(lit(1)).as("total") +:
-      (0 until numShards).map(i => sum(when(col("_shard") === i, 1L).otherwise(0L)).as(s"shard_$i"))
-    val observed = arranged.observe(obs, countExprs.head, countExprs.tail: _*)
+    val observed =
+      if (observeCounts) {
+        val countExprs = count(lit(1)).as("total") +:
+          (0 until numShards).map(i =>
+            sum(when(col("_shard") === i, 1L).otherwise(0L)).as(s"shard_$i"))
+        arranged.observe(obs, countExprs.head, countExprs.tail: _*)
+      } else arranged
 
     val writer = observed.write.mode("overwrite").partitionBy("_shard")
     (format match {
@@ -70,10 +79,22 @@ object BundleSink {
       case other     => throw new IllegalArgumentException(s"unsupported bundle format: $other")
     })
 
-    val m = obs.get
-    val total = m("total").asInstanceOf[Long]
-    val perShard = (0 until numShards)
-      .map(i => i -> m(s"shard_$i").asInstanceOf[Long]).toMap
+    val (total, perShard) =
+      if (observeCounts) {
+        val m = obs.get
+        (m("total").asInstanceOf[Long],
+          (0 until numShards).map(i => i -> m(s"shard_$i").asInstanceOf[Long]).toMap)
+      } else {
+        val back = format match {
+          case "json" => spark.read
+            .schema(graft.streaming.BundleStream.bundleSchema).json(outDir + "/data")
+          case _ => spark.read.parquet(outDir + "/data")
+        }
+        val counts = back.groupBy(col("_shard")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val full = (0 until numShards).map(i => i -> counts.getOrElse(i, 0L)).toMap
+        (full.values.sum, full)
+      }
     // null/empty routing hashes to shard 0 (reference ESHashPartitioner
     // semantics); a fully degenerate distribution usually means the routing
     // extraction came up null for every row — surface it

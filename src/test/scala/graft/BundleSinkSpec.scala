@@ -54,6 +54,23 @@ class BundleSinkSpec extends SparkSpec {
     assert(res2.shardCounts === expected)
   }
 
+  test("many-shard layout (>64) counts via read-back, placement still exact") {
+    import org.apache.spark.sql.functions._
+    val out = tmpDir()
+    val docs = graft.transform.DocTransform.docs(
+      sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    val numShards = 100
+    val res = graft.sink.BundleSink.write(docs, s"$out/many", numShards,
+      partitionMultiples = 1, repartition = true)
+    assert(res.totalDocs === 1500L)
+    val keys = sf("sf0.001", "orders")
+      .select(coalesce(col("o_custkey").cast("string"), col("o_orderkey").cast("string")))
+      .collect().map(_.getString(0))
+    val expected = (0 until numShards).map(i =>
+      i -> keys.count(k => EsMurmur3.shard(k, numShards) == i).toLong).toMap
+    assert(res.shardCounts === expected)
+  }
+
   test("runGeneric + runInferred over events (map-free) produce identical counts") {
     val out = tmpDir()
     val cfg = GraftConfig(
