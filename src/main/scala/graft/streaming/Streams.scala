@@ -41,7 +41,10 @@ object BundleStream {
   def consolidate(stream: DataFrame, checkpointDir: String,
                   availableNow: Boolean = true,
                   pollInterval: String = "10 seconds"): StreamingQuery = {
-    val counts = stream.groupBy(col("_shard")).agg(count(lit(1)).as("docs"))
+    // corrupt lines parse PERMISSIVE to all-null rows (but inherit _shard
+    // from the directory) — don't count them as documents
+    val counts = stream.filter(col("_id").isNotNull)
+      .groupBy(col("_shard")).agg(count(lit(1)).as("docs"))
     val w = counts.writeStream
       .format("memory")
       .queryName("bundle_progress")

@@ -94,6 +94,24 @@ class StreamingSpec extends SparkSpec {
     assert(misplaced === 0L)
   }
 
+  test("consumer tolerates corrupt files: malformed lines become nulls, valid docs intact") {
+    val out = Files.createTempDirectory("graft-corrupt").toString
+    val docs = DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
+    val res = BundleSink.write(docs, s"$out/idx", 2, 1, repartition = true)
+    // a corrupt (non-json, non-tmp) file appears in a shard dir
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/idx/data/_shard=0/garbage.json"),
+      "not json at all {{{".getBytes)
+    val q = BundleStream.consolidate(BundleStream.read(spark, s"$out/idx"),
+      s"$out/ckpt", availableNow = true)
+    q.awaitTermination(120000)
+    val rows = spark.table("bundle_progress").collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getLong(1)).toMap
+    // all real docs still counted under their shards; the corrupt line shows
+    // up as a null-shard bucket instead of failing the stream (PERMISSIVE)
+    assert(rows.getOrElse(0, 0L) + rows.getOrElse(1, 0L) === res.totalDocs)
+  }
+
   test("stream-static broadcast join enriches events with dimension rows") {
     val dir = Files.createTempDirectory("graft-ss").toString
     sf("sf0.001", "events").write.parquet(s"$dir/in")
