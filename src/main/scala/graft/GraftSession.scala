@@ -24,6 +24,7 @@ object GraftSession {
   def builder(appName: String): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)

@@ -14,6 +14,13 @@ import org.apache.spark.sql.types.LongType
 object Tables {
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every suite table as a temp view for SQL-by-name use. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {

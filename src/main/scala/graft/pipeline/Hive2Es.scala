@@ -91,6 +91,8 @@ object Hive2Es {
   /** Schema-inferring production mode (`PAHive2ES.main`, SURVEY.md §3.2):
     * discovery pass -> mapping.json -> value pass -> bundles. */
   def runInferred(spark: SparkSession, config: GraftConfig): BundleSink.Result = {
+    require(!config.jsonSource,
+      "--json-source is schema-less; use --mode generic (inference has no row schema to infer from)")
     val input = read(spark, config)
     // two passes over the source are inherent (reference jobs #2 and #3);
     // cache only when the source has dynamic map columns to discover
