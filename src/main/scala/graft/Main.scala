@@ -15,6 +15,11 @@ import org.apache.spark.sql.SparkSession
  *     [--format json|parquet] [--mode generic|infer] [--json-source]
  */
 object Main {
+  private val KnownFlags = Set("input", "out", "index", "num-shards", "where",
+    "id", "routing", "partition-multiples", "repartition", "json-source",
+    "mapping", "index-hive-fields", "index-es-fields", "format",
+    "infer-sample", "mode")
+
   def parse(args: Array[String]): (GraftConfig, String) = {
     var m = Map[String, String]("mode" -> "infer")
     var i = 0
@@ -22,7 +27,13 @@ object Main {
       args(i) match {
         case "--json-source" => m += ("json-source" -> "true"); i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
-          m += (flag.drop(2) -> args(i + 1)); i += 2
+          val key = flag.drop(2)
+          // a typo'd flag silently running with defaults is a
+          // placement-breaking misconfiguration — reject unknown keys
+          if (!KnownFlags(key))
+            throw new IllegalArgumentException(
+              s"unknown flag --$key (known: ${KnownFlags.toSeq.sorted.mkString(", ")})")
+          m += (key -> args(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unexpected argument: $other")
       }
     }

@@ -24,7 +24,10 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // `div` = integral division; `/` would go through double and lose
+      // precision above 2^53 (post-1970 ns timestamps), shifting ~2% of
+      // microsecond-aligned values down 1us
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None    => df
     }
   }

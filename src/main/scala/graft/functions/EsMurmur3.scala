@@ -96,6 +96,14 @@ object EsFunctions {
   def es_shard(routing: Column, numShards: Int): Column =
     pmod(es_hash(coalesce(routing, lit(""))), lit(numShards))
 
+  /** Fan-out partition id in [0, numShards*multiples): the reference's
+    * ESHashPartitioner law (`partition = mod(hash, n*m)`), which still maps
+    * each row to its shard because (h mod nm) mod n == h mod n. Partitioning
+    * on the shard id itself would collapse the exchange to <= n non-empty
+    * partitions, defeating the write fan-out. */
+  def es_partition(routing: Column, numShards: Int, multiples: Int): Column =
+    pmod(es_hash(coalesce(routing, lit(""))), lit(numShards * multiples))
+
   /** SimHash of an array<long> of token hashes (see [[SimHash64]]). */
   def simhash64(c: Column): Column =
     GraftSqlBridge.column(SimHash64Expr(GraftSqlBridge.expression(c)))

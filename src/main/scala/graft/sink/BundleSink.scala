@@ -52,8 +52,12 @@ object BundleSink {
     fs.create(new org.apache.hadoop.fs.Path(outDir, "_STARTED"), true).close()
 
     val sharded = docs.withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
+    // fan out on mod(hash, n*m) like the reference partitioner — NOT on the
+    // _shard column, which has only n distinct values and would leave at
+    // most n non-empty exchange partitions (one writer task per shard)
     val arranged =
-      if (repartition) sharded.repartition(numShards * partitionMultiples, col("_shard"))
+      if (repartition) sharded.repartition(numShards * partitionMultiples,
+        EsFunctions.es_partition(col("_routing"), numShards, partitionMultiples))
       else sharded
 
     // per-shard counts: for modest shard counts they ride the write job as

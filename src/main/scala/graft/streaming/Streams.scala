@@ -41,9 +41,11 @@ object BundleStream {
   def consolidate(stream: DataFrame, checkpointDir: String,
                   availableNow: Boolean = true,
                   pollInterval: String = "10 seconds"): StreamingQuery = {
-    // corrupt lines parse PERMISSIVE to all-null rows (but inherit _shard
-    // from the directory) — don't count them as documents
-    val counts = stream.filter(col("_id").isNotNull)
+    // corrupt lines parse PERMISSIVE to ALL-null content rows (they still
+    // inherit _shard from the directory); a legitimately null _id alone
+    // (doc built without an id column) must still count
+    val counts = stream
+      .filter(col("_id").isNotNull || col("_routing").isNotNull || col("doc").isNotNull)
       .groupBy(col("_shard")).agg(count(lit(1)).as("docs"))
     val w = counts.writeStream
       .format("memory")

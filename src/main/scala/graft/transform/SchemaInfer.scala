@@ -85,8 +85,11 @@ object SchemaInfer {
             spec(esKey, mt.valueType.simpleString, indexed, typeOverrides)
           }
         case at: ArrayType =>
+          // reference discovery emits needIndex=true for array fields
+          // unconditionally (`PAHive2ES.scala:113-117`), so include lists
+          // and suffix rules don't apply here
           val esKey = Names.normalize(f.name)
-          Seq(spec(esKey, at.simpleString, needIndex(esKey, esKey, indexHiveFields, indexEsFields), typeOverrides))
+          Seq(spec(esKey, at.simpleString, indexed = true, typeOverrides))
         case dt =>
           Seq(spec(f.name, dt.simpleString, needIndex(f.name, f.name, indexHiveFields, indexEsFields), typeOverrides))
       }
