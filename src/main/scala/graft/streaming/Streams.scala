@@ -62,25 +62,57 @@ object BundleStreamWriter {
   /**
    * Streaming ingestion into shard bundles: each micro-batch of documents
    * (any stream with _id/_routing/doc) is sharded with the ES routing hash
-   * and appended under `out/data/_shard=k/` — the streaming counterpart of
-   * [[graft.sink.BundleSink]] (foreachBatch gives the batch writer's
-   * partitionBy bucketing + committer atomicity per micro-batch).
+   * and lands under `out/data/_shard=k/` — the streaming counterpart of
+   * [[graft.sink.BundleSink]].
+   *
+   * Exactly-once despite foreachBatch's at-least-once replay: the batch is
+   * written to a batch-scoped staging dir (overwrite — a replay rewrites it
+   * cleanly), then each part file is renamed into the shard dirs under a
+   * DETERMINISTIC name derived from (batchId, partition index). A replay
+   * after a mid-commit crash regenerates identical partition content
+   * (offsets are checkpointed), so rename-if-absent completes the commit
+   * without duplicating files that already made it.
    */
   def start(docs: org.apache.spark.sql.DataFrame, outDir: String, numShards: Int,
             checkpointDir: String,
             availableNow: Boolean = true): StreamingQuery = {
-    import graft.functions.EsFunctions
     import org.apache.spark.sql.DataFrame
     val w = docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
-          .withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
-          .write.mode("append").partitionBy("_shard")
-          .option("compression", "gzip").json(s"$outDir/data")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, outDir, numShards)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow())
      else w.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
+  private[graft] def commitBatch(batch: org.apache.spark.sql.DataFrame,
+                                     batchId: Long, outDir: String,
+                                     numShards: Int): Unit = {
+    import graft.functions.EsFunctions
+    import org.apache.hadoop.fs.Path
+    val staging = s"$outDir/.staging/batch=$batchId"
+    batch
+      .withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
+      .write.mode("overwrite").partitionBy("_shard")
+      .option("compression", "gzip").json(staging)
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val partIdx = "part-(\\d+)".r
+    for (shardDir <- fs.listStatus(new Path(staging)) if shardDir.isDirectory) {
+      val shardName = shardDir.getPath.getName // "_shard=k"
+      val target = new Path(s"$outDir/data/$shardName")
+      fs.mkdirs(target)
+      for (f <- fs.listStatus(shardDir.getPath)
+           if f.getPath.getName.startsWith("part-")) {
+        val idx = partIdx.findFirstMatchIn(f.getPath.getName).map(_.group(1)).getOrElse("0")
+        val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")
+        val dest = new Path(target, s"b$batchId-p$idx$suffix")
+        if (!fs.exists(dest)) fs.rename(f.getPath, dest)
+      }
+    }
+    fs.delete(new Path(staging), true)
   }
 }
 

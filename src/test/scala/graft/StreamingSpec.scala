@@ -94,6 +94,19 @@ class StreamingSpec extends SparkSpec {
     assert(misplaced === 0L)
   }
 
+  test("streaming writer commit is idempotent under batch replay") {
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val docs = DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
+    // simulate foreachBatch replay: same batchId committed twice
+    graft.streaming.BundleStreamWriter.commitBatch(docs, 7L, s"$dir/out", 2)
+    graft.streaming.BundleStreamWriter.commitBatch(docs, 7L, s"$dir/out", 2)
+    val back = spark.read.schema(BundleStream.bundleSchema).json(s"$dir/out/data")
+    assert(back.count() === 5L, "replayed batch duplicated docs")
+    // a NEW batch still appends
+    graft.streaming.BundleStreamWriter.commitBatch(docs, 8L, s"$dir/out", 2)
+    assert(spark.read.schema(BundleStream.bundleSchema).json(s"$dir/out/data").count() === 10L)
+  }
+
   test("consumer tolerates corrupt files: malformed lines become nulls, valid docs intact") {
     val out = Files.createTempDirectory("graft-corrupt").toString
     val docs = DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
