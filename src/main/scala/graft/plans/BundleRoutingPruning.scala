@@ -66,7 +66,8 @@ object BundleRoutingPruning extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // shape after pushdown: Project(_shard alias w/ metadata) over Filter
-    case p @ Project(projList, f: Filter) =>
+    case p @ Project(projList, f: Filter)
+      if projList.exists(_.name == "_shard") => // cheap guard before any allocation
       val tagged = projList.collectFirst {
         case ne if shardsOf(ne).isDefined =>
           (shardsOf(ne).get,
@@ -78,7 +79,7 @@ object BundleRoutingPruning extends Rule[LogicalPlan] {
         case _ => p
       }
     // shape before pushdown: Filter directly over the tagged output
-    case f @ Filter(_, child) =>
+    case f @ Filter(_, child) if child.output.exists(_.name == "_shard") =>
       child.output.collectFirst {
         case a: AttributeReference if shardsOf(a).isDefined => (a, shardsOf(a).get)
       } match {
