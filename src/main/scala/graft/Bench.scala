@@ -3,7 +3,6 @@ package graft
 import graft.queries.Queries
 import graft.sink.BundleSink
 import graft.transform.DocTransform
-import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and the

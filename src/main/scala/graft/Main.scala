@@ -2,7 +2,6 @@ package graft
 
 import graft.pipeline.Hive2Es
 import graft.pipeline.Hive2Es.GraftConfig
-import org.apache.spark.sql.SparkSession
 
 /**
  * CLI entry point (reference `ArgsParser.scala:31-128` surface, minus the

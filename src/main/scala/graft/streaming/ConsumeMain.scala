@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
 
 /**
  * Bundle-consumer daemon (the Spark-native analog of the reference's
