@@ -86,6 +86,30 @@ object Multimodal {
     acc
   }
 
+  /** STUB resize: a real implementation would decode, scale and re-encode
+    * inside the mapPartitions batch (same plumbing as [[decodeFeatures]]);
+    * the stand-in keeps every `factor`-th byte — deterministic and
+    * size-contract-preserving (output length = ceil(len/factor)). */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(media.schema))
+    val idxContent = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idxContent)
+        val out =
+          if (bytes == null) null
+          else {
+            val o = new Array[Byte]((bytes.length + factor - 1) / factor)
+            var i = 0
+            while (i < o.length) { o(i) = bytes(i * factor); i += 1 }
+            o
+          }
+        Row.fromSeq(r.toSeq.updated(idxContent, out))
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th block of
     * `blockSize` bytes becomes one "frame" row. Pure Spark: posexplode over
     * a computed slice array — no driver loops. */

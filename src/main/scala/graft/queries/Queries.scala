@@ -769,7 +769,8 @@ object Queries {
           t(s, dir, "documents").select(col("doc_id"),
             col("text").cast(org.apache.spark.sql.types.BinaryType).as("payload")),
           "doc_id", "payload", "image")
-        graft.ext.Multimodal.decodeFeatures(media, featureDim = 8)
+        val resized = graft.ext.Multimodal.resizeStub(media, factor = 4)
+        graft.ext.Multimodal.decodeFeatures(resized, featureDim = 8)
           .groupBy("modality")
           .agg(count(lit(1)).as("n_media"),
             sum("content_bytes").as("total_bytes"),

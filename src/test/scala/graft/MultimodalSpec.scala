@@ -36,6 +36,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(4) === lens(r.getLong(0))))
   }
 
+  test("resizeStub: length contract, determinism, passthrough schema") {
+    val resized = Multimodal.resizeStub(media, factor = 4)
+    assert(resized.schema === media.schema)
+    val pairs = media.orderBy("media_id").collect()
+      .zip(resized.orderBy("media_id").collect())
+    for ((orig, res) <- pairs) {
+      val ob = orig.getAs[Array[Byte]]("content")
+      val rb = res.getAs[Array[Byte]]("content")
+      assert(rb.length === (ob.length + 3) / 4)
+      assert(rb(0) === ob(0)) // every 4th byte kept, starting at 0
+    }
+  }
+
+  test("subwordCountEstimate >= whitespace token count; counts case/digit splits") {
+    import spark.implicits._
+    val df = Seq("plainwords here", "camelCase word42x").toDF("t").select(
+      graft.ext.TextAnalysis.tokenCount(col("t")).as("tc"),
+      graft.ext.TextAnalysis.subwordCountEstimate(col("t")).as("sc"))
+    val rows = df.collect()
+    assert(rows(0).getInt(1) === rows(0).getInt(0))      // no intra-word splits
+    assert(rows(1).getInt(1) > rows(1).getInt(0))        // camelCase + digits split
+  }
+
   test("sampleFrames: every stride-th block, correct sizes") {
     val bin = media.limit(3)
     val frames = Multimodal.sampleFrames(bin, blockSize = 16, stride = 2)
