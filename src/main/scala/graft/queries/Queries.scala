@@ -886,6 +886,23 @@ object Queries {
         max(col("o_totalprice")).cast(DecimalType(18, 2)).as("price_max"),
         min(col("o_orderdate").cast(DateType)).as("date_min"),
         max(col("o_orderdate").cast(DateType)).as("date_max"))),
+    // ---- group-level MinHash sketches (TypedImperativeAggregate): pairwise
+    //      source similarity with NO pair join over documents (no SQL
+    //      oracle — sketch estimate; error bound in MinHashSketchSpec) ----
+    QueryDef("q53_sketch_similarity", None,
+      (s, dir) => {
+        import graft.functions.MinHashSketchAgg._
+        val sketches = t(s, dir, "documents")
+          .withColumn("h", graft.ext.Dedup.shingleHashes(col("text"), 1))
+          .groupBy("source").agg(minhash_sketch(col("h"), 128).as("sk"))
+        val a = sketches.alias("a")
+        val b = sketches.alias("b")
+        a.join(b, col("a.source") < col("b.source"))
+          .select(col("a.source").as("s1"), col("b.source").as("s2"),
+            round(sketchJaccard(col("a.sk"), col("b.sk")), 4).as("est_jaccard"))
+          .orderBy("s1", "s2")
+      }),
+
     // ---- approximate quantiles (t-digest-style sketch; error bound
     //      asserted in QueriesSpec, no SQL oracle) ----
     QueryDef("q51_approx_quantile", None,
