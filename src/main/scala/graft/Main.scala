@@ -49,7 +49,7 @@ object Main {
     def listOf(k: String): Set[String] =
       m.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val cfg = GraftConfig(
-      input = req("input"),
+      input = if (m("mode") == "compact") m.getOrElse("input", "") else req("input"),
       outDir = req("out"),
       indexName = req("index"),
       numShards = m.getOrElse("num-shards", "3").toInt,
@@ -98,6 +98,12 @@ object Main {
           println(s"bundle written (streaming): $out")
           println(s"totalDocs=${counts.map(_._2).sum} shards=${cfg.numShards}")
           counts.foreach { case (s, n) => println(s"  shard $s: $n docs") }
+        case "compact" =>
+          // forceMerge analog: rewrite each shard's many small files
+          val r = graft.sink.BundleCompact.compact(spark,
+            s"${cfg.outDir}/${cfg.indexName}", filesPerShard = 1)
+          println(s"compacted ${cfg.indexName}: ${r.filesBefore} -> ${r.filesAfter} files, " +
+            s"${r.docs} docs across ${r.shards} shards")
         case other => throw new IllegalArgumentException(s"unknown --mode $other")
       }
     } finally spark.stop()

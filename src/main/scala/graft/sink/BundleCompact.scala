@@ -1,0 +1,76 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Bundle compaction — the file-level analog of the reference's
+ * forceMerge-to-one-segment (`ESContainer.scala:235`): incremental/streaming
+ * producers leave many small per-batch files per shard; compaction rewrites
+ * each shard to `filesPerShard` files and swaps the data directory
+ * atomically (write-new / rename-old / rename-new / delete-old), so readers
+ * never observe a half-compacted bundle.
+ *
+ * Integrity gate: the rewritten doc count must equal the pre-compaction
+ * count or the swap is aborted and the original data dir is left in place.
+ */
+object BundleCompact {
+
+  case class Result(shards: Int, filesBefore: Long, filesAfter: Long, docs: Long)
+
+  def compact(spark: SparkSession, bundleDir: String,
+              filesPerShard: Int = 1): Result = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)
+    val dataDir = new Path(s"$bundleDir/data")
+    val numShards =
+      try BundleReader.numShards(spark, bundleDir)
+      catch { case _: java.io.FileNotFoundException =>
+        // manifest-less bundle: size the rewrite by the shard dirs present
+        val dirs = fs.listStatus(dataDir).count(st =>
+          st.isDirectory && st.getPath.getName.startsWith("_shard="))
+        math.max(dirs, 1)
+      }
+    val newDir = new Path(s"$bundleDir/data-compacting")
+    val oldDir = new Path(s"$bundleDir/data-precompact")
+    fs.delete(newDir, true)
+    fs.delete(oldDir, true)
+
+    val before = listDataFiles(fs, dataDir)
+
+    val docs = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(dataDir.toString)
+    val total = docs.count()
+    docs
+      .repartition(numShards * filesPerShard, col("_shard"))
+      .write.mode("overwrite").partitionBy("_shard")
+      .option("compression", "gzip").json(newDir.toString)
+
+    val rewritten = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(newDir.toString).count()
+    if (rewritten != total) {
+      fs.delete(newDir, true)
+      throw new IllegalStateException(
+        s"compaction aborted: rewrote $rewritten of $total docs; original data left intact")
+    }
+    // atomic-enough swap: two renames; a crash between them leaves
+    // data-precompact to recover from
+    if (!fs.rename(dataDir, oldDir))
+      throw new IllegalStateException(s"could not stage $dataDir aside")
+    if (!fs.rename(newDir, dataDir)) {
+      fs.rename(oldDir, dataDir) // roll back
+      throw new IllegalStateException("swap failed; original data restored")
+    }
+    fs.delete(oldDir, true)
+    Result(numShards, before, listDataFiles(fs, dataDir), total)
+  }
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long =
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).map { st =>
+      if (st.isDirectory) listDataFiles(fs, st.getPath)
+      else if (st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")) 0L
+      else 1L
+    }.sum
+}

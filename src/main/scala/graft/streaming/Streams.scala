@@ -77,6 +77,18 @@ object BundleStreamWriter {
             checkpointDir: String,
             availableNow: Boolean = true): StreamingQuery = {
     import org.apache.spark.sql.DataFrame
+    // job-record manifest from the start (state "streaming"), so tooling
+    // (BundleReader, compaction, Lookup) works on streaming bundles too
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(outDir, "manifest.json")
+    if (!fs.exists(mPath)) {
+      val out = fs.create(mPath, true)
+      out.write(
+        s"""{"indexName":"","typeName":"doc","workDir":"$outDir","numShards":$numShards,"format":"json","state":"streaming"}"""
+          .getBytes("UTF-8"))
+      out.close()
+    }
     val w = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
