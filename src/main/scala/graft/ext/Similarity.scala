@@ -90,16 +90,29 @@ object Similarity {
    */
   def annTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
               idCol: String, vecCol: String, dim: Int, k: Int,
-              tables: Int = 4, bits: Int = 12, roundTo: Int = 4): DataFrame = {
-    def sigs(df: DataFrame, id: String): DataFrame = {
+              tables: Int = 4, bits: Int = 12, roundTo: Int = 4,
+              multiprobe: Boolean = false): DataFrame = {
+    // multiprobe: queries additionally probe every 1-bit-neighbor bucket
+    // (signature XOR 2^b) — near-boundary vectors that landed one sign flip
+    // apart still meet, buying recall without more tables or corpus cost
+    // (corpus signatures stay single; only the query side fans out x bits+1).
+    def sigs(df: DataFrame, id: String, probe: Boolean): DataFrame = {
       val v = unitize(asDouble(col(vecCol))).as("_v")
-      val sigArr = array((0 until tables).map(t =>
-        lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)
+      val base = (0 until tables).map(t =>
+        lshSignature(asDouble(col(vecCol)), dim, t, bits))
+      val sigArr =
+        if (!probe) array(base: _*)
+        else array(base.flatMap(s =>
+          s +: (0 until bits).map(b => s.bitwiseXOR(lit(1L << b)))): _*)
+      val perTable = if (probe) bits + 1 else 1
       df.select(col(id), v, posexplode(sigArr))
-        .select(col(id), col("_v"), col("pos").as("_table"), col("col").as("_sig"))
+        .select(col(id), col("_v"),
+          (col("pos") / perTable).cast("int").as("_table"), col("col").as("_sig"))
     }
-    val qs = sigs(queries, qidCol).withColumnsRenamed(Map(qidCol -> "qid", "_v" -> "_qv"))
-    val cs = sigs(corpus, idCol).withColumnsRenamed(Map(idCol -> "nid", "_v" -> "_cv"))
+    val qs = sigs(queries, qidCol, probe = multiprobe)
+      .withColumnsRenamed(Map(qidCol -> "qid", "_v" -> "_qv"))
+    val cs = sigs(corpus, idCol, probe = false)
+      .withColumnsRenamed(Map(idCol -> "nid", "_v" -> "_cv"))
     val cands = qs.join(cs, Seq("_table", "_sig"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("_qv"), col("_cv"))

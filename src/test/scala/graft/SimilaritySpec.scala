@@ -52,6 +52,28 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 27, s"ANN top-1 recall too low: $hits/30")
   }
 
+  test("multiprobe LSH: recall strictly improves over single-probe at equal budget") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    // looser perturbation than the annTopK test so single-probe misses some
+    val probes = bases.map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = bases.toDF("vec_id", "embedding")
+    val queries = probes.toDF("vec_id", "embedding")
+    def recall(mp: Boolean): Long =
+      Similarity.annTopK(queries, corpus, "vec_id", "vec_id", "embedding",
+          dim = dim, k = 1, tables = 2, bits = 10, multiprobe = mp)
+        .filter(col("rank") === 1 && col("nid") === col("qid") - 1000).count()
+    val single = recall(mp = false)
+    val multi = recall(mp = true)
+    assert(multi >= single, s"multiprobe $multi < single $single")
+    assert(multi >= 35, s"multiprobe top-1 recall too low: $multi/40")
+  }
+
   test("ivfTopK: recall against brute force on real embeddings") {
     val e = sf("sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 20)
