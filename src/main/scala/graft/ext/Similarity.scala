@@ -126,11 +126,66 @@ object Similarity {
   }
 
   /**
-   * IVF-style approximate top-k: a coarse quantizer of `nlist` centroids
-   * (chosen deterministically: the corpus vectors with the `nlist` smallest
-   * ids — a real system would run k-means; the partition/search mechanics
-   * are identical), corpus vectors assigned to their nearest centroid, and
-   * each query searched only in its `nprobe` nearest cells.
+   * Spherical k-means over the corpus: `iters` rounds of
+   * (broadcast-assign -> vector_sum per cell -> renormalize). Each round is
+   * one map-side broadcast join plus one partial+final aggregate shuffling
+   * only nlist x dim doubles (see graft.functions.VectorSumAgg) — the whole
+   * refinement is O(iters) passes with no pair join, so it holds at corpus
+   * scale. Init = greedy farthest-point (k-center): start from the vector
+   * with the smallest xxhash64(id), then repeatedly take the vector least
+   * similar to its nearest chosen seed — deterministic, and guarantees every
+   * well-separated cluster gets a seed (random/hash init can drop a cluster
+   * and k-means cannot recover it). Init costs nlist scans; at corpus scale
+   * run it on a sample and pass the result through `iters` full rounds.
+   * Cells that go empty keep their previous centroid.
+   * Returns broadcast-ready (cent_id int, _centv array<double> unit).
+   */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("_id"), unitize(asDouble(col(vecCol))).as("_v"))
+      .cache()
+    val first = vecs.orderBy(xxhash64(col("_id")).asc, col("_id").asc).limit(1)
+      .select(col("_v")).as[Seq[Double]].head()
+    val seeds = scala.collection.mutable.ArrayBuffer(first)
+    while (seeds.size < nlist) {
+      // nearest-seed similarity per row as a literal expression (seeds are
+      // tiny): farthest point = minimal max-similarity
+      val maxSim = seeds.map(s => dot(col("_v"), array(s.map(lit): _*)))
+        .reduce((a, b) => greatest(a, b))
+      seeds += vecs.select(col("_v"), maxSim.as("_ms"), col("_id"))
+        .orderBy(col("_ms").asc, col("_id").asc).limit(1)
+        .select(col("_v")).as[Seq[Double]].head()
+    }
+    var cents: Array[(Int, Seq[Double])] =
+      seeds.toArray.zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(cents.toSeq.toDF("cent_id", "_centv"))
+      val w = Window.partitionBy("_id").orderBy(col("_csim").desc, col("cent_id").asc)
+      val means = vecs.crossJoin(centDf)
+        .select(col("_id"), col("_v"), col("cent_id"),
+          dot(col("_v"), col("_centv")).as("_csim"))
+        .withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") === 1)
+        .groupBy("cent_id")
+        .agg(graft.functions.VectorSumAgg.vector_sum(col("_v")).as("_sum"))
+        .select(col("cent_id"), unitize(col("_sum")).as("_centv"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    vecs.unpersist()
+    broadcast(cents.toSeq.toDF("cent_id", "_centv"))
+  }
+
+  /**
+   * IVF-style approximate top-k: a coarse quantizer of `nlist` centroids,
+   * corpus vectors assigned to their nearest centroid, and each query
+   * searched only in its `nprobe` nearest cells. Centroids come from
+   * spherical k-means when `kmeansIters > 0` (balanced cells -> bounded
+   * per-cell fan-in); `kmeansIters = 0` keeps the degenerate deterministic
+   * quantizer (the `nlist` smallest-id corpus vectors) for cheap/testable
+   * runs.
    *
    * Scale shape: centroids are tiny -> crossJoin(broadcast) for assignment
    * (corpus x nlist, map-side); search joins query cells to corpus cells on
@@ -139,9 +194,12 @@ object Similarity {
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, roundTo: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
-      .select(col(idCol).as("cent_id"), unitize(asDouble(col(vecCol))).as("_centv"))
+              nlist: Int = 16, nprobe: Int = 4, roundTo: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+      else corpus.orderBy(col(idCol).asc).limit(nlist)
+        .select(col(idCol).as("cent_id"), unitize(asDouble(col(vecCol))).as("_centv"))
     def assign(df: DataFrame, id: String, outIdCol: String, vOut: String,
                probes: Int): DataFrame = {
       val v = unitize(asDouble(col(vecCol))).as(vOut)

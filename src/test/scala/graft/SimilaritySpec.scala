@@ -90,6 +90,79 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 8, s"IVF nprobe=4/8 top-1 recall too low: $recall/20")
   }
 
+  test("vector_sum aggregate: exact elementwise sum, partial+final, empty-group law") {
+    import graft.functions.VectorSumAgg.vector_sum
+    val df = Seq(
+      ("a", Seq(1.0, 2.0, 3.0)),
+      ("a", Seq(10.0, 20.0, 30.0)),
+      ("b", Seq(0.5, -0.5, 1.5)),
+    ).toDF("g", "v").repartition(4) // force multi-partition -> merge path
+    val sums = df.groupBy("g").agg(vector_sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(sums("a") === Seq(11.0, 22.0, 33.0))
+    assert(sums("b") === Seq(0.5, -0.5, 1.5))
+    // null inputs ignored; all-null group -> empty array
+    val withNull = Seq(("c", null), ("c", null)).toDF("g", "v")
+      .select(col("g"), col("v").cast("array<double>").as("v"))
+    val c = withNull.groupBy("g").agg(vector_sum(col("v")).as("s")).collect()
+    assert(c.head.getSeq[Double](1).isEmpty)
+    // partial+final in the plan (map-side combine)
+    val plan = df.groupBy("g").agg(vector_sum(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_vector_sum") || plan.contains("ObjectHashAggregate"),
+      s"expected partial aggregation in plan:\n$plan")
+  }
+
+  test("kmeansCentroids: recovers planted cluster directions") {
+    val dim = 8
+    val rnd = new scala.util.Random(5)
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+        nlist = 4, iters = 5)
+      .collect().map(_.getSeq[Double](1))
+    assert(cents.length === 4)
+    // every true center direction is captured by some centroid (cosine > 0.95)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    centers.foreach { c =>
+      val best = cents.map(ct => cos(c.toSeq, ct)).max
+      assert(best > 0.95, s"no centroid near a planted center (best cos $best)")
+    }
+  }
+
+  test("ivfTopK with k-means centroids: recall >= id-init at equal nprobe") {
+    // clustered corpus where smallest-id init is pathological (all ids in one
+    // cluster), so k-means must win or tie.
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 400).map { i =>
+      val c = centers(i / 50) // ids 0..49 cluster 0, 50..99 cluster 1, ...
+      (i.toLong, c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") % 50 < 3) // 3 queries per cluster
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(iters: Int): Int = {
+      val got = Similarity.ivfTopK(q, corpus, "vec_id", "vec_id", "embedding",
+          k = 1, nlist = 8, nprobe = 2, kmeansIters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      brute.count { case (k2, v) => got.get(k2).contains(v) }
+    }
+    val idInit = recall(0)
+    val kmeans = recall(3)
+    assert(kmeans >= idInit, s"k-means recall $kmeans < id-init $idInit")
+    assert(kmeans >= 20, s"k-means IVF top-1 recall too low: $kmeans/24")
+  }
+
   test("cosineNearDups agrees with brute pair filter") {
     val e = sf("sf0.001", "embeddings").limit(100)
     val nd = Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.3)
