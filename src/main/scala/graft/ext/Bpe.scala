@@ -1,0 +1,180 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/**
+ * Real byte-pair-encoding tokenizer, trained over the corpus.
+ *
+ * Split of labor (the shape SentencePiece/HF use, distributed):
+ *  - Spark does the scale-critical part: the word-frequency table over the
+ *    whole corpus — one partial+final hash aggregate plus a top-K
+ *    (TakeOrderedAndProject), so 100 TB of text reduces to <= `maxWords`
+ *    (word, count) rows.
+ *  - The driver learns merges from that bounded table (classic BPE: repeatedly
+ *    merge the most frequent adjacent symbol pair). BPE over the word-count
+ *    table is EXACTLY BPE over the corpus, because merges never cross word
+ *    boundaries.
+ *  - Encoding runs distributed again: the merge-rank map rides the task
+ *    closure (a few hundred KB at vocab sizes that matter).
+ *
+ * Determinism: word top-K ties break on the word, merge-count ties break on
+ * the pair lexicographically — same corpus, same model, bit-for-bit.
+ */
+object Bpe {
+
+  /** End-of-word marker, so "low est" and "lowest" learn different merges. */
+  val EOW = "</w>"
+
+  /** Corpus word-frequency table, capped to the `maxWords` most frequent
+    * (frequency-dominant words decide merges; the tail can't change them
+    * much and capping bounds driver memory). */
+  def wordCounts(df: DataFrame, textCol: String, maxWords: Int): Array[(String, Long)] = {
+    import df.sparkSession.implicits._
+    df.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+  }
+
+  /** Train on a corpus column: one Spark aggregation, then driver-side
+    * merge learning. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 50000): BpeModel =
+    trainFromWordCounts(wordCounts(df, textCol, maxWords), numMerges)
+
+  /** Classic BPE merge learning over a (word, count) table. Stops early when
+    * no pair occurs at least twice. */
+  def trainFromWordCounts(wc: Seq[(String, Long)], numMerges: Int): BpeModel = {
+    var words: Array[(Array[String], Long)] =
+      wc.map { case (w, c) => (w.map(_.toString).toArray :+ EOW, c) }.toArray
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val pairs = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairs.update(p, pairs.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val best = pairs.filter(_._2 >= 2).reduceOption { (a, b) =>
+        if (a._2 != b._2) { if (a._2 > b._2) a else b }
+        else if (Ordering[(String, String)].lt(a._1, b._1)) a else b
+      }
+      best match {
+        case None => done = true
+        case Some((pair, _)) =>
+          merges += pair
+          words = words.map { case (syms, c) => (mergePair(syms, pair), c) }
+      }
+    }
+    BpeModel(merges.toIndexedSeq)
+  }
+
+  private[graft] def mergePair(syms: Array[String], pair: (String, String)): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+}
+
+/** A trained BPE model: an ordered merge list. Serializable so the encode
+  * UDF can ship it in the task closure. */
+case class BpeModel(merges: IndexedSeq[(String, String)]) extends Serializable {
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  def vocabSize: Int = merges.size
+
+  /** Greedy lowest-rank-first merging of one word (the GPT-2 encode loop) —
+    * reproduces exactly the segmentation training would give the word. */
+  def encodeWord(word: String): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    var syms: Vector[String] = word.map(_.toString).toVector :+ Bpe.EOW
+    var continue = syms.length > 1 && merges.nonEmpty
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        syms = syms.patch(bestIdx, Seq(syms(bestIdx) + syms(bestIdx + 1)), 2)
+        if (syms.length < 2) continue = false
+      }
+    }
+    syms
+  }
+
+  /** Whitespace-split then per-word encode (merges never cross words). */
+  def encode(text: String): Seq[String] =
+    text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWord).toSeq
+
+  /** array<string> of BPE tokens (null text -> null). */
+  def tokens(c: Column): Column = {
+    val f = udf((s: String) => if (s == null) null else encode(s))
+    f(c)
+  }
+
+  /** Subword token count (null text -> null via size-of-null). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Merge list as JSON lines-free string for manifest persistence. */
+  def toJsonMerges: String =
+    merges.map { case (a, b) =>
+      s"""["${escape(a)}","${escape(b)}"]"""
+    }.mkString("[", ",", "]")
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+}
+
+object BpeModel {
+  /** Inverse of toJsonMerges (tiny hand parser; merge symbols are short). */
+  def fromJsonMerges(json: String): BpeModel = {
+    val pairs = mutable.ArrayBuffer.empty[(String, String)]
+    val m = java.util.regex.Pattern
+      .compile("\\[\"((?:[^\"\\\\]|\\\\.)*)\",\"((?:[^\"\\\\]|\\\\.)*)\"\\]")
+      .matcher(json)
+    while (m.find()) pairs += ((unescape(m.group(1)), unescape(m.group(2))))
+    BpeModel(pairs.toIndexedSeq)
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => sb += c; i += 2
+        }
+      } else { sb += s(i); i += 1 }
+    }
+    sb.toString
+  }
+}

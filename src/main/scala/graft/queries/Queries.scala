@@ -912,6 +912,26 @@ object Queries {
           expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_p"))
         .orderBy("l_returnflag")),
 
+    // ---- trained BPE tokenizer over the corpus (word-count agg -> driver
+    //      merge learning -> distributed encode); not SQL-expressible, so
+    //      rows-only here — the differential/determinism proofs live in
+    //      BpeSpec ----
+    QueryDef("q54_bpe_tokens", None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // 25 merges against the testdata's ~31-word vocabulary => frequent
+        // words collapse to one token, the tail stays subword-split (full
+        // saturation would trivially equal the whitespace count)
+        val m = graft.ext.Bpe.train(docs, "text", numMerges = 25, maxWords = 10000)
+        docs.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(m.tokenCount(col("text"))).as("bpe_tokens"),
+            sum(graft.ext.TextAnalysis.tokenCount(col("text"))).as("ws_tokens"))
+          .withColumn("compression",
+            round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4))
+          .orderBy("source")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
