@@ -42,6 +42,11 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB state store: required by transformWithState, and the right
+      // scale default for every stateful op — off-heap state, incremental
+      // SST-changelog checkpoints vs full-snapshot rewrites
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
   }
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /**
@@ -190,5 +190,36 @@ object EventStreams {
           state.update(next)
           UserSummary(userId, next.events, next.totalValue)
       }
+  }
+
+  /** Same running totals on transformWithState (Spark 4 arbitrary-state v2):
+    * typed per-key state variables on a RocksDB-backed store (the scale
+    * story — state lives off-heap and incrementally checkpoints via SST
+    * changelogs, where mapGroupsWithState's HDFS store rewrites full
+    * snapshots). Needs
+    * `spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`
+    * (set by [[graft.GraftSession]]). Differential twin of
+    * [[runningUserTotals]] in StreamingSpec. */
+  class UserTotalsProcessor extends StatefulProcessor[Long, Ev, UserSummary] {
+    @transient private var totals: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserState]("totals",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserSummary] = {
+      val prev = if (totals.exists()) totals.get() else UserState(0L, 0.0)
+      var n = 0L
+      var sum = 0.0
+      rows.foreach { e => n += 1; sum += e.value }
+      val next = UserState(prev.events + n, prev.totalValue + sum)
+      totals.update(next)
+      Iterator.single(UserSummary(userId, next.events, next.totalValue))
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[Ev]): Dataset[UserSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

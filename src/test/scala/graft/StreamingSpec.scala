@@ -168,4 +168,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows(8L).getLong(1) === 1L)
     q.stop()
   }
+
+  test("transformWithState: same totals as mapGroupsWithState, RocksDB-backed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.Ev]
+      val q = EventStreams.runningUserTotalsTws(input.toDS()).writeStream
+        .format("memory").queryName("user_totals_tws").outputMode(OutputMode.Update())
+        .start()
+      def ev(id: Long, u: Long, v: Double) =
+        EventStreams.Ev(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "click", v)
+      // same feed as the mapGroupsWithState test -> must match its outputs
+      input.addData(ev(1, 7, 1.5), ev(2, 7, 2.5), ev(3, 8, 10.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 7, 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("user_totals_tws").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.maxBy(_.getLong(1))).toMap
+      assert(rows(7L).getLong(1) === 3L)
+      assert(math.abs(rows(7L).getDouble(2) - 10.0) < 1e-9)
+      assert(rows(8L).getLong(1) === 1L)
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
