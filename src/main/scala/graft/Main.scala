@@ -11,13 +11,14 @@ import graft.pipeline.Hive2Es.GraftConfig
  *   graft.Main --input <table-or-path> --out <dir> --index <name>
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
- *     [--format json|parquet] [--mode generic|infer] [--json-source]
+ *     [--format json|parquet] [--compression gzip|zstd|...]
+ *     [--mode generic|infer] [--json-source]
  */
 object Main {
   private val KnownFlags = Set("input", "out", "index", "num-shards", "where",
     "id", "routing", "partition-multiples", "repartition", "json-source",
     "mapping", "index-hive-fields", "index-es-fields", "format",
-    "infer-sample", "mode")
+    "infer-sample", "mode", "compression")
 
   def parse(args: Array[String]): (GraftConfig, String) = {
     var m = Map[String, String]("mode" -> "infer")
@@ -63,7 +64,8 @@ object Main {
       indexHiveFields = listOf("index-hive-fields"),
       indexEsFields = listOf("index-es-fields"),
       format = m.getOrElse("format", "json"),
-      inferSampleFraction = m.getOrElse("infer-sample", "1.0").toDouble)
+      inferSampleFraction = m.getOrElse("infer-sample", "1.0").toDouble,
+      compression = m.get("compression"))
     (cfg, m("mode"))
   }
 

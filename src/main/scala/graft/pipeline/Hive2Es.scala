@@ -37,7 +37,8 @@ object Hive2Es {
     indexHiveFields: Set[String] = Set.empty,
     indexEsFields: Set[String] = Set.empty,
     format: String = "json",
-    inferSampleFraction: Double = 1.0)
+    inferSampleFraction: Double = 1.0,
+    compression: Option[String] = None)
 
   /** S3/A2 parity (`PAHive2ES.scala:66-77`): collect a small metadata table
     * of (field_name, data_type) into the driver-side override map that
@@ -78,7 +79,7 @@ object Hive2Es {
       }
     BundleSink.write(docs, s"${config.outDir}/${config.indexName}", config.numShards,
       config.partitionMultiples, config.repartition, config.format, config.mappingJson,
-      indexName = config.indexName)
+      indexName = config.indexName, compression = config.compression)
   }
 
   /** `indexName = {alias}_{dt}` split (reference `PAHive2ES.scala:41-42`). */
@@ -106,7 +107,7 @@ object Hive2Es {
         Option(config.routing), config.typeOverrides)
       BundleSink.write(docs, s"${config.outDir}/${config.indexName}", config.numShards,
         config.partitionMultiples, config.repartition, config.format, Some(mappingJson),
-        indexName = config.indexName)
+        indexName = config.indexName, compression = config.compression)
     } finally if (hasMaps) src.unpersist()
   }
 }

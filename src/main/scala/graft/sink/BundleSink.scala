@@ -40,10 +40,18 @@ object BundleSink {
    *             the shuffle is skipped and each task writes to every shard
    *             dir it sees — more small files, no exchange.
    */
+  /** Codecs the JSON (Hadoop text) writer supports; parquet accepts these
+    * plus zstd (parquet-java bundles zstd-jni; Hadoop text zstd would need
+    * native libhadoop, so it is rejected up front instead of failing in the
+    * write job). */
+  private val JsonCodecs = Set("gzip", "bzip2", "deflate", "lz4", "snappy", "none")
+  private val ParquetCodecs = JsonCodecs ++ Set("zstd", "lzo", "uncompressed")
+
   def write(docs: DataFrame, outDir: String, numShards: Int,
             partitionMultiples: Int = 10, repartition: Boolean = true,
             format: String = "json", mappingJson: Option[String] = None,
-            indexName: String = "", typeName: String = "doc"): Result = {
+            indexName: String = "", typeName: String = "doc",
+            compression: Option[String] = None): Result = {
     val spark = docs.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir), hadoopConf)
@@ -77,11 +85,24 @@ object BundleSink {
       } else arranged
 
     val writer = observed.write.mode("overwrite").partitionBy("_shard")
-    (format match {
-      case "json"    => writer.option("compression", "gzip").json(outDir + "/data")
-      case "parquet" => writer.parquet(outDir + "/data")
+    // defaults: gzip for json bundles (reference-era behavior), zstd for
+    // parquet (better ratio at comparable speed — the right 100 TB default)
+    val codec = format match {
+      case "json"    => compression.getOrElse("gzip")
+      case "parquet" => compression.getOrElse("zstd")
       case other     => throw new IllegalArgumentException(s"unsupported bundle format: $other")
-    })
+    }
+    format match {
+      case "json" =>
+        require(JsonCodecs(codec),
+          s"json bundles support ${JsonCodecs.toSeq.sorted.mkString("/")}, not $codec" +
+            (if (codec == "zstd") " (Hadoop text zstd needs native libhadoop; use --format parquet for zstd)" else ""))
+        writer.option("compression", codec).json(outDir + "/data")
+      case "parquet" =>
+        require(ParquetCodecs(codec),
+          s"parquet bundles support ${ParquetCodecs.toSeq.sorted.mkString("/")}, not $codec")
+        writer.option("compression", codec).parquet(outDir + "/data")
+    }
 
     val (total, perShard) =
       if (observeCounts) {
@@ -115,7 +136,7 @@ object BundleSink {
     // ServerNotifier.scala:21-34) folded into the manifest
     val manifest =
       s"""{"indexName":"$indexName","typeName":"$typeName","workDir":"$outDir",
-         |"numShards":$numShards,"format":"$format","totalDocs":$total,
+         |"numShards":$numShards,"format":"$format","compression":"$codec","totalDocs":$total,
          |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
          |"state":"completed"}""".stripMargin.replace("\n", "")
     val mf = fs.create(new org.apache.hadoop.fs.Path(outDir, "manifest.json"), true)

@@ -86,4 +86,30 @@ class BundleSinkSpec extends SparkSpec {
     val n = sf("sf0.001", "events").where("event_type <> 'error'").count()
     assert(r1.totalDocs === n)
   }
+
+  test("compression knob: parquet zstd round-trips, json zstd rejected, manifest records codec") {
+    val out = tmpDir()
+    val docs = graft.transform.DocTransform.docs(
+      sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    val res = graft.sink.BundleSink.write(docs, s"$out/z", numShards = 3,
+      partitionMultiples = 2, repartition = true, format = "parquet",
+      compression = Some("zstd"))
+    assert(res.totalDocs === 1500L)
+    val files = Files.walk(Paths.get(s"$out/z/data")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(names.nonEmpty && names.forall(_.contains(".zstd.")),
+      s"expected zstd part files, got $names")
+    // reads back identically
+    val back = spark.read.parquet(s"$out/z/data")
+    assert(back.count() === 1500L)
+    val manifest = Files.readString(Paths.get(s"$out/z/manifest.json"))
+    assert(manifest.contains("\"compression\":\"zstd\""))
+    // json + zstd fails fast with guidance, before any write job runs
+    val e = intercept[IllegalArgumentException] {
+      graft.sink.BundleSink.write(docs, s"$out/bad", 3, 2, repartition = true,
+        format = "json", compression = Some("zstd"))
+    }
+    assert(e.getMessage.contains("parquet"))
+  }
 }
