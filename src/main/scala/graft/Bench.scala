@@ -12,7 +12,11 @@ import graft.transform.DocTransform
  */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // arg beats env: `sbt --client runMain` executes in the sbt server JVM,
+    // which keeps the env it was STARTED with — an env var set on the client
+    // invocation silently doesn't arrive
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val spark = GraftSession.get("graft-bench")
 
     def time(f: => Unit): Double = {
@@ -53,11 +57,55 @@ object Bench {
         partitionMultiples = 4, repartition = true, format = "parquet")
     }
 
+    // ANN recall/latency curve: every method's top-1 against brute-force
+    // ground truth on a 1% query sample — quality tracked next to speed.
+    // Reported separately from `total` so headline timings stay comparable
+    // across rounds.
+    val annCurve: Seq[(String, Double, Double)] = try {
+      import graft.ext.Similarity
+      import org.apache.spark.sql.functions.{col, size}
+      val emb = Tables.load(spark, sfDir, "embeddings").cache()
+      emb.count()
+      val queries = emb.filter(col("vec_id") % 20 === 0) // 5% query sample
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      // data-driven knobs: ~64 corpus vectors per LSH bucket, ~sqrt(n)/2
+      // IVF cells probed at a quarter — the same formulas scale to 1e9 rows
+      val n = emb.count()
+      val bits = math.max(4, (math.log(n / 64.0) / math.log(2)).round.toInt)
+      val nlist = math.max(4, (math.sqrt(n.toDouble) / 2).round.toInt)
+      val nprobe = math.max(2, nlist / 4)
+      def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.filter(col("rank") === 1).select("qid", "nid").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var truth: Map[Long, Long] = Map.empty
+      val configs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("brute", () => Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1)),
+        ("lsh", () => Similarity.annTopK(queries, emb, "vec_id", "vec_id", "embedding", dim, k = 1, tables = 8, bits = bits)),
+        ("lsh_multiprobe", () => Similarity.annTopK(queries, emb, "vec_id", "vec_id", "embedding", dim, k = 1, tables = 8, bits = bits, multiprobe = true)),
+        ("ivf", () => Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1, nlist = nlist, nprobe = nprobe)),
+        ("ivf_kmeans", () => Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1, nlist = nlist, nprobe = nprobe, kmeansIters = 2)))
+      configs.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val got = top1(f())
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (name == "brute") truth = got
+        val recall =
+          if (truth.isEmpty) 0.0
+          else truth.count { case (k, v) => got.get(k).contains(v) }.toDouble / truth.size
+        (name, sec, recall)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann curve failed: ${e.getMessage}"); Seq.empty
+    }
+    val annJson = annCurve.map { case (n, s, r) =>
+      "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"recall\":" + f"$r%.3f" + "}"
+    }.mkString("{", ",", "}")
+
     val all = results :+ ("sink_bundle" -> sinkSec) :+ ("sink_bundle_parquet" -> sinkParquetSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,39 @@ object SkewJoin {
       .limit(topN)
 
   /**
+   * Pick the salt count from the observed distribution: enough buckets to
+   * spread the hottest key to ~`targetRowsPerBucket` rows each, clamped to
+   * `maxSalts` (build-side replication cost is linear in salts). Returns 1
+   * — i.e. "don't salt" — when no key exceeds the target. Profile on a
+   * seeded sample at scale: counts scale up by 1/fraction.
+   */
+  def pickSalts(probe: DataFrame, key: String,
+                targetRowsPerBucket: Long = 100000, maxSalts: Int = 64,
+                sampleFraction: Double = 1.0): Int = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0)
+    val src = if (sampleFraction < 1.0)
+      probe.sample(withReplacement = false, sampleFraction, seed = 42L) else probe
+    heavyHitters(src, key, 1).collect().headOption match {
+      case None => 1
+      case Some(row) =>
+        val estMax = (row.getLong(1) / sampleFraction).toLong
+        val want = math.ceil(estMax.toDouble / targetRowsPerBucket).toLong
+        math.max(1L, math.min(maxSalts.toLong, want)).toInt
+    }
+  }
+
+  /** saltedEquiJoin with the salt count profiled from the probe side (one
+    * extra aggregate pass, or a cheap sampled one at scale). */
+  def autoSaltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                     joinType: String = "inner",
+                     targetRowsPerBucket: Long = 100000, maxSalts: Int = 64,
+                     sampleFraction: Double = 1.0): DataFrame = {
+    val salts = pickSalts(probe, key, targetRowsPerBucket, maxSalts, sampleFraction)
+    if (salts == 1) probe.join(build, Seq(key), joinType)
+    else saltedEquiJoin(probe, build, key, salts, joinType)
+  }
+
+  /**
    * Hybrid skew join: heavy keys (above `threshold` rows) join via broadcast
    * of their build rows; the long tail joins normally. One pass to find
    * heavy keys, then two disjoint joins unioned — the standard plan for

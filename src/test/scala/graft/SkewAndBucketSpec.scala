@@ -44,6 +44,30 @@ class SkewAndBucketSpec extends SparkSpec {
     assert(top.head.getLong(0) === 0L)
   }
 
+  test("pickSalts: scales with the whale, 1 on uniform data, sample-aware") {
+    // whale key 0 has 5000 rows; target 1000/bucket -> 5 salts
+    assert(SkewJoin.pickSalts(skewedProbe, "k", targetRowsPerBucket = 1000) === 5)
+    // uniform distribution under the target -> no salting
+    val uniform = spark.range(0, 1000).select((col("id") % 100).as("k"))
+    assert(SkewJoin.pickSalts(uniform, "k", targetRowsPerBucket = 1000) === 1)
+    // clamped by maxSalts
+    assert(SkewJoin.pickSalts(skewedProbe, "k",
+      targetRowsPerBucket = 10, maxSalts = 16) === 16)
+    // sampled profile lands in the right ballpark (estimate scales by 1/f)
+    val sampled = SkewJoin.pickSalts(skewedProbe, "k",
+      targetRowsPerBucket = 1000, sampleFraction = 0.5)
+    assert(sampled >= 3 && sampled <= 7, s"sampled estimate off: $sampled")
+  }
+
+  test("autoSaltedJoin equals plain join on both skewed and uniform data") {
+    val plain = skewedProbe.join(smallBuild, Seq("k"), "inner")
+      .groupBy("k").agg(count(lit(1)).as("c"), sum("v").as("s"))
+    val auto = SkewJoin.autoSaltedJoin(skewedProbe, smallBuild, "k",
+        targetRowsPerBucket = 1000)
+      .groupBy("k").agg(count(lit(1)).as("c"), sum("v").as("s"))
+    assert(plain.orderBy("k").collect().toSeq === auto.orderBy("k").collect().toSeq)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle") {
     val o = sf("sf0.001", "orders")
     val c = sf("sf0.001", "customer")
