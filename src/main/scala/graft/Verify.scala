@@ -15,13 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    new java.io.File(s"$outDir/plans").mkdirs()
+    // per-query wall time + the formatted physical plan ride along with the
+    // correctness dump (regression triage: a query that got slow or lost its
+    // pushdown/broadcast shows up right next to its hash mismatch)
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        timings += name -> (System.nanoTime() - t0) / 1e9
+        try Files.writeString(Paths.get(s"$outDir/plans/$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        catch { case _: Throwable => () } // plan dump is best-effort
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.sortBy(_._1).map { case (n, s) => s""""$n":${f"$s%.3f"}""" }
+        .mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
