@@ -92,12 +92,18 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Composite quality score in [0,1]: favors mid-length docs with low
-    * punctuation density and some stopword mass. Deterministic arithmetic. */
-  def qualityScore(text: Column): Column = {
+  /** Composite quality score in [0,1], unrounded — use for filters and
+    * further aggregation (rounding first would shift threshold comparisons
+    * and averages vs an oracle computing on the raw value). */
+  def qualityScoreRaw(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
     val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
     val swScore = least(stopwordRatio(text) * 10.0, lit(1.0))
-    round((lenScore * 0.5 + swScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2), 6)
+    lenScore * 0.5 + swScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2
   }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation density and some stopword mass. Deterministic arithmetic,
+    * rounded for stable cross-engine comparison. */
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
 }

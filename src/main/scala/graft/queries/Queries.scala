@@ -932,6 +932,68 @@ object Queries {
           .orderBy("source")
       }),
 
+    // ---- mergeable HLL sketches (Datasketches builtins): per-group
+    //      cardinality sketches that re-aggregate by UNION without touching
+    //      raw data — the sketch analog of partial+final for countDistinct.
+    //      Estimates are engine-specific -> no SQL oracle; 5% error bound +
+    //      union law asserted in QueriesSpec ----
+    QueryDef("q55_hll_sketch", None,
+      (s, dir) => {
+        val perSource = t(s, dir, "documents")
+          .groupBy("source")
+          .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk"),
+            countDistinct(col("doc_id")).as("exact_distinct"))
+        perSource
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"),
+            sum("exact_distinct").as("exact_total"),
+            count(lit(1)).as("n_sources"))
+      }),
+
+    // ---- end-to-end training-data pipeline with a FULL SQL oracle:
+    //      quality-filter -> exact dedup on normalized text (keep lowest
+    //      doc_id) -> per-source corpus stats. The flagship composition:
+    //      every stage is one of this engine's operators ----
+    QueryDef("q56_pipeline",
+      Some("""WITH scored AS (
+             |  SELECT doc_id, source, text,
+             |    least(length(text) / 400.0, 1.0) * 0.5
+             |    + least((CASE WHEN len(string_split_regex(text, '\s+')) = 0 THEN 0.0
+             |             ELSE len(list_filter(string_split_regex(text, '\s+'),
+             |                    x -> x IN ('the','a','of','and','to','el','la','de','y','que',
+             |                               'der','die','das','und','zu','le','et','les')))
+             |                  / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) END) * 10.0, 1.0) * 0.3
+             |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+             |        ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             |             / CAST(length(text) AS DOUBLE) END) * 5.0, 1.0)) * 0.2 AS q
+             |  FROM read_parquet('{SFDIR}/documents.parquet') documents),
+             |kept AS (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+             |      ORDER BY doc_id) AS rn
+             |  FROM scored WHERE q >= 0.5)
+             |SELECT source,
+             |  count(*) AS docs_kept,
+             |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+             |  round(avg(q), 4) AS avg_quality
+             |FROM kept WHERE rn = 1
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("norm").orderBy("doc_id")
+        t(s, dir, "documents")
+          .withColumn("q", TextAnalysis.qualityScoreRaw(col("text")))
+          .filter(col("q") >= 0.5)
+          .withColumn("norm",
+            regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs_kept"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            round(avg("q"), 4).as("avg_quality"))
+          .orderBy("source")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,

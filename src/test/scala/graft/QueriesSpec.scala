@@ -45,4 +45,13 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("HLL sketch union estimate within 5% of exact; doc_ids disjoint -> sum law (q55)") {
+    val r = Queries.all.find(_.name == "q55_hll_sketch").get
+      .build(spark, "/root/testdata/sf0.01").head()
+    val est = r.getLong(0).toDouble
+    val exact = r.getLong(1).toDouble // doc_id disjoint across sources => sum = global distinct
+    assert(r.getLong(2) >= 2, "need multiple sources for the union to mean anything")
+    assert(math.abs(est - exact) / exact < 0.05, s"union estimate $est vs exact $exact")
+  }
 }
