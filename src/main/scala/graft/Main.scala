@@ -18,7 +18,8 @@ object Main {
   private val KnownFlags = Set("input", "out", "index", "num-shards", "where",
     "id", "routing", "partition-multiples", "repartition", "json-source",
     "mapping", "index-hive-fields", "index-es-fields", "format",
-    "infer-sample", "mode", "compression")
+    "infer-sample", "mode", "compression",
+    "text-col", "bpe-merges", "bpe-max-words", "bpe-model")
 
   def parse(args: Array[String]): (GraftConfig, String) = {
     var m = Map[String, String]("mode" -> "infer")
@@ -52,7 +53,7 @@ object Main {
     val cfg = GraftConfig(
       input = if (m("mode") == "compact") m.getOrElse("input", "") else req("input"),
       outDir = req("out"),
-      indexName = req("index"),
+      indexName = if (m("mode") == "tokenize") m.getOrElse("index", "tokens") else req("index"),
       numShards = m.getOrElse("num-shards", "3").toInt,
       where = m.getOrElse("where", "1 = 1"),
       id = m.getOrElse("id", null),
@@ -67,6 +68,21 @@ object Main {
       inferSampleFraction = m.getOrElse("infer-sample", "1.0").toDouble,
       compression = m.get("compression"))
     (cfg, m("mode"))
+  }
+
+  /** Raw flag map for modes with extra knobs (tokenize). */
+  private[graft] def rawFlags(args: Array[String]): Map[String, String] = {
+    var m = Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--json-source" => m += ("json-source" -> "true"); i += 1
+        case flag if flag.startsWith("--") && i + 1 < args.length =>
+          m += (flag.drop(2) -> args(i + 1)); i += 2
+        case _ => i += 1
+      }
+    }
+    m
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,6 +116,17 @@ object Main {
           println(s"bundle written (streaming): $out")
           println(s"totalDocs=${counts.map(_._2).sum} shards=${cfg.numShards}")
           counts.foreach { case (s, n) => println(s"  shard $s: $n docs") }
+        case "tokenize" =>
+          // tokenizer-as-asset: train (or reuse --bpe-model), tokenize the
+          // corpus, persist model + tokenized parquet under --out
+          val raw = rawFlags(args)
+          val (model, totalTokens) = graft.ext.Bpe.runCli(spark, cfg.input,
+            raw.getOrElse("text-col", "text"), s"${cfg.outDir}/${cfg.indexName}",
+            numMerges = raw.getOrElse("bpe-merges", "2000").toInt,
+            maxWords = raw.getOrElse("bpe-max-words", "50000").toInt,
+            modelPath = raw.get("bpe-model"))
+          println(s"tokenized: ${cfg.outDir}/${cfg.indexName}/tokenized")
+          println(s"model: ${model.vocabSize} merges, totalTokens=$totalTokens")
         case "compact" =>
           // forceMerge analog: rewrite each shard's many small files
           val r = graft.sink.BundleCompact.compact(spark,

@@ -78,6 +78,47 @@ object Bpe {
     BpeModel(merges.toIndexedSeq)
   }
 
+  /** Persist a model next to bundle artifacts (works on any Hadoop FS). */
+  def save(spark: org.apache.spark.sql.SparkSession, model: BpeModel, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    out.write(model.toJsonMerges.getBytes("UTF-8")); out.close()
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val bytes = in.readAllBytes(); in.close()
+    BpeModel.fromJsonMerges(new String(bytes, "UTF-8"))
+  }
+
+  /**
+   * CLI body for `--mode tokenize`: train (or load `--bpe-model`), write
+   * tokenized parquet (doc columns + bpe_tokens + bpe_token_cnt) and persist
+   * the model as `bpe_model.json` for reuse — the tokenizer as a corpus
+   * asset, not a per-job throwaway.
+   */
+  def runCli(spark: org.apache.spark.sql.SparkSession, input: String, textCol: String,
+             outDir: String, numMerges: Int, maxWords: Int,
+             modelPath: Option[String]): (BpeModel, Long) = {
+    val df = spark.read.parquet(input)
+    require(df.columns.contains(textCol), s"--text-col $textCol not in ${df.columns.mkString(",")}")
+    val model = modelPath match {
+      case Some(p) => load(spark, p)
+      case None => train(df, textCol, numMerges, maxWords)
+    }
+    val out = df
+      .withColumn("bpe_tokens", model.tokens(col(textCol)))
+      .withColumn("bpe_token_cnt", size(col("bpe_tokens")))
+    out.write.mode("overwrite").parquet(s"$outDir/tokenized")
+    save(spark, model, s"$outDir/bpe_model.json")
+    val total = spark.read.parquet(s"$outDir/tokenized")
+      .agg(sum("bpe_token_cnt")).head().getLong(0)
+    (model, total)
+  }
+
   private[graft] def mergePair(syms: Array[String], pair: (String, String)): Array[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     var i = 0

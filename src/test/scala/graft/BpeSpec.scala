@@ -103,6 +103,21 @@ class BpeSpec extends SparkSpec {
     assert(nulls(2).getSeq[String](0) === Seq.empty)
   }
 
+  test("runCli: trains + persists; reload path reproduces identical tokenization") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val (m1, t1) = Bpe.runCli(spark, "/root/testdata/sf0.001/documents.parquet",
+      "text", s"$out/a", numMerges = 40, maxWords = 5000, modelPath = None)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/a/bpe_model.json")))
+    val tokenized = spark.read.parquet(s"$out/a/tokenized")
+    assert(tokenized.columns.contains("bpe_tokens") && tokenized.columns.contains("bpe_token_cnt"))
+    // second run LOADS the saved model instead of retraining -> same totals
+    val (m2, t2) = Bpe.runCli(spark, "/root/testdata/sf0.001/documents.parquet",
+      "text", s"$out/b", numMerges = 999, maxWords = 1, // ignored when loading
+      modelPath = Some(s"$out/a/bpe_model.json"))
+    assert(m2.merges === m1.merges)
+    assert(t2 === t1)
+  }
+
   test("merge-list JSON round-trip (incl. escapes)") {
     val m = BpeModel(IndexedSeq(("a", "b"), ("\"q\\", "</w>"), ("ab", "c</w>")))
     val back = BpeModel.fromJsonMerges(m.toJsonMerges)
