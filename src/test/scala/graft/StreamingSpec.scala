@@ -169,6 +169,48 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dup: doc in batch 2 matches its batch-1 original, incrementally") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(3)
+      def sentence() = (0 until 30).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+      val originals = (0L until 20L).map(i => (i, sentence()))
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingDedup.matches(input.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", threshold = 0.9)
+        .writeStream.format("memory").queryName("near_dups")
+        .outputMode(OutputMode.Append()).start()
+      input.addData(originals: _*)
+      q.processAllAvailable()
+      val early = spark.table("near_dups").count()
+      assert(early === 0, s"random originals should not match, got $early")
+      // batch 2: clones of docs 3 and 7 (ids 103, 107) + fresh docs
+      input.addData((103L, originals(3)._2), (107L, originals(7)._2),
+        (200L, sentence()), (201L, sentence()))
+      q.processAllAvailable()
+      val pairs = spark.table("near_dups")
+        .select("doc_id", "matched_id").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs === Set((103L, 3L), (107L, 7L)), s"got $pairs")
+      // batch 3: a clone of a CLONE still resolves against all prior state
+      input.addData((300L, originals(3)._2))
+      q.processAllAvailable()
+      val all = spark.table("near_dups")
+        .select("doc_id", "matched_id").distinct().as[(Long, Long)].collect().toSet
+      assert(all === Set((103L, 3L), (107L, 7L), (300L, 3L), (300L, 103L)), s"got $all")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState: same totals as mapGroupsWithState, RocksDB-backed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
