@@ -31,14 +31,17 @@ object Bpe {
   /** Corpus word-frequency table, capped to the `maxWords` most frequent
     * (frequency-dominant words decide merges; the tail can't change them
     * much and capping bounds driver memory). */
-  def wordCounts(df: DataFrame, textCol: String, maxWords: Int): Array[(String, Long)] = {
-    import df.sparkSession.implicits._
+  private[graft] def wordCountsPlan(df: DataFrame, textCol: String,
+                                    maxWords: Int): DataFrame =
     df.select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(maxWords)
-      .as[(String, Long)].collect()
+
+  def wordCounts(df: DataFrame, textCol: String, maxWords: Int): Array[(String, Long)] = {
+    import df.sparkSession.implicits._
+    wordCountsPlan(df, textCol, maxWords).as[(String, Long)].collect()
   }
 
   /** Train on a corpus column: one Spark aggregation, then driver-side

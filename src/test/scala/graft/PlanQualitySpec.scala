@@ -56,4 +56,27 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q26_minhash_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q56 pipeline: pruned 3-col scan, filter at scan, group-limit dedup, partial+final agg") {
+    val p = plan("q56_pipeline")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"scan should read exactly (doc_id,text,source):\n$p")
+    // single scan of documents (formatted mode lists it twice: tree + detail)
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p)
+    // rn=1 dedup optimizes to WindowGroupLimit (partial before the exchange,
+    // final after) instead of materializing full row_number output
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected map-side + final WindowGroupLimit:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q54 BPE word-count: top-K words is TakeOrderedAndProject over partial+final agg") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ext.Bpe.wordCountsPlan(
+      Tables.load(spark, "/root/testdata/sf0.01", "documents"), "text", 1000)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-K words must not global-sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }
