@@ -54,7 +54,12 @@ object Main {
       input = if (m("mode") == "compact") m.getOrElse("input", "") else req("input"),
       outDir = req("out"),
       indexName = if (m("mode") == "tokenize") m.getOrElse("index", "tokens") else req("index"),
-      numShards = m.getOrElse("num-shards", "3").toInt,
+      // "auto" = cost-based sizing, resolved against the (filtered) input
+      // before the run — sentinel -1 until then
+      numShards = m.getOrElse("num-shards", "3") match {
+        case "auto" => -1
+        case s => s.toInt
+      },
       where = m.getOrElse("where", "1 = 1"),
       id = m.getOrElse("id", null),
       routing = m.getOrElse("routing", null),
@@ -86,8 +91,16 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val (cfg, mode) = parse(args)
+    val (cfg0, mode) = parse(args)
     val spark = GraftSession.get("graft-hive2es")
+    val cfg =
+      if (cfg0.numShards == -1 && (mode == "generic" || mode == "infer")) {
+        val d = graft.sink.ShardSizing.suggest(Hive2Es.read(spark, cfg0))
+        println(s"auto shard sizing: numShards=${d.numShards} " +
+          s"partitionMultiples=${d.partitionMultiples} " +
+          s"(est ${d.estInputBytes} input bytes -> ${d.estDocBytes} doc bytes)")
+        cfg0.copy(numShards = d.numShards, partitionMultiples = d.partitionMultiples)
+      } else cfg0
     try {
       mode match {
         case "generic" | "infer" =>
