@@ -19,6 +19,23 @@ object Bench {
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val spark = GraftSession.get("graft-bench")
 
+    // shuffle/spill accounting across the whole run: the scale signals that
+    // wall-clock alone hides (a query can stay "fast" at sf0.1 while its
+    // shuffle volume quietly doubles — which is what kills it at 100 TB)
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
       try f catch { case e: Throwable =>
@@ -105,7 +122,7 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
