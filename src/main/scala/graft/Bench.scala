@@ -73,6 +73,29 @@ object Bench {
       BundleSink.write(sinkDocsDf, s"$sinkDir/bench_idx_pq", numShards = 8,
         partitionMultiples = 4, repartition = true, format = "parquet")
     }
+    // columnar bundles: typed doc fields -> write cost vs the JSON-string
+    // formats, then the consumer-side payoff: one doc field read from the
+    // whole bundle (columnar prunes to 1 column; json parses every doc)
+    def columnarDocsDf = graft.transform.DocTransform.docsColumnar(
+      Tables.load(spark, sfDir, "lineitem")
+        .withColumn("li_id", org.apache.spark.sql.functions.concat_ws("-",
+          org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_linenumber"))), "li_id", None)
+    val sinkColumnarSec = time {
+      BundleSink.write(columnarDocsDf, s"$sinkDir/bench_idx_col", numShards = 8,
+        partitionMultiples = 4, repartition = true, format = "columnar")
+    }
+    import org.apache.spark.sql.functions.{col, get_json_object, sum => fsum}
+    val scanJsonSec = time {
+      spark.read.schema(graft.streaming.BundleStream.bundleSchema)
+        .json(s"$sinkDir/bench_idx/data")
+        .select(get_json_object(col("doc"), "$.l_extendedprice").cast("double").as("v"))
+        .agg(fsum("v")).write.mode("overwrite").format("noop").save()
+    }
+    val scanColumnarSec = time {
+      spark.read.parquet(s"$sinkDir/bench_idx_col/data")
+        .agg(fsum("l_extendedprice")).write.mode("overwrite").format("noop").save()
+    }
 
     // ANN recall/latency curve: every method's top-1 against brute-force
     // ground truth on a 1% query sample — quality tracked next to speed.
@@ -118,7 +141,11 @@ object Bench {
       "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"recall\":" + f"$r%.3f" + "}"
     }.mkString("{", ",", "}")
 
-    val all = results :+ ("sink_bundle" -> sinkSec) :+ ("sink_bundle_parquet" -> sinkParquetSec)
+    val all = results :+ ("sink_bundle" -> sinkSec) :+
+      ("sink_bundle_parquet" -> sinkParquetSec) :+
+      ("sink_bundle_columnar" -> sinkColumnarSec) :+
+      ("scan_docfield_json" -> scanJsonSec) :+
+      ("scan_docfield_columnar" -> scanColumnarSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1

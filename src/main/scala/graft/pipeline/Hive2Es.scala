@@ -62,7 +62,13 @@ object Hive2Es {
   def runGeneric(spark: SparkSession, config: GraftConfig): BundleSink.Result = {
     val input = read(spark, config)
     val docs =
-      if (config.jsonSource) {
+      if (config.format == "columnar") {
+        // typed columns instead of a JSON doc string (readers prune/push
+        // into document fields); json-source has no row schema to keep
+        require(!config.jsonSource, "--json-source cannot produce columnar bundles")
+        DocTransform.docsColumnar(input, Option(config.id).getOrElse(input.columns.head),
+          Option(config.routing))
+      } else if (config.jsonSource) {
         // --json-source: column 0 is already the JSON document
         // (`Hive2ES.scala:48-49`); id/routing extracted from the JSON.
         val docCol = col(input.columns.head).cast(StringType)
@@ -94,6 +100,9 @@ object Hive2Es {
   def runInferred(spark: SparkSession, config: GraftConfig): BundleSink.Result = {
     require(!config.jsonSource,
       "--json-source is schema-less; use --mode generic (inference has no row schema to infer from)")
+    require(config.format != "columnar",
+      "columnar bundles keep raw typed columns; inferred mode's flatten/coerce " +
+        "semantics are JSON-doc-shaped — use --mode generic")
     val input = read(spark, config)
     // two passes over the source are inherent (reference jobs #2 and #3);
     // cache only when the source has dynamic map columns to discover

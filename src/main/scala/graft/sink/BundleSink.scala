@@ -88,8 +88,8 @@ object BundleSink {
     // defaults: gzip for json bundles (reference-era behavior), zstd for
     // parquet (better ratio at comparable speed — the right 100 TB default)
     val codec = format match {
-      case "json"    => compression.getOrElse("gzip")
-      case "parquet" => compression.getOrElse("zstd")
+      case "json"                 => compression.getOrElse("gzip")
+      case "parquet" | "columnar" => compression.getOrElse("zstd")
       case other     => throw new IllegalArgumentException(s"unsupported bundle format: $other")
     }
     format match {
@@ -98,7 +98,10 @@ object BundleSink {
           s"json bundles support ${JsonCodecs.toSeq.sorted.mkString("/")}, not $codec" +
             (if (codec == "zstd") " (Hadoop text zstd needs native libhadoop; use --format parquet for zstd)" else ""))
         writer.option("compression", codec).json(outDir + "/data")
-      case "parquet" =>
+      case "parquet" | "columnar" =>
+        // "columnar" = same parquet writer, but the docs DataFrame carries
+        // TYPED source columns (DocTransform.docsColumnar) instead of one
+        // JSON string — document fields become prunable/pushable columns
         require(ParquetCodecs(codec),
           s"parquet bundles support ${ParquetCodecs.toSeq.sorted.mkString("/")}, not $codec")
         writer.option("compression", codec).parquet(outDir + "/data")

@@ -124,4 +124,29 @@ object DocTransform {
       routing.as("_routing"),
       docColumn(df.schema, typeOverrides).as("doc"))
   }
+
+  /**
+   * Columnar document form: the source columns stay TYPED columns instead
+   * of being serialized into one JSON string — consumers get projection
+   * pushdown and predicate pushdown INTO document fields (a reader that
+   * wants 2 of 40 fields scans 2 columns, not every byte of every doc).
+   * Same _id/_routing extraction (and random fallback) as [[docs]]. Field
+   * names get the same ES normalization (P3) the JSON path applies.
+   */
+  def docsColumnar(df: DataFrame, idCol: String, routingCol: Option[String],
+                   randomSeed: Long = 42L): DataFrame = {
+    val normalized = df.columns.map(c =>
+      col(c).as(graft.transform.Names.normalize(c)))
+    val idExpr =
+      if (idCol != null) col(idCol).cast(StringType)
+      else lit(null).cast(StringType)
+    val routing = routingCol match {
+      case Some(r) if idCol != null =>
+        coalesce(col(r).cast(StringType), col(idCol).cast(StringType))
+      case Some(r) => col(r).cast(StringType)
+      case None if idCol != null => col(idCol).cast(StringType)
+      case None => conv(floor(rand(randomSeed) * 1e10).cast(LongType).cast(StringType), 10, 36)
+    }
+    df.select(idExpr.as("_id") +: routing.as("_routing") +: normalized.toSeq: _*)
+  }
 }

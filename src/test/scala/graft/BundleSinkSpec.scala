@@ -87,6 +87,41 @@ class BundleSinkSpec extends SparkSpec {
     assert(r1.totalDocs === n)
   }
 
+  test("columnar bundles: typed fields, same placement, projection pushdown into docs") {
+    val out = tmpDir()
+    val cfg = GraftConfig(input = "/root/testdata/sf0.001/orders.parquet",
+      outDir = out, indexName = "colr", numShards = 3, id = "o_orderkey",
+      routing = "o_custkey", repartition = true, partitionMultiples = 2,
+      format = "columnar")
+    val res = Hive2Es.runGeneric(spark, cfg)
+    assert(res.totalDocs === 1500L)
+    // placement identical to the json-doc path on the same routing
+    val jsonRes = Hive2Es.runGeneric(spark,
+      cfg.copy(indexName = "jsn", format = "json"))
+    assert(res.shardCounts === jsonRes.shardCounts)
+    val back = spark.read.parquet(s"$out/colr/data")
+    // typed columns survived (not one doc string)
+    assert(back.schema("o_totalprice").dataType.typeName === "double")
+    assert(back.schema("o_orderkey").dataType.typeName === "long")
+    assert(back.columns.contains("_id") && back.columns.contains("_routing"))
+    // projection pushdown: a 2-field read scans 2 doc columns, not the doc
+    val narrow = back.select("o_orderkey", "o_totalprice")
+    val p = narrow.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"expected pruned 2-column ReadSchema:\n$p")
+    // predicate pushdown into a document field
+    val filtered = back.filter(org.apache.spark.sql.functions.col("o_totalprice") > 100000)
+    val fp = filtered.queryExecution.executedPlan.toString
+    assert(fp.contains("PushedFilters") && fp.contains("o_totalprice"), fp)
+    // manifest records the format
+    assert(Files.readString(Paths.get(s"$out/colr/manifest.json"))
+      .contains("\"format\":\"columnar\""))
+    // inferred mode refuses columnar
+    intercept[IllegalArgumentException] {
+      Hive2Es.runInferred(spark, cfg.copy(indexName = "colr2"))
+    }
+  }
+
   test("compression knob: parquet zstd round-trips, json zstd rejected, manifest records codec") {
     val out = tmpDir()
     val docs = graft.transform.DocTransform.docs(
