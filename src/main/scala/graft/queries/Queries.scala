@@ -994,6 +994,47 @@ object Queries {
           .orderBy("source")
       }),
 
+    // ---- unpivot/melt (inverse of q20's pivot): wide -> long ----
+    QueryDef("q57_unpivot",
+      Some("""SELECT o_orderkey, name, CAST(value AS DOUBLE) AS value
+             |FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+             |             CAST(o_custkey AS DOUBLE) AS custkey
+             |      FROM orders WHERE o_orderkey < 200)
+             |UNPIVOT (value FOR name IN (totalprice, custkey))
+             |ORDER BY o_orderkey, name""".stripMargin),
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("totalprice"),
+          col("o_custkey").cast("double").as("custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("totalprice"), col("custkey")), "name", "value")
+        .orderBy("o_orderkey", "name")),
+
+    // ---- RANGE-frame window: value-based frame bounds (distinct physical
+    //      behavior from ROWS frames — peers by value, not position) ----
+    QueryDef("q58_range_frame",
+      Some(s"""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS $D2)) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderkey
+             |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS $D2) AS near_sum,
+             |  count(*) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderkey
+             |    RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS near_cnt
+             |FROM orders WHERE o_custkey < 500
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, dir) => {
+        val base = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderkey")
+        t(s, dir, "orders").filter(col("o_custkey") < 500)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .over(base.rangeBetween(-100, org.apache.spark.sql.expressions.Window.currentRow))
+              .cast(DecimalType(18, 2)).as("near_sum"),
+            count(lit(1)).over(base.rangeBetween(-100, 100)).as("near_cnt"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
