@@ -97,20 +97,22 @@ object Bench {
         .agg(fsum("l_extendedprice")).write.mode("overwrite").format("noop").save()
     }
 
-    // ANN recall/latency curve: every method's top-1 against brute-force
-    // ground truth on a 1% query sample — quality tracked next to speed.
-    // Reported separately from `total` so headline timings stay comparable
-    // across rounds.
-    val annCurve: Seq[(String, Double, Double)] = try {
+    // ANN recall/latency curves: every method's top-1 against brute-force
+    // ground truth. Two corpora: "uniform" = the testdata embeddings (iid
+    // vectors — ANN-adversarial, a floor), "clustered" = deterministic
+    // synthetic clusters (what real embedding corpora look like, and where
+    // the methods actually separate). Reported separately from `total` so
+    // headline timings stay comparable across rounds.
+    def annCurve(emb0: org.apache.spark.sql.DataFrame,
+                 querySel: org.apache.spark.sql.Column): Seq[(String, Double, Double)] = try {
       import graft.ext.Similarity
       import org.apache.spark.sql.functions.{col, size}
-      val emb = Tables.load(spark, sfDir, "embeddings").cache()
-      emb.count()
-      val queries = emb.filter(col("vec_id") % 20 === 0) // 5% query sample
+      val emb = emb0.cache()
+      val n = emb.count()
+      val queries = emb.filter(querySel)
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       // data-driven knobs: ~64 corpus vectors per LSH bucket, ~sqrt(n)/2
       // IVF cells probed at a quarter — the same formulas scale to 1e9 rows
-      val n = emb.count()
       val bits = math.max(4, (math.log(n / 64.0) / math.log(2)).round.toInt)
       val nlist = math.max(4, (math.sqrt(n.toDouble) / 2).round.toInt)
       val nprobe = math.max(2, nlist / 4)
@@ -124,7 +126,7 @@ object Bench {
         ("lsh_multiprobe", () => Similarity.annTopK(queries, emb, "vec_id", "vec_id", "embedding", dim, k = 1, tables = 8, bits = bits, multiprobe = true)),
         ("ivf", () => Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1, nlist = nlist, nprobe = nprobe)),
         ("ivf_kmeans", () => Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1, nlist = nlist, nprobe = nprobe, kmeansIters = 2)))
-      configs.map { case (name, f) =>
+      val out = configs.map { case (name, f) =>
         val t0 = System.nanoTime()
         val got = top1(f())
         val sec = (System.nanoTime() - t0) / 1e9
@@ -134,12 +136,32 @@ object Bench {
           else truth.count { case (k, v) => got.get(k).contains(v) }.toDouble / truth.size
         (name, sec, recall)
       }
+      emb.unpersist()
+      out
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann curve failed: ${e.getMessage}"); Seq.empty
     }
-    val annJson = annCurve.map { case (n, s, r) =>
+    import org.apache.spark.sql.functions.col
+    val uniformCurve = annCurve(
+      Tables.load(spark, sfDir, "embeddings"), col("vec_id") % 20 === 0)
+    // deterministic clustered corpus: 10k vectors, 64-dim, 100 centers,
+    // seeded driver-side generation (cheap: ~5 MB)
+    val clusteredCurve = {
+      val rnd = new scala.util.Random(42)
+      val dim = 64
+      val centers = Array.fill(100)(Array.fill(dim)(rnd.nextGaussian()))
+      val rows = (0 until 10000).map { i =>
+        val c = centers(i % 100)
+        (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+      import spark.implicits._
+      annCurve(rows.toDF("vec_id", "embedding").repartition(32),
+        col("vec_id") % 100 < 1) // 1 query per cluster wave -> 100 queries
+    }
+    def curveJson(c: Seq[(String, Double, Double)]): String = c.map { case (n, s, r) =>
       "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"recall\":" + f"$r%.3f" + "}"
     }.mkString("{", ",", "}")
+    val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)}}"""
 
     val all = results :+ ("sink_bundle" -> sinkSec) :+
       ("sink_bundle_parquet" -> sinkParquetSec) :+
