@@ -125,7 +125,13 @@ object Bench {
         ("lsh", () => Similarity.annTopK(queries, emb, "vec_id", "vec_id", "embedding", dim, k = 1, tables = 8, bits = bits)),
         ("lsh_multiprobe", () => Similarity.annTopK(queries, emb, "vec_id", "vec_id", "embedding", dim, k = 1, tables = 8, bits = bits, multiprobe = true)),
         ("ivf", () => Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1, nlist = nlist, nprobe = nprobe)),
-        ("ivf_kmeans", () => Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1, nlist = nlist, nprobe = nprobe, kmeansIters = 2)))
+        ("ivf_kmeans", () => Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1, nlist = nlist, nprobe = nprobe, kmeansIters = 2)),
+        ("pq_rerank", () => { // train + encode + compressed scan + exact re-rank
+          val model = Similarity.pqTrain(emb, "embedding", dim, m = 8, k = 16)
+          Similarity.pqTopKRerank(queries, emb,
+            Similarity.pqEncode(emb, "vec_id", "embedding", model),
+            "vec_id", "vec_id", "embedding", model, k = 1)
+        }))
       val out = configs.map { case (name, f) =>
         val t0 = System.nanoTime()
         val got = top1(f())

@@ -224,6 +224,150 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /**
+   * Product-quantization model: `m` subspaces x `k` centroids each, trained
+   * driver-side (Lloyd iterations, farthest-point init — deterministic) on
+   * a seeded sample of the corpus. Centroid table is m*k*subDim doubles —
+   * a few KB that rides the scoring expressions as a codegen reference.
+   */
+  case class PqModel(dim: Int, m: Int, k: Int, centroids: Array[Double]) {
+    val subDim: Int = dim / m
+  }
+
+  def pqTrain(corpus: DataFrame, vecCol: String, dim: Int,
+              m: Int = 8, k: Int = 16, iters: Int = 10,
+              sampleSize: Int = 10000): PqModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val subDim = dim / m
+    import corpus.sparkSession.implicits._
+    val n = corpus.count()
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
+    val sample: Array[Array[Double]] = corpus
+      .sample(withReplacement = false, frac, seed = 42L)
+      .select(unitize(asDouble(col(vecCol)))).as[Seq[Double]]
+      .collect().map(_.toArray).filter(_.length == dim)
+    require(sample.nonEmpty, "pqTrain: empty sample")
+    val cents = new Array[Double](m * k * subDim)
+    for (sub <- 0 until m) {
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim))
+      val cs = lloyd(pts, k, iters)
+      for (c <- 0 until k; j <- 0 until subDim)
+        cents((sub * k + c) * subDim + j) = cs(c)(j)
+    }
+    PqModel(dim, m, k, cents)
+  }
+
+  /** Plain-Scala k-means for PQ subspaces: farthest-point init, `iters`
+    * Lloyd rounds, empty cells keep their previous centroid. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val d = pts.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) { val x = a(j) - b(j); s += x * x; j += 1 }
+      s
+    }
+    val cents = scala.collection.mutable.ArrayBuffer(pts.head.clone())
+    while (cents.size < k) {
+      var bestIdx = 0; var bestD = -1.0
+      var i = 0
+      while (i < pts.length) {
+        var dn = Double.MaxValue
+        cents.foreach(c => dn = math.min(dn, dist2(pts(i), c)))
+        if (dn > bestD) { bestD = dn; bestIdx = i }
+        i += 1
+      }
+      cents += pts(bestIdx).clone()
+    }
+    val cs = cents.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) { val dd = dist2(p, cs(c)); if (dd < bd) { bd = dd; best = c }; c += 1 }
+        counts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0; j <- 0 until d)
+        cs(c)(j) = sums(c)(j) / counts(c)
+    }
+    cs
+  }
+
+  /** Corpus side of PQ search: (id, codes array<int>) — m ints per vector
+    * instead of dim doubles (precompute once, reuse across query batches). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame =
+    corpus.select(col(idCol).as("nid"),
+      graft.functions.PqFunctions.pq_encode(unitize(asDouble(col(vecCol))),
+        model.centroids, model.m, model.k, model.subDim).as("codes"))
+
+  /**
+   * PQ top-k: compressed-domain scan. Queries build an m*k lookup table
+   * once; each (query, corpus) pair costs m table lookups instead of dim
+   * multiply-adds (dim/m arithmetic reduction, plus the corpus resides as
+   * codes — the memory-bandwidth win that makes exhaustive scans of
+   * billion-vector corpora feasible). Exactness bounded by quantization;
+   * compose with IVF cells for candidate pruning at even larger scale.
+   */
+  def pqTopK(queries: DataFrame, encodedCorpus: DataFrame, qidCol: String,
+             vecCol: String, model: PqModel, k: Int,
+             roundTo: Int = 4): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"),
+      graft.functions.PqFunctions.pq_lut(unitize(asDouble(col(vecCol))),
+        model.centroids, model.m, model.k, model.subDim).as("_lut"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    q.crossJoin(encodedCorpus)
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k),
+          roundTo).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /**
+   * PQ search with exact re-rank — the production PQ pipeline: the
+   * compressed-domain scan nominates `k * rerankFactor` candidates per
+   * query (cheap, m lookups/pair over the whole corpus), then exact cosine
+   * re-ranks just those. Tight clusters collapse to identical codes under
+   * coarse quantization (PQ scores tie), so the re-rank is what recovers
+   * exact-neighbor recall; its cost is k*rerankFactor dots per query —
+   * independent of corpus size.
+   */
+  def pqTopKRerank(queries: DataFrame, corpus: DataFrame, encodedCorpus: DataFrame,
+                   qidCol: String, idCol: String, vecCol: String,
+                   model: PqModel, k: Int, rerankFactor: Int = 8,
+                   roundTo: Int = 4): DataFrame = {
+    // candidate cut uses rank() NOT row_number(): coarse codes make whole
+    // clusters tie at one score, and an arbitrary tie-break here would drop
+    // the true neighbor before the exact stage ever sees it — ties all
+    // advance (bounded by the tie group, i.e. the code-collision set)
+    val q = queries.select(col(qidCol).as("qid"),
+      graft.functions.PqFunctions.pq_lut(unitize(asDouble(col(vecCol))),
+        model.centroids, model.m, model.k, model.subDim).as("_lut"))
+    val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
+    val cands = q.crossJoin(encodedCorpus)
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
+      .withColumn("_prank", rank().over(wc))
+      .filter(col("_prank") <= k * rerankFactor)
+      .select(col("qid"), col("nid"))
+    val qv = queries.select(col(qidCol).as("qid"), unitize(asDouble(col(vecCol))).as("_qv"))
+    val cv = corpus.select(col(idCol).as("nid"), unitize(asDouble(col(vecCol))).as("_cv"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    cands.join(qv, "qid").join(cv, "nid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     * Brute variant for audit; LSH variant composes via annTopK. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

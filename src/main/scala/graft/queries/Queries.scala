@@ -1035,6 +1035,21 @@ object Queries {
           .orderBy("o_custkey", "o_orderkey")
       }),
 
+    // ---- product quantization ANN: compressed-domain top-k (codes are m
+    //      ints/vector; scoring = m table lookups/pair). Engine-specific
+    //      estimates -> rows-only; laws in SimilaritySpec ----
+    QueryDef("q59_pq_ann", None,
+      (s, dir) => {
+        import graft.ext.Similarity
+        val emb = t(s, dir, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val model = Similarity.pqTrain(emb, "embedding", dim, m = 8, k = 16)
+        Similarity.pqTopKRerank(emb.filter(col("vec_id") < 20), emb,
+            Similarity.pqEncode(emb, "vec_id", "embedding", model),
+            "vec_id", "vec_id", "embedding", model, k = 3)
+          .orderBy("qid", "rank")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,

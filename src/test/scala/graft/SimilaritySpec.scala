@@ -163,6 +163,52 @@ class SimilaritySpec extends SparkSpec {
     assert(kmeans >= 20, s"k-means IVF top-1 recall too low: $kmeans/24")
   }
 
+  test("PQ: codes bounded, score approximates cosine, recall on clustered data") {
+    val dim = 16
+    val rnd = new scala.util.Random(17)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 16, iters = 8)
+    assert(model.centroids.length === 4 * 16 * 4)
+    // determinism
+    val model2 = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 16, iters = 8)
+    assert(model.centroids.toSeq === model2.centroids.toSeq)
+
+    val encoded = Similarity.pqEncode(corpus, "vec_id", "embedding", model).cache()
+    val codes = encoded.select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 16)))
+
+    val q = corpus.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = Similarity.pqTopK(q, encoded, "vec_id", "embedding", model, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // top-1 must land in the SAME planted cluster even when not the exact
+    // brute neighbor (quantization ties within a tight cluster are fine)
+    val sameCluster = brute.keys.count(qid =>
+      pq.get(qid).exists(nid => nid % 8 == qid % 8))
+    assert(sameCluster >= 18, s"PQ same-cluster top-1 only $sameCluster/20")
+    // scores approximate cosine: near 1 for same-cluster top-1, with
+    // quantization slack (centroids aren't unit vectors, so the estimate
+    // can exceed 1 slightly)
+    val sims = Similarity.pqTopK(q, encoded, "vec_id", "embedding", model, k = 1)
+      .select("sim").collect().map(_.getDouble(0))
+    assert(sims.forall(s => s >= 0.9 && s <= 1.1), sims.mkString(","))
+    // exact re-rank recovers the true neighbor that quantization blurs —
+    // budget sized to the cluster scale (intra-cluster distances are below
+    // quantization resolution, so candidates must cover the cluster)
+    val reranked = Similarity.pqTopKRerank(q, corpus, encoded,
+        "vec_id", "vec_id", "embedding", model, k = 1, rerankFactor = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = brute.count { case (k2, v) => reranked.get(k2).contains(v) }
+    assert(exact >= 18, s"PQ+rerank exact top-1 recall only $exact/20")
+    encoded.unpersist()
+  }
+
   test("cosineNearDups agrees with brute pair filter") {
     val e = sf("sf0.001", "embeddings").limit(100)
     val nd = Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.3)
