@@ -128,9 +128,39 @@ object EsFunctions {
 
   /** Register custom expressions for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    // int-literal arguments (hash counts, shingle k) must fold at plan time
+    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal int, got $other")
+    }
+    reg.createOrReplaceTempFunction(
       "es_hash", exprs => EsHash(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaccard_sorted", exprs => JaccardSortedExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "text_stats", exprs => TextStatsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashesExpr(exprs(0), intArg(exprs(1), "shingle_hashes(k)")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSigExpr(exprs(0), intArg(exprs(1), "minhash_sig(numHashes)")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sketch",
+      exprs => MinHashSketchAgg(exprs(0),
+        intArg(exprs(1), "minhash_sketch(numHashes)")).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "vector_sum", exprs => VectorSumAgg(exprs.head).toAggregateExpression(),
+      "built-in")
   }
 }
