@@ -19,7 +19,23 @@ object Main {
     "id", "routing", "partition-multiples", "repartition", "json-source",
     "mapping", "index-hive-fields", "index-es-fields", "format",
     "infer-sample", "mode", "compression",
-    "text-col", "bpe-merges", "bpe-max-words", "bpe-model")
+    "text-col", "bpe-merges", "bpe-max-words", "bpe-model",
+    "type-name", "hive-input-fields")
+
+  /** Reference ArgsParser spellings accepted verbatim (parity: a reference
+    * user's command line works unchanged). */
+  private val Aliases = Map(
+    "hive-table" -> "input",
+    "number-of-shards" -> "num-shards",
+    "index-name" -> "index",
+    "hdfs-work-dir" -> "out")
+
+  /** Reference flags that configure the ES/ZK deployment half this engine
+    * replaces with a bundle sink — accepted and ignored with a notice, so
+    * existing invocations don't break. */
+  private val DeploymentOnly = Set("alias", "final-index-setting",
+    "local-data-dir", "bulk-actions", "bulk-size", "bulk-flush-interval",
+    "zookeeper", "chroot")
 
   def parse(args: Array[String]): (GraftConfig, String) = {
     var m = Map[String, String]("mode" -> "infer")
@@ -28,13 +44,20 @@ object Main {
       args(i) match {
         case "--json-source" => m += ("json-source" -> "true"); i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
-          val key = flag.drop(2)
-          // a typo'd flag silently running with defaults is a
-          // placement-breaking misconfiguration — reject unknown keys
-          if (!KnownFlags(key))
-            throw new IllegalArgumentException(
-              s"unknown flag --$key (known: ${KnownFlags.toSeq.sorted.mkString(", ")})")
-          m += (key -> args(i + 1)); i += 2
+          val key0 = flag.drop(2)
+          val key = Aliases.getOrElse(key0, key0)
+          if (DeploymentOnly(key)) {
+            System.err.println(s"[graft] --$key0 configures the ES/ZK deployment " +
+              "half; the bundle sink has no use for it — ignored")
+            i += 2
+          } else {
+            // a typo'd flag silently running with defaults is a
+            // placement-breaking misconfiguration — reject unknown keys
+            if (!KnownFlags(key))
+              throw new IllegalArgumentException(
+                s"unknown flag --$key0 (known: ${(KnownFlags ++ Aliases.keys).toSeq.sorted.mkString(", ")})")
+            m += (key -> args(i + 1)); i += 2
+          }
         case other => throw new IllegalArgumentException(s"unexpected argument: $other")
       }
     }
@@ -71,7 +94,10 @@ object Main {
       indexEsFields = listOf("index-es-fields"),
       format = m.getOrElse("format", "json"),
       inferSampleFraction = m.getOrElse("infer-sample", "1.0").toDouble,
-      compression = m.get("compression"))
+      compression = m.get("compression"),
+      typeName = m.getOrElse("type-name", "doc"),
+      hiveInputFields = m.get("hive-input-fields")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
     (cfg, m("mode"))
   }
 

@@ -38,7 +38,11 @@ object Hive2Es {
     indexEsFields: Set[String] = Set.empty,
     format: String = "json",
     inferSampleFraction: Double = 1.0,
-    compression: Option[String] = None)
+    compression: Option[String] = None,
+    typeName: String = "doc",
+    // reference --hive-input-fields: project the scan to these columns
+    // (ArgsParser.scala:106-109) — Catalyst prunes the parquet read to them
+    hiveInputFields: Seq[String] = Seq.empty)
 
   /** S3/A2 parity (`PAHive2ES.scala:66-77`): collect a small metadata table
     * of (field_name, data_type) into the driver-side override map that
@@ -54,7 +58,9 @@ object Hive2Es {
     val df =
       if (config.input.contains("/")) spark.read.parquet(config.input)
       else spark.read.table(config.input)
-    df.where(config.where)
+    val filtered = df.where(config.where)
+    if (config.hiveInputFields.isEmpty) filtered
+    else filtered.select(config.hiveInputFields.map(col): _*)
   }
 
   /** Generic mode (`Hive2ES.main`, SURVEY.md §3.1): no inference; doc =
@@ -85,7 +91,8 @@ object Hive2Es {
       }
     BundleSink.write(docs, s"${config.outDir}/${config.indexName}", config.numShards,
       config.partitionMultiples, config.repartition, config.format, config.mappingJson,
-      indexName = config.indexName, compression = config.compression)
+      indexName = config.indexName, typeName = config.typeName,
+      compression = config.compression)
   }
 
   /** `indexName = {alias}_{dt}` split (reference `PAHive2ES.scala:41-42`). */
@@ -116,7 +123,8 @@ object Hive2Es {
         Option(config.routing), config.typeOverrides)
       BundleSink.write(docs, s"${config.outDir}/${config.indexName}", config.numShards,
         config.partitionMultiples, config.repartition, config.format, Some(mappingJson),
-        indexName = config.indexName, compression = config.compression)
+        indexName = config.indexName, typeName = config.typeName,
+      compression = config.compression)
     } finally if (hasMaps) src.unpersist()
   }
 }

@@ -42,6 +42,41 @@ class ShardSizingSpec extends SparkSpec {
       s"pruned ${pruned.estInputBytes} !< full ${full.estInputBytes}")
   }
 
+  test("CLI parity: reference ArgsParser spellings work unchanged") {
+    // a verbatim reference-style command line (deployment flags included)
+    val (cfg, mode) = Main.parse(Array(
+      "--hive-table", "db.events",
+      "--hdfs-work-dir", "/tmp/wd",
+      "--index-name", "events_20260812",
+      "--type-name", "event",
+      "--number-of-shards", "6",
+      "--where", "dt = '20260812'",
+      "--id", "event_id", "--routing", "user_id",
+      "--partition-multiples", "5", "--repartition", "true",
+      "--hive-input-fields", "event_id,user_id,value",
+      "--bulk-actions", "100", "--bulk-size", "5",
+      "--zookeeper", "zk1:2181", "--chroot", "/es_offline"))
+    assert(cfg.input === "db.events")
+    assert(cfg.outDir === "/tmp/wd")
+    assert(cfg.indexName === "events_20260812")
+    assert(cfg.typeName === "event")
+    assert(cfg.numShards === 6)
+    assert(cfg.where === "dt = '20260812'")
+    assert(cfg.partitionMultiples === 5 && cfg.repartition)
+    assert(cfg.hiveInputFields === Seq("event_id", "user_id", "value"))
+    assert(mode === "infer") // reference PAHive2ES path is the default
+  }
+
+  test("--hive-input-fields prunes the scan to the listed columns") {
+    val cfg = graft.pipeline.Hive2Es.GraftConfig(
+      input = "/root/testdata/sf0.001/orders.parquet", outDir = "unused",
+      indexName = "x", hiveInputFields = Seq("o_orderkey", "o_totalprice"))
+    val df = graft.pipeline.Hive2Es.read(spark, cfg)
+    assert(df.columns.toSeq === Seq("o_orderkey", "o_totalprice"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p)
+  }
+
   test("CLI: --num-shards auto parses to the sentinel; numbers still parse") {
     val (cfg, _) = Main.parse(Array("--input", "x", "--out", "y", "--index", "z",
       "--num-shards", "auto"))
