@@ -131,6 +131,11 @@ object Bench {
           Similarity.pqTopKRerank(queries, emb,
             Similarity.pqEncode(emb, "vec_id", "embedding", model),
             "vec_id", "vec_id", "embedding", model, k = 1)
+        }),
+        ("ivf_pq", () => { // cell pruning + compressed in-cell scoring + re-rank
+          val model = Similarity.pqTrain(emb, "embedding", dim, m = 8, k = 16)
+          Similarity.ivfPqTopK(queries, emb, "vec_id", "vec_id", "embedding",
+            model, k = 1, nlist = nlist, nprobe = nprobe)
         }))
       val out = configs.map { case (name, f) =>
         val t0 = System.nanoTime()

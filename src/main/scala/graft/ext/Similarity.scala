@@ -196,24 +196,9 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, roundTo: Int = 4,
               kmeansIters: Int = 0): DataFrame = {
-    val cents =
-      if (kmeansIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
-      else corpus.orderBy(col(idCol).asc).limit(nlist)
-        .select(col(idCol).as("cent_id"), unitize(asDouble(col(vecCol))).as("_centv"))
-    def assign(df: DataFrame, id: String, outIdCol: String, vOut: String,
-               probes: Int): DataFrame = {
-      val v = unitize(asDouble(col(vecCol))).as(vOut)
-      val w = Window.partitionBy(outIdCol).orderBy(col("_csim").desc, col("cent_id").asc)
-      df.select(col(id).as(outIdCol), v)
-        .crossJoin(broadcast(cents))
-        .select(col(outIdCol), col(vOut), col("cent_id"),
-          dot(col(vOut), col("_centv")).as("_csim"))
-        .withColumn("_crank", row_number().over(w))
-        .filter(col("_crank") <= probes)
-        .drop("_csim", "_crank")
-    }
-    val corpusCells = assign(corpus, idCol, "nid", "_cv", probes = 1)
-    val queryCells = assign(queries, qidCol, "qid", "_qv", probes = nprobe)
+    val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val corpusCells = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+    val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents, probes = nprobe)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     queryCells.join(corpusCells, Seq("cent_id"))
       .filter(col("qid") =!= col("nid"))
@@ -222,6 +207,27 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  private def coarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                              nlist: Int, kmeansIters: Int): DataFrame =
+    if (kmeansIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    else corpus.orderBy(col(idCol).asc).limit(nlist)
+      .select(col(idCol).as("cent_id"), unitize(asDouble(col(vecCol))).as("_centv"))
+
+  /** Nearest-`probes` cell assignment against a broadcast centroid table. */
+  private def assignCells(df: DataFrame, id: String, vecCol: String,
+                          outIdCol: String, vOut: String, cents: DataFrame,
+                          probes: Int): DataFrame = {
+    val v = unitize(asDouble(col(vecCol))).as(vOut)
+    val w = Window.partitionBy(outIdCol).orderBy(col("_csim").desc, col("cent_id").asc)
+    df.select(col(id).as(outIdCol), v)
+      .crossJoin(broadcast(cents))
+      .select(col(outIdCol), col(vOut), col("cent_id"),
+        dot(col(vOut), col("_centv")).as("_csim"))
+      .withColumn("_crank", row_number().over(w))
+      .filter(col("_crank") <= probes)
+      .drop("_csim", "_crank")
   }
 
   /**
@@ -363,6 +369,43 @@ object Similarity {
     cands.join(qv, "qid").join(cv, "nid")
       .select(col("qid"), col("nid"),
         round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /**
+   * IVF-PQ: the standard billion-scale composition. IVF cells prune
+   * candidates (each query scores only its `nprobe` cells — corpus/nlist
+   * rows per cell on average), PQ codes make in-cell scoring m lookups per
+   * pair, and the exact re-rank (tie-aware, see [[pqTopKRerank]]) restores
+   * exact-neighbor precision on k*rerankFactor finalists. Shuffle shape:
+   * one broadcast cell assignment per side + one equi-join on cent_id —
+   * no all-pairs stage anywhere.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                idCol: String, vecCol: String, model: PqModel, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
+                rerankFactor: Int = 8, roundTo: Int = 4): DataFrame = {
+    val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val corpusCells = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+      .withColumn("codes", graft.functions.PqFunctions.pq_encode(col("_cv"),
+        model.centroids, model.m, model.k, model.subDim))
+      .select(col("cent_id"), col("nid"), col("codes"), col("_cv"))
+    val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents, probes = nprobe)
+      .withColumn("_lut", graft.functions.PqFunctions.pq_lut(col("_qv"),
+        model.centroids, model.m, model.k, model.subDim))
+    val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
+    val cands = queryCells.join(corpusCells, Seq("cent_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("_qv"), col("_cv"),
+        graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("_prank", rank().over(wc))
+      .filter(col("_prank") <= k * rerankFactor)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    cands
+      .select(col("qid"), col("nid"), round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))

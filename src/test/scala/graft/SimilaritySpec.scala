@@ -209,6 +209,26 @@ class SimilaritySpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("IVF-PQ composite: high exact recall on clustered data at pruned cost") {
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 16, iters = 8)
+    val q = corpus.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.ivfPqTopK(q, corpus, "vec_id", "vec_id", "embedding",
+        model, k = 1, nlist = 8, nprobe = 3, kmeansIters = 3, rerankFactor = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = brute.count { case (k2, v) => got.get(k2).contains(v) }
+    assert(exact >= 18, s"IVF-PQ exact top-1 recall only $exact/20")
+  }
+
   test("cosineNearDups agrees with brute pair filter") {
     val e = sf("sf0.001", "embeddings").limit(100)
     val nd = Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.3)
