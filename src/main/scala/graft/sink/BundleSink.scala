@@ -34,6 +34,69 @@ object BundleSink {
                     shardCounts: Map[Int, Long])
 
   /**
+   * Multi-index sink: ONE scan feeds every index. The reference runs a full
+   * Spark job per index (`Hive2ES.main` once per invocation); when N
+   * indices derive from the same source — the common "route rows by
+   * category/date into per-tenant indices" layout — that reads the source
+   * N times. Here an `_index` column routes each doc, one exchange fans out
+   * on (index, routing), and one partitioned write lands
+   * `out/{index}/data/_shard=k/` for all indices — the source is read once
+   * regardless of N. Per-index manifests are derived from a single
+   * read-back count pass over the (much smaller) output.
+   */
+  def writeMulti(docs: DataFrame, outRoot: String, indexCol: String,
+                 numShards: Int, partitionMultiples: Int = 10,
+                 repartition: Boolean = true, format: String = "json",
+                 typeName: String = "doc",
+                 compression: Option[String] = None): Map[String, Result] = {
+    val spark = docs.sparkSession
+    val sharded = docs
+      .withColumn("_index", col(indexCol))
+      .withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
+    val arranged =
+      if (repartition) sharded.repartition(numShards * partitionMultiples,
+        col("_index"), EsFunctions.es_partition(col("_routing"), numShards, partitionMultiples))
+      else sharded
+    val writer = arranged.drop(indexCol).write.mode("overwrite")
+      .partitionBy("_index", "_shard")
+    val codec = format match {
+      case "json"    => compression.getOrElse("gzip")
+      case "parquet" => compression.getOrElse("zstd")
+      case other => throw new IllegalArgumentException(s"unsupported multi-bundle format: $other")
+    }
+    val dataDir = s"$outRoot/data"
+    format match {
+      case "json"    => writer.option("compression", codec).json(dataDir)
+      case "parquet" => writer.option("compression", codec).parquet(dataDir)
+    }
+    // one read-back pass for all manifests (columnar-prunable when parquet)
+    val back = format match {
+      case "json" => spark.read
+        .schema(graft.streaming.BundleStream.bundleSchema).json(dataDir)
+      case _ => spark.read.parquet(dataDir)
+    }
+    val counts = back.groupBy(col("_index"), col("_shard"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outRoot), spark.sparkContext.hadoopConfiguration)
+    counts.keys.map(_._1).toSet.map { (idx: String) =>
+      val perShard = (0 until numShards)
+        .map(sh => sh -> counts.getOrElse((idx, sh), 0L)).toMap
+      val total = perShard.values.sum
+      val manifest =
+        s"""{"indexName":"$idx","typeName":"$typeName","workDir":"$outRoot/data/_index=$idx",
+           |"numShards":$numShards,"format":"$format","compression":"$codec","totalDocs":$total,
+           |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
+           |"state":"completed"}""".stripMargin.replace("\n", "")
+      val mf = fs.create(new org.apache.hadoop.fs.Path(
+        s"$outRoot/manifest_$idx.json"), true)
+      mf.write(manifest.getBytes("UTF-8")); mf.close()
+      idx -> Result(s"$outRoot/data/_index=$idx", numShards, total, perShard)
+    }.toMap
+  }
+
+  /**
    * @param docs DataFrame with at least (_id, _routing, doc) — see
    *             [[graft.transform.DocTransform.docs]].
    * @param repartition when false (reference default `--repartition false`)

@@ -122,6 +122,37 @@ class BundleSinkSpec extends SparkSpec {
     }
   }
 
+  test("multi-index sink: one scan, per-index bundles with exact placement") {
+    val out = tmpDir()
+    val docs = graft.transform.DocTransform.docs(
+        sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+      .withColumn("idx",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("tenant_"),
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("_id").cast("long"),
+            org.apache.spark.sql.functions.lit(3))))
+    val results = graft.sink.BundleSink.writeMulti(docs, s"$out/multi", "idx",
+      numShards = 4, partitionMultiples = 2)
+    assert(results.keySet === Set("tenant_0", "tenant_1", "tenant_2"))
+    assert(results.values.map(_.totalDocs).sum === 1500L)
+    // per-index placement law: every doc's shard = es murmur3 of its routing
+    val keys = sf("sf0.001", "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col("o_custkey").cast("string"),
+          org.apache.spark.sql.functions.col("o_orderkey").cast("string")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    for ((idx, res) <- results) {
+      val t = idx.stripPrefix("tenant_").toLong
+      val expected = keys.filter(_._1 % 3 == t)
+        .groupBy(k => EsMurmur3.shard(k._2, 4)).view.mapValues(_.length.toLong).toMap
+      val full = (0 until 4).map(s => s -> expected.getOrElse(s, 0L)).toMap
+      assert(res.shardCounts === full, s"index $idx")
+      assert(Files.exists(Paths.get(s"$out/multi/manifest_$idx.json")))
+    }
+  }
+
   test("compression knob: parquet zstd round-trips, json zstd rejected, manifest records codec") {
     val out = tmpDir()
     val docs = graft.transform.DocTransform.docs(
