@@ -20,7 +20,7 @@ object Main {
     "mapping", "index-hive-fields", "index-es-fields", "format",
     "infer-sample", "mode", "compression",
     "text-col", "bpe-merges", "bpe-max-words", "bpe-model",
-    "type-name", "hive-input-fields")
+    "type-name", "hive-input-fields", "index-col")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -155,6 +155,22 @@ object Main {
           println(s"bundle written (streaming): $out")
           println(s"totalDocs=${counts.map(_._2).sum} shards=${cfg.numShards}")
           counts.foreach { case (s, n) => println(s"  shard $s: $n docs") }
+        case "multi" =>
+          // one scan -> N indices: rows routed by --index-col
+          val raw = rawFlags(args)
+          val indexCol = raw.getOrElse("index-col",
+            throw new IllegalArgumentException("--mode multi requires --index-col"))
+          val input = Hive2Es.read(spark, cfg)
+          val docs = graft.transform.DocTransform.docs(input,
+            Option(cfg.id).getOrElse(input.columns.head), Option(cfg.routing),
+            keepCols = Seq(indexCol))
+          val results = graft.sink.BundleSink.writeMulti(docs, cfg.outDir, indexCol,
+            cfg.numShards, cfg.partitionMultiples, cfg.repartition, cfg.format,
+            cfg.typeName, cfg.compression)
+          println(s"multi-index bundles written under ${cfg.outDir} (one scan)")
+          results.toSeq.sortBy(_._1).foreach { case (idx, r) =>
+            println(s"  $idx: ${r.totalDocs} docs across ${r.numShards} shards")
+          }
         case "tokenize" =>
           // tokenizer-as-asset: train (or reuse --bpe-model), tokenize the
           // corpus, persist model + tokenized parquet under --out

@@ -106,7 +106,8 @@ object DocTransform {
     * random 10-char string; we keep it deterministic under a seed). */
   def docs(df: DataFrame, idCol: String, routingCol: Option[String],
            typeOverrides: Map[String, String] = Map.empty,
-           randomSeed: Long = 42L): DataFrame = {
+           randomSeed: Long = 42L,
+           keepCols: Seq[String] = Seq.empty): DataFrame = {
     val idExpr =
       if (idCol != null) col(idCol).cast(StringType)
       else lit(null).cast(StringType)
@@ -119,10 +120,10 @@ object DocTransform {
       // round-robin-ish spread (`Hive2ES.scala:58-62`)
       case None => conv(floor(rand(randomSeed) * 1e10).cast(LongType).cast(StringType), 10, 36)
     }
-    df.select(
+    df.select(Seq(
       idExpr.as("_id"),
       routing.as("_routing"),
-      docColumn(df.schema, typeOverrides).as("doc"))
+      docColumn(df.schema, typeOverrides).as("doc")) ++ keepCols.map(col): _*)
   }
 
   /**
