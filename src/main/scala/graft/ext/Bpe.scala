@@ -180,6 +180,16 @@ case class BpeModel(merges: IndexedSeq[(String, String)]) extends Serializable {
   /** Subword token count (null text -> null via size-of-null). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Vocabulary fit in (0,1]: whitespace words / BPE tokens. Text drawn
+    * from the training distribution merges toward one token per word
+    * (fit -> 1); out-of-vocabulary junk stays character-split (fit -> 0).
+    * A trained-tokenizer quality signal with no extra model. */
+  def vocabularyFit(c: Column): Column = {
+    val ws = size(split(c, "\\s+"))
+    when(tokenCount(c) === 0, 0.0)
+      .otherwise(ws.cast("double") / tokenCount(c).cast("double"))
+  }
+
   /** Merge list as JSON lines-free string for manifest persistence. */
   def toJsonMerges: String =
     merges.map { case (a, b) =>

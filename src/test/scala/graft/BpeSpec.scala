@@ -118,6 +118,18 @@ class BpeSpec extends SparkSpec {
     assert(t2 === t1)
   }
 
+  test("vocabularyFit: in-distribution text scores near 1, OOV junk near 0") {
+    val m = Bpe.train(corpus.toDF("text"), "text", numMerges = 40)
+    val scores = Seq(
+      "low lower newest new",        // fully in-vocab
+      "zqxj vbnw kfhd pqrs")         // character soup
+      .toDF("text").select(round(m.vocabularyFit(col("text")), 4))
+      .collect().map(_.getDouble(0))
+    assert(scores(0) > 0.8, s"in-vocab fit ${scores(0)}")
+    assert(scores(1) < 0.3, s"junk fit ${scores(1)}")
+    assert(scores(0) > scores(1) * 2)
+  }
+
   test("merge-list JSON round-trip (incl. escapes)") {
     val m = BpeModel(IndexedSeq(("a", "b"), ("\"q\\", "</w>"), ("ab", "c</w>")))
     val back = BpeModel.fromJsonMerges(m.toJsonMerges)
