@@ -24,7 +24,15 @@ object Lookup {
       val rows = df.collect()
       println(s"${rows.length} docs for routing '$key' " +
         s"(shard ${graft.functions.EsMurmur3.shard(key, BundleReader.numShards(spark, dir))})")
-      rows.take(5).foreach(r => println(s"  _id=${r.getAs[String]("_id")} doc=${r.getAs[String]("doc").take(80)}"))
+      rows.take(5).foreach { r =>
+        // json bundles carry one doc string; columnar bundles carry typed
+        // fields — show whatever this bundle has
+        val body =
+          if (df.columns.contains("doc")) Option(r.getAs[String]("doc")).getOrElse("").take(80)
+          else df.columns.filterNot(Set("_id", "_routing", "_shard"))
+            .take(4).map(c => s"$c=${r.getAs[Any](c)}").mkString(" ")
+        println(s"  _id=${r.getAs[String]("_id")} $body")
+      }
     } finally spark.stop()
   }
 }

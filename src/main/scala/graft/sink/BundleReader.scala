@@ -12,24 +12,35 @@ import org.apache.spark.sql.types.MetadataBuilder
  */
 object BundleReader {
 
-  def numShards(spark: SparkSession, bundleDir: String): Int = {
+  private def manifest(spark: SparkSession, bundleDir: String): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(bundleDir, "manifest.json"))
-    val manifest = new String(in.readAllBytes(), "UTF-8")
+    val m = new String(in.readAllBytes(), "UTF-8")
     in.close()
-    """"numShards":(\d+)""".r.findFirstMatchIn(manifest) match {
+    m
+  }
+
+  def numShards(spark: SparkSession, bundleDir: String): Int =
+    """"numShards":(\d+)""".r.findFirstMatchIn(manifest(spark, bundleDir)) match {
       case Some(m) => m.group(1).toInt
       case None    => throw new IllegalStateException(s"no numShards in $bundleDir/manifest.json")
     }
-  }
 
-  def read(spark: SparkSession, bundleDir: String, format: String = "json"): DataFrame = {
+  /** Bundle format as recorded by the writer ("json" when absent — bundles
+    * predating the manifest field). */
+  def format(spark: SparkSession, bundleDir: String): String =
+    """"format":"(\w+)"""".r.findFirstMatchIn(manifest(spark, bundleDir))
+      .map(_.group(1)).getOrElse("json")
+
+  /** Read a bundle; format auto-detected from its manifest unless given. */
+  def read(spark: SparkSession, bundleDir: String,
+           formatOverride: Option[String] = None): DataFrame = {
     val n = numShards(spark, bundleDir)
-    val df = format match {
+    val df = formatOverride.getOrElse(format(spark, bundleDir)) match {
       case "json"    => spark.read
         .schema(graft.streaming.BundleStream.bundleSchema).json(s"$bundleDir/data")
-      case "parquet" => spark.read.parquet(s"$bundleDir/data")
+      case "parquet" | "columnar" => spark.read.parquet(s"$bundleDir/data")
       case other     => throw new IllegalArgumentException(s"unsupported bundle format: $other")
     }
     val meta = new MetadataBuilder()

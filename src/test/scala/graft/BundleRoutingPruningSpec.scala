@@ -41,6 +41,22 @@ class BundleRoutingPruningSpec extends SparkSpec {
     assert(q.filter(col("_shard") =!= expectShard).count() === 0)
   }
 
+  test("columnar bundle: format auto-detected, routing pruning still applies") {
+    val out = Files.createTempDirectory("graft-prune-col").toString
+    val docs = DocTransform.docsColumnar(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    BundleSink.write(docs, s"$out/idx", numShards = 5,
+      partitionMultiples = 2, repartition = true, format = "columnar", indexName = "idx")
+    assert(BundleReader.format(spark, s"$out/idx") === "columnar")
+    val df = BundleReader.read(spark, s"$out/idx") // no format hint needed
+    assert(df.columns.contains("o_totalprice"), df.columns.mkString(","))
+    val routing = "42"
+    val q = df.filter(col("_routing") === routing)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("_shard"), physical)
+    assert(q.count() > 0)
+    assert(q.filter(col("_shard") =!= EsMurmur3.shard(routing, 5)).count() === 0)
+  }
+
   test("non-routing filters are left untouched") {
     val dir = writeBundle()
     val df = BundleReader.read(spark, dir)
