@@ -1050,6 +1050,36 @@ object Queries {
           .orderBy("qid", "rank")
       }),
 
+    // ---- LATERAL correlated table subquery (per-row top-N join form) ----
+    QueryDef("q60_lateral",
+      Some(s"""SELECT n.n_nationkey, t.c_custkey, CAST(t.c_acctbal AS $D2) AS c_acctbal
+             |FROM nation n,
+             |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             |         WHERE c.c_nationkey = n.n_nationkey
+             |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+             |ORDER BY n.n_nationkey, t.c_custkey""".stripMargin),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(s"""SELECT n.n_nationkey, t.c_custkey, CAST(t.c_acctbal AS $D2) AS c_acctbal
+                 |FROM nation n,
+                 |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 |         WHERE c.c_nationkey = n.n_nationkey
+                 |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+                 |ORDER BY n.n_nationkey, t.c_custkey""".stripMargin)
+      }),
+
+    // ---- count-min sketch + frequent items (engine-specific sketch bytes
+    //      -> rows-only; error law in QueriesSpec) ----
+    QueryDef("q61_freq_sketch", None,
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sketch = li.agg(
+          expr("hex(count_min_sketch(l_returnflag, 0.01d, 0.99d, 42))").as("cms_hex"))
+        val top = li.stat.freqItems(Array("l_returnflag"), 0.3)
+        sketch.crossJoin(
+          top.select(array_sort(col("l_returnflag_freqItems")).as("freq_flags")))
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,

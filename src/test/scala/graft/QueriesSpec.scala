@@ -46,6 +46,28 @@ class QueriesSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("count-min sketch estimates within eps*N of exact counts (q61 family)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val bytes = li.agg(expr("count_min_sketch(l_returnflag, 0.01d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    for ((flag, cnt) <- exact) {
+      val est = cms.estimateCount(flag)
+      assert(est >= cnt && est <= cnt + (0.01 * n).toLong + 1,
+        s"CMS estimate $est for $flag outside [$cnt, cnt+eps*N]")
+    }
+    // q61 runs end-to-end and flags the heavy hitter
+    val q61 = Queries.all.find(_.name == "q61_freq_sketch").get
+      .build(spark, dir).head()
+    assert(q61.getSeq[String](1).contains("N"), q61.toString)
+  }
+
   test("HLL sketch union estimate within 5% of exact; doc_ids disjoint -> sum law (q55)") {
     val r = Queries.all.find(_.name == "q55_hll_sketch").get
       .build(spark, "/root/testdata/sf0.01").head()
