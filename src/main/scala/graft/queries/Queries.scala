@@ -1080,6 +1080,36 @@ object Queries {
           top.select(array_sort(col("l_returnflag_freqItems")).as("freq_flags")))
       }),
 
+    // ---- time-series resample with gap fill: hour spine from the data's
+    //      own extent, empty buckets land as zeros (the "no events that
+    //      hour" rows a naive GROUP BY silently drops) ----
+    QueryDef("q62_gap_fill",
+      Some(s"""WITH b AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             |                  count(*) AS cnt,
+             |                  CAST(sum(CAST(value AS $D2)) AS $D2) AS sum_value
+             |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |spine AS (SELECT unnest(generate_series((SELECT min(h) FROM b),
+             |                                        (SELECT max(h) FROM b),
+             |                 INTERVAL 1 HOUR)) AS h)
+             |SELECT s.h, COALESCE(b.cnt, 0) AS cnt,
+             |  CAST(COALESCE(b.sum_value, 0) AS $D2) AS sum_value
+             |FROM spine s LEFT JOIN b USING (h)
+             |ORDER BY s.h""".stripMargin),
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("sum_value"))
+        val spine = b.agg(min("h").as("lo"), max("h").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        spine.join(b, Seq("h"), "left_outer")
+          .select(col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+            coalesce(col("sum_value"), lit(0)).cast(DecimalType(18, 2)).as("sum_value"))
+          .orderBy("h")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
