@@ -1110,6 +1110,34 @@ object Queries {
           .orderBy("h")
       }),
 
+    // ---- forward-fill imputation: carry the last observed hourly average
+    //      across gap hours (IGNORE NULLS window on the q62 spine) ----
+    QueryDef("q63_forward_fill",
+      Some(s"""WITH b AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             |                  CAST(avg(CAST(value AS $D2)) AS $D2) AS avg_value
+             |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |spine AS (SELECT unnest(generate_series((SELECT min(h) FROM b),
+             |                                        (SELECT max(h) FROM b),
+             |                 INTERVAL 1 HOUR)) AS h),
+             |j AS (SELECT s.h, b.avg_value FROM spine s LEFT JOIN b USING (h))
+             |SELECT h, avg_value,
+             |  last_value(avg_value IGNORE NULLS) OVER (
+             |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+             |FROM j ORDER BY h""".stripMargin),
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(avg(dec2(col("value"))).cast(DecimalType(18, 2)).as("avg_value"))
+        val spine = b.agg(min("h").as("lo"), max("h").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(b, Seq("h"), "left_outer")
+          .withColumn("filled", last(col("avg_value"), ignoreNulls = true).over(w))
+          .orderBy("h")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
