@@ -1138,6 +1138,23 @@ object Queries {
           .orderBy("h")
       }),
 
+    // ---- statistical aggregate battery: mode / median / stddev ----
+    QueryDef("q64_stats_agg",
+      Some(s"""SELECT l_returnflag,
+             |  mode(l_linestatus) AS mode_status,
+             |  median(l_quantity) AS median_qty,
+             |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |  round(skewness(l_quantity), 4) AS skew_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(mode(col("l_linestatus")).as("mode_status"),
+          median(col("l_quantity")).as("median_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(skewness(col("l_quantity")), 4).as("skew_qty"))
+        .orderBy("l_returnflag")),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,

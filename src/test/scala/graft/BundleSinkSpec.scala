@@ -153,6 +153,19 @@ class BundleSinkSpec extends SparkSpec {
     }
   }
 
+  test("empty input: zero-doc bundle still commits a complete manifest") {
+    val out = tmpDir()
+    val docs = graft.transform.DocTransform.docs(
+      sf("sf0.001", "orders").filter("o_orderkey < 0"), "o_orderkey", Some("o_custkey"))
+    val res = graft.sink.BundleSink.write(docs, s"$out/empty", numShards = 3,
+      partitionMultiples = 2, repartition = true, indexName = "empty")
+    assert(res.totalDocs === 0L)
+    assert(res.shardCounts === Map(0 -> 0L, 1 -> 0L, 2 -> 0L))
+    val manifest = Files.readString(Paths.get(s"$out/empty/manifest.json"))
+    assert(manifest.contains("\"totalDocs\":0") && manifest.contains("\"state\":\"completed\""))
+    assert(!Files.exists(Paths.get(s"$out/empty/_STARTED")))
+  }
+
   test("compression knob: parquet zstd round-trips, json zstd rejected, manifest records codec") {
     val out = tmpDir()
     val docs = graft.transform.DocTransform.docs(
