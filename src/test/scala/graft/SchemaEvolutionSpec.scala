@@ -20,6 +20,27 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
   }
 
+  test("columnar bundle survives schema evolution: new doc field appears via mergeSchema") {
+    val out = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    import org.apache.spark.sql.functions._
+    val v1 = sf("sf0.001", "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val d1 = graft.transform.DocTransform.docsColumnar(v1, "o_orderkey", Some("o_custkey"))
+    graft.sink.BundleSink.write(d1, s"$out/idx", numShards = 2,
+      partitionMultiples = 1, repartition = true, format = "columnar", indexName = "idx")
+    // a later producer adds a column; append to the same data dir
+    val v2 = sf("sf0.001", "orders").limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit("enriched").as("pipeline_tag"))
+    graft.transform.DocTransform.docsColumnar(v2, "o_orderkey", Some("o_custkey"))
+      .withColumn("_shard", graft.functions.EsFunctions.es_shard(col("_routing"), 2))
+      .write.mode("append").partitionBy("_shard").parquet(s"$out/idx/data")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$out/idx/data")
+    assert(merged.columns.contains("pipeline_tag"))
+    assert(merged.count() === 1510)
+    // old rows read as null in the new field, new rows carry it
+    assert(merged.filter(col("pipeline_tag").isNotNull).count() === 10)
+  }
+
   test("Tables.registerAll: every suite table queryable by name in SQL") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
