@@ -20,7 +20,8 @@ object Main {
     "mapping", "index-hive-fields", "index-es-fields", "format",
     "infer-sample", "mode", "compression",
     "text-col", "bpe-merges", "bpe-max-words", "bpe-model",
-    "type-name", "hive-input-fields", "index-col")
+    "type-name", "hive-input-fields", "index-col",
+    "quality-min", "neardup-threshold")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -155,6 +156,27 @@ object Main {
           println(s"bundle written (streaming): $out")
           println(s"totalDocs=${counts.map(_._2).sum} shards=${cfg.numShards}")
           counts.foreach { case (s, n) => println(s"  shard $s: $n docs") }
+        case "pipeline" =>
+          // the training-data build: quality -> exact dedup -> near-dup
+          // removal -> BPE tokenize -> columnar bundle
+          val raw = rawFlags(args)
+          val st = graft.pipeline.CorpusPipeline.run(spark, cfg.input, cfg.outDir,
+            cfg.indexName,
+            idCol = Option(cfg.id).getOrElse("doc_id"),
+            textCol = raw.getOrElse("text-col", "text"),
+            numShards = cfg.numShards, partitionMultiples = cfg.partitionMultiples,
+            qualityMin = raw.getOrElse("quality-min", "0.5").toDouble,
+            nearDupThreshold = raw.getOrElse("neardup-threshold", "0.9").toDouble,
+            bpeMerges = raw.getOrElse("bpe-merges", "2000").toInt,
+            bpeMaxWords = raw.getOrElse("bpe-max-words", "50000").toInt)
+          println(s"corpus pipeline -> ${st.bundle.outDir}")
+          println(s"  input docs:       ${st.input}")
+          println(s"  after quality:    ${st.afterQuality}")
+          println(s"  after exact dedup:${st.afterExact}")
+          println(s"  after near-dup:   ${st.afterNearDup}")
+          println(s"  total BPE tokens: ${st.totalTokens}")
+          st.bundle.shardCounts.toSeq.sorted.foreach { case (s2, n) =>
+            println(s"  shard $s2: $n docs") }
         case "multi" =>
           // one scan -> N indices: rows routed by --index-col
           val raw = rawFlags(args)

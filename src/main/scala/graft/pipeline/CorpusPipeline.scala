@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.ext.{Bpe, Dedup, TextAnalysis}
+import graft.sink.BundleSink
+import graft.transform.DocTransform
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The end-to-end training-data pipeline, one pass over a document corpus
+ * (`--mode pipeline`):
+ *
+ *   read -> quality filter -> exact dedup -> MinHash near-dup removal
+ *        -> BPE tokenize -> columnar bundle (+ bpe model + stage stats)
+ *
+ * Every stage is one of this engine's operators; the composition is what a
+ * 100 TB pretraining-data build actually runs. Stage semantics:
+ *  - quality: [[TextAnalysis.qualityScoreRaw]] >= `qualityMin` (unrounded —
+ *    thresholds on the raw value).
+ *  - exact dedup: first doc (lowest id) per normalized-text group survives.
+ *  - near-dup removal: LSH candidates verified by shingle Jaccard >=
+ *    `nearDupThreshold`; the HIGHER id of each surviving pair is dropped
+ *    (greedy canonical-minimum; a chain A~B~C keeps A, and keeps C only if
+ *    C~A was below threshold — the standard cheap approximation).
+ *  - tokenize: BPE trained on the SURVIVING corpus, tokens + counts land as
+ *    typed columns in the columnar bundle; the model is persisted next to
+ *    the manifest for downstream reuse.
+ */
+object CorpusPipeline {
+
+  case class Stats(input: Long, afterQuality: Long, afterExact: Long,
+                   afterNearDup: Long, totalTokens: Long,
+                   bundle: BundleSink.Result)
+
+  def run(spark: SparkSession, input: String, outDir: String, indexName: String,
+          idCol: String = "doc_id", textCol: String = "text",
+          numShards: Int = 3, partitionMultiples: Int = 4,
+          qualityMin: Double = 0.5, nearDupThreshold: Double = 0.9,
+          bpeMerges: Int = 2000, bpeMaxWords: Int = 50000): Stats = {
+    val docs = spark.read.parquet(input)
+    val nInput = docs.count()
+
+    val quality = docs.filter(TextAnalysis.qualityScoreRaw(col(textCol)) >= qualityMin)
+    val nQuality = quality.count()
+
+    // exact dedup keeping FULL rows (Dedup.exact projects to key+order
+    // cols): group-limit window on the normalized text, lowest id survives
+    val wNorm = org.apache.spark.sql.expressions.Window
+      .partitionBy("_norm").orderBy(idCol)
+    val exact = quality
+      .withColumn("_norm", regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+      .withColumn("_rn", row_number().over(wNorm))
+      .filter(col("_rn") === 1).drop("_norm", "_rn")
+    val nExact = exact.count()
+
+    // near-dup pairs on the exact-deduped corpus; drop the higher id of
+    // each pair (distinct drop-set, then one left_anti)
+    val pairs = Dedup.minhashNearDups(exact, idCol, textCol,
+      threshold = nearDupThreshold)
+    val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
+    val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
+    val nSurvivors = survivors.count()
+
+    // tokenizer trained on what survives (junk filtered out above), ridden
+    // into the bundle as typed columns
+    val model = Bpe.train(survivors, textCol, bpeMerges, bpeMaxWords)
+    val tokenized = survivors
+      .withColumn("bpe_tokens", model.tokens(col(textCol)))
+      .withColumn("bpe_token_cnt", size(col("bpe_tokens")))
+      .withColumn("vocab_fit", round(model.vocabularyFit(col(textCol)), 4))
+    val totalTokens = tokenized.agg(sum("bpe_token_cnt")).head().getLong(0)
+
+    val bundleDocs = DocTransform.docsColumnar(tokenized, idCol, None)
+    val res = BundleSink.write(bundleDocs, s"$outDir/$indexName", numShards,
+      partitionMultiples, repartition = true, format = "columnar",
+      indexName = indexName)
+    Bpe.save(spark, model, s"$outDir/$indexName/bpe_model.json")
+    Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res)
+  }
+}
