@@ -123,7 +123,7 @@ object Bench {
       val configs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         ("brute", () => Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1)),
         ("lsh", () => Similarity.annTopK(queries, emb, "vec_id", "vec_id", "embedding", dim, k = 1, tables = 8, bits = bits)),
-        ("lsh_multiprobe", () => Similarity.annTopK(queries, emb, "vec_id", "vec_id", "embedding", dim, k = 1, tables = 8, bits = bits, multiprobe = true)),
+        ("lsh_multiprobe", () => Similarity.annTopK(queries, emb, "vec_id", "vec_id", "embedding", dim, k = 1, tables = 8, bits = bits, multiprobe = true, probeBits = 4)),
         ("ivf", () => Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1, nlist = nlist, nprobe = nprobe)),
         ("ivf_kmeans", () => Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1, nlist = nlist, nprobe = nprobe, kmeansIters = 2)),
         ("pq_rerank", () => { // train + encode + compressed scan + exact re-rank

@@ -81,6 +81,32 @@ object Similarity {
     bitCols.reduce((a, b) => a + b)
   }
 
+  /** Per-bit hyperplane dots for one table (signature = signs of these;
+    * |dot| is the bit's margin — small margin = likely flip). */
+  private def planeDots(vec: Column, dim: Int, table: Int, bits: Int): Column =
+    array((0 until bits).map { b =>
+      dot(vec, array((0 until dim).map(j => lit(planeComponent(table, b, j))): _*))
+    }: _*)
+
+  /** Signature plus its `probeBits` margin-ranked 1-bit-flip neighbors:
+    * real multiprobe — flip the bits whose hyperplane margin is smallest
+    * (the flips most likely to recover a near-boundary neighbor), not every
+    * bit. Output: array of 1 + probeBits signatures. */
+  private def probeSignatures(vec: Column, dim: Int, table: Int, bits: Int,
+                              probeBits: Int): Column = {
+    val dots = planeDots(vec, dim, table, bits)
+    val sig = aggregate(
+      transform(dots, (d, i) =>
+        when(d >= 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    // rank bits by |margin| ascending via sort of (abs, idx) structs
+    val ranked = array_sort(transform(dots,
+      (d, i) => struct(abs(d).as("m"), i.cast("int").as("b"))))
+    val flips = transform(slice(ranked, 1, probeBits),
+      s => sig.bitwiseXOR(pow(lit(2.0), s.getField("b").cast("double")).cast("long")))
+    concat(array(sig), flips)
+  }
+
   /**
    * Approximate top-k: candidates = corpus vectors sharing an LSH bucket
    * with the query in ANY of `tables` tables; exact cosine + ranking within
@@ -91,27 +117,33 @@ object Similarity {
   def annTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
               idCol: String, vecCol: String, dim: Int, k: Int,
               tables: Int = 4, bits: Int = 12, roundTo: Int = 4,
-              multiprobe: Boolean = false): DataFrame = {
-    // multiprobe: queries additionally probe every 1-bit-neighbor bucket
+              multiprobe: Boolean = false, probeBits: Int = -1): DataFrame = {
+    // multiprobe: queries additionally probe 1-bit-neighbor buckets
     // (signature XOR 2^b) — near-boundary vectors that landed one sign flip
     // apart still meet, buying recall without more tables or corpus cost
-    // (corpus signatures stay single; only the query side fans out x bits+1).
-    def sigs(df: DataFrame, id: String, probe: Boolean): DataFrame = {
+    // (corpus signatures stay single; only the query side fans out).
+    // probeBits >= 0 limits the fan-out to the margin-ranked most-likely
+    // flips (the bits whose hyperplane dot is closest to zero) — the
+    // standard multiprobe refinement: most of the recall at a fraction of
+    // the candidate cost. probeBits < 0 probes every bit.
+    val effProbe = if (!multiprobe) 0 else if (probeBits < 0) bits else probeBits
+    def sigs(df: DataFrame, id: String, probe: Int): DataFrame = {
       val v = unitize(asDouble(col(vecCol))).as("_v")
-      val base = (0 until tables).map(t =>
-        lshSignature(asDouble(col(vecCol)), dim, t, bits))
       val sigArr =
-        if (!probe) array(base: _*)
-        else array(base.flatMap(s =>
-          s +: (0 until bits).map(b => s.bitwiseXOR(lit(1L << b)))): _*)
-      val perTable = if (probe) bits + 1 else 1
+        if (probe == 0)
+          array((0 until tables).map(t =>
+            lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)
+        else
+          concat((0 until tables).map(t =>
+            probeSignatures(asDouble(col(vecCol)), dim, t, bits, probe)): _*)
+      val perTable = probe + 1
       df.select(col(id), v, posexplode(sigArr))
         .select(col(id), col("_v"),
           (col("pos") / perTable).cast("int").as("_table"), col("col").as("_sig"))
     }
-    val qs = sigs(queries, qidCol, probe = multiprobe)
+    val qs = sigs(queries, qidCol, probe = effProbe)
       .withColumnsRenamed(Map(qidCol -> "qid", "_v" -> "_qv"))
-    val cs = sigs(corpus, idCol, probe = false)
+    val cs = sigs(corpus, idCol, probe = 0)
       .withColumnsRenamed(Map(idCol -> "nid", "_v" -> "_cv"))
     val cands = qs.join(cs, Seq("_table", "_sig"))
       .filter(col("qid") =!= col("nid"))

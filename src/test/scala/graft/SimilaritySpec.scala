@@ -64,14 +64,19 @@ class SimilaritySpec extends SparkSpec {
     }
     val corpus = bases.toDF("vec_id", "embedding")
     val queries = probes.toDF("vec_id", "embedding")
-    def recall(mp: Boolean): Long =
+    def recall(mp: Boolean, pb: Int = -1): Long =
       Similarity.annTopK(queries, corpus, "vec_id", "vec_id", "embedding",
-          dim = dim, k = 1, tables = 2, bits = 10, multiprobe = mp)
+          dim = dim, k = 1, tables = 2, bits = 10, multiprobe = mp, probeBits = pb)
         .filter(col("rank") === 1 && col("nid") === col("qid") - 1000).count()
     val single = recall(mp = false)
     val multi = recall(mp = true)
     assert(multi >= single, s"multiprobe $multi < single $single")
     assert(multi >= 35, s"multiprobe top-1 recall too low: $multi/40")
+    // margin-aware probing: 3 targeted flips out of 10 keep most of the
+    // full-multiprobe recall at under a third of the candidate fan-out
+    val margin3 = recall(mp = true, pb = 3)
+    assert(margin3 >= single, s"margin-probe $margin3 < single $single")
+    assert(margin3 >= multi - 3, s"margin-probe $margin3 lost too much vs full $multi")
   }
 
   test("ivfTopK: recall against brute force on real embeddings") {
