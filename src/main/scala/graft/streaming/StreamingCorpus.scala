@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Incremental corpus build: the streaming counterpart of
+ * [[graft.pipeline.CorpusPipeline]]. Documents arrive as files; each
+ * micro-batch runs
+ *
+ *   quality filter -> exact dedup (in-batch + vs all prior batches)
+ *   -> near-dup removal vs the ACCUMULATED corpus (MinHash bands)
+ *   -> shard-routed append into the bundle
+ *
+ * without ever recomputing over history. Accumulated knowledge lives in two
+ * compact parquet side-states under the bundle dir:
+ *   state/fingerprints: (fp)            — exact-dedup membership
+ *   state/bands:        (doc_id, band, band_key, sig) — near-dup index
+ * Arriving docs join those (anti-join for exact; band equi-join + signature
+ * Jaccard estimate for near) — per batch the work is batch x matches, not
+ * corpus x corpus. Near-dup here uses the SIGNATURE ESTIMATE (state keeps
+ * 32 longs/doc, not shingle sets) with the same banding as the batch path.
+ *
+ * Exactly-once: doc files land via [[BundleStreamWriter.commitBatch]]
+ * (batch-deterministic names, replay-safe); state appends carry batch_id
+ * and are de-duplicated on read, so a replayed batch cannot double-insert.
+ */
+object StreamingCorpus {
+
+  case class Config(idCol: String = "doc_id", textCol: String = "text",
+                    numShards: Int = 3, qualityMin: Double = 0.5,
+                    nearDupThreshold: Double = 0.9,
+                    numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3)
+
+  def start(docs: DataFrame, outDir: String, checkpointDir: String,
+            cfg: Config = Config(), availableNow: Boolean = true): StreamingQuery = {
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, outDir, cfg)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow())
+     else w.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
+  private def stateRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                        schemaOf: => DataFrame): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Some(spark.read.parquet(path)) else None
+  }
+
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  outDir: String, cfg: Config): Unit = {
+    val spark = batch.sparkSession
+    val fpDir = s"$outDir/state/fingerprints"
+    val bandDir = s"$outDir/state/bands"
+
+    // 1. quality gate (stateless)
+    val quality = batch.filter(
+      TextAnalysis.qualityScoreRaw(col(cfg.textCol)) >= cfg.qualityMin)
+
+    // 2. exact dedup: lowest id in-batch, then anti-join the seen set
+    val wNorm = org.apache.spark.sql.expressions.Window
+      .partitionBy("_fp").orderBy(cfg.idCol)
+    val inBatch = quality
+      .withColumn("_fp", TextAnalysis.fingerprint(col(cfg.textCol)))
+      .withColumn("_rn", row_number().over(wNorm))
+      .filter(col("_rn") === 1).drop("_rn")
+    val fresh = stateRead(spark, fpDir, inBatch) match {
+      case Some(seen) => inBatch.join(
+        seen.select(col("fp").as("_fp")).distinct(), Seq("_fp"), "left_anti")
+      case None => inBatch
+    }
+
+    // 3. near-dup vs accumulated corpus + within this batch: band join on
+    //    the stored index, signature-estimate >= threshold drops the doc
+    val sigged = fresh.withColumn("_sig", Dedup.minhashSignature(
+      array_sort(Dedup.shingleHashes(col(cfg.textCol), cfg.shingleK)), cfg.numHashes))
+    val r = cfg.numHashes / cfg.bands
+    val banded = sigged.select(col(cfg.idCol).as("doc_id"), col("_sig"),
+        posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
+          b => hash(slice(col("_sig"), b * r + 1, lit(r)), b))))
+      .select(col("doc_id"), col("_sig").as("sig"),
+        col("pos").as("band"), col("col").as("band_key"))
+    def estJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val agree = size(filter(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        v => v === 1))
+      agree.cast("double") / size(a).cast("double")
+    }
+    val priorIndex = stateRead(spark, bandDir, banded).map(_
+      .select(col("doc_id").as("prior_id"), col("sig").as("prior_sig"),
+        col("band"), col("band_key")).distinct())
+    val vsPrior = priorIndex match {
+      case Some(prior) => banded.join(prior, Seq("band", "band_key"))
+        .filter(estJaccard(col("sig"), col("prior_sig")) >= cfg.nearDupThreshold)
+        .select(col("doc_id")).distinct()
+      case None => spark.range(0).select(col("id").as("doc_id"))
+    }
+    // within-batch: lower id wins its bucket
+    val a = banded.alias("a"); val b = banded.alias("b")
+    val vsBatch = a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") > col("b.doc_id"))
+      .filter(estJaccard(col("a.sig"), col("b.sig")) >= cfg.nearDupThreshold)
+      .select(col("a.doc_id").as("doc_id")).distinct()
+    val dropIds = vsPrior.unionByName(vsBatch).distinct()
+    val survivors = sigged.join(dropIds.withColumnRenamed("doc_id", cfg.idCol),
+      Seq(cfg.idCol), "left_anti")
+
+    // 4. append survivors to the bundle (replay-safe committer) + states
+    val docsOut = graft.transform.DocTransform.docs(
+      survivors.drop("_fp", "_sig"), cfg.idCol, None)
+    BundleStreamWriter.commitBatch(docsOut, batchId, outDir, cfg.numShards)
+    val survBanded = banded.join(
+      survivors.select(col(cfg.idCol).as("doc_id")), Seq("doc_id"))
+    survivors.select(col("_fp").as("fp"), lit(batchId).as("batch_id"))
+      .write.mode(SaveMode.Append).parquet(fpDir)
+    survBanded.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).parquet(bandDir)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.StreamingCorpus
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class StreamingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental corpus: later batches dedup against everything already accepted") {
+    val rnd = new scala.util.Random(41)
+    def sentence() =
+      (0 until 12).map(_ => s"the w${rnd.nextInt(300)} of and to a").mkString(" ")
+    val in = Files.createTempDirectory("graft-scorpus-in").toString
+    val out = Files.createTempDirectory("graft-scorpus-out").toString
+    val ckpt = Files.createTempDirectory("graft-scorpus-ck").toString
+    val originals = (0L until 20L).map(i => (i, sentence()))
+    val schema = originals.toDF("doc_id", "text").schema
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = StreamingCorpus.start(stream, out, ckpt,
+        StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+          nearDupThreshold = 0.8))
+      q.awaitTermination(120000)
+    }
+    def accepted(): Set[Long] = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select("_id").collect().map(_.getString(0).toLong).toSet
+
+    // batch 1: originals + junk (quality-fails)
+    (originals :+ (900L, "x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    drain()
+    assert(accepted() === (0L until 20L).toSet, s"batch1: ${accepted()}")
+
+    // batch 2: exact clone of doc 3, near clone of doc 7, two fresh docs
+    Seq((203L, originals(3)._2),
+        (207L, originals(7)._2 + " zzz"),
+        (300L, sentence()), (301L, sentence()))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    drain()
+    assert(accepted() === ((0L until 20L).toSet + 300L + 301L),
+      s"batch2 clones not dropped: ${accepted()}")
+
+    // batch 3: a clone of a batch-2 ACCEPTED doc is also dropped
+    Seq((400L, originals(5)._2), (401L, sentence()))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    drain()
+    val got = accepted()
+    assert(!got.contains(400L) && got.contains(401L), s"batch3: $got")
+
+    // shard placement law holds for everything accepted
+    val rows = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select("_routing", "_shard").collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      graft.functions.EsMurmur3.shard(r.getString(0), 2) == r.getInt(1)))
+  }
+}
