@@ -12,7 +12,9 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer] [--json-source]
+ *     [--mode generic|infer|stream|compact|tokenize|pipeline|stream-pipeline|multi]
+ *     [--json-source]
+ *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
 object Main {
   private val KnownFlags = Set("input", "out", "index", "num-shards", "where",
@@ -177,6 +179,26 @@ object Main {
           println(s"  total BPE tokens: ${st.totalTokens}")
           st.bundle.shardCounts.toSeq.sorted.foreach { case (s2, n) =>
             println(s"  shard $s2: $n docs") }
+        case "stream-pipeline" =>
+          // incremental corpus build: watch a parquet dir of documents,
+          // dedup each arriving batch against everything accepted so far
+          val raw = rawFlags(args)
+          val src = spark.read.parquet(cfg.input)
+          val stream = spark.readStream.schema(src.schema).parquet(cfg.input)
+          val out = s"${cfg.outDir}/${cfg.indexName}"
+          val q = graft.streaming.StreamingCorpus.start(stream, out,
+            s"${cfg.outDir}/.ckpt_${cfg.indexName}",
+            graft.streaming.StreamingCorpus.Config(
+              idCol = Option(cfg.id).getOrElse("doc_id"),
+              textCol = raw.getOrElse("text-col", "text"),
+              numShards = cfg.numShards,
+              qualityMin = raw.getOrElse("quality-min", "0.5").toDouble,
+              nearDupThreshold = raw.getOrElse("neardup-threshold", "0.9").toDouble))
+          q.awaitTermination(600000)
+          val accepted = spark.read
+            .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data").count()
+          println(s"incremental corpus -> $out")
+          println(s"accepted docs so far: $accepted")
         case "multi" =>
           // one scan -> N indices: rows routed by --index-col
           val raw = rawFlags(args)
