@@ -4,6 +4,12 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Queries whose runtime (post-AQE) plan is worth snapshotting: the ones
+    * with real exchanges where coalesce/skew handling can change shape. */
+  private val AqeFinalPlanQueries = Set(
+    "q02_agg", "q03_join_agg", "q26_minhash_neardup", "q35_skew_join",
+    "q56_pipeline")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     // same tuned engine config as every other entry point; the historical
@@ -30,6 +36,17 @@ object Verify {
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
         catch { case _: Throwable => () } // plan dump is best-effort
+        // final ADAPTIVE plans for the shuffle-heavy queries: execute this
+        // QueryExecution directly so AQE finalizes it (isFinalPlan=true,
+        // runtime coalesce/skew decisions visible), then snapshot
+        if (AqeFinalPlanQueries(name)) {
+          try {
+            val fresh = fn(spark, sfDir)
+            fresh.queryExecution.toRdd.foreach(_ => ())
+            Files.writeString(Paths.get(s"$outDir/plans/$name.final.txt"),
+              fresh.queryExecution.executedPlan.toString)
+          } catch { case _: Throwable => () }
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
