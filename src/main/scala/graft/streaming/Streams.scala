@@ -222,4 +222,32 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  /** First-seen-wins dedup whose memory EXPIRES: per-key state carries a
+    * processing-time TTL, so a key reappearing after `ttl` is accepted
+    * again — bounded-age dedup state (the "state must not grow forever"
+    * answer for infinite keyspaces; RocksDB evicts expired entries).
+    * Operational note: TimeMode.ProcessingTime keeps scheduling no-data
+    * micro-batches to advance TTL eviction — `processAllAvailable` on such
+    * a query never quiesces; monitor by sink contents, not by drain. */
+  class TtlSeenProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[String, (String, Long), (String, Long)] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[(String, Long)] = {
+      if (seen.exists() || rows.isEmpty) Iterator.empty
+      else { seen.update(true); Iterator.single(rows.next()) }
+    }
+  }
+
+  def dedupWithTtl(rows: Dataset[(String, Long)],
+                   ttl: java.time.Duration): Dataset[(String, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new TtlSeenProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
 }

@@ -211,6 +211,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TTL state: duplicate key dropped within TTL, accepted again after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long)]
+      val q = EventStreams.dedupWithTtl(input.toDS(), java.time.Duration.ofSeconds(10))
+        .writeStream.format("memory").queryName("ttl_dedup")
+        .outputMode(OutputMode.Update()).start()
+      // NOTE: under TimeMode.ProcessingTime the operator keeps scheduling
+      // no-data batches to advance TTL eviction, so processAllAvailable
+      // never quiesces — poll the sink with a deadline instead
+      def rows(): Set[(String, Long)] = spark.table("ttl_dedup").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      def awaitRows(expect: Set[(String, Long)], ms: Long = 60000): Unit = {
+        val deadline = System.currentTimeMillis + ms
+        while (rows() != expect && System.currentTimeMillis < deadline)
+          Thread.sleep(200)
+        assert(rows() === expect)
+      }
+      input.addData(("k1", 1L), ("k2", 2L))
+      awaitRows(Set(("k1", 1L), ("k2", 2L)))
+      input.addData(("k1", 3L)) // within TTL -> dropped
+      Thread.sleep(3000)        // give the batch time to (not) emit
+      assert(rows() === Set(("k1", 1L), ("k2", 2L)), s"dup leaked: ${rows()}")
+      Thread.sleep(10000) // let the 10s TTL lapse
+      input.addData(("k1", 4L)) // expired -> accepted again
+      awaitRows(Set(("k1", 1L), ("k2", 2L), ("k1", 4L)))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState: same totals as mapGroupsWithState, RocksDB-backed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
