@@ -78,7 +78,8 @@ object Bpe {
           words = words.map { case (syms, c) => (mergePair(syms, pair), c) }
       }
     }
-    BpeModel(merges.toIndexedSeq)
+    val base = wc.flatMap(_._1.map(_.toString)).distinct.sorted.toIndexedSeq
+    BpeModel(merges.toIndexedSeq, base)
   }
 
   /** Persist a model next to bundle artifacts (works on any Hadoop FS). */
@@ -114,6 +115,7 @@ object Bpe {
     }
     val out = df
       .withColumn("bpe_tokens", model.tokens(col(textCol)))
+      .withColumn("bpe_token_ids", model.tokenIds(col(textCol)))
       .withColumn("bpe_token_cnt", size(col("bpe_tokens")))
     out.write.mode("overwrite").parquet(s"$outDir/tokenized")
     save(spark, model, s"$outDir/bpe_model.json")
@@ -134,14 +136,45 @@ object Bpe {
   }
 }
 
-/** A trained BPE model: an ordered merge list. Serializable so the encode
-  * UDF can ship it in the task closure. */
-case class BpeModel(merges: IndexedSeq[(String, String)]) extends Serializable {
+/** A trained BPE model: an ordered merge list plus the training base
+  * alphabet (for the id vocabulary). Serializable so the encode UDF can
+  * ship it in the task closure. */
+case class BpeModel(merges: IndexedSeq[(String, String)],
+                    baseChars: IndexedSeq[String] = IndexedSeq.empty)
+  extends Serializable {
 
   @transient private lazy val rank: Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
   def vocabSize: Int = merges.size
+
+  /** Deterministic id vocabulary: 0 = <unk> (chars unseen in training),
+    * then EOW, the sorted base alphabet, and each merge's output symbol in
+    * merge order (first-wins when two merges yield the same string). The
+    * same model therefore assigns the same ids on every cluster and after
+    * every save/load — the contract a downstream trainer needs. */
+  @transient lazy val idToToken: IndexedSeq[String] = {
+    val out = mutable.ArrayBuffer("<unk>", Bpe.EOW)
+    val seen = mutable.HashSet("<unk>", Bpe.EOW)
+    (baseChars.filterNot(seen) ++ merges.map { case (a, b) => a + b }).foreach { t =>
+      if (seen.add(t)) out += t
+    }
+    out.toIndexedSeq
+  }
+  @transient private lazy val tokenToId: Map[String, Int] =
+    idToToken.zipWithIndex.toMap
+
+  def idVocabSize: Int = idToToken.size
+
+  /** Packed int-id encoding (unseen symbols -> 0 = <unk>). */
+  def encodeIds(text: String): Seq[Int] =
+    encode(text).map(t => tokenToId.getOrElse(t, 0))
+
+  /** array<int> token ids (null text -> null) — the trainer-ready form. */
+  def tokenIds(c: Column): Column = {
+    val f = udf((s: String) => if (s == null) null else encodeIds(s))
+    f(c)
+  }
 
   /** Greedy lowest-rank-first merging of one word (the GPT-2 encode loop) —
     * reproduces exactly the segmentation training would give the word. */
@@ -190,11 +223,15 @@ case class BpeModel(merges: IndexedSeq[(String, String)]) extends Serializable {
       .otherwise(ws.cast("double") / tokenCount(c).cast("double"))
   }
 
-  /** Merge list as JSON lines-free string for manifest persistence. */
-  def toJsonMerges: String =
-    merges.map { case (a, b) =>
+  /** Model as JSON (merge list + base alphabet) for manifest persistence.
+    * Reader accepts both this form and the legacy bare merge array. */
+  def toJsonMerges: String = {
+    val ms = merges.map { case (a, b) =>
       s"""["${escape(a)}","${escape(b)}"]"""
     }.mkString("[", ",", "]")
+    val bs = baseChars.map(c => s""""${escape(c)}"""").mkString("[", ",", "]")
+    s"""{"base":$bs,"merges":$ms}"""
+  }
 
   private def escape(s: String): String =
     s.flatMap {
@@ -206,14 +243,26 @@ case class BpeModel(merges: IndexedSeq[(String, String)]) extends Serializable {
 }
 
 object BpeModel {
-  /** Inverse of toJsonMerges (tiny hand parser; merge symbols are short). */
+  /** Inverse of toJsonMerges (tiny hand parser; merge symbols are short).
+    * Accepts the current {"base":[...],"merges":[...]} form and the legacy
+    * bare merge-pair array (empty base alphabet). */
   def fromJsonMerges(json: String): BpeModel = {
+    val baseIdx = json.indexOf("\"base\":")
+    val mergesIdx = json.indexOf("\"merges\":")
+    val (baseJson, mergesJson) =
+      if (baseIdx >= 0 && mergesIdx > baseIdx)
+        (json.substring(baseIdx, mergesIdx), json.substring(mergesIdx))
+      else ("", json)
     val pairs = mutable.ArrayBuffer.empty[(String, String)]
     val m = java.util.regex.Pattern
       .compile("\\[\"((?:[^\"\\\\]|\\\\.)*)\",\"((?:[^\"\\\\]|\\\\.)*)\"\\]")
-      .matcher(json)
+      .matcher(mergesJson)
     while (m.find()) pairs += ((unescape(m.group(1)), unescape(m.group(2))))
-    BpeModel(pairs.toIndexedSeq)
+    val base = mutable.ArrayBuffer.empty[String]
+    val bm = java.util.regex.Pattern
+      .compile("\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(baseJson)
+    while (bm.find()) if (bm.group(1) != "base") base += unescape(bm.group(1))
+    BpeModel(pairs.toIndexedSeq, base.toIndexedSeq)
   }
 
   private def unescape(s: String): String = {

@@ -131,9 +131,38 @@ class BpeSpec extends SparkSpec {
   }
 
   test("merge-list JSON round-trip (incl. escapes)") {
-    val m = BpeModel(IndexedSeq(("a", "b"), ("\"q\\", "</w>"), ("ab", "c</w>")))
+    val m = BpeModel(IndexedSeq(("a", "b"), ("\"q\\", "</w>"), ("ab", "c</w>")),
+      IndexedSeq("a", "b", "c", "\"q\\"))
     val back = BpeModel.fromJsonMerges(m.toJsonMerges)
     assert(back.merges === m.merges)
+    assert(back.baseChars === m.baseChars)
     assert(back.encodeWord("abc") === m.encodeWord("abc"))
+    // legacy bare-array form still parses (empty base alphabet)
+    val legacy = BpeModel.fromJsonMerges("""[["a","b"],["ab","c"]]""")
+    assert(legacy.merges === IndexedSeq(("a", "b"), ("ab", "c")))
+    assert(legacy.baseChars.isEmpty)
+  }
+
+  test("token ids: stable across save/load, decodable, unseen chars -> <unk>") {
+    val m = Bpe.train(corpus.toDF("text"), "text", numMerges = 30)
+    assert(m.idVocabSize > 2)
+    // ids decode back to exactly the string tokens
+    val toks = m.encode("lower newest")
+    val ids = m.encodeIds("lower newest")
+    assert(ids.map(m.idToToken) === toks)
+    assert(ids.forall(i => i > 0 && i < m.idVocabSize)) // all in-vocab
+    // unseen character maps to <unk>=0 (and only that position)
+    val idsUnk = m.encodeIds("low@")
+    assert(idsUnk.contains(0), s"no unk in $idsUnk")
+    // save/load reproduces identical ids (the downstream-trainer contract)
+    val out = java.nio.file.Files.createTempDirectory("graft-bpe-ids").toString
+    Bpe.save(spark, m, s"$out/m.json")
+    val re = Bpe.load(spark, s"$out/m.json")
+    assert(re.idToToken === m.idToToken)
+    assert(re.encodeIds("lower newest unseen中") === m.encodeIds("lower newest unseen中"))
+    // Column API parity
+    val viaCol = Seq("lower newest").toDF("text")
+      .select(m.tokenIds(col("text"))).head().getSeq[Int](0)
+    assert(viaCol === ids)
   }
 }
