@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /**
@@ -248,6 +248,52 @@ object EventStreams {
     import rows.sparkSession.implicits._
     rows.groupByKey(_._1)
       .transformWithState(new TtlSeenProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  case class SessionClosed(user_id: Long, events: Long, totalValue: Double)
+
+  /** Inactivity-closed sessions via REGISTERED TIMERS: every event extends
+    * the user's deadline by `idleMs`; when the timer fires with no new
+    * events, the session summary is emitted from handleExpiredTimer and
+    * state clears — the push-based session close the reference's drain
+    * loop approximates by polling (§2.10). Same no-data-batch note as TTL:
+    * monitor by sink contents. */
+  class SessionTimeoutProcessor(idleMs: Long)
+    extends StatefulProcessor[Long, Ev, SessionClosed] {
+    @transient private var agg: ValueState[UserState] = _
+    @transient private var deadline: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[UserState]("agg",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[SessionClosed] = {
+      val prev = if (agg.exists()) agg.get() else UserState(0L, 0.0)
+      var n = 0L; var sum = 0.0
+      rows.foreach { e => n += 1; sum += e.value }
+      agg.update(UserState(prev.events + n, prev.totalValue + sum))
+      // slide the inactivity deadline: drop the old timer, arm a new one
+      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+      val due = timerValues.getCurrentProcessingTimeInMs + idleMs
+      getHandle.registerTimer(due)
+      deadline.update(due)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionClosed] = {
+      val s = if (agg.exists()) agg.get() else UserState(0L, 0.0)
+      agg.clear(); deadline.clear()
+      Iterator.single(SessionClosed(userId, s.events, s.totalValue))
+    }
+  }
+
+  def sessionsByInactivity(events: Dataset[Ev], idleMs: Long): Dataset[SessionClosed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(idleMs),
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 }

@@ -250,6 +250,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("registered timers: session closes after inactivity, new events re-open") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.Ev]
+      val q = EventStreams.sessionsByInactivity(input.toDS(), idleMs = 3000)
+        .writeStream.format("memory").queryName("inactive_sessions")
+        .outputMode(OutputMode.Update()).start()
+      def ev(id: Long, u: Long, v: Double) =
+        EventStreams.Ev(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "click", v)
+      def sessions(): Seq[(Long, Long, Double)] = spark.table("inactive_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      def awaitSessions(n: Int, ms: Long = 90000): Unit = {
+        val deadline = System.currentTimeMillis + ms
+        while (sessions().size < n && System.currentTimeMillis < deadline)
+          Thread.sleep(250)
+        assert(sessions().size >= n, s"only ${sessions()} after ${ms}ms")
+      }
+      input.addData(ev(1, 7, 1.0), ev(2, 7, 2.0))
+      Thread.sleep(1000)
+      input.addData(ev(3, 7, 3.0)) // extends the deadline — still one session
+      awaitSessions(1)             // fires ~3s after the last event
+      val s1 = sessions()
+      assert(s1 === Seq((7L, 3L, 6.0)), s"got $s1")
+      // activity after close opens a NEW session that closes independently
+      input.addData(ev(4, 7, 10.0))
+      awaitSessions(2)
+      assert(sessions().toSet === Set((7L, 3L, 6.0), (7L, 1L, 10.0)), sessions().toString)
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState: same totals as mapGroupsWithState, RocksDB-backed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
