@@ -288,23 +288,55 @@ object Similarity {
    * a seeded sample of the corpus. Centroid table is m*k*subDim doubles —
    * a few KB that rides the scoring expressions as a codegen reference.
    */
-  case class PqModel(dim: Int, m: Int, k: Int, centroids: Array[Double]) {
+  case class PqModel(dim: Int, m: Int, k: Int, centroids: Array[Double],
+                     perm: IndexedSeq[Int] = IndexedSeq.empty) {
     val subDim: Int = dim / m
   }
 
+  /** Apply a model's dimension permutation as a plain projection (identity
+    * when the model has none). */
+  private def permute(vec: Column, model: PqModel): Column =
+    if (model.perm.isEmpty) vec
+    else array(model.perm.map(i => vec.getItem(i)): _*)
+
   def pqTrain(corpus: DataFrame, vecCol: String, dim: Int,
               m: Int = 8, k: Int = 16, iters: Int = 10,
-              sampleSize: Int = 10000): PqModel = {
+              sampleSize: Int = 10000, balance: Boolean = true): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
     val subDim = dim / m
     import corpus.sparkSession.implicits._
     val n = corpus.count()
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
-    val sample: Array[Array[Double]] = corpus
+    val raw: Array[Array[Double]] = corpus
       .sample(withReplacement = false, frac, seed = 42L)
       .select(unitize(asDouble(col(vecCol)))).as[Seq[Double]]
       .collect().map(_.toArray).filter(_.length == dim)
-    require(sample.nonEmpty, "pqTrain: empty sample")
+    require(raw.nonEmpty, "pqTrain: empty sample")
+    // OPQ-lite: permute dims so each subspace carries ~equal variance
+    // (plain PQ wastes codes when a few subspaces hold all the energy —
+    // the cheap version of OPQ's learned rotation, and a pure projection
+    // at encode time). Snake assignment over variance-sorted dims.
+    val perm: IndexedSeq[Int] =
+      if (!balance) IndexedSeq.empty
+      else {
+        val mean = new Array[Double](dim)
+        raw.foreach { v => var j = 0; while (j < dim) { mean(j) += v(j); j += 1 } }
+        (0 until dim).foreach(j => mean(j) /= raw.length)
+        val varr = new Array[Double](dim)
+        raw.foreach { v =>
+          var j = 0
+          while (j < dim) { val d = v(j) - mean(j); varr(j) += d * d; j += 1 }
+        }
+        val byVar = (0 until dim).sortBy(j => (-varr(j), j))
+        val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        byVar.zipWithIndex.foreach { case (d, i) =>
+          val round = i / m
+          val pos = if (round % 2 == 0) i % m else m - 1 - (i % m) // snake
+          buckets(pos) += d
+        }
+        buckets.flatten.toIndexedSeq
+      }
+    val sample = if (perm.isEmpty) raw else raw.map(v => perm.map(v).toArray)
     val cents = new Array[Double](m * k * subDim)
     for (sub <- 0 until m) {
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim))
@@ -312,7 +344,7 @@ object Similarity {
       for (c <- 0 until k; j <- 0 until subDim)
         cents((sub * k + c) * subDim + j) = cs(c)(j)
     }
-    PqModel(dim, m, k, cents)
+    PqModel(dim, m, k, cents, perm)
   }
 
   /** Plain-Scala k-means for PQ subspaces: farthest-point init, `iters`
@@ -359,7 +391,7 @@ object Similarity {
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                model: PqModel): DataFrame =
     corpus.select(col(idCol).as("nid"),
-      graft.functions.PqFunctions.pq_encode(unitize(asDouble(col(vecCol))),
+      graft.functions.PqFunctions.pq_encode(permute(unitize(asDouble(col(vecCol))), model),
         model.centroids, model.m, model.k, model.subDim).as("codes"))
 
   /**
@@ -374,7 +406,7 @@ object Similarity {
              vecCol: String, model: PqModel, k: Int,
              roundTo: Int = 4): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"),
-      graft.functions.PqFunctions.pq_lut(unitize(asDouble(col(vecCol))),
+      graft.functions.PqFunctions.pq_lut(permute(unitize(asDouble(col(vecCol))), model),
         model.centroids, model.m, model.k, model.subDim).as("_lut"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     q.crossJoin(encodedCorpus)
@@ -405,7 +437,7 @@ object Similarity {
     // the true neighbor before the exact stage ever sees it — ties all
     // advance (bounded by the tie group, i.e. the code-collision set)
     val q = queries.select(col(qidCol).as("qid"),
-      graft.functions.PqFunctions.pq_lut(unitize(asDouble(col(vecCol))),
+      graft.functions.PqFunctions.pq_lut(permute(unitize(asDouble(col(vecCol))), model),
         model.centroids, model.m, model.k, model.subDim).as("_lut"))
     val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
     val cands = q.crossJoin(encodedCorpus)
@@ -441,11 +473,11 @@ object Similarity {
                 rerankFactor: Int = 8, roundTo: Int = 4): DataFrame = {
     val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
     val corpusCells = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
-      .withColumn("codes", graft.functions.PqFunctions.pq_encode(col("_cv"),
+      .withColumn("codes", graft.functions.PqFunctions.pq_encode(permute(col("_cv"), model),
         model.centroids, model.m, model.k, model.subDim))
       .select(col("cent_id"), col("nid"), col("codes"), col("_cv"))
     val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents, probes = nprobe)
-      .withColumn("_lut", graft.functions.PqFunctions.pq_lut(col("_qv"),
+      .withColumn("_lut", graft.functions.PqFunctions.pq_lut(permute(col("_qv"), model),
         model.centroids, model.m, model.k, model.subDim))
     val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
     val cands = queryCells.join(corpusCells, Seq("cent_id"))

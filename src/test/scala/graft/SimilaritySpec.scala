@@ -214,6 +214,39 @@ class SimilaritySpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("variance-balanced permutation (OPQ-lite): anisotropic recall >= unbalanced") {
+    // energy concentrated in the FIRST subspace's dims with MORE clusters
+    // than one sub-quantizer's codes can separate: plain layout crams 32
+    // clusters into subspace 0's k=8 codes (collisions flood the rerank
+    // budget); balancing spreads the signal so the code space composes
+    val dim = 16
+    val nClusters = 32
+    val rnd = new scala.util.Random(29)
+    val centers = (0 until nClusters).map(_ => Array.tabulate(dim)(j =>
+      rnd.nextGaussian() * (if (j < 4) 3.0 else 0.05)))
+    val points = (0 until 640).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 32)
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(balance: Boolean): Int = {
+      val model = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 8,
+        iters = 6, balance = balance)
+      val got = Similarity.pqTopKRerank(q, corpus,
+          Similarity.pqEncode(corpus, "vec_id", "embedding", model),
+          "vec_id", "vec_id", "embedding", model, k = 1, rerankFactor = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      brute.count { case (k2, v) => got.get(k2).contains(v) }
+    }
+    val plain = recall(balance = false)
+    val balanced = recall(balance = true)
+    assert(balanced >= plain, s"balanced $balanced < plain $plain")
+    assert(balanced >= 26, s"balanced recall too low: $balanced/32")
+  }
+
   test("IVF-PQ composite: high exact recall on clustered data at pruned cost") {
     val dim = 16
     val rnd = new scala.util.Random(23)
