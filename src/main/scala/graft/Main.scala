@@ -208,9 +208,13 @@ object Main {
           val docs = graft.transform.DocTransform.docs(input,
             Option(cfg.id).getOrElse(input.columns.head), Option(cfg.routing),
             keepCols = Seq(indexCol))
+          // inferred mapping (shared: every index sees the same scan schema)
+          val mapping = graft.transform.SchemaInfer.toMappingJson(
+            graft.transform.SchemaInfer.infer(input, cfg.typeOverrides,
+              cfg.indexHiveFields, cfg.indexEsFields, cfg.inferSampleFraction))
           val results = graft.sink.BundleSink.writeMulti(docs, cfg.outDir, indexCol,
             cfg.numShards, cfg.partitionMultiples, cfg.repartition, cfg.format,
-            cfg.typeName, cfg.compression)
+            cfg.typeName, cfg.compression, mappingJson = Some(mapping))
           println(s"multi-index bundles written under ${cfg.outDir} (one scan)")
           results.toSeq.sortBy(_._1).foreach { case (idx, r) =>
             println(s"  $idx: ${r.totalDocs} docs across ${r.numShards} shards")

@@ -48,7 +48,8 @@ object BundleSink {
                  numShards: Int, partitionMultiples: Int = 10,
                  repartition: Boolean = true, format: String = "json",
                  typeName: String = "doc",
-                 compression: Option[String] = None): Map[String, Result] = {
+                 compression: Option[String] = None,
+                 mappingJson: Option[String] = None): Map[String, Result] = {
     val spark = docs.sparkSession
     val sharded = docs
       .withColumn("_index", col(indexCol))
@@ -92,6 +93,14 @@ object BundleSink {
       val mf = fs.create(new org.apache.hadoop.fs.Path(
         s"$outRoot/manifest_$idx.json"), true)
       mf.write(manifest.getBytes("UTF-8")); mf.close()
+      // all indices share the single scan's schema -> one inferred mapping
+      // serves every index (per-index divergence would need per-index
+      // sources, which is the one-job-per-index case, not this one)
+      mappingJson.foreach { json =>
+        val mp = fs.create(new org.apache.hadoop.fs.Path(
+          s"$outRoot/mapping_$idx.json"), true)
+        mp.write(json.getBytes("UTF-8")); mp.close()
+      }
       idx -> Result(s"$outRoot/data/_index=$idx", numShards, total, perShard)
     }.toMap
   }
