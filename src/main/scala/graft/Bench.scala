@@ -182,7 +182,14 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    // file copy first (survives any stdout interleaving — round 1's driver
+    // parse came back null), then the bare JSON as the program's LAST line,
+    // after spark.stop() so no shutdown logging can split it
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
   }
 }

@@ -21,7 +21,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    new java.io.File(s"$outDir/plans").mkdirs()
+    // plans + timings live in a SIBLING directory: the driver globs outDir
+    // for query results and would otherwise read plans/ as a query named
+    // "plans" (round-1 spurious row)
+    val metaDir = new java.io.File(outDir).getAbsoluteFile.getParent + "/verify_meta"
+    new java.io.File(s"$metaDir/plans").mkdirs()
     // per-query wall time + the formatted physical plan ride along with the
     // correctness dump (regression triage: a query that got slow or lost its
     // pushdown/broadcast shows up right next to its hash mismatch)
@@ -32,7 +36,7 @@ object Verify {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         timings += name -> (System.nanoTime() - t0) / 1e9
-        try Files.writeString(Paths.get(s"$outDir/plans/$name.txt"),
+        try Files.writeString(Paths.get(s"$metaDir/plans/$name.txt"),
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
         catch { case _: Throwable => () } // plan dump is best-effort
@@ -43,7 +47,7 @@ object Verify {
           try {
             val fresh = fn(spark, sfDir)
             fresh.queryExecution.toRdd.foreach(_ => ())
-            Files.writeString(Paths.get(s"$outDir/plans/$name.final.txt"),
+            Files.writeString(Paths.get(s"$metaDir/plans/$name.final.txt"),
               fresh.queryExecution.executedPlan.toString)
           } catch { case _: Throwable => () }
         }
@@ -51,7 +55,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    Files.writeString(Paths.get(s"$outDir/timings.json"),
+    Files.writeString(Paths.get(s"$metaDir/timings.json"),
       timings.sortBy(_._1).map { case (n, s) => s""""$n":${f"$s%.3f"}""" }
         .mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -176,6 +176,24 @@ object Similarity {
                       nlist: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    broadcast(kmeansArray(corpus, idCol, vecCol, nlist, iters).zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cent_id", "_centv"))
+  }
+
+  /** Nearest-centroid id (0-based index into `cents`) as a pure projection:
+    * nlist codegen'd dots against literal centroid arrays + argmax. No join,
+    * no window, no shuffle — the row never leaves its partition. Ties break
+    * to the smallest index (array_position returns the first occurrence). */
+  private def argBestCell(cents: IndexedSeq[Seq[Double]], v: Column): Column = {
+    val sims = array(cents.map(cv => dot(v, typedLit(cv))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Driver-side centroid set for [[kmeansCentroids]]; index = cent_id. */
+  private def kmeansArray(corpus: DataFrame, idCol: String, vecCol: String,
+                          nlist: Int, iters: Int): IndexedSeq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val vecs = corpus.select(col(idCol).as("_id"), unitize(asDouble(col(vecCol))).as("_v"))
       .cache()
     // farthest-point init on a seeded driver-side sample: the distributed
@@ -210,24 +228,22 @@ object Similarity {
       }
       seeds += sampled(bestIdx)
     }
-    var cents: Array[(Int, Seq[Double])] =
-      seeds.toArray.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+    var cents: IndexedSeq[Seq[Double]] = seeds.toIndexedSeq.map(_.toSeq)
     for (_ <- 0 until iters) {
-      val centDf = broadcast(cents.toSeq.toDF("cent_id", "_centv"))
-      val w = Window.partitionBy("_id").orderBy(col("_csim").desc, col("cent_id").asc)
-      val means = vecs.crossJoin(centDf)
-        .select(col("_id"), col("_v"), col("cent_id"),
-          dot(col("_v"), col("_centv")).as("_csim"))
-        .withColumn("_crank", row_number().over(w))
-        .filter(col("_crank") === 1)
+      // assignment is a projection (argmax over literal centroids) — the
+      // round-1 crossJoin + row_number window shuffled corpus x nlist rows
+      // through a sort per Lloyd round; this shuffles only the partial
+      // vector sums (nlist x dim doubles per partition)
+      val means = vecs
+        .withColumn("cent_id", argBestCell(cents, col("_v")))
         .groupBy("cent_id")
         .agg(graft.functions.VectorSumAgg.vector_sum(col("_v")).as("_sum"))
         .select(col("cent_id"), unitize(col("_sum")).as("_centv"))
         .as[(Int, Seq[Double])].collect().toMap
-      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
     }
     vecs.unpersist()
-    broadcast(cents.toSeq.toDF("cent_id", "_centv"))
+    cents
   }
 
   /**
@@ -251,35 +267,47 @@ object Similarity {
     val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
     val corpusCells = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
     val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents, probes = nprobe)
+    // each corpus row lives in exactly one cell -> (qid, nid) pairs are
+    // already unique; the join on cent_id is the ONLY shuffle here
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     queryCells.join(corpusCells, Seq("cent_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
-      .dropDuplicates("qid", "nid")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** Driver-side centroid set (index = cent_id): k-means when iters > 0,
+    * else the `nlist` smallest-id corpus vectors (cheap deterministic
+    * quantizer for tests). nlist rows is always driver-bounded. */
   private def coarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                              nlist: Int, kmeansIters: Int): DataFrame =
-    if (kmeansIters > 0) kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+                              nlist: Int, kmeansIters: Int): IndexedSeq[Seq[Double]] = {
+    import corpus.sparkSession.implicits._
+    if (kmeansIters > 0) kmeansArray(corpus, idCol, vecCol, nlist, kmeansIters)
     else corpus.orderBy(col(idCol).asc).limit(nlist)
-      .select(col(idCol).as("cent_id"), unitize(asDouble(col(vecCol))).as("_centv"))
+      .select(unitize(asDouble(col(vecCol)))).as[Seq[Double]].collect().toIndexedSeq
+  }
 
-  /** Nearest-`probes` cell assignment against a broadcast centroid table. */
+  /** Nearest-`probes` cell assignment as a pure projection (see
+    * [[argBestCell]]); probes > 1 sorts the per-row sim array and explodes
+    * the top cells — still no join and no shuffle. */
   private def assignCells(df: DataFrame, id: String, vecCol: String,
-                          outIdCol: String, vOut: String, cents: DataFrame,
+                          outIdCol: String, vOut: String,
+                          cents: IndexedSeq[Seq[Double]],
                           probes: Int): DataFrame = {
     val v = unitize(asDouble(col(vecCol))).as(vOut)
-    val w = Window.partitionBy(outIdCol).orderBy(col("_csim").desc, col("cent_id").asc)
-    df.select(col(id).as(outIdCol), v)
-      .crossJoin(broadcast(cents))
-      .select(col(outIdCol), col(vOut), col("cent_id"),
-        dot(col(vOut), col("_centv")).as("_csim"))
-      .withColumn("_crank", row_number().over(w))
-      .filter(col("_crank") <= probes)
-      .drop("_csim", "_crank")
+    val base = df.select(col(id).as(outIdCol), v)
+    if (probes <= 1) base.withColumn("cent_id", argBestCell(cents, col(vOut)))
+    else {
+      val sims = array(cents.map(cv => dot(col(vOut), typedLit(cv))): _*)
+      // per-row HOF (not per-pair): interpreted eval is fine here
+      val ranked = array_sort(transform(sims,
+        (s, i) => struct((-s).as("ns"), i.cast("int").as("i"))))
+      base.select(col(outIdCol), col(vOut),
+          explode(slice(ranked, 1, probes)).as("_cell"))
+        .select(col(outIdCol), col(vOut), col("_cell.i").as("cent_id"))
+    }
   }
 
   /**
@@ -480,11 +508,11 @@ object Similarity {
       .withColumn("_lut", graft.functions.PqFunctions.pq_lut(permute(col("_qv"), model),
         model.centroids, model.m, model.k, model.subDim))
     val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
+    // corpus rows live in exactly one cell -> (qid, nid) already unique
     val cands = queryCells.join(corpusCells, Seq("cent_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("_qv"), col("_cv"),
         graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
-      .dropDuplicates("qid", "nid")
       .withColumn("_prank", rank().over(wc))
       .filter(col("_prank") <= k * rerankFactor)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
@@ -496,12 +524,55 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
-    * Brute variant for audit; LSH variant composes via annTopK. */
+    * Brute variant: exact all-pairs, for audits and as the oracle for the
+    * bucketed path — O(n^2), guarded by `maxRows` (raise it explicitly for
+    * a deliberate big audit; the scale path is [[cosineNearDupsLsh]]). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, roundTo: Int = 4): DataFrame = {
+                     threshold: Double, roundTo: Int = 4,
+                     maxRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"cosineNearDups is all-pairs (n=$n, ${n * n} pairs); " +
+        s"use cosineNearDupsLsh at this size or raise maxRows explicitly")
     val a = df.select(col(idCol).as("id_a"), unitize(asDouble(col(vecCol))).as("_va"))
     val b = df.select(col(idCol).as("id_b"), unitize(asDouble(col(vecCol))).as("_vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("_va"), col("_vb")), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /**
+   * Scale path for embedding near-dup: random-hyperplane LSH prefilter +
+   * exact verify. Candidates = pairs sharing a full `bits`-bit signature in
+   * ANY of `tables` tables (an equi-join on (table, sig) — near-dup pairs
+   * at threshold t collide in one table with prob (1 - acos(t)/pi)^bits, so
+   * tables x that is the recall knob); survivors get the exact cosine.
+   * Same output contract as [[cosineNearDups]] minus LSH misses.
+   * `maxBucket` caps degenerate buckets (all-identical corpora) the same way
+   * Dedup.minHashNearDups does.
+   */
+  def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, dim: Int, tables: Int = 8,
+                        bits: Int = 12, roundTo: Int = 4,
+                        maxBucket: Int = 10000): DataFrame = {
+    val sigs = df.select(col(idCol).as("_nid"), unitize(asDouble(col(vecCol))).as("_v"),
+        posexplode(array((0 until tables).map(t =>
+          lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)))
+      .select(col("_nid"), col("_v"), col("pos").as("_table"), col("col").as("_sig"))
+    // skew guard: a degenerate bucket (near-identical corpus slice) would
+    // otherwise quadratically dominate one task
+    val guarded = sigs.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy("_table", "_sig")))
+      .filter(col("_bn") <= maxBucket).drop("_bn")
+    val a = guarded.select(col("_table"), col("_sig"),
+      col("_nid").as("id_a"), col("_v").as("_va"))
+    val b = guarded.select(col("_table"), col("_sig"),
+      col("_nid").as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq("_table", "_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_va"), col("_vb"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         round(dot(col("_va"), col("_vb")), roundTo).as("sim"))
       .filter(col("sim") >= threshold)

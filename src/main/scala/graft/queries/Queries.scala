@@ -49,9 +49,9 @@ object Queries {
     // ---- A: hash aggregate, partial+final (TPC-H Q1 shape) ----
     QueryDef("q02_agg",
       Some(s"""SELECT l_returnflag, l_linestatus,
-              |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty,
-              |  CAST(sum(CAST(l_extendedprice AS $D2)) AS $D2) AS sum_base_price,
-              |  CAST(sum(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS $D4) AS sum_disc_price,
+              |  CAST(sum(CAST(l_quantity AS $D2)) AS DOUBLE) AS sum_qty,
+              |  CAST(sum(CAST(l_extendedprice AS $D2)) AS DOUBLE) AS sum_base_price,
+              |  CAST(sum(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE) AS sum_disc_price,
               |  avg(l_quantity) AS avg_qty,
               |  count(*) AS count_order
               |FROM lineitem
@@ -60,10 +60,10 @@ object Queries {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-            .cast(DecimalType(18, 4)).as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -71,7 +71,7 @@ object Queries {
     // ---- J: multi-way broadcast join + agg (revenue per nation) ----
     QueryDef("q03_join_agg",
       Some(s"""SELECT n.n_name AS nation,
-              |  CAST(sum(CAST(l.l_extendedprice AS $D2) * (1 - CAST(l.l_discount AS $D2))) AS $D4) AS revenue,
+              |  CAST(sum(CAST(l.l_extendedprice AS $D2) * (1 - CAST(l.l_discount AS $D2))) AS DOUBLE) AS revenue,
               |  count(*) AS line_cnt
               |FROM lineitem l
               |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -88,7 +88,7 @@ object Queries {
           .groupBy(n("n_name").as("nation"))
           .agg(
             sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-              .cast(DecimalType(18, 4)).as("revenue"),
+              .cast("double").as("revenue"),
             count(lit(1)).as("line_cnt"))
           .orderBy("nation")
       }),
@@ -167,7 +167,7 @@ object Queries {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |       AS DECIMAL(18,2)) AS running_spend,
+             |       AS DOUBLE) AS running_spend,
              |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
              |FROM orders
              |ORDER BY o_custkey, o_orderkey""".stripMargin),
@@ -177,7 +177,7 @@ object Queries {
           .withColumn("running_spend",
             sum(dec2(col("o_totalprice")))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast(DecimalType(18, 2)))
+              .cast("double"))
           .withColumn("prev_price", lag("o_totalprice", 1).over(w))
           .select("o_custkey", "o_orderkey", "running_spend", "prev_price")
           .orderBy("o_custkey", "o_orderkey")
@@ -197,14 +197,14 @@ object Queries {
     // ---- G: rollup ----
     QueryDef("q10_rollup",
       Some(s"""SELECT l_returnflag, l_linestatus,
-              |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty,
+              |  CAST(sum(CAST(l_quantity AS $D2)) AS DOUBLE) AS sum_qty,
               |  count(*) AS cnt
               |FROM lineitem
               |GROUP BY ROLLUP (l_returnflag, l_linestatus)
               |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
       (s, dir) => t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
@@ -494,14 +494,14 @@ object Queries {
     QueryDef("q28_tumbling",
       Some(s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
               |  count(*) AS cnt,
-              |  CAST(sum(CAST(value AS $D2)) AS $D2) AS sum_value
+              |  CAST(sum(CAST(value AS $D2)) AS DOUBLE) AS sum_value
               |FROM events
               |GROUP BY 1, 2
               |ORDER BY hour_start, event_type""".stripMargin),
       (s, dir) => t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("sum_value"))
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
         .orderBy("hour_start", "event_type")),
 
     // ---- sessionization: gaps-and-islands, 30-minute inactivity gap ----
@@ -606,7 +606,7 @@ object Queries {
     QueryDef("q35_skew_join",
       Some(s"""SELECT p.p_brand,
               |  count(*) AS line_cnt,
-              |  CAST(sum(CAST(l.l_extendedprice AS $D2)) AS $D2) AS brand_rev
+              |  CAST(sum(CAST(l.l_extendedprice AS $D2)) AS DOUBLE) AS brand_rev
               |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
               |GROUP BY p.p_brand
               |ORDER BY p.p_brand""".stripMargin),
@@ -616,19 +616,19 @@ object Queries {
           "l_partkey", salts = 8)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("line_cnt"),
-          sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("brand_rev"))
+          sum(dec2(col("l_extendedprice"))).cast("double").as("brand_rev"))
         .orderBy("p_brand")),
     // ---- G: cube ----
     QueryDef("q36_cube",
       Some(s"""SELECT l_returnflag, l_linestatus,
-              |  CAST(sum(CAST(l_extendedprice AS $D2)) AS $D2) AS sum_price,
+              |  CAST(sum(CAST(l_extendedprice AS $D2)) AS DOUBLE) AS sum_price,
               |  count(*) AS cnt
               |FROM lineitem
               |GROUP BY CUBE (l_returnflag, l_linestatus)
               |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
       (s, dir) => t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_price"),
+        .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
@@ -811,19 +811,23 @@ object Queries {
         .select(col("doc_id"), col("pos"), col("col").as("tok"))
         .orderBy("doc_id", "pos")),
 
-    // ---- ordered array aggregation (collect with deterministic order) ----
+    // ---- ordered array aggregation (collect with deterministic order).
+    //      The array is serialized to a CSV string on both sides: the
+    //      driver's pandas-based comparator cannot lexsort list cells. ----
     QueryDef("q47_array_agg",
       Some("""SELECT c_nationkey,
-             |  COALESCE(list(c_custkey ORDER BY c_custkey) FILTER (WHERE c_acctbal > 9000),
-             |           []) AS rich_keys,
+             |  array_to_string(
+             |    COALESCE(list(c_custkey ORDER BY c_custkey) FILTER (WHERE c_acctbal > 9000),
+             |             []), ',') AS rich_keys,
              |  count(*) AS n
              |FROM customer
              |GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin),
       (s, dir) => t(s, dir, "customer")
         .groupBy("c_nationkey")
-        .agg(sort_array(collect_list(when(col("c_acctbal") > 9000, col("c_custkey"))))
-            .as("rich_keys"),
+        .agg(array_join(
+            sort_array(collect_list(when(col("c_acctbal") > 9000, col("c_custkey"))))
+              .cast("array<string>"), ",").as("rich_keys"),
           count(lit(1)).as("n"))
         .orderBy("c_nationkey")),
 
@@ -857,13 +861,13 @@ object Queries {
 
     QueryDef("q49_scalar_subquery",
       Some(s"""SELECT count(*) AS n_above,
-              |  CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS sum_above
+              |  CAST(sum(CAST(o_totalprice AS $D2)) AS DOUBLE) AS sum_above
               |FROM orders
               |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin),
       (s, dir) => {
         t(s, dir, "orders").createOrReplaceTempView("graft_orders_ssq")
         s.sql(s"""SELECT count(*) AS n_above,
-                 |  CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS sum_above
+                 |  CAST(sum(CAST(o_totalprice AS $D2)) AS DOUBLE) AS sum_above
                  |FROM graft_orders_ssq
                  |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM graft_orders_ssq)""".stripMargin)
       }),
@@ -873,8 +877,8 @@ object Queries {
       Some("""SELECT count(*) AS n_rows,
              |  count(*) - count(o_custkey) AS custkey_nulls,
              |  count(DISTINCT o_orderstatus) AS status_distinct,
-             |  CAST(min(o_totalprice) AS DECIMAL(18,2)) AS price_min,
-             |  CAST(max(o_totalprice) AS DECIMAL(18,2)) AS price_max,
+             |  CAST(min(o_totalprice) AS DOUBLE) AS price_min,
+             |  CAST(max(o_totalprice) AS DOUBLE) AS price_max,
              |  min(CAST(o_orderdate AS DATE)) AS date_min,
              |  max(CAST(o_orderdate AS DATE)) AS date_max
              |FROM orders""".stripMargin),
@@ -882,8 +886,8 @@ object Queries {
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("o_custkey"))).as("custkey_nulls"),
         countDistinct(col("o_orderstatus")).as("status_distinct"),
-        min(col("o_totalprice")).cast(DecimalType(18, 2)).as("price_min"),
-        max(col("o_totalprice")).cast(DecimalType(18, 2)).as("price_max"),
+        min(col("o_totalprice")).cast("double").as("price_min"),
+        max(col("o_totalprice")).cast("double").as("price_max"),
         min(col("o_orderdate").cast(DateType)).as("date_min"),
         max(col("o_orderdate").cast(DateType)).as("date_max"))),
     // ---- group-level MinHash sketches (TypedImperativeAggregate): pairwise
@@ -906,10 +910,17 @@ object Queries {
     // ---- approximate quantiles (t-digest-style sketch; error bound
     //      asserted in QueriesSpec, no SQL oracle) ----
     QueryDef("q51_approx_quantile", None,
+      // scalar columns (not arrays): the driver's comparator chokes on
+      // list-valued cells
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_p"),
-          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_p"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ep"))
+        .select(col("l_returnflag"),
+          element_at(col("ap"), 1).as("approx_p50"),
+          element_at(col("ap"), 2).as("approx_p95"),
+          element_at(col("ep"), 1).as("exact_p50"),
+          element_at(col("ep"), 2).as("exact_p95"))
         .orderBy("l_returnflag")),
 
     // ---- trained BPE tokenizer over the corpus (word-count agg -> driver
@@ -1017,7 +1028,7 @@ object Queries {
       Some(s"""SELECT o_custkey, o_orderkey,
              |  CAST(sum(CAST(o_totalprice AS $D2)) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderkey
-             |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS $D2) AS near_sum,
+             |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
              |  count(*) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderkey
              |    RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS near_cnt
@@ -1030,7 +1041,7 @@ object Queries {
           .select(col("o_custkey"), col("o_orderkey"),
             sum(col("o_totalprice").cast(DecimalType(18, 2)))
               .over(base.rangeBetween(-100, org.apache.spark.sql.expressions.Window.currentRow))
-              .cast(DecimalType(18, 2)).as("near_sum"),
+              .cast("double").as("near_sum"),
             count(lit(1)).over(base.rangeBetween(-100, 100)).as("near_cnt"))
           .orderBy("o_custkey", "o_orderkey")
       }),
@@ -1052,7 +1063,7 @@ object Queries {
 
     // ---- LATERAL correlated table subquery (per-row top-N join form) ----
     QueryDef("q60_lateral",
-      Some(s"""SELECT n.n_nationkey, t.c_custkey, CAST(t.c_acctbal AS $D2) AS c_acctbal
+      Some(s"""SELECT n.n_nationkey, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
              |FROM nation n,
              |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
              |         WHERE c.c_nationkey = n.n_nationkey
@@ -1060,7 +1071,7 @@ object Queries {
              |ORDER BY n.n_nationkey, t.c_custkey""".stripMargin),
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql(s"""SELECT n.n_nationkey, t.c_custkey, CAST(t.c_acctbal AS $D2) AS c_acctbal
+        s.sql(s"""SELECT n.n_nationkey, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
                  |FROM nation n,
                  |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
                  |         WHERE c.c_nationkey = n.n_nationkey
@@ -1077,7 +1088,8 @@ object Queries {
           expr("hex(count_min_sketch(l_returnflag, 0.01d, 0.99d, 42))").as("cms_hex"))
         val top = li.stat.freqItems(Array("l_returnflag"), 0.3)
         sketch.crossJoin(
-          top.select(array_sort(col("l_returnflag_freqItems")).as("freq_flags")))
+          top.select(array_join(array_sort(col("l_returnflag_freqItems")), ",")
+            .as("freq_flags")))
       }),
 
     // ---- time-series resample with gap fill: hour spine from the data's
@@ -1092,7 +1104,7 @@ object Queries {
              |                                        (SELECT max(h) FROM b),
              |                 INTERVAL 1 HOUR)) AS h)
              |SELECT s.h, COALESCE(b.cnt, 0) AS cnt,
-             |  CAST(COALESCE(b.sum_value, 0) AS $D2) AS sum_value
+             |  CAST(COALESCE(b.sum_value, 0) AS DOUBLE) AS sum_value
              |FROM spine s LEFT JOIN b USING (h)
              |ORDER BY s.h""".stripMargin),
       (s, dir) => {
@@ -1106,15 +1118,18 @@ object Queries {
             expr("INTERVAL 1 HOUR"))).as("h"))
         spine.join(b, Seq("h"), "left_outer")
           .select(col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"),
-            coalesce(col("sum_value"), lit(0)).cast(DecimalType(18, 2)).as("sum_value"))
+            coalesce(col("sum_value"), lit(0)).cast("double").as("sum_value"))
           .orderBy("h")
       }),
 
     // ---- forward-fill imputation: carry the last observed hourly average
     //      across gap hours (IGNORE NULLS window on the q62 spine) ----
     QueryDef("q63_forward_fill",
+      // avg() result types diverge across engines (DuckDB double, Spark
+      // decimal(22,6)); the inner $D2 cast is what aligns the value, the
+      // outer DOUBLE cast is what makes the driver's pandas hash stable.
       Some(s"""WITH b AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-             |                  CAST(avg(CAST(value AS $D2)) AS $D2) AS avg_value
+             |                  CAST(CAST(avg(CAST(value AS $D2)) AS $D2) AS DOUBLE) AS avg_value
              |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
              |spine AS (SELECT unnest(generate_series((SELECT min(h) FROM b),
              |                                        (SELECT max(h) FROM b),
@@ -1128,7 +1143,7 @@ object Queries {
         val b = t(s, dir, "events")
           .filter(col("event_type") === "purchase")
           .groupBy(date_trunc("hour", col("ts")).as("h"))
-          .agg(avg(dec2(col("value"))).cast(DecimalType(18, 2)).as("avg_value"))
+          .agg(avg(dec2(col("value"))).cast(DecimalType(18, 2)).cast("double").as("avg_value"))
         val spine = b.agg(min("h").as("lo"), max("h").as("hi"))
           .select(explode(sequence(col("lo"), col("hi"),
             expr("INTERVAL 1 HOUR"))).as("h"))
