@@ -157,7 +157,7 @@ object Bench {
       Tables.load(spark, sfDir, "embeddings"), col("vec_id") % 20 === 0)
     // deterministic clustered corpus: 10k vectors, 64-dim, 100 centers,
     // seeded driver-side generation (cheap: ~5 MB)
-    val clusteredCurve = {
+    val clusteredEmb = {
       val rnd = new scala.util.Random(42)
       val dim = 64
       val centers = Array.fill(100)(Array.fill(dim)(rnd.nextGaussian()))
@@ -166,9 +166,30 @@ object Bench {
         (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
       }
       import spark.implicits._
-      annCurve(rows.toDF("vec_id", "embedding").repartition(32),
-        col("vec_id") % 100 < 1) // 1 query per cluster wave -> 100 queries
+      rows.toDF("vec_id", "embedding").repartition(32)
     }
+    // ids 0..99 hit clusters 0..99 (cluster = id % 100): one query per
+    // cluster. The round-1 selector (% 100 < 1) put every query in
+    // cluster 0 — recall became a single-cluster coin flip and the PQ
+    // entries swung 1.0 <-> 0.48 across otherwise-equivalent code layouts.
+    val clusteredCurve = annCurve(clusteredEmb, col("vec_id") < 100)
+    // embedding near-dup at scale: all-pairs brute vs LSH prefilter + exact
+    // verify on the same clustered corpus (10k rows -> brute is 50M pairs;
+    // LSH joins only bucket collisions). recall = |lsh| / |brute| since the
+    // exact-verify stage admits no false positives.
+    val neardupJson = try {
+      import graft.ext.Similarity
+      val df = clusteredEmb.cache(); df.count()
+      var bruteCnt = 0L; var lshCnt = 0L
+      val tB = time { bruteCnt = Similarity.cosineNearDups(
+        df, "vec_id", "embedding", threshold = 0.9).count() }
+      val tL = time { lshCnt = Similarity.cosineNearDupsLsh(
+        df, "vec_id", "embedding", threshold = 0.9, dim = 64).count() }
+      val rec = if (bruteCnt > 0) lshCnt.toDouble / bruteCnt else 0.0
+      df.unpersist()
+      f"""{"brute_sec":$tB%.3f,"lsh_sec":$tL%.3f,"brute_pairs":$bruteCnt,"lsh_pairs":$lshCnt,"recall":$rec%.3f}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] neardup failed: ${e.getMessage}"); "{}" }
     def curveJson(c: Seq[(String, Double, Double)]): String = c.map { case (n, s, r) =>
       "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"recall\":" + f"$r%.3f" + "}"
     }.mkString("{", ",", "}")
@@ -182,7 +203,7 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"neardup":$neardupJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

@@ -23,7 +23,8 @@ object Main {
     "infer-sample", "mode", "compression",
     "text-col", "bpe-merges", "bpe-max-words", "bpe-model",
     "type-name", "hive-input-fields", "index-col",
-    "quality-min", "neardup-threshold")
+    "quality-min", "neardup-threshold",
+    "bulk-actions", "bulk-size", "alias", "final-index-setting")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -35,10 +36,11 @@ object Main {
 
   /** Reference flags that configure the ES/ZK deployment half this engine
     * replaces with a bundle sink — accepted and ignored with a notice, so
-    * existing invocations don't break. */
-  private val DeploymentOnly = Set("alias", "final-index-setting",
-    "local-data-dir", "bulk-actions", "bulk-size", "bulk-flush-interval",
-    "zookeeper", "chroot")
+    * existing invocations don't break. (--bulk-actions/--bulk-size map to
+    * writer sizing and --alias/--final-index-setting to manifest fields —
+    * only the truly deployment-bound flags remain ignored.) */
+  private val DeploymentOnly = Set(
+    "local-data-dir", "bulk-flush-interval", "zookeeper", "chroot")
 
   def parse(args: Array[String]): (GraftConfig, String) = {
     var m = Map[String, String]("mode" -> "infer")
@@ -100,7 +102,16 @@ object Main {
       compression = m.get("compression"),
       typeName = m.getOrElse("type-name", "doc"),
       hiveInputFields = m.get("hive-input-fields")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+      bulkActions = m.get("bulk-actions").map(_.toLong),
+      bulkSizeMb = m.get("bulk-size").map(_.toLong), // reference unit: MB
+      alias = m.get("alias"),
+      // reference spelling: --final-index-setting k=v[,k=v...]
+      finalSettings = m.get("final-index-setting").map(_.split(",").map(_.trim)
+          .filter(_.contains("=")).map { kv =>
+            val cut = kv.indexOf('=')
+            kv.substring(0, cut) -> kv.substring(cut + 1)
+          }.toMap).getOrElse(Map.empty))
     (cfg, m("mode"))
   }
 

@@ -429,6 +429,14 @@ object Similarity {
    * codes — the memory-bandwidth win that makes exhaustive scans of
    * billion-vector corpora feasible). Exactness bounded by quantization;
    * compose with IVF cells for candidate pruning at even larger scale.
+   *
+   * Candidate-list sizing (`rerankFactor`, also in [[pqTopKRerank]] /
+   * [[ivfPqTopK]]): the exact re-rank costs k*rerankFactor dots per query —
+   * independent of corpus size and negligible next to the compressed scan —
+   * while recall climbs steeply with it on clustered corpora (measured on
+   * the bench corpus, k=1: rf=8 -> 0.76, rf=32 -> 0.90, rf=64 -> 0.97).
+   * Default 64 buys the recall for free; tighten only if re-rank I/O (one
+   * full-vector fetch per candidate) ever dominates.
    */
   def pqTopK(queries: DataFrame, encodedCorpus: DataFrame, qidCol: String,
              vecCol: String, model: PqModel, k: Int,
@@ -458,7 +466,7 @@ object Similarity {
    */
   def pqTopKRerank(queries: DataFrame, corpus: DataFrame, encodedCorpus: DataFrame,
                    qidCol: String, idCol: String, vecCol: String,
-                   model: PqModel, k: Int, rerankFactor: Int = 8,
+                   model: PqModel, k: Int, rerankFactor: Int = 64,
                    roundTo: Int = 4): DataFrame = {
     // candidate cut uses rank() NOT row_number(): coarse codes make whole
     // clusters tie at one score, and an arbitrary tie-break here would drop
@@ -498,7 +506,7 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
                 idCol: String, vecCol: String, model: PqModel, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
-                rerankFactor: Int = 8, roundTo: Int = 4): DataFrame = {
+                rerankFactor: Int = 64, roundTo: Int = 4): DataFrame = {
     val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
     val corpusCells = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
       .withColumn("codes", graft.functions.PqFunctions.pq_encode(permute(col("_cv"), model),

@@ -42,7 +42,18 @@ object Hive2Es {
     typeName: String = "doc",
     // reference --hive-input-fields: project the scan to these columns
     // (ArgsParser.scala:106-109) — Catalyst prunes the parquet read to them
-    hiveInputFields: Seq[String] = Seq.empty)
+    hiveInputFields: Seq[String] = Seq.empty,
+    // reference bulk buffering knobs (ArgsParser.scala:21-23,
+    // ESContainer.scala:118-140) mapped to writer sizing: --bulk-actions
+    // caps docs per output file, --bulk-size (MB) sets the parquet
+    // row-group target
+    bulkActions: Option[Long] = None,
+    bulkSizeMb: Option[Long] = None,
+    // reference alias swap + health-gated final settings
+    // (ESClient.java:154-170, NodeService.java:129-152): recorded in the
+    // manifest for the downstream loader to apply at install time
+    alias: Option[String] = None,
+    finalSettings: Map[String, String] = Map.empty)
 
   /** S3/A2 parity (`PAHive2ES.scala:66-77`): collect a small metadata table
     * of (field_name, data_type) into the driver-side override map that
@@ -92,7 +103,10 @@ object Hive2Es {
     BundleSink.write(docs, s"${config.outDir}/${config.indexName}", config.numShards,
       config.partitionMultiples, config.repartition, config.format, config.mappingJson,
       indexName = config.indexName, typeName = config.typeName,
-      compression = config.compression)
+      compression = config.compression,
+      bulkActions = config.bulkActions,
+      bulkSizeBytes = config.bulkSizeMb.map(_ * 1024L * 1024L),
+      alias = config.alias, finalSettings = config.finalSettings)
   }
 
   /** `indexName = {alias}_{dt}` split (reference `PAHive2ES.scala:41-42`). */
@@ -124,7 +138,10 @@ object Hive2Es {
       BundleSink.write(docs, s"${config.outDir}/${config.indexName}", config.numShards,
         config.partitionMultiples, config.repartition, config.format, Some(mappingJson),
         indexName = config.indexName, typeName = config.typeName,
-      compression = config.compression)
+        compression = config.compression,
+        bulkActions = config.bulkActions,
+        bulkSizeBytes = config.bulkSizeMb.map(_ * 1024L * 1024L),
+        alias = config.alias, finalSettings = config.finalSettings)
     } finally if (hasMaps) src.unpersist()
   }
 }

@@ -41,15 +41,20 @@ object BundleSink {
    * N times. Here an `_index` column routes each doc, one exchange fans out
    * on (index, routing), and one partitioned write lands
    * `out/{index}/data/_shard=k/` for all indices — the source is read once
-   * regardless of N. Per-index manifests are derived from a single
-   * read-back count pass over the (much smaller) output.
+   * regardless of N. Per-index manifest counts ride the write job itself as
+   * a single map-valued observe() metric ([[graft.functions.CountByKeyAgg]])
+   * — no read-back pass over the written output.
    */
   def writeMulti(docs: DataFrame, outRoot: String, indexCol: String,
                  numShards: Int, partitionMultiples: Int = 10,
                  repartition: Boolean = true, format: String = "json",
                  typeName: String = "doc",
                  compression: Option[String] = None,
-                 mappingJson: Option[String] = None): Map[String, Result] = {
+                 mappingJson: Option[String] = None,
+                 bulkActions: Option[Long] = None,
+                 bulkSizeBytes: Option[Long] = None,
+                 aliasFor: String => Option[String] = _ => None,
+                 finalSettings: Map[String, String] = Map.empty): Map[String, Result] = {
     val spark = docs.sparkSession
     val sharded = docs
       .withColumn("_index", col(indexCol))
@@ -58,8 +63,19 @@ object BundleSink {
       if (repartition) sharded.repartition(numShards * partitionMultiples,
         col("_index"), EsFunctions.es_partition(col("_routing"), numShards, partitionMultiples))
       else sharded
-    val writer = arranged.drop(indexCol).write.mode("overwrite")
-      .partitionBy("_index", "_shard")
+    // (index, shard) counts as one observe() metric on the write job itself:
+    // index values are dynamic, so per-key conditional sums (the single-index
+    // trick below) can't be enumerated — the map-valued aggregate can.
+    // NUL separates the compound key; _shard is numeric so the tail parse is
+    // unambiguous even if an index name contains NUL.
+    val obs = Observation("multi-bundle-counts")
+    val observed = arranged.observe(obs,
+      graft.functions.CountByKeyAgg.count_by_key(
+        concat_ws("\u0000", col("_index"), col("_shard"))).as("index_shard_counts"))
+    val writer = applyBulkSizing(
+      observed.drop(indexCol).write.mode("overwrite")
+        .partitionBy("_index", "_shard"),
+      format, bulkActions, bulkSizeBytes)
     val codec = format match {
       case "json"    => compression.getOrElse("gzip")
       case "parquet" => compression.getOrElse("zstd")
@@ -70,15 +86,12 @@ object BundleSink {
       case "json"    => writer.option("compression", codec).json(dataDir)
       case "parquet" => writer.option("compression", codec).parquet(dataDir)
     }
-    // one read-back pass for all manifests (columnar-prunable when parquet)
-    val back = format match {
-      case "json" => spark.read
-        .schema(graft.streaming.BundleStream.bundleSchema).json(dataDir)
-      case _ => spark.read.parquet(dataDir)
-    }
-    val counts = back.groupBy(col("_index"), col("_shard"))
-      .agg(count(lit(1)).as("c")).collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val counts = obs.get("index_shard_counts")
+      .asInstanceOf[scala.collection.Map[String, Long]]
+      .map { case (k, c) =>
+        val cut = k.lastIndexOf('\u0000')
+        (k.substring(0, cut), k.substring(cut + 1).toInt) -> c
+      }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outRoot), spark.sparkContext.hadoopConfiguration)
     counts.keys.map(_._1).toSet.map { (idx: String) =>
@@ -89,6 +102,7 @@ object BundleSink {
         s"""{"indexName":"$idx","typeName":"$typeName","workDir":"$outRoot/data/_index=$idx",
            |"numShards":$numShards,"format":"$format","compression":"$codec","totalDocs":$total,
            |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
+           |${aliasSettingsJson(aliasFor(idx), finalSettings)},
            |"state":"completed"}""".stripMargin.replace("\n", "")
       val mf = fs.create(new org.apache.hadoop.fs.Path(
         s"$outRoot/manifest_$idx.json"), true)
@@ -119,11 +133,48 @@ object BundleSink {
   private val JsonCodecs = Set("gzip", "bzip2", "deflate", "lz4", "snappy", "none")
   private val ParquetCodecs = JsonCodecs ++ Set("zstd", "lzo", "uncompressed")
 
+  /** Reference bulk-buffering knobs mapped to the file writer
+    * (`ESContainer.scala:118-140` flushes a bulk every N actions / M bytes;
+    * here the analogous buffer is the output file / parquet row group):
+    * `bulkActions` caps rows per output file (spark.sql.files
+    * maxRecordsPerFile), `bulkSizeBytes` sets the parquet row-group target
+    * (`parquet.block.size`). Json bundles have no byte-based writer split,
+    * so bulkSizeBytes applies to parquet/columnar only. */
+  private def applyBulkSizing(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+                              format: String, bulkActions: Option[Long],
+                              bulkSizeBytes: Option[Long])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val w1 = bulkActions.foldLeft(w)((w0, n) => w0.option("maxRecordsPerFile", n))
+    bulkSizeBytes match {
+      case Some(b) if format != "json" => w1.option("parquet.block.size", b)
+      case Some(_) =>
+        System.err.println("[bundle] --bulk-size maps to parquet row-group " +
+          "sizing; json bundles split by --bulk-actions (rows) only — ignored")
+        w1
+      case None => w1
+    }
+  }
+
+  /** `"alias":…,"finalSettings":{…}` manifest fragment (reference alias
+    * swap `ESClient.java:154-170` + health-gated final settings
+    * `NodeService.java:129-152`, applied by the downstream loader). */
+  private def aliasSettingsJson(alias: Option[String],
+                                finalSettings: Map[String, String]): String = {
+    val a = alias.map(s => "\"" + s + "\"").getOrElse("null")
+    val fs = finalSettings.toSeq.sorted
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    s""""alias":$a,"finalSettings":$fs"""
+  }
+
   def write(docs: DataFrame, outDir: String, numShards: Int,
             partitionMultiples: Int = 10, repartition: Boolean = true,
             format: String = "json", mappingJson: Option[String] = None,
             indexName: String = "", typeName: String = "doc",
-            compression: Option[String] = None): Result = {
+            compression: Option[String] = None,
+            bulkActions: Option[Long] = None,
+            bulkSizeBytes: Option[Long] = None,
+            alias: Option[String] = None,
+            finalSettings: Map[String, String] = Map.empty): Result = {
     val spark = docs.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir), hadoopConf)
@@ -140,12 +191,12 @@ object BundleSink {
         EsFunctions.es_partition(col("_routing"), numShards, partitionMultiples))
       else sharded
 
-    // per-shard counts: for modest shard counts they ride the write job as
-    // observable metrics (A3 parity: per-partition doc counts,
-    // `Hive2ES.scala:85-90`) — one conditional-sum expression per shard.
-    // Past ~64 shards that expression list itself becomes the bottleneck,
-    // so large layouts count by scanning the (much smaller, columnar-
-    // prunable) written output instead of re-running the pipeline.
+    // per-shard counts ride the write job as observable metrics (A3 parity:
+    // per-partition doc counts, `Hive2ES.scala:85-90`). Modest shard counts
+    // use one codegen'd conditional-sum expression per shard; past ~64
+    // shards that expression list itself becomes the bottleneck, so large
+    // layouts switch to the single map-valued count_by_key aggregate —
+    // either way the counts come from THIS job, never a read-back scan.
     val observeCounts = numShards <= 64
     val obs = Observation("bundle-counts")
     val observed =
@@ -154,9 +205,13 @@ object BundleSink {
           (0 until numShards).map(i =>
             sum(when(col("_shard") === i, 1L).otherwise(0L)).as(s"shard_$i"))
         arranged.observe(obs, countExprs.head, countExprs.tail: _*)
-      } else arranged
+      } else arranged.observe(obs,
+        graft.functions.CountByKeyAgg.count_by_key(col("_shard").cast("string"))
+          .as("shard_counts"))
 
-    val writer = observed.write.mode("overwrite").partitionBy("_shard")
+    val writer = applyBulkSizing(
+      observed.write.mode("overwrite").partitionBy("_shard"),
+      format, bulkActions, bulkSizeBytes)
     // defaults: gzip for json bundles (reference-era behavior), zstd for
     // parquet (better ratio at comparable speed — the right 100 TB default)
     val codec = format match {
@@ -185,14 +240,8 @@ object BundleSink {
         (m("total").asInstanceOf[Long],
           (0 until numShards).map(i => i -> m(s"shard_$i").asInstanceOf[Long]).toMap)
       } else {
-        val back = format match {
-          case "json" => spark.read
-            .schema(graft.streaming.BundleStream.bundleSchema).json(outDir + "/data")
-          case _ => spark.read.parquet(outDir + "/data")
-        }
-        val counts = back.groupBy(col("_shard")).agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val full = (0 until numShards).map(i => i -> counts.getOrElse(i, 0L)).toMap
+        val m = obs.get("shard_counts").asInstanceOf[scala.collection.Map[String, Long]]
+        val full = (0 until numShards).map(i => i -> m.getOrElse(i.toString, 0L)).toMap
         (full.values.sum, full)
       }
     // null/empty routing hashes to shard 0 (reference ESHashPartitioner
@@ -213,6 +262,7 @@ object BundleSink {
       s"""{"indexName":"$indexName","typeName":"$typeName","workDir":"$outDir",
          |"numShards":$numShards,"format":"$format","compression":"$codec","totalDocs":$total,
          |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
+         |${aliasSettingsJson(alias, finalSettings)},
          |"state":"completed"}""".stripMargin.replace("\n", "")
     val mf = fs.create(new org.apache.hadoop.fs.Path(outDir, "manifest.json"), true)
     mf.write(manifest.getBytes("UTF-8")); mf.close()

@@ -54,7 +54,7 @@ class BundleSinkSpec extends SparkSpec {
     assert(res2.shardCounts === expected)
   }
 
-  test("many-shard layout (>64) counts via read-back, placement still exact") {
+  test("many-shard layout (>64) counts via map-valued observe, placement still exact") {
     import org.apache.spark.sql.functions._
     val out = tmpDir()
     val docs = graft.transform.DocTransform.docs(
@@ -164,6 +164,49 @@ class BundleSinkSpec extends SparkSpec {
     val manifest = Files.readString(Paths.get(s"$out/empty/manifest.json"))
     assert(manifest.contains("\"totalDocs\":0") && manifest.contains("\"state\":\"completed\""))
     assert(!Files.exists(Paths.get(s"$out/empty/_STARTED")))
+  }
+
+  test("bulk knobs size output files; alias + final settings land in the manifest") {
+    val out = tmpDir()
+    val docs = graft.transform.DocTransform.docs(
+      sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    def partFiles(dir: String): Seq[java.nio.file.Path] = {
+      val it = Files.walk(Paths.get(dir)).iterator()
+      scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+        .filter(p => p.getFileName.toString.startsWith("part-")).toSeq
+    }
+    // baseline: 2 writer tasks x 3 shards -> bounded file count
+    graft.sink.BundleSink.write(docs, s"$out/plain", numShards = 3,
+      partitionMultiples = 2, repartition = true, indexName = "plain")
+    val plainFiles = partFiles(s"$out/plain/data").size
+    // --bulk-actions 100: no file may exceed 100 docs -> strictly more files
+    val res = graft.sink.BundleSink.write(docs, s"$out/bulked", numShards = 3,
+      partitionMultiples = 2, repartition = true, indexName = "bulked",
+      bulkActions = Some(100L),
+      alias = Some("orders_live"),
+      finalSettings = Map("index.number_of_replicas" -> "1",
+        "index.refresh_interval" -> "1s"))
+    assert(res.totalDocs === 1500L)
+    val bulked = partFiles(s"$out/bulked/data")
+    assert(bulked.size > plainFiles,
+      s"bulk-actions=100 should split files: ${bulked.size} !> $plainFiles")
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = spark.read.json(s"$out/bulked/data")
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 100L), s"file over bulk-actions cap: ${perFile.max}")
+    val manifest = Files.readString(Paths.get(s"$out/bulked/manifest.json"))
+    assert(manifest.contains("\"alias\":\"orders_live\""), manifest)
+    assert(manifest.contains("\"index.number_of_replicas\":\"1\""), manifest)
+    assert(manifest.contains("\"index.refresh_interval\":\"1s\""), manifest)
+    // CLI wiring: reference spellings reach the writer config
+    val (cfg, _) = Main.parse(Array("--input", "x", "--out", "y", "--index", "z",
+      "--bulk-actions", "100", "--bulk-size", "8",
+      "--alias", "orders_live", "--final-index-setting",
+      "index.number_of_replicas=1,index.refresh_interval=1s"))
+    assert(cfg.bulkActions === Some(100L) && cfg.bulkSizeMb === Some(8L))
+    assert(cfg.alias === Some("orders_live"))
+    assert(cfg.finalSettings === Map("index.number_of_replicas" -> "1",
+      "index.refresh_interval" -> "1s"))
   }
 
   test("compression knob: parquet zstd round-trips, json zstd rejected, manifest records codec") {

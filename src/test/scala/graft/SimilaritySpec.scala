@@ -273,5 +273,62 @@ class SimilaritySpec extends SparkSpec {
     val rows = nd.collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.3))
+    // all-pairs guard: the brute path refuses unbounded corpora
+    val err = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDups(e, "vec_id", "embedding", threshold = 0.3,
+        maxRows = 10)
+    }
+    assert(err.getMessage.contains("cosineNearDupsLsh"))
+  }
+
+  test("cosineNearDupsLsh: high recall of brute pairs at threshold, no false positives") {
+    val dim = 16
+    val rnd = new scala.util.Random(31)
+    val centers = (0 until 10).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val brute = Similarity.cosineNearDups(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupsLsh(corpus, "vec_id", "embedding",
+        threshold = 0.9, dim = dim)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "corpus should contain near-dup pairs")
+    // exact verify stage -> no false positives
+    assert(lsh.subsetOf(brute), s"LSH produced non-near-dup pairs: ${lsh -- brute}")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.95, s"LSH near-dup recall $recall (${lsh.size}/${brute.size})")
+  }
+
+  test("driver-bench clustered config: pq_rerank and ivf_pq recall >= 0.9") {
+    // the EXACT corpus/knobs Bench.clusteredCurve runs (seed 42, 10k x 64,
+    // 100 clusters, noise 0.15, m=8 k=16, default rerankFactor), pinned
+    // here so a recall regression fails the suite before the driver sees it
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(100)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 10000).map { i =>
+      val c = centers(i % 100)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartition(32).cache()
+    val queries = emb.filter(col("vec_id") < 100) // one per cluster
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rank") === 1).select("qid", "nid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = top1(Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 1))
+    def recall(got: Map[Long, Long]): Double =
+      truth.count { case (k, v) => got.get(k).contains(v) }.toDouble / truth.size
+    val model = Similarity.pqTrain(emb, "embedding", dim, m = 8, k = 16)
+    val rPq = recall(top1(Similarity.pqTopKRerank(queries, emb,
+      Similarity.pqEncode(emb, "vec_id", "embedding", model),
+      "vec_id", "vec_id", "embedding", model, k = 1)))
+    val rIvfPq = recall(top1(Similarity.ivfPqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", model, k = 1, nlist = 50, nprobe = 12)))
+    emb.unpersist()
+    assert(rPq >= 0.9, s"pq_rerank recall $rPq at the driver-bench config")
+    assert(rIvfPq >= 0.9, s"ivf_pq recall $rIvfPq at the driver-bench config")
   }
 }
