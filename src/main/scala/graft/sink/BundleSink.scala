@@ -255,6 +255,25 @@ object BundleSink {
       val out = fs.create(new org.apache.hadoop.fs.Path(outDir, "mapping.json"), true)
       out.write(json.getBytes("UTF-8")); out.close()
     }
+    // per-shard state export (reference `_state`/`_shard_state.zip`,
+    // ESContainer.scala:261-268: shard metadata shipped alongside the index
+    // files so the server can validate before install). The bundle analog
+    // records per-shard docs + file count + bytes from a driver-side listing
+    // of what was just committed — a consumer can cheaply cross-check a
+    // partial copy against it.
+    locally {
+      val states = (0 until numShards).map { sh =>
+        val dir = new org.apache.hadoop.fs.Path(s"$outDir/data/_shard=$sh")
+        val (files, bytes) =
+          if (fs.exists(dir))
+            fs.listStatus(dir).filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+              .foldLeft((0L, 0L)) { case ((f, b), st) => (f + 1, b + st.getLen) }
+          else (0L, 0L)
+        s"""{"shard":$sh,"docs":${perShard.getOrElse(sh, 0L)},"files":$files,"bytes":$bytes}"""
+      }
+      val out = fs.create(new org.apache.hadoop.fs.Path(outDir, "shard_state.json"), true)
+      out.write(states.mkString("[", ",", "]").getBytes("UTF-8")); out.close()
+    }
     // job-record parity with the reference's ZK node payload
     // ({numberShards, hdfsWorkDir, indexName, typeName, state},
     // ServerNotifier.scala:21-34) folded into the manifest

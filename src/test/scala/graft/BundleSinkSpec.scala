@@ -48,6 +48,13 @@ class BundleSinkSpec extends SparkSpec {
     val back = spark.read.json(s"$out/li_idx/data")
     assert(back.count() === keys.length.toLong)
 
+    // shard_state.json (reference _state parity): per-shard docs/files/bytes
+    val state = Files.readString(Paths.get(s"$out/li_idx/shard_state.json"))
+    val docCounts = """"docs":(\d+)""".r.findAllMatchIn(state).map(_.group(1).toLong).toSeq
+    assert(docCounts.sum === keys.length.toLong, state)
+    val byteCounts = """"bytes":(\d+)""".r.findAllMatchIn(state).map(_.group(1).toLong).toSeq
+    assert(byteCounts.forall(_ > 0), state)
+
     // re-run idempotency (create-or-replace parity, ESContainer.scala:155-158)
     val res2 = graft.sink.BundleSink.write(docs, s"$out/li_idx", numShards,
       partitionMultiples = 2, repartition = true)

@@ -302,6 +302,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH near-dup recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("topK auto: exact brute below the pair budget, bucketed IVF above") {
+    val dim = 8
+    val rnd = new scala.util.Random(41)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 16)
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // small input -> brute path: identical to bruteForceTopK and the plan
+    // carries the cross product
+    val auto = Similarity.topK(q, corpus, "vec_id", "vec_id", "embedding", k = 1)
+    assert(auto.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = auto.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === brute)
+    // pair budget 0 -> bucketed path: no cross product, high recall
+    val bucketed = Similarity.topK(q, corpus, "vec_id", "vec_id", "embedding",
+      k = 1, maxBrutePairs = 0L)
+    assert(!bucketed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val gotB = bucketed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rec = brute.count { case (k2, v) => gotB.get(k2).contains(v) }
+    assert(rec >= 14, s"bucketed auto recall $rec/16")
+  }
+
   test("driver-bench clustered config: pq_rerank and ivf_pq recall >= 0.9") {
     // the EXACT corpus/knobs Bench.clusteredCurve runs (seed 42, 10k x 64,
     // 100 clusters, noise 0.15, m=8 k=16, default rerankFactor), pinned
