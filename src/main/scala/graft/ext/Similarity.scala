@@ -629,4 +629,35 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .groupBy("id_a", "id_b").agg(first("sim").as("sim"))
   }
+
+  /**
+   * Cross-corpus near-dup: pairs (left id, right id) with cosine >=
+   * threshold — "which incoming documents already exist in the accepted
+   * corpus", the batch complement of the streaming incremental dedup. Same
+   * LSH-prefilter + in-join exact-verify shape as [[cosineNearDupsLsh]]
+   * (and the same shuffle discipline: vectors never cross an exchange
+   * post-join); both sides bucket once, candidates are bucket collisions
+   * only. Typical use: anti-join `left` on the returned `id_l` to keep only
+   * novel rows.
+   */
+  def crossCorpusNearDups(left: DataFrame, right: DataFrame,
+                          leftId: String, rightId: String, vecCol: String,
+                          threshold: Double, dim: Int, tables: Int = 8,
+                          bits: Int = 8, roundTo: Int = 4,
+                          maxBucket: Int = 10000): DataFrame = {
+    def sigs(df: DataFrame, id: String, outId: String, vOut: String): DataFrame =
+      df.select(col(id).as(outId), unitize(asDouble(col(vecCol))).as(vOut),
+          posexplode(array((0 until tables).map(t =>
+            lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)))
+        .select(col(outId), col(vOut), col("pos").as("_table"), col("col").as("_sig"))
+    val l = sigs(left, leftId, "id_l", "_vl")
+    val r = sigs(right, rightId, "id_r", "_vr")
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy("_table", "_sig")))
+      .filter(col("_bn") <= maxBucket).drop("_bn")
+    l.join(r, Seq("_table", "_sig"))
+      .select(col("id_l"), col("id_r"),
+        round(dot(col("_vl"), col("_vr")), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("id_l", "id_r").agg(first("sim").as("sim"))
+  }
 }

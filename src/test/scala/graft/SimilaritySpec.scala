@@ -302,6 +302,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH near-dup recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("crossCorpusNearDups: finds planted cross-side dups, high recall, no false positives") {
+    val dim = 16
+    val rnd = new scala.util.Random(37)
+    val centers = (0 until 10).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val c = centers(i % 10)
+      (idBase + i, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val left = mk(120, 0L).toDF("lid", "embedding")
+    val right = mk(200, 10000L).toDF("rid", "embedding")
+    // oracle: exact cross product (unit vectors, rounded like the LSH path)
+    val lv = left.select(col("lid"), Similarity.unitize(
+      transform(col("embedding"), x => x.cast("double"))).as("_vl"))
+    val rv = right.select(col("rid"), Similarity.unitize(
+      transform(col("embedding"), x => x.cast("double"))).as("_vr"))
+    val exact = lv.crossJoin(rv)
+      .select(col("lid"), col("rid"),
+        round(graft.functions.EsFunctions.dot_product(col("_vl"), col("_vr")), 4).as("sim"))
+      .filter(col("sim") >= 0.9)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.crossCorpusNearDups(left, right, "lid", "rid", "embedding",
+        threshold = 0.9, dim = dim)
+      .select("id_l", "id_r").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(got.size.toDouble / exact.size >= 0.95,
+      s"cross-corpus recall ${got.size}/${exact.size}")
+  }
+
   test("topK auto: exact brute below the pair budget, bucketed IVF above") {
     val dim = 8
     val rnd = new scala.util.Random(41)
