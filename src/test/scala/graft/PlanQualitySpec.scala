@@ -70,6 +70,23 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("LSH near-dup paths: no cartesian stage, vectors dropped before the pair-dedup exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = (0 until 50).map(i => (i.toLong, Seq.fill(8)(i / 10.0f))).toDF("vec_id", "embedding")
+    for (df <- Seq(
+        graft.ext.Similarity.cosineNearDupsLsh(emb, "vec_id", "embedding", 0.9, dim = 8),
+        graft.ext.Similarity.crossCorpusNearDups(emb, emb, "vec_id", "vec_id", "embedding", 0.9, dim = 8))) {
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      // the final dedup aggregate must group bare id pairs — no vector
+      // columns (_va/_vb/_vl/_vr) may survive past the scoring projection
+      val aggSection = p.linesIterator.filter(_.contains("HashAggregate")).mkString("\n")
+      assert(!aggSection.contains("_v"), s"vector column reaches an aggregate:\n$p")
+    }
+  }
+
   test("q54 BPE word-count: top-K words is TakeOrderedAndProject over partial+final agg") {
     import org.apache.spark.sql.functions._
     val df = graft.ext.Bpe.wordCountsPlan(
