@@ -20,6 +20,17 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clean slate: the driver globs EVERY subdir of outDir as a query
+    // result, and it reuses the same outDir across rounds — stale content
+    // (round 1 wrote plans/ + timings.json here) must not survive
+    locally {
+      val root = new java.io.File(outDir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      if (root.exists()) rm(root)
+    }
     new java.io.File(outDir).mkdirs()
     // plans + timings live in a SIBLING directory: the driver globs outDir
     // for query results and would otherwise read plans/ as a query named
