@@ -177,19 +177,35 @@ object Bench {
     // verify on the same clustered corpus (10k rows -> brute is 50M pairs;
     // LSH joins only bucket collisions). recall = |lsh| / |brute| since the
     // exact-verify stage admits no false positives.
-    val neardupJson = try {
+    // two sizes: 10k shares the ann-curve corpus; 40k (800 clusters)
+    // demonstrates the brute/LSH crossover — brute is O(n^2) in dots while
+    // LSH candidates grow ~linearly at fixed cluster density (measured:
+    // brute 2.0 s @10k -> 5.0 s @20k -> ~20 s @40k; LSH 3.8 -> 5.7 -> ~8)
+    def neardupAt(df0: org.apache.spark.sql.DataFrame): String = try {
       import graft.ext.Similarity
-      val df = clusteredEmb.cache(); df.count()
+      val df = df0.cache(); val n = df.count()
       var bruteCnt = 0L; var lshCnt = 0L
       val tB = time { bruteCnt = Similarity.cosineNearDups(
-        df, "vec_id", "embedding", threshold = 0.9).count() }
+        df, "vec_id", "embedding", threshold = 0.9, maxRows = n).count() }
       val tL = time { lshCnt = Similarity.cosineNearDupsLsh(
         df, "vec_id", "embedding", threshold = 0.9, dim = 64).count() }
       val rec = if (bruteCnt > 0) lshCnt.toDouble / bruteCnt else 0.0
       df.unpersist()
-      f"""{"brute_sec":$tB%.3f,"lsh_sec":$tL%.3f,"brute_pairs":$bruteCnt,"lsh_pairs":$lshCnt,"recall":$rec%.3f}"""
+      f"""{"rows":$n,"brute_sec":$tB%.3f,"lsh_sec":$tL%.3f,"brute_pairs":$bruteCnt,"lsh_pairs":$lshCnt,"recall":$rec%.3f}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] neardup failed: ${e.getMessage}"); "{}" }
+    val neardupJson = neardupAt(clusteredEmb)
+    val neardupBigJson = {
+      val rnd = new scala.util.Random(43)
+      val dim = 64
+      val centers = Array.fill(800)(Array.fill(dim)(rnd.nextGaussian()))
+      val rows = (0 until 40000).map { i =>
+        val c = centers(i % 800)
+        (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+      import spark.implicits._
+      neardupAt(rows.toDF("vec_id", "embedding").repartition(32))
+    }
     def curveJson(c: Seq[(String, Double, Double)]): String = c.map { case (n, s, r) =>
       "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"recall\":" + f"$r%.3f" + "}"
     }.mkString("{", ",", "}")
@@ -203,7 +219,7 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"neardup":$neardupJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

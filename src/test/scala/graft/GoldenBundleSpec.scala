@@ -55,6 +55,14 @@ class GoldenBundleSpec extends SparkSpec {
     val expected = klineData.groupBy(k => EsMurmur3.shard(k.stock_code, 5))
       .view.mapValues(_.size.toLong).toMap
     assert(res.shardCounts === expected)
+    // manifest structural completeness: deployment-contract fields present
+    // even when unset (alias null, empty finalSettings), shard_state rides
+    // alongside
+    val manifest = Files.readString(
+      java.nio.file.Paths.get(s"$out/test_index/manifest.json"))
+    assert(manifest.contains("\"alias\":") && manifest.contains("\"finalSettings\":"),
+      manifest)
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/test_index/shard_state.json")))
     // date fields serialized yyyyMMdd like the fixture documents
     val sample = spark.read.json(s"$out/test_index/data")
       .select(get_json_object(col("doc"), "$.trade_date").as("td")).head().getString(0)
