@@ -47,8 +47,13 @@ object BundleCompact {
       .write.mode("overwrite").partitionBy("_shard")
       .option("compression", "gzip").json(newDir.toString)
 
-    val rewritten = spark.read
-      .schema(graft.streaming.BundleStream.bundleSchema).json(newDir.toString).count()
+    // integrity count doubles as the per-shard tally for the refreshed
+    // shard_state.json below
+    val perShard = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(newDir.toString)
+      .groupBy("_shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rewritten = perShard.values.sum
     if (rewritten != total) {
       fs.delete(newDir, true)
       throw new IllegalStateException(
@@ -63,6 +68,21 @@ object BundleCompact {
       throw new IllegalStateException("swap failed; original data restored")
     }
     fs.delete(oldDir, true)
+    // refresh shard_state.json: per-shard docs survive compaction unchanged
+    // (the _shard column value is the placement), but files/bytes don't
+    locally {
+      val states = (0 until numShards).map { sh =>
+        val dir = new Path(s"$bundleDir/data/_shard=$sh")
+        val (files, bytes) =
+          if (fs.exists(dir))
+            fs.listStatus(dir).filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+              .foldLeft((0L, 0L)) { case ((f, b), st) => (f + 1, b + st.getLen) }
+          else (0L, 0L)
+        s"""{"shard":$sh,"docs":${perShard.getOrElse(sh, 0L)},"files":$files,"bytes":$bytes}"""
+      }
+      val out = fs.create(new Path(bundleDir, "shard_state.json"), true)
+      out.write(states.mkString("[", ",", "]").getBytes("UTF-8")); out.close()
+    }
     Result(numShards, before, listDataFiles(fs, dataDir), total)
   }
 
