@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|stream|compact|tokenize|pipeline|stream-pipeline|multi]
+ *     [--mode generic|infer|stream|compact|validate|tokenize|pipeline|stream-pipeline|multi]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -79,7 +79,8 @@ object Main {
     def listOf(k: String): Set[String] =
       m.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val cfg = GraftConfig(
-      input = if (m("mode") == "compact") m.getOrElse("input", "") else req("input"),
+      input = if (Set("compact", "validate")(m("mode"))) m.getOrElse("input", "")
+              else req("input"),
       outDir = req("out"),
       indexName = if (m("mode") == "tokenize") m.getOrElse("index", "tokens") else req("index"),
       // "auto" = cost-based sizing, resolved against the (filtered) input
@@ -241,6 +242,22 @@ object Main {
             modelPath = raw.get("bpe-model"))
           println(s"tokenized: ${cfg.outDir}/${cfg.indexName}/tokenized")
           println(s"model: ${model.vocabSize} merges, totalTokens=$totalTokens")
+        case "validate" =>
+          // install-time check: counts/files/bytes/placement vs manifest +
+          // shard_state.json (reference server-side verify before install)
+          val rep = graft.sink.BundleValidate.validate(spark,
+            s"${cfg.outDir}/${cfg.indexName}")
+          println(s"bundle ${rep.bundleDir}: ${rep.numShards} shards, " +
+            s"${rep.shards.map(_.docs).sum} docs")
+          rep.shards.foreach { s =>
+            println(s"  shard ${s.shard}: docs ${s.docs}/${s.expectedDocs} " +
+              s"files ${s.files}/${s.expectedFiles} bytes ${s.bytes}/${s.expectedBytes} " +
+              s"misplaced ${s.misplaced} ${if (s.ok) "OK" else "FAIL"}")
+          }
+          if (!rep.ok)
+            throw new IllegalStateException(
+              s"bundle INVALID: ${rep.problems.mkString("; ")}")
+          println("bundle VALID")
         case "compact" =>
           // forceMerge analog: rewrite each shard's many small files
           val r = graft.sink.BundleCompact.compact(spark,

@@ -1,0 +1,93 @@
+package graft.sink
+
+import graft.functions.EsFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Consumer-side bundle validation — the install-time half of the state
+ * contract. The reference's server verifies what it downloaded before
+ * concatenating shards into a live index (`IndexBuilder.java:345-466`
+ * drives per-shard copy + checks; `_shard_state` carries the shard's
+ * metadata). The bundle analog cross-checks, per shard:
+ *
+ *  - data/ doc counts vs the manifest's `shardCounts` (write-time observe)
+ *  - file count + bytes vs `shard_state.json` (commit-time listing)
+ *  - placement: every doc's `_shard` equals the ES murmur3 of its
+ *    `_routing` under the manifest's `numShards` — a copied-to-the-wrong-
+ *    slot shard (the worst silent failure: routed reads miss documents)
+ *    cannot pass
+ *
+ * One scan, aggregated per shard; no driver-side row iteration.
+ */
+object BundleValidate {
+
+  case class ShardReport(shard: Int, docs: Long, expectedDocs: Long,
+                         files: Long, expectedFiles: Long,
+                         bytes: Long, expectedBytes: Long,
+                         misplaced: Long) {
+    def ok: Boolean =
+      docs == expectedDocs && files == expectedFiles &&
+        bytes == expectedBytes && misplaced == 0
+  }
+  case class Report(bundleDir: String, numShards: Int, totalDocs: Long,
+                    shards: Seq[ShardReport]) {
+    def ok: Boolean = shards.forall(_.ok) && totalDocs == shards.map(_.docs).sum
+    def problems: Seq[String] = shards.filterNot(_.ok).map { s =>
+      val what = Seq(
+        if (s.docs != s.expectedDocs) Some(s"docs ${s.docs}!=${s.expectedDocs}") else None,
+        if (s.files != s.expectedFiles) Some(s"files ${s.files}!=${s.expectedFiles}") else None,
+        if (s.bytes != s.expectedBytes) Some(s"bytes ${s.bytes}!=${s.expectedBytes}") else None,
+        if (s.misplaced != 0) Some(s"${s.misplaced} misplaced docs") else None
+      ).flatten.mkString(", ")
+      s"shard ${s.shard}: $what"
+    }
+  }
+
+  def validate(spark: SparkSession, bundleDir: String): Report = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)
+    val n = BundleReader.numShards(spark, bundleDir)
+    val manifest = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(bundleDir, "manifest.json"))
+      val m = new String(in.readAllBytes(), "UTF-8"); in.close(); m
+    }
+    val manifestCounts = """"(\d+)":(\d+)""".r.findAllMatchIn(
+      """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(manifest).map(_.group(1)).getOrElse(""))
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    val manifestTotal = """"totalDocs":(\d+)""".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    // shard_state.json is optional (bundles predating it): absent -> expect
+    // the observed listing, i.e. the file/byte checks pass trivially
+    val statePath = new org.apache.hadoop.fs.Path(bundleDir, "shard_state.json")
+    val state: Map[Int, (Long, Long)] =
+      if (!fs.exists(statePath)) Map.empty
+      else {
+        val in = fs.open(statePath)
+        val s = new String(in.readAllBytes(), "UTF-8"); in.close()
+        """\{"shard":(\d+),"docs":\d+,"files":(\d+),"bytes":(\d+)\}""".r
+          .findAllMatchIn(s)
+          .map(m => m.group(1).toInt -> (m.group(2).toLong, m.group(3).toLong)).toMap
+      }
+    // one aggregated pass: per-shard docs + placement mismatches
+    val rows = BundleReader.read(spark, bundleDir)
+      .groupBy(col("_shard"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(EsFunctions.es_shard(col("_routing"), n) =!= col("_shard"), 1L)
+          .otherwise(0L)).as("misplaced"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val shards = (0 until n).map { sh =>
+      val dir = new org.apache.hadoop.fs.Path(s"$bundleDir/data/_shard=$sh")
+      val (files, bytes) =
+        if (fs.exists(dir))
+          fs.listStatus(dir).filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+            .foldLeft((0L, 0L)) { case ((f, b), st) => (f + 1, b + st.getLen) }
+        else (0L, 0L)
+      val (docs, misplaced) = rows.getOrElse(sh, (0L, 0L))
+      val (expFiles, expBytes) = state.getOrElse(sh, (files, bytes))
+      ShardReport(sh, docs, manifestCounts.getOrElse(sh, 0L),
+        files, expFiles, bytes, expBytes, misplaced)
+    }
+    Report(bundleDir, n, manifestTotal, shards)
+  }
+}

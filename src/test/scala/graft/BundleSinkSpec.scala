@@ -216,6 +216,25 @@ class BundleSinkSpec extends SparkSpec {
       "index.refresh_interval" -> "1s"))
   }
 
+  test("validate: green on an intact bundle; flags deleted files and misplacement") {
+    val out = tmpDir()
+    val docs = graft.transform.DocTransform.docs(
+      sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    graft.sink.BundleSink.write(docs, s"$out/v", numShards = 3,
+      partitionMultiples = 2, repartition = true, indexName = "v")
+    val rep = graft.sink.BundleValidate.validate(spark, s"$out/v")
+    assert(rep.ok, rep.problems.mkString("; "))
+    assert(rep.shards.map(_.docs).sum === 1500L)
+    assert(rep.shards.forall(_.misplaced == 0))
+    // tamper: drop one part file -> docs + files + bytes all flag
+    val shard0 = java.nio.file.Paths.get(s"$out/v/data/_shard=0")
+    val victim = Files.list(shard0).iterator().next()
+    Files.delete(victim)
+    val bad = graft.sink.BundleValidate.validate(spark, s"$out/v")
+    assert(!bad.ok)
+    assert(bad.problems.exists(_.startsWith("shard 0")), bad.problems.mkString("; "))
+  }
+
   test("compression knob: parquet zstd round-trips, json zstd rejected, manifest records codec") {
     val out = tmpDir()
     val docs = graft.transform.DocTransform.docs(
