@@ -45,6 +45,83 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
   /**
+   * REAL metadata extraction (no media libraries needed — container headers
+   * are plain bytes): sniffs PNG/JPEG/GIF/WAV payloads and fills the meta
+   * struct with format, dimensions, and audio duration. Unrecognized
+   * payloads keep their existing meta. Same mapPartitions plumbing as the
+   * feature path; only the PIXEL/SAMPLE decode below remains stubbed.
+   */
+  def parseMeta(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(media.schema))
+    val idxContent = media.schema.fieldIndex("content")
+    val idxMeta = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idxContent)
+        sniffMeta(bytes) match {
+          case Some((fmt, w, h, dur)) =>
+            Row.fromSeq(r.toSeq.updated(idxMeta, Row(fmt,
+              if (w < 0) null else Int.box(w),
+              if (h < 0) null else Int.box(h),
+              if (dur < 0) null else Long.box(dur))))
+          case None => r
+        }
+      }
+    }(enc)
+  }
+
+  /** Pure-byte container sniffing: (format, width, height, durationMs);
+    * -1 marks not-applicable. PNG IHDR, JPEG SOF scan, GIF logical screen,
+    * WAV fmt+data chunks. */
+  private[ext] def sniffMeta(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xffffffffL
+    if (b == null || b.length < 12) None
+    // PNG: 8-byte signature, then IHDR chunk (len+type+data): width/height
+    // big-endian at offsets 16/20
+    else if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some(("png", be32(16), be32(20), -1L))
+    // JPEG: FFD8, then marker segments; frame dims live in the first SOFn
+    else if (u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var out: Option[(String, Int, Int, Long)] = None
+      while (out.isEmpty && i + 9 < b.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        // SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          out = Some(("jpeg", be16(i + 7), be16(i + 5), -1L))
+        else i += 2 + be16(i + 2) // skip this segment (length excludes marker)
+      }
+      out
+    }
+    // GIF: "GIF87a"/"GIF89a", logical screen w/h little-endian at 6/8
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      Some(("gif", le16(6), le16(8), -1L))
+    // WAV: RIFF....WAVE; walk chunks for fmt (byte rate) and data (size)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+             b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var i = 12
+      var byteRate = 0L
+      var dataSize = -1L
+      while (i + 8 <= b.length && (byteRate == 0L || dataSize < 0)) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(i + 4)
+        if (id == "fmt " && i + 8 + 16 <= b.length) byteRate = le32(i + 8 + 8)
+        else if (id == "data") dataSize = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      val dur = if (byteRate > 0 && dataSize >= 0) dataSize * 1000L / byteRate else -1L
+      Some(("wav", -1, -1, dur))
+    }
+    else None
+  }
+
+  /**
    * STUB decode: a real implementation would decode the image/audio inside
    * `mapPartitions` (decoder initialized once per partition, exactly where
    * a Python pipeline would use mapInPandas). Here the "features" are a

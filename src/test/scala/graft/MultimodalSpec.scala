@@ -36,6 +36,52 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(4) === lens(r.getLong(0))))
   }
 
+  test("parseMeta: real container headers parsed (png/jpeg/gif/wav), unknown passthrough") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(2 + 8 + 2 + 2 + 7)
+      bb.put(0xff.toByte).put(0xd8.toByte)                    // SOI
+      bb.put(0xff.toByte).put(0xe0.toByte).putShort(6.toShort) // APP0 len 6
+      bb.putInt(0x4a464946)                                    // "JFIF"
+      bb.put(0xff.toByte).put(0xc0.toByte).putShort(9.toShort) // SOF0
+      bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      bb.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.array()
+    }
+    def wav(byteRate: Int, dataSize: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(1.toShort)
+        .putInt(8000).putInt(byteRate).putShort(2.toShort).putShort(16.toShort)
+      bb.put("data".getBytes).putInt(dataSize).put(new Array[Byte](dataSize))
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, png(640, 480)), (2L, jpeg(320, 200)), (3L, gif(99, 44)),
+      (4L, wav(16000, 32000)), (5L, "not an image".getBytes))
+    val df = Multimodal.fromBinary(rows.toDF("id", "payload"), "id", "payload", "image")
+    val metas = Multimodal.parseMeta(df).orderBy("media_id").collect()
+      .map(r => r.getLong(0) -> r.getStruct(3)).toMap
+    assert(metas(1L).getString(0) === "png" && metas(1L).getInt(1) === 640 && metas(1L).getInt(2) === 480)
+    assert(metas(2L).getString(0) === "jpeg" && metas(2L).getInt(1) === 320 && metas(2L).getInt(2) === 200)
+    assert(metas(3L).getString(0) === "gif" && metas(3L).getInt(1) === 99 && metas(3L).getInt(2) === 44)
+    assert(metas(4L).getString(0) === "wav" && metas(4L).getLong(3) === 2000L) // 32000B / 16000B-per-s
+    assert(metas(5L).getString(0) === "raw") // unknown keeps fromBinary's meta
+  }
+
   test("resizeStub: length contract, determinism, passthrough schema") {
     val resized = Multimodal.resizeStub(media, factor = 4)
     assert(resized.schema === media.schema)
