@@ -769,9 +769,12 @@ object Queries {
           t(s, dir, "documents").select(col("doc_id"),
             col("text").cast(org.apache.spark.sql.types.BinaryType).as("payload")),
           "doc_id", "payload", "image")
-        val resized = graft.ext.Multimodal.resizeStub(media, factor = 4)
+        // parseMeta first (real header sniffing; text payloads fall through
+        // as "raw"), then the stubbed resize + feature extraction
+        val resized = graft.ext.Multimodal.resizeStub(
+          graft.ext.Multimodal.parseMeta(media), factor = 4)
         graft.ext.Multimodal.decodeFeatures(resized, featureDim = 8)
-          .groupBy("modality")
+          .groupBy("modality", "meta.format")
           .agg(count(lit(1)).as("n_media"),
             sum("content_bytes").as("total_bytes"),
             round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))

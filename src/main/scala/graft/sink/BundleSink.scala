@@ -266,7 +266,7 @@ object BundleSink {
         val dir = new org.apache.hadoop.fs.Path(s"$outDir/data/_shard=$sh")
         val (files, bytes) =
           if (fs.exists(dir))
-            fs.listStatus(dir).filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+            fs.listStatus(dir).filter(_.isFile).filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
               .foldLeft((0L, 0L)) { case ((f, b), st) => (f + 1, b + st.getLen) }
           else (0L, 0L)
         s"""{"shard":$sh,"docs":${perShard.getOrElse(sh, 0L)},"files":$files,"bytes":$bytes}"""

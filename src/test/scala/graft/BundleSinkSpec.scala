@@ -228,7 +228,10 @@ class BundleSinkSpec extends SparkSpec {
     assert(rep.shards.forall(_.misplaced == 0))
     // tamper: drop one part file -> docs + files + bytes all flag
     val shard0 = java.nio.file.Paths.get(s"$out/v/data/_shard=0")
-    val victim = Files.list(shard0).iterator().next()
+    val victim = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.list(shard0).iterator()).asScala
+      .find(p => p.getFileName.toString.startsWith("part-"))
+      .getOrElse(fail("no part file in shard 0"))
     Files.delete(victim)
     val bad = graft.sink.BundleValidate.validate(spark, s"$out/v")
     assert(!bad.ok)
