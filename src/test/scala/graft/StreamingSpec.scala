@@ -211,6 +211,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming embedding near-dup: batch-2 clone matches its batch-1 original exactly") {
+    import graft.streaming.StreamingEmbedDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dim = 16
+      val rnd = new scala.util.Random(11)
+      val centers = (0 until 20).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+      def near(c: Array[Double]) = c.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat).toSeq
+      val originals = (0L until 20L).map(i => (i, near(centers(i.toInt))))
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingEmbedDedup.matches(input.toDF().toDF("vec_id", "embedding"),
+          "vec_id", "embedding", dim = dim, threshold = 0.98)
+        .writeStream.format("memory").queryName("embed_dups")
+        .outputMode(OutputMode.Append()).start()
+      input.addData(originals: _*)
+      q.processAllAvailable()
+      assert(spark.table("embed_dups").count() === 0,
+        "distinct cluster centers should not match at 0.98")
+      // batch 2: near-copies of vectors 3 and 7 + two fresh directions
+      input.addData((103L, near(centers(3))), (107L, near(centers(7))),
+        (200L, near(Array.fill(dim)(rnd.nextGaussian()))),
+        (201L, near(Array.fill(dim)(rnd.nextGaussian()))))
+      q.processAllAvailable()
+      val pairs = spark.table("embed_dups")
+        .select("vec_id", "matched_id").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs === Set((103L, 3L), (107L, 7L)), s"got $pairs")
+      // scores are exact cosines, all >= threshold
+      assert(spark.table("embed_dups").select("cosine").as[Double].collect()
+        .forall(c => c >= 0.98 && c <= 1.0 + 1e-9))
+      // clone-of-clone resolves against ALL prior state
+      input.addData((300L, near(centers(3))))
+      q.processAllAvailable()
+      val all = spark.table("embed_dups")
+        .select("vec_id", "matched_id").distinct().as[(Long, Long)].collect().toSet
+      assert(all === Set((103L, 3L), (107L, 7L), (300L, 3L), (300L, 103L)), s"got $all")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TTL state: duplicate key dropped within TTL, accepted again after expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
