@@ -162,5 +162,8 @@ object EsFunctions {
     reg.createOrReplaceTempFunction(
       "vector_sum", exprs => VectorSumAgg(exprs.head).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "count_by_key", exprs => CountByKeyAgg(exprs.head).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -49,6 +49,11 @@ class SqlFunctionsSpec extends SparkSpec {
     val vs = spark.sql(
       "SELECT vector_sum(v) AS s FROM sqlfn_vecs GROUP BY g").head()
     assert(vs.getSeq[Double](0) === Seq(4.0, 6.0))
+
+    val cbk = spark.sql(
+      "SELECT count_by_key(g) AS m FROM sqlfn_docs").head()
+      .getMap[String, Long](0)
+    assert(cbk === Map("g1" -> 2L, "g2" -> 1L))
   }
 
   test("non-literal shingle k rejected with a clear message") {
