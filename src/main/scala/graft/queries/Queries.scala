@@ -1173,6 +1173,32 @@ object Queries {
           round(skewness(col("l_quantity")), 4).as("skew_qty"))
         .orderBy("l_returnflag")),
 
+    // ---- recursive CTE (Spark 4 WITH RECURSIVE): a generated spine joined
+    //      back to data — the recursion runs in BOTH engines (identical SQL
+    //      text), exercising Catalyst's UnionLoop machinery ----
+    QueryDef("q65_recursive_cte",
+      Some("""WITH RECURSIVE seq(n) AS (
+             |  SELECT 1
+             |  UNION ALL
+             |  SELECT n + 1 FROM seq WHERE n < 50
+             |)
+             |SELECT s.n, count(o.o_orderkey) AS cnt
+             |FROM seq s LEFT JOIN orders o ON o.o_custkey % 50 = s.n - 1
+             |GROUP BY s.n
+             |ORDER BY s.n""".stripMargin),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH RECURSIVE seq(n) AS (
+                |  SELECT 1
+                |  UNION ALL
+                |  SELECT n + 1 FROM seq WHERE n < 50
+                |)
+                |SELECT s.n, count(o.o_orderkey) AS cnt
+                |FROM seq s LEFT JOIN orders o ON o.o_custkey % 50 = s.n - 1
+                |GROUP BY s.n
+                |ORDER BY s.n""".stripMargin)
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
