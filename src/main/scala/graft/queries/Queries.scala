@@ -1199,6 +1199,37 @@ object Queries {
                 |ORDER BY s.n""".stripMargin)
       }),
 
+    // ---- higher-order array functions: collect -> lambda fold/filter.
+    //      Oracle = the equivalent flat aggregation (sum over integer-valued
+    //      doubles is order-free, so the nondeterministic collect_list order
+    //      is harmless). Per-ROW HOFs like these are fine; per-PAIR math
+    //      stays in codegen expressions (see SCALING.md). ----
+    QueryDef("q66_array_hof",
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(qty_sum) AS DOUBLE) AS total_qty,
+             |  sum(n_big) AS n_big
+             |FROM (
+             |  SELECT l.l_orderkey, sum(l.l_quantity) AS qty_sum,
+             |         count(*) FILTER (WHERE l.l_quantity > 40) AS n_big
+             |  FROM lineitem l GROUP BY l.l_orderkey) per_order
+             |JOIN orders o ON o.o_orderkey = per_order.l_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val per = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(collect_list(col("l_quantity")).as("qtys"))
+          .select(col("l_orderkey"),
+            aggregate(col("qtys"), lit(0.0), (acc, x) => acc + x).as("qty_sum"),
+            size(filter(col("qtys"), q => q > 40)).cast("long").as("n_big"))
+        per.join(t(s, dir, "orders"),
+            per("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum("qty_sum").cast("double").as("total_qty"),
+            sum("n_big").as("n_big"))
+          .orderBy("o_orderpriority")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
