@@ -224,9 +224,20 @@ object Main {
           val mapping = graft.transform.SchemaInfer.toMappingJson(
             graft.transform.SchemaInfer.infer(input, cfg.typeOverrides,
               cfg.indexHiveFields, cfg.indexEsFields, cfg.inferSampleFraction))
+          // per-index alias: explicit --alias wins; otherwise derived from
+          // the index name like the reference ({alias}_{dt},
+          // PAHive2ES.scala:41-42)
+          val aliasFor: String => Option[String] = idx =>
+            cfg.alias.orElse {
+              val (a, dt) = Hive2Es.aliasAndDt(idx)
+              if (dt.nonEmpty) Some(a) else None
+            }
           val results = graft.sink.BundleSink.writeMulti(docs, cfg.outDir, indexCol,
             cfg.numShards, cfg.partitionMultiples, cfg.repartition, cfg.format,
-            cfg.typeName, cfg.compression, mappingJson = Some(mapping))
+            cfg.typeName, cfg.compression, mappingJson = Some(mapping),
+            bulkActions = cfg.bulkActions,
+            bulkSizeBytes = cfg.bulkSizeMb.map(_ * 1024L * 1024L),
+            aliasFor = aliasFor, finalSettings = cfg.finalSettings)
           println(s"multi-index bundles written under ${cfg.outDir} (one scan)")
           results.toSeq.sortBy(_._1).foreach { case (idx, r) =>
             println(s"  $idx: ${r.totalDocs} docs across ${r.numShards} shards")
