@@ -1205,9 +1205,12 @@ object Queries {
     //      is harmless). Per-ROW HOFs like these are fine; per-PAIR math
     //      stays in codegen expressions (see SCALING.md). ----
     QueryDef("q66_array_hof",
+      // outer sums are CAST on the oracle side: DuckDB sum(bigint) returns
+      // HUGEINT, which pandas renders as float ("24167.0" vs Spark's
+      // "24167") — same driver-hash class as the decimal rule
       Some("""SELECT o_orderpriority,
              |  CAST(sum(qty_sum) AS DOUBLE) AS total_qty,
-             |  sum(n_big) AS n_big
+             |  CAST(sum(n_big) AS BIGINT) AS n_big
              |FROM (
              |  SELECT l.l_orderkey, sum(l.l_quantity) AS qty_sum,
              |         count(*) FILTER (WHERE l.l_quantity > 40) AS n_big
