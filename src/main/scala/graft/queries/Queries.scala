@@ -1233,6 +1233,29 @@ object Queries {
           .orderBy("o_orderpriority")
       }),
 
+    // ---- reproducible train/test split on a PORTABLE hash: md5 of the id
+    //      computes identically on every engine (unlike Spark's xxhash64 or
+    //      a seeded sampler), so the split assignment itself is
+    //      oracle-exact — the property a training pipeline needs so reruns
+    //      and other systems agree on which rows are held out. First two
+    //      hex chars < '1a' => ~10.2% test. ----
+    QueryDef("q67_train_test_split",
+      Some("""SELECT split, count(*) AS n_docs,
+             |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
+             |FROM (SELECT text,
+             |        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+             |             THEN 'test' ELSE 'train' END AS split
+             |      FROM read_parquet('{SFDIR}/documents.parquet') documents)
+             |GROUP BY split ORDER BY split""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
+            .otherwise("train"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("split")),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
