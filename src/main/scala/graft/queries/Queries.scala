@@ -1256,6 +1256,21 @@ object Queries {
           sum(length(col("text")).cast("long")).as("total_chars"))
         .orderBy("split")),
 
+    // ---- char n-gram LM quality scoring (KenLM-filter pattern): model is
+    //      engine-specific (top-K cut + smoothing) -> rows-only; the
+    //      separation/determinism laws live in NgramLmSpec ----
+    QueryDef("q68_lm_quality", None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.ext.NgramLm.train(docs, "text", n = 3, maxNgrams = 50000)
+        graft.ext.NgramLm.score(docs, "text", model)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("lm_score"), 4).as("avg_lm_score"),
+            round(min("lm_score"), 4).as("min_lm_score"))
+          .orderBy("source")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
