@@ -69,7 +69,12 @@ object NgramLm {
   def train(docs: DataFrame, textCol: String, n: Int = 3,
             maxNgrams: Int = 200000, addK: Double = 0.05): LmModel = {
     require(n >= 2, s"n must be >= 2, got $n")
-    val grams = docs
+    // small corpora often arrive as one input split; the interpreted HOF
+    // ngram extraction is the train cost, so spread it across the cluster
+    // (a 5k-row exchange is noise next to 2.5M per-element lambda evals)
+    val spread = docs.select(col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val grams = spread
       .select(explode(charNgrams(col(textCol), n)).as("g"))
       .filter(length(col("g")) === n)
       .groupBy("g").agg(count(lit(1)).as("c"))
