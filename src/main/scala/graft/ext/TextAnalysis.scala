@@ -106,4 +106,20 @@ object TextAnalysis {
     * punctuation density and some stopword mass. Deterministic arithmetic,
     * rounded for stable cross-engine comparison. */
   def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** PII scrubbing for corpus release: replace emails, URLs, long digit
+    * runs (phone/card/ssn shapes) and IPv4s with typed placeholders.
+    * Pure regexp_replace chain — codegen'd, order matters (URLs before
+    * bare digit runs so a port number doesn't split a URL; emails first so
+    * the URL pattern cannot eat the domain half). Patterns avoid \b and
+    * lookaround so they mean the same thing under RE2-class engines. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email,
+      "https?://[^\\s]+", "<URL>")
+    val ip = regexp_replace(url,
+      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    regexp_replace(ip, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUM>")
+  }
 }

@@ -62,4 +62,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(0) > q(1))
   }
+
+  test("redactPii: emails, urls, ips, digit runs replaced; clean text untouched") {
+    val df = Seq(
+      "mail me at jane.doe+x@example.co.uk today",
+      "see https://example.com:8080/a?b=1 for details",
+      "server at 10.42.0.17 port open",
+      "call +1 (415) 555-0173 or 4111 1111 1111 1111 now",
+      "nothing sensitive here, just the year 2026").toDF("t")
+      .select(TextAnalysis.redactPii(col("t")).as("r"))
+    val r = df.collect().map(_.getString(0))
+    assert(r(0) === "mail me at <EMAIL> today", r(0))
+    assert(r(1) === "see <URL> for details", r(1))
+    assert(r(2) === "server at <IP> port open", r(2))
+    assert(r(3) === "call +<NUM> or <NUM> now", r(3))
+    assert(r(4) === "nothing sensitive here, just the year 2026", r(4))
+  }
 }
