@@ -23,7 +23,7 @@ object Main {
     "infer-sample", "mode", "compression",
     "text-col", "bpe-merges", "bpe-max-words", "bpe-model",
     "type-name", "hive-input-fields", "index-col",
-    "quality-min", "neardup-threshold",
+    "quality-min", "neardup-threshold", "redact-pii", "lm-min-score",
     "bulk-actions", "bulk-size", "alias", "final-index-setting")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
@@ -182,10 +182,13 @@ object Main {
             qualityMin = raw.getOrElse("quality-min", "0.5").toDouble,
             nearDupThreshold = raw.getOrElse("neardup-threshold", "0.9").toDouble,
             bpeMerges = raw.getOrElse("bpe-merges", "2000").toInt,
-            bpeMaxWords = raw.getOrElse("bpe-max-words", "50000").toInt)
+            bpeMaxWords = raw.getOrElse("bpe-max-words", "50000").toInt,
+            redactPii = raw.get("redact-pii").exists(_.toBoolean),
+            lmMinScore = raw.get("lm-min-score").map(_.toDouble))
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")
+          if (st.afterLm >= 0) println(s"  after LM filter:  ${st.afterLm}")
           println(s"  after exact dedup:${st.afterExact}")
           println(s"  after near-dup:   ${st.afterNearDup}")
           println(s"  total BPE tokens: ${st.totalTokens}")

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.ext.{Bpe, Dedup, TextAnalysis}
+import graft.ext.{Bpe, Dedup, NgramLm, TextAnalysis}
 import graft.sink.BundleSink
 import graft.transform.DocTransform
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -10,13 +10,20 @@ import org.apache.spark.sql.functions._
  * The end-to-end training-data pipeline, one pass over a document corpus
  * (`--mode pipeline`):
  *
- *   read -> quality filter -> exact dedup -> MinHash near-dup removal
+ *   read [-> PII redaction] -> quality filter [-> ngram-LM filter]
+ *        -> exact dedup -> MinHash near-dup removal
  *        -> BPE tokenize -> columnar bundle (+ bpe model + stage stats)
  *
  * Every stage is one of this engine's operators; the composition is what a
  * 100 TB pretraining-data build actually runs. Stage semantics:
+ *  - redaction (`redactPii = true`): [[TextAnalysis.redactPii]] applied
+ *    before anything else, so dedup/tokenization see the released text.
  *  - quality: [[TextAnalysis.qualityScoreRaw]] >= `qualityMin` (unrounded —
  *    thresholds on the raw value).
+ *  - LM filter (`lmMinScore = Some(x)`): [[NgramLm]] trained on the
+ *    quality-passed corpus itself, then docs scoring below `x` mean char
+ *    log-prob are dropped — catches fluent-looking junk the surface
+ *    heuristics pass.
  *  - exact dedup: first doc (lowest id) per normalized-text group survives.
  *  - near-dup removal: LSH candidates verified by shingle Jaccard >=
  *    `nearDupThreshold`; the HIGHER id of each surviving pair is dropped
@@ -30,18 +37,30 @@ object CorpusPipeline {
 
   case class Stats(input: Long, afterQuality: Long, afterExact: Long,
                    afterNearDup: Long, totalTokens: Long,
-                   bundle: BundleSink.Result)
+                   bundle: BundleSink.Result, afterLm: Long = -1L)
 
   def run(spark: SparkSession, input: String, outDir: String, indexName: String,
           idCol: String = "doc_id", textCol: String = "text",
           numShards: Int = 3, partitionMultiples: Int = 4,
           qualityMin: Double = 0.5, nearDupThreshold: Double = 0.9,
-          bpeMerges: Int = 2000, bpeMaxWords: Int = 50000): Stats = {
-    val docs = spark.read.parquet(input)
+          bpeMerges: Int = 2000, bpeMaxWords: Int = 50000,
+          redactPii: Boolean = false,
+          lmMinScore: Option[Double] = None): Stats = {
+    val raw = spark.read.parquet(input)
+    val docs =
+      if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      else raw
     val nInput = docs.count()
 
-    val quality = docs.filter(TextAnalysis.qualityScoreRaw(col(textCol)) >= qualityMin)
-    val nQuality = quality.count()
+    val surface = docs.filter(TextAnalysis.qualityScoreRaw(col(textCol)) >= qualityMin)
+    val (quality, nLm) = lmMinScore match {
+      case Some(min) =>
+        val lm = NgramLm.train(surface, textCol)
+        val kept = NgramLm.filterByScore(surface, textCol, lm, min).drop("lm_score")
+        (kept, kept.count())
+      case None => (surface, -1L)
+    }
+    val nQuality = surface.count()
 
     // exact dedup keeping FULL rows (Dedup.exact projects to key+order
     // cols): group-limit window on the normalized text, lowest id survives
@@ -75,6 +94,6 @@ object CorpusPipeline {
       partitionMultiples, repartition = true, format = "columnar",
       indexName = indexName)
     Bpe.save(spark, model, s"$outDir/$indexName/bpe_model.json")
-    Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res)
+    Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res, afterLm = nLm)
   }
 }
