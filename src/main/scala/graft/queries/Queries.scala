@@ -1271,6 +1271,29 @@ object Queries {
           .orderBy("source")
       }),
 
+    // ---- corpus mixing: per-source cost budget (the mixture-weights step
+    //      of a pretraining build) — deterministic doc order makes the
+    //      selected subset oracle-exact. Outer aggregates CAST on the
+    //      oracle side (DuckDB windowed/grouped sums promote to HUGEINT,
+    //      which the driver's comparator renders as float). ----
+    QueryDef("q69_source_budget",
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    sum(CAST(length(text) AS BIGINT))
+             |      OVER (PARTITION BY source ORDER BY doc_id
+             |            ROWS UNBOUNDED PRECEDING) AS _cum
+             |  FROM read_parquet('{SFDIR}/documents.parquet') documents)
+             |SELECT source, count(*) AS kept_docs,
+             |  CAST(max(_cum) AS BIGINT) AS used_chars
+             |FROM t WHERE _cum <= 20000
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => graft.ext.Mixing.capPerSource(
+          t(s, dir, "documents"), "source", "doc_id",
+          length(col("text")), budget = 20000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), max("_cum").as("used_chars"))
+        .orderBy("source")),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
