@@ -137,8 +137,8 @@ object Bpe {
 }
 
 /** A trained BPE model: an ordered merge list plus the training base
-  * alphabet (for the id vocabulary). Serializable so the encode UDF can
-  * ship it in the task closure. */
+  * alphabet (for the id vocabulary). Serializable; the encode UDFs ship it
+  * via a broadcast (once per executor), never per-task closures. */
 case class BpeModel(merges: IndexedSeq[(String, String)],
                     baseChars: IndexedSeq[String] = IndexedSeq.empty)
   extends Serializable {
@@ -170,9 +170,13 @@ case class BpeModel(merges: IndexedSeq[(String, String)],
   def encodeIds(text: String): Seq[Int] =
     encode(text).map(t => tokenToId.getOrElse(t, 0))
 
-  /** array<int> token ids (null text -> null) — the trainer-ready form. */
+  /** array<int> token ids (null text -> null) — the trainer-ready form.
+    * The model rides a BROADCAST (one ship per executor, not one per task
+    * closure); `rank`/`tokenToId` rebuild lazily executor-side. */
   def tokenIds(c: Column): Column = {
-    val f = udf((s: String) => if (s == null) null else encodeIds(s))
+    val bc = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(this)
+    val f = udf((s: String) => if (s == null) null else bc.value.encodeIds(s))
     f(c)
   }
 
@@ -204,9 +208,12 @@ case class BpeModel(merges: IndexedSeq[(String, String)],
   def encode(text: String): Seq[String] =
     text.split("\\s+").iterator.filter(_.nonEmpty).flatMap(encodeWord).toSeq
 
-  /** array<string> of BPE tokens (null text -> null). */
+  /** array<string> of BPE tokens (null text -> null); broadcast like
+    * [[tokenIds]]. */
   def tokens(c: Column): Column = {
-    val f = udf((s: String) => if (s == null) null else encode(s))
+    val bc = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(this)
+    val f = udf((s: String) => if (s == null) null else bc.value.encode(s))
     f(c)
   }
 

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Corpus mixing: cap each source's contribution to a training corpus at a
@@ -11,23 +12,131 @@ import org.apache.spark.sql.functions._
  * This is the "mixture weights" step of a pretraining-data build: without
  * it one over-crawled source dominates the token distribution.
  *
- * Shape: one running-sum window per source partition + a filter — a single
- * hash exchange on the source key; no collect, no join. Skewed sources are
- * exactly the ones the cap truncates, so the window partition size is
- * bounded by budget/min-cost in the output (the scan-side rows still flow
- * through the window — pre-filter with a cheap upper bound if a source is
- * pathologically large).
+ * Shape: a two-phase distributed prefix sum, NOT one running-sum window per
+ * source. `Window.partitionBy(source)` puts every row of a source on a
+ * single task — with a handful of sources at corpus scale that is a
+ * one-task sort of the largest source. Instead:
+ *
+ *   1. each source is split into `numBuckets` ORDER-CONTIGUOUS range
+ *      buckets of `orderCol` (boundaries from one bounded
+ *      `approx_percentile` sketch pass, collected once to the driver —
+ *      sources × numBuckets doubles — so every downstream branch buckets
+ *      rows identically);
+ *   2. per-bucket exact cost totals (a tiny partial+final aggregate) turn
+ *      into exclusive per-bucket offsets via a window over that
+ *      sources × numBuckets row aggregate;
+ *   3. buckets whose offset alone exceeds the budget are dropped wholesale
+ *      (their rows are never sorted), and the survivors get
+ *      `_cum = bucket offset + in-bucket running sum` under
+ *      `Window.partitionBy(source, bucket)` — max task = one bucket,
+ *      parallelism = sources × numBuckets.
+ *
+ * Because bucket boundaries are order-contiguous and per-bucket sums are
+ * exact longs, `_cum` is bit-identical to the single-window formulation no
+ * matter where the (approximate) boundaries fall — boundary quality only
+ * affects task balance, never results.
+ *
+ * Requirements: `cost` must be non-negative (what a char/token/byte cost
+ * is by nature; the whole-bucket prune in step 3 relies on it), and
+ * `orderCol` (plus `tieCols`, if given) must be UNIQUE per source — with
+ * duplicate order keys the running sum at the budget boundary, and hence
+ * the kept subset, is tie-order dependent. Pass doc_id (or add it as a
+ * tiebreaker) to make reruns exact.
  */
 object Mixing {
 
   /** Docs ordered by `orderCol` within each source, kept while the running
     * `cost` total stays within `budget`. Adds `_cum` with the running total
-    * (callers drop it or keep it for reporting). */
+    * (callers drop it or keep it for reporting). `orderCol` must be unique
+    * per source (see class doc; use the `tieCols` overload otherwise). */
   def capPerSource(docs: DataFrame, sourceCol: String, orderCol: String,
-                   cost: Column, budget: Long): DataFrame = {
-    val w = Window.partitionBy(sourceCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("_cum", sum(cost.cast("long")).over(w))
-      .filter(col("_cum") <= budget)
+                   cost: Column, budget: Long): DataFrame =
+    capPerSource(docs, sourceCol, orderCol, cost, budget,
+      numBuckets = 32, tieCols = Nil)
+
+  /** Full form: `tieCols` complete the per-source total order when
+    * `orderCol` alone is not unique; `numBuckets` bounds the largest
+    * sort task (per-source rows / numBuckets, roughly). */
+  def capPerSource(docs: DataFrame, sourceCol: String, orderCol: String,
+                   cost: Column, budget: Long, numBuckets: Int,
+                   tieCols: Seq[String]): DataFrame = {
+    val ordKeys = (orderCol +: tieCols).map(col)
+    bucketize(docs, sourceCol, orderCol, numBuckets) match {
+      case None =>
+        // unsupported order-key type (or numBuckets == 1): single window
+        val w = Window.partitionBy(sourceCol).orderBy(ordKeys: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.withColumn("_cum", sum(cost.cast("long")).over(w))
+          .filter(col("_cum") <= budget)
+      case Some(bucketed) =>
+        val costed = bucketed.withColumn("_gc", cost.cast("long"))
+        // tiny aggregate: sources × numBuckets rows → exclusive offsets
+        val offs = costed
+          .groupBy(col(sourceCol).cast("string").as("_gsrc"),
+            col("_gbkt").as("_gb"))
+          .agg(sum("_gc").as("_gtot"))
+          .withColumn("_goff", coalesce(
+            sum("_gtot").over(Window.partitionBy("_gsrc").orderBy("_gb")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("_gsrc", "_gb", "_goff")
+        val w = Window.partitionBy(col(sourceCol), col("_gbkt"))
+          .orderBy(ordKeys: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        costed
+          .join(broadcast(offs),
+            col(sourceCol).cast("string") <=> col("_gsrc") &&
+              col("_gbkt") === col("_gb"))
+          .filter(col("_goff") <= budget) // whole-bucket prune (cost >= 0)
+          .withColumn("_cum", col("_goff") + sum(col("_gc")).over(w))
+          .filter(col("_cum") <= budget)
+          .drop("_gbkt", "_gc", "_gsrc", "_gb", "_goff")
+    }
+  }
+
+  /** Order-contiguous range-bucket assignment: adds `_gbkt` (0-based) such
+    * that within a source, orderCol(a) < orderCol(b) implies
+    * bkt(a) <= bkt(b). None when the order-key type has no monotone
+    * numeric proxy (caller falls back to the single-window form).
+    * Boundary sketch values are collected ONCE so every plan branch
+    * buckets rows identically regardless of sketch nondeterminism. */
+  private[graft] def bucketize(docs: DataFrame, sourceCol: String,
+                               orderCol: String,
+                               numBuckets: Int): Option[DataFrame] = {
+    if (numBuckets <= 1) return None
+    monotoneKey(docs.schema(orderCol).dataType).map { mono =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val tagged = docs.withColumn("_gok", mono(col(orderCol)))
+      val fracs = (1 until numBuckets).map(i => i.toDouble / numBuckets)
+      // bounded driver collect: one row per source (splitter arrays)
+      val splitRows = tagged
+        .groupBy(col(sourceCol).cast("string").as("_gsrc"))
+        .agg(expr(s"approx_percentile(_gok, array(${fracs.mkString(",")}), 10000)")
+          .as("_gsplits"))
+        .collect()
+        .map(r => (r.getString(0), Option(r.getSeq[Double](1))))
+      val splits = splitRows.toSeq.toDF("_gsrc", "_gsplits")
+      tagged
+        .join(broadcast(splits),
+          col(sourceCol).cast("string") <=> col("_gsrc"), "left")
+        .withColumn("_gbkt", when(col("_gsplits").isNull, lit(0))
+          .otherwise(size(filter(col("_gsplits"), s => s < col("_gok")))))
+        .drop("_gsrc", "_gsplits", "_gok")
+    }
+  }
+
+  /** Monotone numeric proxy of an order key: k1 < k2 implies
+    * proxy(k1) <= proxy(k2) (ties may collapse — they only share a bucket,
+    * the in-bucket sort still uses the full key). Strings take their first
+    * 7 UTF-8 bytes zero-padded as an unsigned integer — monotone under
+    * Spark's binary string collation. */
+  private def monotoneKey(dt: DataType): Option[Column => Column] = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType |
+         BooleanType =>
+      Some(c => c.cast("double"))
+    case StringType =>
+      Some(c => conv(hex(substring(rpad(c, 7, "\u0000").cast("binary"), 1, 7)),
+        16, 10).cast("double"))
+    case _ => None
   }
 }

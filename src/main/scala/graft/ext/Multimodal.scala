@@ -108,12 +108,17 @@ object Multimodal {
       var i = 12
       var byteRate = 0L
       var dataSize = -1L
-      while (i + 8 <= b.length && (byteRate == 0L || dataSize < 0)) {
+      var ok = true
+      while (ok && i + 8 <= b.length && (byteRate == 0L || dataSize < 0)) {
         val id = new String(b, i, 4, "US-ASCII")
-        val size = le32(i + 4)
+        val size = le32(i + 4) // unsigned 32-bit; untrusted
         if (id == "fmt " && i + 8 + 16 <= b.length) byteRate = le32(i + 8 + 8)
         else if (id == "data") dataSize = size
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // word-aligned advance, computed in Long: a crafted size >= 2^31
+        // would overflow an Int advance to <= 0 and spin this loop forever
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next <= i || next > b.length) ok = false // malformed: keep parsed
+        else i = next.toInt
       }
       val dur = if (byteRate > 0 && dataSize >= 0) dataSize * 1000L / byteRate else -1L
       Some(("wav", -1, -1, dur))

@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
  * Scale shape (same architecture as [[Bpe]]): training reduces the corpus
  * to a BOUNDED (ngram, count) table in one partial+final aggregate with a
  * TakeOrderedAndProject top-K cut — 100 TB of text never moves more than
- * once, and the driver holds at most `maxNgrams` rows. Scoring ships the
- * log-prob tables in task closures (a few MB) — per-row work, no joins.
- * Probabilities use add-k smoothing over P(c | prefix) with truncation-safe
- * context counts (contexts are counted in full; only the conditional table
- * is top-K cut, so a dropped rare ngram degrades smoothly to the smoothed
- * floor instead of lying about its context).
+ * once, and the driver holds at most `maxNgrams` rows. Scoring broadcasts
+ * the log-prob table once per job (not per task closure) — per-row work,
+ * no joins. Probabilities use add-k smoothing over P(c | prefix) with
+ * truncation-safe context counts: context totals are derived from the FULL
+ * gram-count table (prefix sums over the distinct-ngram aggregate, before
+ * the top-K cut), so a dropped rare ngram degrades smoothly to the smoothed
+ * floor instead of inflating the kept ngrams' conditionals.
  */
 object NgramLm {
 
@@ -72,19 +73,33 @@ object NgramLm {
     // small corpora often arrive as one input split; the interpreted HOF
     // ngram extraction is the train cost, so spread it across the cluster
     // (a 5k-row exchange is noise next to 2.5M per-element lambda evals)
+    val spark = docs.sparkSession
     val spread = docs.select(col(textCol))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    val grams = spread
+      .repartition(spark.sparkContext.defaultParallelism)
+    // ONE corpus pass: the distinct-gram count table (bounded by the char
+    // vocabulary ** n, stays distributed) feeds both the top-K cut and the
+    // exact context totals — persisted so neither branch re-reads the corpus
+    val gramCounts = spread
       .select(explode(charNgrams(col(textCol), n)).as("g"))
       .filter(length(col("g")) === n)
       .groupBy("g").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+    val grams = gramCounts
       .orderBy(desc("c"), asc("g")).limit(maxNgrams)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     require(grams.nonEmpty, "ngram training produced no ngrams (empty corpus?)")
-    // context totals from the FULL distribution restricted to kept prefixes:
-    // summing kept-ngram counts per prefix (bounded driver work)
-    val contextTotals = grams.groupBy(_._1.substring(0, n - 1))
-      .map { case (p, g) => p -> g.map(_._2).sum }
+    // TRUE context totals: prefix sums over the FULL gram distribution (not
+    // just the kept top-K), restricted to kept prefixes via broadcast
+    // semi-join — bounded collect (<= maxNgrams rows), conditionals in
+    // truncated contexts stay honest
+    val keptPrefixes = grams.map(_._1.substring(0, n - 1)).distinct.toSeq
+    val prefixDf = spark.createDataset(keptPrefixes)(
+      org.apache.spark.sql.Encoders.STRING).toDF("p")
+    val contextTotals: Map[String, Long] = gramCounts
+      .groupBy(substring(col("g"), 1, n - 1).as("p")).agg(sum("c").as("t"))
+      .join(broadcast(prefixDf), "p")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // alphabet size for smoothing = distinct final chars seen
     val alphabet = math.max(grams.map(_._1.last).distinct.length, 1)
     val logProb = grams.map { case (g, c) =>
@@ -94,13 +109,16 @@ object NgramLm {
     // floor: an unseen ngram in the least-likely seen context
     val minCtx = contextTotals.values.min
     LmModel(n, logProb, math.log(addK / (minCtx + addK * alphabet)))
+    } finally gramCounts.unpersist()
   }
 
   /** Score a corpus against a trained model: adds `lm_score` (mean char
-    * log-prob, higher = more in-distribution). Closure-shipped table, one
+    * log-prob, higher = more in-distribution). The (<= 200k-entry) table is
+    * BROADCAST once per job, not serialized into every task closure; one
     * map pass. */
   def score(docs: DataFrame, textCol: String, model: LmModel): DataFrame = {
-    val fn = udf((s: String) => model.scoreText(s))
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val fn = udf((s: String) => bc.value.scoreText(s))
     docs.withColumn("lm_score", fn(col(textCol)))
   }
 

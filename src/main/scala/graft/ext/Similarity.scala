@@ -188,13 +188,32 @@ object Similarity {
       .map { case (v, i) => (i, v) }.toSeq.toDF("cent_id", "_centv"))
   }
 
-  /** Nearest-centroid id (0-based index into `cents`) as a pure projection:
-    * nlist codegen'd dots against literal centroid arrays + argmax. No join,
-    * no window, no shuffle — the row never leaves its partition. Ties break
-    * to the smallest index (array_position returns the first occurrence). */
+  /** Centroid set flattened to the payload form the assignment kernels take:
+    * one nlist x dim array riding the expression as a reference object. */
+  private def flatCents(cents: IndexedSeq[Seq[Double]]): (Array[Double], Int, Int) = {
+    val nlist = cents.length
+    val dim = cents.head.length
+    val flat = new Array[Double](nlist * dim)
+    var c = 0
+    while (c < nlist) {
+      val cv = cents(c)
+      var j = 0
+      while (j < dim) { flat(c * dim + j) = cv(j); j += 1 }
+      c += 1
+    }
+    (flat, nlist, dim)
+  }
+
+  /** Nearest-centroid id (0-based index into `cents`) as a pure projection —
+    * one codegen'd argmax kernel scanning a payload centroid matrix (see
+    * [[graft.functions.Centroids]]). No join, no window, no shuffle — the
+    * row never leaves its partition, and the generated code is constant-size
+    * in nlist (the earlier literal-array formulation hit Janino
+    * constant-pool/method-size limits past nlist ~ 1k). Ties break to the
+    * smallest index. */
   private def argBestCell(cents: IndexedSeq[Seq[Double]], v: Column): Column = {
-    val sims = array(cents.map(cv => dot(v, typedLit(cv))): _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
+    val (flat, nlist, dim) = flatCents(cents)
+    graft.functions.CentroidFunctions.best_cell(v, flat, nlist, dim)
   }
 
   /** Driver-side centroid set for [[kmeansCentroids]]; index = cent_id. */
@@ -298,8 +317,9 @@ object Similarity {
   }
 
   /** Nearest-`probes` cell assignment as a pure projection (see
-    * [[argBestCell]]); probes > 1 sorts the per-row sim array and explodes
-    * the top cells — still no join and no shuffle. */
+    * [[argBestCell]]); probes > 1 explodes one codegen'd top-cells kernel
+    * (sim desc, index asc — same order the earlier HOF sort produced, minus
+    * its interpreted per-row struct sort) — still no join and no shuffle. */
   private def assignCells(df: DataFrame, id: String, vecCol: String,
                           outIdCol: String, vOut: String,
                           cents: IndexedSeq[Seq[Double]],
@@ -308,13 +328,10 @@ object Similarity {
     val base = df.select(col(id).as(outIdCol), v)
     if (probes <= 1) base.withColumn("cent_id", argBestCell(cents, col(vOut)))
     else {
-      val sims = array(cents.map(cv => dot(col(vOut), typedLit(cv))): _*)
-      // per-row HOF (not per-pair): interpreted eval is fine here
-      val ranked = array_sort(transform(sims,
-        (s, i) => struct((-s).as("ns"), i.cast("int").as("i"))))
+      val (flat, nlist, dim) = flatCents(cents)
       base.select(col(outIdCol), col(vOut),
-          explode(slice(ranked, 1, probes)).as("_cell"))
-        .select(col(outIdCol), col(vOut), col("_cell.i").as("cent_id"))
+        explode(graft.functions.CentroidFunctions.top_cells(
+          col(vOut), flat, nlist, dim, probes)).as("cent_id"))
     }
   }
 
@@ -650,10 +667,13 @@ object Similarity {
           posexplode(array((0 until tables).map(t =>
             lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)))
         .select(col(outId), col(vOut), col("pos").as("_table"), col("col").as("_sig"))
-    val l = sigs(left, leftId, "id_l", "_vl")
-    val r = sigs(right, rightId, "id_r", "_vr")
+    // guard BOTH sides: a degenerate bucket in either corpus concentrates
+    // |other-side bucket| x maxBucket candidate pairs into one join task
+    def guard(df: DataFrame): DataFrame = df
       .withColumn("_bn", count(lit(1)).over(Window.partitionBy("_table", "_sig")))
       .filter(col("_bn") <= maxBucket).drop("_bn")
+    val l = guard(sigs(left, leftId, "id_l", "_vl"))
+    val r = guard(sigs(right, rightId, "id_r", "_vr"))
     l.join(r, Seq("_table", "_sig"))
       .select(col("id_l"), col("id_r"),
         round(dot(col("_vl"), col("_vr")), roundTo).as("sim"))

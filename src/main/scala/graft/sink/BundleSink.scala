@@ -57,7 +57,14 @@ object BundleSink {
                  finalSettings: Map[String, String] = Map.empty): Map[String, Result] = {
     val spark = docs.sparkSession
     val sharded = docs
-      .withColumn("_index", col(indexCol))
+      // fail INSIDE the write job on a null/empty index value (the task
+      // error aborts the job before any output commits) — a null would
+      // otherwise produce a separator-less count key whose parse crashes
+      // the driver AFTER files have landed
+      .withColumn("_index", when(col(indexCol).isNull || col(indexCol) === "",
+        raise_error(concat(lit(s"null/empty $indexCol for _id="),
+          coalesce(col("_id").cast("string"), lit("<null>")))))
+        .otherwise(col(indexCol)))
       .withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
     val arranged =
       if (repartition) sharded.repartition(numShards * partitionMultiples,

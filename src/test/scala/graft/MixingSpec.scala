@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Mixing
+
+/** Laws for the two-phase (bucketed) per-source budget cap: the bucketed
+  * prefix sum must be bit-identical to the single-window formulation, while
+  * actually SPLITTING a skewed source across >1 bucket (the whole point —
+  * `Window.partitionBy(source)` alone is one task per source). */
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 sources; "web" holds ~90% of rows (the skew case the bucketing is
+    * for). String doc ids with non-uniform prefixes. */
+  private def skewedDocs(n: Int = 2000): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val src = if (i % 10 == 0) (if (i % 20 == 0) "wiki" else "books")
+                else "web"
+      val cost = 10 + (i * 37) % 90
+      (f"doc_${(i * 2654435761L) % 100000}%05d_$i", src, cost)
+    }
+    rows.toDF("doc_id", "source", "cost")
+  }
+
+  /** Reference: the one-window-per-source formulation (numBuckets=1 path). */
+  private def singleWindow(docs: DataFrame, budget: Long): DataFrame =
+    Mixing.capPerSource(docs, "source", "doc_id", col("cost"), budget,
+      numBuckets = 1, tieCols = Nil)
+
+  test("bucketed capPerSource == single-window, bit-exact (string order key)") {
+    val docs = skewedDocs()
+    for (budget <- Seq(500L, 5000L, 50000L)) {
+      val a = singleWindow(docs, budget)
+        .select("doc_id", "source", "cost", "_cum").collect().toSet
+      val b = Mixing.capPerSource(docs, "source", "doc_id", col("cost"),
+          budget, numBuckets = 8, tieCols = Nil)
+        .select("doc_id", "source", "cost", "_cum").collect().toSet
+      assert(b === a, s"bucketed != single-window at budget=$budget")
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("bucketed capPerSource == single-window (numeric order key)") {
+    val docs = skewedDocs().withColumn("ord",
+      (crc32(col("doc_id")) % 100000).cast("long"))
+    // crc32-derived order values can collide: doc_id completes the order
+    val a = Mixing.capPerSource(docs, "source", "ord", col("cost"), 8000L,
+        numBuckets = 1, tieCols = Seq("doc_id"))
+      .select("doc_id", "_cum").collect().toSet
+    val b = Mixing.capPerSource(docs, "source", "ord", col("cost"), 8000L,
+        numBuckets = 8, tieCols = Seq("doc_id"))
+      .select("doc_id", "_cum").collect().toSet
+    assert(b === a)
+    assert(a.nonEmpty)
+  }
+
+  test("a 90%-skew source spans >1 bucket; buckets are order-contiguous") {
+    val docs = skewedDocs()
+    val bucketed = Mixing.bucketize(docs, "source", "doc_id", 8)
+      .getOrElse(fail("string order key must be bucketizable"))
+    val byBkt = bucketed.filter(col("source") === "web")
+      .groupBy("_gbkt")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("_gbkt")
+      .collect()
+    assert(byBkt.length > 1,
+      s"big source landed in ${byBkt.length} bucket(s) — still one task")
+    // no bucket holds everything (bounded-task law)
+    val total = byBkt.map(_.getLong(1)).sum
+    assert(byBkt.map(_.getLong(1)).max < total,
+      "one bucket holds the whole source")
+    // order-contiguity: bucket k's max id < bucket k+1's min id
+    byBkt.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getString(3) < b.getString(2),
+          s"buckets ${a.getInt(0)} and ${b.getInt(0)} overlap in order-key range")
+      case _ =>
+    }
+  }
+
+  test("monotone proxy handles short ids, prefixes, and control chars") {
+    // "a" < "a\u0001" < "a " < "ab" in UTF8-binary order; a NUL-padded
+    // 7-byte prefix key must never invert those (ties may share a bucket)
+    val docs = Seq("a", "a\u0001", "a ", "ab", "b", "aaaaaaaaaa", "aaaaaaaaab")
+      .zipWithIndex.map { case (id, i) => (id, "s", 1 + i) }
+      .toDF("doc_id", "source", "cost")
+    val bucketed = Mixing.bucketize(docs, "source", "doc_id", 4).get
+      .orderBy("doc_id").select("doc_id", "_gbkt")
+      .as[(String, Int)].collect()
+    bucketed.sliding(2).foreach {
+      case Array((id1, b1), (id2, b2)) =>
+        assert(b1 <= b2, s"bucket order inverted: '$id1'->$b1 vs '$id2'->$b2")
+      case _ =>
+    }
+    // and the capped output still matches the single-window reference
+    val a = singleWindow(docs, 10L).select("doc_id", "_cum").collect().toSet
+    val b = Mixing.capPerSource(docs, "source", "doc_id", col("cost"), 10L,
+        numBuckets = 4, tieCols = Nil)
+      .select("doc_id", "_cum").collect().toSet
+    assert(b === a)
+  }
+
+  test("whole-bucket prune: over-budget buckets drop without changing results") {
+    // budget so small only the first few docs survive — later buckets of
+    // the big source are pruned by offset alone; result must still match
+    val docs = skewedDocs(4000)
+    val a = singleWindow(docs, 300L).select("doc_id", "_cum").collect().toSet
+    val b = Mixing.capPerSource(docs, "source", "doc_id", col("cost"), 300L,
+        numBuckets = 16, tieCols = Nil)
+      .select("doc_id", "_cum").collect().toSet
+    assert(b === a)
+    assert(a.nonEmpty && a.size < 100)
+  }
+}

@@ -387,4 +387,50 @@ class SimilaritySpec extends SparkSpec {
     assert(rPq >= 0.9, s"pq_rerank recall $rPq at the driver-bench config")
     assert(rIvfPq >= 0.9, s"ivf_pq recall $rIvfPq at the driver-bench config")
   }
+
+  test("best_cell/top_cells: codegen at nlist=4096 (no fallback) matches driver argmax") {
+    // the literal-array formulation died at nlist ~ 1k (Janino constant
+    // pool); the payload kernel must stay codegen'd at the auto-router's
+    // nlist for a 10^8-vector corpus — fallback disabled so a codegen
+    // failure FAILS the test instead of silently interpreting
+    val dim = 16; val nlist = 4096; val probes = 4
+    val rnd = new scala.util.Random(11)
+    val cents = Array.fill(nlist * dim)(rnd.nextDouble() * 2 - 1)
+    val rows = Seq.fill(50)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val df = rows.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df.select(col("id"),
+          graft.functions.CentroidFunctions.best_cell(col("v"), cents, nlist, dim).as("cell"),
+          graft.functions.CentroidFunctions.top_cells(col("v"), cents, nlist, dim, probes).as("cells"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Int](2)))
+        .sortBy(_._1)
+      got.foreach { case (id, cell, cells) =>
+        val v = rows(id)
+        val sims = (0 until nlist).map { c =>
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * cents(c * dim + j); j += 1 }
+          d
+        }
+        val expTop = (0 until nlist).sortBy(c => (-sims(c), c)).take(probes)
+        assert(cell === expTop.head, s"best_cell mismatch for row $id")
+        assert(cells === expTop, s"top_cells mismatch for row $id")
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("best_cell/top_cells: ties break to the smallest centroid index") {
+    val dim = 4
+    val c0 = Seq(0.0, 1.0, 0.0, 0.0)
+    val dup = Seq(1.0, 0.0, 0.0, 0.0)
+    // centroids 1 and 3 identical and best for the probe vector
+    val cents = (c0 ++ dup ++ c0 ++ dup).toArray
+    val df = Seq((0, Seq(1.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val r = df.select(
+        graft.functions.CentroidFunctions.best_cell(col("v"), cents, 4, dim).as("cell"),
+        graft.functions.CentroidFunctions.top_cells(col("v"), cents, 4, dim, 3).as("cells"))
+      .collect().head
+    assert(r.getInt(0) === 1)
+    assert(r.getSeq[Int](1) === Seq(1, 3, 0)) // tied pair by index, then next-best
+  }
 }
