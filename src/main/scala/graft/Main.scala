@@ -23,7 +23,8 @@ object Main {
     "infer-sample", "mode", "compression",
     "text-col", "bpe-merges", "bpe-max-words", "bpe-model",
     "type-name", "hive-input-fields", "index-col",
-    "quality-min", "neardup-threshold", "redact-pii", "lm-min-score",
+    "quality-min", "neardup-threshold", "neardup-method", "embedding-col",
+    "redact-pii", "lm-min-score",
     "bulk-actions", "bulk-size", "alias", "final-index-setting")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
@@ -184,7 +185,9 @@ object Main {
             bpeMerges = raw.getOrElse("bpe-merges", "2000").toInt,
             bpeMaxWords = raw.getOrElse("bpe-max-words", "50000").toInt,
             redactPii = raw.get("redact-pii").exists(_.toBoolean),
-            lmMinScore = raw.get("lm-min-score").map(_.toDouble))
+            lmMinScore = raw.get("lm-min-score").map(_.toDouble),
+            nearDupMethod = raw.getOrElse("neardup-method", "minhash"),
+            embeddingCol = raw.getOrElse("embedding-col", "embedding"))
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")

@@ -342,19 +342,36 @@ object Similarity {
    * a few KB that rides the scoring expressions as a codegen reference.
    */
   case class PqModel(dim: Int, m: Int, k: Int, centroids: Array[Double],
-                     perm: IndexedSeq[Int] = IndexedSeq.empty) {
+                     perm: IndexedSeq[Int] = IndexedSeq.empty,
+                     rot: Array[Double] = Array.empty) {
     val subDim: Int = dim / m
   }
 
-  /** Apply a model's dimension permutation as a plain projection (identity
-    * when the model has none). */
+  /** Apply a model's input transform: learned OPQ rotation (codegen matvec,
+    * the matrix rides the expression as a payload) > variance-balancing
+    * permutation (pure projection) > identity. */
   private def permute(vec: Column, model: PqModel): Column =
-    if (model.perm.isEmpty) vec
+    if (model.rot.nonEmpty)
+      graft.functions.PqFunctions.mat_vec(vec, model.rot, model.dim)
+    else if (model.perm.isEmpty) vec
     else array(model.perm.map(i => vec.getItem(i)): _*)
 
+  /**
+   * @param opqIters when > 0, learn a true OPQ rotation (Ge et al.,
+   *   "Optimized Product Quantization", CVPR 2013 — public method) by
+   *   alternating minimization on the training sample: fix R, train the
+   *   per-subspace codebooks on R·x; fix the codebooks, solve the orthogonal
+   *   Procrustes problem min_R Σ‖R·x − reconstruction‖² in closed form (the
+   *   orthogonal polar factor of Σ recon·xᵀ, computed by Higham's Newton
+   *   iteration — dim×dim driver-side math, no LAPACK needed). Initialized
+   *   from the variance-balancing permutation (OPQ-P init), so it is never
+   *   worse than `balance=true` on the training objective. The rotation is
+   *   applied at encode/query time as one codegen'd mat-vec.
+   */
   def pqTrain(corpus: DataFrame, vecCol: String, dim: Int,
               m: Int = 8, k: Int = 16, iters: Int = 10,
-              sampleSize: Int = 10000, balance: Boolean = true): PqModel = {
+              sampleSize: Int = 10000, balance: Boolean = true,
+              opqIters: Int = 0): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
     val subDim = dim / m
     import corpus.sparkSession.implicits._
@@ -389,15 +406,183 @@ object Similarity {
         }
         buckets.flatten.toIndexedSeq
       }
-    val sample = if (perm.isEmpty) raw else raw.map(v => perm.map(v).toArray)
-    val cents = new Array[Double](m * k * subDim)
-    for (sub <- 0 until m) {
-      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim))
-      val cs = lloyd(pts, k, iters)
-      for (c <- 0 until k; j <- 0 until subDim)
-        cents((sub * k + c) * subDim + j) = cs(c)(j)
+    def trainCodebooks(sample: Array[Array[Double]]): Array[Double] = {
+      val cents = new Array[Double](m * k * subDim)
+      for (sub <- 0 until m) {
+        val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim))
+        val cs = lloyd(pts, k, iters)
+        for (c <- 0 until k; j <- 0 until subDim)
+          cents((sub * k + c) * subDim + j) = cs(c)(j)
+      }
+      cents
     }
-    PqModel(dim, m, k, cents, perm)
+    // decode-of-encode under given codebooks (per subspace: nearest centroid,
+    // then its values) — the OPQ reconstruction target
+    def reconstruct(v: Array[Double], cents: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var sub = 0
+      while (sub < m) {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val off = (sub * k + c) * subDim
+          var s = 0.0; var j = 0
+          while (j < subDim) { val x = v(sub * subDim + j) - cents(off + j); s += x * x; j += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        val off = (sub * k + best) * subDim
+        var j = 0
+        while (j < subDim) { out(sub * subDim + j) = cents(off + j); j += 1 }
+        sub += 1
+      }
+      out
+    }
+    if (opqIters <= 0) {
+      val sample = if (perm.isEmpty) raw else raw.map(v => perm.map(v).toArray)
+      PqModel(dim, m, k, trainCodebooks(sample), perm)
+    } else {
+      // OPQ alternating minimization; R starts at the balancing permutation
+      var R = Mat.permutation(perm, dim)
+      for (_ <- 0 until opqIters) {
+        val rotated = raw.map(x => Mat.apply(R, x, dim))
+        val cents = trainCodebooks(rotated)
+        // Procrustes target: Σ recon·xᵀ over the sample (recon = decoded
+        // codes of the ROTATED vector, x = the ORIGINAL vector)
+        val M = new Array[Double](dim * dim)
+        var i = 0
+        while (i < raw.length) {
+          val r = reconstruct(rotated(i), cents)
+          val x = raw(i)
+          var a = 0
+          while (a < dim) {
+            val ra = r(a); val off = a * dim
+            var b = 0
+            while (b < dim) { M(off + b) += ra * x(b); b += 1 }
+            a += 1
+          }
+          i += 1
+        }
+        Mat.polarFactor(M, dim).foreach(R = _) // singular target: keep last R
+      }
+      PqModel(dim, m, k, trainCodebooks(raw.map(x => Mat.apply(R, x, dim))),
+        IndexedSeq.empty, R)
+    }
+  }
+
+  /** Driver-side dense dim×dim matrix math for OPQ (row-major arrays; dim is
+    * an embedding width — 64..1024 — so cubic ops are microseconds-to-ms on
+    * the driver and never touch executors). */
+  private object Mat {
+    /** Permutation as a rotation seed: out(i) = v(perm(i)); identity when
+      * perm is empty. */
+    def permutation(perm: IndexedSeq[Int], dim: Int): Array[Double] = {
+      val r = new Array[Double](dim * dim)
+      var i = 0
+      while (i < dim) {
+        r(i * dim + (if (perm.isEmpty) i else perm(i))) = 1.0
+        i += 1
+      }
+      r
+    }
+
+    def apply(r: Array[Double], v: Array[Double], dim: Int): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; val off = i * dim; var j = 0
+        while (j < dim) { s += r(off + j) * v(j); j += 1 }
+        out(i) = s; i += 1
+      }
+      out
+    }
+
+    private def transpose(a: Array[Double], dim: Int): Array[Double] = {
+      val t = new Array[Double](dim * dim)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { t(j * dim + i) = a(i * dim + j); j += 1 }
+        i += 1
+      }
+      t
+    }
+
+    /** Gauss–Jordan inverse with partial pivoting; None when singular. */
+    private def inverse(a0: Array[Double], dim: Int): Option[Array[Double]] = {
+      val a = a0.clone()
+      val inv = new Array[Double](dim * dim)
+      var i = 0
+      while (i < dim) { inv(i * dim + i) = 1.0; i += 1 }
+      var col = 0
+      while (col < dim) {
+        var piv = col; var best = math.abs(a(col * dim + col))
+        var r = col + 1
+        while (r < dim) {
+          val v = math.abs(a(r * dim + col)); if (v > best) { best = v; piv = r }; r += 1
+        }
+        if (best < 1e-12) return None
+        if (piv != col) {
+          var j = 0
+          while (j < dim) {
+            val t1 = a(col * dim + j); a(col * dim + j) = a(piv * dim + j); a(piv * dim + j) = t1
+            val t2 = inv(col * dim + j); inv(col * dim + j) = inv(piv * dim + j); inv(piv * dim + j) = t2
+            j += 1
+          }
+        }
+        val d = a(col * dim + col)
+        var j = 0
+        while (j < dim) { a(col * dim + j) /= d; inv(col * dim + j) /= d; j += 1 }
+        r = 0
+        while (r < dim) {
+          if (r != col) {
+            val f = a(r * dim + col)
+            if (f != 0.0) {
+              var j2 = 0
+              while (j2 < dim) {
+                a(r * dim + j2) -= f * a(col * dim + j2)
+                inv(r * dim + j2) -= f * inv(col * dim + j2)
+                j2 += 1
+              }
+            }
+          }
+          r += 1
+        }
+        col += 1
+      }
+      Some(inv)
+    }
+
+    /** Orthogonal polar factor of M (the Procrustes maximizer of tr(R·Mᵀ)…
+      * equivalently argmax_R ⟨R, M⟩_F over orthogonal R) via Higham's Newton
+      * iteration X ← (X + X⁻ᵀ)/2 — quadratically convergent, no SVD needed.
+      * None when M is (near-)singular. */
+    def polarFactor(m0: Array[Double], dim: Int): Option[Array[Double]] = {
+      // scale for conditioning: X0 = M / ||M||_F
+      var norm = 0.0
+      m0.foreach(v => norm += v * v)
+      norm = math.sqrt(norm)
+      if (norm < 1e-12) return None
+      var x = m0.map(_ / norm)
+      var it = 0
+      while (it < 50) {
+        val invT = inverse(x, dim) match {
+          case Some(inv) => transpose(inv, dim)
+          case None      => return None
+        }
+        val next = new Array[Double](dim * dim)
+        var i = 0
+        var delta = 0.0
+        while (i < dim * dim) {
+          next(i) = 0.5 * (x(i) + invT(i))
+          val d = next(i) - x(i); delta += d * d
+          i += 1
+        }
+        x = next
+        if (delta < 1e-24) it = 50 else it += 1
+      }
+      Some(x)
+    }
   }
 
   /** Plain-Scala k-means for PQ subspaces: farthest-point init, `iters`

@@ -84,6 +84,23 @@ object Pq {
     }
     acc
   }
+
+  /** y = R * v for a row-major dim x dim matrix R (OPQ rotation at encode
+    * time — an orthogonal R preserves dot products, so rotated-space PQ
+    * scores remain estimates of the original-space cosine). */
+  def matvec(vec: ArrayData, rot: Array[Double], dim: Int): ArrayData = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      var s = 0.0
+      val off = i * dim
+      var j = 0
+      while (j < dim) { s += rot(off + j) * vec.getDouble(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Encode a (unit) vector into m PQ codes against a fixed centroid table. */
@@ -164,7 +181,31 @@ case class PqScoreExpr(left: Expression, right: Expression, k: Int)
     copy(left = nl, right = nr)
 }
 
+/** Dense rotation applied to a vector; the matrix rides the expression as a
+  * reference object (same pattern as the PQ centroid tables). */
+case class MatVecExpr(child: Expression, rot: Array[Double], dim: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"mat_vec requires array<double>, got ${o.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Pq.matvec(v.asInstanceOf[ArrayData], rot, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("rotMat", rot, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.Pq.matvec($v, $r, $dim)")
+  }
+  override protected def withNewChildInternal(nc: Expression): MatVecExpr =
+    copy(child = nc)
+}
+
 object PqFunctions {
+  def mat_vec(vec: Column, rot: Array[Double], dim: Int): Column =
+    GraftSqlBridge.column(MatVecExpr(GraftSqlBridge.expression(vec), rot, dim))
   def pq_encode(vec: Column, cents: Array[Double], m: Int, k: Int, subDim: Int): Column =
     GraftSqlBridge.column(PqEncodeExpr(GraftSqlBridge.expression(vec), cents, m, k, subDim))
   def pq_lut(vec: Column, cents: Array[Double], m: Int, k: Int, subDim: Int): Column =

@@ -25,10 +25,16 @@ import org.apache.spark.sql.functions._
  *    log-prob are dropped — catches fluent-looking junk the surface
  *    heuristics pass.
  *  - exact dedup: first doc (lowest id) per normalized-text group survives.
- *  - near-dup removal: LSH candidates verified by shingle Jaccard >=
- *    `nearDupThreshold`; the HIGHER id of each surviving pair is dropped
- *    (greedy canonical-minimum; a chain A~B~C keeps A, and keeps C only if
- *    C~A was below threshold — the standard cheap approximation).
+ *  - near-dup removal (`nearDupMethod`): candidates from banded LSH, the
+ *    HIGHER id of each surviving pair dropped (greedy canonical-minimum; a
+ *    chain A~B~C keeps A, and keeps C only if C~A was below threshold — the
+ *    standard cheap approximation). Two interchangeable notions of "near":
+ *      - `"minhash"` (default): shingle MinHash bands + Jaccard >=
+ *        `nearDupThreshold` — surface-text similarity.
+ *      - `"embedding"`: hyperplane-LSH buckets + cosine >=
+ *        `nearDupThreshold` over `embeddingCol` — semantic similarity
+ *        (catches paraphrases/translations MinHash can't), for corpora that
+ *        carry embeddings. Same bucketed shuffle shape, same skew caps.
  *  - tokenize: BPE trained on the SURVIVING corpus, tokens + counts land as
  *    typed columns in the columnar bundle; the model is persisted next to
  *    the manifest for downstream reuse.
@@ -45,7 +51,9 @@ object CorpusPipeline {
           qualityMin: Double = 0.5, nearDupThreshold: Double = 0.9,
           bpeMerges: Int = 2000, bpeMaxWords: Int = 50000,
           redactPii: Boolean = false,
-          lmMinScore: Option[Double] = None): Stats = {
+          lmMinScore: Option[Double] = None,
+          nearDupMethod: String = "minhash",
+          embeddingCol: String = "embedding"): Stats = {
     val raw = spark.read.parquet(input)
     val docs =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -74,8 +82,18 @@ object CorpusPipeline {
 
     // near-dup pairs on the exact-deduped corpus; drop the higher id of
     // each pair (distinct drop-set, then one left_anti)
-    val pairs = Dedup.minhashNearDups(exact, idCol, textCol,
-      threshold = nearDupThreshold)
+    val pairs = nearDupMethod match {
+      case "minhash" =>
+        Dedup.minhashNearDups(exact, idCol, textCol, threshold = nearDupThreshold)
+      case "embedding" =>
+        require(exact.columns.contains(embeddingCol),
+          s"nearDupMethod=embedding needs column '$embeddingCol' on the corpus")
+        val dim = exact.select(size(col(embeddingCol))).head().getInt(0)
+        graft.ext.Similarity.cosineNearDupsLsh(exact, idCol, embeddingCol,
+          threshold = nearDupThreshold, dim = dim)
+      case other => throw new IllegalArgumentException(
+        s"unknown nearDupMethod '$other' (minhash | embedding)")
+    }
     val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
     val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
     val nSurvivors = survivors.count()

@@ -5,37 +5,44 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.MetadataBuilder
 
 /**
- * Reads a bundle written by [[BundleSink]] back as a DataFrame, tagging the
- * `_shard` partition column with the bundle's shard count so that
- * [[graft.plans.BundleRoutingPruning]] can turn routing point-lookups into
- * partition-pruned scans.
+ * Reads a bundle written by [[BundleSink]] back as a DataFrame.
+ *
+ * [[read]] goes through the DataSource V2 connector
+ * ([[graft.sources.BundleDataSource]], `format("graft-bundle")`): the source
+ * resolves the manifest itself and owns `_routing -> _shard` partition
+ * pruning natively — no session extension required. [[readTagged]] is the
+ * pre-connector path (plain file reader + `_shard` metadata tag +
+ * [[graft.plans.BundleRoutingPruning]] optimizer rule), kept for sessions
+ * that read bundle data through their own scans.
  */
 object BundleReader {
 
-  private def manifest(spark: SparkSession, bundleDir: String): String = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(bundleDir, "manifest.json"))
-    val m = new String(in.readAllBytes(), "UTF-8")
-    in.close()
-    m
-  }
-
   def numShards(spark: SparkSession, bundleDir: String): Int =
-    """"numShards":(\d+)""".r.findFirstMatchIn(manifest(spark, bundleDir)) match {
-      case Some(m) => m.group(1).toInt
-      case None    => throw new IllegalStateException(s"no numShards in $bundleDir/manifest.json")
-    }
+    graft.sources.BundleManifest.numShards(spark, bundleDir)
 
   /** Bundle format as recorded by the writer ("json" when absent — bundles
     * predating the manifest field). */
   def format(spark: SparkSession, bundleDir: String): String =
-    """"format":"(\w+)"""".r.findFirstMatchIn(manifest(spark, bundleDir))
-      .map(_.group(1)).getOrElse("json")
+    graft.sources.BundleManifest.format(spark, bundleDir)
 
-  /** Read a bundle; format auto-detected from its manifest unless given. */
+  /** Read a bundle through the V2 connector (manifest-driven format +
+    * native routing/shard pushdown). */
   def read(spark: SparkSession, bundleDir: String,
            formatOverride: Option[String] = None): DataFrame = {
+    // formatOverride is honored by re-reading through the plain reader —
+    // the connector always trusts the manifest
+    formatOverride match {
+      case Some(f) if f != format(spark, bundleDir) => readTagged(spark, bundleDir, Some(f))
+      case _ => spark.read.format("graft-bundle").load(bundleDir)
+    }
+  }
+
+  /** Legacy reader: plain file source + metadata-tagged `_shard` column +
+    * the [[graft.plans.BundleRoutingPruning]] session rule. Same results and
+    * (rule-installed) same pruning as [[read]]; for readers that can't use
+    * the connector. */
+  def readTagged(spark: SparkSession, bundleDir: String,
+                 formatOverride: Option[String] = None): DataFrame = {
     val n = numShards(spark, bundleDir)
     val df = formatOverride.getOrElse(format(spark, bundleDir)) match {
       case "json"    => spark.read

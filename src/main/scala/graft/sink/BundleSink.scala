@@ -162,6 +162,20 @@ object BundleSink {
     }
   }
 
+  /** Run `body` (a file write on `outDir/data`) under the bundle commit
+    * protocol, restoring the session's previous protocol after. Scoped to
+    * this write: the conf is read once at the write's execution start. */
+  private def withBundleCommitProtocol[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.commitProtocolClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, classOf[graft.sources.BundleCommitProtocol].getName)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** `"alias":…,"finalSettings":{…}` manifest fragment (reference alias
     * swap `ESClient.java:154-170` + health-gated final settings
     * `NodeService.java:129-152`, applied by the downstream loader). */
@@ -187,7 +201,10 @@ object BundleSink {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir), hadoopConf)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     fs.mkdirs(outPath)
-    fs.create(new org.apache.hadoop.fs.Path(outDir, "_STARTED"), true).close()
+    // _STARTED + shard_state.json are owned by the write job's commit
+    // protocol ([[graft.sources.BundleCommitProtocol]]): the start marker
+    // appears in setupJob and the state blob is written in the same
+    // commitJob that publishes the data files
 
     val sharded = docs.withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
     // fan out on mod(hash, n*m) like the reference partitioner — NOT on the
@@ -226,19 +243,21 @@ object BundleSink {
       case "parquet" | "columnar" => compression.getOrElse("zstd")
       case other     => throw new IllegalArgumentException(s"unsupported bundle format: $other")
     }
-    format match {
-      case "json" =>
-        require(JsonCodecs(codec),
-          s"json bundles support ${JsonCodecs.toSeq.sorted.mkString("/")}, not $codec" +
-            (if (codec == "zstd") " (Hadoop text zstd needs native libhadoop; use --format parquet for zstd)" else ""))
-        writer.option("compression", codec).json(outDir + "/data")
-      case "parquet" | "columnar" =>
-        // "columnar" = same parquet writer, but the docs DataFrame carries
-        // TYPED source columns (DocTransform.docsColumnar) instead of one
-        // JSON string — document fields become prunable/pushable columns
-        require(ParquetCodecs(codec),
-          s"parquet bundles support ${ParquetCodecs.toSeq.sorted.mkString("/")}, not $codec")
-        writer.option("compression", codec).parquet(outDir + "/data")
+    withBundleCommitProtocol(spark) {
+      format match {
+        case "json" =>
+          require(JsonCodecs(codec),
+            s"json bundles support ${JsonCodecs.toSeq.sorted.mkString("/")}, not $codec" +
+              (if (codec == "zstd") " (Hadoop text zstd needs native libhadoop; use --format parquet for zstd)" else ""))
+          writer.option("compression", codec).json(outDir + "/data")
+        case "parquet" | "columnar" =>
+          // "columnar" = same parquet writer, but the docs DataFrame carries
+          // TYPED source columns (DocTransform.docsColumnar) instead of one
+          // JSON string — document fields become prunable/pushable columns
+          require(ParquetCodecs(codec),
+            s"parquet bundles support ${ParquetCodecs.toSeq.sorted.mkString("/")}, not $codec")
+          writer.option("compression", codec).parquet(outDir + "/data")
+      }
     }
 
     val (total, perShard) =
@@ -262,24 +281,22 @@ object BundleSink {
       val out = fs.create(new org.apache.hadoop.fs.Path(outDir, "mapping.json"), true)
       out.write(json.getBytes("UTF-8")); out.close()
     }
-    // per-shard state export (reference `_state`/`_shard_state.zip`,
-    // ESContainer.scala:261-268: shard metadata shipped alongside the index
-    // files so the server can validate before install). The bundle analog
-    // records per-shard docs + file count + bytes from a driver-side listing
-    // of what was just committed — a consumer can cheaply cross-check a
-    // partial copy against it.
-    locally {
-      val states = (0 until numShards).map { sh =>
-        val dir = new org.apache.hadoop.fs.Path(s"$outDir/data/_shard=$sh")
-        val (files, bytes) =
-          if (fs.exists(dir))
-            fs.listStatus(dir).filter(_.isFile).filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
-              .foldLeft((0L, 0L)) { case ((f, b), st) => (f + 1, b + st.getLen) }
-          else (0L, 0L)
-        s"""{"shard":$sh,"docs":${perShard.getOrElse(sh, 0L)},"files":$files,"bytes":$bytes}"""
+    // shard_state.json (reference `_state`/`_shard_state.zip`,
+    // ESContainer.scala:261-268) was written by the commit protocol WITH the
+    // data. Parquet bundles got exact doc counts from footers; json bundles
+    // got a -1 sentinel (line counts aren't knowable at commit) — refresh
+    // those from the write job's own observe() counts. Files/bytes stay as
+    // the commit recorded them.
+    if (format == "json") locally {
+      val statePath = new org.apache.hadoop.fs.Path(outDir, "shard_state.json")
+      if (fs.exists(statePath)) {
+        val in = fs.open(statePath)
+        val s = new String(in.readAllBytes(), "UTF-8"); in.close()
+        val refreshed = """\{"shard":(\d+),"docs":-?\d+""".r.replaceAllIn(s, m =>
+          s"""{"shard":${m.group(1)},"docs":${perShard.getOrElse(m.group(1).toInt, 0L)}""")
+        val out = fs.create(statePath, true)
+        out.write(refreshed.getBytes("UTF-8")); out.close()
       }
-      val out = fs.create(new org.apache.hadoop.fs.Path(outDir, "shard_state.json"), true)
-      out.write(states.mkString("[", ",", "]").getBytes("UTF-8")); out.close()
     }
     // job-record parity with the reference's ZK node payload
     // ({numberShards, hdfsWorkDir, indexName, typeName, state},

@@ -65,7 +65,10 @@ object BundleValidate {
       else {
         val in = fs.open(statePath)
         val s = new String(in.readAllBytes(), "UTF-8"); in.close()
-        """\{"shard":(\d+),"docs":\d+,"files":(\d+),"bytes":(\d+)\}""".r
+        // docs may be the commit-time -1 sentinel on a json bundle whose
+        // notifier refresh never ran (crash after commit) — files/bytes are
+        // still the commit's exact listing
+        """\{"shard":(\d+),"docs":-?\d+,"files":(\d+),"bytes":(\d+)\}""".r
           .findAllMatchIn(s)
           .map(m => m.group(1).toInt -> (m.group(2).toLong, m.group(3).toLong)).toMap
       }

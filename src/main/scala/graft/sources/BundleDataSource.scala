@@ -1,0 +1,209 @@
+package graft.sources
+
+import graft.functions.EsMurmur3
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, InSet, Literal}
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.FileFormat
+import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.{FileDataSourceV2, FileScanBuilder, FileTable}
+import org.apache.spark.sql.execution.datasources.v2.json.{JsonScanBuilder, JsonTable}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.immutable.Seq
+
+/**
+ * DataSource V2 connector for shard-addressed bundles:
+ * `spark.read.format("graft-bundle").load(bundleDir)`.
+ *
+ * The reference's consumer reads bundles through a server daemon that knows
+ * the shard layout (`IndexBuilder.java:345-466`); the Spark-first analog is
+ * a `TableProvider` that owns that knowledge inside the scan: the table
+ * resolves `manifest.json` for the bundle's shard count and data format,
+ * reuses Spark's native parquet/json V2 scans (vectorized readers, filter
+ * pushdown, column pruning all intact), and adds ONE piece of semantics the
+ * generic sources cannot know — `_routing = 'k'` implies
+ * `_shard = es_murmur3('k') % n`, so routing point-lookups prune to a single
+ * shard directory natively in the source (the ES routed-search contract,
+ * `?routing=k` hits one shard). This subsumes the optimizer-rule approach of
+ * [[graft.plans.BundleRoutingPruning]] (still available for readers that
+ * bypass the connector): the V2 source needs no session extension — pushdown
+ * happens in [[FileScanBuilder.pushFilters]], before partition listing, so
+ * the non-matching `_shard=*` directories are never even listed at scale.
+ *
+ * Works for single-index bundles (`data/_shard=k/`) and multi-index bundles
+ * (`data/_index=i/_shard=k/` written by [[graft.sink.BundleSink.writeMulti]];
+ * `_index` becomes an ordinary partition column, prunable by equality).
+ */
+class BundleDataSource extends FileDataSourceV2 {
+  override def shortName(): String = "graft-bundle"
+
+  // Only consulted for V1 write fallback / USE_V1_SOURCE_LIST; reads go V2.
+  override def fallbackFileFormat: Class[_ <: FileFormat] = classOf[ParquetFileFormat]
+
+  private def makeTable(options: CaseInsensitiveStringMap,
+                        schema: Option[StructType]): Table = {
+    val paths = getPaths(options)
+    require(paths.nonEmpty, "graft-bundle requires a bundle directory path")
+    val spark = sparkSession
+    val root = paths.head
+    val fmt = BundleManifest.format(spark, root)
+    val shards = BundleManifest.numShards(spark, root)
+    BundleTable(getTableName(options, paths), spark, getOptionsWithoutPaths(options),
+      paths.map(p => s"$p/data"), schema, fmt, shards)
+  }
+
+  override def getTable(options: CaseInsensitiveStringMap): Table =
+    makeTable(options, None)
+
+  override def getTable(options: CaseInsensitiveStringMap, schema: StructType): Table =
+    makeTable(options, Some(schema))
+}
+
+/** Manifest resolution shared by the connector and [[graft.sink.BundleReader]].
+  * Multi-index bundles have `manifest_<idx>.json` siblings instead of one
+  * `manifest.json`; all indices of one writeMulti share a shard count, so any
+  * manifest answers for the whole bundle. */
+object BundleManifest {
+  private def read(spark: SparkSession, bundleDir: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)
+    val single = new org.apache.hadoop.fs.Path(bundleDir, "manifest.json")
+    val p =
+      if (fs.exists(single)) single
+      else fs.listStatus(new org.apache.hadoop.fs.Path(bundleDir))
+        .map(_.getPath).find(_.getName.matches("manifest_.*\\.json"))
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no manifest.json (or manifest_*.json) in $bundleDir"))
+    val in = fs.open(p)
+    val m = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    m
+  }
+
+  def numShards(spark: SparkSession, bundleDir: String): Int =
+    """"numShards":(\d+)""".r.findFirstMatchIn(read(spark, bundleDir)) match {
+      case Some(m) => m.group(1).toInt
+      case None => throw new IllegalStateException(s"no numShards in $bundleDir manifest")
+    }
+
+  /** Bundle data format as recorded by the writer ("json" when absent —
+    * bundles predating the manifest field). */
+  def format(spark: SparkSession, bundleDir: String): String =
+    """"format":"(\w+)"""".r.findFirstMatchIn(read(spark, bundleDir))
+      .map(_.group(1)).getOrElse("json")
+}
+
+/**
+ * [[FileTable]] over a bundle's `data/` directory. Delegates schema
+ * inference and writes to Spark's own parquet/json tables; scan building
+ * goes through [[RoutingShardPushdown]] so the `_routing -> _shard`
+ * implication lands in the scan's partition filters.
+ */
+case class BundleTable(name: String, sparkSession: SparkSession,
+                       options: CaseInsensitiveStringMap, paths: Seq[String],
+                       declaredSchema: Option[StructType],
+                       bundleFormat: String, bundleNumShards: Int)
+  extends FileTable(sparkSession, options, paths,
+    BundleTable.effectiveSchema(declaredSchema, bundleFormat)) {
+
+  private def isParquet: Boolean = bundleFormat != "json"
+
+  private def userSpecifiedSchema: Option[StructType] =
+    BundleTable.effectiveSchema(declaredSchema, bundleFormat)
+
+  private def delegate: FileTable =
+    if (isParquet) ParquetTable(name, sparkSession, options, paths,
+      userSpecifiedSchema, classOf[ParquetFileFormat])
+    else JsonTable(name, sparkSession, options, paths,
+      userSpecifiedSchema, classOf[JsonFileFormat])
+
+  override def inferSchema(files: Seq[org.apache.hadoop.fs.FileStatus]): Option[StructType] =
+    delegate.inferSchema(files)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = mergedOptions(opts)
+    val n = bundleNumShards
+    if (isParquet)
+      new ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, merged)
+        with RoutingShardPushdown { val routingNumShards: Int = n }
+    else
+      new JsonScanBuilder(sparkSession, fileIndex, schema, dataSchema, merged)
+        with RoutingShardPushdown { val routingNumShards: Int = n }
+  }
+
+  // Catalog-path writes land plain data files in the bundle's format; the
+  // bundle lifecycle artifacts (_STARTED / shard_state.json / manifest.json)
+  // belong to [[graft.sink.BundleSink]] + [[BundleCommitProtocol]], which own
+  // placement (_shard derivation) as well — direct table writes are for
+  // advanced use (e.g. appending pre-sharded rows through a catalog).
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    delegate.newWriteBuilder(info)
+
+  override def formatName: String = s"graft-bundle(${bundleFormat})"
+
+  override def fallbackFileFormat: Class[_ <: FileFormat] =
+    if (isParquet) classOf[ParquetFileFormat] else classOf[JsonFileFormat]
+
+  override def supportsDataType(dataType: org.apache.spark.sql.types.DataType): Boolean =
+    delegate.supportsDataType(dataType)
+}
+
+object BundleTable {
+  /** json bundle data files have a fixed layout — skip a full-data inference
+    * scan (at 100 TB that pass would dwarf most queries); parquet schemas
+    * come from footers (cheap) unless caller-specified. */
+  private[sources] def effectiveSchema(declared: Option[StructType],
+                                       bundleFormat: String): Option[StructType] =
+    declared.orElse(
+      if (bundleFormat == "json") Some(graft.streaming.BundleStream.bundleSchema)
+      else None)
+}
+
+/**
+ * Mixin for Spark's V2 file scan builders: rewrites routing point/set
+ * lookups into `_shard` partition filters before the builder splits pushed
+ * filters, so partition pruning (directory-level skipping) is native to the
+ * source. The routing conjunct itself stays a data filter — rows inside the
+ * matching shard are still filtered exactly.
+ */
+trait RoutingShardPushdown extends FileScanBuilder {
+  def routingNumShards: Int
+
+  private def shardAttr = AttributeReference("_shard", IntegerType)()
+
+  private def shardFilterFor(shards: scala.Seq[Int]): Option[Expression] =
+    shards.distinct.sorted match {
+      case scala.Seq() => None
+      case scala.Seq(one) => Some(EqualTo(shardAttr, Literal(one)))
+      case many => Some(In(shardAttr, many.map(Literal(_)).toList))
+    }
+
+  private def implied(filters: Seq[Expression]): Seq[Expression] =
+    filters.flatMap {
+      case EqualTo(a: AttributeReference, Literal(s: UTF8String, StringType))
+        if a.name == "_routing" =>
+        shardFilterFor(scala.Seq(EsMurmur3.shard(s.toString, routingNumShards)))
+      case EqualTo(Literal(s: UTF8String, StringType), a: AttributeReference)
+        if a.name == "_routing" =>
+        shardFilterFor(scala.Seq(EsMurmur3.shard(s.toString, routingNumShards)))
+      case In(a: AttributeReference, vs) if a.name == "_routing" &&
+        vs.forall { case Literal(_: UTF8String, StringType) => true; case _ => false } =>
+        shardFilterFor(vs.map { case Literal(s: UTF8String, _) =>
+          EsMurmur3.shard(s.toString, routingNumShards) })
+      // OptimizeIn converts long literal lists to InSet before pushdown
+      case InSet(a: AttributeReference, vs) if a.name == "_routing" &&
+        vs.forall(_.isInstanceOf[UTF8String]) =>
+        shardFilterFor(vs.toSeq.map(v =>
+          EsMurmur3.shard(v.asInstanceOf[UTF8String].toString, routingNumShards)))
+      case _ => scala.Seq.empty
+    }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    super.pushFilters(filters ++ implied(filters))
+}

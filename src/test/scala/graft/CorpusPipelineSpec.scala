@@ -97,4 +97,45 @@ class CorpusPipelineSpec extends SparkSpec {
     val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids.intersect((600L until 610L).toSet).size <= 2, s"junk survived: $ids")
   }
+
+  test("embedding near-dup stage: drops planted semantic clones MinHash cannot see") {
+    val rnd = new scala.util.Random(53)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"the w${rnd.nextInt(400)} of and to a").mkString(" ")
+    val dim = 16
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Seq[Float], eps: Double, seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      v.map(x => (x + eps * r.nextGaussian()).toFloat)
+    }
+    val clean = (0L until 40L).map(i => (i, sentence(12), vec(i.toInt)))
+    // "paraphrases": DIFFERENT surface text (fresh random sentence — near-zero
+    // shingle overlap) but near-identical embeddings of docs 0..4
+    val paraphrases = (0L until 5L).map(i =>
+      (i + 700L, sentence(12), jitter(vec(i.toInt), 0.01, 900 + i.toInt)))
+    val input = Files.createTempDirectory("graft-cp3-in").toString
+    (clean ++ paraphrases).toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(input)
+
+    // minhash path: paraphrases SURVIVE (no shingle overlap)
+    val outM = Files.createTempDirectory("graft-cp3-mh").toString
+    val stM = CorpusPipeline.run(spark, input, outM, "c_mh",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      nearDupThreshold = 0.8, bpeMerges = 60, bpeMaxWords = 2000)
+    assert(stM.afterNearDup === 45L, s"minhash should keep paraphrases: $stM")
+
+    // embedding path: exactly the 5 planted paraphrases (the higher ids) drop
+    val outE = Files.createTempDirectory("graft-cp3-em").toString
+    val stE = CorpusPipeline.run(spark, input, outE, "c_em",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      nearDupThreshold = 0.95, bpeMerges = 60, bpeMaxWords = 2000,
+      nearDupMethod = "embedding")
+    assert(stE.afterNearDup === 40L, s"embedding path should drop paraphrases: $stE")
+    val ids = spark.read.parquet(s"$outE/c_em/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 40L).toSet, s"canonical-minimum law violated: $ids")
+  }
 }

@@ -247,6 +247,66 @@ class SimilaritySpec extends SparkSpec {
     assert(balanced >= 26, s"balanced recall too low: $balanced/32")
   }
 
+  test("true OPQ rotation: recall >= permutation-only on CORRELATED anisotropic data; R orthogonal") {
+    // the permutation's blind spot: energy that is anisotropic in a ROTATED
+    // basis. Mixing the axis-aligned centers by a dense orthogonal matrix
+    // leaves every coordinate with similar marginal variance, so
+    // variance-balancing permutes ~blindly — only a learned rotation can
+    // align the signal back onto subspace boundaries
+    val dim = 16
+    val nClusters = 32
+    val rnd = new scala.util.Random(47)
+    // random orthogonal mix via Gram-Schmidt on a random matrix
+    val mix: Array[Array[Double]] = {
+      val a = Array.fill(dim)(Array.fill(dim)(rnd.nextGaussian()))
+      for (i <- 0 until dim) {
+        for (p <- 0 until i) {
+          val d = (0 until dim).map(j => a(i)(j) * a(p)(j)).sum
+          for (j <- 0 until dim) a(i)(j) -= d * a(p)(j)
+        }
+        val n = math.sqrt(a(i).map(x => x * x).sum)
+        for (j <- 0 until dim) a(i)(j) /= n
+      }
+      a
+    }
+    def mixed(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(i => (0 until dim).map(j => mix(i)(j) * v(j)).sum)
+    val centers = (0 until nClusters).map(_ => mixed(Array.tabulate(dim)(j =>
+      rnd.nextGaussian() * (if (j < 4) 3.0 else 0.05))))
+    val points = (0 until 640).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 32)
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(opqIters: Int): Int = {
+      val model = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 8,
+        iters = 6, balance = true, opqIters = opqIters)
+      val got = Similarity.pqTopKRerank(q, corpus,
+          Similarity.pqEncode(corpus, "vec_id", "embedding", model),
+          "vec_id", "vec_id", "embedding", model, k = 1, rerankFactor = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      brute.count { case (k2, v) => got.get(k2).contains(v) }
+    }
+    val permOnly = recall(0)
+    val opq = recall(5)
+    assert(opq >= permOnly, s"OPQ recall $opq < permutation-only $permOnly")
+    assert(opq >= 26, s"OPQ recall too low: $opq/32")
+
+    // the learned R is orthogonal (R·Rᵀ = I), so rotated-space dots equal
+    // original-space dots and PQ scores stay cosine estimates
+    val model = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 8,
+      iters = 6, balance = true, opqIters = 5)
+    assert(model.rot.length === dim * dim)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = (0 until dim).map(t => model.rot(i * dim + t) * model.rot(j * dim + t)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-6, s"R not orthogonal at ($i,$j): $d")
+    }
+  }
+
   test("IVF-PQ composite: high exact recall on clustered data at pruned cost") {
     val dim = 16
     val rnd = new scala.util.Random(23)
