@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|stream|compact|validate|tokenize|pipeline|stream-pipeline|multi]
+ *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -25,7 +25,8 @@ object Main {
     "type-name", "hive-input-fields", "index-col",
     "quality-min", "neardup-threshold", "neardup-method", "embedding-col",
     "redact-pii", "lm-min-score",
-    "bulk-actions", "bulk-size", "alias", "final-index-setting")
+    "bulk-actions", "bulk-size", "alias", "final-index-setting",
+    "install-compact", "poll-ms", "timeout-ms")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -83,7 +84,11 @@ object Main {
       input = if (Set("compact", "validate")(m("mode"))) m.getOrElse("input", "")
               else req("input"),
       outDir = req("out"),
-      indexName = if (m("mode") == "tokenize") m.getOrElse("index", "tokens") else req("index"),
+      indexName = m("mode") match {
+        case "tokenize" => m.getOrElse("index", "tokens")
+        case "install"  => m.getOrElse("index", "")
+        case _          => req("index")
+      },
       // "auto" = cost-based sizing, resolved against the (filtered) input
       // before the run — sentinel -1 until then
       numShards = m.getOrElse("num-shards", "3") match {
@@ -275,6 +280,28 @@ object Main {
             throw new IllegalStateException(
               s"bundle INVALID: ${rep.problems.mkString("; ")}")
           println("bundle VALID")
+        case "install" =>
+          // server-daemon analog: poll --input for arriving bundles,
+          // validate each, move valid ones into --out, mark done; stops on
+          // --input/_COMPLETE (reference IndexBuilder poll/verify/install)
+          val raw = rawFlags(args)
+          val outcomes = graft.sink.BundleInstall.watch(spark,
+            cfg.input, cfg.outDir,
+            compact = raw.get("install-compact").exists(_.toBoolean),
+            pollMs = raw.getOrElse("poll-ms", "10000").toLong,
+            timeoutMs = raw.getOrElse("timeout-ms", "600000").toLong)
+          outcomes.foreach {
+            case graft.sink.BundleInstall.Installed(b, docs, c) =>
+              println(s"installed $b: $docs docs${if (c) " (compacted)" else ""}")
+            case graft.sink.BundleInstall.Invalid(b, problems) =>
+              println(s"INVALID $b: ${problems.mkString("; ")}")
+            case graft.sink.BundleInstall.Skipped(b, why) =>
+              println(s"skipped $b: $why")
+          }
+          val bad = outcomes.collect { case i: graft.sink.BundleInstall.Invalid => i }
+          if (bad.nonEmpty)
+            throw new IllegalStateException(
+              s"${bad.size} bundle(s) failed validation: ${bad.map(_.bundle).mkString(", ")}")
         case "compact" =>
           // forceMerge analog: rewrite each shard's many small files
           val r = graft.sink.BundleCompact.compact(spark,

@@ -1,0 +1,97 @@
+package graft.sink
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Consumer-side install daemon — the analog of the reference server's
+ * incremental download/install loop (`IndexBuilder.java:154-203`: poll a
+ * work dir, skip in-flight producers, verify what arrived, install it, mark
+ * it done so a restart never re-installs). Composes this engine's existing
+ * consumer pieces into the one loop an operator runs:
+ *
+ *   poll `incomingDir` -> for each READY bundle (has manifest.json — the
+ *   producer's "completed" record — and no `_STARTED` in-flight marker):
+ *     1. [[BundleValidate]]: counts/files/bytes/placement vs manifest +
+ *        shard_state.json (a tampered or half-copied bundle cannot pass)
+ *     2. optional [[BundleCompact]]: many small producer files -> one per
+ *        shard (the forceMerge-before-serve analog)
+ *     3. install = atomic rename into `installDir` (same-filesystem move,
+ *        like the reference's rename-into-place), then `_INSTALLED` marker
+ *   invalid bundles get `_INVALID` (with the problem list) and are left in
+ *   place for inspection — never installed, never retried silently.
+ *
+ * The loop stops when `incomingDir/_COMPLETE` exists and no ready bundles
+ * remain (the reference's external completion marker), or at `timeoutMs`.
+ * Driver-side orchestration only; the per-bundle verification/compaction
+ * work inside is distributed Spark jobs.
+ */
+object BundleInstall {
+
+  sealed trait Outcome { def bundle: String }
+  case class Installed(bundle: String, docs: Long, compacted: Boolean) extends Outcome
+  case class Invalid(bundle: String, problems: Seq[String]) extends Outcome
+  case class Skipped(bundle: String, reason: String) extends Outcome
+
+  /** One poll pass: examine every subdirectory of `incomingDir`, install
+    * the ready+valid ones, mark the broken ones. Idempotent: installed and
+    * invalid bundles are marker-skipped on re-runs. */
+  def installOnce(spark: SparkSession, incomingDir: String, installDir: String,
+                  compact: Boolean = false): Seq[Outcome] = {
+    val fs = FileSystem.get(new java.net.URI(incomingDir),
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(installDir))
+    val candidates = fs.listStatus(new Path(incomingDir))
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    candidates.toSeq.map { dir =>
+      val name = dir.getName
+      if (fs.exists(new Path(dir, "_INVALID")))
+        Skipped(name, "previously marked invalid")
+      else if (fs.exists(new Path(installDir, s"$name/_INSTALLED")))
+        Skipped(name, "already installed")
+      else if (fs.exists(new Path(dir, "_STARTED")))
+        Skipped(name, "producer still writing (_STARTED present)")
+      else if (!fs.exists(new Path(dir, "manifest.json")))
+        Skipped(name, "no manifest yet")
+      else {
+        val report = BundleValidate.validate(spark, dir.toString)
+        if (!report.ok) {
+          val out = fs.create(new Path(dir, "_INVALID"), true)
+          out.write(report.problems.mkString("\n").getBytes("UTF-8")); out.close()
+          Invalid(name, report.problems)
+        } else {
+          if (compact) BundleCompact.compact(spark, dir.toString)
+          val target = new Path(installDir, name)
+          if (!fs.rename(dir, target))
+            throw new IllegalStateException(s"could not install $dir -> $target")
+          fs.create(new Path(target, "_INSTALLED"), true).close()
+          Installed(name, report.shards.map(_.docs).sum, compact)
+        }
+      }
+    }
+  }
+
+  /** Polling daemon: repeat [[installOnce]] until `incomingDir/_COMPLETE`
+    * exists and the last pass installed/invalidated nothing new, or until
+    * `timeoutMs` elapses. Returns every outcome in arrival order. */
+  def watch(spark: SparkSession, incomingDir: String, installDir: String,
+            compact: Boolean = false, pollMs: Long = 10000L,
+            timeoutMs: Long = 600000L): Seq[Outcome] = {
+    val fs = FileSystem.get(new java.net.URI(incomingDir),
+      spark.sparkContext.hadoopConfiguration)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    val all = scala.collection.mutable.ArrayBuffer.empty[Outcome]
+    var done = false
+    while (!done) {
+      val pass = installOnce(spark, incomingDir, installDir, compact)
+      all ++= pass.filterNot(_.isInstanceOf[Skipped])
+      val progressed = pass.exists(o =>
+        o.isInstanceOf[Installed] || o.isInstanceOf[Invalid])
+      val complete = fs.exists(new Path(incomingDir, "_COMPLETE"))
+      if (complete && !progressed) done = true
+      else if (System.nanoTime() > deadline) done = true
+      else if (!progressed) Thread.sleep(pollMs)
+    }
+    all.toSeq
+  }
+}

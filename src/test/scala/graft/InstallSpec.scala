@@ -1,0 +1,83 @@
+package graft
+
+import graft.sink.{BundleInstall, BundleSink}
+import graft.transform.DocTransform
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Consumer install daemon (reference IndexBuilder poll/verify/install/mark
+  * semantics): arrival order, in-flight skipping, tamper rejection,
+  * idempotent re-runs, completion-marker drain. */
+class InstallSpec extends SparkSpec {
+
+  private def writeBundle(root: String, name: String): Unit = {
+    val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    BundleSink.write(docs, s"$root/$name", numShards = 3,
+      partitionMultiples = 2, repartition = true, indexName = name)
+  }
+
+  test("arrival order: ready bundle installs, in-flight producer is skipped until done") {
+    val incoming = Files.createTempDirectory("graft-install-in").toString
+    val installed = Files.createTempDirectory("graft-install-out").toString
+    writeBundle(incoming, "idx_a")
+    writeBundle(incoming, "idx_b")
+    // simulate a producer mid-write on idx_b (protocol creates _STARTED in
+    // setupJob; it is only deleted after the manifest lands)
+    Files.createFile(Paths.get(s"$incoming/idx_b/_STARTED"))
+
+    val pass1 = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass1.collect { case i: BundleInstall.Installed => i.bundle } === Seq("idx_a"))
+    assert(pass1.collect { case s: BundleInstall.Skipped => (s.bundle, s.reason) }
+      .exists { case (b, r) => b == "idx_b" && r.contains("_STARTED") })
+    assert(Files.exists(Paths.get(s"$installed/idx_a/_INSTALLED")))
+    assert(!Files.exists(Paths.get(s"$incoming/idx_a")), "installed bundle should MOVE")
+    // the installed bundle serves reads through the connector
+    assert(spark.read.format("graft-bundle").load(s"$installed/idx_a").count() === 1500L)
+
+    // producer finishes idx_b -> next pass installs it; nothing else to do
+    Files.delete(Paths.get(s"$incoming/idx_b/_STARTED"))
+    val pass2 = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass2.collect { case i: BundleInstall.Installed => i.bundle } === Seq("idx_b"))
+    val pass3 = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass3.forall(_.isInstanceOf[BundleInstall.Skipped]) && pass3.isEmpty)
+  }
+
+  test("tamper: a bundle missing a committed data file is marked _INVALID, never installed") {
+    val incoming = Files.createTempDirectory("graft-install-tamper").toString
+    val installed = Files.createTempDirectory("graft-install-tout").toString
+    writeBundle(incoming, "idx_t")
+    // delete one committed data file from a shard dir (half-copied bundle)
+    val shardDir = new java.io.File(s"$incoming/idx_t/data/_shard=0")
+    val victim = shardDir.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    assert(victim.delete())
+
+    val pass = BundleInstall.installOnce(spark, incoming, installed)
+    val bad = pass.collect { case i: BundleInstall.Invalid => i }
+    assert(bad.map(_.bundle) === Seq("idx_t"))
+    assert(bad.head.problems.exists(_.contains("shard 0")), bad.head.problems)
+    assert(Files.exists(Paths.get(s"$incoming/idx_t/_INVALID")))
+    assert(!Files.exists(Paths.get(s"$installed/idx_t")), "invalid bundle must not install")
+    // idempotent: marked-invalid bundles are skipped, not revalidated
+    val again = BundleInstall.installOnce(spark, incoming, installed)
+    assert(again.collect { case s: BundleInstall.Skipped => s.reason }
+      .exists(_.contains("invalid")))
+  }
+
+  test("watch: drains arrived bundles, compacts on request, stops on _COMPLETE") {
+    val incoming = Files.createTempDirectory("graft-install-watch").toString
+    val installed = Files.createTempDirectory("graft-install-wout").toString
+    writeBundle(incoming, "idx_w")
+    Files.createFile(Paths.get(s"$incoming/_COMPLETE"))
+    val outcomes = BundleInstall.watch(spark, incoming, installed,
+      compact = true, pollMs = 100L, timeoutMs = 120000L)
+    assert(outcomes.collect { case i: BundleInstall.Installed => i.bundle } === Seq("idx_w"))
+    // compaction ran: one file per shard
+    for (s <- 0 to 2) {
+      val files = new java.io.File(s"$installed/idx_w/data/_shard=$s").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(files.length === 1, s"shard $s not compacted: ${files.length} files")
+    }
+    assert(spark.read.format("graft-bundle").load(s"$installed/idx_w").count() === 1500L)
+  }
+}
