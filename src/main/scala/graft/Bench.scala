@@ -104,7 +104,8 @@ object Bench {
     // the methods actually separate). Reported separately from `total` so
     // headline timings stay comparable across rounds.
     def annCurve(emb0: org.apache.spark.sql.DataFrame,
-                 querySel: org.apache.spark.sql.Column): Seq[(String, Double, Double)] = try {
+                 querySel: org.apache.spark.sql.Column,
+                 methods: Set[String] = Set.empty): Seq[(String, Double, Double)] = try {
       import graft.ext.Similarity
       import org.apache.spark.sql.functions.{col, size}
       val emb = emb0.cache()
@@ -137,7 +138,9 @@ object Bench {
           Similarity.ivfPqTopK(queries, emb, "vec_id", "vec_id", "embedding",
             model, k = 1, nlist = nlist, nprobe = nprobe)
         }))
-      val out = configs.map { case (name, f) =>
+      val out = configs.filter { case (name, _) =>
+        methods.isEmpty || methods(name) || name == "brute" // brute = truth
+      }.map { case (name, f) =>
         val t0 = System.nanoTime()
         val got = top1(f())
         val sec = (System.nanoTime() - t0) / 1e9
@@ -209,7 +212,74 @@ object Bench {
     def curveJson(c: Seq[(String, Double, Double)]): String = c.map { case (n, s, r) =>
       "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"recall\":" + f"$r%.3f" + "}"
     }.mkString("{", ",", "}")
-    val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)}}"""
+
+    // ===== 1M-row scale tier (pass "skip1m" as arg 2 to omit locally) =====
+    // Generation is DISTRIBUTED and deterministic: spark.range -> per-id
+    // seeded vectors inside a UDF (generation only; never on a query path).
+    // No driver-side materialization — the same shape generates 1e9 rows on
+    // a real cluster. Reported separately from `total` like the other
+    // recall sections.
+    val run1m = !args.lift(1).contains("skip1m")
+    import org.apache.spark.sql.functions.udf
+    val dim1m = 64
+    // clustered ANN corpus: cluster = id % 20k (50 rows/cluster), center
+    // re-derived from the cluster seed per row (64 gaussians — cheaper than
+    // shuffling a centers table around)
+    val clusterGen = udf { (id: Long) =>
+      val rc = new scala.util.Random(id % 20000L * 104729L + 7L)
+      val rj = new scala.util.Random(id * 31L + 1L)
+      Array.fill(dim1m)((rc.nextGaussian() + 0.15 * rj.nextGaussian()).toFloat)
+    }
+    val ann1mCurve: Seq[(String, Double, Double)] =
+      if (!run1m) Seq.empty
+      else annCurve(
+        spark.range(1000000L).select(col("id").as("vec_id"),
+          clusterGen(col("id")).as("embedding")).repartition(64),
+        // 200 queries: enough for brute's O(|Q|·|C|) pair cost to cross the
+        // bucketed methods' fixed corpus-side cost (train + assignment scans
+        // amortize across queries; at 50 queries brute still wins at 1M)
+        col("vec_id") < 200,
+        // the three methods whose story changes with scale: LSH lookup,
+        // IVF pruning, IVF-PQ compressed scan (brute rides along as truth)
+        methods = Set("lsh", "ivf_kmeans", "ivf_pq"))
+    // near-dup at 1M: brute all-pairs is 5e11 dots — physically off the
+    // table, which is the point. Ground truth comes from PLANTED clones
+    // instead: ids with id%20==19 are jittered copies of id-1 (cosine
+    // ~0.9999; unrelated uniform 64-dim pairs sit at |cos| ~ 0.12 sigma, so
+    // threshold 0.9 admits planted pairs only) -> recall is exact without a
+    // brute pass.
+    val neardup1mJson: String =
+      if (!run1m) "{}"
+      else try {
+        import graft.ext.Similarity
+        val cloneGen = udf { (id: Long) =>
+          val base = if (id % 20L == 19L) id - 1L else id
+          val r = new scala.util.Random(base * 2654435761L + 13L)
+          val v = Array.fill(dim1m)(r.nextGaussian().toFloat)
+          if (base != id) {
+            val rj = new scala.util.Random(id * 7L + 3L)
+            v.map(x => (x + 0.01 * rj.nextGaussian()).toFloat)
+          } else v
+        }
+        val df = spark.range(1000000L).select(col("id").as("vec_id"),
+          cloneGen(col("id")).as("embedding")).repartition(64).cache()
+        val planted = df.count() / 20L // 50k planted (id-1, id) pairs
+        var pairs: org.apache.spark.sql.DataFrame = null
+        var found = 0L
+        val tL = time {
+          pairs = Similarity.cosineNearDupsLsh(df, "vec_id", "embedding",
+            threshold = 0.9, dim = dim1m, bits = 16).cache()
+          found = pairs.count()
+        }
+        val plantedFound = pairs.filter(col("id_b") === col("id_a") + 1 &&
+          col("id_b") % 20 === 19).count()
+        val rec = plantedFound.toDouble / planted
+        pairs.unpersist(); df.unpersist()
+        f"""{"rows":1000000,"lsh_sec":$tL%.3f,"planted_pairs":$planted,"found_pairs":$found,"planted_recall":$rec%.4f}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] neardup 1m failed: ${e.getMessage}"); "{}" }
+
+    val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)},"clustered_1m":${curveJson(ann1mCurve)}}"""
 
     val all = results :+ ("sink_bundle" -> sinkSec) :+
       ("sink_bundle_parquet" -> sinkParquetSec) :+
@@ -219,7 +289,7 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

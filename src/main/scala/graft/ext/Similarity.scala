@@ -31,13 +31,18 @@ object Similarity {
     when(na === 0 || nb === 0, 0.0).otherwise(d / (na * nb))
   }
 
-  /** Unit vector (zero vectors pass through, giving cosine 0 later). */
-  def unitize(v: Column): Column = {
-    val n = norm(v)
-    when(n === 0, v).otherwise(transform(v, x => x / n))
-  }
+  /** Unit vector (zero vectors pass through, giving cosine 0 later).
+    * One-pass codegen'd kernel — the HOF form `transform(v, x / norm(v))`
+    * is interpreted AND quadratic per call (norm re-evaluates inside the
+    * per-element lambda), and Catalyst duplicates projections into pushed
+    * filters; at 10⁶ rows that chain dominated whole stages
+    * ([[graft.functions.UnitVec]] scaladoc has the numbers). */
+  def unitize(v: Column): Column = graft.functions.EsFunctions.unit_vec(v)
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** array<float> -> array<double> as a native elementwise Cast (codegen'd);
+    * the earlier `transform(c, _.cast("double"))` HOF was interpreted with
+    * per-element boxing. */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /**
    * Exact top-k neighbors for each query row by brute force.
@@ -79,22 +84,22 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** Row-major bits × dim hyperplane matrix for one table (driver-side,
+    * deterministic; rides the signature expressions as a payload — the
+    * previous per-bit literal arrays overflowed codegen limits at the
+    * data-driven bits of large corpora, see [[graft.functions.LshPlanes]]). */
+  private def planeMatrix(dim: Int, table: Int, bits: Int): Array[Double] =
+    Array.tabulate(bits * dim)(i => planeComponent(table, i / dim, i % dim))
+
   /** Sign-bit signature of a vector for one LSH table: `bits` hyperplane
-    * sign bits packed into a long. */
-  def lshSignature(vec: Column, dim: Int, table: Int, bits: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val plane = array((0 until dim).map(j => lit(planeComponent(table, b, j))): _*)
-      when(dot(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a + b)
-  }
+    * sign bits packed into a long (one codegen'd kernel pass). */
+  def lshSignature(vec: Column, dim: Int, table: Int, bits: Int): Column =
+    graft.functions.EsFunctions.lsh_sig(vec, planeMatrix(dim, table, bits), bits, dim)
 
   /** Per-bit hyperplane dots for one table (signature = signs of these;
     * |dot| is the bit's margin — small margin = likely flip). */
   private def planeDots(vec: Column, dim: Int, table: Int, bits: Int): Column =
-    array((0 until bits).map { b =>
-      dot(vec, array((0 until dim).map(j => lit(planeComponent(table, b, j))): _*))
-    }: _*)
+    graft.functions.EsFunctions.lsh_plane_dots(vec, planeMatrix(dim, table, bits), bits, dim)
 
   /** Signature plus its `probeBits` margin-ranked 1-bit-flip neighbors:
     * real multiprobe — flip the bits whose hyperplane margin is smallest
@@ -750,10 +755,19 @@ object Similarity {
    * bench's best recall/latency bucketed method on clustered corpora — with
    * the same data-driven knobs the bench uses. Two count() jobs to decide
    * is noise next to either path.
+   *
+   * Third tier: past `pqAboveRows` corpus rows, in-cell scoring itself
+   * becomes the bottleneck (nprobe/nlist of the corpus in full-width dots
+   * per query, and full-width vectors through the cell join), so the router
+   * switches to [[ivfPqTopK]]: same IVF pruning, but cells carry m-byte-ish
+   * codes and scoring is m table lookups per pair, with the tie-aware exact
+   * re-rank restoring precision. The OPQ-rotated model is trained on a
+   * bounded sample — one driver-side pass, amortized across the query set.
    */
   def topK(queries: DataFrame, corpus: DataFrame, qidCol: String,
            idCol: String, vecCol: String, k: Int,
-           maxBrutePairs: Long = 50000000L, roundTo: Int = 4): DataFrame = {
+           maxBrutePairs: Long = 50000000L, roundTo: Int = 4,
+           pqAboveRows: Long = 10000000L): DataFrame = {
     val nq = queries.count()
     val nc = corpus.count()
     if (nq * nc <= maxBrutePairs)
@@ -761,8 +775,19 @@ object Similarity {
     else {
       val nlist = math.max(4, (math.sqrt(nc.toDouble) / 2).round.toInt)
       val nprobe = math.max(2, nlist / 4)
-      ivfTopK(queries, corpus, qidCol, idCol, vecCol, k,
-        nlist = nlist, nprobe = nprobe, roundTo = roundTo, kmeansIters = 2)
+      if (nc <= pqAboveRows)
+        ivfTopK(queries, corpus, qidCol, idCol, vecCol, k,
+          nlist = nlist, nprobe = nprobe, roundTo = roundTo, kmeansIters = 2)
+      else {
+        val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
+        // m: 8-dim subspaces, clamped to a divisor of dim
+        val m = Iterator.iterate(math.max(1, dim / 8))(_ - 1)
+          .find(c => c >= 1 && dim % c == 0).get
+        val model = pqTrain(corpus, vecCol, dim, m = m, k = 16,
+          opqIters = 3)
+        ivfPqTopK(queries, corpus, qidCol, idCol, vecCol, model, k,
+          nlist = nlist, nprobe = nprobe, kmeansIters = 2, roundTo = roundTo)
+      }
     }
   }
 

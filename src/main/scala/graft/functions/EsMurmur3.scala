@@ -126,6 +126,19 @@ object EsFunctions {
     GraftSqlBridge.column(DotProductExpr(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** One-pass unit-vector normalization, array<float|double> -> array<double>
+    * (see [[UnitVec]]). */
+  def unit_vec(v: Column): Column =
+    GraftSqlBridge.column(UnitVecExpr(GraftSqlBridge.expression(v)))
+
+  /** Hyperplane-LSH signature with a payload plane matrix (see [[LshPlanes]]). */
+  def lsh_sig(v: Column, planes: Array[Double], bits: Int, dim: Int): Column =
+    GraftSqlBridge.column(LshSigExpr(GraftSqlBridge.expression(v), planes, bits, dim))
+
+  /** Per-bit hyperplane dots (multiprobe margins; see [[LshPlanes]]). */
+  def lsh_plane_dots(v: Column, planes: Array[Double], bits: Int, dim: Int): Column =
+    GraftSqlBridge.column(LshPlaneDotsExpr(GraftSqlBridge.expression(v), planes, bits, dim))
+
   /** Register custom expressions for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -142,6 +155,8 @@ object EsFunctions {
       "simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "unit_vec", exprs => UnitVecExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "jaccard_sorted", exprs => JaccardSortedExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

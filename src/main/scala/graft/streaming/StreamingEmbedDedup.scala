@@ -74,7 +74,7 @@ object StreamingEmbedDedup {
   def bucketed(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
                tables: Int = 8, bits: Int = 8): Dataset[BucketedVec] = {
     import vecs.sparkSession.implicits._
-    val asD = transform(col(vecCol), x => x.cast("double"))
+    val asD = col(vecCol).cast("array<double>")
     vecs
       .select(col(idCol).cast("long").as("vec_id"),
         Similarity.unitize(asD).as("_v"),

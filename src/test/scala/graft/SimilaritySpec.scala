@@ -416,6 +416,16 @@ class SimilaritySpec extends SparkSpec {
     val gotB = bucketed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rec = brute.count { case (k2, v) => gotB.get(k2).contains(v) }
     assert(rec >= 14, s"bucketed auto recall $rec/16")
+    // pqAboveRows 0 -> third tier (IVF-PQ with auto-trained OPQ model):
+    // still no cross product, codes in the cell join, recall holds
+    val pq = Similarity.topK(q, corpus, "vec_id", "vec_id", "embedding",
+      k = 1, maxBrutePairs = 0L, pqAboveRows = 0L)
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(!pqPlan.contains("BroadcastNestedLoopJoin"))
+    assert(pqPlan.contains("pq_score"), "IVF-PQ tier should score via PQ codes")
+    val gotP = pq.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recP = brute.count { case (k2, v) => gotP.get(k2).contains(v) }
+    assert(recP >= 14, s"IVF-PQ auto tier recall $recP/16")
   }
 
   test("driver-bench clustered config: pq_rerank and ivf_pq recall >= 0.9") {
