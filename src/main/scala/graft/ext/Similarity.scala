@@ -731,15 +731,23 @@ object Similarity {
       .withColumn("_lut", graft.functions.PqFunctions.pq_lut(permute(col("_qv"), model),
         model.centroids, model.m, model.k, model.subDim))
     val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
-    // corpus rows live in exactly one cell -> (qid, nid) already unique
-    val cands = queryCells.join(corpusCells, Seq("cent_id"))
+    // corpus rows live in exactly one cell -> (qid, nid) already unique.
+    // Only (qid, nid, _psim) flows through the candidate-cut window — at
+    // nprobe/nlist of a 10^6+ corpus the candidate stream is 10^7-10^8 rows,
+    // and carrying the full-width vectors through that sort multiplied its
+    // shuffle ~40x (measured 34 GB spill at the 1M bench tier). The exact
+    // re-rank joins vectors back for just the k*rerankFactor finalists.
+    val cands = queryCells.join(corpusCells.drop("_cv"), Seq("cent_id"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("_qv"), col("_cv"),
+      .select(col("qid"), col("nid"),
         graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
       .withColumn("_prank", rank().over(wc))
       .filter(col("_prank") <= k * rerankFactor)
+      .select(col("qid"), col("nid"))
+    val qv = queries.select(col(qidCol).as("qid"), unitize(asDouble(col(vecCol))).as("_qv"))
+    val cv = corpus.select(col(idCol).as("nid"), unitize(asDouble(col(vecCol))).as("_cv"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    cands
+    cands.join(qv, "qid").join(cv, "nid")
       .select(col("qid"), col("nid"), round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
