@@ -169,13 +169,13 @@ object Main {
           val q = graft.streaming.BundleStreamWriter.start(
             docs, out, cfg.numShards, s"${cfg.outDir}/.ckpt_${cfg.indexName}")
           q.awaitTermination(600000)
-          val written = spark.read
-            .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
-          val counts = written.groupBy("_shard").count().collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-          println(s"bundle written (streaming): $out")
-          println(s"totalDocs=${counts.map(_._2).sum} shards=${cfg.numShards}")
-          counts.foreach { case (s, n) => println(s"  shard $s: $n docs") }
+          // seal: counts -> manifest state completed + shard_state, so the
+          // drained bundle validates and installs like a batch-written one
+          val res = graft.streaming.BundleStreamWriter.seal(spark, out,
+            cfg.numShards, indexName = cfg.indexName)
+          println(s"bundle written (streaming, sealed): $out")
+          println(s"totalDocs=${res.totalDocs} shards=${cfg.numShards}")
+          res.shardCounts.toSeq.sorted.foreach { case (s, n) => println(s"  shard $s: $n docs") }
         case "pipeline" =>
           // the training-data build: quality -> exact dedup -> near-dup
           // removal -> BPE tokenize -> columnar bundle

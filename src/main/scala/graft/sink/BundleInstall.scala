@@ -53,6 +53,10 @@ object BundleInstall {
         Skipped(name, "producer still writing (_STARTED present)")
       else if (!fs.exists(new Path(dir, "manifest.json")))
         Skipped(name, "no manifest yet")
+      else if (!manifestCompleted(fs, dir))
+        // a streaming producer's manifest says state:"streaming" until the
+        // bundle is sealed (BundleStreamWriter.seal) — in-flight, not broken
+        Skipped(name, "producer still writing (manifest state not completed)")
       else {
         val report = BundleValidate.validate(spark, dir.toString)
         if (!report.ok) {
@@ -69,6 +73,13 @@ object BundleInstall {
         }
       }
     }
+  }
+
+  private def manifestCompleted(fs: FileSystem, dir: Path): Boolean = {
+    val in = fs.open(new Path(dir, "manifest.json"))
+    val m = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    """"state":"completed"""".r.findFirstIn(m).isDefined
   }
 
   /** Polling daemon: repeat [[installOnce]] until `incomingDir/_COMPLETE`

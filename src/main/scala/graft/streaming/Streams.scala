@@ -98,6 +98,52 @@ object BundleStreamWriter {
      else w.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
+  /**
+   * Seal a drained streaming bundle: one aggregated scan for per-shard doc
+   * counts, a commit-style listing for shard_state.json, and the full
+   * manifest with `state:"completed"` — after which the bundle passes
+   * [[graft.sink.BundleValidate]] and installs through
+   * [[graft.sink.BundleInstall]] exactly like a batch-written one (the
+   * reference's started→completed job-record transition for the
+   * incremental producer). Until sealed, the manifest says
+   * `state:"streaming"` and the install daemon treats the bundle as
+   * in-flight.
+   */
+  def seal(spark: SparkSession, outDir: String, numShards: Int,
+           indexName: String = "", typeName: String = "doc"): graft.sink.BundleSink.Result = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    val perShard: Map[Int, Long] = {
+      val counted = spark.read.schema(BundleStream.bundleSchema)
+        .json(s"$outDir/data")
+        .groupBy(col("_shard")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (0 until numShards).map(s => s -> counted.getOrElse(s, 0L)).toMap
+    }
+    val states = (0 until numShards).map { sh =>
+      val dir = new org.apache.hadoop.fs.Path(s"$outDir/data/_shard=$sh")
+      val (files, bytes) =
+        if (fs.exists(dir))
+          fs.listStatus(dir).filter(_.isFile)
+            .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+            .foldLeft((0L, 0L)) { case ((f, b), st) => (f + 1, b + st.getLen) }
+        else (0L, 0L)
+      s"""{"shard":$sh,"docs":${perShard(sh)},"files":$files,"bytes":$bytes}"""
+    }
+    val st = fs.create(new org.apache.hadoop.fs.Path(outDir, "shard_state.json"), true)
+    st.write(states.mkString("[", ",", "]").getBytes("UTF-8")); st.close()
+    val total = perShard.values.sum
+    val manifest =
+      s"""{"indexName":"$indexName","typeName":"$typeName","workDir":"$outDir",
+         |"numShards":$numShards,"format":"json","compression":"gzip","totalDocs":$total,
+         |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
+         |"alias":null,"finalSettings":{},
+         |"state":"completed"}""".stripMargin.replace("\n", "")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(outDir, "manifest.json"), true)
+    mf.write(manifest.getBytes("UTF-8")); mf.close()
+    graft.sink.BundleSink.Result(outDir, numShards, total, perShard)
+  }
+
   private[graft] def commitBatch(batch: org.apache.spark.sql.DataFrame,
                                      batchId: Long, outDir: String,
                                      numShards: Int): Unit = {

@@ -64,6 +64,38 @@ class InstallSpec extends SparkSpec {
       .exists(_.contains("invalid")))
   }
 
+  test("streaming bundle: in-flight (state streaming) is skipped; sealed bundle validates and installs") {
+    import org.apache.spark.sql.functions._
+    val incoming = Files.createTempDirectory("graft-install-stream").toString
+    val installed = Files.createTempDirectory("graft-install-sout").toString
+    val srcDir = Files.createTempDirectory("graft-install-src").toString
+    sf("sf0.001", "orders").write.mode("overwrite").parquet(srcDir)
+    val src = spark.read.parquet(srcDir)
+    val stream = spark.readStream.schema(src.schema).parquet(srcDir)
+    val docs = DocTransform.docs(stream, "o_orderkey", Some("o_custkey"))
+    val out = s"$incoming/idx_s"
+    val q = graft.streaming.BundleStreamWriter.start(docs, out, numShards = 3,
+      checkpointDir = Files.createTempDirectory("graft-install-ckpt").toString)
+    q.awaitTermination(120000)
+
+    // drained but UNSEALED: manifest still says state streaming -> in-flight
+    val pass1 = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass1.collect { case s: BundleInstall.Skipped => s.reason }
+      .exists(_.contains("manifest state not completed")), pass1.toString)
+    assert(!Files.exists(Paths.get(s"$incoming/idx_s/_INVALID")),
+      "in-flight streaming bundle must not be quarantined")
+
+    // seal -> full manifest + shard_state; now validates green and installs
+    val res = graft.streaming.BundleStreamWriter.seal(spark, out, numShards = 3,
+      indexName = "idx_s")
+    assert(res.totalDocs === 1500L)
+    val report = graft.sink.BundleValidate.validate(spark, out)
+    assert(report.ok, report.problems.mkString("; "))
+    val pass2 = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass2.collect { case i: BundleInstall.Installed => i.bundle } === Seq("idx_s"))
+    assert(spark.read.format("graft-bundle").load(s"$installed/idx_s").count() === 1500L)
+  }
+
   test("watch: drains arrived bundles, compacts on request, stops on _COMPLETE") {
     val incoming = Files.createTempDirectory("graft-install-watch").toString
     val installed = Files.createTempDirectory("graft-install-wout").toString
