@@ -12,12 +12,23 @@ import org.apache.spark.sql.types._
  * partition, schema declared up front, decode libraries loaded once per
  * partition, batch shape preserved).
  *
- * The actual media decode is STUBBED (no image/audio libs in this
- * environment): `fakeDecode` derives deterministic features from the bytes.
- * The Spark-side contract — schema, partitioning, per-partition init,
- * output shape — is real and tested.
+ * Decode is REAL for the formats the JDK itself ships codecs for —
+ * `javax.imageio` (PNG/JPEG/GIF/BMP pixels) and `javax.sound.sampled`
+ * (WAV/PCM samples), both headless-safe, no external libraries — and falls
+ * back to a deterministic byte-fold stand-in for everything else (video:
+ * the JDK has no codec; real deployments drop a decoder into the same
+ * mapPartitions slot). The Spark-side contract — schema, partitioning,
+ * per-partition init, output shape — is identical on both paths.
  */
 object Multimodal {
+
+  // executor-side one-time init: no ImageIO disk cache (tmp-file churn per
+  // decode), headless AWT (no display on executors)
+  private lazy val imageIoReady: Boolean = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
 
   /** Canonical multimodal schema: id + modality + raw bytes + metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -127,10 +138,17 @@ object Multimodal {
   }
 
   /**
-   * STUB decode: a real implementation would decode the image/audio inside
-   * `mapPartitions` (decoder initialized once per partition, exactly where
-   * a Python pipeline would use mapInPandas). Here the "features" are a
-   * deterministic fold of the bytes — shape and plumbing identical.
+   * Feature extraction inside `mapPartitions` (decoder state initialized
+   * once per partition — the JVM analog of Python's mapInPandas). Real
+   * decode where the JDK has a codec:
+   *  - images (png/jpeg/gif/bmp): pixel luminance histogram over
+   *    `featureDim` buckets, normalized — a real, deterministic content
+   *    signature (two visually different images separate; re-encodes of the
+   *    same pixels collide).
+   *  - audio (wav/pcm): RMS energy over `featureDim` equal time slices,
+   *    normalized to [0,1] — a coarse loudness envelope.
+   *  - everything else (incl. video — no JDK codec): deterministic
+   *    byte-fold stand-in, same shape.
    */
   def decodeFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
     val spark = media.sparkSession
@@ -143,14 +161,79 @@ object Multimodal {
     val idxContent = media.schema.fieldIndex("content")
     val idxMeta = media.schema.fieldIndex("meta")
     media.mapPartitions { rows =>
-      // per-partition init happens here (decoder handle, model weights, ...)
+      val _ = imageIoReady // per-partition decoder init
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idxContent)
-        val feats = stubFeatures(bytes, featureDim)
+        val modality = r.getString(idxMod)
+        val feats = realFeatures(modality, bytes, featureDim)
+          .getOrElse(stubFeatures(bytes, featureDim))
         Row(r.get(idxId), r.get(idxMod), r.get(idxMeta), feats,
           if (bytes == null) 0L else bytes.length.toLong)
       }
     }(enc)
+  }
+
+  /** JDK-codec feature extraction; None when the payload isn't decodable
+    * (caller falls back to the byte-fold stand-in). */
+  private[ext] def realFeatures(modality: String, bytes: Array[Byte],
+                                dim: Int): Option[Array[Float]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try modality match {
+      case "image" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          // luminance histogram over dim buckets (ITU-R 601 weights)
+          val acc = new Array[Float](dim)
+          val w = img.getWidth; val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              val bucket = math.min(dim - 1, (lum / 256.0 * dim).toInt)
+              acc(bucket) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          var i = 0
+          while (i < dim) { acc(i) /= n; i += 1 }
+          Some(acc)
+        }
+      case "audio" =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val data = in.readAllBytes()
+            val nSamples = data.length / 2
+            if (nSamples == 0) None
+            else {
+              val acc = new Array[Double](dim)
+              val cnt = new Array[Long](dim)
+              val bigEndian = fmt.isBigEndian
+              var i = 0
+              while (i < nSamples) {
+                val lo = data(2 * i) & 0xff; val hi = data(2 * i + 1) & 0xff
+                val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort / 32768.0
+                val slice = math.min(dim - 1, (i.toLong * dim / nSamples).toInt)
+                acc(slice) += s * s
+                cnt(slice) += 1
+                i += 1
+              }
+              Some(Array.tabulate(dim)(j =>
+                if (cnt(j) == 0) 0f else math.sqrt(acc(j) / cnt(j)).toFloat))
+            }
+          }
+        } finally in.close()
+      case _ => None // video: no JDK codec — byte-fold stand-in
+    } catch { case _: Exception => None }
   }
 
   /** Deterministic stand-in for a media feature extractor (??? in spirit):
@@ -168,10 +251,61 @@ object Multimodal {
     acc
   }
 
-  /** STUB resize: a real implementation would decode, scale and re-encode
-    * inside the mapPartitions batch (same plumbing as [[decodeFeatures]]);
-    * the stand-in keeps every `factor`-th byte — deterministic and
-    * size-contract-preserving (output length = ceil(len/factor)). */
+  /**
+   * REAL image resize (JDK codecs): decode, scale so the longest side is at
+   * most `maxDim` (aspect preserved, bilinear), re-encode as PNG, refresh
+   * the meta dims. Payloads ImageIO can't decode pass through unchanged —
+   * the behavior a 100 TB corpus job needs (a corrupt image must not kill
+   * the stage). Same mapPartitions batch plumbing as [[decodeFeatures]].
+   */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(media.schema))
+    val idxContent = media.schema.fieldIndex("content")
+    val idxMeta = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      val _ = imageIoReady
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idxContent)
+        val resized =
+          try {
+            if (bytes == null) None
+            else Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))).flatMap { img =>
+              val w = img.getWidth; val h = img.getHeight
+              if (math.max(w, h) <= maxDim) None // already small enough
+              else {
+                val scale = maxDim.toDouble / math.max(w, h)
+                val nw = math.max(1, (w * scale).round.toInt)
+                val nh = math.max(1, (h * scale).round.toInt)
+                val out = new java.awt.image.BufferedImage(nw, nh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw, nh, null)
+                g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                Some((bos.toByteArray, nw, nh))
+              }
+            }
+          } catch { case _: Exception => None }
+        resized match {
+          case Some((png, nw, nh)) =>
+            Row.fromSeq(r.toSeq
+              .updated(idxContent, png)
+              .updated(idxMeta, Row("png", Int.box(nw), Int.box(nh), null)))
+          case None => r
+        }
+      }
+    }(enc)
+  }
+
+  /** Byte-subsample stand-in resize for NON-image payloads (kept for the
+    * modalities the JDK cannot decode): keeps every `factor`-th byte —
+    * deterministic and size-contract-preserving
+    * (output length = ceil(len/factor)). */
   def resizeStub(media: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1)
     val enc = ExpressionEncoder(RowEncoder.encoderFor(media.schema))

@@ -95,6 +95,79 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real JDK decode: image luminance histogram + wav RMS envelope + real resize") {
+    import spark.implicits._
+    // a real PNG: left half black, right half white
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a real 16-bit PCM WAV: silence then a loud square wave
+    def wavBytes(nSamples: Int): Array[Byte] = {
+      val rate = 8000
+      val data = new Array[Byte](nSamples * 2)
+      for (i <- nSamples / 2 until nSamples) {
+        val v: Short = if (i % 2 == 0) 20000 else -20000
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", pngBytes(64, 32)),
+      (2L, "audio", wavBytes(8000)),
+      (3L, "image", "definitely not an image".getBytes)) // fallback path
+    // fromBinary fixes ONE modality for the whole frame; this fixture needs
+    // per-row modalities, so build the canonical schema directly
+    val media2 = rows.toDF("media_id", "modality", "content")
+      .withColumn("meta", struct(lit("raw").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+    val feats = Multimodal.decodeFeatures(media2, featureDim = 4)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[scala.collection.Seq[Float]]("features")).toMap
+
+    // image: half black half white -> mass only in darkest + brightest buckets
+    val img = feats(1L)
+    assert(math.abs(img.sum - 1f) < 1e-4, s"histogram not normalized: $img")
+    assert(img(0) > 0.45f && img(3) > 0.45f && img(1) < 0.05f, s"histogram wrong: $img")
+    // audio: first half silent, second half loud -> RMS envelope ramps up
+    val aud = feats(2L)
+    assert(aud(0) < 0.01f && aud(3) > 0.5f, s"rms envelope wrong: $aud")
+    // undecodable image falls back to the deterministic byte-fold
+    val expectFold = {
+      val acc = new Array[Float](4)
+      "definitely not an image".getBytes.zipWithIndex.foreach { case (b, i) =>
+        acc(i % 4) += (b & 0xff) / 255.0f }
+      acc
+    }
+    assert(feats(3L).toArray === expectFold)
+
+    // real resize: 64x32 -> maxDim 16 preserves aspect (16x8), re-decodable
+    val resized = Multimodal.resizeImages(media2, maxDim = 16)
+      .filter(col("media_id") === 1L).head()
+    val outBytes = resized.getAs[Array[Byte]]("content")
+    val outImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(outImg.getWidth === 16 && outImg.getHeight === 8)
+    val meta = resized.getStruct(resized.fieldIndex("meta"))
+    assert(meta.getString(0) === "png" && meta.getInt(1) === 16 && meta.getInt(2) === 8)
+    // non-image payloads pass through the image resize unchanged
+    val untouched = Multimodal.resizeImages(media2, maxDim = 16)
+      .filter(col("media_id") === 3L).head().getAs[Array[Byte]]("content")
+    assert(new String(untouched) === "definitely not an image")
+  }
+
   test("subwordCountEstimate >= whitespace token count; counts case/digit splits") {
     import spark.implicits._
     val df = Seq("plainwords here", "camelCase word42x").toDF("t").select(
