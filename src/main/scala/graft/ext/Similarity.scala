@@ -74,7 +74,7 @@ object Similarity {
     * bench corpus, the (table, sig) self-join emitted 74M candidate pairs
     * where well-mixed planes give ~2M, and uniform-corpus recall floored at
     * 0.5 because the 8 "independent" tables were partial copies. */
-  private def planeComponent(table: Int, bit: Int, j: Int): Double = {
+  private[graft] def planeComponent(table: Int, bit: Int, j: Int): Double = {
     var h = table.toLong * 0x9E3779B97F4A7C15L +
       bit.toLong * 0xC2B2AE3D27D4EB4FL + j.toLong * 0x165667B19E3779F9L
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL

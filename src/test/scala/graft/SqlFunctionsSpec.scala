@@ -56,6 +56,64 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(cbk === Map("g1" -> 2L, "g2" -> 1L))
   }
 
+  test("unit_vec: bit-identical to the HOF reference formulation, zero-vector passthrough") {
+    val rnd = new scala.util.Random(61)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian() * math.pow(10, rnd.nextInt(6) - 3)).toFloat))) :+
+      (999L, Seq.fill(16)(0.0f)) // zero vector -> zeros out, no NaN
+    val df = vecs.toDF("id", "v")
+    val asD = col("v").cast("array<double>")
+    // reference HOF formulation (what unit_vec replaced): same op order, so
+    // equality must be EXACT, not approximate
+    val n = sqrt(aggregate(asD, lit(0.0), (acc, x) => acc + x * x))
+    val hof = when(n === 0, asD).otherwise(transform(asD, x => x / n))
+    val rows = df.select(col("id"),
+        EsFunctions.unit_vec(asD).as("native"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getAs[scala.collection.Seq[Double]]("native")
+      val b = r.getAs[scala.collection.Seq[Double]]("ref")
+      assert(a === b, s"id=${r.getLong(0)}: $a vs $b")
+    }
+    // SQL route registered
+    EsFunctions.register(spark)
+    df.createOrReplaceTempView("uv_t")
+    assert(spark.sql("SELECT unit_vec(CAST(v AS array<double>)) FROM uv_t").count() === 201)
+  }
+
+  test("lsh_sig / lsh_plane_dots / mat_vec: match naive per-element formulations") {
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(67)
+    val dim = 24
+    val vecs = (0 until 100).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val df = vecs.toDF("id", "v")
+    for (table <- Seq(0, 3); bits <- Seq(6, 14)) {
+      // naive reference: per-bit literal-array dot signs (the formulation
+      // the payload kernel replaced — identical plane values by seed)
+      val sig = Similarity.lshSignature(col("v"), dim, table, bits)
+      val naive = (0 until bits).map { b =>
+        val plane = array((0 until dim).map(j =>
+          lit(Similarity.planeComponent(table, b, j))): _*)
+        when(EsFunctions.dot_product(col("v"), plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bad = df.select(sig.as("k"), naive.as("r")).filter(col("k") =!= col("r")).count()
+      assert(bad === 0, s"table=$table bits=$bits: $bad signature mismatches")
+    }
+    // mat_vec: y = R v against a driver-side reference
+    val matDim = 8
+    val rot = Array.fill(matDim * matDim)(rnd.nextGaussian())
+    val small = (0 until 50).map(i => (i.toLong, Seq.fill(matDim)(rnd.nextGaussian())))
+    val got = small.toDF("id", "v")
+      .select(col("id"), graft.functions.PqFunctions.mat_vec(col("v"), rot, matDim).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("y")).toMap
+    small.foreach { case (id, v) =>
+      val expect = (0 until matDim).map(i =>
+        (0 until matDim).map(j => rot(i * matDim + j) * v(j)).sum)
+      got(id).zip(expect).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"id=$id: $a vs $b") }
+    }
+  }
+
   test("non-literal shingle k rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a', 1 + 1) FROM range(1)").collect()
