@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.FileFormat
 import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.{FileDataSourceV2, FileScanBuilder, FileTable}
+import org.apache.spark.sql.execution.datasources.v2.{FileScanBuilder, FileTable}
 import org.apache.spark.sql.execution.datasources.v2.json.{JsonScanBuilder, JsonTable}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
@@ -40,29 +40,71 @@ import scala.collection.immutable.Seq
  * (`data/_index=i/_shard=k/` written by [[graft.sink.BundleSink.writeMulti]];
  * `_index` becomes an ordinary partition column, prunable by equality).
  */
-class BundleDataSource extends FileDataSourceV2 {
+class BundleDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister
+  with org.apache.spark.sql.sources.RelationProvider {
+
   override def shortName(): String = "graft-bundle"
+  // lets callers pass .schema(...) (and lets getTable receive back the
+  // schema inferSchema produced) — the FileTable reconciles partition cols
+  override def supportsExternalMetadata(): Boolean = true
 
-  // Only consulted for V1 write fallback / USE_V1_SOURCE_LIST; reads go V2.
-  override def fallbackFileFormat: Class[_ <: FileFormat] = classOf[ParquetFileFormat]
+  // Deliberately NOT a FileDataSourceV2: the catalog's V1 resolution maps
+  // FileDataSourceV2 classes to their fallbackFileFormat and runs partition
+  // discovery over the raw LOCATION root (data/ + manifest/state files →
+  // conflicting-structure error), never consulting this class. As a plain
+  // TableProvider the DataFrameReader path still gets the V2 BundleTable,
+  // and `CREATE TABLE t USING `graft-bundle` LOCATION dir` resolves through
+  // [[createRelation]] below.
 
-  private def makeTable(options: CaseInsensitiveStringMap,
-                        schema: Option[StructType]): Table = {
-    val paths = getPaths(options)
-    require(paths.nonEmpty, "graft-bundle requires a bundle directory path")
-    val spark = sparkSession
-    val root = paths.head
-    val fmt = BundleManifest.format(spark, root)
-    val shards = BundleManifest.numShards(spark, root)
-    BundleTable(getTableName(options, paths), spark, getOptionsWithoutPaths(options),
-      paths.map(p => s"$p/data"), schema, fmt, shards)
+  private def sparkSession: SparkSession = SparkSession.active
+
+  private def rootPath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    if (p == null || p.isEmpty)
+      throw new IllegalArgumentException(
+        "graft-bundle reads one bundle directory: spark.read.format(\"graft-bundle\").load(dir)")
+    p
   }
 
-  override def getTable(options: CaseInsensitiveStringMap): Table =
-    makeTable(options, None)
+  private def makeTable(options: CaseInsensitiveStringMap,
+                        schema: Option[StructType]): BundleTable = {
+    val root = rootPath(options)
+    val spark = sparkSession
+    val fmt = BundleManifest.format(spark, root)
+    val shards = BundleManifest.numShards(spark, root)
+    BundleTable(s"graft-bundle $root", spark, options,
+      Seq(s"$root/data"), schema, fmt, shards)
+  }
 
-  override def getTable(options: CaseInsensitiveStringMap, schema: StructType): Table =
-    makeTable(options, Some(schema))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    makeTable(options, None).schema
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String]): Table =
+    makeTable(new CaseInsensitiveStringMap(properties), Option(schema))
+
+  /** Catalog DDL path (`CREATE TABLE t USING `graft-bundle` LOCATION dir`):
+    * resolved through the V1 RelationProvider interface — a relation over
+    * `dir/data` in the manifest's format. Plain reads with `_shard`
+    * partition pruning; routing→shard inference stays a connector-path
+    * (`spark.read.format`) feature. Streaming reads: use
+    * [[graft.streaming.BundleStream.read]] (schema-fixed file stream). */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+                              parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-bundle requires a path"))
+    val spark = sqlContext.sparkSession
+    val fmt = BundleManifest.format(spark, root)
+    val (clsName, schema) =
+      if (fmt == "json") ("json", Some(graft.streaming.BundleStream.bundleSchema))
+      else ("parquet", None)
+    org.apache.spark.sql.execution.datasources.DataSource(spark,
+      className = clsName, paths = Seq(s"$root/data"),
+      userSpecifiedSchema = schema).resolveRelation()
+  }
 }
 
 /** Manifest resolution shared by the connector and [[graft.sink.BundleReader]].
@@ -137,13 +179,16 @@ case class BundleTable(name: String, sparkSession: SparkSession,
         with RoutingShardPushdown { val routingNumShards: Int = n }
   }
 
-  // Catalog-path writes land plain data files in the bundle's format; the
-  // bundle lifecycle artifacts (_STARTED / shard_state.json / manifest.json)
-  // belong to [[graft.sink.BundleSink]] + [[BundleCommitProtocol]], which own
-  // placement (_shard derivation) as well — direct table writes are for
-  // advanced use (e.g. appending pre-sharded rows through a catalog).
+  // Direct table writes are REFUSED: they would land unsharded files in the
+  // data dir, bypassing placement (_shard derivation), the commit-protocol
+  // state blob and the manifest — the three invariants every consumer
+  // relies on. Bundle writes go through [[graft.sink.BundleSink]] (or the
+  // CLI), whose write job owns that lifecycle.
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    delegate.newWriteBuilder(info)
+    throw new UnsupportedOperationException(
+      "graft-bundle tables are written by graft.sink.BundleSink / graft.Main " +
+        "(shard placement + commit protocol + manifest); direct DataFrame " +
+        "writes to the table would bypass the bundle contract")
 
   override def formatName: String = s"graft-bundle(${bundleFormat})"
 
