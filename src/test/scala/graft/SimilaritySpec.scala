@@ -428,6 +428,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recP >= 14, s"IVF-PQ auto tier recall $recP/16")
   }
 
+  test("topK auto: clusterability probe routes unclustered corpora to multiprobe LSH") {
+    // clustered corpus scores near within-cluster cosine; iid scores near
+    // the best-of-16-random-directions floor — the router threshold (0.5)
+    // separates them with margin
+    val rnd = new scala.util.Random(43)
+    val dim = 32
+    val iid = (0 until 2000).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val clustered = (0 until 2000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cIid = Similarity.clusterability(iid, "embedding")
+    val cClu = Similarity.clusterability(clustered, "embedding")
+    assert(cIid < 0.5, s"iid corpus scored clusterable: $cIid")
+    assert(cClu > 0.8, s"clustered corpus scored unclusterable: $cClu")
+
+    // routing consequence on the iid corpus: forced-bucket auto goes LSH
+    // (no cell join), and beats what forced IVF recalls at the same budget
+    val q = iid.filter(col("vec_id") < 24)
+    val brute = Similarity.bruteForceTopK(q, iid, "vec_id", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Int = {
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      brute.count { case (k2, v) => got.get(k2).contains(v) }
+    }
+    val auto = Similarity.topK(q, iid, "vec_id", "vec_id", "embedding",
+      k = 1, maxBrutePairs = 0L)
+    assert(!auto.queryExecution.executedPlan.toString.contains("best_cell"),
+      "unclustered corpus must not route to IVF")
+    val autoRec = recallOf(auto)
+    val forcedIvf = recallOf(Similarity.ivfTopK(q, iid, "vec_id", "vec_id", "embedding",
+      k = 1, nlist = 22, nprobe = 5, kmeansIters = 2))
+    assert(autoRec >= forcedIvf, s"LSH auto $autoRec < forced IVF $forcedIvf")
+    assert(autoRec >= 18, s"multiprobe auto recall too low: $autoRec/24")
+  }
+
   test("driver-bench clustered config: pq_rerank and ivf_pq recall >= 0.9") {
     // the EXACT corpus/knobs Bench.clusteredCurve runs (seed 42, 10k x 64,
     // 100 clusters, noise 0.15, m=8 k=16, default rerankFactor), pinned
