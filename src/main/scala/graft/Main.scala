@@ -86,7 +86,10 @@ object Main {
       outDir = req("out"),
       indexName = m("mode") match {
         case "tokenize" => m.getOrElse("index", "tokens")
-        case "install"  => m.getOrElse("index", "")
+        // install never needs an index; multi derives per-row names from
+        // --index-col; validate without one means "--out is a multi-index
+        // bundle root" (per-index validation)
+        case "install" | "validate" | "multi" => m.getOrElse("index", "")
         case _          => req("index")
       },
       // "auto" = cost-based sizing, resolved against the (filtered) input
@@ -266,19 +269,33 @@ object Main {
           println(s"model: ${model.vocabSize} merges, totalTokens=$totalTokens")
         case "validate" =>
           // install-time check: counts/files/bytes/placement vs manifest +
-          // shard_state.json (reference server-side verify before install)
-          val rep = graft.sink.BundleValidate.validate(spark,
-            s"${cfg.outDir}/${cfg.indexName}")
-          println(s"bundle ${rep.bundleDir}: ${rep.numShards} shards, " +
-            s"${rep.shards.map(_.docs).sum} docs")
-          rep.shards.foreach { s =>
-            println(s"  shard ${s.shard}: docs ${s.docs}/${s.expectedDocs} " +
-              s"files ${s.files}/${s.expectedFiles} bytes ${s.bytes}/${s.expectedBytes} " +
-              s"misplaced ${s.misplaced} ${if (s.ok) "OK" else "FAIL"}")
+          // shard_state.json (reference server-side verify before install).
+          // No --index -> --out is a multi-index bundle root: every index
+          // checked against ITS manifest in one aggregated scan.
+          def show(rep: graft.sink.BundleValidate.Report): Unit = {
+            println(s"bundle ${rep.bundleDir}: ${rep.numShards} shards, " +
+              s"${rep.shards.map(_.docs).sum} docs")
+            rep.shards.foreach { s =>
+              println(s"  shard ${s.shard}: docs ${s.docs}/${s.expectedDocs} " +
+                s"files ${s.files}/${s.expectedFiles} bytes ${s.bytes}/${s.expectedBytes} " +
+                s"misplaced ${s.misplaced} ${if (s.ok) "OK" else "FAIL"}")
+            }
           }
-          if (!rep.ok)
-            throw new IllegalStateException(
-              s"bundle INVALID: ${rep.problems.mkString("; ")}")
+          if (cfg.indexName.isEmpty) {
+            val reps = graft.sink.BundleValidate.validateMulti(spark, cfg.outDir)
+            reps.toSeq.sortBy(_._1).foreach { case (_, r) => show(r) }
+            val problems = reps.toSeq.sortBy(_._1).flatMap { case (i, r) =>
+              r.problems.map(p => s"[$i] $p") }
+            if (problems.nonEmpty)
+              throw new IllegalStateException(s"bundle INVALID: ${problems.mkString("; ")}")
+          } else {
+            val rep = graft.sink.BundleValidate.validate(spark,
+              s"${cfg.outDir}/${cfg.indexName}")
+            show(rep)
+            if (!rep.ok)
+              throw new IllegalStateException(
+                s"bundle INVALID: ${rep.problems.mkString("; ")}")
+          }
           println("bundle VALID")
         case "install" =>
           // server-daemon analog: poll --input for arriving bundles,

@@ -51,25 +51,40 @@ object BundleInstall {
         Skipped(name, "already installed")
       else if (fs.exists(new Path(dir, "_STARTED")))
         Skipped(name, "producer still writing (_STARTED present)")
-      else if (!fs.exists(new Path(dir, "manifest.json")))
-        Skipped(name, "no manifest yet")
-      else if (!manifestCompleted(fs, dir))
-        // a streaming producer's manifest says state:"streaming" until the
-        // bundle is sealed (BundleStreamWriter.seal) — in-flight, not broken
-        Skipped(name, "producer still writing (manifest state not completed)")
       else {
-        val report = BundleValidate.validate(spark, dir.toString)
-        if (!report.ok) {
-          val out = fs.create(new Path(dir, "_INVALID"), true)
-          out.write(report.problems.mkString("\n").getBytes("UTF-8")); out.close()
-          Invalid(name, report.problems)
-        } else {
-          if (compact) BundleCompact.compact(spark, dir.toString)
-          val target = new Path(installDir, name)
-          if (!fs.rename(dir, target))
-            throw new IllegalStateException(s"could not install $dir -> $target")
-          fs.create(new Path(target, "_INSTALLED"), true).close()
-          Installed(name, report.shards.map(_.docs).sum, compact)
+        val single = fs.exists(new Path(dir, "manifest.json"))
+        val multi = !single && fs.listStatus(dir)
+          .exists(_.getPath.getName.matches("manifest_.*\\.json"))
+        if (!single && !multi) Skipped(name, "no manifest yet")
+        else if (single && !manifestCompleted(fs, dir))
+          // a streaming producer's manifest says state:"streaming" until the
+          // bundle is sealed (BundleStreamWriter.seal) — in-flight, not broken
+          Skipped(name, "producer still writing (manifest state not completed)")
+        else {
+          // multi-index bundles validate every index against ITS manifest
+          val (ok, docs, problems) =
+            if (single) {
+              val r = BundleValidate.validate(spark, dir.toString)
+              (r.ok, r.shards.map(_.docs).sum, r.problems)
+            } else {
+              val rs = BundleValidate.validateMulti(spark, dir.toString)
+              (rs.values.forall(_.ok),
+                rs.values.flatMap(_.shards.map(_.docs)).sum,
+                rs.toSeq.sortBy(_._1).flatMap { case (idx, r) =>
+                  r.problems.map(p => s"[$idx] $p") })
+            }
+          if (!ok) {
+            val out = fs.create(new Path(dir, "_INVALID"), true)
+            out.write(problems.mkString("\n").getBytes("UTF-8")); out.close()
+            Invalid(name, problems)
+          } else {
+            if (compact && single) BundleCompact.compact(spark, dir.toString)
+            val target = new Path(installDir, name)
+            if (!fs.rename(dir, target))
+              throw new IllegalStateException(s"could not install $dir -> $target")
+            fs.create(new Path(target, "_INSTALLED"), true).close()
+            Installed(name, docs, compact && single)
+          }
         }
       }
     }

@@ -44,6 +44,66 @@ object BundleValidate {
     }
   }
 
+  /** Multi-index bundle ([[BundleSink.writeMulti]] layout:
+    * `manifest_<idx>.json` siblings + `data/_index=i/_shard=k/`): one scan
+    * aggregated per (index, shard), each index checked against ITS manifest.
+    * Multi bundles carry no shard_state.json (commit-time listing is a
+    * single-index-writer artifact), so the file/byte expectation is the
+    * observed listing — counts and placement are the real gates. */
+  def validateMulti(spark: SparkSession, bundleRoot: String): Map[String, Report] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(bundleRoot), spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(bundleRoot))
+      .map(_.getPath).filter(_.getName.matches("manifest_.*\\.json"))
+      .map { p =>
+        val in = fs.open(p)
+        val m = new String(in.readAllBytes(), "UTF-8"); in.close()
+        val idx = """"indexName":"([^"]*)"""".r.findFirstMatchIn(m).map(_.group(1))
+          .getOrElse(p.getName.stripPrefix("manifest_").stripSuffix(".json"))
+        idx -> m
+      }.toMap
+    require(manifests.nonEmpty, s"no manifest_*.json in $bundleRoot")
+    val n = """"numShards":(\d+)""".r.findFirstMatchIn(manifests.head._2)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"no numShards in $bundleRoot manifests"))
+    // one aggregated pass over every index
+    val fmt = """"format":"(\w+)"""".r.findFirstMatchIn(manifests.head._2)
+      .map(_.group(1)).getOrElse("json")
+    val df = fmt match {
+      case "json" => spark.read
+        .schema(graft.streaming.BundleStream.bundleSchema.add("_index",
+          org.apache.spark.sql.types.StringType))
+        .json(s"$bundleRoot/data")
+      case _ => spark.read.parquet(s"$bundleRoot/data")
+    }
+    val rows = df.groupBy(col("_index"), col("_shard"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(EsFunctions.es_shard(col("_routing"), n) =!= col("_shard"), 1L)
+          .otherwise(0L)).as("misplaced"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    manifests.map { case (idx, manifest) =>
+      val counts = """"(\d+)":(\d+)""".r.findAllMatchIn(
+        """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(manifest).map(_.group(1)).getOrElse(""))
+        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+      val total = """"totalDocs":(\d+)""".r.findFirstMatchIn(manifest)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      val shards = (0 until n).map { sh =>
+        val dir = new org.apache.hadoop.fs.Path(s"$bundleRoot/data/_index=$idx/_shard=$sh")
+        val (files, bytes) =
+          if (fs.exists(dir))
+            fs.listStatus(dir).filter(_.isFile).filterNot(st =>
+              st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+              .foldLeft((0L, 0L)) { case ((f, b), st) => (f + 1, b + st.getLen) }
+          else (0L, 0L)
+        val (docs, misplaced) = rows.getOrElse((idx, sh), (0L, 0L))
+        ShardReport(sh, docs, counts.getOrElse(sh, 0L),
+          files, files, bytes, bytes, misplaced)
+      }
+      idx -> Report(s"$bundleRoot/data/_index=$idx", n, total, shards)
+    }
+  }
+
   def validate(spark: SparkSession, bundleDir: String): Report = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)

@@ -96,6 +96,43 @@ class InstallSpec extends SparkSpec {
     assert(spark.read.format("graft-bundle").load(s"$installed/idx_s").count() === 1500L)
   }
 
+  test("multi-index bundle: per-index validation, installs whole bundle, tamper caught per index") {
+    import org.apache.spark.sql.functions._
+    val incoming = Files.createTempDirectory("graft-install-multi").toString
+    val installed = Files.createTempDirectory("graft-install-mout").toString
+    val src = sf("sf0.001", "orders")
+      .withColumn("idx", concat(lit("t_"), col("o_orderstatus")))
+    val docs = DocTransform.docs(src, "o_orderkey", Some("o_custkey"), keepCols = Seq("idx"))
+    BundleSink.writeMulti(docs, s"$incoming/multi_a", "idx", numShards = 3,
+      partitionMultiples = 2)
+
+    // validateMulti: every index green against its own manifest
+    val reports = graft.sink.BundleValidate.validateMulti(spark, s"$incoming/multi_a")
+    assert(reports.keySet === Set("t_O", "t_F", "t_P"))
+    assert(reports.values.forall(_.ok),
+      reports.toSeq.flatMap { case (i, r) => r.problems.map(s"$i: " + _) }.mkString("; "))
+
+    // daemon installs the whole multi bundle
+    val pass = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass.collect { case i: BundleInstall.Installed => (i.bundle, i.docs) } ===
+      Seq(("multi_a", 1500L)))
+    assert(spark.read.format("graft-bundle").load(s"$installed/multi_a")
+      .select("_index").distinct().count() === 3)
+
+    // tamper one index -> Invalid names the index, bundle not installed
+    BundleSink.writeMulti(docs, s"$incoming/multi_b", "idx", numShards = 3,
+      partitionMultiples = 2)
+    val victimDir = new java.io.File(s"$incoming/multi_b/data/_index=t_O/_shard=0")
+    val victim = victimDir.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    assert(victim.delete())
+    val pass2 = BundleInstall.installOnce(spark, incoming, installed)
+    val bad = pass2.collect { case i: BundleInstall.Invalid => i }
+    assert(bad.map(_.bundle) === Seq("multi_b"))
+    assert(bad.head.problems.exists(_.startsWith("[t_O]")), bad.head.problems)
+    assert(!Files.exists(Paths.get(s"$installed/multi_b")))
+  }
+
   test("watch: drains arrived bundles, compacts on request, stops on _COMPLETE") {
     val incoming = Files.createTempDirectory("graft-install-watch").toString
     val installed = Files.createTempDirectory("graft-install-wout").toString
