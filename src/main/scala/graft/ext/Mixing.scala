@@ -56,12 +56,24 @@ object Mixing {
 
   /** Full form: `tieCols` complete the per-source total order when
     * `orderCol` alone is not unique; `numBuckets` bounds the largest
-    * sort task (per-source rows / numBuckets, roughly). */
+    * sort task (per-source rows / numBuckets, roughly).
+    *
+    * Small inputs skip the two-phase machinery: the bucketed form costs a
+    * fixed ~4 extra jobs (percentile sketch + collect + offset aggregate)
+    * that only pay off when a source no longer fits one task. The optimizer's
+    * size estimate (`stats.sizeInBytes` — free, no count job) routes inputs
+    * under `smallInputBytes` to the plain per-source window; both paths are
+    * bit-identical by construction (the MixingSpec equality law pins it), so
+    * the routing affects latency only, never results. */
   def capPerSource(docs: DataFrame, sourceCol: String, orderCol: String,
                    cost: Column, budget: Long, numBuckets: Int,
-                   tieCols: Seq[String]): DataFrame = {
+                   tieCols: Seq[String],
+                   smallInputBytes: Long = 64L << 20): DataFrame = {
     val ordKeys = (orderCol +: tieCols).map(col)
-    bucketize(docs, sourceCol, orderCol, numBuckets) match {
+    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val effectiveBuckets =
+      if (estBytes <= BigInt(smallInputBytes)) 1 else numBuckets
+    bucketize(docs, sourceCol, orderCol, effectiveBuckets) match {
       case None =>
         // unsupported order-key type (or numBuckets == 1): single window
         val w = Window.partitionBy(sourceCol).orderBy(ordKeys: _*)

@@ -36,7 +36,7 @@ class MixingSpec extends SparkSpec {
       val a = singleWindow(docs, budget)
         .select("doc_id", "source", "cost", "_cum").collect().toSet
       val b = Mixing.capPerSource(docs, "source", "doc_id", col("cost"),
-          budget, numBuckets = 8, tieCols = Nil)
+          budget, numBuckets = 8, tieCols = Nil, smallInputBytes = 0L)
         .select("doc_id", "source", "cost", "_cum").collect().toSet
       assert(b === a, s"bucketed != single-window at budget=$budget")
       assert(a.nonEmpty)
@@ -51,7 +51,7 @@ class MixingSpec extends SparkSpec {
         numBuckets = 1, tieCols = Seq("doc_id"))
       .select("doc_id", "_cum").collect().toSet
     val b = Mixing.capPerSource(docs, "source", "ord", col("cost"), 8000L,
-        numBuckets = 8, tieCols = Seq("doc_id"))
+        numBuckets = 8, tieCols = Seq("doc_id"), smallInputBytes = 0L)
       .select("doc_id", "_cum").collect().toSet
     assert(b === a)
     assert(a.nonEmpty)
@@ -98,9 +98,25 @@ class MixingSpec extends SparkSpec {
     // and the capped output still matches the single-window reference
     val a = singleWindow(docs, 10L).select("doc_id", "_cum").collect().toSet
     val b = Mixing.capPerSource(docs, "source", "doc_id", col("cost"), 10L,
-        numBuckets = 4, tieCols = Nil)
+        numBuckets = 4, tieCols = Nil, smallInputBytes = 0L)
       .select("doc_id", "_cum").collect().toSet
     assert(b === a)
+  }
+
+  test("size routing: small inputs take the single-window plan, forced-bucketed identical") {
+    val docs = skewedDocs()
+    // default smallInputBytes (64 MB): this tiny frame routes to the plain
+    // window — no bucket machinery in the plan, no sketch/offset jobs
+    val fast = Mixing.capPerSource(docs, "source", "doc_id", col("cost"), 5000L,
+      numBuckets = 8, tieCols = Nil)
+    assert(!fast.queryExecution.optimizedPlan.toString.contains("_gbkt"),
+      "small input should skip the bucketed form")
+    // forcing the bucketed form produces byte-identical results
+    val slow = Mixing.capPerSource(docs, "source", "doc_id", col("cost"), 5000L,
+      numBuckets = 8, tieCols = Nil, smallInputBytes = 0L)
+    assert(slow.queryExecution.optimizedPlan.toString.contains("_gbkt"))
+    assert(fast.select("doc_id", "_cum").collect().toSet ===
+      slow.select("doc_id", "_cum").collect().toSet)
   }
 
   test("whole-bucket prune: over-budget buckets drop without changing results") {
@@ -109,7 +125,7 @@ class MixingSpec extends SparkSpec {
     val docs = skewedDocs(4000)
     val a = singleWindow(docs, 300L).select("doc_id", "_cum").collect().toSet
     val b = Mixing.capPerSource(docs, "source", "doc_id", col("cost"), 300L,
-        numBuckets = 16, tieCols = Nil)
+        numBuckets = 16, tieCols = Nil, smallInputBytes = 0L)
       .select("doc_id", "_cum").collect().toSet
     assert(b === a)
     assert(a.nonEmpty && a.size < 100)
