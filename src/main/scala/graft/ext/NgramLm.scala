@@ -50,11 +50,17 @@ object NgramLm {
   private def normalizeCol(c: Column): Column =
     regexp_replace(lower(c), "\\s+", " ")
 
-  /** All char n-grams of a text column (per-row HOF — fine; see SCALING.md:
-    * per-PAIR math needs codegen, per-ROW lambdas do not). Short/null texts
-    * yield an empty array — the when() guard matters because
-    * sequence(1, 0) would COUNT DOWN, not produce empty. */
-  private[ext] def charNgrams(c: Column, n: Int): Column = {
+  /** All char n-grams of a text column — one codegen'd pass
+    * ([[graft.functions.CharNgrams]]). The earlier HOF form nested the
+    * normalized-text subtree inside the per-element lambda; interpreted
+    * evaluation re-ran regexp_replace+lower once per n-gram → O(len²) per
+    * document, and it WAS the dominant train cost. Short/null texts yield
+    * an empty array. */
+  private[graft] def charNgrams(c: Column, n: Int): Column =
+    graft.functions.EsFunctions.char_ngrams(c, n)
+
+  /** Reference HOF formulation (spec-only differential pin). */
+  private[graft] def charNgramsHof(c: Column, n: Int): Column = {
     val s = normalizeCol(c)
     when(length(s) >= n,
       transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
@@ -70,9 +76,9 @@ object NgramLm {
   def train(docs: DataFrame, textCol: String, n: Int = 3,
             maxNgrams: Int = 200000, addK: Double = 0.05): LmModel = {
     require(n >= 2, s"n must be >= 2, got $n")
-    // small corpora often arrive as one input split; the interpreted HOF
-    // ngram extraction is the train cost, so spread it across the cluster
-    // (a 5k-row exchange is noise next to 2.5M per-element lambda evals)
+    // small corpora often arrive as one input split; ngram extraction is
+    // still the train cost (one codegen pass per doc), so spread it across
+    // the cluster — a 5k-row exchange is noise next to millions of grams
     val spark = docs.sparkSession
     val spread = docs.select(col(textCol))
       .repartition(spark.sparkContext.defaultParallelism)

@@ -131,6 +131,10 @@ object EsFunctions {
   def unit_vec(v: Column): Column =
     GraftSqlBridge.column(UnitVecExpr(GraftSqlBridge.expression(v)))
 
+  /** One-pass normalized char n-grams (see [[CharNgrams]]). */
+  def char_ngrams(text: Column, n: Int): Column =
+    GraftSqlBridge.column(CharNgramsExpr(GraftSqlBridge.expression(text), n))
+
   /** Hyperplane-LSH signature with a payload plane matrix (see [[LshPlanes]]). */
   def lsh_sig(v: Column, planes: Array[Double], bits: Int, dim: Int): Column =
     GraftSqlBridge.column(LshSigExpr(GraftSqlBridge.expression(v), planes, bits, dim))

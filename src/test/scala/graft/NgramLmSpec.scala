@@ -9,6 +9,31 @@ class NgramLmSpec extends SparkSpec {
   lazy val docs = sf("sf0.001", "documents")
   lazy val model = NgramLm.train(docs, "text", n = 3, maxNgrams = 50000)
 
+  test("codegen char_ngrams: bit-identical to the HOF reference formulation") {
+    val texts = Seq(
+      "Hello,  World!\tmixed\n WS", "abc", "ab", "a", "",
+      "  leading and   trailing  ", "ÜPPER Straße çédille",
+      "numbers 12345 and 67890", "\n\n\t", "sOlO"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      (100 until 200).map { i =>
+        val r = new scala.util.Random(i)
+        (i.toLong, (0 until 40).map(_ =>
+          if (r.nextInt(5) == 0) " " else ('a' + r.nextInt(26)).toChar).mkString)
+      }
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(2, 3, 4)) {
+      val rows = df.select(col("id"),
+          NgramLm.charNgrams(col("text"), n).as("native"),
+          NgramLm.charNgramsHof(col("text"), n).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[String]]("native") ===
+          r.getAs[scala.collection.Seq[String]]("ref"),
+          s"n=$n id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("training is deterministic and bounded") {
     val m2 = NgramLm.train(docs, "text", n = 3, maxNgrams = 50000)
     assert(model.ngramLogProb === m2.ngramLogProb)
