@@ -221,12 +221,48 @@ object Similarity {
     graft.functions.CentroidFunctions.best_cell(v, flat, nlist, dim)
   }
 
+  /** Greedy farthest-point (k-center) seed selection over unit vectors:
+    * start from index 0, then repeatedly take the sample least similar to
+    * its nearest chosen seed (minimal max-dot; ties break to the lowest
+    * index). INCREMENTAL: each sample's max-dot against the chosen seed set
+    * is cached and refreshed against only the NEWEST seed per round —
+    * O(nlist · sampleN · dim), vs the naive form's O(nlist² · sampleN · dim)
+    * which re-scans every seed for every sample each round. Same greedy
+    * choices (the cached max equals the recomputed max exactly — pure
+    * float-add/mul per seed, no reordering), so the seed sequence is
+    * bit-identical to the quadratic form (pinned by SimilaritySpec). This
+    * runs single-threaded on the driver: at nlist=√n/2 the naive form grows
+    * n^1.5 and was the 1M-tier bottleneck (ivf_kmeans slower than brute).
+    * Returns seed INDICES into `sampled`, in selection order. */
+  private[graft] def farthestPointSeeds(sampled: Array[Array[Double]],
+                                        nlist: Int): IndexedSeq[Int] = {
+    val order = scala.collection.mutable.ArrayBuffer(0)
+    val maxDot = Array.fill(sampled.length)(Double.MinValue)
+    var newest = sampled(0)
+    while (order.size < nlist && order.size < sampled.length) {
+      var bestIdx = -1; var bestMax = Double.MaxValue
+      var i = 0
+      while (i < sampled.length) {
+        val si = sampled(i)
+        var d = 0.0; var j = 0
+        while (j < newest.length) { d += newest(j) * si(j); j += 1 }
+        if (d > maxDot(i)) maxDot(i) = d
+        if (maxDot(i) < bestMax) { bestMax = maxDot(i); bestIdx = i }
+        i += 1
+      }
+      order += bestIdx
+      newest = sampled(bestIdx)
+    }
+    order.toIndexedSeq
+  }
+
   /** Driver-side centroid set for [[kmeansCentroids]]; index = cent_id. */
   private def kmeansArray(corpus: DataFrame, idCol: String, vecCol: String,
                           nlist: Int, iters: Int): IndexedSeq[Seq[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col(idCol).as("_id"), unitize(asDouble(col(vecCol))).as("_v"))
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id"), unitize(asDouble(col(vecCol))).as("_v"))
       .cache()
     // farthest-point init on a seeded driver-side sample: the distributed
     // version costs nlist-1 sequential jobs (measured ~10 s at 10k vectors
@@ -243,24 +279,8 @@ object Similarity {
       if (s.nonEmpty) s else vecs.limit(nlist).select(col("_v")).as[Seq[Double]]
         .collect().map(_.toArray)
     }
-    val seeds = scala.collection.mutable.ArrayBuffer(sampled.head)
-    while (seeds.size < nlist && seeds.size < sampled.length) {
-      // farthest point = minimal max-dot vs chosen seeds (unit vectors)
-      var bestIdx = -1; var bestMax = Double.MaxValue
-      var i = 0
-      while (i < sampled.length) {
-        var mx = Double.MinValue
-        seeds.foreach { sd =>
-          var d = 0.0; var j = 0
-          while (j < sd.length) { d += sd(j) * sampled(i)(j); j += 1 }
-          if (d > mx) mx = d
-        }
-        if (mx < bestMax) { bestMax = mx; bestIdx = i }
-        i += 1
-      }
-      seeds += sampled(bestIdx)
-    }
-    var cents: IndexedSeq[Seq[Double]] = seeds.toIndexedSeq.map(_.toSeq)
+    var cents: IndexedSeq[Seq[Double]] =
+      farthestPointSeeds(sampled, nlist).map(sampled(_).toSeq)
     for (_ <- 0 until iters) {
       // assignment is a projection (argmax over literal centroids) — the
       // round-1 crossJoin + row_number window shuffled corpus x nlist rows
@@ -384,8 +404,9 @@ object Similarity {
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
     val raw: Array[Array[Double]] = corpus
       .sample(withReplacement = false, frac, seed = 42L)
+      .filter(col(vecCol).isNotNull)
       .select(unitize(asDouble(col(vecCol)))).as[Seq[Double]]
-      .collect().map(_.toArray).filter(_.length == dim)
+      .collect().flatMap(s => Option(s).map(_.toArray)).filter(_.length == dim)
     require(raw.nonEmpty, "pqTrain: empty sample")
     // OPQ-lite: permute dims so each subspace carries ~equal variance
     // (plain PQ wastes codes when a few subspaces hold all the energy —
@@ -599,17 +620,23 @@ object Similarity {
       while (j < d) { val x = a(j) - b(j); s += x * x; j += 1 }
       s
     }
+    // incremental farthest-point init (same shape as [[farthestPointSeeds]]
+    // but in distance space): cache each point's min-dist to the chosen
+    // centers, refresh against only the newest center — O(k·n·d) not O(k²·n·d)
     val cents = scala.collection.mutable.ArrayBuffer(pts.head.clone())
+    val minD = Array.fill(pts.length)(Double.MaxValue)
+    var newest = pts.head
     while (cents.size < k) {
       var bestIdx = 0; var bestD = -1.0
       var i = 0
       while (i < pts.length) {
-        var dn = Double.MaxValue
-        cents.foreach(c => dn = math.min(dn, dist2(pts(i), c)))
-        if (dn > bestD) { bestD = dn; bestIdx = i }
+        val dd = dist2(pts(i), newest)
+        if (dd < minD(i)) minD(i) = dd
+        if (minD(i) > bestD) { bestD = minD(i); bestIdx = i }
         i += 1
       }
       cents += pts(bestIdx).clone()
+      newest = pts(bestIdx)
     }
     val cs = cents.toArray
     for (_ <- 0 until iters) {
@@ -730,17 +757,32 @@ object Similarity {
     val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents, probes = nprobe)
       .withColumn("_lut", graft.functions.PqFunctions.pq_lut(permute(col("_qv"), model),
         model.centroids, model.m, model.k, model.subDim))
-    val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
     // corpus rows live in exactly one cell -> (qid, nid) already unique.
-    // Only (qid, nid, _psim) flows through the candidate-cut window — at
+    // Only (qid, nid, _psim) flows through the candidate-cut windows — at
     // nprobe/nlist of a 10^6+ corpus the candidate stream is 10^7-10^8 rows,
     // and carrying the full-width vectors through that sort multiplied its
     // shuffle ~40x (measured 34 GB spill at the 1M bench tier). The exact
     // re-rank joins vectors back for just the k*rerankFactor finalists.
+    //
+    // TWO-LEVEL cut: a per-(qid, cent_id) partial top-(k*rerankFactor)
+    // before the global per-qid cut. Provably output-identical at equal
+    // thresholds: a row's per-cell rank() never exceeds its global rank()
+    // (its cell sees a subset of the rows above it), so every global
+    // survivor passes the partial cut; and any row the partial cut drops
+    // has >= k*rerankFactor strictly-better rows in its own cell — all of
+    // which survive — so its global rank in the reduced stream still lands
+    // past the threshold. The point at scale: no single task ever sorts a
+    // query's FULL candidate stream (nc * nprobe / nlist rows — a straggler
+    // at 10^9 corpus); the global window now sees <= nprobe * k *
+    // rerankFactor rows per query (+ tie groups).
+    val wPart = Window.partitionBy("qid", "cent_id").orderBy(col("_psim").desc)
+    val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
     val cands = queryCells.join(corpusCells.drop("_cv"), Seq("cent_id"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
+      .select(col("cent_id"), col("qid"), col("nid"),
         graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
+      .withColumn("_crank", rank().over(wPart))
+      .filter(col("_crank") <= k * rerankFactor)
       .withColumn("_prank", rank().over(wc))
       .filter(col("_prank") <= k * rerankFactor)
       .select(col("qid"), col("nid"))
@@ -828,9 +870,12 @@ object Similarity {
     import corpus.sparkSession.implicits._
     val n = corpus.count()
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
+    // null embeddings decode to null Seqs — filter in the query (and belt-
+    // and-braces driver-side) or the .toArray NPEs and kills the router
     val sample = corpus.sample(withReplacement = false, frac, seed = 7L)
+      .filter(col(vecCol).isNotNull)
       .select(unitize(asDouble(col(vecCol)))).as[Seq[Double]]
-      .collect().map(_.toArray).filter(_.nonEmpty)
+      .collect().flatMap(s => Option(s).map(_.toArray)).filter(_.nonEmpty)
     if (sample.length < 32) return 1.0 // too small to judge; IVF is safe here
     val kCents = 16
     val cents = lloyd(sample, math.min(kCents, sample.length), iters = 2)
@@ -869,6 +914,18 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Drop rows belonging to oversized (_table, _sig) buckets without ever
+    * shuffling the row payloads: sizes from a bare-key partial+final count
+    * (the vector columns are pruned out of that branch), oversized keys —
+    * ≤ n/maxBucket of them by construction — broadcast into a LeftAnti
+    * hash join. Output rows identical to the count-window formulation. */
+  private def oversizedGuard(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val big = sigs.groupBy("_table", "_sig").count()
+      .filter(col("count") > maxBucket)
+      .select(col("_table"), col("_sig"))
+    sigs.join(broadcast(big), Seq("_table", "_sig"), "left_anti")
+  }
+
   /**
    * Scale path for embedding near-dup: random-hyperplane LSH prefilter +
    * exact verify. Candidates = pairs sharing a full `bits`-bit signature in
@@ -900,10 +957,14 @@ object Similarity {
           lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)))
       .select(col("_nid"), col("_v"), col("pos").as("_table"), col("col").as("_sig"))
     // skew guard: a degenerate bucket (near-identical corpus slice) would
-    // otherwise quadratically dominate one task
-    val guarded = sigs.withColumn("_bn",
-        count(lit(1)).over(Window.partitionBy("_table", "_sig")))
-      .filter(col("_bn") <= maxBucket).drop("_bn")
+    // otherwise quadratically dominate one join task. PAYLOAD-FREE: bucket
+    // sizes come from a bare-key groupBy (partial+final agg, no vectors
+    // through its shuffle) and the oversized keys — at most n/maxBucket of
+    // them, driver-bounded — broadcast-anti-join the signature stream. The
+    // earlier count()-over-(_table,_sig)-window form sorted the FULL
+    // vector-carrying signature table through an extra exchange before the
+    // self-join shuffled it again: 2x the dominant shuffle at corpus scale.
+    val guarded = oversizedGuard(sigs, maxBucket)
     val a = guarded.select(col("_table"), col("_sig"),
       col("_nid").as("id_a"), col("_v").as("_va"))
     val b = guarded.select(col("_table"), col("_sig"),
@@ -937,12 +998,12 @@ object Similarity {
             lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)))
         .select(col(outId), col(vOut), col("pos").as("_table"), col("col").as("_sig"))
     // guard BOTH sides: a degenerate bucket in either corpus concentrates
-    // |other-side bucket| x maxBucket candidate pairs into one join task
-    def guard(df: DataFrame): DataFrame = df
-      .withColumn("_bn", count(lit(1)).over(Window.partitionBy("_table", "_sig")))
-      .filter(col("_bn") <= maxBucket).drop("_bn")
-    val l = guard(sigs(left, leftId, "id_l", "_vl"))
-    val r = guard(sigs(right, rightId, "id_r", "_vr"))
+    // |other-side bucket| x maxBucket candidate pairs into one join task.
+    // Payload-free form — see the [[oversizedGuard]] note in
+    // [[cosineNearDupsLsh]]: bare-key counts + broadcast anti-join, so the
+    // unit vectors cross exactly one exchange (the candidate join's).
+    val l = oversizedGuard(sigs(left, leftId, "id_l", "_vl"), maxBucket)
+    val r = oversizedGuard(sigs(right, rightId, "id_r", "_vr"), maxBucket)
     l.join(r, Seq("_table", "_sig"))
       .select(col("id_l"), col("id_r"),
         round(dot(col("_vl"), col("_vr")), roundTo).as("sim"))

@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -47,11 +49,23 @@ case class CharNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
 
-  override protected def nullSafeEval(t: Any): Any =
-    CharNgrams.compute(t.asInstanceOf[UTF8String], n)
+  // NO null propagation: null text yields an EMPTY ARRAY, matching the
+  // pinned HOF reference (`when(text.isNull, array()).otherwise(...)`) —
+  // the UnaryExpression default would short-circuit to SQL NULL and leave
+  // CharNgrams.compute's null branch dead (NgramLmSpec pins a null row)
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t => s"graft.functions.CharNgrams.compute($t, $n)")
+  override def eval(input: InternalRow): Any =
+    CharNgrams.compute(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.CharNgrams.compute(${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(nc: Expression): CharNgramsExpr =
     copy(child = nc)

@@ -45,6 +45,23 @@ object BundleInstall {
       .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
     candidates.toSeq.map { dir =>
       val name = dir.getName
+      // per-bundle containment: one failing bundle (validation crash, rename
+      // collision with a half-installed dir, fs hiccup) must not abort the
+      // pass — and with it the watch daemon — for every OTHER arriving
+      // bundle. Errors become Skipped outcomes (transient: no _INVALID
+      // marker, so a later pass retries once the cause clears).
+      try installBundle(spark, fs, dir, name, installDir, compact)
+      catch {
+        case e: Exception =>
+          Skipped(name, s"install error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  private def installBundle(spark: SparkSession, fs: FileSystem, dir: Path,
+                            name: String, installDir: String,
+                            compact: Boolean): Outcome = {
+    {
       if (fs.exists(new Path(dir, "_INVALID")))
         Skipped(name, "previously marked invalid")
       else if (fs.exists(new Path(installDir, s"$name/_INSTALLED")))
@@ -80,9 +97,15 @@ object BundleInstall {
           } else {
             if (compact && single) BundleCompact.compact(spark, dir.toString)
             val target = new Path(installDir, name)
-            if (!fs.rename(dir, target))
+            // marker BEFORE the rename: it rides the move, so there is no
+            // crash window between "renamed into installDir" and "marked" —
+            // a stray marker in a source dir whose rename then failed is
+            // harmless (the skip check reads installDir, not incoming)
+            fs.create(new Path(dir, "_INSTALLED"), true).close()
+            if (!fs.rename(dir, target)) {
+              fs.delete(new Path(dir, "_INSTALLED"), false)
               throw new IllegalStateException(s"could not install $dir -> $target")
-            fs.create(new Path(target, "_INSTALLED"), true).close()
+            }
             Installed(name, docs, compact && single)
           }
         }

@@ -89,6 +89,15 @@ object BundleSink {
       case other => throw new IllegalArgumentException(s"unsupported multi-bundle format: $other")
     }
     val dataDir = s"$outRoot/data"
+    // _STARTED spans the whole multi-bundle lifecycle: data write + the
+    // sequential per-index manifest loop. Without it a polling installer can
+    // validate/rename the bundle mid-manifest-loop — installing it with
+    // whole indices missing their manifests and yanking the directory out
+    // from under the remaining writes. installOnce skips _STARTED bundles.
+    val fsEarly = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outRoot), spark.sparkContext.hadoopConfiguration)
+    fsEarly.mkdirs(new org.apache.hadoop.fs.Path(outRoot))
+    fsEarly.create(new org.apache.hadoop.fs.Path(outRoot, "_STARTED"), true).close()
     format match {
       case "json"    => writer.option("compression", codec).json(dataDir)
       case "parquet" => writer.option("compression", codec).parquet(dataDir)
@@ -101,7 +110,7 @@ object BundleSink {
       }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outRoot), spark.sparkContext.hadoopConfiguration)
-    counts.keys.map(_._1).toSet.map { (idx: String) =>
+    val results = counts.keys.map(_._1).toSet.map { (idx: String) =>
       val perShard = (0 until numShards)
         .map(sh => sh -> counts.getOrElse((idx, sh), 0L)).toMap
       val total = perShard.values.sum
@@ -124,6 +133,9 @@ object BundleSink {
       }
       idx -> Result(s"$outRoot/data/_index=$idx", numShards, total, perShard)
     }.toMap
+    // last manifest landed -> the bundle is complete; clear the marker
+    fs.delete(new org.apache.hadoop.fs.Path(outRoot, "_STARTED"), false)
+    results
   }
 
   /**
@@ -162,19 +174,35 @@ object BundleSink {
     }
   }
 
-  /** Run `body` (a file write on `outDir/data`) under the bundle commit
-    * protocol, restoring the session's previous protocol after. Scoped to
-    * this write: the conf is read once at the write's execution start. */
-  private def withBundleCommitProtocol[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.sources.commitProtocolClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, classOf[graft.sources.BundleCommitProtocol].getName)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  /** The commit-protocol conf key is session-global: serialize bundle
+    * writes JVM-wide so two cannot race the set/restore (one would restore
+    * the other's in-flight value and pin the session to the bundle
+    * protocol). Writes on different sessions still serialize — the cost is
+    * a held lock for one write job, the payoff is a race that can't occur. */
+  private val protocolLock = new Object
+
+  /** Run `body` (a file write on `dataPath`) under the bundle commit
+    * protocol, restoring the session's previous protocol after. `dataPath`
+    * is recorded in the Hadoop conf so [[graft.sources.BundleCommitProtocol]]
+    * no-ops for any concurrent job that picks the class up for a different
+    * destination (see its scaladoc). */
+  private def withBundleCommitProtocol[T](spark: org.apache.spark.sql.SparkSession,
+                                          dataPath: String)(body: => T): T =
+    protocolLock.synchronized {
+      val key = "spark.sql.sources.commitProtocolClass"
+      val hc = spark.sparkContext.hadoopConfiguration
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, classOf[graft.sources.BundleCommitProtocol].getName)
+      hc.set(graft.sources.BundleCommitProtocol.PathKey, dataPath)
+      try body
+      finally {
+        hc.unset(graft.sources.BundleCommitProtocol.PathKey)
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      }
     }
-  }
 
   /** `"alias":…,"finalSettings":{…}` manifest fragment (reference alias
     * swap `ESClient.java:154-170` + health-gated final settings
@@ -243,7 +271,7 @@ object BundleSink {
       case "parquet" | "columnar" => compression.getOrElse("zstd")
       case other     => throw new IllegalArgumentException(s"unsupported bundle format: $other")
     }
-    withBundleCommitProtocol(spark) {
+    withBundleCommitProtocol(spark, outDir + "/data") {
       format match {
         case "json" =>
           require(JsonCodecs(codec),

@@ -82,7 +82,7 @@ object BundleValidate {
           .otherwise(0L)).as("misplaced"))
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
-    manifests.map { case (idx, manifest) =>
+    val covered = manifests.map { case (idx, manifest) =>
       val counts = """"(\d+)":(\d+)""".r.findAllMatchIn(
         """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(manifest).map(_.group(1)).getOrElse(""))
         .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
@@ -102,6 +102,23 @@ object BundleValidate {
       }
       idx -> Report(s"$bundleRoot/data/_index=$idx", n, total, shards)
     }
+    // data under _index=X with NO manifest_X.json is a half-written bundle
+    // (e.g. a producer that died mid-manifest-loop), not ignorable surplus:
+    // report each orphan index as failing (expectedDocs 0 vs its observed
+    // docs) so install gates refuse the bundle instead of silently
+    // installing it minus whole indices
+    val orphanIdx = fs.listStatus(new org.apache.hadoop.fs.Path(s"$bundleRoot/data"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("_index=")).map(_.stripPrefix("_index="))
+      .filterNot(manifests.keySet)
+    val orphans = orphanIdx.map { idx =>
+      val shards = (0 until n).map { sh =>
+        val (docs, misplaced) = rows.getOrElse((idx, sh), (0L, 0L))
+        ShardReport(sh, docs, 0L, 0, 0, 0, 0, misplaced)
+      }
+      idx -> Report(s"$bundleRoot/data/_index=$idx", n, -1L, shards)
+    }.toMap
+    covered ++ orphans
   }
 
   def validate(spark: SparkSession, bundleDir: String): Report = {

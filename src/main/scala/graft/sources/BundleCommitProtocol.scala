@@ -23,7 +23,22 @@ import org.apache.spark.sql.execution.datasources.SQLHadoopMapReduceCommitProtoc
  * the files it describes are final. Installed per-write by BundleSink via
  * `spark.sql.sources.commitProtocolClass`; constructor signature is the one
  * `FileCommitProtocol.instantiate` reflects on.
+ *
+ * The conf key is SESSION-GLOBAL, so a concurrent write on the same session
+ * (another thread, a streaming batch commit) can instantiate this class for
+ * a NON-bundle destination. Guard: BundleSink records the exact data path
+ * it is writing under [[BundleCommitProtocol.PathKey]] (snapshotted into
+ * the job's Hadoop conf at setup); any job whose output path doesn't match
+ * degrades to the stock SQLHadoopMapReduceCommitProtocol behavior — no
+ * stray `_STARTED`/`shard_state.json` next to someone else's output.
+ * BundleSink additionally serializes bundle writes behind a JVM-wide lock
+ * so two writes can never race the set/restore of the conf key itself.
  */
+object BundleCommitProtocol {
+  /** Hadoop-conf key carrying the data path of the bundle write in flight. */
+  val PathKey = "graft.bundle.data.path"
+}
+
 class BundleCommitProtocol(jobId: String, path: String,
                            dynamicPartitionOverwrite: Boolean)
   extends SQLHadoopMapReduceCommitProtocol(jobId, path, dynamicPartitionOverwrite) {
@@ -31,15 +46,27 @@ class BundleCommitProtocol(jobId: String, path: String,
   private def dataDir = new Path(path)
   private def bundleRoot = dataDir.getParent
 
+  /** True iff this job is THE bundle write BundleSink armed the protocol
+    * for (URI-path comparison: Spark may qualify the output path with a
+    * filesystem scheme the sink-side string lacks). */
+  private def isArmedFor(conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val expected = conf.get(BundleCommitProtocol.PathKey)
+    expected != null &&
+      new Path(expected).toUri.getPath == dataDir.toUri.getPath
+  }
+
   override def setupJob(jobContext: JobContext): Unit = {
     super.setupJob(jobContext)
-    val fs = dataDir.getFileSystem(jobContext.getConfiguration)
-    fs.create(new Path(bundleRoot, "_STARTED"), true).close()
+    if (isArmedFor(jobContext.getConfiguration)) {
+      val fs = dataDir.getFileSystem(jobContext.getConfiguration)
+      fs.create(new Path(bundleRoot, "_STARTED"), true).close()
+    }
   }
 
   override def commitJob(jobContext: JobContext,
                          taskCommits: Seq[TaskCommitMessage]): Unit = {
     super.commitJob(jobContext, taskCommits)
+    if (!isArmedFor(jobContext.getConfiguration)) return
     val conf = jobContext.getConfiguration
     val fs = dataDir.getFileSystem(conf)
     val shardDirs = fs.listStatus(dataDir)

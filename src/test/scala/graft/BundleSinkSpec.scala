@@ -61,6 +61,27 @@ class BundleSinkSpec extends SparkSpec {
     assert(res2.shardCounts === expected)
   }
 
+  test("commit protocol is inert for a write it was not armed for") {
+    // a concurrent write on the same session can pick up the session-global
+    // commitProtocolClass mid-bundle-write; the path guard must make it
+    // behave as the stock protocol (no _STARTED/shard_state.json dropped
+    // next to the foreign output)
+    val out = tmpDir()
+    val key = "spark.sql.sources.commitProtocolClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, classOf[graft.sources.BundleCommitProtocol].getName)
+    try {
+      spark.range(100).toDF("id").write.mode("overwrite").parquet(s"$out/plain")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    assert(spark.read.parquet(s"$out/plain").count() === 100L)
+    assert(!Files.exists(Paths.get(s"$out/_STARTED")),
+      "unarmed protocol must not mark a foreign write")
+    assert(!Files.exists(Paths.get(s"$out/shard_state.json")))
+  }
+
   test("many-shard layout (>64) counts via map-valued observe, placement still exact") {
     import org.apache.spark.sql.functions._
     val out = tmpDir()

@@ -133,6 +133,45 @@ class InstallSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$installed/multi_b")))
   }
 
+  test("multi-index bundle: data _index with no manifest is flagged, bundle refused") {
+    import org.apache.spark.sql.functions._
+    val incoming = Files.createTempDirectory("graft-install-orphan").toString
+    val installed = Files.createTempDirectory("graft-install-oout").toString
+    val src = sf("sf0.001", "orders")
+      .withColumn("idx", concat(lit("t_"), col("o_orderstatus")))
+    val docs = DocTransform.docs(src, "o_orderkey", Some("o_custkey"), keepCols = Seq("idx"))
+    BundleSink.writeMulti(docs, s"$incoming/multi_o", "idx", numShards = 3,
+      partitionMultiples = 2)
+    // simulate a producer that died mid-manifest-loop: data for t_O exists
+    // but its manifest never landed
+    Files.delete(Paths.get(s"$incoming/multi_o/manifest_t_O.json"))
+    val reports = graft.sink.BundleValidate.validateMulti(spark, s"$incoming/multi_o")
+    assert(reports.contains("t_O"), "orphan index must be reported")
+    assert(!reports("t_O").ok, "orphan index must fail validation")
+    // daemon refuses the bundle instead of installing it minus an index
+    val pass = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass.collect { case i: BundleInstall.Invalid => i.bundle } === Seq("multi_o"))
+    assert(!Files.exists(Paths.get(s"$installed/multi_o")))
+  }
+
+  test("one broken bundle does not abort the pass for the others") {
+    val incoming = Files.createTempDirectory("graft-install-broken").toString
+    val installed = Files.createTempDirectory("graft-install-bout").toString
+    // aaa_broken sorts FIRST: manifest claims completed but has no numShards
+    // and no data — validation throws. Before per-bundle containment, that
+    // exception aborted installOnce and zzz_good never installed.
+    Files.createDirectories(Paths.get(s"$incoming/aaa_broken"))
+    Files.writeString(Paths.get(s"$incoming/aaa_broken/manifest.json"),
+      """{"state":"completed"}""")
+    writeBundle(incoming, "zzz_good")
+    val pass = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass.collect { case i: BundleInstall.Installed => i.bundle } === Seq("zzz_good"))
+    assert(pass.collect { case s: BundleInstall.Skipped => (s.bundle, s.reason) }
+      .exists { case (b, r) => b == "aaa_broken" && r.contains("install error") })
+    // transient classification: no _INVALID marker, a later pass retries
+    assert(!Files.exists(Paths.get(s"$incoming/aaa_broken/_INVALID")))
+  }
+
   test("watch: drains arrived bundles, compacts on request, stops on _COMPLETE") {
     val incoming = Files.createTempDirectory("graft-install-watch").toString
     val installed = Files.createTempDirectory("graft-install-wout").toString

@@ -13,7 +13,8 @@ class NgramLmSpec extends SparkSpec {
     val texts = Seq(
       "Hello,  World!\tmixed\n WS", "abc", "ab", "a", "",
       "  leading and   trailing  ", "ÜPPER Straße çédille",
-      "numbers 12345 and 67890", "\n\n\t", "sOlO"
+      "numbers 12345 and 67890", "\n\n\t", "sOlO",
+      null.asInstanceOf[String] // null text -> empty array on BOTH forms
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
       (100 until 200).map { i =>
         val r = new scala.util.Random(i)

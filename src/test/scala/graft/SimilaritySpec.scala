@@ -142,6 +142,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("farthestPointSeeds: incremental init picks the exact seed sequence of the quadratic form") {
+    // independent reference: the naive O(nlist^2 * n * dim) greedy k-center —
+    // for each candidate recompute max-dot against EVERY chosen seed. The
+    // production init caches the per-sample max and folds in only the newest
+    // seed; both must make identical greedy choices (same dots, same strict
+    // lowest-index tie-break), so the sequences are equal element-wise.
+    def quadratic(sampled: Array[Array[Double]], nlist: Int): IndexedSeq[Int] = {
+      val order = scala.collection.mutable.ArrayBuffer(0)
+      while (order.size < nlist && order.size < sampled.length) {
+        var bestIdx = -1; var bestMax = Double.MaxValue
+        for (i <- sampled.indices) {
+          var mx = Double.MinValue
+          order.foreach { s =>
+            var d = 0.0; var j = 0
+            while (j < sampled(s).length) { d += sampled(s)(j) * sampled(i)(j); j += 1 }
+            if (d > mx) mx = d
+          }
+          if (mx < bestMax) { bestMax = mx; bestIdx = i }
+        }
+        order += bestIdx
+      }
+      order.toIndexedSeq
+    }
+    val rnd = new scala.util.Random(23)
+    // clustered + exact-duplicate rows (tie-break stress) + a zero vector
+    val dim = 12
+    val centers = (0 until 6).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val pts: Array[Array[Double]] = ((0 until 300).map { i =>
+      val c = centers(i % 6)
+      val v = c.map(x => x + 0.1 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    } ++ Seq.fill(5)(Array.fill(dim)(0.0)) // degenerate duplicates
+      ).toArray
+    val dup = pts(7).clone()
+    val stressed = pts :+ dup // exact duplicate of an interior point
+    for (nlist <- Seq(2, 6, 17, 64)) {
+      val fast = Similarity.farthestPointSeeds(stressed, nlist)
+      val slow = quadratic(stressed, nlist)
+      assert(fast === slow, s"seed sequences diverged at nlist=$nlist")
+    }
+    // and the incremental form is actually incremental: nlist > n caps at n
+    assert(Similarity.farthestPointSeeds(Array(Array(1.0), Array(-1.0)), 10).length === 2)
+  }
+
   test("ivfTopK with k-means centroids: recall >= id-init at equal nprobe") {
     // clustered corpus where smallest-id init is pathological (all ids in one
     // cluster), so k-means must win or tie.
