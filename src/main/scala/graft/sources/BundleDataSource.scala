@@ -42,7 +42,8 @@ import scala.collection.immutable.Seq
  */
 class BundleDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
   with org.apache.spark.sql.sources.DataSourceRegister
-  with org.apache.spark.sql.sources.RelationProvider {
+  with org.apache.spark.sql.sources.RelationProvider
+  with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-bundle"
   // lets callers pass .schema(...) (and lets getTable receive back the
@@ -85,12 +86,70 @@ class BundleDataSource extends org.apache.spark.sql.connector.catalog.TableProvi
                         properties: java.util.Map[String, String]): Table =
     makeTable(new CaseInsensitiveStringMap(properties), Option(schema))
 
+  // ===== streaming read: readStream.format("graft-bundle").load(dir) =====
+  // Delegates to Spark's OWN file-stream source (seen-files log = exactly-
+  // once per file, AvailableNow drain, maxFilesPerTrigger admission — the
+  // semantics BundleStream.read already provides by hand) with the format,
+  // schema and partition layout resolved from the bundle manifest instead
+  // of asked of the caller. BundleTable is a FileTable (BATCH_READ only),
+  // so DataStreamReader falls back to this V1 StreamSourceProvider path.
+
+  /** Streaming schema: fixed layout for json bundles (no inference scan);
+    * parquet from footers (one bounded batch-read). Multi-index bundles
+    * append `_index` ahead of `_shard` — the directory order. */
+  private def streamSchema(spark: SparkSession, root: String,
+                           fmt: String, multi: Boolean): StructType =
+    if (fmt == "json") {
+      val base = graft.streaming.BundleStream.bundleSchema
+      if (multi) StructType(
+        base.fields.filterNot(_.name == "_shard").toIndexedSeq :+
+          org.apache.spark.sql.types.StructField("_index", StringType) :+
+          org.apache.spark.sql.types.StructField("_shard", IntegerType))
+      else base
+    } else spark.read.parquet(s"$root/data").schema
+
+  private def isMulti(spark: SparkSession, root: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    !fs.exists(new org.apache.hadoop.fs.Path(root, "manifest.json"))
+  }
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-bundle requires a path"))
+    val spark = sqlContext.sparkSession
+    val fmt = BundleManifest.format(spark, root)
+    (shortName(), schema.getOrElse(streamSchema(spark, root, fmt, isMulti(spark, root))))
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-bundle requires a path"))
+    val spark = sqlContext.sparkSession
+    val fmt = BundleManifest.format(spark, root)
+    val multi = isMulti(spark, root)
+    val parts = if (multi) Seq("_index", "_shard") else Seq("_shard")
+    val sch = schema.getOrElse(streamSchema(spark, root, fmt, multi))
+    // the streaming DataSource reads its path from options("path"), not
+    // from `paths` (that one is the batch entry point)
+    org.apache.spark.sql.execution.datasources.DataSource(spark,
+      className = if (fmt == "json") "json" else "parquet",
+      userSpecifiedSchema = Some(sch),
+      partitionColumns = parts,
+      options = parameters + ("path" -> s"$root/data")).createSource(metadataPath)
+  }
+
   /** Catalog DDL path (`CREATE TABLE t USING `graft-bundle` LOCATION dir`):
     * resolved through the V1 RelationProvider interface — a relation over
     * `dir/data` in the manifest's format. Plain reads with `_shard`
     * partition pruning; routing→shard inference stays a connector-path
-    * (`spark.read.format`) feature. Streaming reads: use
-    * [[graft.streaming.BundleStream.read]] (schema-fixed file stream). */
+    * (`spark.read.format`) feature. */
   override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
                               parameters: Map[String, String])
       : org.apache.spark.sql.sources.BaseRelation = {

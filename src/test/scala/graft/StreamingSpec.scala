@@ -25,6 +25,59 @@ class StreamingSpec extends SparkSpec {
     assert(got === res.shardCounts)
   }
 
+  test("connector streaming read: readStream.format(graft-bundle) drains, picks up new files exactly once") {
+    val out = Files.createTempDirectory("graft-stream-v2").toString
+    val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    val res = BundleSink.write(docs, s"$out/idx", numShards = 3,
+      partitionMultiples = 2, repartition = true)
+    // schema + format + partition layout all come from the manifest — the
+    // caller specifies nothing
+    val stream = spark.readStream.format("graft-bundle").load(s"$out/idx")
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq ===
+      BundleStream.bundleSchema.fieldNames.toSeq)
+    val counts = stream.groupBy(col("_shard")).agg(count(lit(1)).as("docs"))
+    val q = counts.writeStream.format("memory").queryName("bundle_v2_progress")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bundle_v2_progress").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === res.shardCounts)
+    // mark-complete semantics: new files appear, a second AvailableNow pass
+    // on the SAME checkpoint consumes only the delta (seen-files log)
+    DocTransform.docs(sf("sf0.001", "customer"), "c_custkey", None)
+      .withColumn("_shard", graft.functions.EsFunctions.es_shard(col("_routing"), 3))
+      .write.mode("append").partitionBy("_shard").json(s"$out/idx/data")
+    val q2 = spark.readStream.format("graft-bundle").load(s"$out/idx")
+      .groupBy(col("_shard")).agg(count(lit(1)).as("docs"))
+      .writeStream.format("memory").queryName("bundle_v2_progress")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val total2 = spark.table("bundle_v2_progress").collect().map(_.getLong(1)).sum
+    assert(total2 === 1500L + 150L)
+  }
+
+  test("connector streaming read: parquet bundle schema from footers") {
+    val out = Files.createTempDirectory("graft-stream-v2pq").toString
+    val docs = DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
+    val res = BundleSink.write(docs, s"$out/idx", numShards = 2,
+      partitionMultiples = 2, repartition = true, format = "parquet")
+    val stream = spark.readStream.format("graft-bundle").load(s"$out/idx")
+    val q = stream.groupBy(col("_shard")).agg(count(lit(1)).as("docs"))
+      .writeStream.format("memory").queryName("bundle_v2_pq")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bundle_v2_pq").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === res.shardCounts.filter(_._2 > 0))
+  }
+
   test("incremental arrival: second batch of files is picked up exactly once") {
     val out = Files.createTempDirectory("graft-stream2").toString
     val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
