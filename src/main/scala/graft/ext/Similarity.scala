@@ -236,21 +236,48 @@ object Similarity {
     * runs single-threaded on the driver: at nlist=√n/2 the naive form grows
     * n^1.5 and was the 1M-tier bottleneck (ivf_kmeans slower than brute).
     * Returns seed INDICES into `sampled`, in selection order. */
+  /** Fixed chunk count for the deterministic driver-side parallel loops:
+    * work splits by sample INDEX ranges (not by thread count), and chunk
+    * results combine in chunk order — so the result is bit-identical on any
+    * machine regardless of parallelism. */
+  private val DriverChunks = 64
+
   private[graft] def farthestPointSeeds(sampled: Array[Array[Double]],
                                         nlist: Int): IndexedSeq[Int] = {
+    val len = sampled.length
     val order = scala.collection.mutable.ArrayBuffer(0)
-    val maxDot = Array.fill(sampled.length)(Double.MinValue)
+    val maxDot = Array.fill(len)(Double.MinValue)
     var newest = sampled(0)
-    while (order.size < nlist && order.size < sampled.length) {
+    val chunkBest = new Array[Double](DriverChunks)
+    val chunkIdx = new Array[Int](DriverChunks)
+    while (order.size < nlist && order.size < len) {
+      // per-sample max-dot refresh is independent across samples: chunks
+      // over disjoint index ranges run in parallel, each reporting its
+      // strict argmin; combining in chunk order preserves the sequential
+      // lowest-index tie-break exactly (max() per sample is order-blind)
+      val nw = newest
+      java.util.stream.IntStream.range(0, DriverChunks).parallel().forEach { c =>
+        val lo = c.toLong * len / DriverChunks
+        val hi = (c + 1).toLong * len / DriverChunks
+        var bestMax = Double.MaxValue; var bestIdx = -1
+        var i = lo.toInt
+        while (i < hi) {
+          val si = sampled(i)
+          var d = 0.0; var j = 0
+          while (j < nw.length) { d += nw(j) * si(j); j += 1 }
+          if (d > maxDot(i)) maxDot(i) = d
+          if (maxDot(i) < bestMax) { bestMax = maxDot(i); bestIdx = i }
+          i += 1
+        }
+        chunkBest(c) = bestMax; chunkIdx(c) = bestIdx
+      }
       var bestIdx = -1; var bestMax = Double.MaxValue
-      var i = 0
-      while (i < sampled.length) {
-        val si = sampled(i)
-        var d = 0.0; var j = 0
-        while (j < newest.length) { d += newest(j) * si(j); j += 1 }
-        if (d > maxDot(i)) maxDot(i) = d
-        if (maxDot(i) < bestMax) { bestMax = maxDot(i); bestIdx = i }
-        i += 1
+      var c = 0
+      while (c < DriverChunks) {
+        if (chunkIdx(c) >= 0 && chunkBest(c) < bestMax) {
+          bestMax = chunkBest(c); bestIdx = chunkIdx(c)
+        }
+        c += 1
       }
       order += bestIdx
       newest = sampled(bestIdx)
@@ -272,7 +299,13 @@ object Similarity {
     // same cluster coverage in microseconds, and the Lloyd rounds below
     // remain fully distributed
     val n = vecs.count()
-    val sampleN = math.max(nlist * 8, 2048)
+    // >= 32 training points per centroid: quantizer-training practice (the
+    // faiss warning floor is ~39/centroid) — at 8/centroid the sampled
+    // Lloyd placed centroids noisily enough that cell sizes skewed and the
+    // IVF cell join fanned out (measured ivf_kmeans 16 -> 23 s at the 1M
+    // tier). Driver cost stays bounded: the init/Lloyd loops below are
+    // deterministically chunk-parallel.
+    val sampleN = math.max(nlist * 32, 4096)
     val frac = math.min(1.0, sampleN.toDouble / math.max(1L, n))
     val sampled: Array[Array[Double]] = {
       val s = (if (frac < 1.0) vecs.sample(withReplacement = false, frac, seed = 42L) else vecs)
@@ -299,32 +332,56 @@ object Similarity {
                              iters: Int): IndexedSeq[Seq[Double]] = {
     if (pts.isEmpty) return init
     val dim = pts.head.length
+    val k = init.length
     var cents: IndexedSeq[Array[Double]] = init.map(_.toArray)
+    // chunk-parallel assignment + partial sums, combined in fixed chunk
+    // order (deterministic on any core count; see [[DriverChunks]])
+    val chunkSums = Array.fill(DriverChunks)(new Array[Double](k * dim))
+    val chunkCounts = Array.fill(DriverChunks)(new Array[Long](k))
     for (_ <- 0 until iters) {
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
-      val counts = new Array[Long](cents.length)
-      pts.foreach { p =>
-        var best = 0; var bd = Double.MinValue
-        var c = 0
-        while (c < cents.length) {
-          val cv = cents(c)
-          var d = 0.0; var j = 0
-          while (j < dim) { d += cv(j) * p(j); j += 1 }
-          if (d > bd) { bd = d; best = c }
-          c += 1
+      val cs = cents
+      java.util.stream.IntStream.range(0, DriverChunks).parallel().forEach { c =>
+        val sums = chunkSums(c); java.util.Arrays.fill(sums, 0.0)
+        val counts = chunkCounts(c); java.util.Arrays.fill(counts, 0L)
+        val lo = (c.toLong * pts.length / DriverChunks).toInt
+        val hi = ((c + 1).toLong * pts.length / DriverChunks).toInt
+        var i = lo
+        while (i < hi) {
+          val p = pts(i)
+          var best = 0; var bd = Double.MinValue
+          var ci = 0
+          while (ci < k) {
+            val cv = cs(ci)
+            var d = 0.0; var j = 0
+            while (j < dim) { d += cv(j) * p(j); j += 1 }
+            if (d > bd) { bd = d; best = ci }
+            ci += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dim) { sums(best * dim + j) += p(j); j += 1 }
+          i += 1
         }
-        counts(best) += 1
-        val s = sums(best); var j = 0
-        while (j < dim) { s(j) += p(j); j += 1 }
+      }
+      val sums = new Array[Double](k * dim)
+      val counts = new Array[Long](k)
+      var c = 0
+      while (c < DriverChunks) { // fixed combine order -> stable float sums
+        val s = chunkSums(c); val n2 = chunkCounts(c)
+        var t = 0
+        while (t < k * dim) { sums(t) += s(t); t += 1 }
+        t = 0
+        while (t < k) { counts(t) += n2(t); t += 1 }
+        c += 1
       }
       cents = cents.zipWithIndex.map { case (old, i) =>
         if (counts(i) == 0L) old
         else {
-          val s = sums(i)
           var nrm = 0.0; var j = 0
-          while (j < dim) { nrm += s(j) * s(j); j += 1 }
+          while (j < dim) { val x = sums(i * dim + j); nrm += x * x; j += 1 }
           nrm = math.sqrt(nrm)
-          if (nrm == 0.0) old else s.map(_ / nrm)
+          if (nrm == 0.0) old
+          else Array.tabulate(dim)(j2 => sums(i * dim + j2) / nrm)
         }
       }
     }
@@ -353,11 +410,21 @@ object Similarity {
     val corpusCells = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
     val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents, probes = nprobe)
     // each corpus row lives in exactly one cell -> (qid, nid) pairs are
-    // already unique; the join on cent_id is the ONLY shuffle here
+    // already unique; the join on cent_id is the ONLY shuffle here.
+    // Two-level top-k (same output-identity proof as [[ivfPqTopK]], for
+    // row_number: a row's per-cell position in the (sim desc, nid asc)
+    // order never exceeds its global position, and dropping rows past the
+    // per-cell k removes nothing ahead of any global top-k row): no single
+    // task ever sorts a query's full nprobe-cells candidate stream.
+    val wPart = Window.partitionBy("qid", "cent_id")
+      .orderBy(col("sim").desc, col("nid").asc)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     queryCells.join(corpusCells, Seq("cent_id"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
+      .select(col("cent_id"), col("qid"), col("nid"),
+        round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
+      .withColumn("_crank", row_number().over(wPart))
+      .filter(col("_crank") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
@@ -864,11 +931,20 @@ object Similarity {
     val q = queries.select(col(qidCol).as("qid"),
       graft.functions.PqFunctions.pq_lut(permute(unitize(asDouble(col(vecCol))), model),
         model.centroids, model.m, model.k, model.subDim).as("_lut"))
+    // two-level cut (same proof as [[ivfPqTopK]]'s, with a synthetic
+    // hash bucket since the full scan has no cells): per-(qid, bucket)
+    // rank() never exceeds the global rank(), so the partial filter drops
+    // only rows the global filter would drop — output identical, but no
+    // single task ever sorts one query's full corpus-sized candidate stream
+    val wPart = Window.partitionBy("qid", "_bkt").orderBy(col("_psim").desc)
     val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
     val cands = q.crossJoin(encodedCorpus)
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
+        graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"),
+        pmod(xxhash64(col("nid")), lit(64)).as("_bkt"))
+      .withColumn("_crank", rank().over(wPart))
+      .filter(col("_crank") <= k * rerankFactor)
       .withColumn("_prank", rank().over(wc))
       .filter(col("_prank") <= k * rerankFactor)
       .select(col("qid"), col("nid"))
@@ -944,6 +1020,97 @@ object Similarity {
   }
 
   /**
+   * Persistable IVF-PQ index — the "build once, query many" shape a large
+   * corpus actually needs: every online method above retrains the
+   * quantizer and re-encodes the corpus per query batch, which at 100 TB
+   * means reading all of it every time. The index materializes that work
+   * as parquet, laid out so Spark's own partition pruning does the cell
+   * selection AT REST:
+   *
+   *   dir/cells/cent_id=K/  parquet rows (nid, codes, vec) — one dir per IVF cell
+   *   dir/centroids/        (cent_id, centv)
+   *   dir/model/            (PQ codebooks + OPQ rotation, one row)
+   *
+   * [[indexTopK]] assigns the query batch to its nprobe cells, collects the
+   * probed-cell union (bounded: <= nlist ints, whatever the corpus size)
+   * and pushes it as a STATIC `cent_id IN (...)` partition filter — only
+   * the probed directories are listed or read. At nlist = sqrt(n)/2 and
+   * nprobe = sqrt(nlist), a 1e9-vector index reads ~0.9% of its files per
+   * batch, deterministically (no DPP heuristics involved).
+   */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+                 nlist: Int = 16, kmeansIters: Int = 2, m: Int = 8, k: Int = 16,
+                 opqIters: Int = 0, sampleSize: Int = 10000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
+    val model = pqTrain(corpus, vecCol, dim, m = m, k = k,
+      sampleSize = sampleSize, opqIters = opqIters)
+    val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+      .withColumn("codes", graft.functions.PqFunctions.pq_encode(
+        permute(col("_cv"), model), model.centroids, model.m, model.k, model.subDim))
+      // vec rides the index so re-rank never goes back to the source table;
+      // codes alone serve compressed-domain scans
+      .select(col("cent_id"), col("nid"), col("codes"), col("_cv").as("vec"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/cells")
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cent_id", "centv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((dim, model.m, model.k, nlist, model.centroids.toSeq,
+        model.perm.toSeq, model.rot.toSeq))
+      .toDF("dim", "m", "k", "nlist", "pq_centroids", "perm", "rot")
+      .write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Query a [[buildIndex]] directory: same contract and (at equal knobs /
+    * the same build inputs) bit-identical results to [[ivfPqTopK]] — the
+    * difference is what gets READ: only the probed `cent_id=` partitions. */
+  def indexTopK(queries: DataFrame, dir: String, qidCol: String, vecCol: String,
+                k: Int, nprobe: Int = 4, rerankFactor: Int = 64,
+                roundTo: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val mr = spark.read.parquet(s"$dir/model").head()
+    val model = PqModel(mr.getAs[Int]("dim"), mr.getAs[Int]("m"), mr.getAs[Int]("k"),
+      mr.getAs[scala.collection.Seq[Double]]("pq_centroids").toArray,
+      mr.getAs[scala.collection.Seq[Int]]("perm").toIndexedSeq,
+      mr.getAs[scala.collection.Seq[Double]]("rot").toArray)
+    val cents: IndexedSeq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cent_id").as[(Int, Seq[Double])].collect().map(_._2).toIndexedSeq
+    val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents,
+        probes = math.min(nprobe, cents.length))
+      .withColumn("_lut", graft.functions.PqFunctions.pq_lut(permute(col("_qv"), model),
+        model.centroids, model.m, model.k, model.subDim))
+    // bounded driver collect by construction (<= nlist ints): the probed
+    // union becomes a static partition filter on the cells scan
+    val probed = queryCells.select("cent_id").distinct().as[Int].collect().sorted
+    val cells = spark.read.parquet(s"$dir/cells")
+      .where(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+    // from here: identical shape to ivfPqTopK (codes-only candidate stream,
+    // two-level tie-aware cut, exact re-rank on the index's own vectors)
+    val wPart = Window.partitionBy("qid", "cent_id").orderBy(col("_psim").desc)
+    val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
+    val cands = queryCells.join(cells.drop("vec"), Seq("cent_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("cent_id"), col("qid"), col("nid"),
+        graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
+      .withColumn("_crank", rank().over(wPart))
+      .filter(col("_crank") <= k * rerankFactor)
+      .withColumn("_prank", rank().over(wc))
+      .filter(col("_prank") <= k * rerankFactor)
+      .select(col("qid"), col("nid"))
+    val qv = queries.select(col(qidCol).as("qid"), unitize(asDouble(col(vecCol))).as("_qv"))
+    val cv = cells.select(col("nid"), col("vec").as("_cv"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    cands.join(qv, "qid").join(cv, "nid")
+      .select(col("qid"), col("nid"), round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /**
    * Auto top-k: route by estimated pair count. Below `maxBrutePairs` the
    * exact cross product is CHEAPER than any bucketing (measured at 10k x
    * 64-dim: brute 1.1 s vs LSH 5.6 s / IVF 1.6 s — bucketing overhead only
@@ -986,7 +1153,13 @@ object Similarity {
         multiprobe = true, probeBits = 4)
     } else {
       val nlist = math.max(4, (math.sqrt(nc.toDouble) / 2).round.toInt)
-      val nprobe = math.max(2, nlist / 4)
+      // sqrt(nlist) probes, NOT a constant fraction: nprobe = nlist/4
+      // scanned 25% of the corpus per query at ANY size (the pruning never
+      // compounded); sqrt keeps the probed fraction shrinking as the corpus
+      // grows (1/sqrt(nlist) ~ n^-1/4). Measured at the 1M bench tier:
+      // nprobe 125 -> 22 halves ivf_kmeans latency (18 -> 9 s) at recall
+      // 1.000 (first loss, 0.995, appears at nprobe=8).
+      val nprobe = math.max(4, math.sqrt(nlist.toDouble).round.toInt)
       if (nc <= pqAboveRows)
         ivfTopK(queries, corpus, qidCol, idCol, vecCol, k,
           nlist = nlist, nprobe = nprobe, roundTo = roundTo, kmeansIters = 2)

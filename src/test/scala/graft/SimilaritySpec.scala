@@ -337,8 +337,25 @@ class SimilaritySpec extends SparkSpec {
     }
     val permOnly = recall(0)
     val opq = recall(5)
-    assert(opq >= permOnly, s"OPQ recall $opq < permutation-only $permOnly")
-    assert(opq >= 26, s"OPQ recall too low: $opq/32")
+    // margin pinned (round-4 eigen-allocation init + finer alternation
+    // codebooks): permOnly=24, opq=27 on this seeded corpus — the learned
+    // rotation must beat the permutation by >= 2, not merely tie (the
+    // round-3 rotation landed at 26)
+    assert(opq >= permOnly + 2, s"OPQ recall $opq vs permutation-only $permOnly: margin < 2")
+    assert(opq >= 27, s"OPQ recall too low: $opq/32")
+    // compressed-domain (no rerank) margin: the rotation helps BEFORE the
+    // exact re-rank can repair code collisions (9 vs 7 on this corpus)
+    def recallCompressed(opqIters: Int): Int = {
+      val model = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 8,
+        iters = 6, balance = true, opqIters = opqIters)
+      val got = Similarity.pqTopK(q,
+          Similarity.pqEncode(corpus, "vec_id", "embedding", model),
+          "vec_id", "embedding", model, k = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      brute.count { case (k2, v) => got.get(k2).contains(v) }
+    }
+    assert(recallCompressed(5) > recallCompressed(0),
+      "compressed-domain OPQ must beat the permutation before rerank")
 
     // the learned R is orthogonal (R·Rᵀ = I), so rotated-space dots equal
     // original-space dots and PQ scores stay cosine estimates
@@ -434,6 +451,113 @@ class SimilaritySpec extends SparkSpec {
     assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
     assert(got.size.toDouble / exact.size >= 0.95,
       s"cross-corpus recall ${got.size}/${exact.size}")
+  }
+
+  test("two-level candidate cuts are output-identical to the single global cut") {
+    // the partial per-cell / per-bucket top-k before the global per-qid
+    // window is a pure optimization (proof in the Similarity scaladoc);
+    // this pins it DIFFERENTIALLY: reference = the same pipelines with only
+    // the global window, on a tie-heavy corpus (tight clusters collapse PQ
+    // codes to identical scores, stressing the rank() tie handling).
+    val dim = 16
+    val rnd = new scala.util.Random(53)
+    val centers = (0 until 6).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 360).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding").cache()
+    val q = corpus.filter(col("vec_id") < 12)
+    // balance=false -> identity input transform, so the inline reference
+    // below (which skips the permute step) scores identical codes
+    val model = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 8,
+      iters = 4, balance = false)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", model)
+
+    // reference single-cut PQ rerank: candidates from one global rank() cut
+    def singleCutRerank(rf: Int): Set[(Long, Long, Int)] = {
+      val qq = q.select(col("vec_id").as("qid"),
+        graft.functions.PqFunctions.pq_lut(
+          Similarity.unitize(col("embedding").cast("array<double>")),
+          model.centroids, model.m, model.k, model.subDim).as("_lut"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("_psim").desc)
+      val cands = qq.crossJoin(enc)
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
+        .withColumn("_prank", rank().over(wc))
+        .filter(col("_prank") <= 1 * rf)
+        .select(col("qid"), col("nid"))
+      val qv = q.select(col("vec_id").as("qid"),
+        Similarity.unitize(col("embedding").cast("array<double>")).as("_qv"))
+      val cv = corpus.select(col("vec_id").as("nid"),
+        Similarity.unitize(col("embedding").cast("array<double>")).as("_cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+      cands.join(qv, "qid").join(cv, "nid")
+        .select(col("qid"), col("nid"),
+          round(graft.functions.EsFunctions.dot_product(col("_qv"), col("_cv")), 4).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 1)
+        .select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    for (rf <- Seq(4, 16)) {
+      val two = Similarity.pqTopKRerank(q, corpus, enc, "vec_id", "vec_id",
+          "embedding", model, k = 1, rerankFactor = rf)
+        .select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(two === singleCutRerank(rf), s"pqTopKRerank diverged at rf=$rf")
+    }
+
+    // ivfTopK: reference = same centroids/probes without the partial cut,
+    // expressed as brute restricted to the probed cells... simplest honest
+    // reference: nprobe = nlist probes every cell -> must equal brute
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "vec_id", "embedding", k = 3)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivfAll = Similarity.ivfTopK(q, corpus, "vec_id", "vec_id", "embedding",
+        k = 3, nlist = 6, nprobe = 6, kmeansIters = 2)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfAll === brute, "ivfTopK with nprobe=nlist must equal brute force")
+    corpus.unpersist()
+  }
+
+  test("persisted ANN index: bit-identical to online IVF-PQ, probed cells prune the scan") {
+    val dim = 16
+    val rnd = new scala.util.Random(59)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", dir,
+      nlist = 8, kmeansIters = 2, m = 4, k = 8)
+    // online reference with the same deterministic build inputs
+    val model = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 8)
+    val online = Similarity.ivfPqTopK(q, corpus, "vec_id", "vec_id", "embedding",
+        model, k = 2, nlist = 8, nprobe = 3, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val indexed = Similarity.indexTopK(q, dir, "vec_id", "embedding",
+      k = 2, nprobe = 3)
+    val got = indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got === online, "indexTopK must equal the online IVF-PQ at equal knobs")
+    // the cells scan carries the probed-cell partition filter: only those
+    // cent_id= directories are listed/read
+    val plan = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
+      s"no cent_id partition filter on the cells scan:\n$plan")
+    // index layout on disk: one directory per cell
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cent_id="))
+    assert(cellDirs.length === 8, s"expected 8 cell dirs, got ${cellDirs.toSeq}")
   }
 
   test("topK auto: exact brute below the pair budget, bucketed IVF above") {
