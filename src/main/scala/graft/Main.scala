@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi]
+ *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -26,7 +26,9 @@ object Main {
     "quality-min", "neardup-threshold", "neardup-method", "embedding-col",
     "redact-pii", "lm-min-score",
     "bulk-actions", "bulk-size", "alias", "final-index-setting",
-    "install-compact", "poll-ms", "timeout-ms")
+    "install-compact", "poll-ms", "timeout-ms",
+    "vec-col", "nlist", "nprobe", "pq-m", "pq-k", "opq-iters",
+    "topk", "rerank-factor", "results")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -90,6 +92,8 @@ object Main {
         // --index-col; validate without one means "--out is a multi-index
         // bundle root" (per-index validation)
         case "install" | "validate" | "multi" => m.getOrElse("index", "")
+        // ann modes address an index DIRECTORY (--out), not a bundle name
+        case "ann-build" | "ann-append" | "ann-query" => m.getOrElse("index", "")
         case _          => req("index")
       },
       // "auto" = cost-based sizing, resolved against the (filtered) input
@@ -319,6 +323,41 @@ object Main {
           if (bad.nonEmpty)
             throw new IllegalStateException(
               s"${bad.size} bundle(s) failed validation: ${bad.map(_.bundle).mkString(", ")}")
+        case "ann-build" | "ann-append" | "ann-query" =>
+          // persistable ANN index over an embedding table: build once
+          // (IVF cells as parquet partitions + PQ codes + vectors), append
+          // new rows without retraining, query with partition-pruned reads
+          val raw = rawFlags(args)
+          val vecCol = raw.getOrElse("vec-col", "embedding")
+          val idCol = Option(cfg.id).getOrElse(throw new IllegalArgumentException(
+            s"--id (vector id column) is required for --mode $mode"))
+          val df = spark.read.parquet(cfg.input)
+          mode match {
+            case "ann-build" =>
+              val n = df.count()
+              val nlist = raw.get("nlist").map(_.toInt)
+                .getOrElse(math.max(4, (math.sqrt(n.toDouble) / 2).round.toInt))
+              graft.ext.Similarity.buildIndex(df, idCol, vecCol, cfg.outDir,
+                nlist = nlist,
+                m = raw.getOrElse("pq-m", "8").toInt,
+                k = raw.getOrElse("pq-k", "16").toInt,
+                opqIters = raw.getOrElse("opq-iters", "0").toInt)
+              println(s"ann index built: ${cfg.outDir} ($n vectors, nlist=$nlist)")
+            case "ann-append" =>
+              graft.ext.Similarity.appendToIndex(df, idCol, vecCol, cfg.outDir)
+              println(s"appended ${cfg.input} into ${cfg.outDir}")
+            case "ann-query" =>
+              val res = graft.ext.Similarity.indexTopK(df, cfg.outDir, idCol, vecCol,
+                k = raw.getOrElse("topk", "10").toInt,
+                nprobe = raw.get("nprobe").map(_.toInt).getOrElse(4),
+                rerankFactor = raw.getOrElse("rerank-factor", "64").toInt)
+              raw.get("results") match {
+                case Some(path) =>
+                  res.write.mode("overwrite").parquet(path)
+                  println(s"results written: $path")
+                case None => res.show(20, truncate = false)
+              }
+          }
         case "compact" =>
           // forceMerge analog: rewrite each shard's many small files
           val r = graft.sink.BundleCompact.compact(spark,

@@ -1063,13 +1063,10 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/model")
   }
 
-  /** Query a [[buildIndex]] directory: same contract and (at equal knobs /
-    * the same build inputs) bit-identical results to [[ivfPqTopK]] — the
-    * difference is what gets READ: only the probed `cent_id=` partitions. */
-  def indexTopK(queries: DataFrame, dir: String, qidCol: String, vecCol: String,
-                k: Int, nprobe: Int = 4, rerankFactor: Int = 64,
-                roundTo: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
+  /** Load a [[buildIndex]] directory's PQ model + IVF centroids (both
+    * driver-bounded: m·k·subDim + nlist·dim doubles). */
+  private def loadIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): (PqModel, IndexedSeq[Seq[Double]]) = {
     import spark.implicits._
     val mr = spark.read.parquet(s"$dir/model").head()
     val model = PqModel(mr.getAs[Int]("dim"), mr.getAs[Int]("m"), mr.getAs[Int]("k"),
@@ -1078,6 +1075,38 @@ object Similarity {
       mr.getAs[scala.collection.Seq[Double]]("rot").toArray)
     val cents: IndexedSeq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
       .orderBy("cent_id").as[(Int, Seq[Double])].collect().map(_._2).toIndexedSeq
+    (model, cents)
+  }
+
+  /**
+   * Append new vectors to an existing index WITHOUT retraining: assign to
+   * the stored centroids, encode with the stored codebooks, append into
+   * the matching `cent_id=` partitions — the incremental-corpus story
+   * (a growing corpus updates its index in one bounded pass over the NEW
+   * rows only; placement and codes stay consistent with the original
+   * build by construction). Quantizer drift is the operator's call:
+   * rebuild when the corpus distribution shifts enough that recall decays.
+   */
+  def appendToIndex(rows: DataFrame, idCol: String, vecCol: String,
+                    dir: String): Unit = {
+    val spark = rows.sparkSession
+    val (model, cents) = loadIndexMeta(spark, dir)
+    assignCells(rows, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+      .withColumn("codes", graft.functions.PqFunctions.pq_encode(
+        permute(col("_cv"), model), model.centroids, model.m, model.k, model.subDim))
+      .select(col("cent_id"), col("nid"), col("codes"), col("_cv").as("vec"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
+  }
+
+  /** Query a [[buildIndex]] directory: same contract and (at equal knobs /
+    * the same build inputs) bit-identical results to [[ivfPqTopK]] — the
+    * difference is what gets READ: only the probed `cent_id=` partitions. */
+  def indexTopK(queries: DataFrame, dir: String, qidCol: String, vecCol: String,
+                k: Int, nprobe: Int = 4, rerankFactor: Int = 64,
+                roundTo: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val (model, cents) = loadIndexMeta(spark, dir)
     val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents,
         probes = math.min(nprobe, cents.length))
       .withColumn("_lut", graft.functions.PqFunctions.pq_lut(permute(col("_qv"), model),

@@ -560,6 +560,36 @@ class SimilaritySpec extends SparkSpec {
     assert(cellDirs.length === 8, s"expected 8 cell dirs, got ${cellDirs.toSeq}")
   }
 
+  test("ANN index append: no-retrain placement consistent, appended rows findable") {
+    val dim = 16
+    val rnd = new scala.util.Random(61)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val first = mk(0 until 200).toDF("vec_id", "embedding")
+    val second = mk(200 until 400).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-app").toString
+    Similarity.buildIndex(first, "vec_id", "embedding", dir,
+      nlist = 8, kmeansIters = 2, m = 4, k = 8)
+    Similarity.appendToIndex(second, "vec_id", "embedding", dir)
+    // all 400 rows present, each exactly once
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() === 400)
+    assert(cells.select("nid").distinct().count() === 400)
+    // queries drawn from the APPENDED half must find their own cluster-mates
+    // (the index serves appended rows exactly like built ones)
+    val q = second.filter(col("vec_id") < 216) // 2 per cluster
+    val got = Similarity.indexTopK(q, dir, "vec_id", "embedding", k = 3, nprobe = 3)
+    val brute = Similarity.bruteForceTopK(q, first.union(second), "vec_id", "vec_id",
+        "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (gotSet intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"post-append recall $recall")
+  }
+
   test("topK auto: exact brute below the pair budget, bucketed IVF above") {
     val dim = 8
     val rnd = new scala.util.Random(41)
