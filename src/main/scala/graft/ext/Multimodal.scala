@@ -150,6 +150,22 @@ object Multimodal {
    *  - everything else (incl. video — no JDK codec): deterministic
    *    byte-fold stand-in, same shape.
    */
+  /** Pluggable per-modality decoder seam: a runtime that ships a real codec
+    * this sandbox lacks (ffmpeg JNI for video is the canonical case)
+    * registers one here and [[decodeFeatures]] consults it BEFORE the
+    * built-in JDK decoders. Implementations must be Serializable — the
+    * registered decoder ships to executors inside the mapPartitions
+    * closure (captured at PLAN time: register before building the frame). */
+  trait MediaDecoder extends Serializable {
+    def features(bytes: Array[Byte], dim: Int): Option[Array[Float]]
+  }
+  private val customDecoders =
+    new java.util.concurrent.ConcurrentHashMap[String, MediaDecoder]()
+  def registerDecoder(modality: String, d: MediaDecoder): Unit =
+    customDecoders.put(modality, d)
+  def unregisterDecoder(modality: String): Unit =
+    customDecoders.remove(modality)
+
   def decodeFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "content") ++ Seq(
@@ -160,12 +176,19 @@ object Multimodal {
     val idxMod = media.schema.fieldIndex("modality")
     val idxContent = media.schema.fieldIndex("content")
     val idxMeta = media.schema.fieldIndex("meta")
+    // snapshot the registered decoders now — the map rides the closure
+    val customs: Map[String, MediaDecoder] = {
+      import scala.jdk.CollectionConverters._
+      customDecoders.asScala.toMap
+    }
     media.mapPartitions { rows =>
       val _ = imageIoReady // per-partition decoder init
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idxContent)
         val modality = r.getString(idxMod)
-        val feats = realFeatures(modality, bytes, featureDim)
+        val feats = customs.get(modality)
+          .flatMap(d => try d.features(bytes, featureDim) catch { case _: Exception => None })
+          .orElse(realFeatures(modality, bytes, featureDim))
           .getOrElse(stubFeatures(bytes, featureDim))
         Row(r.get(idxId), r.get(idxMod), r.get(idxMeta), feats,
           if (bytes == null) 0L else bytes.length.toLong)

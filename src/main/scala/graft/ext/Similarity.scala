@@ -1088,14 +1088,21 @@ object Similarity {
    * rebuild when the corpus distribution shifts enough that recall decays.
    */
   def appendToIndex(rows: DataFrame, idCol: String, vecCol: String,
-                    dir: String): Unit = {
-    val spark = rows.sparkSession
-    val (model, cents) = loadIndexMeta(spark, dir)
+                    dir: String): Unit =
+    encodeForIndex(rows, idCol, vecCol, dir)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
+
+  /** (cent_id, nid, codes, vec) rows for `rows` under an existing index's
+    * STORED quantizer + codebooks — the shared encode step of
+    * [[appendToIndex]] and the streaming maintainer
+    * ([[graft.streaming.AnnIndexStream]]). */
+  private[graft] def encodeForIndex(rows: DataFrame, idCol: String,
+                                    vecCol: String, dir: String): DataFrame = {
+    val (model, cents) = loadIndexMeta(rows.sparkSession, dir)
     assignCells(rows, idCol, vecCol, "nid", "_cv", cents, probes = 1)
       .withColumn("codes", graft.functions.PqFunctions.pq_encode(
         permute(col("_cv"), model), model.centroids, model.m, model.k, model.subDim))
       .select(col("cent_id"), col("nid"), col("codes"), col("_cv").as("vec"))
-      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
   }
 
   /** Query a [[buildIndex]] directory: same contract and (at equal knobs /

@@ -174,6 +174,59 @@ object BundleStreamWriter {
   }
 }
 
+object AnnIndexStream {
+
+  /**
+   * Streaming maintenance of a [[graft.ext.Similarity.buildIndex]]
+   * directory: each micro-batch of (id, vector) rows is assigned to the
+   * STORED centroids and encoded with the STORED codebooks (no retraining
+   * on the hot path), then committed into the `cent_id=` cell partitions.
+   *
+   * Exactly-once despite foreachBatch's at-least-once replay — the same
+   * scheme as [[BundleStreamWriter]]: the batch lands in a batch-scoped
+   * staging dir (overwrite, so a replay rewrites it cleanly), then each
+   * part file renames into its cell dir under a DETERMINISTIC name
+   * derived from (batchId, partition index); rename-if-absent makes a
+   * replayed commit a no-op for files that already made it. A plain
+   * `mode("append")` here would double-append on replay.
+   */
+  def start(rows: DataFrame, indexDir: String, idCol: String, vecCol: String,
+            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+    val w = rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, indexDir, idCol, vecCol)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow())
+     else w.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
+  private[graft] def commitBatch(batch: DataFrame, batchId: Long,
+                                 indexDir: String, idCol: String,
+                                 vecCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staging = s"$indexDir/.staging/batch=$batchId"
+    graft.ext.Similarity.encodeForIndex(batch, idCol, vecCol, indexDir)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), batch.sparkSession.sparkContext.hadoopConfiguration)
+    val partIdx = "part-(\\d+)".r
+    for (cellDir <- fs.listStatus(new Path(staging)) if cellDir.isDirectory) {
+      val cellName = cellDir.getPath.getName // "cent_id=K"
+      val target = new Path(s"$indexDir/cells/$cellName")
+      fs.mkdirs(target)
+      for (f <- fs.listStatus(cellDir.getPath)
+           if f.getPath.getName.startsWith("part-")) {
+        val idx = partIdx.findFirstMatchIn(f.getPath.getName).map(_.group(1)).getOrElse("0")
+        val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")
+        val dest = new Path(target, s"b$batchId-p$idx$suffix")
+        if (!fs.exists(dest)) fs.rename(f.getPath, dest)
+      }
+    }
+    fs.delete(new Path(staging), true)
+  }
+}
+
 object EventStreams {
 
   /** Tumbling-window counts with a watermark (late data beyond the

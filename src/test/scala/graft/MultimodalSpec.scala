@@ -36,6 +36,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(4) === lens(r.getLong(0))))
   }
 
+  test("pluggable decoder seam: registered video decoder wins, unregister restores stand-in") {
+    val video = Multimodal.fromBinary(
+      sf("sf0.001", "documents").limit(10)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload", "video")
+    val standIn = Multimodal.decodeFeatures(video, featureDim = 4)
+      .orderBy("media_id").collect().map(_.getSeq[Float](3))
+    // a runtime with a real codec registers one; ours returns a marker
+    Multimodal.registerDecoder("video", new Multimodal.MediaDecoder {
+      def features(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+        Some(Array.tabulate(dim)(i => (if (bytes == null) 0 else bytes.length % 97) + i.toFloat))
+    })
+    try {
+      val plugged = Multimodal.decodeFeatures(video, featureDim = 4)
+        .orderBy("media_id").collect()
+      assert(plugged.forall { r =>
+        val f = r.getSeq[Float](3)
+        f.length == 4 && f(1) == f(0) + 1f // marker shape: the custom decoder ran
+      })
+      assert(plugged.map(_.getSeq[Float](3)).toSeq !== standIn.toSeq)
+      // other modalities untouched by the video decoder
+      val img = Multimodal.decodeFeatures(media, featureDim = 4)
+        .orderBy("media_id").collect()
+      assert(img.length === 20)
+    } finally Multimodal.unregisterDecoder("video")
+    val restored = Multimodal.decodeFeatures(video, featureDim = 4)
+      .orderBy("media_id").collect().map(_.getSeq[Float](3))
+    assert(restored.toSeq === standIn.toSeq)
+  }
+
   test("parseMeta: real container headers parsed (png/jpeg/gif/wav), unknown passthrough") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {

@@ -78,6 +78,52 @@ class StreamingSpec extends SparkSpec {
     assert(got === res.shardCounts.filter(_._2 > 0))
   }
 
+  test("streaming ANN index maintenance: appended batches served, replay-safe commit") {
+    import graft.ext.Similarity
+    val dim = 16
+    val rnd = new scala.util.Random(67)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-annidx-stream").toString
+    Similarity.buildIndex(mk(0 until 200).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/idx", nlist = 8, kmeansIters = 2, m = 4, k = 8)
+    // arriving vectors land as parquet files; the stream drains them into
+    // the index with the stored quantizer
+    mk(200 until 300).toDF("vec_id", "embedding").write.mode("append").parquet(s"$dir/in")
+    mk(300 until 400).toDF("vec_id", "embedding").write.mode("append").parquet(s"$dir/in")
+    val src = spark.read.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
+    val q = graft.streaming.AnnIndexStream.start(stream, s"$dir/idx",
+      "vec_id", "embedding", s"$dir/ckpt")
+    q.awaitTermination(120000)
+    val cells = spark.read.parquet(s"$dir/idx/cells")
+    assert(cells.count() === 400)
+    assert(cells.select("nid").distinct().count() === 400)
+    // replay safety: re-committing an already-committed batchId with the
+    // same content is a no-op (deterministic names + rename-if-absent)
+    graft.streaming.AnnIndexStream.commitBatch(
+      spark.read.parquet(s"$dir/in"), 0L, s"$dir/idx", "vec_id", "embedding")
+    val after = spark.read.parquet(s"$dir/idx/cells")
+    assert(after.count() === 400 &&
+      after.select("nid").distinct().count() === 400,
+      "replayed commit must not duplicate rows")
+    // streamed rows are served like built ones
+    val qdf = mk(320 until 336).toDF("vec_id", "embedding")
+    val got = Similarity.indexTopK(qdf, s"$dir/idx", "vec_id", "embedding",
+        k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got.forall { case (qid, nid) => qid != nid })
+    // each query's top-3 should include a same-cluster mate
+    val hits = got.groupBy(_._1).count { case (qid, ns) =>
+      ns.exists { case (_, nid) => nid % 8 == qid % 8 }
+    }
+    assert(hits >= 14, s"cluster-mate hits $hits/16")
+  }
+
   test("incremental arrival: second batch of files is picked up exactly once") {
     val out = Files.createTempDirectory("graft-stream2").toString
     val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
