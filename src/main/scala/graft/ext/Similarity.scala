@@ -1053,6 +1053,12 @@ object Similarity {
       // vec rides the index so re-rank never goes back to the source table;
       // codes alone serve compressed-domain scans
       .select(col("cent_id"), col("nid"), col("codes"), col("_cv").as("vec"))
+      // co-locate each cell before the partitioned write: without this,
+      // every task writes a sliver of every cell — tasks × nlist tiny files
+      // (32k at the 1M bench tier; the write took 66 s and every later
+      // listing paid for it). One exchange -> ~one file per cell. At
+      // corpora where corpus/nlist outgrows a task, salt the key.
+      .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/cells")
     cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("cent_id", "centv")
@@ -1090,6 +1096,7 @@ object Similarity {
   def appendToIndex(rows: DataFrame, idCol: String, vecCol: String,
                     dir: String): Unit =
     encodeForIndex(rows, idCol, vecCol, dir)
+      .repartition(col("cent_id")) // see buildIndex: ~one file per cell
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
 
   /** (cent_id, nid, codes, vec) rows for `rows` under an existing index's

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
  * atomically (write-new / rename-old / rename-new / delete-old), so readers
  * never observe a half-compacted bundle.
  *
+ * Format- and layout-aware: the data format (json/parquet/columnar) and
+ * compression come from the bundle's own manifest — the earlier
+ * json-schema-only rewrite would have round-tripped a parquet bundle
+ * through the json parser and swapped garbage into place. Multi-index
+ * bundles (`data/_index=i/_shard=k/`) compact per (index, shard),
+ * preserving both partition levels.
+ *
  * Integrity gate: the rewritten doc count must equal the pre-compaction
  * count or the swap is aborted and the original data dir is left in place.
  */
@@ -24,6 +31,14 @@ object BundleCompact {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)
     val dataDir = new Path(s"$bundleDir/data")
+    // layout + format from the bundle's own metadata; manifest-less bundles
+    // (legacy) are single-index json
+    val multi = !fs.exists(new Path(bundleDir, "manifest.json")) &&
+      fs.listStatus(new Path(bundleDir))
+        .exists(_.getPath.getName.matches("manifest_.*\\.json"))
+    val fmt =
+      try graft.sources.BundleManifest.format(spark, bundleDir)
+      catch { case _: java.io.FileNotFoundException => "json" }
     val numShards =
       try BundleReader.numShards(spark, bundleDir)
       catch { case _: java.io.FileNotFoundException =>
@@ -39,18 +54,36 @@ object BundleCompact {
 
     val before = listDataFiles(fs, dataDir)
 
-    val docs = spark.read
-      .schema(graft.streaming.BundleStream.bundleSchema).json(dataDir.toString)
+    def readData(dir: String) = fmt match {
+      case "json" =>
+        val base = graft.streaming.BundleStream.bundleSchema
+        val schema = if (multi) org.apache.spark.sql.types.StructType(
+          base.fields.toIndexedSeq :+ org.apache.spark.sql.types.StructField(
+            "_index", org.apache.spark.sql.types.StringType))
+          else base
+        spark.read.schema(schema).json(dir)
+      // parquet/columnar: schema from footers (columnar bundles carry
+      // arbitrary typed doc fields); partition cols inferred from layout
+      case _ => spark.read.parquet(dir)
+    }
+    val partCols = if (multi) Seq("_index", "_shard") else Seq("_shard")
+    val docs = readData(dataDir.toString)
     val total = docs.count()
-    docs
-      .repartition(numShards * filesPerShard, col("_shard"))
-      .write.mode("overwrite").partitionBy("_shard")
-      .option("compression", "gzip").json(newDir.toString)
+    val nIdx = if (multi)
+      math.max(1, docs.select("_index").distinct().count().toInt) else 1
+    val writer = docs
+      .repartition(numShards * filesPerShard * nIdx,
+        partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+    fmt match {
+      case "json" => writer.option("compression", "gzip").json(newDir.toString)
+      case _      => writer.option("compression", "zstd").parquet(newDir.toString)
+    }
 
     // integrity count doubles as the per-shard tally for the refreshed
-    // shard_state.json below
-    val perShard = spark.read
-      .schema(graft.streaming.BundleStream.bundleSchema).json(newDir.toString)
+    // shard_state.json below (single-index bundles only — multi bundles
+    // carry no shard_state by design)
+    val perShard = readData(newDir.toString)
       .groupBy("_shard").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val rewritten = perShard.values.sum
@@ -70,7 +103,7 @@ object BundleCompact {
     fs.delete(oldDir, true)
     // refresh shard_state.json: per-shard docs survive compaction unchanged
     // (the _shard column value is the placement), but files/bytes don't
-    locally {
+    if (!multi) locally {
       val states = (0 until numShards).map { sh =>
         val dir = new Path(s"$bundleDir/data/_shard=$sh")
         val (files, bytes) =

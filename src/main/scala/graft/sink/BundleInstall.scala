@@ -95,7 +95,9 @@ object BundleInstall {
             out.write(problems.mkString("\n").getBytes("UTF-8")); out.close()
             Invalid(name, problems)
           } else {
-            if (compact && single) BundleCompact.compact(spark, dir.toString)
+            // compaction is format- and layout-aware (BundleCompact reads
+            // the bundle's own manifest), so multi-index bundles compact too
+            if (compact) BundleCompact.compact(spark, dir.toString)
             val target = new Path(installDir, name)
             // marker BEFORE the rename: it rides the move, so there is no
             // crash window between "renamed into installDir" and "marked" —
@@ -106,7 +108,7 @@ object BundleInstall {
               fs.delete(new Path(dir, "_INSTALLED"), false)
               throw new IllegalStateException(s"could not install $dir -> $target")
             }
-            Installed(name, docs, compact && single)
+            Installed(name, docs, compact)
           }
         }
       }
