@@ -1294,6 +1294,23 @@ object Queries {
         .agg(count(lit(1)).as("kept_docs"), max("_cum").as("used_chars"))
         .orderBy("source")),
 
+    // ---- persisted ANN index: build once (IVF cells as parquet
+    //      partitions + PQ codes + vectors), query with partition-pruned
+    //      cell reads. Approximate + engine-specific -> rows-only; the
+    //      bit-identity-with-online-IVF-PQ and partition-filter laws live
+    //      in SimilaritySpec ----
+    QueryDef("q70_ann_index", None,
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-q70-annidx").toString
+        graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", idxDir,
+          nlist = 16, kmeansIters = 2, m = 8, k = 16)
+        graft.ext.Similarity.indexTopK(
+          emb.filter(col("vec_id") % 25 === 0), idxDir,
+          "vec_id", "embedding", k = 3, nprobe = 4)
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
