@@ -349,7 +349,8 @@ object Main {
             case "ann-query" =>
               val res = graft.ext.Similarity.indexTopK(df, cfg.outDir, idCol, vecCol,
                 k = raw.getOrElse("topk", "10").toInt,
-                nprobe = raw.get("nprobe").map(_.toInt).getOrElse(4),
+                // default -1 -> sqrt(nlist) resolved from the index itself
+                nprobe = raw.get("nprobe").map(_.toInt).getOrElse(-1),
                 rerankFactor = raw.getOrElse("rerank-factor", "64").toInt)
               raw.get("results") match {
                 case Some(path) =>

@@ -1114,15 +1114,20 @@ object Similarity {
 
   /** Query a [[buildIndex]] directory: same contract and (at equal knobs /
     * the same build inputs) bit-identical results to [[ivfPqTopK]] — the
-    * difference is what gets READ: only the probed `cent_id=` partitions. */
+    * difference is what gets READ: only the probed `cent_id=` partitions.
+    * `nprobe < 0` (the default) resolves to √nlist from the loaded index —
+    * the same scaling-correct default the [[topK]] router uses. */
   def indexTopK(queries: DataFrame, dir: String, qidCol: String, vecCol: String,
-                k: Int, nprobe: Int = 4, rerankFactor: Int = 64,
+                k: Int, nprobe: Int = -1, rerankFactor: Int = 64,
                 roundTo: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val (model, cents) = loadIndexMeta(spark, dir)
+    val effProbe =
+      if (nprobe > 0) nprobe
+      else math.max(4, math.sqrt(cents.length.toDouble).round.toInt)
     val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents,
-        probes = math.min(nprobe, cents.length))
+        probes = math.min(effProbe, cents.length))
       .withColumn("_lut", graft.functions.PqFunctions.pq_lut(permute(col("_qv"), model),
         model.centroids, model.m, model.k, model.subDim))
     // bounded driver collect by construction (<= nlist ints): the probed
