@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query]
+ *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-compact|ann-drift]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -83,7 +83,8 @@ object Main {
     def listOf(k: String): Set[String] =
       m.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val cfg = GraftConfig(
-      input = if (Set("compact", "validate")(m("mode"))) m.getOrElse("input", "")
+      input = if (Set("compact", "validate", "ann-compact", "ann-drift")(m("mode")))
+                m.getOrElse("input", "")
               else req("input"),
       outDir = req("out"),
       indexName = m("mode") match {
@@ -93,7 +94,8 @@ object Main {
         // bundle root" (per-index validation)
         case "install" | "validate" | "multi" => m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
-        case "ann-build" | "ann-append" | "ann-query" => m.getOrElse("index", "")
+        case "ann-build" | "ann-append" | "ann-query" |
+             "ann-compact" | "ann-drift" => m.getOrElse("index", "")
         case _          => req("index")
       },
       // "auto" = cost-based sizing, resolved against the (filtered) input
@@ -359,6 +361,21 @@ object Main {
                 case None => res.show(20, truncate = false)
               }
           }
+        case "ann-compact" =>
+          // append/streaming maintenance leaves one file per (cell, batch);
+          // rewrite back to ~one per cell (atomic swap, integrity-gated)
+          val (before, after) = graft.ext.Similarity.compactIndex(spark, cfg.outDir)
+          println(s"ann index compacted: $before -> $after files")
+        case "ann-drift" =>
+          // quantizer health: sampled vector->centroid cosine + cell skew
+          // vs the stats the index recorded at build time
+          val d = graft.ext.Similarity.indexDriftReport(spark, cfg.outDir)
+          println(s"rows: ${d.builtRows} built -> ${d.rowsNow} now")
+          println(f"avg cos to centroid: ${d.builtAvgCos}%.4f built -> ${d.avgCosNow}%.4f now")
+          println(f"max cell share: ${d.builtMaxCellFrac}%.4f built -> ${d.maxCellFracNow}%.4f now")
+          println(if (d.retrainAdvised) "RETRAIN ADVISED (quantizer drift)" else "index healthy")
+          if (d.retrainAdvised) throw new IllegalStateException(
+            "quantizer drift detected; rebuild the index (--mode ann-build)")
         case "compact" =>
           // forceMerge analog: rewrite each shard's many small files
           val r = graft.sink.BundleCompact.compact(spark,

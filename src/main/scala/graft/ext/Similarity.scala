@@ -1067,6 +1067,13 @@ object Similarity {
         model.perm.toSeq, model.rot.toSeq))
       .toDF("dim", "m", "k", "nlist", "pq_centroids", "perm", "rot")
       .write.mode("overwrite").parquet(s"$dir/model")
+    // the index records its own build-time health (sampled mean
+    // vector->centroid cosine + max cell share) so [[indexDriftReport]]
+    // has a baseline to compare appended data against
+    val (rows, avgCos, maxFrac) =
+      cellStats(spark.read.parquet(s"$dir/cells"), cents, sampleSize = 2000)
+    Seq((rows, avgCos, maxFrac)).toDF("rows", "avg_cos", "max_cell_frac")
+      .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** Load a [[buildIndex]] directory's PQ model + IVF centroids (both
@@ -1156,6 +1163,128 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /**
+   * Compact a [[buildIndex]] directory: append/streaming maintenance
+   * accumulates one file per (cell, batch); this rewrites each cell back
+   * to ~one file with the same atomic-swap discipline as the bundle
+   * compactor (write-new / rename-old / rename-new / delete-old, doc-count
+   * integrity gate — a failed rewrite leaves the original cells intact).
+   * Returns (filesBefore, filesAfter).
+   */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (Long, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val newDir = new org.apache.hadoop.fs.Path(s"$dir/cells-compacting")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$dir/cells-precompact")
+    fs.delete(newDir, true); fs.delete(oldDir, true)
+    def countFiles(p: org.apache.hadoop.fs.Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map { st =>
+        if (st.isDirectory) countFiles(st.getPath)
+        else if (st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith(".")) 0L else 1L
+      }.sum
+    val before = countFiles(cells)
+    val data = spark.read.parquet(cells.toString)
+    val total = data.count()
+    data.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(newDir.toString)
+    val rewritten = spark.read.parquet(newDir.toString).count()
+    if (rewritten != total) {
+      fs.delete(newDir, true)
+      throw new IllegalStateException(
+        s"index compaction aborted: rewrote $rewritten of $total rows; cells left intact")
+    }
+    if (!fs.rename(cells, oldDir))
+      throw new IllegalStateException(s"could not stage $cells aside")
+    if (!fs.rename(newDir, cells)) {
+      fs.rename(oldDir, cells)
+      throw new IllegalStateException("swap failed; original cells restored")
+    }
+    fs.delete(oldDir, true)
+    (before, countFiles(cells))
+  }
+
+  /** Index health at build time and now — the rebuild trigger. */
+  case class IndexDrift(builtRows: Long, rowsNow: Long,
+                        builtAvgCos: Double, avgCosNow: Double,
+                        builtMaxCellFrac: Double, maxCellFracNow: Double,
+                        retrainAdvised: Boolean)
+
+  /**
+   * Quantizer drift probe for a [[buildIndex]] directory: the stored
+   * quantizer was trained on the corpus as it was at build time; appended
+   * data from a shifted distribution quietly degrades recall (vectors land
+   * in cells whose centroid no longer represents them) and skews cell
+   * sizes (hot cells -> join fan-out). Two bounded signals, compared to
+   * the build-time stats the index recorded about itself:
+   *
+   *  - mean cosine of a seeded sample to its assigned centroid (recall
+   *    proxy — drops as the quantizer stops fitting)
+   *  - largest cell's share of all rows (skew proxy — grows as new data
+   *    concentrates where the quantizer has no resolution)
+   *
+   * `retrainAdvised` when the mean cosine fell by more than `cosDropTol`
+   * (relative) or the max-cell share grew by more than `skewGrowTol`
+   * (relative). Pure report — rebuilding is the operator's call.
+   */
+  def indexDriftReport(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       sampleSize: Int = 2000, cosDropTol: Double = 0.05,
+                       skewGrowTol: Double = 0.5): IndexDrift = {
+    import spark.implicits._
+    val (_, cents) = loadIndexMeta(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // indexes built before the stats table self-heal: record the CURRENT
+    // state as the baseline (healthy by definition — there is nothing
+    // older to compare against) so the next probe has one
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats"))) {
+      val (rows, avgCos, maxFrac) =
+        cellStats(spark.read.parquet(s"$dir/cells"), cents, sampleSize)
+      Seq((rows, avgCos, maxFrac)).toDF("rows", "avg_cos", "max_cell_frac")
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      return IndexDrift(rows, rows, avgCos, avgCos, maxFrac, maxFrac,
+        retrainAdvised = false)
+    }
+    val stats = spark.read.parquet(s"$dir/stats").head()
+    val builtRows = stats.getAs[Long]("rows")
+    val builtAvgCos = stats.getAs[Double]("avg_cos")
+    val builtMaxFrac = stats.getAs[Double]("max_cell_frac")
+    val (rowsNow, avgCosNow, maxFracNow) =
+      cellStats(spark.read.parquet(s"$dir/cells"), cents, sampleSize)
+    val drifted = (builtAvgCos > 0 &&
+        (builtAvgCos - avgCosNow) / builtAvgCos > cosDropTol) ||
+      (builtMaxFrac > 0 && (maxFracNow - builtMaxFrac) / builtMaxFrac > skewGrowTol)
+    IndexDrift(builtRows, rowsNow, builtAvgCos, avgCosNow,
+      builtMaxFrac, maxFracNow, drifted)
+  }
+
+  /** (rows, sampled mean vector->assigned-centroid cosine, max cell share)
+    * over an index cells frame — one count, one bare-key count agg, one
+    * bounded sample collect (vectors are unit, so cosine = dot). */
+  private def cellStats(cells: DataFrame, cents: IndexedSeq[Seq[Double]],
+                        sampleSize: Int): (Long, Double, Double) = {
+    import cells.sparkSession.implicits._
+    val n = cells.count()
+    if (n == 0) return (0L, 0.0, 0.0)
+    val maxCell = cells.groupBy("cent_id").count()
+      .agg(max("count")).head().getLong(0)
+    val frac = math.min(1.0, sampleSize.toDouble / n)
+    val sample = cells.sample(withReplacement = false, frac, seed = 11L)
+      .select(col("cent_id"), col("vec")).as[(Int, Seq[Double])].collect()
+    val avg =
+      if (sample.isEmpty) 0.0
+      else sample.map { case (c, v) =>
+        val cv = cents(c)
+        var d = 0.0; var j = 0
+        while (j < cv.length && j < v.length) { d += cv(j) * v(j); j += 1 }
+        d
+      }.sum / sample.length
+    (n, avg, maxCell.toDouble / n)
   }
 
   /**

@@ -590,6 +590,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"post-append recall $recall")
   }
 
+  test("ANN index lifecycle: compaction is result-identical, drift probe flags a shifted append") {
+    val dim = 16
+    val rnd = new scala.util.Random(71)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def near(ids: Range) = ids.map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-life").toString
+    Similarity.buildIndex(near(0 until 200).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, nlist = 8, kmeansIters = 2, m = 4, k = 8)
+    // fresh same-distribution data: healthy
+    Similarity.appendToIndex(near(200 until 280).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val healthy = Similarity.indexDriftReport(spark, dir)
+    assert(!healthy.retrainAdvised,
+      s"same-distribution append must not advise retrain: $healthy")
+    assert(healthy.rowsNow === 280 && healthy.builtRows === 200)
+
+    // several appends fragment the cells; compaction must not change results
+    for (b <- 0 until 3)
+      Similarity.appendToIndex(
+        near(280 + b * 20 until 300 + b * 20).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+    val q = near(0 until 16).toDF("vec_id", "embedding")
+    def results() = Similarity.indexTopK(q, dir, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val before = results()
+    val (filesBefore, filesAfter) = Similarity.compactIndex(spark, dir)
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(results() === before, "compaction changed query results")
+
+    // drift: a large append from a DIFFERENT distribution (uniform iid,
+    // unrelated to the trained centers) must trip the probe
+    val shifted = (10000 until 10800).map { i =>
+      (i.toLong, Seq.fill(dim)((5.0 * rnd.nextGaussian()).toFloat))
+    }
+    Similarity.appendToIndex(shifted.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val drifted = Similarity.indexDriftReport(spark, dir)
+    assert(drifted.retrainAdvised, s"shifted append must advise retrain: $drifted")
+    assert(drifted.avgCosNow < drifted.builtAvgCos)
+  }
+
   test("topK auto: exact brute below the pair budget, bucketed IVF above") {
     val dim = 8
     val rnd = new scala.util.Random(41)
