@@ -28,7 +28,7 @@ object Main {
     "bulk-actions", "bulk-size", "alias", "final-index-setting",
     "install-compact", "poll-ms", "timeout-ms",
     "vec-col", "nlist", "nprobe", "pq-m", "pq-k", "opq-iters",
-    "topk", "rerank-factor", "results")
+    "topk", "rerank-factor", "results", "cell-salt")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -343,10 +343,12 @@ object Main {
                 nlist = nlist,
                 m = raw.getOrElse("pq-m", "8").toInt,
                 k = raw.getOrElse("pq-k", "16").toInt,
-                opqIters = raw.getOrElse("opq-iters", "0").toInt)
+                opqIters = raw.getOrElse("opq-iters", "0").toInt,
+                cellSalt = raw.getOrElse("cell-salt", "1").toInt)
               println(s"ann index built: ${cfg.outDir} ($n vectors, nlist=$nlist)")
             case "ann-append" =>
-              graft.ext.Similarity.appendToIndex(df, idCol, vecCol, cfg.outDir)
+              graft.ext.Similarity.appendToIndex(df, idCol, vecCol, cfg.outDir,
+                cellSalt = raw.getOrElse("cell-salt", "1").toInt)
               println(s"appended ${cfg.input} into ${cfg.outDir}")
             case "ann-query" =>
               val res = graft.ext.Similarity.indexTopK(df, cfg.outDir, idCol, vecCol,
@@ -363,8 +365,9 @@ object Main {
           }
         case "ann-compact" =>
           // append/streaming maintenance leaves one file per (cell, batch);
-          // rewrite back to ~one per cell (atomic swap, integrity-gated)
-          val (before, after) = graft.ext.Similarity.compactIndex(spark, cfg.outDir)
+          // rewrite back to ~cell-salt per cell (atomic swap, integrity-gated)
+          val (before, after) = graft.ext.Similarity.compactIndex(spark, cfg.outDir,
+            cellSalt = rawFlags(args).getOrElse("cell-salt", "1").toInt)
           println(s"ann index compacted: $before -> $after files")
         case "ann-drift" =>
           // quantizer health: sampled vector->centroid cosine + cell skew

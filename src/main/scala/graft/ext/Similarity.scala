@@ -960,7 +960,9 @@ object Similarity {
   }
 
   /**
-   * IVF-PQ: the standard billion-scale composition. IVF cells prune
+   * IVF-PQ: the standard billion-scale composition (Jégou, Douze &
+   * Schmid, "Product Quantization for Nearest Neighbor Search",
+   * IEEE TPAMI 2011 — the public IVFADC design). IVF cells prune
    * candidates (each query scores only its `nprobe` cells — corpus/nlist
    * rows per cell on average), PQ codes make in-cell scoring m lookups per
    * pair, and the exact re-rank (tie-aware, see [[pqTopKRerank]]) restores
@@ -1040,7 +1042,8 @@ object Similarity {
    */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
                  nlist: Int = 16, kmeansIters: Int = 2, m: Int = 8, k: Int = 16,
-                 opqIters: Int = 0, sampleSize: Int = 10000): Unit = {
+                 opqIters: Int = 0, sampleSize: Int = 10000,
+                 cellSalt: Int = 1): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
@@ -1056,9 +1059,8 @@ object Similarity {
       // co-locate each cell before the partitioned write: without this,
       // every task writes a sliver of every cell — tasks × nlist tiny files
       // (32k at the 1M bench tier; the write took 66 s and every later
-      // listing paid for it). One exchange -> ~one file per cell. At
-      // corpora where corpus/nlist outgrows a task, salt the key.
-      .repartition(col("cent_id"))
+      // listing paid for it). One exchange -> ~cellSalt files per cell.
+      .transform(saltedCellRepartition(_, cellSalt, nlist))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/cells")
     cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("cent_id", "centv")
@@ -1101,10 +1103,36 @@ object Similarity {
    * rebuild when the corpus distribution shifts enough that recall decays.
    */
   def appendToIndex(rows: DataFrame, idCol: String, vecCol: String,
-                    dir: String): Unit =
+                    dir: String, cellSalt: Int = 1): Unit = {
+    val nlist = // needed only to size the salted exchange; tiny driver read
+      if (cellSalt <= 1) 0
+      else rows.sparkSession.read.parquet(s"$dir/centroids").count().toInt
     encodeForIndex(rows, idCol, vecCol, dir)
-      .repartition(col("cent_id")) // see buildIndex: ~one file per cell
+      .transform(saltedCellRepartition(_, cellSalt, nlist)) // see buildIndex
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
+  }
+
+  /**
+   * Cell-write exchange. `cellSalt = 1` (the default) gives one task —
+   * hence ~one parquet file — per IVF cell, and lets AQE coalesce the
+   * tiny-cell case. When a cell's rows outgrow ONE task (corpus/nlist
+   * beyond executor memory: at nlist = sqrt(n)/2 a 1e10-row corpus puts
+   * ~2*sqrt(n) ≈ 200k 64-dim rows in each cell, fine; but a forced-small
+   * nlist or a hot skewed cell can put millions there), salt the key: the
+   * exchange spreads each cell across up to `cellSalt` tasks keyed by a
+   * deterministic hash of the row id, the `partitionBy("cent_id")` write
+   * still lands every row under its one `cent_id=` directory — so
+   * [[indexTopK]]'s static partition pruning is untouched — and each
+   * directory simply holds ~`cellSalt` files. The partition count is
+   * pinned (2·nlist·cellSalt, collision headroom) because an AQE-coalesced
+   * salt would silently re-merge the oversized task the salt exists to
+   * split. Reads never see the salt (it lives only inside the exchange).
+   */
+  private def saltedCellRepartition(df: DataFrame, cellSalt: Int,
+                                    nlist: Int): DataFrame =
+    if (cellSalt <= 1) df.repartition(col("cent_id"))
+    else df.repartition(math.max(1, 2 * nlist * cellSalt),
+      col("cent_id"), pmod(hash(col("nid")), lit(cellSalt)))
 
   /** (cent_id, nid, codes, vec) rows for `rows` under an existing index's
     * STORED quantizer + codebooks — the shared encode step of
@@ -1168,13 +1196,15 @@ object Similarity {
   /**
    * Compact a [[buildIndex]] directory: append/streaming maintenance
    * accumulates one file per (cell, batch); this rewrites each cell back
-   * to ~one file with the same atomic-swap discipline as the bundle
+   * to ~`cellSalt` files (default one — raise it when a cell outgrows a
+   * single task, see [[saltedCellKey]]) with the same atomic-swap
+   * discipline as the bundle
    * compactor (write-new / rename-old / rename-new / delete-old, doc-count
    * integrity gate — a failed rewrite leaves the original cells intact).
    * Returns (filesBefore, filesAfter).
    */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): (Long, Long) = {
+                   dir: String, cellSalt: Int = 1): (Long, Long) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
@@ -1191,7 +1221,10 @@ object Similarity {
     val before = countFiles(cells)
     val data = spark.read.parquet(cells.toString)
     val total = data.count()
-    data.repartition(col("cent_id"))
+    val nlist =
+      if (cellSalt <= 1) 0
+      else spark.read.parquet(s"$dir/centroids").count().toInt
+    data.transform(saltedCellRepartition(_, cellSalt, nlist))
       .write.mode("overwrite").partitionBy("cent_id").parquet(newDir.toString)
     val rewritten = spark.read.parquet(newDir.toString).count()
     if (rewritten != total) {

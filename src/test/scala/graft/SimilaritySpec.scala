@@ -560,6 +560,92 @@ class SimilaritySpec extends SparkSpec {
     assert(cellDirs.length === 8, s"expected 8 cell dirs, got ${cellDirs.toSeq}")
   }
 
+  test("persisted index == online IVF-PQ across seeds, dims and knobs") {
+    // seed-swept version of the fixed-seed identity law: the equality must
+    // hold for any corpus shape, not one lucky configuration
+    for ((seed, dim, nlist, nprobe, k) <- Seq(
+        (101, 8, 4, 2, 1), (202, 24, 10, 3, 2), (303, 16, 6, 6, 3))) {
+      val rnd = new scala.util.Random(seed)
+      val centers = (0 until nlist).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+      val points = (0 until 240).map { i =>
+        val c = centers(i % nlist)
+        (i.toLong, c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+      val corpus = points.toDF("vec_id", "embedding")
+      val q = corpus.filter(col("vec_id") < 8)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-annidx-s$seed").toString
+      Similarity.buildIndex(corpus, "vec_id", "embedding", dir,
+        nlist = nlist, kmeansIters = 2, m = 4, k = 8)
+      val model = Similarity.pqTrain(corpus, "embedding", dim, m = 4, k = 8)
+      val online = Similarity.ivfPqTopK(q, corpus, "vec_id", "vec_id",
+          "embedding", model, k = k, nlist = nlist, nprobe = nprobe,
+          kmeansIters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val indexed = Similarity.indexTopK(q, dir, "vec_id", "embedding",
+          k = k, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(indexed === online, s"diverged at seed=$seed dim=$dim nlist=$nlist")
+    }
+  }
+
+  test("salted cell writes: same results, cellSalt files per cell, pruning intact") {
+    // cellSalt spreads an oversized cell across that many write tasks;
+    // the directory layout (and so partition pruning) must not change,
+    // and results must be identical to the unsalted build
+    val dim = 12
+    val rnd = new scala.util.Random(73)
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 320).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 8)
+    def run(salt: Int): (String, Set[(Long, Long, Int, Double)]) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-salt$salt").toString
+      Similarity.buildIndex(corpus, "vec_id", "embedding", dir,
+        nlist = 4, kmeansIters = 2, m = 4, k = 8, cellSalt = salt)
+      val res = Similarity.indexTopK(q, dir, "vec_id", "embedding", k = 2, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      (dir, res)
+    }
+    val (dir1, res1) = run(1)
+    val (dir4, res4) = run(4)
+    assert(res4 === res1, "salted build must return identical results")
+    def cellFiles(dir: String): Seq[Int] =
+      new java.io.File(s"$dir/cells").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cent_id="))
+        .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).toSeq
+    assert(cellFiles(dir1).forall(_ == 1), s"unsalted: 1 file/cell, got ${cellFiles(dir1)}")
+    val salted = cellFiles(dir4)
+    assert(salted.length === 4 && salted.forall(n => n >= 2 && n <= 4),
+      s"salted: expected 2..4 files per cell dir, got $salted")
+    // appended rows also respect the salt and stay findable
+    val extra = (1000 until 1080).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    Similarity.appendToIndex(extra.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", dir4, cellSalt = 4)
+    val probe = Seq(extra.head).toDF("vec_id", "embedding")
+    val hit = Similarity.indexTopK(probe, dir4, "vec_id", "embedding",
+      k = 1, nprobe = 4).collect()
+    assert(hit.nonEmpty && hit.head.getDouble(3) > 0.9,
+      s"appended row not findable after salted append: ${hit.toSeq}")
+    // compaction is layout-only: results identical before/after, and the
+    // default salt=1 rewrite lands one file per cell again
+    val preCompact = Similarity.indexTopK(q, dir4, "vec_id", "embedding",
+        k = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    Similarity.compactIndex(spark, dir4)
+    assert(cellFiles(dir4).forall(_ == 1),
+      s"post-compaction: 1 file/cell, got ${cellFiles(dir4)}")
+    val postCompact = Similarity.indexTopK(q, dir4, "vec_id", "embedding",
+        k = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(postCompact === preCompact, "compaction must be layout-only")
+  }
+
   test("ANN index append: no-retrain placement consistent, appended rows findable") {
     val dim = 16
     val rnd = new scala.util.Random(61)
