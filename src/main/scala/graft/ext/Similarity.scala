@@ -1345,12 +1345,31 @@ object Similarity {
    * multiprobe LSH). The router therefore probes clusterability first —
    * [[clusterability]], one bounded driver-side sample — and routes
    * unclustered corpora to [[annTopK]] multiprobe instead.
+   *
+   * Zeroth tier: when `indexDir` points at a [[buildIndex]] directory, the
+   * router skips every online path and queries the index — at corpus
+   * sizes where the online methods retrain and re-encode per call, a
+   * standing index is strictly cheaper per batch (1M tier: 4.1 s/batch vs
+   * 5.7 s for online ivf_pq, and the corpus scan drops to the probed
+   * cells). A supplied-but-invalid dir throws rather than silently
+   * falling back to a full retrain — at 100 TB that "fallback" would be
+   * an hours-long surprise.
    */
   def topK(queries: DataFrame, corpus: DataFrame, qidCol: String,
            idCol: String, vecCol: String, k: Int,
            maxBrutePairs: Long = 50000000L, roundTo: Int = 4,
            pqAboveRows: Long = 10000000L,
-           clusterabilityMin: Double = 0.5): DataFrame = {
+           clusterabilityMin: Double = 0.5,
+           indexDir: Option[String] = None): DataFrame = indexDir match {
+    case Some(dir) =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+        queries.sparkSession.sparkContext.hadoopConfiguration)
+      val missing = Seq("model", "centroids", "cells").filterNot(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")))
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"indexDir $dir is not a buildIndex directory (missing: ${missing.mkString(", ")})")
+      indexTopK(queries, dir, qidCol, vecCol, k, roundTo = roundTo)
+    case None =>
     val nq = queries.count()
     val nc = corpus.count()
     if (nq * nc <= maxBrutePairs)

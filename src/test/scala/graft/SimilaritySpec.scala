@@ -646,6 +646,34 @@ class SimilaritySpec extends SparkSpec {
     assert(postCompact === preCompact, "compaction must be layout-only")
   }
 
+  test("topK router: indexDir tier queries the standing index; invalid dir throws") {
+    val dim = 12
+    val rnd = new scala.util.Random(83)
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 240).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-routeridx").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", dir,
+      nlist = 4, kmeansIters = 2, m = 4, k = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val routed = rows(Similarity.topK(q, corpus, "vec_id", "vec_id",
+      "embedding", k = 2, indexDir = Some(dir)))
+    val direct = rows(Similarity.indexTopK(q, dir, "vec_id", "embedding", k = 2))
+    assert(routed === direct, "router with indexDir must equal indexTopK")
+    // supplied-but-invalid dir fails fast instead of silently retraining
+    val bad = java.nio.file.Files.createTempDirectory("graft-notanidx").toString
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topK(q, corpus, "vec_id", "vec_id", "embedding", k = 2,
+        indexDir = Some(bad))
+    }
+    assert(e.getMessage.contains("not a buildIndex directory"))
+  }
+
   test("ANN index append: no-retrain placement consistent, appended rows findable") {
     val dim = 16
     val rnd = new scala.util.Random(61)
