@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-compact|ann-drift]
+ *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-drift]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -95,7 +95,7 @@ object Main {
         case "install" | "validate" | "multi" => m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" |
-             "ann-compact" | "ann-drift" => m.getOrElse("index", "")
+             "ann-compact" | "ann-drift" | "ann-stream" => m.getOrElse("index", "")
         case _          => req("index")
       },
       // "auto" = cost-based sizing, resolved against the (filtered) input
@@ -363,6 +363,24 @@ object Main {
                 case None => res.show(20, truncate = false)
               }
           }
+        case "ann-stream" =>
+          // streaming index maintenance: watch --input as a DIRECTORY of
+          // arriving parquet (id, vector) files and commit each micro-batch
+          // into the standing index at --out (stored quantizer/codebooks,
+          // replay-safe staging+rename — see AnnIndexStream)
+          val raw = rawFlags(args)
+          val idCol = Option(cfg.id).getOrElse(throw new IllegalArgumentException(
+            s"--id (vector id column) is required for --mode $mode"))
+          val vecCol = raw.getOrElse("vec-col", "embedding")
+          val src = spark.read.parquet(cfg.input)
+          val stream = spark.readStream.schema(src.schema).parquet(cfg.input)
+          val q = graft.streaming.AnnIndexStream.start(stream, cfg.outDir,
+            idCol, vecCol,
+            checkpointDir = s"${cfg.outDir}/.ckpt_stream",
+            cellSalt = raw.getOrElse("cell-salt", "1").toInt)
+          q.awaitTermination(raw.getOrElse("timeout-ms", "600000").toLong)
+          val rows = spark.read.parquet(s"${cfg.outDir}/cells").count()
+          println(s"ann index maintained from stream: ${cfg.outDir} ($rows vectors)")
         case "ann-compact" =>
           // append/streaming maintenance leaves one file per (cell, batch);
           // rewrite back to ~cell-salt per cell (atomic swap, integrity-gated)

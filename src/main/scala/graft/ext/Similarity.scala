@@ -1128,8 +1128,8 @@ object Similarity {
    * salt would silently re-merge the oversized task the salt exists to
    * split. Reads never see the salt (it lives only inside the exchange).
    */
-  private def saltedCellRepartition(df: DataFrame, cellSalt: Int,
-                                    nlist: Int): DataFrame =
+  private[graft] def saltedCellRepartition(df: DataFrame, cellSalt: Int,
+                                           nlist: Int): DataFrame =
     if (cellSalt <= 1) df.repartition(col("cent_id"))
     else df.repartition(math.max(1, 2 * nlist * cellSalt),
       col("cent_id"), pmod(hash(col("nid")), lit(cellSalt)))

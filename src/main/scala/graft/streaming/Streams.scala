@@ -191,11 +191,12 @@ object AnnIndexStream {
    * `mode("append")` here would double-append on replay.
    */
   def start(rows: DataFrame, indexDir: String, idCol: String, vecCol: String,
-            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+            checkpointDir: String, availableNow: Boolean = true,
+            cellSalt: Int = 1): StreamingQuery = {
     val w = rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, indexDir, idCol, vecCol)
+        commitBatch(batch, batchId, indexDir, idCol, vecCol, cellSalt)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow())
      else w.trigger(Trigger.ProcessingTime("10 seconds"))).start()
@@ -203,10 +204,19 @@ object AnnIndexStream {
 
   private[graft] def commitBatch(batch: DataFrame, batchId: Long,
                                  indexDir: String, idCol: String,
-                                 vecCol: String): Unit = {
+                                 vecCol: String, cellSalt: Int = 1): Unit = {
     import org.apache.hadoop.fs.Path
     val staging = s"$indexDir/.staging/batch=$batchId"
+    // co-locate cells before the staging write (same discipline as
+    // buildIndex/appendToIndex: without it, every batch task writes a
+    // sliver of every cell — tasks x cells files PER BATCH). Replay-safe:
+    // the exchange is deterministic for a given batch, so part indices —
+    // and hence the deterministic rename targets below — are stable.
+    val nlist =
+      if (cellSalt <= 1) 0
+      else batch.sparkSession.read.parquet(s"$indexDir/centroids").count().toInt
     graft.ext.Similarity.encodeForIndex(batch, idCol, vecCol, indexDir)
+      .transform(graft.ext.Similarity.saltedCellRepartition(_, cellSalt, nlist))
       .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), batch.sparkSession.sparkContext.hadoopConfiguration)
