@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-drift]
+ *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-split|ann-drift]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -28,7 +28,7 @@ object Main {
     "bulk-actions", "bulk-size", "alias", "final-index-setting",
     "install-compact", "poll-ms", "timeout-ms",
     "vec-col", "nlist", "nprobe", "pq-m", "pq-k", "opq-iters",
-    "topk", "rerank-factor", "results", "cell-salt")
+    "topk", "rerank-factor", "results", "cell-salt", "cell", "sub")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -83,7 +83,8 @@ object Main {
     def listOf(k: String): Set[String] =
       m.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val cfg = GraftConfig(
-      input = if (Set("compact", "validate", "ann-compact", "ann-drift")(m("mode")))
+      input = if (Set("compact", "validate", "ann-compact", "ann-drift",
+                      "ann-split")(m("mode")))
                 m.getOrElse("input", "")
               else req("input"),
       outDir = req("out"),
@@ -94,8 +95,8 @@ object Main {
         // bundle root" (per-index validation)
         case "install" | "validate" | "multi" => m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
-        case "ann-build" | "ann-append" | "ann-query" |
-             "ann-compact" | "ann-drift" | "ann-stream" => m.getOrElse("index", "")
+        case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
+             "ann-drift" | "ann-stream" | "ann-split" => m.getOrElse("index", "")
         case _          => req("index")
       },
       // "auto" = cost-based sizing, resolved against the (filtered) input
@@ -387,6 +388,15 @@ object Main {
           val (before, after) = graft.ext.Similarity.compactIndex(spark, cfg.outDir,
             cellSalt = rawFlags(args).getOrElse("cell-salt", "1").toInt)
           println(s"ann index compacted: $before -> $after files")
+        case "ann-split" =>
+          // re-balance the skew ann-drift detects: split one hot cell in
+          // place (sub-centroids over its own rows; PQ codes unchanged)
+          // instead of rebuilding the whole index
+          val raw = rawFlags(args)
+          val newIds = graft.ext.Similarity.splitCell(spark, cfg.outDir,
+            centId = raw.getOrElse("cell", "-1").toInt,
+            sub = raw.getOrElse("sub", "2").toInt)
+          println(s"cell split: cent_id=${newIds.head} -> cells ${newIds.mkString(", ")}")
         case "ann-drift" =>
           // quantizer health: sampled vector->centroid cosine + cell skew
           // vs the stats the index recorded at build time

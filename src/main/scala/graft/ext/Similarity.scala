@@ -1296,6 +1296,86 @@ object Similarity {
       builtMaxFrac, maxFracNow, drifted)
   }
 
+  /**
+   * Split one hot IVF cell in place — the targeted answer to the skew
+   * [[indexDriftReport]] detects. Appended data concentrating in one cell
+   * makes that cell's join fan-in (and every probe that touches it) pay
+   * corpus-sized costs; a full [[buildIndex]] rebuild re-trains and
+   * re-encodes EVERYTHING to fix one neighborhood. This instead:
+   *
+   *  1. trains `sub` sub-centroids on the target cell's own rows (same
+   *     bounded seeded driver sample + spherical Lloyd as the main
+   *     quantizer),
+   *  2. reassigns only that cell's rows (argmax dot — a projection, no
+   *     shuffle beyond the partitioned rewrite), PQ codes ride unchanged
+   *     (they encode the vector, not the cell),
+   *  3. renumbers so ids stay contiguous: sub-cell 0 keeps the old id,
+   *     the rest take nlist, nlist+1, … (loadIndexMeta's position==id
+   *     invariant survives), and
+   *  4. swaps the new cell dirs in and rewrites the centroids table —
+   *     same write-new / stage-aside / swap / delete discipline as
+   *     [[compactIndex]], with a row-count integrity gate.
+   *
+   * Offline operation like compaction: a concurrent reader mid-swap can
+   * see a reduced-recall window (new sub-cells exist before the centroids
+   * table lists them), never wrong data. Returns the new cell ids
+   * (head = the reused target id). `centId = -1` picks the hottest cell.
+   */
+  def splitCell(spark: org.apache.spark.sql.SparkSession, dir: String,
+                centId: Int = -1, sub: Int = 2,
+                kmeansIters: Int = 2): Seq[Int] = {
+    import spark.implicits._
+    require(sub >= 2, s"sub=$sub: splitting needs at least 2 sub-cells")
+    val (_, cents) = loadIndexMeta(spark, dir)
+    val nlist = cents.length
+    val target =
+      if (centId >= 0) centId
+      else spark.read.parquet(s"$dir/cells").groupBy("cent_id").count()
+        .orderBy(col("count").desc, col("cent_id").asc).head().getInt(0)
+    require(target < nlist, s"cent_id=$target does not exist (nlist=$nlist)")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val cellPath = new org.apache.hadoop.fs.Path(s"$dir/cells/cent_id=$target")
+    // (nid, codes, vec) — the partition column lives in the path, not the files
+    val rows = spark.read.parquet(cellPath.toString).cache()
+    val total = rows.count()
+    val subCents = kmeansArray(rows, "nid", "vec", sub, kmeansIters)
+    val newIds: IndexedSeq[Int] =
+      target +: (nlist until nlist + sub - 1).toIndexedSeq
+    val idLut = array(newIds.map(lit): _*)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/cells-splitting")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/.split-old-cent_id=$target")
+    fs.delete(staging, true); fs.delete(aside, true)
+    rows
+      .withColumn("cent_id",
+        element_at(idLut, argBestCell(subCents, col("vec")) + 1))
+      .select(col("cent_id"), col("nid"), col("codes"), col("vec"))
+      .transform(saltedCellRepartition(_, cellSalt = 1, nlist = sub))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(staging.toString)
+    val rewritten = spark.read.parquet(staging.toString).count()
+    rows.unpersist()
+    if (rewritten != total) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"cell split aborted: rewrote $rewritten of $total rows; cell left intact")
+    }
+    if (!fs.rename(cellPath, aside))
+      throw new IllegalStateException(s"could not stage $cellPath aside")
+    for (d <- fs.listStatus(staging) if d.isDirectory) {
+      val dest = new org.apache.hadoop.fs.Path(s"$dir/cells/${d.getPath.getName}")
+      if (!fs.rename(d.getPath, dest)) {
+        fs.rename(aside, cellPath) // best-effort restore of the original cell
+        throw new IllegalStateException(s"swap failed at ${d.getPath}; original cell restored")
+      }
+    }
+    val updated = (cents.updated(target, subCents.head) ++ subCents.tail)
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    updated.toDF("cent_id", "centv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    fs.delete(aside, true); fs.delete(staging, true)
+    newIds
+  }
+
   /** (rows, sampled mean vector->assigned-centroid cosine, max cell share)
     * over an index cells frame — one count, one bare-key count agg, one
     * bounded sample collect (vectors are unit, so cosine = dot). */

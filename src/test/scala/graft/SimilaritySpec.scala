@@ -674,6 +674,52 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("not a buildIndex directory"))
   }
 
+  test("splitCell: hot cell re-balanced in place, rows preserved, recall holds") {
+    val dim = 16
+    val rnd = new scala.util.Random(97)
+    // 4 natural clusters but nlist=3: the quantizer must merge two of
+    // them into one hot cell — exactly the skew splitCell exists for
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def mk(id: Long): (Long, Seq[Float]) = {
+      val c = centers((id % 4).toInt)
+      val rj = new scala.util.Random(id * 31 + 7)
+      (id, c.map(x => (x + 0.05 * rj.nextGaussian()).toFloat).toSeq)
+    }
+    // planted twins: id and id+1000 share a cluster and jitter seed ranges
+    val corpus = ((0L until 400L) ++ (1000L until 1400L)).map(mk)
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-splitidx").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", dir,
+      nlist = 3, kmeansIters = 3, m = 4, k = 8)
+    def cellCounts(): Map[Int, Long] =
+      spark.read.parquet(s"$dir/cells").groupBy("cent_id").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = cellCounts()
+    val hotCnt = before.values.max
+    val hotId = before.collect { case (id, c) if c == hotCnt => id }.min
+    def top1(): Map[Long, Long] = {
+      val q = corpus.filter(col("vec_id") < 8)
+      // nprobe past nlist clamps to every cell — exact pre/post comparison
+      Similarity.indexTopK(q, dir, "vec_id", "embedding", k = 1, nprobe = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val truthBefore = top1()
+    val newIds = Similarity.splitCell(spark, dir, sub = 2)
+    assert(newIds === Seq(hotId, 3), s"expected split of hottest cell, got $newIds")
+    val after = cellCounts()
+    assert(after.values.sum === before.values.sum, "split must preserve every row")
+    assert(after.keySet === Set(0, 1, 2, 3), s"contiguous ids expected, got ${after.keySet}")
+    assert(after(hotId) < hotCnt,
+      s"hot cell must shrink: $hotCnt -> ${after(hotId)}")
+    // centroids table renumbered contiguously; index still loads and queries
+    val centIds = spark.read.parquet(s"$dir/centroids")
+      .select("cent_id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(centIds === Seq(0, 1, 2, 3))
+    val truthAfter = top1()
+    assert(truthAfter === truthBefore,
+      "top-1 neighbors must survive the split (probing all cells)")
+  }
+
   test("ANN index append: no-retrain placement consistent, appended rows findable") {
     val dim = 16
     val rnd = new scala.util.Random(61)
