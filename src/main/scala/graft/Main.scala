@@ -28,7 +28,8 @@ object Main {
     "bulk-actions", "bulk-size", "alias", "final-index-setting",
     "install-compact", "poll-ms", "timeout-ms",
     "vec-col", "nlist", "nprobe", "pq-m", "pq-k", "opq-iters",
-    "topk", "rerank-factor", "results", "cell-salt", "cell", "sub")
+    "topk", "rerank-factor", "results", "cell-salt", "cell", "sub",
+    "store-vectors", "rerank-corpus")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -345,7 +346,10 @@ object Main {
                 m = raw.getOrElse("pq-m", "8").toInt,
                 k = raw.getOrElse("pq-k", "16").toInt,
                 opqIters = raw.getOrElse("opq-iters", "0").toInt,
-                cellSalt = raw.getOrElse("cell-salt", "1").toInt)
+                cellSalt = raw.getOrElse("cell-salt", "1").toInt,
+                // false = codes-only index (tiny footprint; query with
+                // --rerank-corpus for exact results)
+                storeVectors = raw.getOrElse("store-vectors", "true").toBoolean)
               println(s"ann index built: ${cfg.outDir} ($n vectors, nlist=$nlist)")
             case "ann-append" =>
               graft.ext.Similarity.appendToIndex(df, idCol, vecCol, cfg.outDir,
@@ -356,7 +360,10 @@ object Main {
                 k = raw.getOrElse("topk", "10").toInt,
                 // default -1 -> sqrt(nlist) resolved from the index itself
                 nprobe = raw.get("nprobe").map(_.toInt).getOrElse(-1),
-                rerankFactor = raw.getOrElse("rerank-factor", "64").toInt)
+                rerankFactor = raw.getOrElse("rerank-factor", "64").toInt,
+                // codes-only index: exact re-rank against the source table
+                rerankCorpus = raw.get("rerank-corpus").map(spark.read.parquet),
+                rerankIdCol = idCol)
               raw.get("results") match {
                 case Some(path) =>
                   res.write.mode("overwrite").parquet(path)

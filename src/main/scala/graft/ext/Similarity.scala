@@ -1043,19 +1043,24 @@ object Similarity {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
                  nlist: Int = 16, kmeansIters: Int = 2, m: Int = 8, k: Int = 16,
                  opqIters: Int = 0, sampleSize: Int = 10000,
-                 cellSalt: Int = 1): Unit = {
+                 cellSalt: Int = 1, storeVectors: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
     val model = pqTrain(corpus, vecCol, dim, m = m, k = k,
       sampleSize = sampleSize, opqIters = opqIters)
     val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
-    assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+    val enc = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
       .withColumn("codes", graft.functions.PqFunctions.pq_encode(
         permute(col("_cv"), model), model.centroids, model.m, model.k, model.subDim))
       // vec rides the index so re-rank never goes back to the source table;
-      // codes alone serve compressed-domain scans
+      // codes alone serve compressed-domain scans. storeVectors=false drops
+      // it for the footprint: at 1e9 64-dim rows, stored vectors are ~0.5 TB
+      // of the index vs ~10 GB of codes — queries then either return the
+      // compressed-domain ranking or re-rank against the source corpus
+      // (see [[indexTopK]]'s rerankCorpus).
       .select(col("cent_id"), col("nid"), col("codes"), col("_cv").as("vec"))
+    (if (storeVectors) enc else enc.drop("vec"))
       // co-locate each cell before the partitioned write: without this,
       // every task writes a sliver of every cell — tasks × nlist tiny files
       // (32k at the 1M bench tier; the write took 66 s and every later
@@ -1108,9 +1113,19 @@ object Similarity {
       if (cellSalt <= 1) 0
       else rows.sparkSession.read.parquet(s"$dir/centroids").count().toInt
     encodeForIndex(rows, idCol, vecCol, dir)
+      // appends conform to the index's own layout: a codes-only index
+      // (storeVectors=false) must not grow a partial vec column
+      .transform(df => if (indexStoresVectors(rows.sparkSession, dir)) df
+                       else df.drop("vec"))
       .transform(saltedCellRepartition(_, cellSalt, nlist)) // see buildIndex
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
   }
+
+  /** Whether a [[buildIndex]] directory stores full vectors in its cells
+    * (`storeVectors = true`) or codes only — a schema sniff, no data read. */
+  private[graft] def indexStoresVectors(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    spark.read.parquet(s"$dir/cells").schema.fieldNames.contains("vec")
 
   /**
    * Cell-write exchange. `cellSalt = 1` (the default) gives one task —
@@ -1151,10 +1166,24 @@ object Similarity {
     * the same build inputs) bit-identical results to [[ivfPqTopK]] — the
     * difference is what gets READ: only the probed `cent_id=` partitions.
     * `nprobe < 0` (the default) resolves to √nlist from the loaded index —
-    * the same scaling-correct default the [[topK]] router uses. */
+    * the same scaling-correct default the [[topK]] router uses.
+    *
+    * Codes-only indexes (`storeVectors = false`) have no vectors to
+    * re-rank on, so the exact stage depends on `rerankCorpus`:
+    *  - supplied (source table + its id column): the bounded candidate set
+    *    (≤ |Q|·k·rerankFactor ids) joins back to the corpus for exact
+    *    similarities — Spark broadcasts the tiny candidate side, so the
+    *    corpus pays one scan, not a shuffle — and results are IDENTICAL to
+    *    a vectors-stored index (same vectors, same tie order);
+    *  - absent: the compressed-domain ranking is returned as-is (`sim` is
+    *    the PQ-approximate cosine; nid-ascending tie order). Honest about
+    *    what an ADC-only scan can promise — recall at equal k·rerankFactor
+    *    is the PQ recall, not 1.0.
+    */
   def indexTopK(queries: DataFrame, dir: String, qidCol: String, vecCol: String,
                 k: Int, nprobe: Int = -1, rerankFactor: Int = 64,
-                roundTo: Int = 4): DataFrame = {
+                roundTo: Int = 4, rerankCorpus: Option[DataFrame] = None,
+                rerankIdCol: String = ""): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val (model, cents) = loadIndexMeta(spark, dir)
@@ -1170,11 +1199,12 @@ object Similarity {
     val probed = queryCells.select("cent_id").distinct().as[Int].collect().sorted
     val cells = spark.read.parquet(s"$dir/cells")
       .where(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+    val hasVec = cells.schema.fieldNames.contains("vec")
     // from here: identical shape to ivfPqTopK (codes-only candidate stream,
     // two-level tie-aware cut, exact re-rank on the index's own vectors)
     val wPart = Window.partitionBy("qid", "cent_id").orderBy(col("_psim").desc)
     val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
-    val cands = queryCells.join(cells.drop("vec"), Seq("cent_id"))
+    val scored = queryCells.join(if (hasVec) cells.drop("vec") else cells, Seq("cent_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("cent_id"), col("qid"), col("nid"),
         graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
@@ -1182,15 +1212,33 @@ object Similarity {
       .filter(col("_crank") <= k * rerankFactor)
       .withColumn("_prank", rank().over(wc))
       .filter(col("_prank") <= k * rerankFactor)
-      .select(col("qid"), col("nid"))
-    val qv = queries.select(col(qidCol).as("qid"), unitize(asDouble(col(vecCol))).as("_qv"))
-    val cv = cells.select(col("nid"), col("vec").as("_cv"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    cands.join(qv, "qid").join(cv, "nid")
-      .select(col("qid"), col("nid"), round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+    val cvOpt: Option[DataFrame] =
+      if (hasVec) Some(cells.select(col("nid"), col("vec").as("_cv")))
+      else rerankCorpus.map { corpus =>
+        require(rerankIdCol.nonEmpty,
+          "rerankCorpus needs rerankIdCol (the corpus id column)")
+        corpus.select(col(rerankIdCol).as("nid"),
+          unitize(asDouble(col(vecCol))).as("_cv"))
+      }
+    cvOpt match {
+      case Some(cv) =>
+        val cands = scored.select(col("qid"), col("nid"))
+        val qv = queries.select(col(qidCol).as("qid"), unitize(asDouble(col(vecCol))).as("_qv"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+        cands.join(qv, "qid").join(cv, "nid")
+          .select(col("qid"), col("nid"), round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("nid"), col("rank"), col("sim"))
+      case None => // compressed-domain only: ADC ranking, no exact stage
+        val w = Window.partitionBy("qid").orderBy(col("_psim").desc, col("nid").asc)
+        scored
+          .select(col("qid"), col("nid"), round(col("_psim"), roundTo).as("sim"),
+            col("_psim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("nid"), col("rank"), col("sim"))
+    }
   }
 
   /**
@@ -1333,6 +1381,9 @@ object Similarity {
       else spark.read.parquet(s"$dir/cells").groupBy("cent_id").count()
         .orderBy(col("count").desc, col("cent_id").asc).head().getInt(0)
     require(target < nlist, s"cent_id=$target does not exist (nlist=$nlist)")
+    require(indexStoresVectors(spark, dir),
+      "splitCell needs stored vectors to train sub-centroids; a codes-only " +
+        "(storeVectors=false) index must be rebuilt to re-balance")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val cellPath = new org.apache.hadoop.fs.Path(s"$dir/cells/cent_id=$target")
@@ -1386,6 +1437,11 @@ object Similarity {
     if (n == 0) return (0L, 0.0, 0.0)
     val maxCell = cells.groupBy("cent_id").count()
       .agg(max("count")).head().getLong(0)
+    // codes-only index (storeVectors=false): no vectors to sample, so the
+    // cosine health signal degenerates to 0 on both sides of the drift
+    // comparison — skew detection (and the split it advises) still works
+    if (!cells.schema.fieldNames.contains("vec"))
+      return (n, 0.0, maxCell.toDouble / n)
     val frac = math.min(1.0, sampleSize.toDouble / n)
     val sample = cells.sample(withReplacement = false, frac, seed = 11L)
       .select(col("cent_id"), col("vec")).as[(Int, Seq[Double])].collect()

@@ -216,6 +216,9 @@ object AnnIndexStream {
       if (cellSalt <= 1) 0
       else batch.sparkSession.read.parquet(s"$indexDir/centroids").count().toInt
     graft.ext.Similarity.encodeForIndex(batch, idCol, vecCol, indexDir)
+      .transform(df => // codes-only indexes must not grow a partial vec column
+        if (graft.ext.Similarity.indexStoresVectors(batch.sparkSession, indexDir)) df
+        else df.drop("vec"))
       .transform(graft.ext.Similarity.saltedCellRepartition(_, cellSalt, nlist))
       .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -720,6 +720,64 @@ class SimilaritySpec extends SparkSpec {
       "top-1 neighbors must survive the split (probing all cells)")
   }
 
+  test("codes-only index: exact with rerankCorpus, honest ADC-only, append conforms") {
+    val dim = 16
+    val rnd = new scala.util.Random(131)
+    val centers = (0 until 6).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 480).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val full = java.nio.file.Files.createTempDirectory("graft-idx-full").toString
+    val lean = java.nio.file.Files.createTempDirectory("graft-idx-lean").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", full,
+      nlist = 6, kmeansIters = 2, m = 4, k = 8)
+    Similarity.buildIndex(corpus, "vec_id", "embedding", lean,
+      nlist = 6, kmeansIters = 2, m = 4, k = 8, storeVectors = false)
+    // layout: no vec column anywhere in the lean cells
+    val leanSchema = spark.read.parquet(s"$lean/cells").schema.fieldNames.toSet
+    assert(leanSchema === Set("cent_id", "nid", "codes"), s"got $leanSchema")
+    // identity law: codes-only + source-corpus re-rank == vectors-stored index
+    val fromFull = rows(Similarity.indexTopK(q, full, "vec_id", "embedding",
+      k = 2, nprobe = 3))
+    val fromLean = rows(Similarity.indexTopK(q, lean, "vec_id", "embedding",
+      k = 2, nprobe = 3, rerankCorpus = Some(corpus), rerankIdCol = "vec_id"))
+    assert(fromLean === fromFull,
+      "codes-only + rerankCorpus must equal the vectors-stored index")
+    // ADC-only: right shape, approximate sims, decent recall on clustered data
+    val adc = Similarity.indexTopK(q, lean, "vec_id", "embedding",
+      k = 2, nprobe = 3).collect()
+    assert(adc.length === 16, s"8 queries x k=2 expected, got ${adc.length}")
+    // within tight clusters PQ codes collide, so ADC may return a
+    // clustermate rather than the single true nearest — the honest claim
+    // is cluster-level agreement (cluster = id % 6 by construction)
+    val adcTop1 = adc.filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adcTop1.size === 8)
+    assert(adcTop1.forall { case (qid, nid) => nid % 6 == qid % 6 },
+      s"ADC top-1 must land in the query's cluster: $adcTop1")
+    // appends conform to the codes-only layout
+    val extra = (1000 until 1060).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    Similarity.appendToIndex(extra.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", lean)
+    val afterAppend = spark.read.parquet(s"$lean/cells").schema.fieldNames.toSet
+    assert(afterAppend === Set("cent_id", "nid", "codes"),
+      s"append must not grow a vec column: $afterAppend")
+    // drift report still runs (skew-only signals); split refuses clearly
+    val drift = Similarity.indexDriftReport(spark, lean)
+    assert(drift.rowsNow === 540)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.splitCell(spark, lean, sub = 2)
+    }
+    assert(e.getMessage.contains("codes-only"))
+  }
+
   test("ANN index append: no-retrain placement consistent, appended rows findable") {
     val dim = 16
     val rnd = new scala.util.Random(61)
