@@ -255,6 +255,16 @@ object Bench {
     // re-encodes per call; the index pays build once per corpus)
     val idxBuildSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val idxQuerySecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val leanBuildSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val leanQuerySecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var idxCellsBytes = -1L
+    var leanCellsBytes = -1L
+    def dirBytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists) 0L
+      else if (f.isFile) f.length
+      else f.listFiles.map(c => dirBytes(c.getPath)).sum
+    }
     val ann1mCurve: Seq[(String, Double, Double)] =
       if (!run1m) Seq.empty
       else annCurve(
@@ -266,18 +276,38 @@ object Bench {
         col("vec_id") < 200,
         // the three methods whose story changes with scale: LSH lookup,
         // IVF pruning, IVF-PQ compressed scan (brute rides along as truth)
-        methods = Set("lsh", "ivf_kmeans", "ivf_pq", "ivf_pq_index"),
+        methods = Set("lsh", "ivf_kmeans", "ivf_pq", "ivf_pq_index",
+          "ivf_pq_index_lean"),
         extra = Seq("ivf_pq_index" -> { (queries, emb, nlist, nprobe) =>
           val dir = java.nio.file.Files.createTempDirectory("graft-bench-annidx").toString
           val t0 = System.nanoTime()
           graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", dir,
             nlist = nlist, kmeansIters = 2, m = 8, k = 16)
           idxBuildSecs += (System.nanoTime() - t0) / 1e9
+          idxCellsBytes = dirBytes(s"$dir/cells")
           val t1 = System.nanoTime()
           val out = graft.ext.Similarity.indexTopK(queries, dir, "vec_id",
             "embedding", k = 1, nprobe = nprobe)
           out.write.mode("overwrite").format("noop").save() // materialize query cost
           idxQuerySecs += (System.nanoTime() - t1) / 1e9
+          out
+        },
+        // codes-only index + exact re-rank against the source corpus: the
+        // footprint path (cells are PQ codes, no vectors) — same results as
+        // the full index, cells bytes reported alongside for the contrast
+        "ivf_pq_index_lean" -> { (queries, emb, nlist, nprobe) =>
+          val dir = java.nio.file.Files.createTempDirectory("graft-bench-annidx-lean").toString
+          val t0 = System.nanoTime()
+          graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", dir,
+            nlist = nlist, kmeansIters = 2, m = 8, k = 16, storeVectors = false)
+          leanBuildSecs += (System.nanoTime() - t0) / 1e9
+          leanCellsBytes = dirBytes(s"$dir/cells")
+          val t1 = System.nanoTime()
+          val out = graft.ext.Similarity.indexTopK(queries, dir, "vec_id",
+            "embedding", k = 1, nprobe = nprobe,
+            rerankCorpus = Some(emb), rerankIdCol = "vec_id")
+          out.write.mode("overwrite").format("noop").save()
+          leanQuerySecs += (System.nanoTime() - t1) / 1e9
           out
         }),
         repeats = 3)
@@ -330,7 +360,7 @@ object Bench {
     val docsPerSec = if (sinkSec > 0) (sinkDocs / sinkSec).round else -1
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
-    val annIndexJson = f"""{"build_sec":${median(idxBuildSecs.toSeq)}%.3f,"query_sec":${median(idxQuerySecs.toSeq)}%.3f}"""
+    val annIndexJson = f"""{"build_sec":${median(idxBuildSecs.toSeq)}%.3f,"query_sec":${median(idxQuerySecs.toSeq)}%.3f,"cells_bytes":$idxCellsBytes,"lean_build_sec":${median(leanBuildSecs.toSeq)}%.3f,"lean_query_sec":${median(leanQuerySecs.toSeq)}%.3f,"lean_cells_bytes":$leanCellsBytes}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,

@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-split|ann-drift]
+ *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-split|ann-maintain|ann-drift]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -85,7 +85,7 @@ object Main {
       m.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val cfg = GraftConfig(
       input = if (Set("compact", "validate", "ann-compact", "ann-drift",
-                      "ann-split")(m("mode")))
+                      "ann-split", "ann-maintain")(m("mode")))
                 m.getOrElse("input", "")
               else req("input"),
       outDir = req("out"),
@@ -97,7 +97,8 @@ object Main {
         case "install" | "validate" | "multi" => m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
-             "ann-drift" | "ann-stream" | "ann-split" => m.getOrElse("index", "")
+             "ann-drift" | "ann-stream" | "ann-split" | "ann-maintain" =>
+          m.getOrElse("index", "")
         case _          => req("index")
       },
       // "auto" = cost-based sizing, resolved against the (filtered) input
@@ -404,6 +405,21 @@ object Main {
             centId = raw.getOrElse("cell", "-1").toInt,
             sub = raw.getOrElse("sub", "2").toInt)
           println(s"cell split: cent_id=${newIds.head} -> cells ${newIds.mkString(", ")}")
+        case "ann-maintain" =>
+          // detect -> act: split drift-detected skew in place; surface
+          // what only a rebuild can fix
+          import graft.ext.Similarity
+          Similarity.maintainIndex(spark, cfg.outDir,
+            sub = rawFlags(args).getOrElse("sub", "2").toInt) match {
+            case Similarity.Healthy => println("index healthy, no action")
+            case Similarity.Split(ids, b, a) =>
+              println(f"split hot cell -> cells ${ids.mkString(", ")}; " +
+                f"max cell share $b%.4f -> $a%.4f")
+            case Similarity.RebuildAdvised =>
+              println("RETRAIN ADVISED (quantizer drift, or codes-only skew)")
+              throw new IllegalStateException(
+                "rebuild the index (--mode ann-build)")
+          }
         case "ann-drift" =>
           // quantizer health: sampled vector->centroid cosine + cell skew
           // vs the stats the index recorded at build time

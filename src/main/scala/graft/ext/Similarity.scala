@@ -1424,7 +1424,57 @@ object Similarity {
     updated.toDF("cent_id", "centv")
       .write.mode("overwrite").parquet(s"$dir/centroids")
     fs.delete(aside, true); fs.delete(staging, true)
+    // re-baseline the index's self-recorded health: the split changed the
+    // layout on purpose, so the next drift probe should measure against
+    // the post-split state (otherwise a maintenance loop re-triggers on
+    // the same already-fixed skew)
+    val (rowsNow, avgCos, maxFrac) = cellStats(
+      spark.read.parquet(s"$dir/cells"), updated.map(_._2), sampleSize = 2000)
+    Seq((rowsNow, avgCos, maxFrac)).toDF("rows", "avg_cos", "max_cell_frac")
+      .write.mode("overwrite").parquet(s"$dir/stats")
     newIds
+  }
+
+  /** What [[maintainIndex]] did (or advises). */
+  sealed trait MaintainAction
+  case object Healthy extends MaintainAction
+  case class Split(cellIds: Seq[Int], maxFracBefore: Double,
+                   maxFracAfter: Double) extends MaintainAction
+  case object RebuildAdvised extends MaintainAction
+
+  /**
+   * One maintenance pass — the detect→act loop over the index's own
+   * health signals ([[indexDriftReport]]):
+   *
+   *  - cosine drop (quantizer no longer fits the data): nothing to fix in
+   *    place — returns [[RebuildAdvised]];
+   *  - skew growth (appends concentrated in a hot cell): [[splitCell]]s
+   *    the hottest cell and re-baselines, returns [[Split]] with the
+   *    before/after max-cell share (codes-only indexes can't split —
+   *    [[RebuildAdvised]]);
+   *  - neither: [[Healthy]], no writes.
+   *
+   * Idempotent by construction: a successful split re-baselines the
+   * stats, so the next pass measures against the fixed layout instead of
+   * re-triggering on it.
+   */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    sub: Int = 2, cosDropTol: Double = 0.05,
+                    skewGrowTol: Double = 0.5): MaintainAction = {
+    val d = indexDriftReport(spark, dir,
+      cosDropTol = cosDropTol, skewGrowTol = skewGrowTol)
+    val cosDropped = d.builtAvgCos > 0 &&
+      (d.builtAvgCos - d.avgCosNow) / d.builtAvgCos > cosDropTol
+    val skewGrown = d.builtMaxCellFrac > 0 &&
+      (d.maxCellFracNow - d.builtMaxCellFrac) / d.builtMaxCellFrac > skewGrowTol
+    if (cosDropped) RebuildAdvised
+    else if (!skewGrown) Healthy
+    else if (!indexStoresVectors(spark, dir)) RebuildAdvised
+    else {
+      val ids = splitCell(spark, dir, sub = sub)
+      val after = indexDriftReport(spark, dir)
+      Split(ids, d.maxCellFracNow, after.maxCellFracNow)
+    }
   }
 
   /** (rows, sampled mean vector->assigned-centroid cosine, max cell share)

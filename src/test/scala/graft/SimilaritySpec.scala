@@ -778,6 +778,38 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("codes-only"))
   }
 
+  test("maintainIndex: healthy -> no action; skewed appends -> split; idempotent") {
+    val dim = 16
+    val rnd = new scala.util.Random(151)
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def mk(id: Long, cluster: Int): (Long, Seq[Float]) = {
+      val rj = new scala.util.Random(id * 13 + 1)
+      (id, centers(cluster).map(x => (x + 0.05 * rj.nextGaussian()).toFloat).toSeq)
+    }
+    val balanced = (0L until 400L).map(i => mk(i, (i % 4).toInt))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-maintidx").toString
+    Similarity.buildIndex(balanced, "vec_id", "embedding", dir,
+      nlist = 4, kmeansIters = 3, m = 4, k = 8)
+    assert(Similarity.maintainIndex(spark, dir) === Similarity.Healthy)
+    // appends all landing in one cluster: skew grows, cosine holds
+    val skewed = (1000L until 1600L).map(mk(_, 0)).toDF("vec_id", "embedding")
+    Similarity.appendToIndex(skewed, "vec_id", "embedding", dir)
+    Similarity.maintainIndex(spark, dir) match {
+      case Similarity.Split(ids, before, after) =>
+        assert(ids.length === 2 && ids(1) === 4, s"got $ids")
+        assert(after < before, f"split must reduce max cell share: $before%.4f -> $after%.4f")
+      case other => fail(s"expected Split, got $other")
+    }
+    // re-baselined: an immediate second pass finds nothing to do
+    assert(Similarity.maintainIndex(spark, dir) === Similarity.Healthy)
+    // all 1000 rows still present and queryable across 5 cells
+    assert(spark.read.parquet(s"$dir/cells").count() === 1000)
+    val q = balanced.filter(col("vec_id") < 4)
+    assert(Similarity.indexTopK(q, dir, "vec_id", "embedding", k = 1, nprobe = 8)
+      .count() === 4)
+  }
+
   test("ANN index append: no-retrain placement consistent, appended rows findable") {
     val dim = 16
     val rnd = new scala.util.Random(61)
