@@ -29,7 +29,7 @@ object Main {
     "install-compact", "poll-ms", "timeout-ms",
     "vec-col", "nlist", "nprobe", "pq-m", "pq-k", "opq-iters",
     "topk", "rerank-factor", "results", "cell-salt", "cell", "sub",
-    "store-vectors", "rerank-corpus")
+    "store-vectors", "rerank-corpus", "residual")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -350,7 +350,9 @@ object Main {
                 cellSalt = raw.getOrElse("cell-salt", "1").toInt,
                 // false = codes-only index (tiny footprint; query with
                 // --rerank-corpus for exact results)
-                storeVectors = raw.getOrElse("store-vectors", "true").toBoolean)
+                storeVectors = raw.getOrElse("store-vectors", "true").toBoolean,
+                // true = full IVFADC: codes quantize per-cell residuals
+                residual = raw.getOrElse("residual", "false").toBoolean)
               println(s"ann index built: ${cfg.outDir} ($n vectors, nlist=$nlist)")
             case "ann-append" =>
               graft.ext.Similarity.appendToIndex(df, idCol, vecCol, cfg.outDir,

@@ -496,16 +496,21 @@ object Similarity {
   def pqTrain(corpus: DataFrame, vecCol: String, dim: Int,
               m: Int = 8, k: Int = 16, iters: Int = 10,
               sampleSize: Int = 10000, balance: Boolean = true,
-              opqIters: Int = 0): PqModel = {
+              opqIters: Int = 0, normalize: Boolean = true): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
     val subDim = dim / m
     import corpus.sparkSession.implicits._
     val n = corpus.count()
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n))
+    // normalize=false trains on the vectors as given — the residual-index
+    // path, where re-normalizing a residual would destroy the magnitude
+    // information the codebooks exist to capture
+    val trainVec =
+      if (normalize) unitize(asDouble(col(vecCol))) else asDouble(col(vecCol))
     val raw: Array[Array[Double]] = corpus
       .sample(withReplacement = false, frac, seed = 42L)
       .filter(col(vecCol).isNotNull)
-      .select(unitize(asDouble(col(vecCol)))).as[Seq[Double]]
+      .select(trainVec).as[Seq[Double]]
       .collect().flatMap(s => Option(s).map(_.toArray)).filter(_.length == dim)
     require(raw.nonEmpty, "pqTrain: empty sample")
     // OPQ-lite: permute dims so each subspace carries ~equal variance
@@ -1043,16 +1048,36 @@ object Similarity {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
                  nlist: Int = 16, kmeansIters: Int = 2, m: Int = 8, k: Int = 16,
                  opqIters: Int = 0, sampleSize: Int = 10000,
-                 cellSalt: Int = 1, storeVectors: Boolean = true): Unit = {
+                 cellSalt: Int = 1, storeVectors: Boolean = true,
+                 residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
-    val model = pqTrain(corpus, vecCol, dim, m = m, k = k,
-      sampleSize = sampleSize, opqIters = opqIters)
     val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
-    val enc = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
-      .withColumn("codes", graft.functions.PqFunctions.pq_encode(
-        permute(col("_cv"), model), model.centroids, model.m, model.k, model.subDim))
+    val assigned = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+    // residual=true is full IVFADC (Jégou et al., TPAMI 2011): codes
+    // quantize (vec − cellCentroid) instead of the raw vector, and the PQ
+    // codebooks train on residual samples (zero-mean, low spread — far
+    // less code collision inside tight cells). Scoring decomposes exactly:
+    // dot(q, v) = dot(q, c) + dot(q, r), so the query LUT stays per-query
+    // and only the cheap per-(query, cell) centroid dot is added.
+    val (model, encoded) =
+      if (!residual) {
+        val mdl = pqTrain(corpus, vecCol, dim, m = m, k = k,
+          sampleSize = sampleSize, opqIters = opqIters)
+        (mdl, assigned.withColumn("codes", graft.functions.PqFunctions.pq_encode(
+          permute(col("_cv"), mdl), mdl.centroids, mdl.m, mdl.k, mdl.subDim)))
+      } else {
+        val (flat, _, _) = flatCents(cents)
+        val resDf = assigned.withColumn("_rv",
+          graft.functions.PqFunctions.cell_residual(col("_cv"), col("cent_id"), flat, dim))
+        val mdl = pqTrain(resDf, "_rv", dim, m = m, k = k,
+          sampleSize = sampleSize, opqIters = opqIters, normalize = false)
+        (mdl, resDf.withColumn("codes", graft.functions.PqFunctions.pq_encode(
+          permute(col("_rv"), mdl), mdl.centroids, mdl.m, mdl.k, mdl.subDim))
+          .drop("_rv"))
+      }
+    val enc = encoded
       // vec rides the index so re-rank never goes back to the source table;
       // codes alone serve compressed-domain scans. storeVectors=false drops
       // it for the footprint: at 1e9 64-dim rows, stored vectors are ~0.5 TB
@@ -1071,8 +1096,8 @@ object Similarity {
       .toDF("cent_id", "centv")
       .write.mode("overwrite").parquet(s"$dir/centroids")
     Seq((dim, model.m, model.k, nlist, model.centroids.toSeq,
-        model.perm.toSeq, model.rot.toSeq))
-      .toDF("dim", "m", "k", "nlist", "pq_centroids", "perm", "rot")
+        model.perm.toSeq, model.rot.toSeq, residual))
+      .toDF("dim", "m", "k", "nlist", "pq_centroids", "perm", "rot", "residual")
       .write.mode("overwrite").parquet(s"$dir/model")
     // the index records its own build-time health (sampled mean
     // vector->centroid cosine + max cell share) so [[indexDriftReport]]
@@ -1084,18 +1109,23 @@ object Similarity {
   }
 
   /** Load a [[buildIndex]] directory's PQ model + IVF centroids (both
-    * driver-bounded: m·k·subDim + nlist·dim doubles). */
+    * driver-bounded: m·k·subDim + nlist·dim doubles) + whether codes are
+    * cell residuals. Pre-residual indexes lack the flag column → false. */
   private def loadIndexMeta(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): (PqModel, IndexedSeq[Seq[Double]]) = {
+                            dir: String)
+      : (PqModel, IndexedSeq[Seq[Double]], Boolean) = {
     import spark.implicits._
-    val mr = spark.read.parquet(s"$dir/model").head()
+    val mdf = spark.read.parquet(s"$dir/model")
+    val mr = mdf.head()
     val model = PqModel(mr.getAs[Int]("dim"), mr.getAs[Int]("m"), mr.getAs[Int]("k"),
       mr.getAs[scala.collection.Seq[Double]]("pq_centroids").toArray,
       mr.getAs[scala.collection.Seq[Int]]("perm").toIndexedSeq,
       mr.getAs[scala.collection.Seq[Double]]("rot").toArray)
+    val residual = mdf.schema.fieldNames.contains("residual") &&
+      mr.getAs[Boolean]("residual")
     val cents: IndexedSeq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
       .orderBy("cent_id").as[(Int, Seq[Double])].collect().map(_._2).toIndexedSeq
-    (model, cents)
+    (model, cents, residual)
   }
 
   /**
@@ -1155,10 +1185,18 @@ object Similarity {
     * ([[graft.streaming.AnnIndexStream]]). */
   private[graft] def encodeForIndex(rows: DataFrame, idCol: String,
                                     vecCol: String, dir: String): DataFrame = {
-    val (model, cents) = loadIndexMeta(rows.sparkSession, dir)
-    assignCells(rows, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+    val (model, cents, residual) = loadIndexMeta(rows.sparkSession, dir)
+    val assigned = assignCells(rows, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+    val toEncode =
+      if (!residual) permute(col("_cv"), model)
+      else {
+        val (flat, _, d) = flatCents(cents)
+        permute(graft.functions.PqFunctions.cell_residual(
+          col("_cv"), col("cent_id"), flat, d), model)
+      }
+    assigned
       .withColumn("codes", graft.functions.PqFunctions.pq_encode(
-        permute(col("_cv"), model), model.centroids, model.m, model.k, model.subDim))
+        toEncode, model.centroids, model.m, model.k, model.subDim))
       .select(col("cent_id"), col("nid"), col("codes"), col("_cv").as("vec"))
   }
 
@@ -1186,14 +1224,26 @@ object Similarity {
                 rerankIdCol: String = ""): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val (model, cents) = loadIndexMeta(spark, dir)
+    val (model, cents, residual) = loadIndexMeta(spark, dir)
     val effProbe =
       if (nprobe > 0) nprobe
       else math.max(4, math.sqrt(cents.length.toDouble).round.toInt)
-    val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents,
+    // residual decomposition dot(q, v) = dot(q, c) + dot(q, r̂): the LUT is
+    // still per-QUERY (dot(q, r̂) reads the residual codebooks with q
+    // itself); only the exact dot(q, c) term is added — computed here on
+    // the (query x probed cell) rows, never on the corpus-sized candidate
+    // stream
+    val queryCellsBase = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents,
         probes = math.min(effProbe, cents.length))
       .withColumn("_lut", graft.functions.PqFunctions.pq_lut(permute(col("_qv"), model),
         model.centroids, model.m, model.k, model.subDim))
+    val queryCells =
+      if (!residual) queryCellsBase.withColumn("_cdot", lit(0.0))
+      else {
+        val (flat, _, d) = flatCents(cents)
+        queryCellsBase.withColumn("_cdot",
+          graft.functions.PqFunctions.cell_dot(col("_qv"), col("cent_id"), flat, d))
+      }
     // bounded driver collect by construction (<= nlist ints): the probed
     // union becomes a static partition filter on the cells scan
     val probed = queryCells.select("cent_id").distinct().as[Int].collect().sorted
@@ -1207,7 +1257,8 @@ object Similarity {
     val scored = queryCells.join(if (hasVec) cells.drop("vec") else cells, Seq("cent_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("cent_id"), col("qid"), col("nid"),
-        graft.functions.PqFunctions.pq_score(col("_lut"), col("codes"), model.k).as("_psim"))
+        (col("_cdot") + graft.functions.PqFunctions.pq_score(
+          col("_lut"), col("codes"), model.k)).as("_psim"))
       .withColumn("_crank", rank().over(wPart))
       .filter(col("_crank") <= k * rerankFactor)
       .withColumn("_prank", rank().over(wc))
@@ -1317,7 +1368,7 @@ object Similarity {
                        sampleSize: Int = 2000, cosDropTol: Double = 0.05,
                        skewGrowTol: Double = 0.5): IndexDrift = {
     import spark.implicits._
-    val (_, cents) = loadIndexMeta(spark, dir)
+    val (_, cents, _) = loadIndexMeta(spark, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     // indexes built before the stats table self-heal: record the CURRENT
@@ -1374,7 +1425,7 @@ object Similarity {
                 kmeansIters: Int = 2): Seq[Int] = {
     import spark.implicits._
     require(sub >= 2, s"sub=$sub: splitting needs at least 2 sub-cells")
-    val (_, cents) = loadIndexMeta(spark, dir)
+    val (model, cents, residual) = loadIndexMeta(spark, dir)
     val nlist = cents.length
     val target =
       if (centId >= 0) centId
@@ -1397,9 +1448,22 @@ object Similarity {
     val staging = new org.apache.hadoop.fs.Path(s"$dir/cells-splitting")
     val aside = new org.apache.hadoop.fs.Path(s"$dir/.split-old-cent_id=$target")
     fs.delete(staging, true); fs.delete(aside, true)
-    rows
-      .withColumn("cent_id",
-        element_at(idLut, argBestCell(subCents, col("vec")) + 1))
+    val updatedCents: IndexedSeq[Seq[Double]] =
+      cents.updated(target, subCents.head) ++ subCents.tail
+    val reassigned0 = rows.withColumn("cent_id",
+      element_at(idLut, argBestCell(subCents, col("vec")) + 1))
+    val reassigned =
+      if (!residual) reassigned0 // raw codes encode the vector — cell-free
+      else {
+        // residual codes encode (vec − cellCentroid): moving a row to a new
+        // sub-cell changes its reference point, so re-encode against it
+        val (flat, _, d) = flatCents(updatedCents)
+        reassigned0.withColumn("codes", graft.functions.PqFunctions.pq_encode(
+          permute(graft.functions.PqFunctions.cell_residual(
+            col("vec"), col("cent_id"), flat, d), model),
+          model.centroids, model.m, model.k, model.subDim))
+      }
+    reassigned
       .select(col("cent_id"), col("nid"), col("codes"), col("vec"))
       .transform(saltedCellRepartition(_, cellSalt = 1, nlist = sub))
       .write.mode("overwrite").partitionBy("cent_id").parquet(staging.toString)
@@ -1419,8 +1483,7 @@ object Similarity {
         throw new IllegalStateException(s"swap failed at ${d.getPath}; original cell restored")
       }
     }
-    val updated = (cents.updated(target, subCents.head) ++ subCents.tail)
-      .zipWithIndex.map { case (v, i) => (i, v) }
+    val updated = updatedCents.zipWithIndex.map { case (v, i) => (i, v) }
     updated.toDF("cent_id", "centv")
       .write.mode("overwrite").parquet(s"$dir/centroids")
     fs.delete(aside, true); fs.delete(staging, true)

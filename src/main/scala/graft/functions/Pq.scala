@@ -85,6 +85,30 @@ object Pq {
     acc
   }
 
+  /** r = v - centroid[cellId] against a flat (nlist x dim) coarse-centroid
+    * table — the IVFADC residual (Jégou et al., TPAMI 2011): encoding the
+    * offset from the cell centroid instead of the raw vector gives the
+    * codebooks a zero-mean, low-spread distribution to quantize. */
+  def cellResidual(vec: ArrayData, cellId: Int, cents: Array[Double],
+                   dim: Int): ArrayData = {
+    val out = new Array[Double](dim)
+    val off = cellId * dim
+    var j = 0
+    while (j < dim) { out(j) = vec.getDouble(j) - cents(off + j); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** dot(v, centroid[cellId]) — the exact per-(query, cell) term of the
+    * residual ADC decomposition dot(q, v) = dot(q, c) + dot(q, r). */
+  def cellDot(vec: ArrayData, cellId: Int, cents: Array[Double],
+              dim: Int): Double = {
+    val off = cellId * dim
+    var s = 0.0
+    var j = 0
+    while (j < dim) { s += vec.getDouble(j) * cents(off + j); j += 1 }
+    s
+  }
+
   /** y = R * v for a row-major dim x dim matrix R (OPQ rotation at encode
     * time — an orthogonal R preserves dot products, so rotated-space PQ
     * scores remain estimates of the original-space cosine). */
@@ -181,6 +205,55 @@ case class PqScoreExpr(left: Expression, right: Expression, k: Int)
     copy(left = nl, right = nr)
 }
 
+/** Per-cell residual (vec - coarseCentroid[cellId]); the coarse table rides
+  * the expression as a reference object. Codegen'd — it sits on the
+  * corpus-sized encode path of residual indexes. */
+case class CellResidualExpr(left: Expression, right: Expression,
+                            cents: Array[Double], dim: Int)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cell_residual requires (array<double>, int), got ${l.simpleString} / ${r.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "cell_residual"
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    Pq.cellResidual(v.asInstanceOf[ArrayData], c.asInstanceOf[Int], cents, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("coarseCents", cents, "double[]")
+    defineCodeGen(ctx, ev, (v, c) => s"graft.functions.Pq.cellResidual($v, $c, $t, $dim)")
+  }
+  override protected def withNewChildrenInternal(nl: Expression, nr: Expression): CellResidualExpr =
+    copy(left = nl, right = nr)
+}
+
+/** dot(vec, coarseCentroid[cellId]) — the exact term of the residual ADC
+  * score; evaluated once per (query, probed cell), never per candidate. */
+case class CellDotExpr(left: Expression, right: Expression,
+                       cents: Array[Double], dim: Int)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cell_dot requires (array<double>, int), got ${l.simpleString} / ${r.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cell_dot"
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    Pq.cellDot(v.asInstanceOf[ArrayData], c.asInstanceOf[Int], cents, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("coarseCents", cents, "double[]")
+    defineCodeGen(ctx, ev, (v, c) => s"graft.functions.Pq.cellDot($v, $c, $t, $dim)")
+  }
+  override protected def withNewChildrenInternal(nl: Expression, nr: Expression): CellDotExpr =
+    copy(left = nl, right = nr)
+}
+
 /** Dense rotation applied to a vector; the matrix rides the expression as a
   * reference object (same pattern as the PQ centroid tables). */
 case class MatVecExpr(child: Expression, rot: Array[Double], dim: Int)
@@ -213,4 +286,10 @@ object PqFunctions {
   def pq_score(lut: Column, codes: Column, k: Int): Column =
     GraftSqlBridge.column(PqScoreExpr(
       GraftSqlBridge.expression(lut), GraftSqlBridge.expression(codes), k))
+  def cell_residual(vec: Column, cellId: Column, cents: Array[Double], dim: Int): Column =
+    GraftSqlBridge.column(CellResidualExpr(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(cellId), cents, dim))
+  def cell_dot(vec: Column, cellId: Column, cents: Array[Double], dim: Int): Column =
+    GraftSqlBridge.column(CellDotExpr(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(cellId), cents, dim))
 }

@@ -810,6 +810,74 @@ class SimilaritySpec extends SparkSpec {
       .count() === 4)
   }
 
+  test("residual (IVFADC) index: better ADC ranking in tight cells, exact laws hold") {
+    val dim = 16
+    val rnd = new scala.util.Random(173)
+    // loose clusters (wide in-cell spread) + near-exact twins: the
+    // twin-vs-clustermate dot gap (~0.14) must clear the PQ quantization
+    // noise for ANY ADC to resolve it; raw codes quantize whole unit
+    // vectors (cluster structure eats the codebook), residual codes spend
+    // all 16 centroids per subspace on the within-cell offsets
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def jittered(id: Long, cluster: Int, scale: Double): (Long, Seq[Float]) = {
+      val rj = new scala.util.Random(id * 17 + 5)
+      (id, centers(cluster).map(x => (x + scale * rj.nextGaussian()).toFloat).toSeq)
+    }
+    // ids 0..7 are queries; id+500 is a planted twin (the query's own
+    // vector + 1% jitter); 8..399 are fill
+    val base = (0L until 400L).map(i => jittered(i, (i % 4).toInt, 0.4))
+    val twins = (0L until 8L).map { i =>
+      val rj = new scala.util.Random(i * 91 + 3)
+      (i + 500L, base(i.toInt)._2.map(x => x + 0.01f * rj.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 8)
+    def twinRate(dir: String): Int = {
+      val top1 = Similarity.indexTopK(q, dir, "vec_id", "embedding",
+          k = 1, nprobe = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      top1.count { case (qid, nid) => nid == qid + 500L }
+    }
+    // ADC-only comparison: codes-only indexes, no re-rank possible
+    val rawAdc = java.nio.file.Files.createTempDirectory("graft-adc-raw").toString
+    val resAdc = java.nio.file.Files.createTempDirectory("graft-adc-res").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", rawAdc,
+      nlist = 4, kmeansIters = 3, m = 8, k = 16, storeVectors = false)
+    Similarity.buildIndex(corpus, "vec_id", "embedding", resAdc,
+      nlist = 4, kmeansIters = 3, m = 8, k = 16, storeVectors = false,
+      residual = true)
+    val rawRate = twinRate(rawAdc)
+    val resRate = twinRate(resAdc)
+    info(s"ADC-only twin top-1: raw $rawRate/8, residual $resRate/8")
+    assert(resRate >= rawRate,
+      s"residual ADC must not rank worse than raw ADC: $resRate vs $rawRate of 8")
+    assert(resRate >= 6, s"residual ADC should find most twins: $resRate of 8")
+    // exactness: residual + stored vectors re-ranks exactly — every twin found
+    val resFull = java.nio.file.Files.createTempDirectory("graft-res-full").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", resFull,
+      nlist = 4, kmeansIters = 3, m = 8, k = 16, residual = true)
+    assert(twinRate(resFull) === 8, "exact re-rank must find every planted twin")
+    // appends re-encode against the stored quantizer's residual scheme
+    val extra = (1000L until 1008L).map(i => jittered(i, (i % 4).toInt, 0.05))
+    Similarity.appendToIndex(extra.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", resFull)
+    val probe = Seq(extra.head).toDF("vec_id", "embedding")
+    val hit = Similarity.indexTopK(probe, resFull, "vec_id", "embedding",
+      k = 1, nprobe = 4).collect()
+    assert(hit.nonEmpty && hit.head.getDouble(3) > 0.9,
+      s"appended row not findable in residual index: ${hit.toSeq}")
+    // split re-encodes moved rows against their new sub-centroids: exact
+    // results are unchanged when every cell is probed
+    val pre = Similarity.indexTopK(q, resFull, "vec_id", "embedding",
+        k = 2, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    Similarity.splitCell(spark, resFull, sub = 2)
+    val post = Similarity.indexTopK(q, resFull, "vec_id", "embedding",
+        k = 2, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(post === pre, "split of a residual index must preserve exact results")
+  }
+
   test("ANN index append: no-retrain placement consistent, appended rows findable") {
     val dim = 16
     val rnd = new scala.util.Random(61)
