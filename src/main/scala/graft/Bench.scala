@@ -310,6 +310,14 @@ object Bench {
           leanQuerySecs += (System.nanoTime() - t1) / 1e9
           out
         }),
+        // NOTE: an ADC-only entry (codes-only + residual, no exact stage)
+        // was measured once and removed: top-1-vs-brute is the wrong metric
+        // for it. At 50-row clusters the within-cluster sim gaps sit below
+        // the m=8/k=16 quantization noise, so exact-top-1 recall is ~chance
+        // (measured 0.01) even though the shortlist it produces is what a
+        // re-rank stage needs — which is precisely the ivf_pq_index_lean
+        // entry above. The residual ADC ordering improvement is pinned
+        // where it is resolvable (SimilaritySpec: twin top-1 7/8 vs 3/8).
         repeats = 3)
     // near-dup at 1M: brute all-pairs is 5e11 dots — physically off the
     // table, which is the point. Ground truth comes from PLANTED clones
