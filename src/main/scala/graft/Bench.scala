@@ -341,20 +341,57 @@ object Bench {
         val df = spark.range(1000000L).select(col("id").as("vec_id"),
           cloneGen(col("id")).as("embedding")).repartition(64).cache()
         val planted = df.count() / 20L // 50k planted (id-1, id) pairs
-        var pairs: org.apache.spark.sql.DataFrame = null
+        // median of 3 like the ANN 1M entries: this tier swings 2-4x on
+        // GC/JIT run-to-run (r4 recorded 16.7 s, the closing isolated run
+        // 62.1 s — same jar), so a single sample is noise, not a number
         var found = 0L
-        val tL = time {
-          pairs = Similarity.cosineNearDupsLsh(df, "vec_id", "embedding",
-            threshold = 0.9, dim = dim1m, bits = 16).cache()
-          found = pairs.count()
+        var plantedFound = 0L
+        val secs = (1 to 3).map { _ =>
+          var pairs: org.apache.spark.sql.DataFrame = null
+          val t = time {
+            pairs = Similarity.cosineNearDupsLsh(df, "vec_id", "embedding",
+              threshold = 0.9, dim = dim1m, bits = 16).cache()
+            found = pairs.count()
+          }
+          plantedFound = pairs.filter(col("id_b") === col("id_a") + 1 &&
+            col("id_b") % 20 === 19).count()
+          pairs.unpersist()
+          t
         }
-        val plantedFound = pairs.filter(col("id_b") === col("id_a") + 1 &&
-          col("id_b") % 20 === 19).count()
+        val tL = secs.sorted.apply(secs.size / 2)
         val rec = plantedFound.toDouble / planted
-        pairs.unpersist(); df.unpersist()
-        f"""{"rows":1000000,"lsh_sec":$tL%.3f,"planted_pairs":$planted,"found_pairs":$found,"planted_recall":$rec%.4f}"""
+        df.unpersist()
+        f"""{"rows":1000000,"lsh_sec":$tL%.3f,"planted_pairs":$planted,"found_pairs":$found,"planted_recall":$rec%.4f,"runs":3}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] neardup 1m failed: ${e.getMessage}"); "{}" }
+
+    // hierarchical coarse quantizer at the big-nlist point (4096 engages
+    // the two-level trainer): the flat path would collect nlist*32 = 131k
+    // sample vectors (~67 MB at dim 64 — ~1 GB at dim 1024) and run an
+    // O(sample * nlist) init on the driver; the two-level trainer's driver
+    // traffic is the nlist x dim result itself. Median of 3.
+    val hierJson: String =
+      if (!run1m) "{}"
+      else try {
+        val emb = spark.range(1000000L).select(col("id").as("vec_id"),
+          clusterGen(col("id")).as("embedding")).repartition(64).cache()
+        emb.count()
+        val hnlist = 4096
+        var got = 0
+        val secs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val cents = graft.ext.Similarity.hierarchicalCentroids(
+            emb, "vec_id", "embedding", nlist = hnlist, iters = 2)
+          got = cents.length
+          (System.nanoTime() - t0) / 1e9
+        }
+        emb.unpersist()
+        val tM = secs.sorted.apply(secs.size / 2)
+        val resultBytes = got.toLong * dim1m * 8
+        val flatSampleBytes = hnlist.toLong * 32 * dim1m * 8
+        f"""{"rows":1000000,"nlist":$hnlist,"train_sec":$tM%.3f,"centroids":$got,"driver_result_bytes":$resultBytes,"flat_sample_bytes_avoided":$flatSampleBytes,"runs":3}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] hier quantizer failed: ${e.getMessage}"); "{}" }
 
     val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)},"clustered_1m":${curveJson(ann1mCurve)}}"""
 
@@ -369,7 +406,7 @@ object Bench {
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
     val annIndexJson = f"""{"build_sec":${median(idxBuildSecs.toSeq)}%.3f,"query_sec":${median(idxQuerySecs.toSeq)}%.3f,"cells_bytes":$idxCellsBytes,"lean_build_sec":${median(leanBuildSecs.toSeq)}%.3f,"lean_query_sec":${median(leanQuerySecs.toSeq)}%.3f,"lean_cells_bytes":$leanCellsBytes}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

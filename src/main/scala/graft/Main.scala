@@ -29,7 +29,8 @@ object Main {
     "install-compact", "poll-ms", "timeout-ms",
     "vec-col", "nlist", "nprobe", "pq-m", "pq-k", "opq-iters",
     "topk", "rerank-factor", "results", "cell-salt", "cell", "sub",
-    "store-vectors", "rerank-corpus", "residual")
+    "store-vectors", "rerank-corpus", "rerank-vec-col", "residual",
+    "payload-cols", "filter", "filter-selectivity", "ann-index")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -204,12 +205,17 @@ object Main {
             redactPii = raw.get("redact-pii").exists(_.toBoolean),
             lmMinScore = raw.get("lm-min-score").map(_.toDouble),
             nearDupMethod = raw.getOrElse("neardup-method", "minhash"),
-            embeddingCol = raw.getOrElse("embedding-col", "embedding"))
+            embeddingCol = raw.getOrElse("embedding-col", "embedding"),
+            // standing ANN index for cross-run semantic dedup (embedding
+            // method): prior-run near-dups drop, survivors get indexed
+            annIndexDir = raw.get("ann-index"))
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")
           if (st.afterLm >= 0) println(s"  after LM filter:  ${st.afterLm}")
           println(s"  after exact dedup:${st.afterExact}")
+          if (st.droppedVsIndex >= 0)
+            println(s"  dropped vs index: ${st.droppedVsIndex}")
           println(s"  after near-dup:   ${st.afterNearDup}")
           println(s"  total BPE tokens: ${st.totalTokens}")
           st.bundle.shardCounts.toSeq.sorted.foreach { case (s2, n) =>
@@ -228,7 +234,9 @@ object Main {
               textCol = raw.getOrElse("text-col", "text"),
               numShards = cfg.numShards,
               qualityMin = raw.getOrElse("quality-min", "0.5").toDouble,
-              nearDupThreshold = raw.getOrElse("neardup-threshold", "0.9").toDouble))
+              nearDupThreshold = raw.getOrElse("neardup-threshold", "0.9").toDouble,
+              annIndexDir = raw.get("ann-index"),
+              embeddingCol = raw.getOrElse("embedding-col", "embedding")))
           q.awaitTermination(600000)
           val accepted = spark.read
             .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data").count()
@@ -352,7 +360,12 @@ object Main {
                 // --rerank-corpus for exact results)
                 storeVectors = raw.getOrElse("store-vectors", "true").toBoolean,
                 // true = full IVFADC: codes quantize per-cell residuals
-                residual = raw.getOrElse("residual", "false").toBoolean)
+                residual = raw.getOrElse("residual", "false").toBoolean,
+                // attribute columns to store per row, enabling filtered
+                // search (--filter on ann-query)
+                payloadCols = raw.get("payload-cols")
+                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                  .getOrElse(Nil))
               println(s"ann index built: ${cfg.outDir} ($n vectors, nlist=$nlist)")
             case "ann-append" =>
               graft.ext.Similarity.appendToIndex(df, idCol, vecCol, cfg.outDir,
@@ -365,8 +378,18 @@ object Main {
                 nprobe = raw.get("nprobe").map(_.toInt).getOrElse(-1),
                 rerankFactor = raw.getOrElse("rerank-factor", "64").toInt,
                 // codes-only index: exact re-rank against the source table
+                // (--rerank-vec-col when its embedding column is named
+                // differently from the query frame's --vec-col)
                 rerankCorpus = raw.get("rerank-corpus").map(spark.read.parquet),
-                rerankIdCol = idCol)
+                rerankIdCol = idCol,
+                rerankVecCol = raw.getOrElse("rerank-vec-col", ""),
+                // attribute-filtered search: a SQL predicate over the
+                // index's payload columns (e.g. --filter "lang = 'en'"),
+                // with --filter-selectivity scaling the probe count
+                filter = raw.get("filter")
+                  .map(org.apache.spark.sql.functions.expr),
+                filterSelectivity =
+                  raw.getOrElse("filter-selectivity", "1.0").toDouble)
               raw.get("results") match {
                 case Some(path) =>
                   res.write.mode("overwrite").parquet(path)
@@ -403,9 +426,16 @@ object Main {
           // place (sub-centroids over its own rows; PQ codes unchanged)
           // instead of rebuilding the whole index
           val raw = rawFlags(args)
+          // codes-only indexes split on PQ reconstructions; supply
+          // --rerank-corpus (+ --rerank-vec-col) to train/place the split
+          // against the source table's exact vectors instead
           val newIds = graft.ext.Similarity.splitCell(spark, cfg.outDir,
             centId = raw.getOrElse("cell", "-1").toInt,
-            sub = raw.getOrElse("sub", "2").toInt)
+            sub = raw.getOrElse("sub", "2").toInt,
+            rerankCorpus = raw.get("rerank-corpus").map(spark.read.parquet),
+            rerankIdCol = Option(cfg.id).getOrElse(""),
+            rerankVecCol = raw.getOrElse("rerank-vec-col",
+              raw.getOrElse("vec-col", "embedding")))
           println(s"cell split: cent_id=${newIds.head} -> cells ${newIds.mkString(", ")}")
         case "ann-maintain" =>
           // detect -> act: split drift-detected skew in place; surface
@@ -418,7 +448,7 @@ object Main {
               println(f"split hot cell -> cells ${ids.mkString(", ")}; " +
                 f"max cell share $b%.4f -> $a%.4f")
             case Similarity.RebuildAdvised =>
-              println("RETRAIN ADVISED (quantizer drift, or codes-only skew)")
+              println("RETRAIN ADVISED (quantizer no longer fits the data)")
               throw new IllegalStateException(
                 "rebuild the index (--mode ann-build)")
           }

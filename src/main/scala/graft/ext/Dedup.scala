@@ -88,12 +88,18 @@ object Dedup {
       .select(col(idCol), col("pos").as("band"), col("col").as("band_key"))
     // skew guard: a degenerate bucket of B docs yields B^2 pairs; buckets
     // past maxBucket are near-identical dup clusters — cap them (their
-    // members still pair through their other, more selective bands)
-    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
-    val capped = banded
-      .withColumn("_bsize", count(lit(1)).over(wCnt))
-      .filter(col("_bsize") <= maxBucket)
-      .drop("_bsize")
+    // members still pair through their other, more selective bands).
+    // PAYLOAD-FREE form (same pattern as Similarity's oversizedGuard):
+    // bucket sizes come from a bare-key partial+final count and the
+    // oversized keys — at most n·bands/maxBucket of them, driver-bounded —
+    // broadcast into a left-anti hash join. Output rows identical to the
+    // earlier count()-over-window formulation, which sorted the full
+    // banded stream through an extra exchange before the self-join
+    // shuffled it again.
+    val big = banded.groupBy("band", "band_key").count()
+      .filter(col("count") > maxBucket)
+      .select(col("band"), col("band_key"))
+    val capped = banded.join(broadcast(big), Seq("band", "band_key"), "left_anti")
     val a = capped.alias("a")
     val b = capped.alias("b")
     a.join(b, col("a.band") === col("b.band") &&

@@ -285,9 +285,25 @@ object Similarity {
     order.toIndexedSeq
   }
 
-  /** Driver-side centroid set for [[kmeansCentroids]]; index = cent_id. */
+  /** Past this many cells the flat trainer's costs turn superlinear (its
+    * driver sample is nlist*32 vectors and farthest-point init is
+    * O(sample * nlist) dots), so [[kmeansArray]] switches to the two-level
+    * [[hierarchicalCentroids]] — faiss's own big-nlist recipe. At the
+    * threshold itself (1024-dim): flat would collect 131k vectors (~1 GB)
+    * and run ~17e9 init flops; hierarchical collects 2k and fans the rest
+    * out to executors. */
+  private[graft] val HierarchicalNlistFrom = 4096
+
+  /** Driver-side centroid set for [[kmeansCentroids]]; index = cent_id.
+    * Routes to the two-level trainer at [[HierarchicalNlistFrom]] cells. */
   private def kmeansArray(corpus: DataFrame, idCol: String, vecCol: String,
-                          nlist: Int, iters: Int): IndexedSeq[Seq[Double]] = {
+                          nlist: Int, iters: Int): IndexedSeq[Seq[Double]] =
+    if (nlist >= HierarchicalNlistFrom)
+      hierarchicalCentroids(corpus, idCol, vecCol, nlist, iters)
+    else flatKmeansArray(corpus, idCol, vecCol, nlist, iters)
+
+  private def flatKmeansArray(corpus: DataFrame, idCol: String, vecCol: String,
+                              nlist: Int, iters: Int): IndexedSeq[Seq[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.filter(col(vecCol).isNotNull)
@@ -311,14 +327,99 @@ object Similarity {
       val s = (if (frac < 1.0) vecs.sample(withReplacement = false, frac, seed = 42L) else vecs)
         .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
         .select(col("_v")).as[Seq[Double]].collect().map(_.toArray)
-      if (s.nonEmpty) s else vecs.limit(nlist).select(col("_v")).as[Seq[Double]]
-        .collect().map(_.toArray)
+      val raw = if (s.nonEmpty) s else vecs.limit(nlist).select(col("_v"))
+        .as[Seq[Double]].collect().map(_.toArray)
+      modalWidth(raw)
     }
     val init: IndexedSeq[Seq[Double]] =
       farthestPointSeeds(sampled, nlist).map(sampled(_).toSeq)
     val cents = sphericalLloyd(sampled, init, iters)
     vecs.unpersist()
     cents
+  }
+
+  /** Two-level (hierarchical) coarse quantizer — the big-nlist trainer.
+    *
+    * The flat path collects nlist*32 sample vectors to the driver and runs
+    * an O(sample * nlist)-dot farthest-point init: fine to ~16k cells,
+    * driver-OOM and hours at the nlist = 50-80k a 1e10-row or 1024-dim
+    * corpus needs. This instead:
+    *
+    *  1. trains k1 = ceil(sqrt(nlist)) TOP-level centers with the flat
+    *     trainer (its sample is k1*32 — bounded);
+    *  2. assigns a stage-2 sample (same nlist*32 global rate) to its top
+    *     center as one broadcast argmax projection — DISTRIBUTED, the
+    *     driver never sees these vectors;
+    *  3. rank-caps each branch's sampled members (deterministic xxhash
+    *     order, the same order the flat sample uses) so no branch exceeds
+    *     its training quota even when the top-level cells are skewed;
+    *  4. trains each branch's k2(b) sub-centers INSIDE one executor task
+    *     (farthest-point + spherical Lloyd on a few thousand points — the
+    *     kernels are pure functions, deterministic on any core count), with
+    *     Σ k2(b) = nlist exactly;
+    *  5. collects only the FINISHED centroids, in branch order — the one
+    *     nlist x dim array every IVF path needs on the driver anyway.
+    *
+    * Total training cost: O(nlist^1.5 * dim) flops spread over k1 tasks,
+    * driver traffic nlist x dim doubles. Determinism: stage-1 is the flat
+    * trainer's law; stage-2 membership, caps, per-branch point order and
+    * the branch concatenation are all fixed by (xxhash64(id), id) — the
+    * result is a pure function of the corpus, independent of parallelism.
+    * Thin branches yield fewer than k2(b) centers (their points bound
+    * them); the total can then fall below nlist, exactly like a flat
+    * sample smaller than nlist would.
+    */
+  private[graft] def hierarchicalCentroids(corpus: DataFrame, idCol: String,
+                                           vecCol: String, nlist: Int,
+                                           iters: Int): IndexedSeq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val k1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val k2base = nlist / k1
+    val rem = nlist % k1 // branches 0..rem-1 train one extra sub-center
+    val top = flatKmeansArray(corpus, idCol, vecCol, k1, iters)
+    val dim = top.head.length
+    val clean = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === lit(dim))
+      .select(col(idCol).as("_id"), unitize(asDouble(col(vecCol))).as("_v"))
+    val n = clean.count()
+    val sampleN = math.max(nlist * 32L, 4096L)
+    val frac = math.min(1.0, sampleN.toDouble / math.max(1L, n))
+    val sampled = if (frac < 1.0) clean.sample(withReplacement = false, frac, seed = 43L) else clean
+    // per-branch quota: 48 x the largest sub-center count — enough for the
+    // 32/centroid training floor with headroom for uneven branch draw,
+    // while bounding any one task's points regardless of top-level skew
+    val quota = 48 * (k2base + (if (rem > 0) 1 else 0))
+    val wB = Window.partitionBy("_b").orderBy(xxhash64(col("_id")).asc, col("_id").asc)
+    val subs: Array[(Int, Seq[Seq[Double]])] = sampled
+      .withColumn("_b", argBestCell(top, col("_v")))
+      .withColumn("_r", row_number().over(wB))
+      .filter(col("_r") <= quota)
+      .select(col("_b"), col("_r"), col("_v"))
+      .as[(Int, Int, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        // shuffle iterator order is arbitrary: re-sort by the rank column
+        // so the in-task kernels see one fixed point order
+        val pts = it.toArray.sortBy(_._2).map(_._3.toArray)
+        val k2 = k2base + (if (b < rem) 1 else 0)
+        val seeds = farthestPointSeeds(pts, k2) // width-uniform by the filter above
+        val cents = sphericalLloyd(pts, seeds.map(pts(_).toSeq), iters)
+        (b, cents.map(_.toSeq): Seq[Seq[Double]])
+      }
+      .collect()
+    subs.sortBy(_._1).iterator.flatMap(_._2).toIndexedSeq
+  }
+
+  /** Keep only the modal-width vectors of a training sample: a stray
+    * wrong-width row (corrupt input, a mixed-model corpus) would crash the
+    * fixed-dim driver kernels below, and [[assignCells]] drops such rows
+    * from every assignment anyway — training must see the same population.
+    * Majority width, ties to the smaller — both deterministic. */
+  private def modalWidth(raw: Array[Array[Double]]): Array[Array[Double]] = {
+    if (raw.isEmpty) return raw
+    val dim = raw.groupBy(_.length).maxBy { case (l, vs) => (vs.length, -l) }._1
+    if (raw.forall(_.length == dim)) raw else raw.filter(_.length == dim)
   }
 
   /** Driver-side spherical Lloyd rounds over the training sample: assign
@@ -444,19 +545,34 @@ object Similarity {
   /** Nearest-`probes` cell assignment as a pure projection (see
     * [[argBestCell]]); probes > 1 explodes one codegen'd top-cells kernel
     * (sim desc, index asc — same order the earlier HOF sort produced, minus
-    * its interpreted per-row struct sort) — still no join and no shuffle. */
+    * its interpreted per-row struct sort) — still no join and no shuffle.
+    *
+    * Null and wrong-width vectors are DROPPED here, uniformly for every
+    * caller: best_cell is null-intolerant, so without the filter a null
+    * embedding gets cent_id=null — in [[buildIndex]]/[[appendToIndex]] it
+    * would land in a `__HIVE_DEFAULT_PARTITION__` cell dir that no probe
+    * ever reads (silent data loss) and crash the build-time stats sample
+    * decode at the END of an expensive build; in the online paths the row
+    * would ride to the cell join just to be discarded there. Dropping a
+    * row that cannot be assigned is the only consistent semantic, and
+    * making it explicit at the source keeps the partitioned layout clean. */
   private def assignCells(df: DataFrame, id: String, vecCol: String,
                           outIdCol: String, vOut: String,
                           cents: IndexedSeq[Seq[Double]],
-                          probes: Int): DataFrame = {
+                          probes: Int,
+                          keep: Seq[String] = Nil): DataFrame = {
+    val dim = cents.head.length
     val v = unitize(asDouble(col(vecCol))).as(vOut)
-    val base = df.select(col(id).as(outIdCol), v)
+    val base = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === lit(dim))
+      .select(col(id).as(outIdCol) +: v +: keep.map(col): _*)
     if (probes <= 1) base.withColumn("cent_id", argBestCell(cents, col(vOut)))
     else {
       val (flat, nlist, dim) = flatCents(cents)
-      base.select(col(outIdCol), col(vOut),
-        explode(graft.functions.CentroidFunctions.top_cells(
-          col(vOut), flat, nlist, dim, probes)).as("cent_id"))
+      base.select(col(outIdCol) +: col(vOut) +:
+          explode(graft.functions.CentroidFunctions.top_cells(
+            col(vOut), flat, nlist, dim, probes)).as("cent_id") +:
+          keep.map(col): _*)
     }
   }
 
@@ -480,6 +596,45 @@ object Similarity {
       graft.functions.PqFunctions.mat_vec(vec, model.rot, model.dim)
     else if (model.perm.isEmpty) vec
     else array(model.perm.map(i => vec.getItem(i)): _*)
+
+  /** Exact inverse of [[permute]]: the learned rotation is orthogonal, so
+    * its inverse is the transpose (one more codegen matvec); the balancing
+    * permutation inverts by index lookup; identity stays identity. */
+  private def unpermute(vec: Column, model: PqModel): Column =
+    if (model.rot.nonEmpty) {
+      val d = model.dim
+      val rt = new Array[Double](d * d)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { rt(j * d + i) = model.rot(i * d + j); j += 1 }
+        i += 1
+      }
+      graft.functions.PqFunctions.mat_vec(vec, rt, d)
+    } else if (model.perm.isEmpty) vec
+    else {
+      val inv = new Array[Int](model.perm.length)
+      model.perm.zipWithIndex.foreach { case (p, i) => inv(p) = i }
+      array(inv.toIndexedSeq.map(i => vec.getItem(i)): _*)
+    }
+
+  /** Original-space PQ reconstruction of an index row: decode the codes
+    * (m array reads), invert the model transform, and for residual
+    * (IVFADC) layouts add the cell centroid back — implemented as
+    * [[graft.functions.PqFunctions.cell_residual]] against the NEGATED
+    * coarse table (x − (−c) = x + c), so the whole reconstruction stays
+    * one codegen'd projection chain. */
+  private def reconstructCol(codes: Column, centId: Column, model: PqModel,
+                             cents: IndexedSeq[Seq[Double]],
+                             residual: Boolean): Column = {
+    val dec = unpermute(graft.functions.PqFunctions.pq_decode(
+      codes, model.centroids, model.k, model.subDim), model)
+    if (!residual) dec
+    else {
+      val (flat, _, d) = flatCents(cents)
+      graft.functions.PqFunctions.cell_residual(dec, centId, flat.map(-_), d)
+    }
+  }
 
   /**
    * @param opqIters when > 0, learn a true OPQ rotation (Ge et al.,
@@ -1040,21 +1195,28 @@ object Similarity {
    *
    * [[indexTopK]] assigns the query batch to its nprobe cells, collects the
    * probed-cell union (bounded: <= nlist ints, whatever the corpus size)
-   * and pushes it as a STATIC `cent_id IN (...)` partition filter — only
-   * the probed directories are listed or read. At nlist = sqrt(n)/2 and
-   * nprobe = sqrt(nlist), a 1e9-vector index reads ~0.9% of its files per
-   * batch, deterministically (no DPP heuristics involved).
+   * and opens ONLY those `cent_id=` subdirectories (explicit paths under a
+   * basePath — the file index never lists the rest of the cells/ tree, so
+   * even the LISTING cost scales with the probed set, not the corpus). At
+   * nlist = sqrt(n)/2 and nprobe = sqrt(nlist), a 1e9-vector index lists
+   * and reads ~0.9% of its files per batch, deterministically (no DPP
+   * heuristics involved).
    */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
                  nlist: Int = 16, kmeansIters: Int = 2, m: Int = 8, k: Int = 16,
                  opqIters: Int = 0, sampleSize: Int = 10000,
                  cellSalt: Int = 1, storeVectors: Boolean = true,
-                 residual: Boolean = false): Unit = {
+                 residual: Boolean = false,
+                 payloadCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(asDouble(col(vecCol)))).head().getInt(0)
+    require(!payloadCols.exists(Seq("cent_id", "nid", "codes", "vec").contains),
+      s"payloadCols collide with the index layout columns: $payloadCols")
+    val dim = corpus.filter(col(vecCol).isNotNull)
+      .select(size(asDouble(col(vecCol)))).head().getInt(0)
     val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
-    val assigned = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+    val assigned = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents,
+      probes = 1, keep = payloadCols)
     // residual=true is full IVFADC (Jégou et al., TPAMI 2011): codes
     // quantize (vec − cellCentroid) instead of the raw vector, and the PQ
     // codebooks train on residual samples (zero-mean, low spread — far
@@ -1084,7 +1246,11 @@ object Similarity {
       // of the index vs ~10 GB of codes — queries then either return the
       // compressed-domain ranking or re-rank against the source corpus
       // (see [[indexTopK]]'s rerankCorpus).
-      .select(col("cent_id"), col("nid"), col("codes"), col("_cv").as("vec"))
+      // attribute payload columns ride each row into its cell file, so a
+      // filtered search ([[indexTopK]]'s `filter`) becomes a parquet
+      // predicate INSIDE the probed cells — no corpus join at query time
+      .select(col("cent_id") +: col("nid") +: col("codes") +:
+        col("_cv").as("vec") +: payloadCols.map(col): _*)
     (if (storeVectors) enc else enc.drop("vec"))
       // co-locate each cell before the partitioned write: without this,
       // every task writes a sliver of every cell — tasks × nlist tiny files
@@ -1174,19 +1340,47 @@ object Similarity {
    * split. Reads never see the salt (it lives only inside the exchange).
    */
   private[graft] def saltedCellRepartition(df: DataFrame, cellSalt: Int,
-                                           nlist: Int): DataFrame =
-    if (cellSalt <= 1) df.repartition(col("cent_id"))
+                                           nlist: Int,
+                                           pin: Boolean = false): DataFrame =
+    if (cellSalt <= 1) {
+      // pin=true: explicit partition count, AQE coalescing disabled. The
+      // streaming maintainer's exactly-once commit renames staged part
+      // files under names derived from their PART INDEX — a column-only
+      // repartition leaves the count to AQE, which can renumber parts
+      // between an original foreachBatch attempt and its replay (different
+      // runtime stats), making the replay land rows under fresh file names
+      // and double-ingest. Batch builds keep the column-only form: AQE
+      // coalescing of tiny cells is desired there and nothing depends on
+      // part numbering.
+      if (pin) df.repartition(math.max(1, 2 * nlist), col("cent_id"))
+      else df.repartition(col("cent_id"))
+    }
     else df.repartition(math.max(1, 2 * nlist * cellSalt),
       col("cent_id"), pmod(hash(col("nid")), lit(cellSalt)))
 
-  /** (cent_id, nid, codes, vec) rows for `rows` under an existing index's
-    * STORED quantizer + codebooks — the shared encode step of
-    * [[appendToIndex]] and the streaming maintainer
-    * ([[graft.streaming.AnnIndexStream]]). */
+  /** The attribute payload columns a [[buildIndex]] directory carries —
+    * everything in the cells schema beyond the core layout. Schema sniff,
+    * no data read. */
+  private[graft] def indexPayloadCols(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
+    spark.read.parquet(s"$dir/cells").schema.fieldNames.toSeq
+      .filterNot(Seq("cent_id", "nid", "codes", "vec").contains)
+
+  /** (cent_id, nid, codes, vec[, payload...]) rows for `rows` under an
+    * existing index's STORED quantizer + codebooks — the shared encode step
+    * of [[appendToIndex]] and the streaming maintainer
+    * ([[graft.streaming.AnnIndexStream]]). Appends conform to the index's
+    * own payload schema: whatever attribute columns the build carried must
+    * be present on `rows` under the same names. */
   private[graft] def encodeForIndex(rows: DataFrame, idCol: String,
                                     vecCol: String, dir: String): DataFrame = {
     val (model, cents, residual) = loadIndexMeta(rows.sparkSession, dir)
-    val assigned = assignCells(rows, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+    val payload = indexPayloadCols(rows.sparkSession, dir)
+    val missing = payload.filterNot(rows.columns.contains)
+    require(missing.isEmpty,
+      s"index at $dir carries payload columns $payload; rows are missing $missing")
+    val assigned = assignCells(rows, idCol, vecCol, "nid", "_cv", cents,
+      probes = 1, keep = payload)
     val toEncode =
       if (!residual) permute(col("_cv"), model)
       else {
@@ -1197,7 +1391,8 @@ object Similarity {
     assigned
       .withColumn("codes", graft.functions.PqFunctions.pq_encode(
         toEncode, model.centroids, model.m, model.k, model.subDim))
-      .select(col("cent_id"), col("nid"), col("codes"), col("_cv").as("vec"))
+      .select(col("cent_id") +: col("nid") +: col("codes") +:
+        col("_cv").as("vec") +: payload.map(col): _*)
   }
 
   /** Query a [[buildIndex]] directory: same contract and (at equal knobs /
@@ -1212,22 +1407,45 @@ object Similarity {
     *    (≤ |Q|·k·rerankFactor ids) joins back to the corpus for exact
     *    similarities — Spark broadcasts the tiny candidate side, so the
     *    corpus pays one scan, not a shuffle — and results are IDENTICAL to
-    *    a vectors-stored index (same vectors, same tie order);
+    *    a vectors-stored index (same vectors, same tie order). The corpus's
+    *    embedding column is `rerankVecCol` when given, else the QUERY
+    *    frame's `vecCol` name;
     *  - absent: the compressed-domain ranking is returned as-is (`sim` is
     *    the PQ-approximate cosine; nid-ascending tie order). Honest about
     *    what an ADC-only scan can promise — recall at equal k·rerankFactor
     *    is the PQ recall, not 1.0.
+    *
+    * Attribute-filtered search ("nearest among docs WHERE lang = 'en'"):
+    * pass `filter`, a predicate over the index's payload columns (stored
+    * by [[buildIndex]]'s `payloadCols`). It is applied INSIDE the probed
+    * cell scan — a parquet pushdown, so non-matching rows never reach the
+    * scoring join — and the candidate cut ranks only matching rows, so at
+    * a given probe set the result equals post-filtering an infinite-k
+    * unfiltered search. What a predicate CAN cost is probe coverage: the k
+    * nearest matching neighbors live further out than the k nearest
+    * overall, so pass `filterSelectivity` (the estimated matching
+    * fraction, e.g. 0.1 for a 10% language) and the probe count scales by
+    * 1/selectivity (clamped to nlist) to keep effective per-query
+    * candidate depth comparable to the unfiltered search.
     */
   def indexTopK(queries: DataFrame, dir: String, qidCol: String, vecCol: String,
                 k: Int, nprobe: Int = -1, rerankFactor: Int = 64,
                 roundTo: Int = 4, rerankCorpus: Option[DataFrame] = None,
-                rerankIdCol: String = ""): DataFrame = {
+                rerankIdCol: String = "", rerankVecCol: String = "",
+                filter: Option[Column] = None,
+                filterSelectivity: Double = 1.0): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    require(filterSelectivity > 0 && filterSelectivity <= 1.0,
+      s"filterSelectivity must be in (0, 1], got $filterSelectivity")
     val (model, cents, residual) = loadIndexMeta(spark, dir)
-    val effProbe =
+    val baseProbe =
       if (nprobe > 0) nprobe
       else math.max(4, math.sqrt(cents.length.toDouble).round.toInt)
+    val effProbe =
+      if (filter.isEmpty) baseProbe
+      else math.min(cents.length,
+        math.ceil(baseProbe / filterSelectivity).toInt)
     // residual decomposition dot(q, v) = dot(q, c) + dot(q, r̂): the LUT is
     // still per-QUERY (dot(q, r̂) reads the residual codebooks with q
     // itself); only the exact dot(q, c) term is added — computed here on
@@ -1245,10 +1463,32 @@ object Similarity {
           graft.functions.PqFunctions.cell_dot(col("_qv"), col("cent_id"), flat, d))
       }
     // bounded driver collect by construction (<= nlist ints): the probed
-    // union becomes a static partition filter on the cells scan
+    // union selects which cell DIRECTORIES the scan opens. Listing only
+    // those paths (basePath keeps cent_id a partition column) matters
+    // beyond the partition filter: `read.parquet(cells)` would build an
+    // InMemoryFileIndex over the ENTIRE cells/ tree before any pruning —
+    // at 1e9 vectors that full listing is paid per query batch even though
+    // ~99% of the files are then skipped. Existence is probed per cell
+    // (<= nlist RPCs, driver-bounded) because a centroid's cell dir is
+    // absent when no vector ever landed there.
     val probed = queryCells.select("cent_id").distinct().as[Int].collect().sorted
-    val cells = spark.read.parquet(s"$dir/cells")
-      .where(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+    val cellsRoot = s"$dir/cells"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val probedPaths = probed.map(c => s"$cellsRoot/cent_id=$c")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val cells0 =
+      if (probedPaths.isEmpty) // all probed cells empty: nothing to scan
+        spark.read.parquet(cellsRoot).where(lit(false))
+      else spark.read.option("basePath", cellsRoot).parquet(probedPaths: _*)
+        // belt-and-braces static partition filter on top of the explicit
+        // listing: free (the listed paths already satisfy it), keeps the
+        // probe set visible in the plan's PartitionFilters, and guards
+        // against a stray dir sneaking into a glob-expanded path set
+        .where(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+    // attribute predicate INSIDE the probed scan: pushes to the parquet
+    // reader (payload columns are plain row columns in the cell files)
+    val cells = filter.map(cells0.where).getOrElse(cells0)
     val hasVec = cells.schema.fieldNames.contains("vec")
     // from here: identical shape to ivfPqTopK (codes-only candidate stream,
     // two-level tie-aware cut, exact re-rank on the index's own vectors)
@@ -1268,8 +1508,9 @@ object Similarity {
       else rerankCorpus.map { corpus =>
         require(rerankIdCol.nonEmpty,
           "rerankCorpus needs rerankIdCol (the corpus id column)")
+        val rvc = if (rerankVecCol.nonEmpty) rerankVecCol else vecCol
         corpus.select(col(rerankIdCol).as("nid"),
-          unitize(asDouble(col(vecCol))).as("_cv"))
+          unitize(asDouble(col(rvc))).as("_cv"))
       }
     cvOpt match {
       case Some(cv) =>
@@ -1419,10 +1660,23 @@ object Similarity {
    * see a reduced-recall window (new sub-cells exist before the centroids
    * table lists them), never wrong data. Returns the new cell ids
    * (head = the reused target id). `centId = -1` picks the hottest cell.
+   *
+   * Codes-only (storeVectors=false) indexes split too: sub-centroids train
+   * on the PQ RECONSTRUCTIONS of the cell's rows ([[reconstructCol]] —
+   * decode + inverse transform + cell centroid for residual layouts), so
+   * no rebuild and no corpus access is needed. Reconstructions carry the
+   * quantizer's error, so placements near a sub-cell boundary can differ
+   * from exact ones — supply `rerankCorpus`/`rerankIdCol`/`rerankVecCol`
+   * (the source-of-truth table, same contract as [[indexTopK]]'s rerank)
+   * to train and place against EXACT vectors; rows absent from the rerank
+   * corpus fall back to their reconstruction.
    */
   def splitCell(spark: org.apache.spark.sql.SparkSession, dir: String,
                 centId: Int = -1, sub: Int = 2,
-                kmeansIters: Int = 2): Seq[Int] = {
+                kmeansIters: Int = 2,
+                rerankCorpus: Option[DataFrame] = None,
+                rerankIdCol: String = "",
+                rerankVecCol: String = ""): Seq[Int] = {
     import spark.implicits._
     require(sub >= 2, s"sub=$sub: splitting needs at least 2 sub-cells")
     val (model, cents, residual) = loadIndexMeta(spark, dir)
@@ -1432,14 +1686,29 @@ object Similarity {
       else spark.read.parquet(s"$dir/cells").groupBy("cent_id").count()
         .orderBy(col("count").desc, col("cent_id").asc).head().getInt(0)
     require(target < nlist, s"cent_id=$target does not exist (nlist=$nlist)")
-    require(indexStoresVectors(spark, dir),
-      "splitCell needs stored vectors to train sub-centroids; a codes-only " +
-        "(storeVectors=false) index must be rebuilt to re-balance")
+    val storesVec = indexStoresVectors(spark, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val cellPath = new org.apache.hadoop.fs.Path(s"$dir/cells/cent_id=$target")
-    // (nid, codes, vec) — the partition column lives in the path, not the files
-    val rows = spark.read.parquet(cellPath.toString).cache()
+    // (nid, codes[, vec]) — the partition column lives in the path, not the
+    // files. For codes-only cells a `vec` column is materialized here from
+    // the exact rerank corpus when supplied, else the PQ reconstruction.
+    val rows0 = spark.read.parquet(cellPath.toString)
+    val rows = (
+      if (storesVec) rows0
+      else {
+        val recon = reconstructCol(col("codes"), lit(target), model, cents, residual)
+        rerankCorpus match {
+          case Some(corpus) =>
+            require(rerankIdCol.nonEmpty && rerankVecCol.nonEmpty,
+              "codes-only split with a rerankCorpus needs rerankIdCol and rerankVecCol")
+            val exact = corpus.select(col(rerankIdCol).as("nid"),
+              unitize(asDouble(col(rerankVecCol))).as("_xv"))
+            rows0.join(exact, Seq("nid"), "left")
+              .withColumn("vec", coalesce(col("_xv"), recon)).drop("_xv")
+          case None => rows0.withColumn("vec", recon)
+        }
+      }).cache()
     val total = rows.count()
     val subCents = kmeansArray(rows, "nid", "vec", sub, kmeansIters)
     val newIds: IndexedSeq[Int] =
@@ -1464,7 +1733,12 @@ object Similarity {
           model.centroids, model.m, model.k, model.subDim))
       }
     reassigned
-      .select(col("cent_id"), col("nid"), col("codes"), col("vec"))
+      // codes-only cells must not grow the materialized training vec;
+      // attribute payload columns (if the build carried any) ride through
+      .select(col("cent_id") +: col("nid") +: col("codes") +:
+        ((if (storesVec) Seq(col("vec")) else Nil) ++
+          rows0.columns.toSeq.filterNot(Seq("nid", "codes", "vec").contains)
+            .map(col)): _*)
       .transform(saltedCellRepartition(_, cellSalt = 1, nlist = sub))
       .write.mode("overwrite").partitionBy("cent_id").parquet(staging.toString)
     val rewritten = spark.read.parquet(staging.toString).count()
@@ -1513,8 +1787,8 @@ object Similarity {
    *    place — returns [[RebuildAdvised]];
    *  - skew growth (appends concentrated in a hot cell): [[splitCell]]s
    *    the hottest cell and re-baselines, returns [[Split]] with the
-   *    before/after max-cell share (codes-only indexes can't split —
-   *    [[RebuildAdvised]]);
+   *    before/after max-cell share (codes-only indexes split on their PQ
+   *    reconstructions);
    *  - neither: [[Healthy]], no writes.
    *
    * Idempotent by construction: a successful split re-baselines the
@@ -1532,8 +1806,9 @@ object Similarity {
       (d.maxCellFracNow - d.builtMaxCellFrac) / d.builtMaxCellFrac > skewGrowTol
     if (cosDropped) RebuildAdvised
     else if (!skewGrown) Healthy
-    else if (!indexStoresVectors(spark, dir)) RebuildAdvised
     else {
+      // codes-only indexes split on PQ reconstructions (see [[splitCell]]) —
+      // skew repair no longer forces a rebuild for the lean layout
       val ids = splitCell(spark, dir, sub = sub)
       val after = indexDriftReport(spark, dir)
       Split(ids, d.maxCellFracNow, after.maxCellFracNow)

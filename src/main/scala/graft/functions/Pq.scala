@@ -85,6 +85,26 @@ object Pq {
     acc
   }
 
+  /** decode codes -> concatenated sub-centroid values: the PQ reconstruction
+    * x̂ of the encoded vector, in the ENCODED space (rotated/permuted when
+    * the model trained one). m array reads per row — the exact inverse
+    * shape of [[encode]], used when the original vectors were not stored
+    * (codes-only indexes) but downstream work needs a vector to reason
+    * about (e.g. re-training sub-centroids for a cell split). */
+  def decode(codes: ArrayData, cents: Array[Double], k: Int,
+             subDim: Int): ArrayData = {
+    val m = codes.numElements()
+    val out = new Array[Double](m * subDim)
+    var sub = 0
+    while (sub < m) {
+      val off = (sub * k + codes.getInt(sub)) * subDim
+      var j = 0
+      while (j < subDim) { out(sub * subDim + j) = cents(off + j); j += 1 }
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** r = v - centroid[cellId] against a flat (nlist x dim) coarse-centroid
     * table — the IVFADC residual (Jégou et al., TPAMI 2011): encoding the
     * offset from the cell centroid instead of the raw vector gives the
@@ -159,6 +179,27 @@ case class PqEncodeExpr(child: Expression, cents: Array[Double],
     defineCodeGen(ctx, ev, v => s"graft.functions.Pq.encode($v, $c, $n, $m, $k, $subDim)")
   }
   override protected def withNewChildInternal(nc: Expression): PqEncodeExpr =
+    copy(child = nc)
+}
+
+/** Decode m PQ codes back to the reconstruction x̂ (encoded space). */
+case class PqDecodeExpr(child: Expression, cents: Array[Double],
+                        k: Int, subDim: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"pq_decode requires array<int>, got ${o.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_decode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Pq.decode(v.asInstanceOf[ArrayData], cents, k, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("pqCents", cents, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.Pq.decode($v, $c, $k, $subDim)")
+  }
+  override protected def withNewChildInternal(nc: Expression): PqDecodeExpr =
     copy(child = nc)
 }
 
@@ -281,6 +322,8 @@ object PqFunctions {
     GraftSqlBridge.column(MatVecExpr(GraftSqlBridge.expression(vec), rot, dim))
   def pq_encode(vec: Column, cents: Array[Double], m: Int, k: Int, subDim: Int): Column =
     GraftSqlBridge.column(PqEncodeExpr(GraftSqlBridge.expression(vec), cents, m, k, subDim))
+  def pq_decode(codes: Column, cents: Array[Double], k: Int, subDim: Int): Column =
+    GraftSqlBridge.column(PqDecodeExpr(GraftSqlBridge.expression(codes), cents, k, subDim))
   def pq_lut(vec: Column, cents: Array[Double], m: Int, k: Int, subDim: Int): Column =
     GraftSqlBridge.column(PqLutExpr(GraftSqlBridge.expression(vec), cents, m, k, subDim))
   def pq_score(lut: Column, codes: Column, k: Int): Column =

@@ -210,16 +210,20 @@ object AnnIndexStream {
     // co-locate cells before the staging write (same discipline as
     // buildIndex/appendToIndex: without it, every batch task writes a
     // sliver of every cell — tasks x cells files PER BATCH). Replay-safe:
-    // the exchange is deterministic for a given batch, so part indices —
-    // and hence the deterministic rename targets below — are stable.
+    // the exchange is deterministic for a given batch AND its partition
+    // count is PINNED (pin=true; nlist read per batch — a parquet footer,
+    // not a data scan), so part indices — hence the deterministic rename
+    // targets below — are stable across foreachBatch replays. An
+    // AQE-coalesced column-only repartition could renumber parts between
+    // attempt and replay and double-ingest under fresh file names.
     val nlist =
-      if (cellSalt <= 1) 0
-      else batch.sparkSession.read.parquet(s"$indexDir/centroids").count().toInt
+      batch.sparkSession.read.parquet(s"$indexDir/centroids").count().toInt
     graft.ext.Similarity.encodeForIndex(batch, idCol, vecCol, indexDir)
       .transform(df => // codes-only indexes must not grow a partial vec column
         if (graft.ext.Similarity.indexStoresVectors(batch.sparkSession, indexDir)) df
         else df.drop("vec"))
-      .transform(graft.ext.Similarity.saltedCellRepartition(_, cellSalt, nlist))
+      .transform(graft.ext.Similarity.saltedCellRepartition(_, cellSalt, nlist,
+        pin = true))
       .write.mode("overwrite").partitionBy("cent_id").parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), batch.sparkSession.sparkContext.hadoopConfiguration)

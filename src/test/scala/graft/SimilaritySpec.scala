@@ -142,6 +142,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hierarchicalCentroids: recall parity with the flat trainer on clustered data") {
+    // the big-nlist two-level trainer, forced at a small nlist so it is
+    // directly comparable to the flat path: same planted clusters, same
+    // quality bar, plus a budget law (Σ k2(b) == nlist) and determinism
+    val dim = 8
+    val rnd = new scala.util.Random(29)
+    val centers = (0 until 16).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 1600).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // nlist > natural clusters (24 over 16) — the realistic IVF regime,
+    // and what makes capture robust to a stage-1 branch boundary slicing
+    // a cluster (the known cost of hierarchical training; with a center
+    // budget exactly equal to the cluster count, one sliced cluster has
+    // nowhere to recover)
+    val hier = Similarity.hierarchicalCentroids(corpus, "vec_id", "embedding",
+      nlist = 24, iters = 5)
+    assert(hier.length === 24, s"Σ k2(b) must equal nlist, got ${hier.length}")
+    // every planted direction captured — the same bar the flat trainer meets
+    centers.foreach { c =>
+      val best = hier.map(ct => cos(c.toSeq, ct)).max
+      assert(best > 0.95, s"hierarchical missed a planted center (best cos $best)")
+    }
+    // quantization quality parity with flat, measured as the corpus-mean
+    // best-centroid cosine (the signal indexDriftReport watches)
+    val flat = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+        nlist = 24, iters = 5)
+      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+    def meanBest(cents: IndexedSeq[Seq[Double]]): Double =
+      points.map { case (_, v) =>
+        cents.map(ct => cos(v.map(_.toDouble), ct)).max
+      }.sum / points.length
+    val (qh, qf) = (meanBest(hier), meanBest(flat))
+    info(f"mean best-centroid cosine: hierarchical $qh%.4f vs flat $qf%.4f")
+    assert(qh >= qf - 0.02,
+      f"hierarchical quantization must track flat: $qh%.4f vs $qf%.4f")
+    // deterministic: a second run is element-wise identical
+    val again = Similarity.hierarchicalCentroids(corpus, "vec_id", "embedding",
+      nlist = 24, iters = 5)
+    assert(again === hier, "hierarchical training must be deterministic")
+  }
+
   test("farthestPointSeeds: incremental init picks the exact seed sequence of the quadratic form") {
     // independent reference: the naive O(nlist^2 * n * dim) greedy k-center —
     // for each candidate recompute max-dot against EVERY chosen seed. The
@@ -769,13 +817,159 @@ class SimilaritySpec extends SparkSpec {
     val afterAppend = spark.read.parquet(s"$lean/cells").schema.fieldNames.toSet
     assert(afterAppend === Set("cent_id", "nid", "codes"),
       s"append must not grow a vec column: $afterAppend")
-    // drift report still runs (skew-only signals); split refuses clearly
+    // drift report still runs (skew-only signals)
     val drift = Similarity.indexDriftReport(spark, lean)
     assert(drift.rowsNow === 540)
-    val e = intercept[IllegalArgumentException] {
-      Similarity.splitCell(spark, lean, sub = 2)
+  }
+
+  test("codes-only splitCell: reconstruction-trained split preserves rows, shrinks skew") {
+    // 4 natural clusters forced into nlist=3 -> one hot merged cell, but
+    // the index is LEAN (no stored vectors): sub-centroids train on the
+    // PQ reconstructions of the cell's own codes
+    val dim = 16
+    val rnd = new scala.util.Random(211)
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def mk(id: Long): (Long, Seq[Float]) = {
+      val c = centers((id % 4).toInt)
+      val rj = new scala.util.Random(id * 37 + 11)
+      (id, c.map(x => (x + 0.05 * rj.nextGaussian()).toFloat).toSeq)
     }
-    assert(e.getMessage.contains("codes-only"))
+    val corpus = (0L until 800L).map(mk).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 8)
+    def buildLean(residual: Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-leansplit").toString
+      Similarity.buildIndex(corpus, "vec_id", "embedding", d,
+        nlist = 3, kmeansIters = 3, m = 4, k = 16, storeVectors = false,
+        residual = residual)
+      d
+    }
+    def cellCounts(d: String): Map[Int, Long] =
+      spark.read.parquet(s"$d/cells").groupBy("cent_id").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def exactTop(d: String, rf: Int): Set[(Long, Long, Int, Double)] =
+      Similarity.indexTopK(q, d, "vec_id", "embedding", k = 2, nprobe = 8,
+          rerankFactor = rf,
+          rerankCorpus = Some(corpus), rerankIdCol = "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    for ((residual, useRerank) <- Seq((false, false), (false, true), (true, false))) {
+      // raw codes ride a split unchanged, so even a BINDING ADC candidate
+      // cut (default rerankFactor) is identical pre/post; a residual split
+      // from reconstructions re-encodes against the new sub-centroid —
+      // double quantization legitimately shuffles near-tie candidates, so
+      // the identity law there uses a non-binding cut (>= corpus size)
+      val rf = if (residual && !useRerank) 512 else 64
+      val lean = buildLean(residual)
+      val before = cellCounts(lean)
+      val hotCnt = before.values.max
+      val hotId = before.collect { case (id, c) if c == hotCnt => id }.min
+      val pre = exactTop(lean, rf)
+      val ids =
+        if (useRerank) Similarity.splitCell(spark, lean, sub = 2,
+          rerankCorpus = Some(corpus), rerankIdCol = "vec_id",
+          rerankVecCol = "embedding")
+        else Similarity.splitCell(spark, lean, sub = 2)
+      assert(ids === Seq(hotId, 3),
+        s"residual=$residual rerank=$useRerank: expected hottest-cell split, got $ids")
+      val after = cellCounts(lean)
+      assert(after.values.sum === before.values.sum,
+        s"residual=$residual rerank=$useRerank: split must preserve every row")
+      assert(after(hotId) < hotCnt,
+        s"residual=$residual rerank=$useRerank: hot cell must shrink: $hotCnt -> ${after(hotId)}")
+      // the layout stays lean — the training vec column must not leak out
+      assert(spark.read.parquet(s"$lean/cells").schema.fieldNames.toSet ===
+        Set("cent_id", "nid", "codes"),
+        s"residual=$residual rerank=$useRerank: split must not grow a vec column")
+      // exact (all-probe + source-corpus rerank) results survive the split
+      assert(exactTop(lean, rf) === pre,
+        s"residual=$residual rerank=$useRerank: exact rerank results must survive the split")
+    }
+  }
+
+  test("attribute-filtered ANN: payload predicate pushed into the probed scan, recall holds") {
+    val dim = 16
+    val rnd = new scala.util.Random(307)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    // 25% of docs are 'en', deterministically by id — the "search within a
+    // predicate" shape (nearest EN doc, not nearest doc that happens EN)
+    val points = (0 until 800).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq,
+        if (i % 4 == 0) "en" else "xx")
+    }
+    val corpus = points.toDF("vec_id", "embedding", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fltidx").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", dir,
+      nlist = 8, kmeansIters = 2, m = 4, k = 16, payloadCols = Seq("lang"))
+    // payload rides the cells
+    assert(spark.read.parquet(s"$dir/cells").schema.fieldNames.toSet ===
+      Set("cent_id", "nid", "codes", "vec", "lang"))
+    val q = corpus.filter(col("vec_id") < 8).select("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+      got.intersect(truth).size.toDouble / truth.size
+    val truthF = pairs(Similarity.bruteForceTopK(q,
+      corpus.filter(col("lang") === "en"), "vec_id", "vec_id", "embedding", k = 5))
+    val gotFDf = Similarity.indexTopK(q, dir, "vec_id", "embedding", k = 5,
+      filter = Some(col("lang") === "en"), filterSelectivity = 0.25)
+    val gotF = pairs(gotFDf)
+    // only matching docs can be returned
+    assert(gotF.forall(_._2 % 4 == 0), s"non-EN neighbors leaked: $gotF")
+    // the predicate reaches the parquet scan of the probed cells
+    val plan = gotFDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      s"lang predicate not pushed into the cells scan:\n$plan")
+    // the VERDICT law: filtered recall (vs filtered ground truth) >=
+    // unfiltered recall (vs unfiltered ground truth) at equal k — the
+    // selectivity-scaled probe count must compensate for matching
+    // neighbors living further out
+    val truthU = pairs(Similarity.bruteForceTopK(q, corpus,
+      "vec_id", "vec_id", "embedding", k = 5))
+    val gotU = pairs(Similarity.indexTopK(q, dir, "vec_id", "embedding", k = 5))
+    val (rF, rU) = (recall(gotF, truthF), recall(gotU, truthU))
+    info(f"recall: filtered $rF%.3f vs unfiltered $rU%.3f")
+    assert(rF >= rU, f"filtered recall must not trail unfiltered: $rF%.3f < $rU%.3f")
+    // appends must carry the payload schema — and refuse clearly otherwise
+    val extra = Seq((9000L, centers(0).map(x =>
+      (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq, "en"))
+      .toDF("vec_id", "embedding", "lang")
+    Similarity.appendToIndex(extra, "vec_id", "embedding", dir)
+    val hit = Similarity.indexTopK(
+      extra.select("vec_id", "embedding"), dir, "vec_id", "embedding", k = 1,
+      nprobe = 8, filter = Some(col("lang") === "en"))
+    assert(hit.count() === 1, "appended payload row must be findable via the filter")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(extra.drop("lang"), "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
+  test("maintainIndex on a codes-only index: skewed appends -> Split, not RebuildAdvised") {
+    val dim = 16
+    val rnd = new scala.util.Random(223)
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def mk(id: Long, cluster: Int): (Long, Seq[Float]) = {
+      val rj = new scala.util.Random(id * 19 + 3)
+      (id, centers(cluster).map(x => (x + 0.05 * rj.nextGaussian()).toFloat).toSeq)
+    }
+    val balanced = (0L until 400L).map(i => mk(i, (i % 4).toInt))
+      .toDF("vec_id", "embedding")
+    val lean = java.nio.file.Files.createTempDirectory("graft-leanmaint").toString
+    Similarity.buildIndex(balanced, "vec_id", "embedding", lean,
+      nlist = 4, kmeansIters = 3, m = 4, k = 16, storeVectors = false)
+    assert(Similarity.maintainIndex(spark, lean) === Similarity.Healthy)
+    val skewed = (1000L until 1600L).map(mk(_, 0)).toDF("vec_id", "embedding")
+    Similarity.appendToIndex(skewed, "vec_id", "embedding", lean)
+    Similarity.maintainIndex(spark, lean) match {
+      case Similarity.Split(ids, before, after) =>
+        assert(ids.length === 2 && ids(1) === 4, s"got $ids")
+        assert(after < before,
+          f"split must reduce max cell share: $before%.4f -> $after%.4f")
+      case other => fail(s"lean index skew must split in place now, got $other")
+    }
+    assert(Similarity.maintainIndex(spark, lean) === Similarity.Healthy)
+    assert(spark.read.parquet(s"$lean/cells").count() === 1000)
   }
 
   test("maintainIndex: healthy -> no action; skewed appends -> split; idempotent") {
@@ -1101,5 +1295,69 @@ class SimilaritySpec extends SparkSpec {
       .collect().head
     assert(r.getInt(0) === 1)
     assert(r.getSeq[Int](1) === Seq(1, 3, 0)) // tied pair by index, then next-best
+  }
+
+  test("index build/append drop null and wrong-width vectors — no default-partition cell") {
+    // best_cell is null-intolerant: without the assignCells filter a null
+    // embedding got cent_id=null, landed in a __HIVE_DEFAULT_PARTITION__
+    // dir no probe ever reads, and crashed the build-time stats sample
+    // decode at the END of the build
+    val dim = 12
+    val rnd = new scala.util.Random(167)
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 240).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val bad = Seq(
+      (9998L, null.asInstanceOf[Seq[Float]]), // null embedding
+      (9999L, Seq(1.0f, 2.0f)))               // wrong width
+    val corpus = (points ++ bad).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullvec").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", dir,
+      nlist = 4, kmeansIters = 2, m = 4, k = 8)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!cellDirs.exists(_.contains("HIVE_DEFAULT_PARTITION")),
+      s"null rows must not create a default-partition cell: $cellDirs")
+    assert(spark.read.parquet(s"$dir/cells").count() === 240,
+      "only assignable rows belong in the index")
+    // appends drop them the same way (shared assignCells path)
+    Similarity.appendToIndex(bad.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", dir)
+    assert(spark.read.parquet(s"$dir/cells").count() === 240)
+    // and queries with null vectors are dropped, not crashed
+    val q = (points.take(4) ++ bad).toDF("vec_id", "embedding")
+    val res = Similarity.indexTopK(q, dir, "vec_id", "embedding", k = 1, nprobe = 2)
+    val qids = res.collect().map(_.getLong(0)).toSet
+    assert(qids === Set(0L, 1L, 2L, 3L), s"null queries must be dropped: $qids")
+  }
+
+  test("indexTopK rerankVecCol: rerank corpus with a differently-named embedding column") {
+    val dim = 12
+    val rnd = new scala.util.Random(173)
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 240).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 6)
+    val lean = java.nio.file.Files.createTempDirectory("graft-rerankcol").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", lean,
+      nlist = 4, kmeansIters = 2, m = 4, k = 8, storeVectors = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val sameName = rows(Similarity.indexTopK(q, lean, "vec_id", "embedding",
+      k = 2, nprobe = 2, rerankCorpus = Some(corpus), rerankIdCol = "vec_id"))
+    // the rerank corpus names its embedding column differently — before the
+    // rerankVecCol parameter this failed at analysis time (the code resolved
+    // the QUERY's vecCol name against the corpus frame)
+    val renamed = corpus.withColumnRenamed("embedding", "doc_vec")
+    val viaParam = rows(Similarity.indexTopK(q, lean, "vec_id", "embedding",
+      k = 2, nprobe = 2, rerankCorpus = Some(renamed), rerankIdCol = "vec_id",
+      rerankVecCol = "doc_vec"))
+    assert(viaParam === sameName,
+      "rerankVecCol must resolve the corpus column without changing results")
   }
 }
