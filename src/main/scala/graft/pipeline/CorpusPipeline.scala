@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
  *        `nearDupThreshold` over `embeddingCol` — semantic similarity
  *        (catches paraphrases/translations MinHash can't), for corpora that
  *        carry embeddings. Same bucketed shuffle shape, same skew caps.
+ *    With `annIndexDir` set (embedding method only), the stage ALSO dedups
+ *    against every PRIOR run: docs whose nearest indexed neighbor
+ *    ([[graft.ext.Similarity.indexTopK]]) clears the threshold are dropped,
+ *    and this run's survivors are appended to the index (built from them
+ *    when the directory does not exist yet — the first run's output is then
+ *    identical to the plain in-run path) followed by one
+ *    [[graft.ext.Similarity.maintainIndex]] pass. Cross-run state lives in
+ *    the index's own cells; no corpus-x-corpus rescan ever happens.
  *  - tokenize: BPE trained on the SURVIVING corpus, tokens + counts land as
  *    typed columns in the columnar bundle; the model is persisted next to
  *    the manifest for downstream reuse.
@@ -43,7 +51,16 @@ object CorpusPipeline {
 
   case class Stats(input: Long, afterQuality: Long, afterExact: Long,
                    afterNearDup: Long, totalTokens: Long,
-                   bundle: BundleSink.Result, afterLm: Long = -1L)
+                   bundle: BundleSink.Result, afterLm: Long = -1L,
+                   droppedVsIndex: Long = -1L)
+
+  /** Does `dir` hold a complete [[graft.ext.Similarity.buildIndex]] layout? */
+  private def annIndexExists(spark: SparkSession, dir: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    Seq("model", "centroids", "cells").forall(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")))
+  }
 
   def run(spark: SparkSession, input: String, outDir: String, indexName: String,
           idCol: String = "doc_id", textCol: String = "text",
@@ -53,7 +70,8 @@ object CorpusPipeline {
           redactPii: Boolean = false,
           lmMinScore: Option[Double] = None,
           nearDupMethod: String = "minhash",
-          embeddingCol: String = "embedding"): Stats = {
+          embeddingCol: String = "embedding",
+          annIndexDir: Option[String] = None): Stats = {
     val raw = spark.read.parquet(input)
     val docs =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -82,6 +100,8 @@ object CorpusPipeline {
 
     // near-dup pairs on the exact-deduped corpus; drop the higher id of
     // each pair (distinct drop-set, then one left_anti)
+    require(annIndexDir.isEmpty || nearDupMethod == "embedding",
+      "annIndexDir requires nearDupMethod=embedding (the index holds embeddings)")
     val pairs = nearDupMethod match {
       case "minhash" =>
         Dedup.minhashNearDups(exact, idCol, textCol, threshold = nearDupThreshold)
@@ -94,9 +114,49 @@ object CorpusPipeline {
       case other => throw new IllegalArgumentException(
         s"unknown nearDupMethod '$other' (minhash | embedding)")
     }
-    val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
+    // cross-run near-dups: nearest indexed neighbor from any prior run
+    // clears the threshold -> drop. One standing-index query per run
+    // (probed cells only), instead of re-deriving prior state. The ANN
+    // query self-excludes equal ids (correct for search, blind to a
+    // re-ingest of the SAME doc id), so membership rides alongside: a doc
+    // whose id is already indexed is dropped too — an nid-only
+    // column-pruned scan of the cells, and the guard that keeps re-runs
+    // from appending duplicate ids into the index.
+    val priorDrops: Option[DataFrame] = annIndexDir
+      .filter(annIndexExists(spark, _))
+      .map { dir =>
+        val near = graft.ext.Similarity
+          .indexTopK(exact, dir, idCol, embeddingCol, k = 1)
+          .filter(col("sim") >= nearDupThreshold)
+          .select(col("qid").as(idCol))
+        val member = exact.select(col(idCol)).join(
+          spark.read.parquet(s"$dir/cells").select(col("nid").as(idCol)),
+          Seq(idCol), "left_semi")
+        near.unionByName(member).distinct()
+      }
+    val nVsIndex = priorDrops.map(_.count()).getOrElse(-1L)
+    val dropIds = priorDrops.foldLeft(
+      pairs.select(col("id_b").as(idCol)).distinct())(_ unionByName _).distinct()
     val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
     val nSurvivors = survivors.count()
+    // maintain the standing index with this run's accepted docs: append
+    // into the existing layout (stored quantizer, no retrain), or build it
+    // from scratch on the first run; then one detect->act maintenance pass
+    // so accumulated skew is repaired as part of the run, not by an
+    // operator remembering to.
+    annIndexDir.foreach { dir =>
+      val emb = survivors.select(col(idCol), col(embeddingCol))
+      if (annIndexExists(spark, dir))
+        graft.ext.Similarity.appendToIndex(emb, idCol, embeddingCol, dir)
+      else {
+        val n = math.max(1L, nSurvivors)
+        val nlist = math.max(4, (math.sqrt(n.toDouble) / 2).round.toInt)
+        graft.ext.Similarity.buildIndex(emb, idCol, embeddingCol, dir,
+          nlist = nlist, kmeansIters = 2)
+      }
+      graft.ext.Similarity.maintainIndex(spark, dir)
+      ()
+    }
 
     // tokenizer trained on what survives (junk filtered out above), ridden
     // into the bundle as typed columns
@@ -105,13 +165,17 @@ object CorpusPipeline {
       .withColumn("bpe_tokens", model.tokens(col(textCol)))
       .withColumn("bpe_token_cnt", size(col("bpe_tokens")))
       .withColumn("vocab_fit", round(model.vocabularyFit(col(textCol)), 4))
-    val totalTokens = tokenized.agg(sum("bpe_token_cnt")).head().getLong(0)
+    // coalesce: sum over zero rows is NULL (a run CAN drop everything —
+    // e.g. a re-ingest where every doc already near-dups the index)
+    val totalTokens = tokenized.agg(coalesce(sum("bpe_token_cnt"), lit(0L)))
+      .head().getLong(0)
 
     val bundleDocs = DocTransform.docsColumnar(tokenized, idCol, None)
     val res = BundleSink.write(bundleDocs, s"$outDir/$indexName", numShards,
       partitionMultiples, repartition = true, format = "columnar",
       indexName = indexName)
     Bpe.save(spark, model, s"$outDir/$indexName/bpe_model.json")
-    Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res, afterLm = nLm)
+    Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res,
+      afterLm = nLm, droppedVsIndex = nVsIndex)
   }
 }

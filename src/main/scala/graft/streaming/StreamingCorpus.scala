@@ -29,10 +29,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object StreamingCorpus {
 
+  /** `annIndexDir`: standing [[graft.ext.Similarity.buildIndex]] directory
+    * for cross-run SEMANTIC dedup — each batch drops docs whose nearest
+    * indexed neighbor cosine clears `nearDupThreshold`, and survivors'
+    * embeddings are appended through the replay-safe
+    * [[AnnIndexStream.commitBatch]] protocol as part of the batch commit
+    * (the first batch builds the index from its survivors —
+    * deterministic, so a replayed build overwrites itself). Cell splits
+    * stay an offline operation ([[graft.ext.Similarity.splitCell]]): an
+    * in-batch split could rewrite files a replayed append still expects,
+    * breaking the rename-if-absent idempotence. */
   case class Config(idCol: String = "doc_id", textCol: String = "text",
                     numShards: Int = 3, qualityMin: Double = 0.5,
                     nearDupThreshold: Double = 0.9,
-                    numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3)
+                    numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
+                    annIndexDir: Option[String] = None,
+                    embeddingCol: String = "embedding")
 
   def start(docs: DataFrame, outDir: String, checkpointDir: String,
             cfg: Config = Config(), availableNow: Boolean = true): StreamingQuery = {
@@ -107,7 +119,26 @@ object StreamingCorpus {
         col("a.doc_id") > col("b.doc_id"))
       .filter(estJaccard(col("a.sig"), col("b.sig")) >= cfg.nearDupThreshold)
       .select(col("a.doc_id").as("doc_id")).distinct()
-    val dropIds = vsPrior.unionByName(vsBatch).distinct()
+    // 3.5 semantic near-dup vs the standing ANN index (all prior runs):
+    //     one probed-cells query per batch, no prior-corpus rescan
+    def annReady(dir: String): Boolean = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      Seq("model", "centroids", "cells").forall(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")))
+    }
+    cfg.annIndexDir.foreach { _ =>
+      require(fresh.columns.contains(cfg.embeddingCol),
+        s"annIndexDir needs column '${cfg.embeddingCol}' on the stream")
+    }
+    val vsIndex = cfg.annIndexDir.filter(annReady) match {
+      case Some(dir) =>
+        graft.ext.Similarity.indexTopK(fresh, dir, cfg.idCol, cfg.embeddingCol, k = 1)
+          .filter(col("sim") >= cfg.nearDupThreshold)
+          .select(col("qid").as("doc_id")).distinct()
+      case None => spark.range(0).select(col("id").as("doc_id"))
+    }
+    val dropIds = vsPrior.unionByName(vsBatch).unionByName(vsIndex).distinct()
     val survivors = sigged.join(dropIds.withColumnRenamed("doc_id", cfg.idCol),
       Seq(cfg.idCol), "left_anti")
 
@@ -121,5 +152,21 @@ object StreamingCorpus {
       .write.mode(SaveMode.Append).parquet(fpDir)
     survBanded.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).parquet(bandDir)
+
+    // 5. maintain the standing semantic index as part of the commit:
+    //    replay-safe encode+rename append into the existing layout, or a
+    //    deterministic first-batch build (overwrite — a replay rebuilds
+    //    the identical index)
+    cfg.annIndexDir.foreach { dir =>
+      val emb = survivors.select(col(cfg.idCol), col(cfg.embeddingCol))
+      if (annReady(dir))
+        AnnIndexStream.commitBatch(emb, batchId, dir, cfg.idCol, cfg.embeddingCol)
+      else {
+        val n = math.max(1L, emb.count())
+        val nlist = math.max(4, (math.sqrt(n.toDouble) / 2).round.toInt)
+        graft.ext.Similarity.buildIndex(emb, cfg.idCol, cfg.embeddingCol, dir,
+          nlist = nlist, kmeansIters = 2)
+      }
+    }
   }
 }

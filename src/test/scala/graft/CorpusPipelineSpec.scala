@@ -138,4 +138,82 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids === (0L until 40L).toSet, s"canonical-minimum law violated: $ids")
   }
+
+  test("annIndexDir: cross-run dedup via the standing index; first run identical to in-run path") {
+    val rnd = new scala.util.Random(67)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"the w${rnd.nextInt(400)} of and to a").mkString(" ")
+    val dim = 16
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Seq[Float], eps: Double, seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      v.map(x => (x + eps * r.nextGaussian()).toFloat)
+    }
+    // run 1: 40 distinct docs + 3 in-run paraphrase pairs (ids 700.. drop)
+    val base = (0L until 40L).map(i => (i, sentence(12), vec(i.toInt)))
+    val inRunDups = (0L until 3L).map(i =>
+      (i + 700L, sentence(12), jitter(vec(i.toInt), 0.01, 900 + i.toInt)))
+    val in1 = Files.createTempDirectory("graft-cpann-in1").toString
+    (base ++ inRunDups).toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(in1)
+    val annDir = Files.createTempDirectory("graft-cpann-idx").toString + "/idx"
+    def run(input: String, out: String, name: String, ann: Option[String]) =
+      CorpusPipeline.run(spark, input, out, name,
+        numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+        nearDupThreshold = 0.95, bpeMerges = 60, bpeMaxWords = 2000,
+        nearDupMethod = "embedding", annIndexDir = ann)
+    // first run: no index yet -> output must be IDENTICAL to the plain
+    // in-run LSH path (same corpus, same knobs), and the index gets built
+    val outPlain = Files.createTempDirectory("graft-cpann-plain").toString
+    val stPlain = run(in1, outPlain, "ann_plain", None)
+    val out1 = Files.createTempDirectory("graft-cpann-r1").toString
+    val st1 = run(in1, out1, "ann_r1", Some(annDir))
+    assert(st1.afterNearDup === stPlain.afterNearDup,
+      s"first indexed run must match the in-run path: $st1 vs $stPlain")
+    def bundleIds(out: String, name: String): Set[Long] =
+      spark.read.parquet(s"$out/$name/data")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bundleIds(out1, "ann_r1") === bundleIds(outPlain, "ann_plain"),
+      "first indexed run must write the same surviving docs")
+    assert(st1.droppedVsIndex === -1L, "no standing index on the first run")
+    // run 2: fresh ids — 10 new docs + 4 planted near-dups of run-1
+    // (prior-run) docs. Without the index these all survive (nothing in
+    // run 2 resembles anything else in run 2); with it, the planted 4 drop.
+    val newDocs = (2000L until 2010L).map(i => (i, sentence(12), vec(i.toInt + 5000)))
+    val crossRunDups = (0L until 4L).map(i =>
+      (i + 2700L, sentence(12), jitter(vec(10 + i.toInt), 0.01, 990 + i.toInt)))
+    val in2 = Files.createTempDirectory("graft-cpann-in2").toString
+    (newDocs ++ crossRunDups).toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(in2)
+    val out2 = Files.createTempDirectory("graft-cpann-r2").toString
+    val st2 = run(in2, out2, "ann_r2", Some(annDir))
+    assert(st2.droppedVsIndex === 4L,
+      s"planted near-dups of indexed prior-run docs must drop: $st2")
+    assert(bundleIds(out2, "ann_r2") === (2000L until 2010L).toSet,
+      "run 2 must keep exactly the genuinely-new docs")
+    // the survivors of run 2 were appended: a third run replaying one of
+    // run 2's docs (new id, near-identical embedding) drops it too
+    val in3 = Files.createTempDirectory("graft-cpann-in3").toString
+    Seq((3000L, sentence(12), jitter(vec(2005 + 5000), 0.01, 777)))
+      .toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(in3)
+    val out3 = Files.createTempDirectory("graft-cpann-r3").toString
+    val st3 = run(in3, out3, "ann_r3", Some(annDir))
+    assert(st3.droppedVsIndex === 1L && st3.afterNearDup === 0L,
+      s"a near-dup of a run-2 survivor must drop in run 3: $st3")
+    // re-ingesting run-1's corpus VERBATIM (same ids) drops everything:
+    // the ANN query self-excludes equal ids, so indexed-id membership must
+    // count as prior presence — otherwise a re-run silently appends
+    // duplicate ids into the index
+    val out4 = Files.createTempDirectory("graft-cpann-r4").toString
+    val st4 = run(in1, out4, "ann_r4", Some(annDir))
+    assert(st4.afterNearDup === 0L, s"verbatim re-ingest must fully drop: $st4")
+    val nids = spark.read.parquet(s"$annDir/cells").select("nid").collect()
+      .map(_.getLong(0))
+    assert(nids.length === nids.distinct.length,
+      "the index must never hold duplicate ids")
+  }
 }

@@ -57,4 +57,66 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(r =>
       graft.functions.EsMurmur3.shard(r.getString(0), 2) == r.getInt(1)))
   }
+
+  test("annIndexDir: semantic dedup vs the standing index across batches") {
+    val rnd = new scala.util.Random(73)
+    def sentence() =
+      (0 until 12).map(_ => s"the w${rnd.nextInt(300)} of and to a").mkString(" ")
+    val dim = 16
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Seq[Float], eps: Double, seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      v.map(x => (x + eps * r.nextGaussian()).toFloat)
+    }
+    val in = Files.createTempDirectory("graft-scann-in").toString
+    val out = Files.createTempDirectory("graft-scann-out").toString
+    val ckpt = Files.createTempDirectory("graft-scann-ck").toString
+    val annDir = Files.createTempDirectory("graft-scann-idx").toString + "/idx"
+    val originals = (0L until 30L).map(i => (i, sentence(), vec(i.toInt)))
+    val schema = originals.toDF("doc_id", "text", "embedding").schema
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = StreamingCorpus.start(stream, out, ckpt,
+        StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+          nearDupThreshold = 0.95, annIndexDir = Some(annDir)))
+      q.awaitTermination(120000)
+    }
+    def accepted(): Set[Long] = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select("_id").collect().map(_.getString(0).toLong).toSet
+
+    // batch 1 builds the index from its survivors
+    originals.toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(in)
+    drain()
+    assert(accepted() === (0L until 30L).toSet, s"batch1: ${accepted()}")
+    assert(spark.read.parquet(s"$annDir/cells").count() === 30L,
+      "batch-1 survivors must be indexed")
+
+    // batch 2: DIFFERENT surface text (MinHash state is blind to it) but
+    // near-identical embeddings of accepted docs 4 and 9 -> the standing
+    // index drops them; two genuinely new docs pass and get indexed
+    Seq((500L, sentence(), jitter(vec(4), 0.01, 801)),
+        (501L, sentence(), jitter(vec(9), 0.01, 802)),
+        (600L, sentence(), vec(7001)), (601L, sentence(), vec(7002)))
+      .toDF("doc_id", "text", "embedding").write.mode("append").parquet(in)
+    drain()
+    assert(accepted() === ((0L until 30L).toSet + 600L + 601L),
+      s"batch2 semantic clones not dropped: ${accepted()}")
+    assert(spark.read.parquet(s"$annDir/cells").count() === 32L,
+      "batch-2 survivors must be appended to the index")
+
+    // batch 3: a paraphrase of a batch-2 ACCEPTED doc is dropped too —
+    // the index accumulates across batches
+    Seq((700L, sentence(), jitter(vec(7001), 0.01, 803)),
+        (701L, sentence(), vec(7003)))
+      .toDF("doc_id", "text", "embedding").write.mode("append").parquet(in)
+    drain()
+    val got = accepted()
+    assert(!got.contains(700L) && got.contains(701L), s"batch3: $got")
+  }
 }
