@@ -1311,6 +1311,45 @@ object Queries {
           "vec_id", "embedding", k = 3, nprobe = 4)
       }),
 
+    // ---- ANN index layout variants: codes-only and residual (IVFADC)
+    //      builds of the SAME corpus must agree with the vectors-stored
+    //      index once exact-reranked against the source table — the
+    //      round-4 spec law promoted into the driver's own artifact. The
+    //      identity is asserted INSIDE the query (it throws on any
+    //      mismatch); the returned frame summarizes the comparison.
+    //      Engine-specific -> rows-only. ----
+    QueryDef("q71_ann_index_variants", None,
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        def build(storeVectors: Boolean, residual: Boolean): String = {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-q71-annidx").toString
+          graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", d,
+            nlist = 16, kmeansIters = 2, m = 8, k = 16,
+            storeVectors = storeVectors, residual = residual)
+          d
+        }
+        def res(d: String, rerank: Boolean): Set[(Long, Long, Int, Double)] =
+          graft.ext.Similarity.indexTopK(q, d, "vec_id", "embedding",
+              k = 3, nprobe = 4,
+              rerankCorpus = if (rerank) Some(emb) else None,
+              rerankIdCol = if (rerank) "vec_id" else "")
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+            .toSet
+        val rows = Seq(false, true).map { residual =>
+          val full = res(build(storeVectors = true, residual), rerank = false)
+          val lean = res(build(storeVectors = false, residual), rerank = true)
+          require(lean == full, s"codes-only + source rerank must equal the " +
+            s"vectors-stored index (residual=$residual): " +
+            s"${(lean -- full).take(3)} vs ${(full -- lean).take(3)}")
+          (if (residual) "residual" else "raw", full.size, lean == full)
+        }
+        rows.toDF("layout", "result_rows", "lean_identity")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
