@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination — flag corpus documents whose word n-grams
+ * overlap an evaluation/benchmark set, the standard "remove eval
+ * contamination from training data" stage of LLM data pipelines (n-gram
+ * overlap against the eval set, as published in the GPT-3/PaLM/Llama
+ * dataset appendices).
+ *
+ * Scale shape: the benchmark side is SMALL by definition (eval sets are
+ * 10⁴–10⁶ n-grams) — it reduces to a bounded distinct-n-gram set in one
+ * distributed aggregate and broadcasts once per job. The corpus side is
+ * then MAP-ONLY: one projection computes each document's distinct n-grams
+ * and counts membership in the broadcast set — zero corpus-side shuffle,
+ * no join, no explode; 100 TB of text is read exactly once and never
+ * moves. (An exploded corpus-side join would shuffle ~tokens-per-doc rows
+ * per document — the thing this design exists to avoid.)
+ *
+ * Tokenization is the shared law both sides must agree on (see
+ * [[NgramLm.normalize]] for the same principle): lowercase, split on
+ * whitespace runs, drop empties. ASCII-stable; documented rather than
+ * configurable so the benchmark set and the corpus scoring can never
+ * disagree.
+ *
+ * No reference analog (the reference engine ships no text curation);
+ * part of the training-data operator tier alongside [[Dedup]] and
+ * [[NgramLm]].
+ */
+object Decontaminate {
+
+  /** Bounded benchmark n-gram set: `n` is pinned so scoring cannot be
+    * asked a different shingle width than the set was built with. */
+  case class BenchmarkSet(n: Int, ngrams: Set[String]) {
+    require(n >= 1, s"n must be >= 1, got $n")
+
+    /** (distinct n-grams hit, distinct n-grams total) for one text. */
+    def overlap(text: String): (Int, Int) = {
+      val grams = distinctNgrams(text, n)
+      var hits = 0
+      val it = grams.iterator
+      while (it.hasNext) if (ngrams.contains(it.next())) hits += 1
+      (hits, grams.size)
+    }
+  }
+
+  /** Shared tokenization law (must match the documented oracle form
+    * `list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')`). */
+  private[ext] def tokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+  }
+
+  private[ext] def distinctNgrams(text: String, n: Int): Set[String] = {
+    val w = tokenize(text)
+    if (w.length < n) return Set.empty
+    val out = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i <= w.length - n) {
+      val sb = new StringBuilder(w(i))
+      var j = 1
+      while (j < n) { sb += ' '; sb ++= w(i + j); j += 1 }
+      out += sb.result()
+      i += 1
+    }
+    out.toSet
+  }
+
+  /** Word-n-gram array column (non-distinct, document order) — used for
+    * the benchmark-side distributed aggregate so 100 TB of *benchmark*
+    * text would also reduce before moving (it never does in practice, but
+    * the shape is right). */
+  private[graft] def wordNgrams(c: Column, n: Int): Column = {
+    val grams = udf((s: String) => {
+      val w = tokenize(s)
+      if (w.length < n) Array.empty[String]
+      else Array.tabulate(w.length - n + 1)(i => w.slice(i, i + n).mkString(" "))
+    })
+    grams(c)
+  }
+
+  /**
+   * Collect the benchmark's distinct word n-grams: one distributed
+   * explode + distinct aggregate, then a BOUNDED collect. `maxNgrams` is
+   * a hard guard — a benchmark that exceeds it is a usage error (this
+   * path broadcasts; an unbounded eval set should be deduplicated or
+   * sampled upstream), so the failure is loud and immediate rather than
+   * an executor OOM mid-job.
+   */
+  def benchmarkNgrams(bench: DataFrame, textCol: String, n: Int,
+                      maxNgrams: Int = 5000000): BenchmarkSet = {
+    val distinctGrams = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    val grams = distinctGrams.limit(maxNgrams + 1).collect().map(_.getString(0))
+    require(grams.length <= maxNgrams,
+      s"benchmark has more than $maxNgrams distinct $n-grams — " +
+        "dedupe/sample the eval set or raise maxNgrams")
+    BenchmarkSet(n, grams.toSet)
+  }
+
+  /**
+   * Tag each corpus document with its benchmark overlap: adds
+   * `ngram_hits` (distinct document n-grams present in the benchmark set)
+   * and `ngram_total` (distinct document n-grams). Map-only: the set is
+   * broadcast once per job; no corpus-side shuffle.
+   */
+  def tag(corpus: DataFrame, textCol: String, set: BenchmarkSet): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(set)
+    val fn = udf((s: String) => bc.value.overlap(s))
+    corpus
+      .withColumn("_ov", fn(col(textCol)))
+      .withColumn("ngram_hits", col("_ov._1").cast("long"))
+      .withColumn("ngram_total", col("_ov._2").cast("long"))
+      .drop("_ov")
+  }
+
+  /** Filter form: drop documents with at least `minHits` distinct
+    * benchmark n-grams (the published pipelines use a small absolute
+    * count for long n-grams, e.g. any 13-gram collision). */
+  def dropContaminated(corpus: DataFrame, textCol: String, set: BenchmarkSet,
+                       minHits: Int): DataFrame =
+    tag(corpus, textCol, set).filter(col("ngram_hits") < minHits)
+      .drop("ngram_hits", "ngram_total")
+}

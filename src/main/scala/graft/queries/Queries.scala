@@ -1339,8 +1339,14 @@ object Queries {
             .collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
             .toSet
+        // One vectors-stored reference build suffices for both variants:
+        // stored-vector search is exact within the probed cells and the
+        // coarse quantizer ignores storeVectors/residual, so the raw full
+        // index is the common ground truth (residual-lean == raw-full is
+        // the STRONGER identity).
+        val full = res(build(storeVectors = true, residual = false),
+          rerank = false)
         val rows = Seq(false, true).map { residual =>
-          val full = res(build(storeVectors = true, residual), rerank = false)
           val lean = res(build(storeVectors = false, residual), rerank = true)
           require(lean == full, s"codes-only + source rerank must equal the " +
             s"vectors-stored index (residual=$residual): " +
@@ -1348,6 +1354,43 @@ object Queries {
           (if (residual) "residual" else "raw", full.size, lean == full)
         }
         rows.toDF("layout", "result_rows", "lean_identity")
+      }),
+
+    // ---- benchmark decontamination (the eval-overlap stage of a training
+    //      data pipeline): docs with doc_id % 100 == 0 stand in for the
+    //      eval set; every other doc is scored by DISTINCT word-3-gram
+    //      overlap against it. Spark side is the broadcast-set map-only
+    //      path (zero corpus-side shuffle); oracle recomputes via
+    //      explode+join — a hash match means the two formulations agree
+    //      exactly. range(1, len(w)-1) == one start per 3-gram. ----
+    QueryDef("q72_decontaminate",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |grams AS (
+             |  SELECT doc_id,
+             |    len(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+             |        i -> array_to_string(w[i:i+2], ' ')))) AS tot,
+             |    unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+             |        i -> array_to_string(w[i:i+2], ' ')))) AS g
+             |  FROM docs),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0)
+             |SELECT c.doc_id, count(*) AS ngram_hits,
+             |  any_value(tot) AS ngram_total
+             |FROM grams c JOIN bench USING (g)
+             |WHERE c.doc_id % 100 <> 0
+             |GROUP BY c.doc_id HAVING count(*) >= 2
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val set = graft.ext.Decontaminate.benchmarkNgrams(
+          docs.filter(col("doc_id") % 100 === 0), "text", n = 3)
+        graft.ext.Decontaminate.tag(
+            docs.filter(col("doc_id") % 100 =!= 0), "text", set)
+          .filter(col("ngram_hits") >= 2)
+          .select(col("doc_id"), col("ngram_hits"), col("ngram_total"))
+          .orderBy("doc_id")
       }),
 
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
