@@ -30,7 +30,8 @@ object Main {
     "vec-col", "nlist", "nprobe", "pq-m", "pq-k", "opq-iters",
     "topk", "rerank-factor", "results", "cell-salt", "cell", "sub",
     "store-vectors", "rerank-corpus", "rerank-vec-col", "residual",
-    "payload-cols", "filter", "filter-selectivity", "ann-index")
+    "payload-cols", "filter", "filter-selectivity", "ann-index",
+    "neardup-clusters")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -208,7 +209,10 @@ object Main {
             embeddingCol = raw.getOrElse("embedding-col", "embedding"),
             // standing ANN index for cross-run semantic dedup (embedding
             // method): prior-run near-dups drop, survivors get indexed
-            annIndexDir = raw.get("ann-index"))
+            annIndexDir = raw.get("ann-index"),
+            // connected-components drop policy: one representative per
+            // TRANSITIVE duplicate cluster (vs pairwise higher-id drop)
+            clusterDrop = raw.get("neardup-clusters").exists(_.toBoolean))
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")

@@ -146,4 +146,129 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Positional k-word window hashes (codegen; index i = window starting
+    * at token i; shorter-than-k texts yield an empty array). */
+  def windowHashes(text: Column, k: Int): Column =
+    graft.functions.EsFunctions.window_hashes(text, k)
+
+  /**
+   * Repeated-span detection — substring-level exact dedup in its
+   * distributed, suffix-array-free form (the "dedup repeated substrings
+   * across the corpus" stage of LLM data pipelines): every k-word window
+   * whose exact (lowercased) text occurs in at least `minDocs` distinct
+   * documents. Returns (idCol, pos) — one row per repeated window
+   * position; `pos` is the 0-based starting token, covering tokens
+   * `[pos, pos+k-1]`.
+   *
+   * Scale shape: the corpus explodes to slim (id, pos, hash64) triples —
+   * ~one row per token, LINEAR in corpus size, no string payload moves.
+   * Document frequency per window is a distinct-(hash,id) aggregate, both
+   * partial+final; the repeated-hash set joins back on the hash (AQE
+   * broadcasts it when small). A boilerplate window appearing in millions
+   * of docs is NOT a skew problem: the join key fans out across its
+   * occurrences' partitions and the final groupBy is keyed by doc, not
+   * window. Windows are matched by seed-42 XXH64 — at 2^64, corpus-level
+   * collision odds are negligible (and the q73 oracle, which joins exact
+   * window STRINGS, would catch one).
+   */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 10, minDocs: Int = 2): DataFrame = {
+    val wins = docs.select(col(idCol),
+        posexplode(windowHashes(col(textCol), k)).as(Seq("pos", "h")))
+    val rep = wins.select(col("h"), col(idCol)).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h")
+    wins.join(rep, "h").select(col(idCol), col("pos"))
+  }
+
+  /**
+   * Strip repeated spans: remove every token covered by a repeated window
+   * (overlapping `[pos, pos+k-1]` ranges merged), keep the rest in order,
+   * re-join with single spaces. Adds `<textCol>_clean`; docs with no
+   * repeated span keep their text verbatim. One extra per-doc groupBy
+   * (collect_list of positions, bounded by tokens-per-doc) + a left join
+   * back to the corpus.
+   */
+  def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 10, minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k, minDocs)
+      .groupBy(idCol).agg(sort_array(collect_list("pos")).as("_spans"))
+    val strip = udf((text: String, spans: Seq[Int]) => {
+      if (text == null) null
+      else {
+        val toks = text.trim.split("\\s+", -1)
+        val drop = new Array[Boolean](toks.length)
+        spans.foreach { p =>
+          var i = p; val end = math.min(p + k, toks.length)
+          while (i < end) { drop(i) = true; i += 1 }
+        }
+        toks.iterator.zipWithIndex.collect { case (t, i) if !drop(i) => t }
+          .mkString(" ")
+      }
+    })
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn(s"${textCol}_clean",
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(strip(col(textCol), col("_spans"))))
+      .drop("_spans")
+  }
+
+  /**
+   * Connected components over a near-dup pair graph — cluster ids for
+   * keep-one-per-CLUSTER dedup semantics (pairwise drop-the-greater
+   * over-drops on chains A~B~C where A!~C). Input: a 2-column (id_a,
+   * id_b) frame from [[minhashNearDups]], [[Similarity.cosineNearDupsLsh]]
+   * or any other pair source. Output: (id, cluster_id) for every id
+   * appearing in a pair, cluster_id = min id of the component.
+   *
+   * Hash-min label propagation: each round joins labels across edges and
+   * keeps the per-node min — one slim shuffle join + one aggregate per
+   * round, converging in O(component diameter) rounds. Near-dup
+   * components are dense and shallow (diameter a handful), so the bound
+   * is small in practice; `maxIters` caps pathological chains and the
+   * iteration stops at the first round with no label change.
+   * `localCheckpoint` truncates the growing lineage each round (the plan
+   * would otherwise double per iteration).
+   */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val Array(ca, cb) = pairs.columns.take(2)
+    val edges = pairs.select(col(ca).as("src"), col(cb).as("dst"))
+      .union(pairs.select(col(cb).as("src"), col(ca).as("dst")))
+      .distinct().persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val prop = edges
+          .join(labels.select(col("id").as("src"), col("lbl").as("_l")), "src")
+          .select(col("dst").as("id"), col("_l").as("lbl"))
+        val next = labels.union(prop)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint(true)
+        converged = next
+          .join(labels.withColumnRenamed("lbl", "_old"), "id")
+          .filter(col("lbl") =!= col("_old"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.withColumnRenamed("lbl", "cluster_id")
+    } finally edges.unpersist()
+  }
+
+  /** Keep one representative per near-dup cluster: drops every doc whose
+    * id appears in a pair but is not its component's min id. Docs in no
+    * pair always survive. */
+  def dropNearDupClusters(docs: DataFrame, idCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val nonRep = nearDupClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(nonRep, Seq(idCol), "left_anti")
+  }
 }

@@ -112,6 +112,10 @@ object EsFunctions {
   def shingle_hashes(text: Column, k: Int): Column =
     GraftSqlBridge.column(ShingleHashesExpr(GraftSqlBridge.expression(text), k))
 
+  /** Positional (non-distinct) k-word window hashes (see [[WindowHashes]]). */
+  def window_hashes(text: Column, k: Int): Column =
+    GraftSqlBridge.column(WindowHashesExpr(GraftSqlBridge.expression(text), k))
+
   /** One-pass codegen'd MinHash signature (see [[MinHashSig]]). */
   def minhash_sig(hashes: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(hashes), numHashes))
@@ -168,6 +172,10 @@ object EsFunctions {
     reg.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashesExpr(exprs(0), intArg(exprs(1), "shingle_hashes(k)")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "window_hashes",
+      exprs => WindowHashesExpr(exprs(0), intArg(exprs(1), "window_hashes(k)")),
       "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig",

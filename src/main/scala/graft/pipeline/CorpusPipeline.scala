@@ -71,7 +71,8 @@ object CorpusPipeline {
           lmMinScore: Option[Double] = None,
           nearDupMethod: String = "minhash",
           embeddingCol: String = "embedding",
-          annIndexDir: Option[String] = None): Stats = {
+          annIndexDir: Option[String] = None,
+          clusterDrop: Boolean = false): Stats = {
     val raw = spark.read.parquet(input)
     val docs =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -135,8 +136,20 @@ object CorpusPipeline {
         near.unionByName(member).distinct()
       }
     val nVsIndex = priorDrops.map(_.count()).getOrElse(-1L)
-    val dropIds = priorDrops.foldLeft(
-      pairs.select(col("id_b").as(idCol)).distinct())(_ unionByName _).distinct()
+    // two drop policies over the pair graph:
+    //  - pairwise (default): drop the higher id of each pair — keeps a
+    //    maximal-independent-ish set (two docs that only share a dropped
+    //    hub BOTH survive);
+    //  - clusterDrop: connected components + keep the component min — the
+    //    published-pipeline semantics (one representative per TRANSITIVE
+    //    duplicate cluster).
+    val inRunDrops =
+      if (clusterDrop)
+        Dedup.nearDupClusters(pairs)
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
+    val dropIds = priorDrops.foldLeft(inRunDrops)(_ unionByName _).distinct()
     val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
     val nSurvivors = survivors.count()
     // maintain the standing index with this run's accepted docs: append

@@ -1393,6 +1393,73 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // ---- repeated-span detection (substring-level exact dedup, the
+    //      suffix-array-free distributed form): count per doc the 5-word
+    //      window positions whose exact text occurs in >= 2 distinct docs.
+    //      Spark matches windows by codegen XXH64; the oracle joins the
+    //      exact window STRINGS — a hash match proves the hash-based
+    //      dataflow reproduces exact-string semantics (and would expose a
+    //      64-bit collision). ----
+    QueryDef("q73_repeated_spans",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |wins AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+             |      i -> array_to_string(w[i:i+4], ' '))) AS g
+             |  FROM docs),
+             |rep AS (SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT doc_id, count(*) AS repeated_windows
+             |FROM wins JOIN rep USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => graft.ext.Dedup.repeatedSpans(
+          t(s, dir, "documents"), "doc_id", "text", k = 5, minDocs = 2)
+        .groupBy("doc_id").agg(count(lit(1)).as("repeated_windows"))
+        .orderBy("doc_id")),
+
+    // ---- near-dup cluster ids (connected components over a pair graph —
+    //      keep-one-per-CLUSTER dedup semantics): pairs are the q25
+    //      bucketed exact-jaccard graph at threshold 0.5; Spark runs
+    //      hash-min label propagation to a fixpoint, the oracle closes the
+    //      same graph with a recursive CTE — a hash match proves the
+    //      iterative dataflow computes the true transitive closure. ----
+    QueryDef("q74_neardup_clusters",
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, source, n_chars // 100 AS bucket,
+             |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS words
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM d a JOIN d b
+             |    ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.words, b.words))
+             |        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.5),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, lbl) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+             |SELECT id AS doc_id, min(lbl) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          (col("n_chars") / 100).cast(IntegerType).as("bucket"),
+          array_sort(graft.functions.EsFunctions.shingle_hashes(col("text"), 1)).as("wh"))
+        val a = d.alias("a")
+        val b = d.alias("b")
+        val pairs = a.join(b, col("a.source") === col("b.source") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .filter(graft.functions.EsFunctions.jaccard_sorted(
+            col("a.wh"), col("b.wh")) >= 0.5)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        graft.ext.Dedup.nearDupClusters(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,

@@ -139,6 +139,54 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids === (0L until 40L).toSet, s"canonical-minimum law violated: $ids")
   }
 
+  test("clusterDrop: star component keeps one representative; pairwise keeps both spokes") {
+    val rnd = new scala.util.Random(67)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"the w${rnd.nextInt(400)} of and to a").mkString(" ")
+    val dim = 16
+    // planted star in embedding space: hub H with spokes B and C at
+    // cos(H,B)=cos(H,C)=cos θ ≈ 0.96 but cos(B,C)=cos 2θ ≈ 0.84 — a pair
+    // graph (B,H),(C,H) where B and C are NOT near-dups of each other.
+    // Exact cosines (the in-join verify is exact), so the geometry is
+    // deterministic. Hub gets the LARGEST id: the pairwise policy drops
+    // only id_b=H and keeps both spokes; the cluster policy keeps the
+    // component min (B) and drops C and H.
+    val theta = math.acos(0.96)
+    def onPlane(angle: Double): Seq[Float] = {
+      val v = new Array[Float](dim)
+      v(0) = math.cos(angle).toFloat; v(1) = math.sin(angle).toFloat
+      v.toSeq
+    }
+    val others = (0L until 20L).map(i => (i, sentence(12), {
+      val r = new scala.util.Random(300 + i.toInt)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }))
+    val star = Seq(
+      (50L, sentence(12), onPlane(-theta)),   // spoke B (component min)
+      (51L, sentence(12), onPlane(theta)),    // spoke C
+      (99L, sentence(12), onPlane(0.0)))      // hub H, largest id
+    val input = Files.createTempDirectory("graft-cp-star").toString
+    (others ++ star).toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(input)
+
+    def run2(out: String, idx: String, cluster: Boolean) =
+      CorpusPipeline.run(spark, input, out, idx,
+        numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+        nearDupThreshold = 0.9, bpeMerges = 60, bpeMaxWords = 2000,
+        nearDupMethod = "embedding", clusterDrop = cluster)
+
+    val stP = run2(Files.createTempDirectory("graft-cp-star-p").toString,
+      "star_p", cluster = false)
+    assert(stP.afterNearDup === 22L, s"pairwise should drop only the hub: $stP")
+    val outC = Files.createTempDirectory("graft-cp-star-c").toString
+    val stC = run2(outC, "star_c", cluster = true)
+    assert(stC.afterNearDup === 21L, s"cluster should keep one of three: $stC")
+    val ids = spark.read.parquet(s"$outC/star_c/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(50L) && !ids.contains(51L) && !ids.contains(99L),
+      s"component-min representative law violated: $ids")
+  }
+
   test("annIndexDir: cross-run dedup via the standing index; first run identical to in-run path") {
     val rnd = new scala.util.Random(67)
     def sentence(n: Int) =

@@ -88,6 +88,82 @@ class DedupSpec extends SparkSpec {
     assert(found >= 95, s"found only $found of 100 planted near-dup pairs")
   }
 
+  test("window_hashes: positional, non-distinct, empty under k tokens") {
+    val df = Seq(
+      "Alpha beta  GAMMA alpha beta", // 4 bigram windows, dup window repeats hash
+      "alpha beta",                   // exactly one window
+      "alpha",                        // shorter than k -> empty
+      "").toDF("t")
+      .select(Dedup.windowHashes(col("t"), 2).as("wh"))
+    val r = df.collect().map(_.getSeq[Long](0))
+    assert(r(0).length === 4)
+    assert(r(0)(0) === r(0)(3), "same window text must hash equal (case/ws-insensitive)")
+    assert(r(0).distinct.length === 3)
+    assert(r(1).length === 1)
+    assert(r(2).isEmpty && r(3).isEmpty)
+    // positional alignment with the distinct kernel's universe
+    val sh = Seq("alpha beta gamma alpha beta").toDF("t")
+      .select(Dedup.shingleHashes(col("t"), 2).as("s")).collect()(0).getSeq[Long](0)
+    assert(r(0).toSet === sh.toSet)
+  }
+
+  test("repeatedSpans + strip: planted shared paragraph is found and removed") {
+    val boiler = "all rights reserved by the example corporation of somewhere"
+    val docs = Seq(
+      (1L, s"unique one text here $boiler"),
+      (2L, s"$boiler and other words entirely different"),
+      (3L, "no shared span in this document at all okay"),
+      (4L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // boiler = 9 words -> 5 windows; doc1 offset 4, doc2 offset 0
+    assert(spans.map(_._1) === Set(1L, 2L))
+    assert(spans.count(_._1 == 1L) === 5 && spans.count(_._1 == 2L) === 5)
+    assert(spans.filter(_._1 == 2L).map(_._2) === Set(0, 1, 2, 3, 4))
+    val cleaned = Dedup.stripRepeatedSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .select("doc_id", "text_clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) === "unique one text here")
+    assert(cleaned(2L) === "and other words entirely different")
+    assert(cleaned(3L) === "no shared span in this document at all okay")
+    assert(cleaned(4L) === null)
+    // idempotent: stripping the cleaned corpus finds nothing
+    val cleanedDf = Dedup.stripRepeatedSpans(docs, "doc_id", "text", 5, 2)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    assert(Dedup.repeatedSpans(cleanedDf, "doc_id", "text", 5, 2).isEmpty)
+  }
+
+  test("repeatedSpans: within-doc repetition does not count toward minDocs") {
+    val docs = Seq(
+      (1L, "x y z x y z x y z"), // repeats internally, nowhere else
+      (2L, "totally different words here")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2).isEmpty)
+  }
+
+  test("nearDupClusters: chains close transitively; representatives kept") {
+    import spark.implicits._
+    // components: {1,2,3,4} as a chain, {10,11}, singleton 20 not in pairs
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val kept = Dedup.dropNearDupClusters(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 10L, 20L))
+  }
+
+  test("nearDupClusters: long path needs multiple propagation rounds") {
+    import spark.implicits._
+    // a path 0-1-2-...-12: min label must walk the full diameter
+    val pairs = (0L until 12L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 13 && labels.values.forall(_ === 0L))
+  }
+
   test("simhash: identical texts equal; near texts within small hamming") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog again and again today"),
