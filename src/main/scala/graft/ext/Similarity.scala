@@ -1407,7 +1407,14 @@ object Similarity {
     *    (≤ |Q|·k·rerankFactor ids) joins back to the corpus for exact
     *    similarities — Spark broadcasts the tiny candidate side, so the
     *    corpus pays one scan, not a shuffle — and results are IDENTICAL to
-    *    a vectors-stored index (same vectors, same tie order). The corpus's
+    *    a vectors-stored index OF THE SAME CODE LAYOUT (same `residual`
+    *    setting): both layouts then rank the same ADC shortlist, and the
+    *    exact rerank maps equal shortlists to equal results (same vectors,
+    *    same tie order). Across code layouts (residual vs raw) the
+    *    identity does NOT survive a binding k·rerankFactor cut — different
+    *    codes nominate different shortlists, so cross-layout agreement is
+    *    the PQ shortlist recall, a bound, not an equality (pinned by the
+    *    binding-cut law in SimilaritySpec). The corpus's
     *    embedding column is `rerankVecCol` when given, else the QUERY
     *    frame's `vecCol` name;
     *  - absent: the compressed-domain ranking is returned as-is (`sim` is

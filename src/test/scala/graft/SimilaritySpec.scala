@@ -1360,4 +1360,77 @@ class SimilaritySpec extends SparkSpec {
     assert(viaParam === sameName,
       "rerankVecCol must resolve the corpus column without changing results")
   }
+
+  test("binding rerank cut: same-code lean==full exact; cross-code only a recall bound") {
+    // The k*rerankFactor ADC cut must BIND: per probed cell ~120 rows vs a
+    // cut of k*rf = 4. Round 5's q71 lesson as a pinned law — when the cut
+    // truncates the candidate stream, the exact-rerank identity holds only
+    // between layouts that rank the SAME shortlist (same PQ codes, i.e.
+    // same residual setting); residual-vs-raw layouts nominate different
+    // shortlists and may legitimately return different top-k sets.
+    val dim = 16
+    val k = 2
+    val rf = 2 // cut = 4 candidates per query, far below probed depth
+    val rnd = new scala.util.Random(211)
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 480).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 8)
+    def build(storeVectors: Boolean, residual: Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-bindingcut").toString
+      Similarity.buildIndex(corpus, "vec_id", "embedding", d,
+        nlist = 4, kmeansIters = 3, m = 4, k = 8,
+        storeVectors = storeVectors, residual = residual)
+      d
+    }
+    // structural precondition: every cell deeper than the cut
+    val rawFullDir = build(storeVectors = true, residual = false)
+    val minCell = spark.read.parquet(s"$rawFullDir/cells")
+      .groupBy("cent_id").count().agg(min("count")).head().getLong(0)
+    assert(minCell > (k * rf).toLong,
+      s"cut must bind for this law to test anything: minCell=$minCell <= ${k * rf}")
+    def res(d: String, rerank: Boolean) =
+      Similarity.indexTopK(q, d, "vec_id", "embedding", k = k, nprobe = 2,
+          rerankFactor = rf,
+          rerankCorpus = if (rerank) Some(corpus) else None,
+          rerankIdCol = if (rerank) "vec_id" else "")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+    val rawFull = res(rawFullDir, rerank = false)
+    val resFull = res(build(storeVectors = true, residual = true), rerank = false)
+    // (a) same-code lean == full stays EXACT even under the binding cut
+    val rawLean = res(build(storeVectors = false, residual = false), rerank = true)
+    val resLean = res(build(storeVectors = false, residual = true), rerank = true)
+    assert(rawLean === rawFull, "raw lean+rerank must equal raw full under a binding cut")
+    assert(resLean === resFull, "residual lean+rerank must equal residual full under a binding cut")
+    // (b) cross-code is NOT an identity: at this harsh cut the residual and
+    // raw shortlists share almost nothing (measured 0.125 here) — asserting
+    // equality against a cross-code reference is exactly the q71 round-5
+    // bug. Pin that the divergence is real:
+    val pairs = (s: Set[(Long, Long, Int, Double)]) => s.map(t => (t._1, t._2))
+    val harsh = (pairs(resLean) & pairs(rawFull)).size.toDouble / pairs(rawFull).size
+    assert(harsh < 0.9, s"cross-code sets unexpectedly agree under a harsh cut " +
+      s"($harsh) — the binding-cut precondition stopped binding; tighten rf")
+    // ...and that a NON-binding cut restores cross-code equality: with
+    // k*rf >= probed depth the shortlist is every probed row for both
+    // layouts, the exact rerank sees identical candidate sets, and
+    // residual-lean == raw-full again. This is precisely why round 5's q71
+    // was green at sf0.01 (cut never bound) yet red at sf0.1 (it did).
+    def resAt(d: String, rerank: Boolean, rf2: Int) =
+      Similarity.indexTopK(q, d, "vec_id", "embedding", k = k, nprobe = 2,
+          rerankFactor = rf2,
+          rerankCorpus = if (rerank) Some(corpus) else None,
+          rerankIdCol = if (rerank) "vec_id" else "")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val rfOpen = 300 // k*rf = 600 > 240 probed rows: cut can never bind
+    val rawFullOpen = resAt(rawFullDir, rerank = false, rf2 = rfOpen)
+    val resLeanOpen = resAt(build(storeVectors = false, residual = true),
+      rerank = true, rf2 = rfOpen)
+    assert(resLeanOpen === rawFullOpen,
+      "with a non-binding cut, cross-code lean+rerank must equal raw-full")
+  }
 }
