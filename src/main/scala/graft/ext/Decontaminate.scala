@@ -32,18 +32,49 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Bounded benchmark n-gram set: `n` is pinned so scoring cannot be
-    * asked a different shingle width than the set was built with. */
-  case class BenchmarkSet(n: Int, ngrams: Set[String]) {
+    * asked a different shingle width than the set was built with.
+    *
+    * Representation: SORTED ascending xxhash64 (seed-42 XXH64 over UTF-8
+    * bytes — Spark's `xxhash64` on a string column) of each distinct
+    * n-gram, not the strings themselves. At the ceiling this is 8 bytes
+    * per gram (25M grams = 200 MB primitive array) vs hundreds of MB of
+    * boxed JVM strings for the same set; membership is a binary search.
+    * Collision odds are ~n²·2⁻⁶⁵ per set (≈10⁻⁸ at 25M grams) — far below
+    * any corpus-level concern, and the q72 exact-string oracle would
+    * surface one. */
+  case class BenchmarkSet(n: Int, hashes: Array[Long]) {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(hashes.length <= 1 || {
+      var i = 1; var sorted = true
+      while (sorted && i < hashes.length) { sorted = hashes(i - 1) < hashes(i); i += 1 }
+      sorted
+    }, "hashes must be sorted ascending and distinct")
+
+    def contains(gram: String): Boolean =
+      java.util.Arrays.binarySearch(hashes, BenchmarkSet.hashGram(gram)) >= 0
 
     /** (distinct n-grams hit, distinct n-grams total) for one text. */
     def overlap(text: String): (Int, Int) = {
       val grams = distinctNgrams(text, n)
       var hits = 0
       val it = grams.iterator
-      while (it.hasNext) if (ngrams.contains(it.next())) hits += 1
+      while (it.hasNext) if (contains(it.next())) hits += 1
       (hits, grams.size)
     }
+  }
+
+  object BenchmarkSet {
+    /** The gram→long law shared with the distributed builder: Spark's
+      * `xxhash64` (seed-42 XXH64 over the UTF-8 bytes). */
+    def hashGram(gram: String): Long = {
+      val b = gram.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+
+    /** Driver-side construction from literal n-grams (tests, tiny sets). */
+    def fromStrings(n: Int, ngrams: Set[String]): BenchmarkSet =
+      BenchmarkSet(n, ngrams.map(hashGram).toArray.sorted)
   }
 
   /** Shared tokenization law (must match the documented oracle form
@@ -90,15 +121,19 @@ object Decontaminate {
    * an executor OOM mid-job.
    */
   def benchmarkNgrams(bench: DataFrame, textCol: String, n: Int,
-                      maxNgrams: Int = 5000000): BenchmarkSet = {
-    val distinctGrams = bench
+                      maxNgrams: Int = 25000000): BenchmarkSet = {
+    // hash on the EXECUTORS (xxhash64 = the BenchmarkSet.hashGram law):
+    // only 8-byte longs cross the distinct shuffle and the collect wire
+    val distinctHashes = bench
       .select(explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h"))
       .distinct()
-    val grams = distinctGrams.limit(maxNgrams + 1).collect().map(_.getString(0))
-    require(grams.length <= maxNgrams,
+    val hashes = distinctHashes.limit(maxNgrams + 1).collect().map(_.getLong(0))
+    require(hashes.length <= maxNgrams,
       s"benchmark has more than $maxNgrams distinct $n-grams — " +
         "dedupe/sample the eval set or raise maxNgrams")
-    BenchmarkSet(n, grams.toSet)
+    java.util.Arrays.sort(hashes)
+    BenchmarkSet(n, hashes)
   }
 
   /**

@@ -231,8 +231,31 @@ object Dedup {
    * iteration stops at the first round with no label change.
    * `localCheckpoint` truncates the growing lineage each round (the plan
    * would otherwise double per iteration).
+   *
+   * The convergence probe rides INSIDE the per-round aggregate: the old
+   * label is carried through the min-aggregate round (labels only
+   * decrease, so changed == `lbl < _old`), the joined frame is what gets
+   * checkpoint-materialized, and the change count is a filter over the
+   * already-materialized local blocks — no separate join-and-recompute
+   * action per round.
+   *
+   * Throws if `maxIters` rounds don't converge (a component with diameter
+   * > maxIters would otherwise return silently WRONG cluster ids); use
+   * [[nearDupClustersWithStatus]] to get partial labels plus the flag.
    */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val (labels, converged, iters) = nearDupClustersWithStatus(pairs, maxIters)
+    require(converged, s"nearDupClusters did not converge after $iters rounds " +
+      "— a component's diameter exceeds maxIters and its labels would be " +
+      "wrong; raise maxIters (or call nearDupClustersWithStatus for " +
+      "partial labels)")
+    labels
+  }
+
+  /** [[nearDupClusters]] returning `(labels, converged, rounds)` instead of
+    * throwing on non-convergence. */
+  def nearDupClustersWithStatus(pairs: DataFrame,
+                                maxIters: Int = 25): (DataFrame, Boolean, Int) = {
     val Array(ca, cb) = pairs.columns.take(2)
     val edges = pairs.select(col(ca).as("src"), col(cb).as("dst"))
       .union(pairs.select(col(cb).as("src"), col(ca).as("dst")))
@@ -247,17 +270,18 @@ object Dedup {
         val prop = edges
           .join(labels.select(col("id").as("src"), col("lbl").as("_l")), "src")
           .select(col("dst").as("id"), col("_l").as("lbl"))
+        // min-aggregate carries the previous label along so the change
+        // probe needs no second join: the id sets are identical round to
+        // round (prop ids ⊆ edge endpoints = label ids)
         val next = labels.union(prop)
           .groupBy("id").agg(min("lbl").as("lbl"))
+          .join(labels.select(col("id"), col("lbl").as("_old")), "id")
           .localCheckpoint(true)
-        converged = next
-          .join(labels.withColumnRenamed("lbl", "_old"), "id")
-          .filter(col("lbl") =!= col("_old"))
-          .isEmpty
-        labels = next
+        converged = next.filter(col("lbl") < col("_old")).isEmpty
+        labels = next.select("id", "lbl")
         iter += 1
       }
-      labels.withColumnRenamed("lbl", "cluster_id")
+      (labels.withColumnRenamed("lbl", "cluster_id"), converged, iter)
     } finally edges.unpersist()
   }
 

@@ -27,7 +27,10 @@ object WindowHashes {
   private val Seed = 42L
 
   def compute(text: UTF8String, k: Int): GenericArrayData = {
-    val toks = text.toLowerCase.trim.toString.split("\\s+", -1)
+    // drop empty tokens: "".split yields Array(""), which at k=1 would emit
+    // a spurious hash of "" — the shared tokenization law (Decontaminate
+    // .tokenize, the q73 oracle) counts blank text as ZERO tokens
+    val toks = text.toLowerCase.trim.toString.split("\\s+", -1).filter(_.nonEmpty)
     val n = toks.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](n - k + 1)

@@ -41,7 +41,10 @@ import org.apache.spark.sql.functions._
  *    and this run's survivors are appended to the index (built from them
  *    when the directory does not exist yet — the first run's output is then
  *    identical to the plain in-run path) followed by one
- *    [[graft.ext.Similarity.maintainIndex]] pass. Cross-run state lives in
+ *    [[graft.ext.Similarity.maintainIndex]] pass. The append runs AFTER
+ *    the bundle write commits, so a crash anywhere in the run never
+ *    strands docs as indexed-but-unemitted (the membership guard would
+ *    silently drop them from every retry). Cross-run state lives in
  *    the index's own cells; no corpus-x-corpus rescan ever happens.
  *  - tokenize: BPE trained on the SURVIVING corpus, tokens + counts land as
  *    typed columns in the columnar bundle; the model is persisted next to
@@ -109,9 +112,15 @@ object CorpusPipeline {
       case "embedding" =>
         require(exact.columns.contains(embeddingCol),
           s"nearDupMethod=embedding needs column '$embeddingCol' on the corpus")
-        val dim = exact.select(size(col(embeddingCol))).head().getInt(0)
-        graft.ext.Similarity.cosineNearDupsLsh(exact, idCol, embeddingCol,
-          threshold = nearDupThreshold, dim = dim)
+        // dim probe tolerates a fully-filtered corpus (head on an empty
+        // frame would throw): zero docs have zero near-dup pairs
+        exact.select(size(col(embeddingCol))).head(1) match {
+          case Array(row) =>
+            graft.ext.Similarity.cosineNearDupsLsh(exact, idCol, embeddingCol,
+              threshold = nearDupThreshold, dim = row.getInt(0))
+          case _ =>
+            exact.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
+        }
       case other => throw new IllegalArgumentException(
         s"unknown nearDupMethod '$other' (minhash | embedding)")
     }
@@ -152,24 +161,6 @@ object CorpusPipeline {
     val dropIds = priorDrops.foldLeft(inRunDrops)(_ unionByName _).distinct()
     val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
     val nSurvivors = survivors.count()
-    // maintain the standing index with this run's accepted docs: append
-    // into the existing layout (stored quantizer, no retrain), or build it
-    // from scratch on the first run; then one detect->act maintenance pass
-    // so accumulated skew is repaired as part of the run, not by an
-    // operator remembering to.
-    annIndexDir.foreach { dir =>
-      val emb = survivors.select(col(idCol), col(embeddingCol))
-      if (annIndexExists(spark, dir))
-        graft.ext.Similarity.appendToIndex(emb, idCol, embeddingCol, dir)
-      else {
-        val n = math.max(1L, nSurvivors)
-        val nlist = math.max(4, (math.sqrt(n.toDouble) / 2).round.toInt)
-        graft.ext.Similarity.buildIndex(emb, idCol, embeddingCol, dir,
-          nlist = nlist, kmeansIters = 2)
-      }
-      graft.ext.Similarity.maintainIndex(spark, dir)
-      ()
-    }
 
     // tokenizer trained on what survives (junk filtered out above), ridden
     // into the bundle as typed columns
@@ -188,6 +179,33 @@ object CorpusPipeline {
       partitionMultiples, repartition = true, format = "columnar",
       indexName = indexName)
     Bpe.save(spark, model, s"$outDir/$indexName/bpe_model.json")
+
+    // maintain the standing index with this run's accepted docs — AFTER
+    // the bundle write succeeds: the index's id-membership guard treats
+    // indexed ids as "already emitted", so appending before the write
+    // would turn a crash between the two into silent data loss (indexed
+    // docs a retry refuses to re-emit, landing in no bundle ever). With
+    // this ordering a crash before the write leaves the index untouched
+    // and a retry re-runs cleanly. Append into the existing layout
+    // (stored quantizer, no retrain), or build it from scratch on the
+    // first run — skipped when the run dropped EVERYTHING (buildIndex
+    // cannot train on zero rows; the first surviving run builds instead);
+    // then one detect->act maintenance pass so accumulated skew is
+    // repaired as part of the run, not by an operator remembering to.
+    annIndexDir.foreach { dir =>
+      val emb = survivors.select(col(idCol), col(embeddingCol))
+      if (annIndexExists(spark, dir)) {
+        graft.ext.Similarity.appendToIndex(emb, idCol, embeddingCol, dir)
+        graft.ext.Similarity.maintainIndex(spark, dir)
+        ()
+      } else if (nSurvivors > 0) {
+        val nlist = math.max(4, (math.sqrt(nSurvivors.toDouble) / 2).round.toInt)
+        graft.ext.Similarity.buildIndex(emb, idCol, embeddingCol, dir,
+          nlist = nlist, kmeansIters = 2)
+        graft.ext.Similarity.maintainIndex(spark, dir)
+        ()
+      }
+    }
     Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res,
       afterLm = nLm, droppedVsIndex = nVsIndex)
   }

@@ -34,8 +34,11 @@ object StreamingCorpus {
     * indexed neighbor cosine clears `nearDupThreshold`, and survivors'
     * embeddings are appended through the replay-safe
     * [[AnnIndexStream.commitBatch]] protocol as part of the batch commit
-    * (the first batch builds the index from its survivors —
-    * deterministic, so a replayed build overwrites itself). Cell splits
+    * (the first NON-EMPTY batch builds the index from its survivors
+    * behind a `built_by_batch` intent marker: a replay of that batch
+    * rebuilds bit-equal instead of slipping into the append path and
+    * double-ingesting, and an all-filtered first batch defers the build
+    * rather than crashing on zero rows). Cell splits
     * stay an offline operation ([[graft.ext.Similarity.splitCell]]): an
     * in-batch split could rewrite files a replayed append still expects,
     * breaking the rename-if-absent idempotence. */
@@ -120,18 +123,40 @@ object StreamingCorpus {
       .filter(estJaccard(col("a.sig"), col("b.sig")) >= cfg.nearDupThreshold)
       .select(col("a.doc_id").as("doc_id")).distinct()
     // 3.5 semantic near-dup vs the standing ANN index (all prior runs):
-    //     one probed-cells query per batch, no prior-corpus rescan
+    //     one probed-cells query per batch, no prior-corpus rescan.
+    //     "Usable" = complete layout AND not built by THIS batch (the
+    //     built_by_batch intent marker, written before the stream's own
+    //     first-batch build): during a replay of the batch that built the
+    //     index, querying it would see that batch's own survivors and
+    //     could drop a different doc set than the original execution —
+    //     the marker pins replay behavior to the original (no index yet).
+    //     An externally-built index (ann-build CLI — complete layout, no
+    //     marker) is always usable.
+    def fsOf(dir: String) = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     def annReady(dir: String): Boolean = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val fs = fsOf(dir)
       Seq("model", "centroids", "cells").forall(p =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")))
+    }
+    def builtByBatch(dir: String): Option[Long] = {
+      val fs = fsOf(dir)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/built_by_batch")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
     }
     cfg.annIndexDir.foreach { _ =>
       require(fresh.columns.contains(cfg.embeddingCol),
         s"annIndexDir needs column '${cfg.embeddingCol}' on the stream")
     }
-    val vsIndex = cfg.annIndexDir.filter(annReady) match {
+    val vsIndex = cfg.annIndexDir
+      .filter(d => annReady(d) && !builtByBatch(d).contains(batchId)) match {
       case Some(dir) =>
         graft.ext.Similarity.indexTopK(fresh, dir, cfg.idCol, cfg.embeddingCol, k = 1)
           .filter(col("sim") >= cfg.nearDupThreshold)
@@ -153,20 +178,48 @@ object StreamingCorpus {
     survBanded.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).parquet(bandDir)
 
-    // 5. maintain the standing semantic index as part of the commit:
-    //    replay-safe encode+rename append into the existing layout, or a
-    //    deterministic first-batch build (overwrite — a replay rebuilds
-    //    the identical index)
+    // 5. maintain the standing semantic index as part of the commit.
+    //    Replay-safe cases, disambiguated by the built_by_batch INTENT
+    //    marker (written atomically BEFORE the stream's own build, so an
+    //    annReady dir without a marker is unambiguously external):
+    //     - usable (ready, not this batch's marker): rename-if-absent
+    //       append (AnnIndexStream.commitBatch — a replayed append is a
+    //       no-op). Without the marker, a replay of the batch that BUILT
+    //       the index would take this path and re-ingest every survivor
+    //       under non-colliding b<batchId>-p* names, duplicating nids;
+    //     - marker == this batch: the build ran (maybe partially) in a
+    //       previous attempt of this very batch — rebuild. The replay's
+    //       survivors are identical (vsIndex is gated off by the same
+    //       marker), and the build is deterministic, so the overwrite
+    //       recreates the index bit-equal, whole layout included;
+    //     - no marker, not ready: first build — marker, then build. An
+    //       ALL-FILTERED batch skips (buildIndex cannot train on zero
+    //       rows); the first non-empty batch builds instead.
     cfg.annIndexDir.foreach { dir =>
       val emb = survivors.select(col(cfg.idCol), col(cfg.embeddingCol))
-      if (annReady(dir))
-        AnnIndexStream.commitBatch(emb, batchId, dir, cfg.idCol, cfg.embeddingCol)
-      else {
-        val n = math.max(1L, emb.count())
-        val nlist = math.max(4, (math.sqrt(n.toDouble) / 2).round.toInt)
-        graft.ext.Similarity.buildIndex(emb, cfg.idCol, cfg.embeddingCol, dir,
-          nlist = nlist, kmeansIters = 2)
+      val marker = builtByBatch(dir)
+      def writeMarker(): Unit = {
+        val fs = fsOf(dir)
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.built_by_batch.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(batchId.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/built_by_batch"))
+        ()
       }
+      def build(): Unit = {
+        val n = emb.count()
+        if (n > 0) {
+          writeMarker()
+          val nlist = math.max(4, (math.sqrt(n.toDouble) / 2).round.toInt)
+          graft.ext.Similarity.buildIndex(emb, cfg.idCol, cfg.embeddingCol, dir,
+            nlist = nlist, kmeansIters = 2)
+        }
+      }
+      if (annReady(dir) && !marker.contains(batchId))
+        AnnIndexStream.commitBatch(emb, batchId, dir, cfg.idCol, cfg.embeddingCol)
+      else build()
     }
   }
 }

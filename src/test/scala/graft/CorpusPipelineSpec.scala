@@ -264,4 +264,53 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(nids.length === nids.distinct.length,
       "the index must never hold duplicate ids")
   }
+
+  test("annIndexDir: an all-dropped first run defers the build; a failed bundle write leaves the index untouched") {
+    val dim = 16
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val annDir = Files.createTempDirectory("graft-cpann-defer").toString + "/idx"
+    def run(input: String, out: String, qualityMin: Double) =
+      CorpusPipeline.run(spark, input, out, "deferred",
+        numShards = 2, partitionMultiples = 2, qualityMin = qualityMin,
+        nearDupThreshold = 0.95, bpeMerges = 40, bpeMaxWords = 1000,
+        nearDupMethod = "embedding", annIndexDir = Some(annDir))
+    // run 1: every doc fails the quality gate -> zero survivors. Before
+    // the guard this crashed in buildIndex's dim probe (head() on empty);
+    // now the run completes and leaves NO index behind
+    val junk = (0L until 8L).map(i => (i, "zz", vec(i.toInt)))
+    val in1 = Files.createTempDirectory("graft-cpann-junk").toString
+    junk.toDF("doc_id", "text", "embedding").write.mode("overwrite").parquet(in1)
+    val st1 = run(in1, Files.createTempDirectory("graft-cpann-o1").toString, 0.99)
+    assert(st1.afterNearDup === 0L && st1.totalTokens === 0L)
+    assert(!new java.io.File(annDir).exists(),
+      "an all-dropped run must not create a (untrainable) index")
+    // run 2: real docs -> the first NON-EMPTY run builds
+    val rnd = new scala.util.Random(11)
+    def sentence() =
+      (0 until 12).map(_ => s"the w${rnd.nextInt(300)} of and to a").mkString(" ")
+    val good = (100L until 120L).map(i => (i, sentence(), vec(i.toInt)))
+    val in2 = Files.createTempDirectory("graft-cpann-good").toString
+    good.toDF("doc_id", "text", "embedding").write.mode("overwrite").parquet(in2)
+    val st2 = run(in2, Files.createTempDirectory("graft-cpann-o2").toString, 0.3)
+    assert(st2.afterNearDup === 20L)
+    assert(spark.read.parquet(s"$annDir/cells").count() === 20L,
+      "the first non-empty run must build the index from its survivors")
+    // run 3 against a SABOTAGED output path: the bundle write throws, and
+    // because the index append is sequenced AFTER the write, the standing
+    // index must be exactly as before (a crash cannot strand docs as
+    // indexed-but-unemitted — the membership guard would silently drop
+    // them from every retry)
+    val blockedOut = Files.createTempFile("graft-cpann-file", ".txt").toString
+    val in3 = Files.createTempDirectory("graft-cpann-in3").toString
+    Seq((300L, sentence(), vec(9001))).toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(in3)
+    intercept[Exception] { run(in3, blockedOut, 0.3) }
+    val nids2 = spark.read.parquet(s"$annDir/cells").select("nid").collect()
+      .map(_.getLong(0)).toSet
+    assert(nids2 === (100L until 120L).toSet,
+      s"failed bundle write must leave the index untouched: $nids2")
+  }
 }

@@ -18,7 +18,14 @@ class DecontaminateSpec extends SparkSpec {
       (14L, "alpha"), // shorter than n -> 0 total
     ).toDF("doc_id", "text")
     val set = Decontaminate.benchmarkNgrams(bench, "text", n = 2)
-    assert(set.ngrams === Set("alpha beta", "beta gamma", "gamma delta"))
+    // hashed representation: the distributed (xxhash64) build must agree
+    // with the driver-side gram->long law, sorted and 8 bytes per gram
+    assert(set.hashes.toSet ===
+      Set("alpha beta", "beta gamma", "gamma delta")
+        .map(Decontaminate.BenchmarkSet.hashGram))
+    assert(set.hashes.toSeq === Decontaminate.BenchmarkSet.fromStrings(
+      2, Set("alpha beta", "beta gamma", "gamma delta")).hashes.toSeq)
+    assert(set.contains("beta gamma") && !set.contains("beta delta"))
     val r = Decontaminate.tag(corpus, "text", set)
       .select("doc_id", "ngram_hits", "ngram_total")
       .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
@@ -40,8 +47,11 @@ class DecontaminateSpec extends SparkSpec {
     val fast = Decontaminate.tag(corpus, "text", set)
       .select("doc_id", "ngram_hits", "ngram_total")
     // reference: explode distinct per-doc grams, left-join the set as a
-    // table, count matches — the shape the oracle uses
-    val benchDf = set.ngrams.toSeq.toDF("g")
+    // table, count matches — the shape the oracle uses (bench grams
+    // re-derived as STRINGS so the join is string-exact, not hash-based)
+    val benchDf = docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(Decontaminate.wordNgrams(col("text"), 3)).as("g"))
+      .distinct()
     val exploded = corpus.select(col("doc_id"),
         explode_outer(array_distinct(
           Decontaminate.wordNgrams(col("text"), 3))).as("g"))
@@ -54,7 +64,7 @@ class DecontaminateSpec extends SparkSpec {
   }
 
   test("corpus side is map-only: no exchange in the tag plan") {
-    val set = Decontaminate.BenchmarkSet(3, Set("a b c"))
+    val set = Decontaminate.BenchmarkSet.fromStrings(3, Set("a b c"))
     val plan = Decontaminate.tag(sf("sf0.001", "documents"), "text", set)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"corpus-side shuffle crept in:\n$plan")

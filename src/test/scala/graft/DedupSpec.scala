@@ -105,6 +105,14 @@ class DedupSpec extends SparkSpec {
     val sh = Seq("alpha beta gamma alpha beta").toDF("t")
       .select(Dedup.shingleHashes(col("t"), 2).as("s")).collect()(0).getSeq[Long](0)
     assert(r(0).toSet === sh.toSet)
+    // blank text has ZERO tokens at every k — at k=1 a naive split would
+    // yield Array("") and emit a spurious hash of "" (shared tokenization
+    // law with Decontaminate.tokenize and the q73 oracle)
+    val k1 = Seq("", "   ", "solo").toDF("t")
+      .select(Dedup.windowHashes(col("t"), 1).as("wh"))
+      .collect().map(_.getSeq[Long](0))
+    assert(k1(0).isEmpty && k1(1).isEmpty, "blank text must yield no 1-windows")
+    assert(k1(2).length === 1)
   }
 
   test("repeatedSpans + strip: planted shared paragraph is found and removed") {
@@ -162,6 +170,25 @@ class DedupSpec extends SparkSpec {
     val labels = Dedup.nearDupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === 13 && labels.values.forall(_ === 0L))
+  }
+
+  test("nearDupClusters: a chain longer than maxIters is LOUD, not mislabeled") {
+    import spark.implicits._
+    val pairs = (0L until 12L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    // diameter 12 > maxIters 3: the throwing form must refuse to return
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupClusters(pairs, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the status form surfaces the flag with partial labels
+    val (partial, converged, rounds) =
+      Dedup.nearDupClustersWithStatus(pairs, maxIters = 3)
+    assert(!converged && rounds === 3)
+    assert(partial.count() === 13)
+    // and enough rounds converges with the correct labels
+    val (full, ok, _) = Dedup.nearDupClustersWithStatus(pairs, maxIters = 25)
+    assert(ok)
+    assert(full.collect().map(r => r.getLong(1)).forall(_ === 0L))
   }
 
   test("simhash: identical texts equal; near texts within small hamming") {

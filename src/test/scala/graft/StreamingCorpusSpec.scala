@@ -97,6 +97,29 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(spark.read.parquet(s"$annDir/cells").count() === 30L,
       "batch-1 survivors must be indexed")
 
+    // replay law (round-5 ADVICE): foreachBatch is at-least-once — a crash
+    // after buildIndex completed but before the checkpoint commit
+    // re-delivers the building batch. Without the built_by_batch marker the
+    // replay sees a complete index and takes the APPEND path, re-ingesting
+    // every batch-0 survivor under non-colliding b0-p* names (duplicate
+    // nids). The marker routes it through the deterministic rebuild.
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$annDir/built_by_batch")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(marker === "0", s"batch 0 built the index, marker says '$marker'")
+    val before = spark.read.parquet(s"$annDir/cells").select("nid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    StreamingCorpus.processBatch(
+      originals.toDF("doc_id", "text", "embedding"), 0L, out,
+      StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+        nearDupThreshold = 0.95, annIndexDir = Some(annDir)))
+    val after = spark.read.parquet(s"$annDir/cells").select("nid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after.distinct.length === after.length,
+      s"replayed building batch duplicated nids: ${after.diff(after.distinct)}")
+    assert(after === before,
+      "a replayed building batch must rebuild the index bit-equal, not append")
+
     // batch 2: DIFFERENT surface text (MinHash state is blind to it) but
     // near-identical embeddings of accepted docs 4 and 9 -> the standing
     // index drops them; two genuinely new docs pass and get indexed
@@ -118,5 +141,43 @@ class StreamingCorpusSpec extends SparkSpec {
     drain()
     val got = accepted()
     assert(!got.contains(700L) && got.contains(701L), s"batch3: $got")
+  }
+
+  test("annIndexDir: an all-filtered first batch defers the build to the first non-empty batch") {
+    val rnd = new scala.util.Random(91)
+    def sentence() =
+      (0 until 12).map(_ => s"the w${rnd.nextInt(300)} of and to a").mkString(" ")
+    val dim = 16
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val in = Files.createTempDirectory("graft-scann2-in").toString
+    val out = Files.createTempDirectory("graft-scann2-out").toString
+    val ckpt = Files.createTempDirectory("graft-scann2-ck").toString
+    val annDir = Files.createTempDirectory("graft-scann2-idx").toString + "/idx"
+    val schema = Seq((0L, "t", Seq(0f))).toDF("doc_id", "text", "embedding").schema
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = StreamingCorpus.start(stream, out, ckpt,
+        StreamingCorpus.Config(numShards = 2, qualityMin = 0.5,
+          nearDupThreshold = 0.95, annIndexDir = Some(annDir)))
+      q.awaitTermination(120000)
+    }
+    // batch 1: every doc fails the quality gate. Before the guard this
+    // crashed in buildIndex's dim probe (head() on an empty frame) and
+    // failed the stream commit; now the batch commits and defers the build
+    (0L until 6L).map(i => (i, "zz", vec(i.toInt)))
+      .toDF("doc_id", "text", "embedding").write.mode("overwrite").parquet(in)
+    drain()
+    assert(!new java.io.File(annDir).exists(),
+      "an all-filtered batch must not create an (untrainable) index")
+    // batch 2: quality docs arrive -> first non-empty batch builds
+    (100L until 110L).map(i => (i, sentence(), vec(i.toInt)))
+      .toDF("doc_id", "text", "embedding").write.mode("append").parquet(in)
+    drain()
+    assert(spark.read.parquet(s"$annDir/cells").count() === 10L,
+      "the first non-empty batch must build the index from its survivors")
   }
 }
