@@ -31,7 +31,10 @@ object Main {
     "topk", "rerank-factor", "results", "cell-salt", "cell", "sub",
     "store-vectors", "rerank-corpus", "rerank-vec-col", "residual",
     "payload-cols", "filter", "filter-selectivity", "ann-index",
-    "neardup-clusters")
+    "neardup-clusters",
+    "strip-spans", "span-window", "span-min-docs",
+    "decontaminate-bench", "decontaminate-text-col", "decontaminate-n",
+    "decontaminate-min-hits")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -212,11 +215,23 @@ object Main {
             annIndexDir = raw.get("ann-index"),
             // connected-components drop policy: one representative per
             // TRANSITIVE duplicate cluster (vs pairwise higher-id drop)
-            clusterDrop = raw.get("neardup-clusters").exists(_.toBoolean))
+            clusterDrop = raw.get("neardup-clusters").exists(_.toBoolean),
+            // cross-document boilerplate stripping before dedup
+            stripSpans = raw.get("strip-spans").exists(_.toBoolean),
+            spanK = raw.getOrElse("span-window", "10").toInt,
+            spanMinDocs = raw.getOrElse("span-min-docs", "2").toInt,
+            // benchmark decontamination: eval-set parquet -> broadcast
+            // n-gram set; colliding docs dropped before dedup
+            decontamBench = raw.get("decontaminate-bench"),
+            decontamBenchTextCol = raw.getOrElse("decontaminate-text-col", "text"),
+            decontamN = raw.getOrElse("decontaminate-n", "13").toInt,
+            decontamMinHits = raw.getOrElse("decontaminate-min-hits", "1").toInt)
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")
           if (st.afterLm >= 0) println(s"  after LM filter:  ${st.afterLm}")
+          if (st.afterDecontam >= 0)
+            println(s"  after decontam:   ${st.afterDecontam}")
           println(s"  after exact dedup:${st.afterExact}")
           if (st.droppedVsIndex >= 0)
             println(s"  dropped vs index: ${st.droppedVsIndex}")

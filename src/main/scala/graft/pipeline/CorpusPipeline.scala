@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.ext.{Bpe, Dedup, NgramLm, TextAnalysis}
+import graft.ext.{Bpe, Decontaminate, Dedup, NgramLm, TextAnalysis}
 import graft.sink.BundleSink
 import graft.transform.DocTransform
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
  *    quality-passed corpus itself, then docs scoring below `x` mean char
  *    log-prob are dropped — catches fluent-looking junk the surface
  *    heuristics pass.
+ *  - strip spans (`stripSpans = true`): [[Dedup.stripRepeatedSpans]] —
+ *    cross-document boilerplate windows (≥ `spanMinDocs` docs share a
+ *    `spanK`-token window) are removed from every doc BEFORE dedup, so two
+ *    docs identical modulo boilerplate become exact duplicates and the
+ *    tokenizer never trains on headers/footers.
+ *  - decontaminate (`decontamBench = Some(path)`): [[Decontaminate]] —
+ *    the benchmark parquet's distinct word-`decontamN`-grams become one
+ *    broadcast hash set; docs with ≥ `decontamMinHits` distinct collisions
+ *    are dropped (map-only over the corpus, zero corpus-side shuffle).
+ *    Runs on the span-stripped text, before dedup, so a contaminated doc
+ *    can never survive as a duplicate cluster's representative.
  *  - exact dedup: first doc (lowest id) per normalized-text group survives.
  *  - near-dup removal (`nearDupMethod`): candidates from banded LSH, the
  *    HIGHER id of each surviving pair dropped (greedy canonical-minimum; a
@@ -55,7 +66,7 @@ object CorpusPipeline {
   case class Stats(input: Long, afterQuality: Long, afterExact: Long,
                    afterNearDup: Long, totalTokens: Long,
                    bundle: BundleSink.Result, afterLm: Long = -1L,
-                   droppedVsIndex: Long = -1L)
+                   droppedVsIndex: Long = -1L, afterDecontam: Long = -1L)
 
   /** Does `dir` hold a complete [[graft.ext.Similarity.buildIndex]] layout? */
   private def annIndexExists(spark: SparkSession, dir: String): Boolean = {
@@ -75,7 +86,12 @@ object CorpusPipeline {
           nearDupMethod: String = "minhash",
           embeddingCol: String = "embedding",
           annIndexDir: Option[String] = None,
-          clusterDrop: Boolean = false): Stats = {
+          clusterDrop: Boolean = false,
+          stripSpans: Boolean = false,
+          spanK: Int = 10, spanMinDocs: Int = 2,
+          decontamBench: Option[String] = None,
+          decontamBenchTextCol: String = "text",
+          decontamN: Int = 13, decontamMinHits: Int = 1): Stats = {
     val raw = spark.read.parquet(input)
     val docs =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -92,11 +108,35 @@ object CorpusPipeline {
     }
     val nQuality = surface.count()
 
+    // cross-document boilerplate removal, BEFORE dedup: two docs identical
+    // modulo a shared header/footer become exact duplicates once the shared
+    // spanK-token windows are stripped, and the BPE never trains on them
+    val despanned =
+      if (!stripSpans) quality
+      else Dedup.stripRepeatedSpans(quality, idCol, textCol,
+          k = spanK, minDocs = spanMinDocs)
+        .withColumn(textCol, col(s"${textCol}_clean"))
+        .drop(s"${textCol}_clean")
+
+    // benchmark decontamination on the released (span-stripped) text: the
+    // eval set reduces to one broadcast hash set, the corpus side is
+    // map-only. Before dedup, so a contaminated doc can never be the
+    // representative a clean duplicate gets dropped in favor of.
+    val (cleared, nDecontam) = decontamBench match {
+      case Some(path) =>
+        val set = Decontaminate.benchmarkNgrams(
+          spark.read.parquet(path), decontamBenchTextCol, decontamN)
+        val kept = Decontaminate.dropContaminated(
+          despanned, textCol, set, decontamMinHits)
+        (kept, kept.count())
+      case None => (despanned, -1L)
+    }
+
     // exact dedup keeping FULL rows (Dedup.exact projects to key+order
     // cols): group-limit window on the normalized text, lowest id survives
     val wNorm = org.apache.spark.sql.expressions.Window
       .partitionBy("_norm").orderBy(idCol)
-    val exact = quality
+    val exact = cleared
       .withColumn("_norm", regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
       .withColumn("_rn", row_number().over(wNorm))
       .filter(col("_rn") === 1).drop("_norm", "_rn")
@@ -207,6 +247,6 @@ object CorpusPipeline {
       }
     }
     Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res,
-      afterLm = nLm, droppedVsIndex = nVsIndex)
+      afterLm = nLm, droppedVsIndex = nVsIndex, afterDecontam = nDecontam)
   }
 }

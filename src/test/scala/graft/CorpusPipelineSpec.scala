@@ -265,6 +265,58 @@ class CorpusPipelineSpec extends SparkSpec {
       "the index must never hold duplicate ids")
   }
 
+  test("strip-spans + decontaminate stages: boilerplate stripped before dedup; contaminated doc dropped") {
+    // per-doc-unique words so the ONLY cross-doc repeated window is the
+    // planted boilerplate (stopword filler alone never fills a 10-window).
+    // The unique word sits LAST in each segment: a shared "of and to a"
+    // suffix right before the boilerplate would itself repeat across the
+    // carrier docs and (correctly!) be stripped as part of the span
+    def sentence(i: Long) =
+      (0 until 12).map(j => s"of and to a the d${i}w$j").mkString(" ")
+    val boiler = "copyright footer terms apply all rights reserved contact site admin" // 10 tokens
+    val u0 = sentence(0)
+    val docs =
+      Seq((0L, u0),                        // base text, no boilerplate
+          (1L, s"$u0 $boiler")) ++         // identical MODULO boilerplate
+      (2L until 10L).map(i => (i, s"${sentence(i)} $boiler")) ++ // boiler carriers
+      (10L until 30L).map(i => (i, sentence(i))) ++              // plain docs
+      Seq((40L, s"${sentence(40)} alpha beta gamma delta epsilon"), // contaminated
+          (41L, s"${sentence(41)} alpha beta qq41"))  // brushes the set, 0 full grams
+    val input = Files.createTempDirectory("graft-cp-span-in").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(input)
+    val benchDir = Files.createTempDirectory("graft-cp-bench").toString
+    Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("bench_id", "text").write.mode("overwrite").parquet(benchDir)
+
+    val out = Files.createTempDirectory("graft-cp-span-out").toString
+    val st = CorpusPipeline.run(spark, input, out, "corpus",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      nearDupThreshold = 0.8, bpeMerges = 40, bpeMaxWords = 2000,
+      // spanMinDocs=3: the U0 text docs 0 and 1 share (2 docs) stays; the
+      // 9-doc boilerplate window goes
+      stripSpans = true, spanK = 10, spanMinDocs = 3,
+      decontamBench = Some(benchDir), decontamN = 3, decontamMinHits = 2)
+
+    assert(st.input === 32L && st.afterQuality === 32L)
+    // doc 40 shares 3 distinct 3-grams with the benchmark (>= 2); doc 41's
+    // "alpha beta" prefix completes no benchmark gram -> kept
+    assert(st.afterDecontam === 31L, s"decontamination: $st")
+    // with the boilerplate stripped, doc 1 collapses onto doc 0 and exact
+    // dedup drops it — the identical-modulo-boilerplate law
+    assert(st.afterExact === 30L, s"strip-then-dedup: $st")
+    assert(st.afterNearDup === 30L)
+
+    val back = spark.read.parquet(s"$out/corpus/data")
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === ((0L until 30L).toSet - 1L) + 41L, s"survivors: $ids")
+    // released text carries no boilerplate token anywhere
+    assert(back.filter(col("text").contains("reserved")).count() === 0L,
+      "boilerplate must be stripped from every released doc")
+    // ...while the 2-doc-shared U0 text was NOT treated as boilerplate
+    assert(back.filter(col("doc_id") === 0L).head().getAs[String]("text")
+      .contains("d0w0"), "spanMinDocs=3 must keep 2-doc-shared text")
+  }
+
   test("annIndexDir: an all-dropped first run defers the build; a failed bundle write leaves the index untouched") {
     val dim = 16
     def vec(seed: Int): Seq[Float] = {
