@@ -194,6 +194,51 @@ object Bench {
     // cluster 0 — recall became a single-cluster coin flip and the PQ
     // entries swung 1.0 <-> 0.48 across otherwise-equivalent code layouts.
     val clusteredCurve = annCurve(clusteredEmb, col("vec_id") < 100)
+    // attribute-filtered ANN on a persisted index, fixed 0.5 selectivity:
+    // the filtered path pushes the predicate into the probed cell scan and
+    // scales nprobe by 1/selectivity, so its cost and recall tradeoff vs
+    // the unfiltered query gets a round-over-round number here. Recall is
+    // vs brute truth over the MATCHING subset (the filtered contract:
+    // equal to post-filtering an unbounded search). label = (id/100)%2
+    // splits every cluster 50/50 — geometry-INDEPENDENT, so the number
+    // isolates the filtered path (id%2 would make whole clusters
+    // single-label, turning the metric into a cross-cluster probe test).
+    val annFilteredJson: String = try {
+      import graft.ext.Similarity
+      val emb = clusteredEmb
+        .withColumn("label", ((col("vec_id") / 100) % 2).cast("int")).cache()
+      emb.count()
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bench-annidx-filtered").toString
+      val t0 = System.nanoTime()
+      Similarity.buildIndex(emb, "vec_id", "embedding", dir,
+        nlist = 50, kmeansIters = 2, m = 8, k = 16, payloadCols = Seq("label"))
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val queries = emb.filter(col("vec_id") < 100)
+        .select("vec_id", "embedding")
+      def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.filter(col("rank") === 1).select("qid", "nid").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val t1 = System.nanoTime()
+      val plain = top1(Similarity.indexTopK(queries, dir, "vec_id",
+        "embedding", k = 1))
+      val plainSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val filtered = top1(Similarity.indexTopK(queries, dir, "vec_id",
+        "embedding", k = 1,
+        filter = Some(col("label") === 1), filterSelectivity = 0.5))
+      val filteredSec = (System.nanoTime() - t2) / 1e9
+      val truthPlain = top1(Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "vec_id", "embedding", k = 1))
+      val truthFiltered = top1(Similarity.bruteForceTopK(queries,
+        emb.filter(col("label") === 1), "vec_id", "vec_id", "embedding", k = 1))
+      def recall(got: Map[Long, Long], truth: Map[Long, Long]): Double =
+        if (truth.isEmpty) 0.0
+        else truth.count { case (q, n) => got.get(q).contains(n) }.toDouble / truth.size
+      emb.unpersist()
+      f"""{"rows":10000,"selectivity":0.5,"build_sec":$buildSec%.3f,"query_sec":$plainSec%.3f,"filtered_query_sec":$filteredSec%.3f,"recall":${recall(plain, truthPlain)}%.3f,"filtered_recall":${recall(filtered, truthFiltered)}%.3f}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] filtered ann failed: ${e.getMessage}"); "{}" }
     // embedding near-dup at scale: all-pairs brute vs LSH prefilter + exact
     // verify on the same clustered corpus (10k rows -> brute is 50M pairs;
     // LSH joins only bucket collisions). recall = |lsh| / |brute| since the
@@ -406,7 +451,7 @@ object Bench {
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
     val annIndexJson = f"""{"build_sec":${median(idxBuildSecs.toSeq)}%.3f,"query_sec":${median(idxQuerySecs.toSeq)}%.3f,"cells_bytes":$idxCellsBytes,"lean_build_sec":${median(leanBuildSecs.toSeq)}%.3f,"lean_query_sec":${median(leanQuerySecs.toSeq)}%.3f,"lean_cells_bytes":$leanCellsBytes}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it
