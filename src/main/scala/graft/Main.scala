@@ -255,7 +255,14 @@ object Main {
               qualityMin = raw.getOrElse("quality-min", "0.5").toDouble,
               nearDupThreshold = raw.getOrElse("neardup-threshold", "0.9").toDouble,
               annIndexDir = raw.get("ann-index"),
-              embeddingCol = raw.getOrElse("embedding-col", "embedding")))
+              embeddingCol = raw.getOrElse("embedding-col", "embedding"),
+              stripSpans = raw.get("strip-spans").exists(_.toBoolean),
+              spanK = raw.getOrElse("span-window", "10").toInt,
+              spanMinDocs = raw.getOrElse("span-min-docs", "2").toInt,
+              decontamBench = raw.get("decontaminate-bench"),
+              decontamBenchTextCol = raw.getOrElse("decontaminate-text-col", "text"),
+              decontamN = raw.getOrElse("decontaminate-n", "13").toInt,
+              decontamMinHits = raw.getOrElse("decontaminate-min-hits", "1").toInt))
           q.awaitTermination(600000)
           val accepted = spark.read
             .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data").count()

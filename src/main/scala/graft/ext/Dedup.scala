@@ -192,8 +192,18 @@ object Dedup {
    * back to the corpus.
    */
   def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 10, minDocs: Int = 2): DataFrame = {
-    val spans = repeatedSpans(docs, idCol, textCol, k, minDocs)
+                         k: Int = 10, minDocs: Int = 2): DataFrame =
+    stripSpansAt(docs, repeatedSpans(docs, idCol, textCol, k, minDocs),
+      idCol, textCol, k)
+
+  /** Strip the given `(idCol, pos)` window positions from each doc — the
+    * application half of [[stripRepeatedSpans]], reusable when the
+    * repeated-window set comes from elsewhere (e.g. the streaming
+    * pipeline's accumulated cross-batch span state). */
+  private[graft] def stripSpansAt(docs: DataFrame, spanPos: DataFrame,
+                                  idCol: String, textCol: String,
+                                  k: Int): DataFrame = {
+    val spans = spanPos
       .groupBy(idCol).agg(sort_array(collect_list("pos")).as("_spans"))
     val strip = udf((text: String, spans: Seq[Int]) => {
       if (text == null) null

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Decontaminate, Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -10,14 +10,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * [[graft.pipeline.CorpusPipeline]]. Documents arrive as files; each
  * micro-batch runs
  *
- *   quality filter -> exact dedup (in-batch + vs all prior batches)
- *   -> near-dup removal vs the ACCUMULATED corpus (MinHash bands)
- *   -> shard-routed append into the bundle
+ *   quality filter [-> strip spans vs accumulated window counts]
+ *   [-> benchmark decontamination] -> exact dedup (in-batch + vs all
+ *   prior batches) -> near-dup removal vs the ACCUMULATED corpus
+ *   (MinHash bands) -> shard-routed append into the bundle
  *
- * without ever recomputing over history. Accumulated knowledge lives in two
+ * without ever recomputing over history. Accumulated knowledge lives in
  * compact parquet side-states under the bundle dir:
  *   state/fingerprints: (fp)            — exact-dedup membership
  *   state/bands:        (doc_id, band, band_key, sig) — near-dup index
+ *   state/spans:        (h, df)         — window-hash document counts
+ *                                         (cross-batch boilerplate)
  * Arriving docs join those (anti-join for exact; band equi-join + signature
  * Jaccard estimate for near) — per batch the work is batch x matches, not
  * corpus x corpus. Near-dup here uses the SIGNATURE ESTIMATE (state keeps
@@ -47,7 +50,19 @@ object StreamingCorpus {
                     nearDupThreshold: Double = 0.9,
                     numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
                     annIndexDir: Option[String] = None,
-                    embeddingCol: String = "embedding")
+                    embeddingCol: String = "embedding",
+                    stripSpans: Boolean = false,
+                    spanK: Int = 10, spanMinDocs: Int = 2,
+                    decontamBench: Option[String] = None,
+                    decontamBenchTextCol: String = "text",
+                    decontamN: Int = 13, decontamMinHits: Int = 1)
+
+  /** Benchmark n-gram sets are static per (path, n, textCol): built once
+    * per stream lifetime, reused by every batch (the set is deterministic,
+    * so a driver restart rebuilding it sees identical contents). */
+  private val benchCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String),
+      Decontaminate.BenchmarkSet]()
 
   def start(docs: DataFrame, outDir: String, checkpointDir: String,
             cfg: Config = Config(), availableNow: Boolean = true): StreamingQuery = {
@@ -78,10 +93,57 @@ object StreamingCorpus {
     val quality = batch.filter(
       TextAnalysis.qualityScoreRaw(col(cfg.textCol)) >= cfg.qualityMin)
 
+    // 1.5 cross-batch boilerplate stripping: window-hash document
+    //     frequencies accumulate in state/spans (batch-tagged appends,
+    //     deduplicated on read, same replay protocol as the band state);
+    //     windows whose prior+batch df clears spanMinDocs are stripped
+    //     from THIS batch's docs before fingerprinting, so
+    //     identical-modulo-boilerplate docs collapse in exact dedup.
+    //     Prefix-blind by construction: docs emitted by earlier batches
+    //     keep spans that only later became frequent — the streaming
+    //     tradeoff, documented rather than retro-editing the bundle.
+    val spanDir = s"$outDir/state/spans"
+    val (despanned, spanBatchDf) =
+      if (!cfg.stripSpans) (quality, None)
+      else {
+        val wins = quality.select(col(cfg.idCol),
+          posexplode(Dedup.windowHashes(col(cfg.textCol), cfg.spanK))
+            .as(Seq("pos", "h")))
+        val batchDf = wins.select(col("h"), col(cfg.idCol)).distinct()
+          .groupBy("h").agg(count(lit(1)).as("df"))
+        val totalDf = stateRead(spark, spanDir, batchDf) match {
+          case Some(prior) => prior.select("h", "df", "batch_id").distinct()
+            .select(col("h"), col("df"))
+            .unionByName(batchDf).groupBy("h").agg(sum("df").as("df"))
+          case None => batchDf
+        }
+        val rep = totalDf.filter(col("df") >= cfg.spanMinDocs).select("h")
+        val spanPos = wins.join(rep, "h").select(col(cfg.idCol), col("pos"))
+        val stripped = Dedup
+          .stripSpansAt(quality, spanPos, cfg.idCol, cfg.textCol, cfg.spanK)
+          .withColumn(cfg.textCol, col(s"${cfg.textCol}_clean"))
+          .drop(s"${cfg.textCol}_clean")
+        (stripped, Some(batchDf))
+      }
+
+    // 1.6 benchmark decontamination: the eval set is static, so it is
+    //     built once per stream lifetime (cached by path/n/col) and each
+    //     batch is scored map-only against the broadcast hash set.
+    val cleared = cfg.decontamBench match {
+      case Some(path) =>
+        val set = benchCache.computeIfAbsent(
+          (path, cfg.decontamN, cfg.decontamBenchTextCol),
+          _ => Decontaminate.benchmarkNgrams(spark.read.parquet(path),
+            cfg.decontamBenchTextCol, cfg.decontamN))
+        Decontaminate.dropContaminated(despanned, cfg.textCol, set,
+          cfg.decontamMinHits)
+      case None => despanned
+    }
+
     // 2. exact dedup: lowest id in-batch, then anti-join the seen set
     val wNorm = org.apache.spark.sql.expressions.Window
       .partitionBy("_fp").orderBy(cfg.idCol)
-    val inBatch = quality
+    val inBatch = cleared
       .withColumn("_fp", TextAnalysis.fingerprint(col(cfg.textCol)))
       .withColumn("_rn", row_number().over(wNorm))
       .filter(col("_rn") === 1).drop("_rn")
@@ -177,6 +239,11 @@ object StreamingCorpus {
       .write.mode(SaveMode.Append).parquet(fpDir)
     survBanded.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).parquet(bandDir)
+    // span-state append: this batch's window document frequencies (from
+    // the PRE-strip quality docs — deterministic on replay; identical
+    // batch-tagged rows are deduplicated on read)
+    spanBatchDf.foreach(_.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).parquet(spanDir))
 
     // 5. maintain the standing semantic index as part of the commit.
     //    Replay-safe cases, disambiguated by the built_by_batch INTENT

@@ -143,6 +143,53 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(!got.contains(700L) && got.contains(701L), s"batch3: $got")
   }
 
+  test("strip-spans + decontaminate: span counts accumulate across batches; eval collisions dropped") {
+    // unique word LAST per segment (see CorpusPipelineSpec): the only
+    // cross-doc repeated window is the planted boilerplate
+    def sentence(i: Long) =
+      (0 until 12).map(j => s"of and to a the d${i}w$j").mkString(" ")
+    val boiler = "copyright footer terms apply all rights reserved contact site admin"
+    val out = Files.createTempDirectory("graft-sspan-out").toString
+    val benchDir = Files.createTempDirectory("graft-sspan-bench").toString
+    Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("bench_id", "text").write.mode("overwrite").parquet(benchDir)
+    val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+      nearDupThreshold = 0.95,
+      stripSpans = true, spanK = 10, spanMinDocs = 3,
+      decontamBench = Some(benchDir), decontamN = 3, decontamMinHits = 2)
+    def emitted() = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select("_id", "doc").collect()
+      .map(r => r.getString(0).toLong -> r.getString(1)).toMap
+
+    // batch 0: one boilerplate carrier (df=1 < 3 -> kept verbatim), one
+    // plain doc, one benchmark-contaminated doc (dropped map-only)
+    StreamingCorpus.processBatch(
+      Seq((0L, sentence(0)),
+          (1L, s"${sentence(1)} $boiler"),
+          (5L, s"${sentence(5)} alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"), 0L, out, cfg)
+    val e0 = emitted()
+    assert(e0.keySet === Set(0L, 1L), s"batch0: ${e0.keySet}")
+    assert(e0(1L).contains("reserved"),
+      "below spanMinDocs the boilerplate must be released verbatim")
+
+    // batch 1: two more carriers -> cumulative df = 3 >= spanMinDocs ->
+    // stripped from THIS batch (doc 1 stays as released: prefix-blind).
+    // Doc 12 = doc 11's text + boilerplate: after the strip they collapse
+    // and in-batch exact dedup keeps the lower id only.
+    StreamingCorpus.processBatch(
+      Seq((10L, s"${sentence(10)} $boiler"),
+          (11L, sentence(11)),
+          (12L, s"${sentence(11)} $boiler"))
+        .toDF("doc_id", "text"), 1L, out, cfg)
+    val e1 = emitted()
+    assert(e1.keySet === Set(0L, 1L, 10L, 11L), s"batch1: ${e1.keySet}")
+    assert(!e1(10L).contains("reserved"),
+      "at df >= spanMinDocs the boilerplate must be stripped")
+    assert(e1(1L).contains("reserved"), "already-released docs stay verbatim")
+  }
+
   test("annIndexDir: an all-filtered first batch defers the build to the first non-empty batch") {
     val rnd = new scala.util.Random(91)
     def sentence() =
