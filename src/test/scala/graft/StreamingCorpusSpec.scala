@@ -174,17 +174,38 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(e0(1L).contains("reserved"),
       "below spanMinDocs the boilerplate must be released verbatim")
 
-    // batch 1: two more carriers -> cumulative df = 3 >= spanMinDocs ->
-    // stripped from THIS batch (doc 1 stays as released: prefix-blind).
+    // REPLAY batch 0 (foreachBatch is at-least-once): the span state gets
+    // a second identical batch-tagged append, which the read-side distinct
+    // must collapse — a double-counted df would wrongly push the next
+    // carrier over spanMinDocs. Emissions must not duplicate either.
+    StreamingCorpus.processBatch(
+      Seq((0L, sentence(0)),
+          (1L, s"${sentence(1)} $boiler"),
+          (5L, s"${sentence(5)} alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"), 0L, out, cfg)
+    assert(emitted().keySet === Set(0L, 1L), "replay must not re-emit")
+
+    // batch 1: ONE more carrier -> TRUE cumulative df = 2 < 3 -> verbatim
+    // (a replay-double-counted state would see 3 and strip — the law)
+    StreamingCorpus.processBatch(
+      Seq((20L, s"${sentence(20)} $boiler")).toDF("doc_id", "text"),
+      1L, out, cfg)
+    val eR = emitted()
+    assert(eR.keySet === Set(0L, 1L, 20L), s"batch1: ${eR.keySet}")
+    assert(eR(20L).contains("reserved"),
+      "replayed state must not double-count dfs (df=2 < spanMinDocs=3)")
+
+    // batch 2: two more carriers -> cumulative df = 4 >= spanMinDocs ->
+    // stripped from THIS batch (docs 1 and 20 stay released: prefix-blind).
     // Doc 12 = doc 11's text + boilerplate: after the strip they collapse
     // and in-batch exact dedup keeps the lower id only.
     StreamingCorpus.processBatch(
       Seq((10L, s"${sentence(10)} $boiler"),
           (11L, sentence(11)),
           (12L, s"${sentence(11)} $boiler"))
-        .toDF("doc_id", "text"), 1L, out, cfg)
+        .toDF("doc_id", "text"), 2L, out, cfg)
     val e1 = emitted()
-    assert(e1.keySet === Set(0L, 1L, 10L, 11L), s"batch1: ${e1.keySet}")
+    assert(e1.keySet === Set(0L, 1L, 10L, 11L, 20L), s"batch2: ${e1.keySet}")
     assert(!e1(10L).contains("reserved"),
       "at df >= spanMinDocs the boilerplate must be stripped")
     assert(e1(1L).contains("reserved"), "already-released docs stay verbatim")
