@@ -246,12 +246,24 @@ object AnnIndexStream {
 
 object EventStreams {
 
+  /** Normalize event-time to session-local TIMESTAMP and apply the
+    * watermark. Spark 4.x file streams infer parquet timestamp columns as
+    * TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled` defaults
+    * true), and `withWatermark` rejects NTZ with
+    * EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — so every event-time entry point
+    * funnels through this cast. The cast is a no-op for an already-LTZ
+    * column, so batch DataFrames and explicit-schema streams are unaffected. */
+  private def watermarked(events: DataFrame, tsCol: String,
+                          watermark: String): DataFrame =
+    events.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      .withWatermark(tsCol, watermark)
+
   /** Tumbling-window counts with a watermark (late data beyond the
     * watermark is dropped — the reference's "files after completion are
     * ignored" analog, §2.10). */
   def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
+    watermarked(events, "ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -259,7 +271,7 @@ object EventStreams {
 
   /** Sliding windows: 1-hour windows every 15 minutes. */
   def slidingCounts(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours")
+    watermarked(events, "ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("cnt"))
@@ -267,7 +279,7 @@ object EventStreams {
   /** Session windows with a 30-minute gap (built-in session_window —
     * the streaming form of the q29 gaps-and-islands query). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events.withWatermark("ts", "2 hours")
+    watermarked(events, "ts", "2 hours")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("events_in_session"))
       .select(col("session_window.start").as("session_start"),
@@ -275,7 +287,7 @@ object EventStreams {
 
   /** Exactly-once-per-id within the watermark horizon. */
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark)
+    watermarked(events, "ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment: join the event stream against a (periodically

@@ -175,6 +175,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("sessions").count() > 0)
   }
 
+  test("watermark accepts an NTZ-inferred parquet event-time stream (Spark 4.x)") {
+    // Spark 4.x infers parquet timestamps written without UTC adjustment as
+    // TIMESTAMP_NTZ (inferTimestampNTZ defaults true); withWatermark rejects
+    // NTZ, so EventStreams must normalize at the entry point. This spec
+    // pins that end-to-end: NTZ parquet -> file stream -> watermark -> agg.
+    val dir = Files.createTempDirectory("graft-ntz").toString
+    sf("sf0.001", "events")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$dir/in")
+    val inferred = spark.read.parquet(s"$dir/in").schema
+    assert(inferred("ts").dataType === org.apache.spark.sql.types.TimestampNTZType,
+      "precondition lost: parquet round-trip no longer infers NTZ — " +
+        "revisit EventStreams.watermarked and this spec")
+    val stream = spark.readStream.schema(inferred).parquet(s"$dir/in")
+    val q = EventStreams.tumblingCounts(stream).writeStream
+      .format("memory").queryName("ntz_tumbling").outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/c").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // emitted (closed) windows agree with the batch computation under the
+    // same NTZ->LTZ session-local interpretation
+    val batch = spark.read.parquet(s"$dir/in")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0), r.getString(1)) -> r.getLong(2)).toMap
+    val emitted = spark.table("ntz_tumbling").collect()
+    assert(emitted.nonEmpty, "no windows emitted from the NTZ stream")
+    assert(emitted.forall { r =>
+      batch.get((r.getAs[java.sql.Timestamp](0), r.getString(1))).contains(r.getLong(2))
+    })
+  }
+
   test("streaming bundle writer: micro-batches land in correct shard dirs") {
     val dir = Files.createTempDirectory("graft-sbw").toString
     // stream docs from a file source built out of the batch transform
