@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Closing-bench isolation protocol (BASELINE.md): package a jar, kill the
+# sbt server (its JVM + compile daemons contend with the bench), run
+# graft.Bench in a bare JVM against sf0.1, leave bench_out.json in the
+# repo root. Run from /root/repo on an otherwise idle box.
+#
+# Usage: scripts/closing_bench.sh [sfDir]   (default /root/testdata/sf0.1)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SFDIR="${1:-/root/testdata/sf0.1}"
+
+sbt -batch package
+
+# kill sbt server/daemons by PID (pkill -f pattern would match this shell)
+for pat in sbt-launch sbtn; do
+  for pid in $(pgrep -f "$pat" || true); do
+    [ "$pid" != "$$" ] && kill -9 "$pid" 2>/dev/null || true
+  done
+done
+sleep 2
+
+JAR=$(ls target/scala-2.13/*.jar | head -1)
+exec java -Xmx96g -cp "$JAR:/opt/spark/jars/*" graft.Bench "$SFDIR"

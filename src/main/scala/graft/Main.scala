@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-split|ann-maintain|ann-drift]
+ *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -90,7 +90,7 @@ object Main {
       m.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val cfg = GraftConfig(
       input = if (Set("compact", "validate", "ann-compact", "ann-drift",
-                      "ann-split", "ann-maintain")(m("mode")))
+                      "ann-split", "ann-maintain", "ann-strip")(m("mode")))
                 m.getOrElse("input", "")
               else req("input"),
       outDir = req("out"),
@@ -102,7 +102,8 @@ object Main {
         case "install" | "validate" | "multi" => m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
-             "ann-drift" | "ann-stream" | "ann-split" | "ann-maintain" =>
+             "ann-drift" | "ann-stream" | "ann-split" | "ann-maintain" |
+             "ann-strip" =>
           m.getOrElse("index", "")
         case _          => req("index")
       },
@@ -447,6 +448,17 @@ object Main {
           val (before, after) = graft.ext.Similarity.compactIndex(spark, cfg.outDir,
             cellSalt = rawFlags(args).getOrElse("cell-salt", "1").toInt)
           println(s"ann index compacted: $before -> $after files")
+        case "ann-strip" =>
+          // footprint op: derive a codes-only twin (same centroids/model/
+          // codes, cells without stored vectors) at --results from the
+          // vectors-stored index at --out; query it with --rerank-corpus
+          // for exact results
+          val dst = rawFlags(args).getOrElse("results",
+            throw new IllegalArgumentException(
+              "--results <dstDir> is required for --mode ann-strip"))
+          graft.ext.Similarity.stripVectors(spark, cfg.outDir, dst,
+            cellSalt = rawFlags(args).getOrElse("cell-salt", "1").toInt)
+          println(s"codes-only twin written: ${cfg.outDir} -> $dst")
         case "ann-split" =>
           // re-balance the skew ann-drift detects: split one hot cell in
           // place (sub-centroids over its own rows; PQ codes unchanged)

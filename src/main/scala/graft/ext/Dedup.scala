@@ -243,11 +243,13 @@ object Dedup {
    * would otherwise double per iteration).
    *
    * The convergence probe rides INSIDE the per-round aggregate: the old
-   * label is carried through the min-aggregate round (labels only
-   * decrease, so changed == `lbl < _old`), the joined frame is what gets
-   * checkpoint-materialized, and the change count is a filter over the
-   * already-materialized local blocks — no separate join-and-recompute
-   * action per round.
+   * label enters the union as a third column (null on propagated rows —
+   * `min` ignores nulls, and every id has exactly one labels row, so
+   * `min(_old)` recovers the previous label with NO join), labels only
+   * decrease so changed == `lbl < _old`, the aggregated frame is what gets
+   * checkpoint-materialized, and the change probe is a filter over the
+   * already-materialized local blocks — one shuffle join (edges x labels)
+   * + one aggregate per round, nothing else.
    *
    * Throws if `maxIters` rounds don't converge (a component with diameter
    * > maxIters would otherwise return silently WRONG cluster ids); use
@@ -281,11 +283,15 @@ object Dedup {
           .join(labels.select(col("id").as("src"), col("lbl").as("_l")), "src")
           .select(col("dst").as("id"), col("_l").as("lbl"))
         // min-aggregate carries the previous label along so the change
-        // probe needs no second join: the id sets are identical round to
-        // round (prop ids ⊆ edge endpoints = label ids)
-        val next = labels.union(prop)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .join(labels.select(col("id"), col("lbl").as("_old")), "id")
+        // probe needs no second join: prop rows contribute null _old
+        // (ignored by min) and each id has exactly one labels row, so
+        // min(_old) IS the previous label (prop ids ⊆ edge endpoints =
+        // label ids)
+        val lblType = labels.schema("lbl").dataType
+        val next = labels.select(col("id"), col("lbl"), col("lbl").as("_old"))
+          .union(prop.select(col("id"), col("lbl"),
+            lit(null).cast(lblType).as("_old")))
+          .groupBy("id").agg(min("lbl").as("lbl"), min("_old").as("_old"))
           .localCheckpoint(true)
         converged = next.filter(col("lbl") < col("_old")).isEmpty
         labels = next.select("id", "lbl")

@@ -1324,6 +1324,30 @@ object Similarity {
     spark.read.parquet(s"$dir/cells").schema.fieldNames.contains("vec")
 
   /**
+   * Derive a codes-only twin of a vectors-stored index: same centroids,
+   * same PQ model, same codes — the cells are rewritten without the `vec`
+   * column and everything else is copied. The after-the-fact form of
+   * `storeVectors = false` (shrink a 1e9-row index from ~0.5 TB of stored
+   * vectors to ~10 GB of codes once a rerank corpus exists), and by
+   * construction the derived index ranks the identical ADC shortlist as
+   * its source — the premise the codes-only-vs-full identity law needs.
+   * One partition-pruned read + partitioned write; no retraining, no
+   * re-encode.
+   */
+  def stripVectors(spark: org.apache.spark.sql.SparkSession,
+                   srcDir: String, dstDir: String, cellSalt: Int = 1): Unit = {
+    require(indexStoresVectors(spark, srcDir),
+      s"$srcDir is already codes-only; nothing to strip")
+    val nlist = spark.read.parquet(s"$srcDir/centroids").count().toInt
+    spark.read.parquet(s"$srcDir/cells").drop("vec")
+      .transform(saltedCellRepartition(_, cellSalt, nlist)) // see buildIndex
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dstDir/cells")
+    for (part <- Seq("centroids", "model", "stats"))
+      spark.read.parquet(s"$srcDir/$part")
+        .write.mode("overwrite").parquet(s"$dstDir/$part")
+  }
+
+  /**
    * Cell-write exchange. `cellSalt = 1` (the default) gives one task —
    * hence ~one parquet file — per IVF cell, and lets AQE coalesce the
    * tiny-cell case. When a cell's rows outgrow ONE task (corpus/nlist

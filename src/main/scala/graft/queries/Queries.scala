@@ -1339,21 +1339,31 @@ object Queries {
             .collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
             .toSet
-        // Each codes-only build is compared to its SAME-residual
+        // Each codes-only index is compared to its SAME-residual
         // vectors-stored twin: indexTopK cuts candidates to k*rerankFactor
         // by ADC score BEFORE the exact rerank, so lean==full is an
         // identity only when both layouts rank the same shortlist — i.e.
-        // same PQ codes. Cross-code layouts (residual vs raw) rank
-        // different shortlists once the cut binds and may legitimately
-        // diverge; that relation is a recall-overlap bound, not equality.
-        val rawFull = res(build(storeVectors = true, residual = false),
-          rerank = false)
+        // same PQ codes. The codes-only twin is DERIVED from the full
+        // build via [[Similarity.stripVectors]] (identical codes by
+        // construction — the law's premise, made structural; also halves
+        // the suite's build cost: 2 trained builds + 2 strips, not 4
+        // builds). Cross-code layouts (residual vs raw) rank different
+        // shortlists once the cut binds and may legitimately diverge;
+        // that relation is a recall-overlap bound, not equality.
+        def leanFrom(fullDir: String): String = {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-q71-annidx-lean").toString
+          graft.ext.Similarity.stripVectors(s, fullDir, d)
+          d
+        }
+        val rawFullDir = build(storeVectors = true, residual = false)
+        val rawFull = res(rawFullDir, rerank = false)
         val rows = Seq(false, true).map { residual =>
-          val full =
-            if (residual) res(build(storeVectors = true, residual = true),
-              rerank = false)
-            else rawFull
-          val lean = res(build(storeVectors = false, residual), rerank = true)
+          val fullDir =
+            if (residual) build(storeVectors = true, residual = true)
+            else rawFullDir
+          val full = if (residual) res(fullDir, rerank = false) else rawFull
+          val lean = res(leanFrom(fullDir), rerank = true)
           require(lean == full, s"codes-only + source rerank must equal the " +
             s"same-code vectors-stored index (residual=$residual): " +
             s"${(lean -- full).take(3)} vs ${(full -- lean).take(3)}")

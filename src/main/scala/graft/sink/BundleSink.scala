@@ -215,6 +215,128 @@ object BundleSink {
     s""""alias":$a,"finalSettings":$fs"""
   }
 
+  /** Publish `shard_state.json` + a completed `manifest.json` from KNOWN
+    * per-shard doc counts: files/bytes per shard come from one listing per
+    * shard dir (no data scan), docs from the counts the caller carried out
+    * of its own write job. Shared by the streaming seal and the connector
+    * append path. */
+  private[graft] def publishState(spark: org.apache.spark.sql.SparkSession,
+                                  outDir: String, numShards: Int,
+                                  perShard: Map[Int, Long], indexName: String,
+                                  typeName: String, format: String,
+                                  codec: String,
+                                  alias: Option[String] = None,
+                                  finalSettings: Map[String, String] = Map.empty): Result = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val states = (0 until numShards).map { sh =>
+      val dir = new org.apache.hadoop.fs.Path(s"$outDir/data/_shard=$sh")
+      val (files, bytes) =
+        if (fs.exists(dir))
+          fs.listStatus(dir).filter(_.isFile)
+            .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+            .foldLeft((0L, 0L)) { case ((f, b), st) => (f + 1, b + st.getLen) }
+        else (0L, 0L)
+      s"""{"shard":$sh,"docs":${perShard.getOrElse(sh, 0L)},"files":$files,"bytes":$bytes}"""
+    }
+    val st = fs.create(new org.apache.hadoop.fs.Path(outDir, "shard_state.json"), true)
+    st.write(states.mkString("[", ",", "]").getBytes("UTF-8")); st.close()
+    val total = perShard.values.sum
+    val manifest =
+      s"""{"indexName":"$indexName","typeName":"$typeName","workDir":"$outDir",
+         |"numShards":$numShards,"format":"$format","compression":"$codec","totalDocs":$total,
+         |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
+         |${aliasSettingsJson(alias, finalSettings)},
+         |"state":"completed"}""".stripMargin.replace("\n", "")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(outDir, "manifest.json"), true)
+    mf.write(manifest.getBytes("UTF-8")); mf.close()
+    Result(outDir, numShards, total, perShard)
+  }
+
+  /**
+   * Connector write path (`INSERT INTO` / `df.write.format("graft-bundle")`
+   * on an EXISTING bundle): the table's own layout — shard count, data
+   * format, codec, index/type name — comes from `manifest.json`, never from
+   * the caller, and placement is recomputed from `_routing` (a caller-
+   * provided `_shard` is ignored: misplaced rows are exactly the contract
+   * violation direct file writes would commit).
+   *
+   * `overwrite = true` is a full [[write]] (same commit protocol, fresh
+   * manifest). Append stages the new rows under `.staging/` in the bundle's
+   * own format, renames each part into its shard dir under an
+   * insert-scoped unique name, and refreshes manifest + shard_state from
+   * the PREVIOUS manifest counts plus this job's observed delta — one
+   * directory listing per shard, zero read-back scans of existing data.
+   *
+   * Concurrency: the DATA files of two concurrent appends never collide
+   * (insert-scoped names), but the manifest refresh is read-modify-write —
+   * the later writer would base its counts on the earlier manifest.
+   * Serialize appends to one bundle (the reference serialized through its
+   * ZK leader the same way); `BundleValidate` catches a lost update after
+   * the fact (manifest counts vs data disagree).
+   */
+  def insertInto(data: DataFrame, outDir: String,
+                 overwrite: Boolean): Result = {
+    val spark = data.sparkSession
+    import graft.sources.BundleManifest
+    val numShards = BundleManifest.numShards(spark, outDir)
+    val format = BundleManifest.format(spark, outDir)
+    val codec = BundleManifest.compression(spark, outDir)
+      .getOrElse(if (format == "json") "gzip" else "zstd")
+    val indexName = BundleManifest.indexName(spark, outDir)
+    val typeName = BundleManifest.typeName(spark, outDir)
+    val docs = data.drop("_shard") // recomputed from _routing below
+    if (overwrite)
+      return write(docs, outDir, numShards, format = format,
+        indexName = indexName, typeName = typeName, compression = Some(codec))
+    val prior = BundleManifest.shardCounts(spark, outDir).getOrElse(
+      throw new IllegalStateException(s"$outDir manifest has no shardCounts " +
+        "(unsealed streaming bundle?) — seal it before INSERT INTO, or " +
+        "use overwrite"))
+
+    val obs = Observation(s"bundle-insert-${java.util.UUID.randomUUID()}")
+    val sharded = docs
+      .withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
+      .observe(obs, graft.functions.CountByKeyAgg.count_by_key(
+        col("_shard").cast("string")).as("shard_counts"))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$outDir/.staging/insert=$tag"
+    val writer = sharded.write.mode("overwrite").partitionBy("_shard")
+      .option("compression", codec)
+    format match {
+      case "json"                 => writer.json(staging)
+      case "parquet" | "columnar" => writer.parquet(staging)
+      case other => throw new IllegalArgumentException(s"unsupported bundle format: $other")
+    }
+    val delta = obs.get("shard_counts")
+      .asInstanceOf[scala.collection.Map[String, Long]]
+      .map { case (k, v) => k.toInt -> v }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val partIdx = "part-(\\d+)".r
+    for (shardDir <- fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+         if shardDir.isDirectory) {
+      val target = new org.apache.hadoop.fs.Path(
+        s"$outDir/data/${shardDir.getPath.getName}")
+      fs.mkdirs(target)
+      for (f <- fs.listStatus(shardDir.getPath)
+           if f.getPath.getName.startsWith("part-")) {
+        val idx = partIdx.findFirstMatchIn(f.getPath.getName).map(_.group(1)).getOrElse("0")
+        val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(target, s"i$tag-p$idx$suffix"))
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // drop the .staging parent too when this was its only insert (the
+    // non-recursive delete refuses while a concurrent insert still stages)
+    try fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/.staging"), false)
+    catch { case _: java.io.IOException => () }
+    val merged = (0 until numShards).map(sh =>
+      sh -> (prior.getOrElse(sh, 0L) + delta.getOrElse(sh, 0L))).toMap
+    publishState(spark, outDir, numShards, merged, indexName, typeName,
+      format, codec)
+  }
+
   def write(docs: DataFrame, outDir: String, numShards: Int,
             partitionMultiples: Int = 10, repartition: Boolean = true,
             format: String = "json", mappingJson: Option[String] = None,

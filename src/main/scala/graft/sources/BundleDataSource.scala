@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, E
 import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.execution.datasources.FileFormat
 import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.{FileScanBuilder, FileTable}
@@ -146,24 +145,75 @@ class BundleDataSource extends org.apache.spark.sql.connector.catalog.TableProvi
   }
 
   /** Catalog DDL path (`CREATE TABLE t USING `graft-bundle` LOCATION dir`):
-    * resolved through the V1 RelationProvider interface — a relation over
-    * `dir/data` in the manifest's format. Plain reads with `_shard`
-    * partition pruning; routing→shard inference stays a connector-path
-    * (`spark.read.format`) feature. */
+    * the session catalog resolves tables through the V1 RelationProvider
+    * interface only, so this returns a relation whose SCANS delegate to the
+    * full V2 connector read (routing→shard inference, partition pruning,
+    * vectorized formats — the inner DataFrame is the same one
+    * `spark.read.format("graft-bundle")` builds) and whose INSERTS go
+    * through [[graft.sink.BundleSink.insertInto]]. Returning a raw
+    * HadoopFsRelation here (as before round 7) made `INSERT INTO` a silent
+    * corruption path: Spark's file-insert command appended files directly,
+    * honoring a caller-supplied `_shard` and never touching the manifest. */
   override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
                               parameters: Map[String, String])
       : org.apache.spark.sql.sources.BaseRelation = {
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-bundle requires a path"))
-    val spark = sqlContext.sparkSession
-    val fmt = BundleManifest.format(spark, root)
-    val (clsName, schema) =
-      if (fmt == "json") ("json", Some(graft.streaming.BundleStream.bundleSchema))
-      else ("parquet", None)
-    org.apache.spark.sql.execution.datasources.DataSource(spark,
-      className = clsName, paths = Seq(s"$root/data"),
-      userSpecifiedSchema = schema).resolveRelation()
+    new BundleCatalogRelation(root, sqlContext.sparkSession)
   }
+}
+
+/** V1 relation for catalog-registered bundles: scan = the V2 connector
+  * DataFrame (filters re-expressed as Columns so routing/partition pruning
+  * still fire inside the V2 scan; Spark re-checks every filter above, so
+  * untranslated ones only cost pushdown, never correctness), insert = the
+  * bundle contract. */
+private[sources] class BundleCatalogRelation(root: String,
+                                             spark: SparkSession)
+  extends org.apache.spark.sql.sources.BaseRelation
+  with org.apache.spark.sql.sources.PrunedFilteredScan
+  with org.apache.spark.sql.sources.InsertableRelation {
+  import org.apache.spark.sql.{functions => F, sources => S}
+
+  override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private def df: org.apache.spark.sql.DataFrame =
+    spark.read.format("graft-bundle").load(root)
+  override val schema: StructType = df.schema
+
+  private def toColumn(f: S.Filter): Option[org.apache.spark.sql.Column] = f match {
+    case S.EqualTo(a, v)            => Some(F.col(a) === F.lit(v))
+    case S.EqualNullSafe(a, v)      => Some(F.col(a) <=> F.lit(v))
+    case S.GreaterThan(a, v)        => Some(F.col(a) > F.lit(v))
+    case S.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case S.LessThan(a, v)           => Some(F.col(a) < F.lit(v))
+    case S.LessThanOrEqual(a, v)    => Some(F.col(a) <= F.lit(v))
+    case S.In(a, vs)                => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case S.IsNull(a)                => Some(F.col(a).isNull)
+    case S.IsNotNull(a)             => Some(F.col(a).isNotNull)
+    case S.StringStartsWith(a, v)   => Some(F.col(a).startsWith(v))
+    case S.StringEndsWith(a, v)     => Some(F.col(a).endsWith(v))
+    case S.StringContains(a, v)     => Some(F.col(a).contains(v))
+    case S.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case S.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case S.Not(c)                   => toColumn(c).map(!_)
+    case _                          => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[S.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.flatMap(toColumn).foldLeft(df)(_.filter(_))
+    val pruned =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(F.col).toIndexedSeq: _*)
+    pruned.rdd
+  }
+
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit =
+    graft.sink.BundleSink.insertInto(data, root, overwrite)
 }
 
 /** Manifest resolution shared by the connector and [[graft.sink.BundleReader]].
@@ -198,64 +248,129 @@ object BundleManifest {
   def format(spark: SparkSession, bundleDir: String): String =
     """"format":"(\w+)"""".r.findFirstMatchIn(read(spark, bundleDir))
       .map(_.group(1)).getOrElse("json")
+
+  /** Writer-recorded codec (absent on streaming-state manifests). */
+  def compression(spark: SparkSession, bundleDir: String): Option[String] =
+    """"compression":"([\w-]+)"""".r.findFirstMatchIn(read(spark, bundleDir))
+      .map(_.group(1))
+
+  def indexName(spark: SparkSession, bundleDir: String): String =
+    """"indexName":"([^"]*)"""".r.findFirstMatchIn(read(spark, bundleDir))
+      .map(_.group(1)).getOrElse("")
+
+  def typeName(spark: SparkSession, bundleDir: String): String =
+    """"typeName":"([^"]*)"""".r.findFirstMatchIn(read(spark, bundleDir))
+      .map(_.group(1)).getOrElse("doc")
+
+  /** Per-shard doc counts from the manifest; None when the manifest has no
+    * counts yet (streaming-state bundle before seal). */
+  def shardCounts(spark: SparkSession, bundleDir: String): Option[Map[Int, Long]] =
+    """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(read(spark, bundleDir))
+      .map(m => """"(\d+)":(\d+)""".r.findAllMatchIn(m.group(1))
+        .map(g => g.group(1).toInt -> g.group(2).toLong).toMap)
 }
 
 /**
- * [[FileTable]] over a bundle's `data/` directory. Delegates schema
- * inference and writes to Spark's own parquet/json tables; scan building
- * goes through [[RoutingShardPushdown]] so the `_routing -> _shard`
- * implication lands in the scan's partition filters.
+ * Table over a bundle's `data/` directory. Deliberately NOT a [[FileTable]]
+ * subclass (though it composes one): the analyzer's `FallBackFileSourceV2`
+ * rule rewrites `INSERT INTO` on ANY `FileTable` into a direct
+ * `InsertIntoHadoopFsRelationCommand` — files landed in the data dir with
+ * caller-chosen `_shard` values and a stale manifest. As a plain
+ * `SupportsRead`/`SupportsWrite` table the insert stays on the V2 path and
+ * reaches [[newWriteBuilder]]'s V1 fallback, which enforces the bundle
+ * contract. Scan building still uses Spark's own parquet/json file scans
+ * (via the delegate's file index) wrapped with [[RoutingShardPushdown]] so
+ * the `_routing -> _shard` implication lands in the scan's partition
+ * filters.
  */
 case class BundleTable(name: String, sparkSession: SparkSession,
                        options: CaseInsensitiveStringMap, paths: Seq[String],
                        declaredSchema: Option[StructType],
                        bundleFormat: String, bundleNumShards: Int)
-  extends FileTable(sparkSession, options, paths,
-    BundleTable.effectiveSchema(declaredSchema, bundleFormat)) {
+  extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private def isParquet: Boolean = bundleFormat != "json"
 
   private def userSpecifiedSchema: Option[StructType] =
     BundleTable.effectiveSchema(declaredSchema, bundleFormat)
 
-  private def delegate: FileTable =
+  /** Owns file listing, partition discovery and schema reconciliation;
+    * a field so the directory is listed once per table instance. */
+  private lazy val delegate: FileTable =
     if (isParquet) ParquetTable(name, sparkSession, options, paths,
       userSpecifiedSchema, classOf[ParquetFileFormat])
     else JsonTable(name, sparkSession, options, paths,
       userSpecifiedSchema, classOf[JsonFileFormat])
 
-  override def inferSchema(files: Seq[org.apache.hadoop.fs.FileStatus]): Option[StructType] =
-    delegate.inferSchema(files)
+  override def schema(): StructType = delegate.schema
+
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    delegate.partitioning()
+
+  override def properties(): java.util.Map[String, String] =
+    options.asCaseSensitiveMap()
+
+  private def mergedOptions(opts: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    m.putAll(opts.asCaseSensitiveMap())
+    new CaseInsensitiveStringMap(m)
+  }
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = mergedOptions(opts)
     val n = bundleNumShards
     if (isParquet)
-      new ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, merged)
+      new ParquetScanBuilder(sparkSession, delegate.fileIndex, delegate.schema,
+        delegate.dataSchema, merged)
         with RoutingShardPushdown { val routingNumShards: Int = n }
     else
-      new JsonScanBuilder(sparkSession, fileIndex, schema, dataSchema, merged)
+      new JsonScanBuilder(sparkSession, delegate.fileIndex, delegate.schema,
+        delegate.dataSchema, merged)
         with RoutingShardPushdown { val routingNumShards: Int = n }
   }
 
-  // Direct table writes are REFUSED: they would land unsharded files in the
-  // data dir, bypassing placement (_shard derivation), the commit-protocol
-  // state blob and the manifest — the three invariants every consumer
-  // relies on. Bundle writes go through [[graft.sink.BundleSink]] (or the
-  // CLI), whose write job owns that lifecycle.
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    throw new UnsupportedOperationException(
-      "graft-bundle tables are written by graft.sink.BundleSink / graft.Main " +
-        "(shard placement + commit protocol + manifest); direct DataFrame " +
-        "writes to the table would bypass the bundle contract")
+  // Direct FILE writes would land unsharded rows in the data dir, bypassing
+  // placement (_shard derivation), the commit-protocol state blob and the
+  // manifest — so the write path is a V1 fallback that hands the WHOLE
+  // DataFrame to [[graft.sink.BundleSink.insertInto]]: placement recomputed
+  // from _routing (a caller-supplied _shard is ignored), append staged +
+  // renamed with manifest/state refreshed from carried counts, overwrite =
+  // a full BundleSink.write under the bundle commit protocol. The table's
+  // layout (shard count, format, codec) always comes from manifest.json,
+  // never from write options.
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val root = options.get("path")
+    if (root == null || root.isEmpty)
+      throw new UnsupportedOperationException(
+        "graft-bundle writes address one bundle directory (path option); " +
+          "create bundles with graft.sink.BundleSink / graft.Main")
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  legacyOverwrite: Boolean): Unit =
+                graft.sink.BundleSink.insertInto(data, root,
+                  overwrite || legacyOverwrite)
+            }
+        }
+    }
+  }
 
-  override def formatName: String = s"graft-bundle(${bundleFormat})"
-
-  override def fallbackFileFormat: Class[_ <: FileFormat] =
-    if (isParquet) classOf[ParquetFileFormat] else classOf[JsonFileFormat]
-
-  override def supportsDataType(dataType: org.apache.spark.sql.types.DataType): Boolean =
-    delegate.supportsDataType(dataType)
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    // BATCH_WRITE is required by DataFrameWriter.save's V2-path gate;
+    // V1_BATCH_WRITE is what the planner actually dispatches on (the
+    // builder yields a V1Write -> AppendDataExecV1 -> insertInto)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE,
+      org.apache.spark.sql.connector.catalog.TableCapability.V1_BATCH_WRITE,
+      org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
 }
 
 object BundleTable {

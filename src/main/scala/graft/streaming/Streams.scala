@@ -120,28 +120,11 @@ object BundleStreamWriter {
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       (0 until numShards).map(s => s -> counted.getOrElse(s, 0L)).toMap
     }
-    val states = (0 until numShards).map { sh =>
-      val dir = new org.apache.hadoop.fs.Path(s"$outDir/data/_shard=$sh")
-      val (files, bytes) =
-        if (fs.exists(dir))
-          fs.listStatus(dir).filter(_.isFile)
-            .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
-            .foldLeft((0L, 0L)) { case ((f, b), st) => (f + 1, b + st.getLen) }
-        else (0L, 0L)
-      s"""{"shard":$sh,"docs":${perShard(sh)},"files":$files,"bytes":$bytes}"""
-    }
-    val st = fs.create(new org.apache.hadoop.fs.Path(outDir, "shard_state.json"), true)
-    st.write(states.mkString("[", ",", "]").getBytes("UTF-8")); st.close()
-    val total = perShard.values.sum
-    val manifest =
-      s"""{"indexName":"$indexName","typeName":"$typeName","workDir":"$outDir",
-         |"numShards":$numShards,"format":"json","compression":"gzip","totalDocs":$total,
-         |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
-         |"alias":null,"finalSettings":{},
-         |"state":"completed"}""".stripMargin.replace("\n", "")
-    val mf = fs.create(new org.apache.hadoop.fs.Path(outDir, "manifest.json"), true)
-    mf.write(manifest.getBytes("UTF-8")); mf.close()
-    graft.sink.BundleSink.Result(outDir, numShards, total, perShard)
+    // state + manifest publication is shared with the connector append
+    // path — docs from the counts above, files/bytes from one listing per
+    // shard dir
+    graft.sink.BundleSink.publishState(spark, outDir, numShards, perShard,
+      indexName, typeName, "json", "gzip")
   }
 
   private[graft] def commitBatch(batch: org.apache.spark.sql.DataFrame,

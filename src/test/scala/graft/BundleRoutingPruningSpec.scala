@@ -135,7 +135,7 @@ class BundleRoutingPruningSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
-  test("catalog DDL: CREATE TABLE USING graft-bundle reads the bundle; direct writes refused") {
+  test("catalog DDL: CREATE TABLE USING graft-bundle reads the bundle; writes keep the contract") {
     val dir = writeBundle()
     spark.sql("DROP TABLE IF EXISTS ddl_bundle")
     spark.sql(s"CREATE TABLE ddl_bundle USING `graft-bundle` LOCATION '$dir'")
@@ -144,13 +144,15 @@ class BundleRoutingPruningSpec extends SparkSpec {
       // _shard is an ordinary partition column on the catalog path
       val one = spark.sql("SELECT count(*) FROM ddl_bundle WHERE _shard = 1").head().getLong(0)
       assert(one > 0 && one < 1500L)
-      // the write side of the table contract is owned by BundleSink — direct
-      // DataFrame writes must refuse rather than drop unsharded files
-      val e = intercept[Exception] {
-        spark.range(1).selectExpr("'x' _id", "'x' _routing", "'{}' doc", "0 _shard")
-          .write.format("graft-bundle").mode("append").save(dir)
-      }
-      assert(e.getMessage.contains("BundleSink"), e.getMessage)
+      // the write side of the table contract is owned by BundleSink — since
+      // round 7, direct DataFrame writes delegate to BundleSink.insertInto
+      // (placement recomputed from _routing, manifest refreshed) rather
+      // than refusing or dropping unsharded files (full laws in
+      // BundleWriteV2Spec)
+      spark.range(1).selectExpr("'x' _id", "'x' _routing", "'{}' doc", "0 _shard")
+        .write.format("graft-bundle").mode("append").save(dir)
+      assert(spark.sql("SELECT count(*) FROM ddl_bundle").head().getLong(0) === 1501L)
+      assert(graft.sources.BundleManifest.shardCounts(spark, dir).get.values.sum === 1501L)
     } finally spark.sql("DROP TABLE IF EXISTS ddl_bundle")
   }
 

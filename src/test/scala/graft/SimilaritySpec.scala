@@ -822,6 +822,52 @@ class SimilaritySpec extends SparkSpec {
     assert(drift.rowsNow === 540)
   }
 
+  test("stripVectors: derived codes-only twin preserves rows/codes, identity under rerank") {
+    val dim = 16
+    val rnd = new scala.util.Random(577)
+    val centers = (0 until 6).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val corpus = (0 until 480).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 8)
+    val full = java.nio.file.Files.createTempDirectory("graft-strip-full").toString
+    val lean = java.nio.file.Files.createTempDirectory("graft-strip-lean").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", full,
+      nlist = 6, kmeansIters = 2, m = 4, k = 8)
+    Similarity.stripVectors(spark, full, lean)
+    // layout + content: codes-only cells, same rows, same codes per nid
+    assert(spark.read.parquet(s"$lean/cells").schema.fieldNames.toSet ===
+      Set("cent_id", "nid", "codes"))
+    val srcCodes = spark.read.parquet(s"$full/cells")
+      .select("nid", "cent_id", "codes").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    val dstCodes = spark.read.parquet(s"$lean/cells")
+      .select("nid", "cent_id", "codes").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    assert(dstCodes === srcCodes,
+      "strip must preserve every (nid, cell, codes) triple exactly")
+    // identity law holds structurally: derived lean + source rerank == full
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val fromFull = rows(Similarity.indexTopK(q, full, "vec_id", "embedding",
+      k = 2, nprobe = 3))
+    val fromLean = rows(Similarity.indexTopK(q, lean, "vec_id", "embedding",
+      k = 2, nprobe = 3, rerankCorpus = Some(corpus), rerankIdCol = "vec_id"))
+    assert(fromLean === fromFull)
+    // a stripped index is a first-class codes-only index: appends conform
+    Similarity.appendToIndex(corpus.filter(col("vec_id") < 4)
+      .withColumn("vec_id", col("vec_id") + 5000), "vec_id", "embedding", lean)
+    assert(spark.read.parquet(s"$lean/cells").schema.fieldNames.toSet ===
+      Set("cent_id", "nid", "codes"))
+    assert(spark.read.parquet(s"$lean/cells").count() === 484)
+    // double-strip is a loud error, not a silent no-op copy
+    intercept[IllegalArgumentException] {
+      Similarity.stripVectors(spark, lean,
+        java.nio.file.Files.createTempDirectory("graft-strip-again").toString)
+    }
+  }
+
   test("codes-only splitCell: reconstruction-trained split preserves rows, shrinks skew") {
     // 4 natural clusters forced into nlist=3 -> one hot merged cell, but
     // the index is LEAN (no stored vectors): sub-centroids train on the
