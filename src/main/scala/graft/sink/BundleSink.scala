@@ -279,6 +279,19 @@ object BundleSink {
                  overwrite: Boolean): Result = {
     val spark = data.sparkSession
     import graft.sources.BundleManifest
+    // multi-index bundles (manifest_<idx>.json siblings, data/_index=i/
+    // _shard=k layout) are written by writeMulti in one pass; a
+    // single-index insert would land rows OUTSIDE every _index partition
+    // and corrupt per-index manifests — refuse, don't guess
+    locally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(outDir, "manifest.json")))
+        throw new UnsupportedOperationException(
+          s"$outDir is a multi-index bundle (no single manifest.json); " +
+            "INSERT addresses one index — rewrite via BundleSink.writeMulti " +
+            "or insert into a single-index bundle")
+    }
     val numShards = BundleManifest.numShards(spark, outDir)
     val format = BundleManifest.format(spark, outDir)
     val codec = BundleManifest.compression(spark, outDir)

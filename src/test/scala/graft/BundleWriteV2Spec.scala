@@ -95,6 +95,19 @@ class BundleWriteV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE bt_v2w")
   }
 
+  test("insert into a multi-index bundle is refused, not misplaced") {
+    val out = Files.createTempDirectory("graft-v2w-multi").toString
+    val routed = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+      .withColumn("tier", lit("t0"))
+    BundleSink.writeMulti(routed, s"$out/multi", "tier", numShards = 2,
+      partitionMultiples = 2)
+    val e = intercept[UnsupportedOperationException] {
+      DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
+        .write.format("graft-bundle").mode("append").save(s"$out/multi")
+    }
+    assert(e.getMessage.contains("multi-index"))
+  }
+
   test("append to an unsealed streaming bundle fails loudly") {
     val dir = Files.createTempDirectory("graft-v2w-stream").toString
     val src = s"$dir/in"
