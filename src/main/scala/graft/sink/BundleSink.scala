@@ -298,6 +298,10 @@ object BundleSink {
       .getOrElse(if (format == "json") "gzip" else "zstd")
     val indexName = BundleManifest.indexName(spark, outDir)
     val typeName = BundleManifest.typeName(spark, outDir)
+    require(data.columns.contains("_routing"),
+      s"bundle inserts need a _routing column (placement is derived from " +
+        s"it; got ${data.columns.mkString(", ")}) — build rows with " +
+        "DocTransform.docs or supply _routing directly")
     val docs = data.drop("_shard") // recomputed from _routing below
     if (overwrite)
       return write(docs, outDir, numShards, format = format,

@@ -92,6 +92,16 @@ class BundleWriteV2Spec extends SparkSpec {
       // catalog reads still answer after the contract-path insert
       assert(spark.sql("SELECT count(*) FROM bt_v2w").head().getLong(0) ===
         before.totalDocs + 1)
+      // INSERT OVERWRITE truncates through the same contract
+      spark.sql("INSERT OVERWRITE bt_v2w SELECT 'only' as _id, 'only' as _routing, '{}' as doc, 0 as _shard")
+      assert(spark.sql("SELECT count(*) FROM bt_v2w").head().getLong(0) === 1L)
+      assert(BundleManifest.shardCounts(spark, dir).get.values.sum === 1L)
+      // rows without _routing are rejected with the contract's message
+      val err = intercept[Exception] {
+        spark.range(1).selectExpr("'x' _id", "'{}' doc")
+          .write.format("graft-bundle").mode("append").save(dir)
+      }
+      assert(err.getMessage.contains("_routing"))
     } finally spark.sql("DROP TABLE bt_v2w")
   }
 
