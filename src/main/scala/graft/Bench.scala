@@ -85,6 +85,19 @@ object Bench {
       BundleSink.write(columnarDocsDf, s"$sinkDir/bench_idx_col", numShards = 8,
         partitionMultiples = 4, repartition = true, format = "columnar")
     }
+    // connector append (round 7): orders docs appended to the standing
+    // parquet lineitem bundle (NOT the json one — scan_docfield_json reads
+    // that and must stay comparable across rounds) — staged write +
+    // rename-in commit + manifest refresh from carried counts. The cost
+    // model the entry guards: one exchange over the NEW rows only; the
+    // existing bundle is never read or listed beyond numShards shard-dir
+    // listStatus calls.
+    val sinkInsertAppendSec = time {
+      graft.sink.BundleSink.insertInto(
+        DocTransform.docs(Tables.load(spark, sfDir, "orders"),
+          "o_orderkey", Some("o_custkey")),
+        s"$sinkDir/bench_idx_pq", overwrite = false)
+    }
     import org.apache.spark.sql.functions.{col, get_json_object, sum => fsum}
     // medians of 3, like the 1M tiers: these scans are short enough that a
     // single sample is dominated by first-touch JIT of the gzip+jackson
@@ -453,6 +466,7 @@ object Bench {
     val all = results :+ ("sink_bundle" -> sinkSec) :+
       ("sink_bundle_parquet" -> sinkParquetSec) :+
       ("sink_bundle_columnar" -> sinkColumnarSec) :+
+      ("sink_insert_append" -> sinkInsertAppendSec) :+
       ("scan_docfield_json" -> scanJsonSec) :+
       ("scan_docfield_columnar" -> scanColumnarSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
