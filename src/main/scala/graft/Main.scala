@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift]
+ *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -173,6 +173,19 @@ object Main {
             if (mode == "generic") Hive2Es.runGeneric(spark, cfg)
             else Hive2Es.runInferred(spark, cfg)
           println(s"bundle written: ${result.outDir}")
+          println(s"totalDocs=${result.totalDocs} shards=${result.numShards}")
+          result.shardCounts.toSeq.sorted.foreach { case (s, n) => println(s"  shard $s: $n docs") }
+        case "append" =>
+          // incremental batch load into an EXISTING bundle (the connector
+          // write path as a CLI verb): rows -> docs -> insertInto. Shard
+          // count/format/codec come from the bundle's own manifest; only
+          // the new rows are exchanged and written.
+          val src = spark.read.parquet(cfg.input).where(cfg.where)
+          val docs = graft.transform.DocTransform.docs(src,
+            Option(cfg.id).getOrElse(src.columns.head), Option(cfg.routing))
+          val result = graft.sink.BundleSink.insertInto(docs,
+            s"${cfg.outDir}/${cfg.indexName}", overwrite = false)
+          println(s"bundle appended: ${result.outDir}")
           println(s"totalDocs=${result.totalDocs} shards=${result.numShards}")
           result.shardCounts.toSeq.sorted.foreach { case (s, n) => println(s"  shard $s: $n docs") }
         case "stream" =>
