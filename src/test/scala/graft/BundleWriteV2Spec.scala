@@ -118,6 +118,23 @@ class BundleWriteV2Spec extends SparkSpec {
     assert(e.getMessage.contains("multi-index"))
   }
 
+  test("CLI --mode append: docs built from source rows, appended under the contract") {
+    val (dir, before) = mkBundle()
+    // drive Main's append body the way the CLI does (parse + the same
+    // DocTransform -> insertInto composition), against the real bundle
+    val (cfg, mode) = Main.parse(Array("--mode", "append",
+      "--input", "/root/testdata/sf0.001/customer.parquet",
+      "--out", new java.io.File(dir).getParent, "--index",
+      new java.io.File(dir).getName, "--id", "c_custkey"))
+    assert(mode === "append")
+    val src = spark.read.parquet(cfg.input).where(cfg.where)
+    val res = BundleSink.insertInto(
+      DocTransform.docs(src, cfg.id, Option(cfg.routing)),
+      s"${cfg.outDir}/${cfg.indexName}", overwrite = false)
+    assert(res.totalDocs === before.totalDocs + 150)
+    assert(BundleValidate.validate(spark, dir).ok)
+  }
+
   test("append to an unsealed streaming bundle fails loudly") {
     val dir = Files.createTempDirectory("graft-v2w-stream").toString
     val src = s"$dir/in"
