@@ -1182,6 +1182,66 @@ object Similarity {
   }
 
   /**
+   * Residual (IVFADC) form of [[ivfPqTopK]]: the PQ codebooks train on
+   * CELL RESIDUALS (vec − cellCentroid, `normalize = false` — zero-mean,
+   * low spread, far less code collision inside tight cells), candidates
+   * score as the exact decomposition dot(q, v) = dot(q, c) + dot(q, r̂)
+   * (per-(query, cell) `cell_dot` + the per-query residual LUT), and the
+   * shortlist exact-reranks against the source vectors. Unlike
+   * [[ivfPqTopK]] the model cannot be caller-supplied: residual codebooks
+   * only exist AFTER the coarse quantizer, so training happens inside —
+   * with the same deterministic inputs as `buildIndex(residual = true)`,
+   * which is the identity the differential law in SimilaritySpec pins
+   * (persisted residual index == this, bit-exact, at equal knobs).
+   */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                        idCol: String, vecCol: String, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
+                        m: Int = 8, kCodes: Int = 16, opqIters: Int = 0,
+                        sampleSize: Int = 10000,
+                        rerankFactor: Int = 64, roundTo: Int = 4): DataFrame = {
+    val cents = coarseCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val (flat, _, dim) = flatCents(cents)
+    val resDf = assignCells(corpus, idCol, vecCol, "nid", "_cv", cents, probes = 1)
+      .withColumn("_rv", graft.functions.PqFunctions.cell_residual(
+        col("_cv"), col("cent_id"), flat, dim))
+    val model = pqTrain(resDf, "_rv", dim, m = m, k = kCodes,
+      sampleSize = sampleSize, opqIters = opqIters, normalize = false)
+    val corpusCells = resDf
+      .withColumn("codes", graft.functions.PqFunctions.pq_encode(
+        permute(col("_rv"), model), model.centroids, model.m, model.k, model.subDim))
+      .select(col("cent_id"), col("nid"), col("codes"))
+    val queryCells = assignCells(queries, qidCol, vecCol, "qid", "_qv", cents,
+        probes = math.min(nprobe, cents.length))
+      .withColumn("_lut", graft.functions.PqFunctions.pq_lut(permute(col("_qv"), model),
+        model.centroids, model.m, model.k, model.subDim))
+      .withColumn("_cdot", graft.functions.PqFunctions.cell_dot(
+        col("_qv"), col("cent_id"), flat, dim))
+    // candidate stream + two-level tie-aware cut + exact re-rank: the
+    // [[ivfPqTopK]] shape verbatim, with the ADC score shifted by _cdot
+    val wPart = Window.partitionBy("qid", "cent_id").orderBy(col("_psim").desc)
+    val wc = Window.partitionBy("qid").orderBy(col("_psim").desc)
+    val cands = queryCells.join(corpusCells, Seq("cent_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("cent_id"), col("qid"), col("nid"),
+        (col("_cdot") + graft.functions.PqFunctions.pq_score(
+          col("_lut"), col("codes"), model.k)).as("_psim"))
+      .withColumn("_crank", rank().over(wPart))
+      .filter(col("_crank") <= k * rerankFactor)
+      .withColumn("_prank", rank().over(wc))
+      .filter(col("_prank") <= k * rerankFactor)
+      .select(col("qid"), col("nid"))
+    val qv = queries.select(col(qidCol).as("qid"), unitize(asDouble(col(vecCol))).as("_qv"))
+    val cv = corpus.select(col(idCol).as("nid"), unitize(asDouble(col(vecCol))).as("_cv"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    cands.join(qv, "qid").join(cv, "nid")
+      .select(col("qid"), col("nid"), round(dot(col("_qv"), col("_cv")), roundTo).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /**
    * Persistable IVF-PQ index — the "build once, query many" shape a large
    * corpus actually needs: every online method above retrains the
    * quantizer and re-encodes the corpus per query batch, which at 100 TB

@@ -608,6 +608,35 @@ class SimilaritySpec extends SparkSpec {
     assert(cellDirs.length === 8, s"expected 8 cell dirs, got ${cellDirs.toSeq}")
   }
 
+  test("persisted residual index: bit-identical to online residual IVF-PQ (IVFADC)") {
+    // the residual twin of the identity law above: buildIndex(residual =
+    // true) + indexTopK must equal ivfPqResidualTopK at equal knobs — the
+    // online method trains its codebooks on cell residuals with the same
+    // deterministic inputs the build does, so any divergence is a scoring
+    // or training drift between the two formulations
+    val dim = 16
+    val rnd = new scala.util.Random(83)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.2 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-res").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", dir,
+      nlist = 8, kmeansIters = 2, m = 4, k = 8, residual = true)
+    val online = Similarity.ivfPqResidualTopK(q, corpus, "vec_id", "vec_id",
+        "embedding", k = 2, nlist = 8, nprobe = 3, kmeansIters = 2,
+        m = 4, kCodes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val indexed = Similarity.indexTopK(q, dir, "vec_id", "embedding",
+        k = 2, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(indexed === online,
+      "residual indexTopK must equal the online residual IVF-PQ at equal knobs")
+  }
+
   test("persisted index == online IVF-PQ across seeds, dims and knobs") {
     // seed-swept version of the fixed-seed identity law: the equality must
     // hold for any corpus shape, not one lucky configuration
