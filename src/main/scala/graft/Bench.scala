@@ -51,11 +51,19 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     }
 
-    val results = Queries.all.map { q =>
-      q.name -> time {
-        q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // "only1m" (arg 2): run JUST the 1M scale tier — the fixed-heap
+    // experiment (BASELINE.md round 7) showed -Xms=-Xmx+AlwaysPreTouch
+    // stabilizes the 1M entries but evicts the page cache under the query
+    // suite; this mode gets the stable ANN numbers without that tax:
+    //   java -Xms64g -Xmx64g -XX:+AlwaysPreTouch ... graft.Bench <sf> only1m
+    val only1m = args.lift(1).contains("only1m")
+    val results =
+      if (only1m) Seq.empty
+      else Queries.all.map { q =>
+        q.name -> time {
+          q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
       }
-    }
 
     // end-to-end sink pipeline (scan -> docs -> es_shard -> bundle write),
     // measured for both bundle formats
@@ -65,11 +73,11 @@ object Bench {
         org.apache.spark.sql.functions.col("l_orderkey"),
         org.apache.spark.sql.functions.col("l_linenumber"))), "li_id", None)
     var sinkDocs = 0L
-    val sinkSec = time {
+    val sinkSec = if (only1m) -1.0 else time {
       sinkDocs = BundleSink.write(sinkDocsDf, s"$sinkDir/bench_idx", numShards = 8,
         partitionMultiples = 4, repartition = true).totalDocs
     }
-    val sinkParquetSec = time {
+    val sinkParquetSec = if (only1m) -1.0 else time {
       BundleSink.write(sinkDocsDf, s"$sinkDir/bench_idx_pq", numShards = 8,
         partitionMultiples = 4, repartition = true, format = "parquet")
     }
@@ -81,7 +89,7 @@ object Bench {
         .withColumn("li_id", org.apache.spark.sql.functions.concat_ws("-",
           org.apache.spark.sql.functions.col("l_orderkey"),
           org.apache.spark.sql.functions.col("l_linenumber"))), "li_id", None)
-    val sinkColumnarSec = time {
+    val sinkColumnarSec = if (only1m) -1.0 else time {
       BundleSink.write(columnarDocsDf, s"$sinkDir/bench_idx_col", numShards = 8,
         partitionMultiples = 4, repartition = true, format = "columnar")
     }
@@ -92,7 +100,7 @@ object Bench {
     // model the entry guards: one exchange over the NEW rows only; the
     // existing bundle is never read or listed beyond numShards shard-dir
     // listStatus calls.
-    val sinkInsertAppendSec = time {
+    val sinkInsertAppendSec = if (only1m) -1.0 else time {
       graft.sink.BundleSink.insertInto(
         DocTransform.docs(Tables.load(spark, sfDir, "orders"),
           "o_orderkey", Some("o_custkey")),
@@ -109,13 +117,13 @@ object Bench {
       val xs = (1 to 3).map(_ => time(f)).sorted
       xs(1)
     }
-    val scanJsonSec = median3 {
+    val scanJsonSec = if (only1m) -1.0 else median3 {
       spark.read.schema(graft.streaming.BundleStream.bundleSchema)
         .json(s"$sinkDir/bench_idx/data")
         .select(get_json_object(col("doc"), "$.l_extendedprice").cast("double").as("v"))
         .agg(fsum("v")).write.mode("overwrite").format("noop").save()
     }
-    val scanColumnarSec = median3 {
+    val scanColumnarSec = if (only1m) -1.0 else median3 {
       spark.read.parquet(s"$sinkDir/bench_idx_col/data")
         .agg(fsum("l_extendedprice")).write.mode("overwrite").format("noop").save()
     }
@@ -197,8 +205,9 @@ object Bench {
       System.err.println(s"[bench] ann curve failed: ${e.getMessage}"); Seq.empty
     }
     import org.apache.spark.sql.functions.col
-    val uniformCurve = annCurve(
-      Tables.load(spark, sfDir, "embeddings"), col("vec_id") % 20 === 0)
+    val uniformCurve =
+      if (only1m) Seq.empty[(String, Double, Double)]
+      else annCurve(Tables.load(spark, sfDir, "embeddings"), col("vec_id") % 20 === 0)
     // deterministic clustered corpus: 10k vectors, 64-dim, 100 centers,
     // seeded driver-side generation (cheap: ~5 MB)
     val clusteredEmb = {
@@ -216,7 +225,9 @@ object Bench {
     // cluster. The round-1 selector (% 100 < 1) put every query in
     // cluster 0 — recall became a single-cluster coin flip and the PQ
     // entries swung 1.0 <-> 0.48 across otherwise-equivalent code layouts.
-    val clusteredCurve = annCurve(clusteredEmb, col("vec_id") < 100)
+    val clusteredCurve =
+      if (only1m) Seq.empty[(String, Double, Double)]
+      else annCurve(clusteredEmb, col("vec_id") < 100)
     // attribute-filtered ANN on a persisted index, fixed 0.5 selectivity:
     // the filtered path pushes the predicate into the probed cell scan and
     // scales nprobe by 1/selectivity, so its cost and recall tradeoff vs
@@ -226,7 +237,7 @@ object Bench {
     // splits every cluster 50/50 — geometry-INDEPENDENT, so the number
     // isolates the filtered path (id%2 would make whole clusters
     // single-label, turning the metric into a cross-cluster probe test).
-    val annFilteredJson: String = try {
+    val annFilteredJson: String = if (only1m) "{}" else try {
       import graft.ext.Similarity
       val emb = clusteredEmb
         .withColumn("label", ((col("vec_id") / 100) % 2).cast("int")).cache()
@@ -283,8 +294,8 @@ object Bench {
       f"""{"rows":$n,"brute_sec":$tB%.3f,"lsh_sec":$tL%.3f,"brute_pairs":$bruteCnt,"lsh_pairs":$lshCnt,"recall":$rec%.3f}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] neardup failed: ${e.getMessage}"); "{}" }
-    val neardupJson = neardupAt(clusteredEmb)
-    val neardupBigJson = {
+    val neardupJson = if (only1m) "{}" else neardupAt(clusteredEmb)
+    val neardupBigJson = if (only1m) "{}" else {
       val rnd = new scala.util.Random(43)
       val dim = 64
       val centers = Array.fill(800)(Array.fill(dim)(rnd.nextGaussian()))
