@@ -135,6 +135,34 @@ class BundleWriteV2Spec extends SparkSpec {
     assert(BundleValidate.validate(spark, dir).ok)
   }
 
+  test("catalog relation: predicate classes agree with the connector read") {
+    // BundleCatalogRelation re-expresses pushed Filters as Columns for the
+    // inner V2 read; Spark re-checks everything above, so this pins
+    // RESULTS (not plans) across the predicate classes toColumn handles —
+    // equality, range, IN, null checks, string ops, AND/OR/NOT
+    val (dir, _) = mkBundle()
+    spark.sql("DROP TABLE IF EXISTS bt_preds")
+    spark.sql(s"CREATE TABLE bt_preds USING `graft-bundle` LOCATION '$dir'")
+    try {
+      val preds = Seq(
+        "_shard = 1",
+        "_shard >= 1 AND _shard < 3",
+        "_routing IN ('1', '7', '12')",
+        "_id IS NOT NULL",
+        "_routing LIKE '1%'",
+        "NOT (_shard = 0) OR _routing = '1'")
+      val direct = spark.read.format("graft-bundle").load(dir)
+      for (p <- preds) {
+        val viaCatalog = spark.sql(s"SELECT _id FROM bt_preds WHERE $p")
+          .collect().map(_.getString(0)).sorted.toSeq
+        val viaConnector = direct.where(p).select("_id")
+          .collect().map(_.getString(0)).sorted.toSeq
+        assert(viaCatalog === viaConnector, s"predicate diverged: $p")
+        assert(viaCatalog.nonEmpty, s"degenerate (empty) predicate case: $p")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS bt_preds")
+  }
+
   test("append to an unsealed streaming bundle fails loudly") {
     val dir = Files.createTempDirectory("graft-v2w-stream").toString
     val src = s"$dir/in"
