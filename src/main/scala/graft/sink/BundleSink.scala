@@ -215,20 +215,117 @@ object BundleSink {
     s""""alias":$a,"finalSettings":$fs"""
   }
 
-  /** Publish `shard_state.json` + a completed `manifest.json` from KNOWN
-    * per-shard doc counts: files/bytes per shard come from one listing per
-    * shard dir (no data scan), docs from the counts the caller carried out
-    * of its own write job. Shared by the streaming seal and the connector
-    * append path. */
-  private[graft] def publishState(spark: org.apache.spark.sql.SparkSession,
-                                  outDir: String, numShards: Int,
-                                  perShard: Map[Int, Long], indexName: String,
-                                  typeName: String, format: String,
-                                  codec: String,
-                                  alias: Option[String] = None,
-                                  finalSettings: Map[String, String] = Map.empty): Result = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+  // ===== optimistic manifest concurrency (append CAS chain) =====
+  //
+  // insertInto's manifest refresh is read-modify-write; with plain
+  // manifest.json overwrites a concurrent append loses its counts (the
+  // round-6 restriction: "serialize appends per bundle"). The chain lifts
+  // it: each append atomically CLAIMS the next version number in
+  // `.manifest-cas/` (`v<N>.claim` — create-if-absent is the CAS; exactly
+  // one writer owns each N), then publishes the full manifest content as
+  // `v<N>.json`. Losers re-read the chain head and re-merge their delta —
+  // no counts are ever lost. `manifest.json` remains a MIRROR of the chain
+  // head for every existing reader; when a chain exists,
+  // [[graft.sources.BundleManifest]] prefers it (the mirror can lag a
+  // racing append by a beat). Full-state publishers — fresh write(),
+  // streaming seal — delete the chain: their manifest.json is a new
+  // authority. Compaction keeps counts unchanged, so an existing chain
+  // stays valid across it.
+
+  private[graft] def casDir(outDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(outDir, ".manifest-cas")
+
+  /** Atomic create-if-absent. HDFS `create(p, overwrite=false)` is an
+    * atomic namespace claim; Hadoop's LOCAL filesystem emulates the flag
+    * with a non-atomic exists-check, so the file scheme goes through NIO's
+    * O_CREAT|O_EXCL instead. */
+  private def claim(fs: org.apache.hadoop.fs.FileSystem,
+                    p: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file")
+      try { java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try { fs.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+
+  /** (highest version seen across claims AND content files, highest
+    * PUBLISHED version, content of that `v*.json`). maxAny > maxPublished
+    * means a claim is outstanding: usually a winner mid-publish (the gap
+    * between claim and content rename is one small write), rarely a
+    * crashed one. */
+  private def chainState(fs: org.apache.hadoop.fs.FileSystem,
+                         outDir: String): (Int, Int, Option[String]) = {
+    val dir = casDir(outDir)
+    if (!fs.exists(dir)) return (0, 0, None)
+    val J = "v(\\d+)\\.json".r
+    val C = "v(\\d+)\\.claim".r
+    var maxAny = 0
+    var maxJson = 0
+    var head: org.apache.hadoop.fs.Path = null
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case J(n) =>
+          val v = n.toInt
+          maxAny = math.max(maxAny, v)
+          if (v > maxJson) { maxJson = v; head = st.getPath }
+        case C(n) => maxAny = math.max(maxAny, n.toInt)
+        case _    => ()
+      }
+    }
+    val content = Option(head).map { p =>
+      val in = fs.open(p)
+      val s = new String(in.readAllBytes(), "UTF-8"); in.close(); s
+    }
+    (maxAny, maxJson, content)
+  }
+
+  /** Chain state for merging: when a claim is outstanding above the newest
+    * content, WAIT for that content — merging without it would re-base on
+    * stale counts and silently drop the in-flight append's delta (the lost
+    * update this whole mechanism exists to prevent). After the timeout the
+    * claimant is presumed crashed: its version number stays burned, its
+    * counts were never published — the same data-in/manifest-stale crash
+    * exposure the serialized path had, and BundleValidate's job to report. */
+  private def settledChainState(fs: org.apache.hadoop.fs.FileSystem,
+                                outDir: String): (Int, Option[String]) = {
+    var (maxAny, maxJson, head) = chainState(fs, outDir)
+    var waitedMs = 0
+    while (maxJson < maxAny && waitedMs < 30000) {
+      Thread.sleep(50); waitedMs += 50
+      val s = chainState(fs, outDir)
+      maxAny = s._1; maxJson = s._2; head = s._3
+    }
+    (maxAny, head)
+  }
+
+  /** The `"alias":…,"finalSettings":{…}` fragment of an existing manifest,
+    * carried forward verbatim across appends (an append must not strip the
+    * bundle's alias/final-settings contract). */
+  private def carriedAliasFragment(manifest: Option[String]): String =
+    manifest.flatMap(m =>
+      """"alias":(null|"[^"]*"),"finalSettings":(\{[^}]*\})""".r
+        .findFirstMatchIn(m).map(_.matched))
+      .getOrElse(aliasSettingsJson(None, Map.empty))
+
+  private def manifestJson(indexName: String, typeName: String, outDir: String,
+                           numShards: Int, format: String, codec: String,
+                           perShard: Map[Int, Long], aliasFragment: String,
+                           version: Int): String =
+    s"""{"indexName":"$indexName","typeName":"$typeName","workDir":"$outDir",
+       |"numShards":$numShards,"format":"$format","compression":"$codec","totalDocs":${perShard.values.sum},
+       |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
+       |$aliasFragment,"version":$version,
+       |"state":"completed"}""".stripMargin.replace("\n", "")
+
+  /** shard_state.json (files/bytes from one listing per shard dir, docs
+    * from the given counts) + manifest.json, written as-is. */
+  private def writeStateFiles(fs: org.apache.hadoop.fs.FileSystem,
+                              outDir: String, numShards: Int,
+                              perShard: Map[Int, Long],
+                              manifest: String): Unit = {
     val states = (0 until numShards).map { sh =>
       val dir = new org.apache.hadoop.fs.Path(s"$outDir/data/_shard=$sh")
       val (files, bytes) =
@@ -241,16 +338,75 @@ object BundleSink {
     }
     val st = fs.create(new org.apache.hadoop.fs.Path(outDir, "shard_state.json"), true)
     st.write(states.mkString("[", ",", "]").getBytes("UTF-8")); st.close()
-    val total = perShard.values.sum
-    val manifest =
-      s"""{"indexName":"$indexName","typeName":"$typeName","workDir":"$outDir",
-         |"numShards":$numShards,"format":"$format","compression":"$codec","totalDocs":$total,
-         |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
-         |${aliasSettingsJson(alias, finalSettings)},
-         |"state":"completed"}""".stripMargin.replace("\n", "")
     val mf = fs.create(new org.apache.hadoop.fs.Path(outDir, "manifest.json"), true)
     mf.write(manifest.getBytes("UTF-8")); mf.close()
-    Result(outDir, numShards, total, perShard)
+  }
+
+  /** Mirror the chain head into manifest.json/shard_state.json, re-reading
+    * until the head we mirrored is still the head (a racing append that
+    * published a newer version while we wrote also mirrors, and whichever
+    * writer finishes last re-checks — the mirror converges to the final
+    * head; exact readers go through the chain regardless). */
+  private def mirrorChainHead(fs: org.apache.hadoop.fs.FileSystem,
+                              outDir: String, numShards: Int): Unit = {
+    var mirrored = -1
+    var done = false
+    while (!done) {
+      val (_, _, latest) = chainState(fs, outDir)
+      latest match {
+        case Some(content) =>
+          val v = """"version":(\d+)""".r.findFirstMatchIn(content)
+            .map(_.group(1).toInt).getOrElse(0)
+          if (v == mirrored) done = true
+          else {
+            val counts = graft.sources.BundleManifest.parseShardCounts(content)
+            writeStateFiles(fs, outDir, numShards, counts, content)
+            mirrored = v
+          }
+        case None => done = true
+      }
+    }
+  }
+
+  /** Drop chain entries more than `keep` versions behind the newest
+    * published content (best-effort; old entries are never read once a
+    * newer head exists). */
+  private def pruneChain(fs: org.apache.hadoop.fs.FileSystem, outDir: String,
+                         keep: Int): Unit = {
+    val dir = casDir(outDir)
+    if (!fs.exists(dir)) return
+    val V = "v(\\d+)\\.(json|claim)".r
+    val entries = fs.listStatus(dir).flatMap(st => st.getPath.getName match {
+      case V(n, _) => Some(n.toInt -> st.getPath)
+      case _       => None
+    })
+    val maxJson = entries.collect {
+      case (v, p) if p.getName.endsWith(".json") => v }.foldLeft(-1)(math.max)
+    entries.filter(_._1 <= maxJson - keep)
+      .foreach { case (_, p) => try fs.delete(p, false) catch { case _: java.io.IOException => () } }
+  }
+
+  /** Publish `shard_state.json` + a completed `manifest.json` from KNOWN
+    * per-shard doc counts: files/bytes per shard come from one listing per
+    * shard dir (no data scan), docs from the counts the caller carried out
+    * of its own write job. Used by the FULL-state publishers (streaming
+    * seal) — deletes any append CAS chain, returning manifest authority to
+    * manifest.json. Concurrent appends during a seal are unsupported
+    * (unchanged). */
+  private[graft] def publishState(spark: org.apache.spark.sql.SparkSession,
+                                  outDir: String, numShards: Int,
+                                  perShard: Map[Int, Long], indexName: String,
+                                  typeName: String, format: String,
+                                  codec: String,
+                                  alias: Option[String] = None,
+                                  finalSettings: Map[String, String] = Map.empty): Result = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(casDir(outDir), true)
+    writeStateFiles(fs, outDir, numShards, perShard,
+      manifestJson(indexName, typeName, outDir, numShards, format, codec,
+        perShard, aliasSettingsJson(alias, finalSettings), version = 0))
+    Result(outDir, numShards, perShard.values.sum, perShard)
   }
 
   /**
@@ -269,11 +425,12 @@ object BundleSink {
    * directory listing per shard, zero read-back scans of existing data.
    *
    * Concurrency: the DATA files of two concurrent appends never collide
-   * (insert-scoped names), but the manifest refresh is read-modify-write —
-   * the later writer would base its counts on the earlier manifest.
-   * Serialize appends to one bundle (the reference serialized through its
-   * ZK leader the same way); `BundleValidate` catches a lost update after
-   * the fact (manifest counts vs data disagree).
+   * (insert-scoped names), and the manifest refresh is an optimistic CAS
+   * over the `.manifest-cas/` version chain (see the chain scaladoc above
+   * [[publishState]]) — concurrent appends to one bundle are safe, no
+   * counts are lost, no external coordinator (the reference serialized
+   * through its ZK leader instead). `BundleValidate` still catches the one
+   * remaining crash exposure (data renamed in, CAS never reached).
    */
   def insertInto(data: DataFrame, outDir: String,
                  overwrite: Boolean): Result = {
@@ -348,10 +505,41 @@ object BundleSink {
     // non-recursive delete refuses while a concurrent insert still stages)
     try fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/.staging"), false)
     catch { case _: java.io.IOException => () }
-    val merged = (0 until numShards).map(sh =>
-      sh -> (prior.getOrElse(sh, 0L) + delta.getOrElse(sh, 0L))).toMap
-    publishState(spark, outDir, numShards, merged, indexName, typeName,
-      format, codec)
+    // CAS publish: merge OUR delta over whatever counts are current at
+    // claim time. Losing the claim means a concurrent append published
+    // first — re-read its counts and retry; the bound only trips on a
+    // pathological livelock (256 concurrent appends to one bundle).
+    fs.mkdirs(casDir(outDir))
+    var merged: Map[Int, Long] = null
+    var won = -1
+    var attempts = 0
+    while (won < 0) {
+      attempts += 1
+      require(attempts <= 256,
+        s"manifest CAS on $outDir did not converge after 256 attempts")
+      val (maxSeen, head) = settledChainState(fs, outDir)
+      val base = head.map(graft.sources.BundleManifest.parseShardCounts)
+        .getOrElse(prior)
+      merged = (0 until numShards).map(sh =>
+        sh -> (base.getOrElse(sh, 0L) + delta.getOrElse(sh, 0L))).toMap
+      val next = maxSeen + 1
+      if (claim(fs, new org.apache.hadoop.fs.Path(casDir(outDir), s"v$next.claim"))) {
+        // we own version `next`: publish its content under the claimed name
+        // (tmp + rename — only the claim owner ever writes this name)
+        val manifest = manifestJson(indexName, typeName, outDir, numShards,
+          format, codec, merged, carriedAliasFragment(head.orElse(
+            Some(graft.sources.BundleManifest.raw(spark, outDir)))), next)
+        val tmp = new org.apache.hadoop.fs.Path(casDir(outDir), s".tmp-$tag-v$next")
+        val o = fs.create(tmp, true); o.write(manifest.getBytes("UTF-8")); o.close()
+        if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(casDir(outDir), s"v$next.json")))
+          throw new IllegalStateException(
+            s"could not publish claimed manifest version $next in $outDir")
+        won = next
+      }
+    }
+    mirrorChainHead(fs, outDir, numShards)
+    pruneChain(fs, outDir, keep = 8)
+    Result(outDir, numShards, merged.values.sum, merged)
   }
 
   def write(docs: DataFrame, outDir: String, numShards: Int,
@@ -474,6 +662,9 @@ object BundleSink {
          |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
          |${aliasSettingsJson(alias, finalSettings)},
          |"state":"completed"}""".stripMargin.replace("\n", "")
+    // a full rewrite resets manifest authority to manifest.json: any append
+    // CAS chain on the old bundle contents is obsolete
+    fs.delete(casDir(outDir), true)
     val mf = fs.create(new org.apache.hadoop.fs.Path(outDir, "manifest.json"), true)
     mf.write(manifest.getBytes("UTF-8")); mf.close()
     fs.delete(new org.apache.hadoop.fs.Path(outDir, "_STARTED"), false)

@@ -125,10 +125,9 @@ object BundleValidate {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)
     val n = BundleReader.numShards(spark, bundleDir)
-    val manifest = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(bundleDir, "manifest.json"))
-      val m = new String(in.readAllBytes(), "UTF-8"); in.close(); m
-    }
+    // chain-aware: after concurrent appends the authoritative counts are
+    // the CAS chain head, which the manifest.json mirror can lag
+    val manifest = graft.sources.BundleManifest.raw(spark, bundleDir)
     val manifestCounts = """"(\d+)":(\d+)""".r.findAllMatchIn(
       """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(manifest).map(_.group(1)).getOrElse(""))
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap

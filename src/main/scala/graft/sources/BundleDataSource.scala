@@ -224,6 +224,22 @@ object BundleManifest {
   private def read(spark: SparkSession, bundleDir: String): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)
+    // an append CAS chain ([[graft.sink.BundleSink.insertInto]] concurrency)
+    // outranks the manifest.json mirror: the chain is append-only and
+    // atomically claimed, the mirror can lag a racing append by a beat
+    val cas = new org.apache.hadoop.fs.Path(bundleDir, ".manifest-cas")
+    if (fs.exists(cas)) {
+      val J = "v(\\d+)\\.json".r
+      val head = fs.listStatus(cas).flatMap(st => st.getPath.getName match {
+        case J(n) => Some(n.toInt -> st.getPath)
+        case _    => None
+      }).sortBy(-_._1).headOption
+      head.foreach { case (_, p) =>
+        val in = fs.open(p)
+        val m = new String(in.readAllBytes(), "UTF-8"); in.close()
+        return m
+      }
+    }
     val single = new org.apache.hadoop.fs.Path(bundleDir, "manifest.json")
     val p =
       if (fs.exists(single)) single
@@ -236,6 +252,17 @@ object BundleManifest {
     in.close()
     m
   }
+
+  /** Raw manifest content (chain-aware, like every accessor here). */
+  private[graft] def raw(spark: SparkSession, bundleDir: String): String =
+    read(spark, bundleDir)
+
+  /** `"shardCounts":{…}` parsed out of a manifest content string. */
+  private[graft] def parseShardCounts(manifest: String): Map[Int, Long] =
+    """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(manifest)
+      .map(m => """"(\d+)":(\d+)""".r.findAllMatchIn(m.group(1))
+        .map(g => g.group(1).toInt -> g.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
 
   def numShards(spark: SparkSession, bundleDir: String): Int =
     """"numShards":(\d+)""".r.findFirstMatchIn(read(spark, bundleDir)) match {
@@ -264,10 +291,11 @@ object BundleManifest {
 
   /** Per-shard doc counts from the manifest; None when the manifest has no
     * counts yet (streaming-state bundle before seal). */
-  def shardCounts(spark: SparkSession, bundleDir: String): Option[Map[Int, Long]] =
-    """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(read(spark, bundleDir))
-      .map(m => """"(\d+)":(\d+)""".r.findAllMatchIn(m.group(1))
-        .map(g => g.group(1).toInt -> g.group(2).toLong).toMap)
+  def shardCounts(spark: SparkSession, bundleDir: String): Option[Map[Int, Long]] = {
+    val m = read(spark, bundleDir)
+    if (""""shardCounts":\{""".r.findFirstIn(m).isDefined) Some(parseShardCounts(m))
+    else None
+  }
 }
 
 /**
