@@ -43,6 +43,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // per-entry GC + JIT accounting (BASELINE.md round 7: the 1M tier swings
+    // 2-4x run-to-run and the fixed-heap experiment disproved the
+    // heap-growth hypothesis — so instead of re-running configurations
+    // blind, every entry now carries the GC and compilation milliseconds
+    // that elapsed inside its timed block; an outlier entry whose gc_ms
+    // explains the delta is a measurement artifact, one whose gc_ms is flat
+    // is a real regression). local[32] runs executors in this JVM, so the
+    // driver-side MXBeans see ALL collection/compile work.
+    val diag = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    def gcMsNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    def jitMsNow(): Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else 0L
+    }
+    def recordDiag[T](name: String)(f: => T): T = {
+      val g0 = gcMsNow(); val j0 = jitMsNow()
+      val out = f
+      val prev = diag.getOrElse(name, (0L, 0L))
+      diag(name) = (prev._1 + gcMsNow() - g0, prev._2 + jitMsNow() - j0)
+      out
+    }
+    def timed(name: String)(f: => Unit): Double = recordDiag(name)(time(f))
+
     // warmup: JIT + codegen + parquet footer caches, so the first measured
     // query isn't charged the whole session's startup cost
     time {
@@ -60,7 +88,7 @@ object Bench {
     val results =
       if (only1m) Seq.empty
       else Queries.all.map { q =>
-        q.name -> time {
+        q.name -> timed(q.name) {
           q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
         }
       }
@@ -73,11 +101,11 @@ object Bench {
         org.apache.spark.sql.functions.col("l_orderkey"),
         org.apache.spark.sql.functions.col("l_linenumber"))), "li_id", None)
     var sinkDocs = 0L
-    val sinkSec = if (only1m) -1.0 else time {
+    val sinkSec = if (only1m) -1.0 else timed("sink_bundle") {
       sinkDocs = BundleSink.write(sinkDocsDf, s"$sinkDir/bench_idx", numShards = 8,
         partitionMultiples = 4, repartition = true).totalDocs
     }
-    val sinkParquetSec = if (only1m) -1.0 else time {
+    val sinkParquetSec = if (only1m) -1.0 else timed("sink_bundle_parquet") {
       BundleSink.write(sinkDocsDf, s"$sinkDir/bench_idx_pq", numShards = 8,
         partitionMultiples = 4, repartition = true, format = "parquet")
     }
@@ -89,7 +117,7 @@ object Bench {
         .withColumn("li_id", org.apache.spark.sql.functions.concat_ws("-",
           org.apache.spark.sql.functions.col("l_orderkey"),
           org.apache.spark.sql.functions.col("l_linenumber"))), "li_id", None)
-    val sinkColumnarSec = if (only1m) -1.0 else time {
+    val sinkColumnarSec = if (only1m) -1.0 else timed("sink_bundle_columnar") {
       BundleSink.write(columnarDocsDf, s"$sinkDir/bench_idx_col", numShards = 8,
         partitionMultiples = 4, repartition = true, format = "columnar")
     }
@@ -100,7 +128,7 @@ object Bench {
     // model the entry guards: one exchange over the NEW rows only; the
     // existing bundle is never read or listed beyond numShards shard-dir
     // listStatus calls.
-    val sinkInsertAppendSec = if (only1m) -1.0 else time {
+    val sinkInsertAppendSec = if (only1m) -1.0 else timed("sink_insert_append") {
       graft.sink.BundleSink.insertInto(
         DocTransform.docs(Tables.load(spark, sfDir, "orders"),
           "o_orderkey", Some("o_custkey")),
@@ -113,17 +141,17 @@ object Bench {
     // steady under Spark 4.1.2 — the r6 "scan regression" was this, not
     // the scan), and steady-state is the number that scales to a 100 TB
     // scan where warmup amortizes to nothing
-    def median3(f: => Unit): Double = {
+    def median3(name: String)(f: => Unit): Double = recordDiag(name) {
       val xs = (1 to 3).map(_ => time(f)).sorted
       xs(1)
     }
-    val scanJsonSec = if (only1m) -1.0 else median3 {
+    val scanJsonSec = if (only1m) -1.0 else median3("scan_docfield_json") {
       spark.read.schema(graft.streaming.BundleStream.bundleSchema)
         .json(s"$sinkDir/bench_idx/data")
         .select(get_json_object(col("doc"), "$.l_extendedprice").cast("double").as("v"))
         .agg(fsum("v")).write.mode("overwrite").format("noop").save()
     }
-    val scanColumnarSec = if (only1m) -1.0 else median3 {
+    val scanColumnarSec = if (only1m) -1.0 else median3("scan_docfield_columnar") {
       spark.read.parquet(s"$sinkDir/bench_idx_col/data")
         .agg(fsum("l_extendedprice")).write.mode("overwrite").format("noop").save()
     }
@@ -140,7 +168,9 @@ object Bench {
                  extra: Seq[(String, (org.apache.spark.sql.DataFrame,
                    org.apache.spark.sql.DataFrame, Int, Int) =>
                    org.apache.spark.sql.DataFrame)] = Seq.empty,
-                 repeats: Int = 1)
+                 repeats: Int = 1,
+                 tag: String = "",
+                 onTruth: Map[Long, Long] => Unit = _ => ())
         : Seq[(String, Double, Double)] = try {
       import graft.ext.Similarity
       import org.apache.spark.sql.functions.{col, size}
@@ -186,14 +216,16 @@ object Bench {
         // repeats > 1: median wall time across identical runs. The 1M tier
         // swings 2-4x run-to-run on GC/JIT (small tiers hold within ~15%);
         // a single sample there is noise, the median is a measurement.
-        val runs = (1 to math.max(1, repeats)).map { _ =>
-          val t0 = System.nanoTime()
-          val got = top1(f())
-          ((System.nanoTime() - t0) / 1e9, got)
+        val runs = recordDiag(if (tag.isEmpty) name else s"$tag:$name") {
+          (1 to math.max(1, repeats)).map { _ =>
+            val t0 = System.nanoTime()
+            val got = top1(f())
+            ((System.nanoTime() - t0) / 1e9, got)
+          }
         }
         val sec = runs.map(_._1).sorted.apply(runs.size / 2)
         val got = runs.head._2
-        if (name == "brute") truth = got
+        if (name == "brute") { truth = got; onTruth(got) }
         val recall =
           if (truth.isEmpty) 0.0
           else truth.count { case (k, v) => got.get(k).contains(v) }.toDouble / truth.size
@@ -207,7 +239,8 @@ object Bench {
     import org.apache.spark.sql.functions.col
     val uniformCurve =
       if (only1m) Seq.empty[(String, Double, Double)]
-      else annCurve(Tables.load(spark, sfDir, "embeddings"), col("vec_id") % 20 === 0)
+      else annCurve(Tables.load(spark, sfDir, "embeddings"), col("vec_id") % 20 === 0,
+        tag = "uniform")
     // deterministic clustered corpus: 10k vectors, 64-dim, 100 centers,
     // seeded driver-side generation (cheap: ~5 MB)
     val clusteredEmb = {
@@ -227,7 +260,7 @@ object Bench {
     // entries swung 1.0 <-> 0.48 across otherwise-equivalent code layouts.
     val clusteredCurve =
       if (only1m) Seq.empty[(String, Double, Double)]
-      else annCurve(clusteredEmb, col("vec_id") < 100)
+      else annCurve(clusteredEmb, col("vec_id") < 100, tag = "clustered")
     // attribute-filtered ANN on a persisted index, fixed 0.5 selectivity:
     // the filtered path pushes the predicate into the probed cell scan and
     // scales nprobe by 1/selectivity, so its cost and recall tradeoff vs
@@ -237,7 +270,7 @@ object Bench {
     // splits every cluster 50/50 — geometry-INDEPENDENT, so the number
     // isolates the filtered path (id%2 would make whole clusters
     // single-label, turning the metric into a cross-cluster probe test).
-    val annFilteredJson: String = if (only1m) "{}" else try {
+    val annFilteredJson: String = if (only1m) "{}" else recordDiag("ann_index_filtered") { try {
       import graft.ext.Similarity
       val emb = clusteredEmb
         .withColumn("label", ((col("vec_id") / 100) % 2).cast("int")).cache()
@@ -272,7 +305,7 @@ object Bench {
       emb.unpersist()
       f"""{"rows":10000,"selectivity":0.5,"build_sec":$buildSec%.3f,"query_sec":$plainSec%.3f,"filtered_query_sec":$filteredSec%.3f,"recall":${recall(plain, truthPlain)}%.3f,"filtered_recall":${recall(filtered, truthFiltered)}%.3f}"""
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] filtered ann failed: ${e.getMessage}"); "{}" }
+      System.err.println(s"[bench] filtered ann failed: ${e.getMessage}"); "{}" } }
     // embedding near-dup at scale: all-pairs brute vs LSH prefilter + exact
     // verify on the same clustered corpus (10k rows -> brute is 50M pairs;
     // LSH joins only bucket collisions). recall = |lsh| / |brute| since the
@@ -281,7 +314,7 @@ object Bench {
     // demonstrates the brute/LSH crossover — brute is O(n^2) in dots while
     // LSH candidates grow ~linearly at fixed cluster density (measured:
     // brute 2.0 s @10k -> 5.0 s @20k -> ~20 s @40k; LSH 3.8 -> 5.7 -> ~8)
-    def neardupAt(df0: org.apache.spark.sql.DataFrame): String = try {
+    def neardupAt(label: String)(df0: org.apache.spark.sql.DataFrame): String = recordDiag(label) { try {
       import graft.ext.Similarity
       val df = df0.cache(); val n = df.count()
       var bruteCnt = 0L; var lshCnt = 0L
@@ -293,8 +326,8 @@ object Bench {
       df.unpersist()
       f"""{"rows":$n,"brute_sec":$tB%.3f,"lsh_sec":$tL%.3f,"brute_pairs":$bruteCnt,"lsh_pairs":$lshCnt,"recall":$rec%.3f}"""
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] neardup failed: ${e.getMessage}"); "{}" }
-    val neardupJson = if (only1m) "{}" else neardupAt(clusteredEmb)
+      System.err.println(s"[bench] neardup failed: ${e.getMessage}"); "{}" } }
+    val neardupJson = if (only1m) "{}" else neardupAt("neardup")(clusteredEmb)
     val neardupBigJson = if (only1m) "{}" else {
       val rnd = new scala.util.Random(43)
       val dim = 64
@@ -304,7 +337,7 @@ object Bench {
         (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
       }
       import spark.implicits._
-      neardupAt(rows.toDF("vec_id", "embedding").repartition(32))
+      neardupAt("neardup_big")(rows.toDF("vec_id", "embedding").repartition(32))
     }
     def curveJson(c: Seq[(String, Double, Double)]): String = c.map { case (n, s, r) =>
       "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"recall\":" + f"$r%.3f" + "}"
@@ -344,6 +377,10 @@ object Bench {
       else if (f.isFile) f.length
       else f.listFiles.map(c => dirBytes(c.getPath)).sum
     }
+    // brute-force top-1 truth over the 1M corpus's 200 queries, captured
+    // from the curve's own brute pass so the shortlist entry below doesn't
+    // pay a second 2e8-dot scan
+    var truth1m: Map[Long, Long] = Map.empty
     val ann1mCurve: Seq[(String, Double, Double)] =
       if (!run1m) Seq.empty
       else annCurve(
@@ -357,6 +394,8 @@ object Bench {
         // IVF pruning, IVF-PQ compressed scan (brute rides along as truth)
         methods = Set("lsh", "ivf_kmeans", "ivf_pq", "ivf_pq_index",
           "ivf_pq_index_lean"),
+        tag = "clustered_1m",
+        onTruth = t => truth1m = t,
         extra = Seq("ivf_pq_index" -> { (queries, emb, nlist, nprobe) =>
           val dir = java.nio.file.Files.createTempDirectory("graft-bench-annidx").toString
           val t0 = System.nanoTime()
@@ -406,7 +445,7 @@ object Bench {
     // brute pass.
     val neardup1mJson: String =
       if (!run1m) "{}"
-      else try {
+      else recordDiag("neardup_1m") { try {
         import graft.ext.Similarity
         val cloneGen = udf { (id: Long) =>
           val base = if (id % 20L == 19L) id - 1L else id
@@ -442,7 +481,7 @@ object Bench {
         df.unpersist()
         f"""{"rows":1000000,"lsh_sec":$tL%.3f,"planted_pairs":$planted,"found_pairs":$found,"planted_recall":$rec%.4f,"runs":3}"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] neardup 1m failed: ${e.getMessage}"); "{}" }
+        System.err.println(s"[bench] neardup 1m failed: ${e.getMessage}"); "{}" } }
 
     // hierarchical coarse quantizer at the big-nlist point (4096 engages
     // the two-level trainer): the flat path would collect nlist*32 = 131k
@@ -451,7 +490,7 @@ object Bench {
     // traffic is the nlist x dim result itself. Median of 3.
     val hierJson: String =
       if (!run1m) "{}"
-      else try {
+      else recordDiag("hier_quantizer_1m") { try {
         val emb = spark.range(1000000L).select(col("id").as("vec_id"),
           clusterGen(col("id")).as("embedding")).repartition(64).cache()
         emb.count()
@@ -470,7 +509,57 @@ object Bench {
         val flatSampleBytes = hnlist.toLong * 32 * dim1m * 8
         f"""{"rows":1000000,"nlist":$hnlist,"train_sec":$tM%.3f,"centroids":$got,"driver_result_bytes":$resultBytes,"flat_sample_bytes_avoided":$flatSampleBytes,"runs":3}"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] hier quantizer failed: ${e.getMessage}"); "{}" }
+        System.err.println(s"[bench] hier quantizer failed: ${e.getMessage}"); "{}" } }
+
+
+    // residual-vs-raw ADC shortlist recall at 1M (the residual-as-default
+    // decision entry, ROADMAP round-7 item (a) follow-up). Exact top-1 was
+    // the wrong metric for ADC-only codes at 50-row clusters (within-cluster
+    // sim gaps sit below m=8/k=16 quantization noise — measured ~0.01
+    // recall, see the NOTE on the curve above); what an ADC scan actually
+    // feeds a re-rank stage is its SHORTLIST, so the resolvable question is:
+    // does the true top-1 survive into the top-64 ADC candidates (the
+    // k=1 x rerankFactor=64 default cut)? Both layouts are built codes-only
+    // at equal knobs on the same corpus; recall is against the brute truth
+    // captured from the curve's own 1M pass.
+    val pqShortlist1mJson: String =
+      if (!run1m || truth1m.isEmpty) "{}"
+      else recordDiag("pq_shortlist_1m") { try {
+        val emb = spark.range(1000000L).select(col("id").as("vec_id"),
+          clusterGen(col("id")).as("embedding")).repartition(64).cache()
+        emb.count()
+        val queries = emb.filter(col("vec_id") < 200)
+        val nlist1m = math.max(4, (math.sqrt(1000000.0) / 2).round.toInt)
+        val shortlist = 64
+        def layout(residual: Boolean): (Double, Double, Double) = {
+          val dir = java.nio.file.Files.createTempDirectory(
+            s"graft-bench-shortlist-${if (residual) "res" else "raw"}").toString
+          val t0 = System.nanoTime()
+          graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", dir,
+            nlist = nlist1m, kmeansIters = 2, m = 8, k = 16,
+            storeVectors = false, residual = residual)
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          // k = shortlist, rerankFactor = 1: the two-level cut nominates the
+          // same k*rerankFactor = 64 candidates a (k=1, rerankFactor=64)
+          // exact stage would see, and with no rerankCorpus the ADC ranking
+          // comes back as-is
+          val got = graft.ext.Similarity.indexTopK(queries, dir, "vec_id",
+              "embedding", k = shortlist, rerankFactor = 1)
+            .select("qid", "nid").collect()
+            .groupBy(_.getLong(0)).map { case (q, rs) =>
+              q -> rs.map(_.getLong(1)).toSet }
+          val querySec = (System.nanoTime() - t1) / 1e9
+          val rec = truth1m.count { case (q, n) =>
+            got.getOrElse(q, Set.empty[Long]).contains(n) }.toDouble / truth1m.size
+          (buildSec, querySec, rec)
+        }
+        val (rawB, rawQ, rawRec) = layout(residual = false)
+        val (resB, resQ, resRec) = layout(residual = true)
+        emb.unpersist()
+        f"""{"rows":1000000,"shortlist":$shortlist,"raw":{"build_sec":$rawB%.3f,"query_sec":$rawQ%.3f,"shortlist_recall":$rawRec%.3f},"residual":{"build_sec":$resB%.3f,"query_sec":$resQ%.3f,"shortlist_recall":$resRec%.3f}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pq shortlist 1m failed: ${e.getMessage}"); "{}" } }
 
     val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)},"clustered_1m":${curveJson(ann1mCurve)}}"""
 
@@ -486,7 +575,10 @@ object Bench {
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
     val annIndexJson = f"""{"build_sec":${median(idxBuildSecs.toSeq)}%.3f,"query_sec":${median(idxQuerySecs.toSeq)}%.3f,"cells_bytes":$idxCellsBytes,"lean_build_sec":${median(leanBuildSecs.toSeq)}%.3f,"lean_query_sec":${median(leanQuerySecs.toSeq)}%.3f,"lean_cells_bytes":$leanCellsBytes}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val diagJson = diag.map { case (k, (g, j)) =>
+      "\"" + k + "\":{\"gc_ms\":" + g + ",\"jit_ms\":" + j + "}"
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

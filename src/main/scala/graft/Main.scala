@@ -34,7 +34,7 @@ object Main {
     "neardup-clusters",
     "strip-spans", "span-window", "span-min-docs",
     "decontaminate-bench", "decontaminate-text-col", "decontaminate-n",
-    "decontaminate-min-hits")
+    "decontaminate-min-hits", "pack-max-len", "pack-buckets")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -239,7 +239,11 @@ object Main {
             decontamBench = raw.get("decontaminate-bench"),
             decontamBenchTextCol = raw.getOrElse("decontaminate-text-col", "text"),
             decontamN = raw.getOrElse("decontaminate-n", "13").toInt,
-            decontamMinHits = raw.getOrElse("decontaminate-min-hits", "1").toInt)
+            decontamMinHits = raw.getOrElse("decontaminate-min-hits", "1").toInt,
+            // trainer-shape terminal artifact: survivors' token ids packed
+            // into fixed-capacity sequences at <bundle>/packed/
+            packMaxLen = raw.get("pack-max-len").map(_.toInt),
+            packBuckets = raw.getOrElse("pack-buckets", "256").toInt)
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")
@@ -251,6 +255,8 @@ object Main {
             println(s"  dropped vs index: ${st.droppedVsIndex}")
           println(s"  after near-dup:   ${st.afterNearDup}")
           println(s"  total BPE tokens: ${st.totalTokens}")
+          if (st.packedSeqs >= 0)
+            println(s"  packed sequences: ${st.packedSeqs}")
           st.bundle.shardCounts.toSeq.sorted.foreach { case (s2, n) =>
             println(s"  shard $s2: $n docs") }
         case "stream-pipeline" =>

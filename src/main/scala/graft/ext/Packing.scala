@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing for LLM pretraining: assign variable-length tokenized
+ * documents to fixed-capacity training sequences (context windows) so that
+ * no sequence exceeds `maxLen` tokens and padding waste stays low. This is
+ * the terminal operator of a pretraining data pipeline — after cleaning,
+ * dedup, and tokenization, the corpus has to become fixed-shape rows the
+ * trainer can batch.
+ *
+ * Distributed design (the 100 TB shape): optimal bin packing is NP-hard and
+ * any globally-greedy pass is inherently serial, but packing QUALITY only
+ * needs a large-enough pool to draw complements from, not global scope. So
+ * packing runs independently inside deterministic HASH BUCKETS — bucket =
+ * xxhash64(doc id) % numBuckets, a pure function of the data, NOT of the
+ * partitioning — and each bucket packs its own documents with best-fit-
+ * decreasing. Consequences:
+ *  - the assignment is repartition-invariant and replay-stable (same corpus
+ *    => byte-identical packing on any cluster layout, pinned in PackingSpec);
+ *  - the shuffled payload for the assignment pass is (id, ntok) pairs —
+ *    ~16 bytes per document regardless of document size; token arrays move
+ *    only in [[packSequences]], exactly once, partitioned by output row;
+ *  - each bucket's pool must fit one task: size `numBuckets` so that
+ *    |corpus| / numBuckets stays around 10^5 docs (a few MB of (id, ntok)
+ *    pairs). Waste decays with pool size long before that bound: BFD's
+ *    worst case is 11/9·OPT + 1, and real-length distributions pack to
+ *    >95% fill with pools of a few thousand docs.
+ *
+ * Documents longer than `maxLen` split into ⌈n/maxLen⌉ chunks: every chunk
+ * but the last is exactly maxLen (each fills a sequence alone), the tail
+ * chunk re-enters the packing pool. `chunk_ix` preserves document order so
+ * a consumer can reassemble or attention-mask across the split.
+ *
+ * Zero- or null-token documents are excluded (they contribute no trainable
+ * tokens; the coverage law in PackingSpec is over ntok > 0 docs).
+ */
+object Packing {
+
+  /** One packed chunk: `doc_id`'s tokens [tok_begin, tok_end) land in
+    * sequence `seq_id` at slot `seq_pos` (0-based insertion order within
+    * the sequence). `tok_end - tok_begin <= maxLen`. */
+  private[graft] case class Placed(doc_id: Long, chunk_ix: Int, tok_begin: Int,
+                                   tok_end: Int, seq_id: Long, seq_pos: Int)
+  private[graft] case class Chunk(doc_id: Long, chunk_ix: Int, len: Int, bucket: Int)
+
+  /**
+   * Pack documents into sequences of at most `maxLen` tokens, returning the
+   * ASSIGNMENT ONLY — `(doc_id, chunk_ix, tok_begin, tok_end, seq_id,
+   * seq_pos)` — so callers that just need placement (sharding decisions,
+   * fill accounting, curriculum ordering) never shuffle token payloads.
+   *
+   * `ntokCol` is the document's token count (any numeric column — e.g.
+   * `size(tokens)` or a stored count). `seq_id` is globally unique and
+   * deterministic: `localBin * numBuckets + bucket`.
+   */
+  def packAssignments(docs: DataFrame, idCol: String, ntokCol: String,
+                      maxLen: Int, numBuckets: Int = 256): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // slim pass: one row per CHUNK, carrying only (id, chunk_ix, len,
+    // bucket). Long docs explode into ⌈n/maxLen⌉ chunks here so the packer
+    // sees only lengths <= maxLen.
+    val chunks = docs
+      .filter(col(ntokCol).isNotNull && col(ntokCol) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(ntokCol).cast("int").as("ntok"),
+        pmod(xxhash64(col(idCol)), lit(numBuckets)).cast("int").as("bucket"))
+      .withColumn("chunk_ix",
+        explode(sequence(lit(0), ((col("ntok") - 1) / maxLen).cast("int"))))
+      .select(col("doc_id"), col("chunk_ix"),
+        least(lit(maxLen), col("ntok") - col("chunk_ix") * maxLen)
+          .cast("int").as("len"),
+        col("bucket"))
+      .as[Chunk]
+    chunks.groupByKey(_.bucket).flatMapGroups { (bucket, it) =>
+      // best-fit-decreasing: items by (len desc, id asc, chunk asc) — the
+      // deterministic total order; bins keyed by (remaining, binId) in a
+      // navigable set so "tightest bin that still fits, lowest id on ties"
+      // is one ceiling lookup (first-fit's linear bin scan is O(n·bins) —
+      // quadratic at 10^5-doc pools; BFD has the same worst-case bound)
+      val items = it.toArray.sortBy(c => (-c.len, c.doc_id, c.chunk_ix))
+      val byCapacity = new java.util.TreeMap[(Int, Long), Unit](
+        Ordering.Tuple2[Int, Long])
+      val remaining = scala.collection.mutable.LongMap.empty[Int]
+      val fill = scala.collection.mutable.LongMap.empty[Int] // next seq_pos
+      var nextBin = 0L
+      val out = new scala.collection.mutable.ArrayBuffer[Placed](items.length)
+      items.foreach { c =>
+        val hit = byCapacity.ceilingKey((c.len, Long.MinValue))
+        val bin = if (hit == null) { // no bin fits: open one
+          val b = nextBin; nextBin += 1
+          remaining(b) = maxLen; fill(b) = 0
+          b
+        } else { byCapacity.remove(hit); hit._2 }
+        val pos = fill(bin)
+        out += Placed(c.doc_id, c.chunk_ix, c.chunk_ix * maxLen,
+          c.chunk_ix * maxLen + c.len,
+          bin * numBuckets + bucket, pos)
+        fill(bin) = pos + 1
+        val rem = remaining(bin) - c.len
+        remaining(bin) = rem
+        if (rem > 0) byCapacity.put((rem, bin), ()) // full bins retire
+      }
+      out.iterator
+    }.toDF()
+  }
+
+  /**
+   * Materialized packing: concatenate token arrays into trainer-ready rows
+   * `(seq_id, input_ids, n_tokens, doc_spans)` where `doc_spans` is
+   * `array<struct<doc_id, chunk_ix, begin, end>>` over positions INSIDE
+   * `input_ids` — what a loader needs to reset attention masks / position
+   * ids at document boundaries. `tokensCol` is `array<int>` token ids
+   * (e.g. [[BpeModel.tokenIds]] output).
+   *
+   * Cost shape: [[packAssignments]] on counts (16 B/doc shuffle), one join
+   * of the assignment back to the corpus on the id (token arrays cross the
+   * wire once, already sliced to their chunk), one groupBy(seq_id) whose
+   * groups are bounded by maxLen tokens.
+   */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    maxLen: Int, numBuckets: Int = 256): DataFrame = {
+    val asg = packAssignments(
+      docs.select(col(idCol), size(col(tokensCol)).as("_ntok")),
+      idCol, "_ntok", maxLen, numBuckets)
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).as("_toks"))
+    val sliced = asg.join(toks, "doc_id")
+      // slice() is 1-based; chunk token window is [tok_begin, tok_end)
+      .withColumn("_chunk_toks",
+        slice(col("_toks"), col("tok_begin") + 1, col("tok_end") - col("tok_begin")))
+      .drop("_toks")
+    sliced.groupBy("seq_id")
+      .agg(array_sort(collect_list(struct(
+        col("seq_pos"), col("doc_id"), col("chunk_ix"), col("_chunk_toks")))).as("_slots"))
+      .select(col("seq_id"),
+        flatten(expr("transform(_slots, s -> s._chunk_toks)")).as("input_ids"),
+        expr("""aggregate(_slots,
+                 named_struct('spans', cast(array() as array<struct<doc_id:bigint,chunk_ix:int,begin:int,end:int>>), 'off', 0),
+                 (acc, s) -> named_struct(
+                   'spans', array_append(acc.spans, named_struct(
+                     'doc_id', s.doc_id, 'chunk_ix', s.chunk_ix,
+                     'begin', acc.off, 'end', acc.off + size(s._chunk_toks))),
+                   'off', acc.off + size(s._chunk_toks)),
+                 acc -> acc.spans)""").as("doc_spans"))
+      .withColumn("n_tokens", size(col("input_ids")))
+  }
+}

@@ -66,7 +66,8 @@ object CorpusPipeline {
   case class Stats(input: Long, afterQuality: Long, afterExact: Long,
                    afterNearDup: Long, totalTokens: Long,
                    bundle: BundleSink.Result, afterLm: Long = -1L,
-                   droppedVsIndex: Long = -1L, afterDecontam: Long = -1L)
+                   droppedVsIndex: Long = -1L, afterDecontam: Long = -1L,
+                   packedSeqs: Long = -1L)
 
   /** Does `dir` hold a complete [[graft.ext.Similarity.buildIndex]] layout? */
   private def annIndexExists(spark: SparkSession, dir: String): Boolean = {
@@ -91,7 +92,9 @@ object CorpusPipeline {
           spanK: Int = 10, spanMinDocs: Int = 2,
           decontamBench: Option[String] = None,
           decontamBenchTextCol: String = "text",
-          decontamN: Int = 13, decontamMinHits: Int = 1): Stats = {
+          decontamN: Int = 13, decontamMinHits: Int = 1,
+          packMaxLen: Option[Int] = None,
+          packBuckets: Int = 256): Stats = {
     val raw = spark.read.parquet(input)
     val docs =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -232,6 +235,23 @@ object CorpusPipeline {
     // cannot train on zero rows; the first surviving run builds instead);
     // then one detect->act maintenance pass so accumulated skew is
     // repaired as part of the run, not by an operator remembering to.
+    // sequence packing (packMaxLen = Some(L)): the trainer-shape terminal
+    // artifact — survivors' BPE token ids packed into fixed-capacity rows
+    // (deterministic bucketed best-fit-decreasing, [[graft.ext.Packing]])
+    // at `outDir/indexName/packed/`. Derived, stateless output: written
+    // after the bundle commit (a crash in between reruns cleanly — unlike
+    // the index append below there is no membership guard to strand docs).
+    val nPacked = packMaxLen match {
+      case Some(maxLen) =>
+        val withIds = tokenized.withColumn("_bpe_ids", model.tokenIds(col(textCol)))
+        val packed = graft.ext.Packing.packSequences(
+          withIds, idCol, "_bpe_ids", maxLen, packBuckets)
+        packed.write.mode("overwrite")
+          .parquet(s"$outDir/$indexName/packed")
+        spark.read.parquet(s"$outDir/$indexName/packed").count()
+      case None => -1L
+    }
+
     annIndexDir.foreach { dir =>
       val emb = survivors.select(col(idCol), col(embeddingCol))
       if (annIndexExists(spark, dir)) {
@@ -247,6 +267,7 @@ object CorpusPipeline {
       }
     }
     Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res,
-      afterLm = nLm, droppedVsIndex = nVsIndex, afterDecontam = nDecontam)
+      afterLm = nLm, droppedVsIndex = nVsIndex, afterDecontam = nDecontam,
+      packedSeqs = nPacked)
   }
 }

@@ -1485,6 +1485,27 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    // ---- sequence packing (trainer-shape terminal op: docs -> fixed-
+    //      capacity context windows via bucketed best-fit-decreasing;
+    //      assignment is a pure function of the data so this aggregate is
+    //      deterministic, but bin packing is not SQL-expressible -> laws
+    //      (coverage/budget/determinism/efficiency) pinned in PackingSpec,
+    //      driver records rows-only) ----
+    QueryDef("q75_pack_sequences", None,
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("ntok"))
+        // numBuckets sized for the corpus (operator contract: pools of
+        // hundreds+ docs pack >95%; at 256 buckets sf0.01's ~500 docs
+        // would sit 2 per pool and waste ~40% of every window)
+        graft.ext.Packing.packAssignments(d, "doc_id", "ntok", maxLen = 128,
+            numBuckets = 8)
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("tok_end") - col("tok_begin")).as("seq_tokens"))
+          .orderBy("seq_id")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,

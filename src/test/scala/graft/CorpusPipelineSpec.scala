@@ -42,6 +42,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids === (0L until 40L).toSet)
   }
 
+  test("packMaxLen: survivors' token ids packed under budget, nothing lost") {
+    val rnd = new scala.util.Random(53)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"the w${rnd.nextInt(200)} of and to a").mkString(" ")
+    val docs = (0L until 30L).map(i => (i, "src", sentence(4 + rnd.nextInt(12))))
+    val input = Files.createTempDirectory("graft-cp-pack-in").toString
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(input)
+
+    val out = Files.createTempDirectory("graft-cp-pack-out").toString
+    val st = CorpusPipeline.run(spark, input, out, "corpus",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      bpeMerges = 40, bpeMaxWords = 2000,
+      packMaxLen = Some(64), packBuckets = 2)
+    assert(st.packedSeqs > 0)
+
+    val packed = spark.read.parquet(s"$out/corpus/packed")
+    assert(packed.count() === st.packedSeqs)
+    assert(packed.filter(col("n_tokens") > 64).count() === 0)
+    // every surviving doc's token count is fully represented in the packed
+    // artifact (coverage across the pipeline boundary, bundle as truth)
+    val bundleTok = spark.read.parquet(s"$out/corpus/data")
+      .agg(sum("bpe_token_cnt")).head().getLong(0)
+    val packedTok = packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(bundleTok === packedTok, s"bundle $bundleTok vs packed $packedTok")
+  }
+
   test("optional stages: PII redacted before the bundle; LM filter drops fluent-looking junk") {
     val rnd = new scala.util.Random(41)
     def sentence(n: Int) =

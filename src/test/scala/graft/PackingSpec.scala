@@ -1,0 +1,163 @@
+package graft
+
+import graft.ext.Packing
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val maxLen = 32
+
+  // deterministic mixed-length corpus: short docs, mid docs, and two
+  // over-length docs that must split (97 = 3 full chunks + 1-token tail,
+  // 64 = exactly 2 full chunks)
+  private def corpus = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 400L).map { id =>
+      val n = id match {
+        case 17 => 97
+        case 42 => 64
+        case _  => 1 + rnd.nextInt(30)
+      }
+      (id, n)
+    }
+    rows.toDF("doc_id", "ntok")
+  }
+
+  test("coverage: every positive-ntok doc fully assigned, chunks tile the doc") {
+    val asg = Packing.packAssignments(corpus, "doc_id", "ntok", maxLen).cache()
+    // every doc's chunks reconstruct [0, ntok) with no gaps or overlaps
+    val per = asg.groupBy("doc_id").agg(
+      min("tok_begin").as("lo"), max("tok_end").as("hi"),
+      sum(col("tok_end") - col("tok_begin")).as("tot"),
+      count(lit(1)).as("chunks"))
+      .join(corpus, "doc_id")
+    assert(per.count() === 400)
+    assert(per.filter(col("lo") =!= 0 || col("hi") =!= col("ntok") ||
+      col("tot") =!= col("ntok")).count() === 0)
+    // chunk count = ceil(ntok / maxLen)
+    assert(per.filter(col("chunks") =!=
+      ceil(col("ntok").cast("double") / maxLen).cast("long")).count() === 0)
+    // (doc, chunk) unique
+    assert(asg.groupBy("doc_id", "chunk_ix").count()
+      .filter(col("count") > 1).count() === 0)
+    asg.unpersist()
+  }
+
+  test("budget: no sequence exceeds maxLen; seq_pos is a clean 0..k-1 order") {
+    val asg = Packing.packAssignments(corpus, "doc_id", "ntok", maxLen).cache()
+    val bySeq = asg.groupBy("seq_id").agg(
+      sum(col("tok_end") - col("tok_begin")).as("tokens"),
+      count(lit(1)).as("slots"), min("seq_pos").as("p0"), max("seq_pos").as("p1"),
+      countDistinct("seq_pos").as("pd"))
+    assert(bySeq.filter(col("tokens") > maxLen).count() === 0)
+    assert(bySeq.filter(col("p0") =!= 0 || col("p1") =!= col("slots") - 1 ||
+      col("pd") =!= col("slots")).count() === 0)
+    asg.unpersist()
+  }
+
+  test("determinism: assignment is a pure function of the data, not the partitioning") {
+    val a = Packing.packAssignments(corpus.repartition(7), "doc_id", "ntok", maxLen)
+    val b = Packing.packAssignments(corpus.repartition(3, col("ntok")), "doc_id", "ntok", maxLen)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("efficiency: BFD fill beats the 11/9 bound comfortably on random lengths") {
+    val asg = Packing.packAssignments(corpus, "doc_id", "ntok", maxLen, numBuckets = 4)
+    val seqs = asg.select("seq_id").distinct().count()
+    val totalTokens = corpus.agg(sum("ntok")).head().getLong(0)
+    val ideal = math.ceil(totalTokens.toDouble / maxLen)
+    // 4 buckets of ~100 docs: waste should be far under the worst case;
+    // assert the practical bar (>= 85% of ideal fill), not just 11/9+4
+    assert(seqs <= (ideal / 0.85).toLong,
+      s"$seqs sequences for ideal $ideal")
+  }
+
+  test("long docs: full maxLen chunks fill a sequence alone, tail re-packs") {
+    val asg = Packing.packAssignments(corpus, "doc_id", "ntok", maxLen).cache()
+    val d17 = asg.filter(col("doc_id") === 17).orderBy("chunk_ix").collect()
+    assert(d17.map(_.getAs[Int]("chunk_ix")).toSeq === Seq(0, 1, 2, 3))
+    assert(d17.map(r => r.getAs[Int]("tok_end") - r.getAs[Int]("tok_begin")).toSeq
+      === Seq(32, 32, 32, 1))
+    // each full chunk is alone in its sequence (nothing else fits)
+    val fullSeqIds = d17.take(3).map(_.getAs[Long]("seq_id"))
+    val mates = asg.filter(col("seq_id").isin(fullSeqIds: _*))
+    assert(mates.count() === 3)
+    asg.unpersist()
+  }
+
+  test("zero/null token docs are excluded, not crashed on") {
+    val df = Seq((1L, Some(5)), (2L, Some(0)), (3L, Some(7)), (4L, None))
+      .toDF("doc_id", "ntok")
+    val asg = Packing.packAssignments(df, "doc_id", "ntok", maxLen)
+    assert(asg.select("doc_id").distinct().as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("packSequences: concatenation matches slices, spans tile input_ids") {
+    // token id arrays whose values encode (doc, position) so any slicing or
+    // ordering mistake changes the reconstructed values
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 120L).map { id =>
+      val n = if (id == 5) 70 else 1 + rnd.nextInt(25)
+      (id, (0 until n).map(p => (id * 1000 + p).toInt))
+    }.toDF("doc_id", "tokens")
+    val packed = Packing.packSequences(docs, "doc_id", "tokens", maxLen).cache()
+    // no sequence over budget; n_tokens consistent
+    assert(packed.filter(col("n_tokens") > maxLen).count() === 0)
+    assert(packed.filter(size(col("input_ids")) =!= col("n_tokens")).count() === 0)
+    // total tokens preserved
+    val totIn = docs.agg(sum(size(col("tokens")))).head().getLong(0)
+    val totOut = packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(totIn === totOut)
+    // spans tile [0, n_tokens) in order and every span's slice decodes back
+    // to its doc's own token values
+    val bad = packed.select(explode(col("doc_spans")).as("s"), col("input_ids"))
+      .select(col("s.doc_id"), col("s.chunk_ix"), col("s.begin"), col("s.end"),
+        expr("slice(input_ids, s.begin + 1, s.end - s.begin)").as("got"))
+      .withColumn("ok", expr(
+        "forall(zip_with(got, sequence(0, size(got) - 1), (v, i) -> " +
+          s"v = doc_id * 1000 + chunk_ix * $maxLen + i), x -> x)"))
+      .filter(!col("ok"))
+    assert(bad.count() === 0)
+    // spans within a sequence are contiguous from 0
+    val tiled = packed.select(col("seq_id"), col("n_tokens"),
+        expr("aggregate(doc_spans, named_struct('off', 0, 'ok', true), " +
+          "(a, s) -> named_struct('off', s.end, 'ok', a.ok and s.begin = a.off), " +
+          "a -> a.ok and a.off = n_tokens)").as("tiles"))
+      .filter(!col("tiles"))
+    assert(tiled.count() === 0)
+    packed.unpersist()
+  }
+
+  test("assignment pass ships counts, not payloads (measured shuffle bytes)") {
+    // 500 docs x 4 KB token arrays = ~2 MB of payload; the assignment
+    // shuffle must carry Chunk rows (id, chunk, len, bucket ~ 24 B) — if
+    // the arrays ever leak into the packing exchange this blows past the
+    // bound by 10x+. Suites run sequentially in the forked test JVM, so a
+    // session-wide listener sees only this job.
+    val docs = (0L until 500L).map(id => (id, Seq.fill(1000)(1)))
+      .toDF("doc_id", "tokens")
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Packing.packAssignments(
+        docs.select(col("doc_id"), size(col("tokens")).as("ntok")),
+        "doc_id", "ntok", maxLen).count()
+      // listener bus is async and its flush API is private[spark]: wait for
+      // the first shuffle-write event (<= 5 s), then a settle beat
+      var spins = 0
+      while (written.get() == 0 && spins < 50) { spins += 1; Thread.sleep(100) }
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(written.get() > 0, "expected the bucket exchange to shuffle")
+    assert(written.get() < 200 * 1024,
+      s"assignment shuffled ${written.get()} bytes — token payloads leaked")
+  }
+}
