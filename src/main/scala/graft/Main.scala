@@ -282,7 +282,12 @@ object Main {
               decontamBench = raw.get("decontaminate-bench"),
               decontamBenchTextCol = raw.getOrElse("decontaminate-text-col", "text"),
               decontamN = raw.getOrElse("decontaminate-n", "13").toInt,
-              decontamMinHits = raw.getOrElse("decontaminate-min-hits", "1").toInt))
+              decontamMinHits = raw.getOrElse("decontaminate-min-hits", "1").toInt,
+              // per-batch sequence packing with a FROZEN tokenizer (the
+              // stream cannot train one; see StreamingCorpus.Config)
+              packMaxLen = raw.get("pack-max-len").map(_.toInt),
+              bpeModelPath = raw.get("bpe-model"),
+              packBuckets = raw.getOrElse("pack-buckets", "256").toInt))
           q.awaitTermination(600000)
           val accepted = spark.read
             .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data").count()

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ext.{Decontaminate, Dedup, TextAnalysis}
+import graft.ext.{Decontaminate, Dedup, Packing, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -14,6 +14,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *   [-> benchmark decontamination] -> exact dedup (in-batch + vs all
  *   prior batches) -> near-dup removal vs the ACCUMULATED corpus
  *   (MinHash bands) -> shard-routed append into the bundle
+ *   [-> frozen-BPE tokenize + per-batch sequence packing -> packed/]
  *
  * without ever recomputing over history. Accumulated knowledge lives in
  * compact parquet side-states under the bundle dir:
@@ -29,6 +30,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * Exactly-once: doc files land via [[BundleStreamWriter.commitBatch]]
  * (batch-deterministic names, replay-safe); state appends carry batch_id
  * and are de-duplicated on read, so a replayed batch cannot double-insert.
+ * State READS additionally exclude the current batch's own rows, so an
+ * at-least-once replay recomputes byte-identical survivors no matter how
+ * far the crashed attempt got through its state appends — which is what
+ * lets the packed/ stage use a plain deterministic overwrite.
  */
 object StreamingCorpus {
 
@@ -55,7 +60,18 @@ object StreamingCorpus {
                     spanK: Int = 10, spanMinDocs: Int = 2,
                     decontamBench: Option[String] = None,
                     decontamBenchTextCol: String = "text",
-                    decontamN: Int = 13, decontamMinHits: Int = 1)
+                    decontamN: Int = 13, decontamMinHits: Int = 1,
+                    packMaxLen: Option[Int] = None,
+                    bpeModelPath: Option[String] = None,
+                    packBuckets: Int = 256)
+
+  /** Frozen tokenizer for the packing stage, loaded once per stream
+    * lifetime per path (the batch pipeline trains BPE on the full corpus;
+    * a stream cannot — per-batch retraining would drift token ids across
+    * batches, so packing requires a PRE-TRAINED model, e.g. a prior batch
+    * run's `bpe_model.json` or `--mode tokenize` output). */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ext.BpeModel]()
 
   /** Benchmark n-gram sets are static per (path, n, textCol): built once
     * per stream lifetime, reused by every batch (the set is deterministic,
@@ -111,8 +127,18 @@ object StreamingCorpus {
             .as(Seq("pos", "h")))
         val batchDf = wins.select(col("h"), col(cfg.idCol)).distinct()
           .groupBy("h").agg(count(lit(1)).as("df"))
+        // state reads EXCLUDE this batch's own rows: an at-least-once
+        // replay finds the crashed attempt's appends already in state, and
+        // without the exclusion the batch's own window dfs would count
+        // twice (different strip decisions -> different fingerprints ->
+        // different survivors than the original execution). With it, a
+        // replay recomputes byte-identical survivors from the 0..N-1
+        // state, and every downstream write is idempotent (bundle/index:
+        // rename-if-absent; states: batch-tagged, deduplicated on read;
+        // packed/: deterministic overwrite).
         val totalDf = stateRead(spark, spanDir, batchDf) match {
-          case Some(prior) => prior.select("h", "df", "batch_id").distinct()
+          case Some(prior) => prior.filter(col("batch_id") =!= batchId)
+            .select("h", "df", "batch_id").distinct()
             .select(col("h"), col("df"))
             .unionByName(batchDf).groupBy("h").agg(sum("df").as("df"))
           case None => batchDf
@@ -149,7 +175,8 @@ object StreamingCorpus {
       .filter(col("_rn") === 1).drop("_rn")
     val fresh = stateRead(spark, fpDir, inBatch) match {
       case Some(seen) => inBatch.join(
-        seen.select(col("fp").as("_fp")).distinct(), Seq("_fp"), "left_anti")
+        seen.filter(col("batch_id") =!= batchId) // replay: own rows invisible
+          .select(col("fp").as("_fp")).distinct(), Seq("_fp"), "left_anti")
       case None => inBatch
     }
 
@@ -169,6 +196,7 @@ object StreamingCorpus {
       agree.cast("double") / size(a).cast("double")
     }
     val priorIndex = stateRead(spark, bandDir, banded).map(_
+      .filter(col("batch_id") =!= batchId) // replay: own rows invisible
       .select(col("doc_id").as("prior_id"), col("sig").as("prior_sig"),
         col("band"), col("band_key")).distinct())
     val vsPrior = priorIndex match {
@@ -262,6 +290,28 @@ object StreamingCorpus {
     //     - no marker, not ready: first build — marker, then build. An
     //       ALL-FILTERED batch skips (buildIndex cannot train on zero
     //       rows); the first non-empty batch builds instead.
+    // 4.5 sequence packing parity (packMaxLen): this batch's survivors
+    //     tokenized with the FROZEN model and packed into
+    //     packed/batch_id=<id>/ — pools are per batch (a stream cannot
+    //     re-pack emitted history; the batch path's global pools are the
+    //     better-fill tradeoff of rerunning the batch pipeline). Replay
+    //     safety is overwrite-determinism: Packing is a pure function of
+    //     the batch's survivors, which the state protocol replays
+    //     identically, so rewriting the same batch_id dir is a no-op in
+    //     content terms (vs appends, which would double sequences).
+    for (maxLen <- cfg.packMaxLen) {
+      val modelPath = cfg.bpeModelPath.getOrElse(throw new IllegalArgumentException(
+        "packMaxLen on a stream requires bpeModelPath (a pre-trained BPE " +
+          "model; per-batch retraining would drift token ids across batches)"))
+      val model = bpeCache.computeIfAbsent(modelPath,
+        p => graft.ext.Bpe.load(spark, p))
+      val withIds = survivors
+        .withColumn("_bpe_ids", model.tokenIds(col(cfg.textCol)))
+      Packing.packSequences(withIds, cfg.idCol, "_bpe_ids", maxLen, cfg.packBuckets)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/packed/batch_id=$batchId")
+    }
+
     cfg.annIndexDir.foreach { dir =>
       val emb = survivors.select(col(cfg.idCol), col(cfg.embeddingCol))
       val marker = builtByBatch(dir)

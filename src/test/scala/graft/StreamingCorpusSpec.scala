@@ -143,6 +143,58 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(!got.contains(700L) && got.contains(701L), s"batch3: $got")
   }
 
+  test("packMaxLen: per-batch packing with a frozen model; replay rewrites, never doubles") {
+    val rnd = new scala.util.Random(47)
+    def sentence() =
+      (0 until 10).map(_ => s"the w${rnd.nextInt(150)} of and to a").mkString(" ")
+    val out = Files.createTempDirectory("graft-scorpus-pack-out").toString
+
+    // frozen tokenizer: trained offline (any corpus), persisted, shared by
+    // every batch — the streaming contract
+    val trainDocs = (0L until 40L).map(i => (i, sentence())).toDF("doc_id", "text")
+    val model = graft.ext.Bpe.train(trainDocs, "text", numMerges = 30, maxWords = 2000)
+    val modelPath = s"$out/frozen_bpe.json"
+    graft.ext.Bpe.save(spark, model, modelPath)
+
+    val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+      packMaxLen = Some(48), bpeModelPath = Some(modelPath), packBuckets = 2)
+
+    val b0 = (0L until 15L).map(i => (i, sentence())).toDF("doc_id", "text")
+    StreamingCorpus.processBatch(b0, 0L, out, cfg)
+    val b1 = (100L until 110L).map(i => (i, sentence())).toDF("doc_id", "text")
+    StreamingCorpus.processBatch(b1, 1L, out, cfg)
+
+    // per-batch packed dirs exist, budget holds, and coverage matches the
+    // frozen model's token counts over each batch's accepted docs
+    val packed = spark.read.parquet(s"$out/packed")
+    assert(packed.select("batch_id").distinct().count() === 2)
+    assert(packed.filter(col("n_tokens") > 48).count() === 0)
+    val acceptedTok = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select(get_json_object(col("doc"), "$.text").as("text"))
+      .select(model.tokenIds(col("text")).as("ids"))
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    val packedTok = packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(acceptedTok === packedTok, s"accepted $acceptedTok vs packed $packedTok")
+
+    // replay of batch 1: at-least-once delivery rewrites batch_id=1
+    // deterministically — same sequence count and token total, no doubling
+    val before = packed.filter(col("batch_id") === 1)
+      .agg(count(lit(1)), sum("n_tokens")).head()
+    StreamingCorpus.processBatch(b1, 1L, out, cfg)
+    val after = spark.read.parquet(s"$out/packed").filter(col("batch_id") === 1)
+      .agg(count(lit(1)), sum("n_tokens")).head()
+    assert(before === after, s"replay changed packed output: $before -> $after")
+
+    // misconfiguration fails loud: packing without a frozen model
+    val e = intercept[IllegalArgumentException] {
+      StreamingCorpus.processBatch(
+        Seq((999L, sentence())).toDF("doc_id", "text"), 2L, out,
+        cfg.copy(bpeModelPath = None))
+    }
+    assert(e.getMessage.contains("bpeModelPath"))
+  }
+
   test("strip-spans + decontaminate: span counts accumulate across batches; eval collisions dropped") {
     // unique word LAST per segment (see CorpusPipelineSpec): the only
     // cross-doc repeated window is the planted boilerplate
