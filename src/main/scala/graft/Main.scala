@@ -34,7 +34,8 @@ object Main {
     "neardup-clusters",
     "strip-spans", "span-window", "span-min-docs",
     "decontaminate-bench", "decontaminate-text-col", "decontaminate-n",
-    "decontaminate-min-hits", "pack-max-len", "pack-buckets")
+    "decontaminate-min-hits", "pack-max-len", "pack-buckets", "pack-ranks",
+    "pack-seed")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -243,7 +244,9 @@ object Main {
             // trainer-shape terminal artifact: survivors' token ids packed
             // into fixed-capacity sequences at <bundle>/packed/
             packMaxLen = raw.get("pack-max-len").map(_.toInt),
-            packBuckets = raw.getOrElse("pack-buckets", "256").toInt)
+            packBuckets = raw.getOrElse("pack-buckets", "256").toInt,
+            packRanks = raw.get("pack-ranks").map(_.toInt),
+            packSeed = raw.getOrElse("pack-seed", "0").toLong)
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")
@@ -287,7 +290,9 @@ object Main {
               // stream cannot train one; see StreamingCorpus.Config)
               packMaxLen = raw.get("pack-max-len").map(_.toInt),
               bpeModelPath = raw.get("bpe-model"),
-              packBuckets = raw.getOrElse("pack-buckets", "256").toInt))
+              packBuckets = raw.getOrElse("pack-buckets", "256").toInt,
+              packRanks = raw.get("pack-ranks").map(_.toInt),
+              packSeed = raw.getOrElse("pack-seed", "0").toLong))
           q.awaitTermination(600000)
           val accepted = spark.read
             .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data").count()

@@ -68,7 +68,70 @@ object Mixing {
   def capPerSource(docs: DataFrame, sourceCol: String, orderCol: String,
                    cost: Column, budget: Long, numBuckets: Int,
                    tieCols: Seq[String],
-                   smallInputBytes: Long = 64L << 20): DataFrame = {
+                   smallInputBytes: Long = 64L << 20): DataFrame =
+    capWithBudget(docs.withColumn("_gbudget", lit(budget)), sourceCol,
+      orderCol, cost, numBuckets, tieCols, smallInputBytes).drop("_gbudget")
+
+  /**
+   * Temperature-reweighted source budgets — the pretraining "mixture
+   * weights" step proper: each source's share of `totalBudget` is
+   * proportional to (its natural cost mass)^temperature. `temperature = 1`
+   * keeps natural proportions; lowering it flattens the mix toward uniform
+   * (Pareto-dominant crawl sources shrink, small curated sources grow);
+   * the common published setting is around 0.5. Selection within a source
+   * is then the deterministic ordered prefix of [[capPerSource]].
+   *
+   * Budget arithmetic is engine-reproducible BY CONSTRUCTION: weights are
+   * `floor(c^temperature)` as integers, and each budget is
+   * `totalBudget * w / Σw` in integer arithmetic (BigInt — no overflow at
+   * any corpus size). For `temperature = 0.5` the weight is
+   * `floor(sqrt(c))` where sqrt is IEEE-correctly-rounded on every
+   * platform, so an independent engine computes bit-identical budgets (the
+   * q76 DuckDB oracle does exactly that); other temperatures go through
+   * `pow`, which is faithfully- but not correctly-rounded — deterministic
+   * within a JVM, with a documented (and practically unobserved) 1-ULP
+   * cross-engine hazard at floor boundaries.
+   *
+   * Driver traffic: one (source, total-cost) row per source — bounded by
+   * the source count, like the bucketize splitter collect.
+   */
+  def temperatureMix(docs: DataFrame, sourceCol: String, orderCol: String,
+                     cost: Column, totalBudget: Long,
+                     temperature: Double = 0.5, numBuckets: Int = 32,
+                     tieCols: Seq[String] = Nil): DataFrame = {
+    require(temperature > 0 && temperature <= 1,
+      s"temperature must be in (0, 1], got $temperature")
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totals = docs
+      .groupBy(col(sourceCol).cast("string").as("_src"))
+      .agg(sum(cost.cast("long")).as("_c")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    val weights = totals.map { case (src, c) =>
+      src -> BigInt(math.floor(math.pow(math.max(c, 0L).toDouble,
+        temperature)).toLong)
+    }
+    val wSum = weights.map(_._2).sum
+    val budgets = weights.map { case (src, w) =>
+      (src, if (wSum == 0) 0L else (BigInt(totalBudget) * w / wSum).toLong)
+    }
+    val bdf = budgets.toDF("_tsrc", "_gbudget")
+    capWithBudget(
+      docs.join(broadcast(bdf),
+        col(sourceCol).cast("string") <=> col("_tsrc")).drop("_tsrc"),
+      sourceCol, orderCol, cost, numBuckets, tieCols)
+      .drop("_gbudget")
+  }
+
+  /** Shared prefix-cap machinery over a per-row `_gbudget` column (constant
+    * within a source — [[capPerSource]] passes one literal, [[temperatureMix]]
+    * a broadcast per-source map). */
+  private def capWithBudget(docs: DataFrame, sourceCol: String,
+                            orderCol: String, cost: Column, numBuckets: Int,
+                            tieCols: Seq[String],
+                            smallInputBytes: Long = 64L << 20): DataFrame = {
     val ordKeys = (orderCol +: tieCols).map(col)
     val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val effectiveBuckets =
@@ -79,7 +142,7 @@ object Mixing {
         val w = Window.partitionBy(sourceCol).orderBy(ordKeys: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         docs.withColumn("_cum", sum(cost.cast("long")).over(w))
-          .filter(col("_cum") <= budget)
+          .filter(col("_cum") <= col("_gbudget"))
       case Some(bucketed) =>
         val costed = bucketed.withColumn("_gc", cost.cast("long"))
         // tiny aggregate: sources × numBuckets rows → exclusive offsets
@@ -98,9 +161,9 @@ object Mixing {
           .join(broadcast(offs),
             col(sourceCol).cast("string") <=> col("_gsrc") &&
               col("_gbkt") === col("_gb"))
-          .filter(col("_goff") <= budget) // whole-bucket prune (cost >= 0)
+          .filter(col("_goff") <= col("_gbudget")) // whole-bucket prune (cost >= 0)
           .withColumn("_cum", col("_goff") + sum(col("_gc")).over(w))
-          .filter(col("_cum") <= budget)
+          .filter(col("_cum") <= col("_gbudget"))
           .drop("_gbkt", "_gc", "_gsrc", "_gb", "_goff")
     }
   }

@@ -111,6 +111,37 @@ object Packing {
   }
 
   /**
+   * Deterministic training-order export: assign keyed rows (packed
+   * sequences, documents — anything with a unique key) to `numRanks`
+   * data-parallel reader shards, with a reproducible pseudo-random read
+   * order inside each shard. Adds:
+   *   - `rank`       — int in [0, numRanks): the reader shard
+   *   - `order_key`  — hex string; sorting a rank's rows by it IS the
+   *                    epoch's shuffle order
+   * Both derive from md5 over `"<seed>:<key>"` — md5 is a PORTABLE hash
+   * (bit-identical on every engine, unlike Spark's xxhash64 or seeded
+   * samplers), so any system recomputes the same sharding and order (the
+   * q77 DuckDB oracle does; same portability argument as q67's
+   * train/test split). A new `seed` is a new epoch order: re-deriving the
+   * columns is one map-only pass, no shuffle of the payload until the
+   * caller repartitions by `rank`.
+   */
+  def shardSequences(rows: DataFrame, keyCol: String, numRanks: Int,
+                     seed: Long = 0L): DataFrame = {
+    require(numRanks > 0, s"numRanks must be positive, got $numRanks")
+    val h = md5(concat_ws(":", lit(seed), col(keyCol).cast("string")))
+    rows
+      .withColumn("order_key", h)
+      // first 8 hex chars as an unsigned int, mod ranks: uniform, and
+      // independent of order_key's ORDER within a rank only in the sense
+      // that rank uses a prefix of the same hash — uniformity is what
+      // matters for balance (PackingSpec pins it)
+      .withColumn("rank",
+        (conv(substring(col("order_key"), 1, 8), 16, 10).cast("long")
+          % numRanks).cast("int"))
+  }
+
+  /**
    * Materialized packing: concatenate token arrays into trainer-ready rows
    * `(seq_id, input_ids, n_tokens, doc_spans)` where `doc_spans` is
    * `array<struct<doc_id, chunk_ix, begin, end>>` over positions INSIDE

@@ -94,7 +94,9 @@ object CorpusPipeline {
           decontamBenchTextCol: String = "text",
           decontamN: Int = 13, decontamMinHits: Int = 1,
           packMaxLen: Option[Int] = None,
-          packBuckets: Int = 256): Stats = {
+          packBuckets: Int = 256,
+          packRanks: Option[Int] = None,
+          packSeed: Long = 0L): Stats = {
     val raw = spark.read.parquet(input)
     val docs =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -246,8 +248,19 @@ object CorpusPipeline {
         val withIds = tokenized.withColumn("_bpe_ids", model.tokenIds(col(textCol)))
         val packed = graft.ext.Packing.packSequences(
           withIds, idCol, "_bpe_ids", maxLen, packBuckets)
-        packed.write.mode("overwrite")
-          .parquet(s"$outDir/$indexName/packed")
+        // packRanks: data-parallel export — each reader shard is its own
+        // rank=K partition dir, order_key inside it is the epoch's
+        // reproducible shuffle order (portable md5; see shardSequences)
+        packRanks match {
+          case Some(r) =>
+            graft.ext.Packing.shardSequences(packed, "seq_id", r, packSeed)
+              .repartition(col("rank"))
+              .write.mode("overwrite").partitionBy("rank")
+              .parquet(s"$outDir/$indexName/packed")
+          case None =>
+            packed.write.mode("overwrite")
+              .parquet(s"$outDir/$indexName/packed")
+        }
         spark.read.parquet(s"$outDir/$indexName/packed").count()
       case None => -1L
     }

@@ -1294,6 +1294,58 @@ object Queries {
         .agg(count(lit(1)).as("kept_docs"), max("_cum").as("used_chars"))
         .orderBy("source")),
 
+    // ---- temperature-reweighted mixing (the published pretraining-mix
+    //      step: source budget ∝ mass^τ). Oracle-EXACT by construction at
+    //      τ=0.5: weights are floor(sqrt(mass)) — sqrt is IEEE-correctly-
+    //      rounded on every engine — and budgets are integer
+    //      totalBudget*w/Σw, so DuckDB recomputes the identical kept set
+    //      (the one engine-reproducibility caveat, pow at other τ, is
+    //      documented on Mixing.temperatureMix). ----
+    QueryDef("q76_temperature_mix",
+      Some("""WITH d AS (SELECT doc_id, source, n_chars
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |tot AS (SELECT source, sum(n_chars) AS c FROM d GROUP BY source),
+             |w AS (SELECT source,
+             |        CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS HUGEINT) AS wt
+             |      FROM tot),
+             |p AS (SELECT (sum(n_chars) * 2) // 5 AS btot FROM d),
+             |b AS (SELECT w.source,
+             |        (p.btot * w.wt) // (SELECT sum(wt) FROM w) AS bud
+             |      FROM w, p),
+             |cum AS (SELECT doc_id, source,
+             |          sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |                             ROWS UNBOUNDED PRECEDING) AS rcum
+             |        FROM d)
+             |SELECT doc_id, source, CAST(rcum AS BIGINT) AS cum_chars
+             |FROM cum JOIN b USING (source) WHERE rcum <= bud
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+        // bounded driver agg: the 40% total budget in integer arithmetic
+        // (the oracle computes the same (sum*2)//5 — exact on both sides)
+        val totalChars = d.agg(sum(col("n_chars"))).head().getLong(0)
+        graft.ext.Mixing.temperatureMix(d, "source", "doc_id",
+            col("n_chars"), totalChars * 2 / 5, temperature = 0.5)
+          .select(col("doc_id"), col("source"), col("_cum").as("cum_chars"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- data-parallel rank sharding + reproducible shuffle order (the
+    //      export step after packing: which reader shard gets each
+    //      sequence, and in what epoch order). PORTABLE by construction —
+    //      both columns derive from md5("<seed>:<key>"), so the oracle
+    //      recomputes the identical assignment (cf. q67). ----
+    QueryDef("q77_rank_shard",
+      Some("""SELECT doc_id,
+             |  md5('42:' || CAST(doc_id AS VARCHAR)) AS order_key,
+             |  CAST(CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS rank
+             |FROM read_parquet('{SFDIR}/documents.parquet')
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => graft.ext.Packing.shardSequences(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          numRanks = 8, seed = 42L)
+        .orderBy("doc_id")),
+
     // ---- persisted ANN index: build once (IVF cells as parquet
     //      partitions + PQ codes + vectors), query with partition-pruned
     //      cell reads. Approximate + engine-specific -> rows-only; the

@@ -63,7 +63,9 @@ object StreamingCorpus {
                     decontamN: Int = 13, decontamMinHits: Int = 1,
                     packMaxLen: Option[Int] = None,
                     bpeModelPath: Option[String] = None,
-                    packBuckets: Int = 256)
+                    packBuckets: Int = 256,
+                    packRanks: Option[Int] = None,
+                    packSeed: Long = 0L)
 
   /** Frozen tokenizer for the packing stage, loaded once per stream
     * lifetime per path (the batch pipeline trains BPE on the full corpus;
@@ -307,9 +309,18 @@ object StreamingCorpus {
         p => graft.ext.Bpe.load(spark, p))
       val withIds = survivors
         .withColumn("_bpe_ids", model.tokenIds(col(cfg.textCol)))
-      Packing.packSequences(withIds, cfg.idCol, "_bpe_ids", maxLen, cfg.packBuckets)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/packed/batch_id=$batchId")
+      val packed = Packing.packSequences(withIds, cfg.idCol, "_bpe_ids",
+        maxLen, cfg.packBuckets)
+      cfg.packRanks match {
+        case Some(r) =>
+          Packing.shardSequences(packed, "seq_id", r, cfg.packSeed)
+            .repartition(col("rank"))
+            .write.mode(SaveMode.Overwrite).partitionBy("rank")
+            .parquet(s"$outDir/packed/batch_id=$batchId")
+        case None =>
+          packed.write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/packed/batch_id=$batchId")
+      }
     }
 
     cfg.annIndexDir.foreach { dir =>

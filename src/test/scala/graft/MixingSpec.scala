@@ -119,6 +119,56 @@ class MixingSpec extends SparkSpec {
       slow.select("doc_id", "_cum").collect().toSet)
   }
 
+  test("temperatureMix: budgets follow floor(sqrt)-weight integer math; tau flattens the mix") {
+    // skewed corpus: big source 10x the mass of the small one
+    val rows =
+      (0 until 100).map(i => ("big", i.toLong, 100L)) ++
+        (0 until 10).map(i => ("small", 1000L + i, 100L))
+    val df = rows.toDF("source", "doc_id", "cost")
+    val out = Mixing.temperatureMix(df, "source", "doc_id", col("cost"),
+      totalBudget = 5500L, temperature = 0.5)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hand-computed: mass big=10000, small=1000; w = floor(sqrt): 100, 31
+    // (sqrt(1000)=31.62); budgets = 5500*w/131 -> big 4198, small 1301 ->
+    // kept prefixes 41 and 10 docs (small is budget-capped above its mass)
+    assert(kept === Map("big" -> 41L, "small" -> 10L), s"got $kept")
+    // tau=1 for contrast: natural proportions — w = mass, budgets
+    // 5500*10000/11000 = 5000 and 500 -> 50 and 5 docs
+    val nat = Mixing.temperatureMix(df, "source", "doc_id", col("cost"),
+      totalBudget = 5500L, temperature = 1.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat === Map("big" -> 50L, "small" -> 5L), s"got $nat")
+    // the flattening law itself: lower tau gives the small source a
+    // strictly larger share of kept docs
+    assert(kept("small").toDouble / kept.values.sum >
+      nat("small").toDouble / nat.values.sum)
+  }
+
+  test("temperatureMix: selection is capPerSource's prefix under the derived budget") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { i =>
+      (s"s${i % 3}", i.toLong, (1 + rnd.nextInt(50)).toLong)
+    }
+    val df = rows.toDF("source", "doc_id", "cost")
+    val out = Mixing.temperatureMix(df, "source", "doc_id", col("cost"),
+      totalBudget = 2000L, temperature = 0.5).cache()
+    // derive the budgets the same way and check each source's kept set is
+    // exactly the capPerSource prefix at that budget
+    val masses = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val w = masses.view.mapValues(c => math.floor(math.sqrt(c.toDouble)).toLong).toMap
+    val wSum = w.values.sum
+    for ((src, wi) <- w) {
+      val bud = 2000L * wi / wSum
+      val expect = Mixing.capPerSource(df.filter(col("source") === src),
+        "source", "doc_id", col("cost"), bud)
+      assert(out.filter(col("source") === src).exceptAll(expect).count() === 0)
+      assert(expect.exceptAll(out.filter(col("source") === src)).count() === 0)
+    }
+    out.unpersist()
+  }
+
   test("whole-bucket prune: over-budget buckets drop without changing results") {
     // budget so small only the first few docs survive — later buckets of
     // the big source are pruned by offset alone; result must still match

@@ -130,6 +130,34 @@ class PackingSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("shardSequences: portable md5 assignment, balanced ranks, reseed = new epoch order") {
+    val df = (0L until 4000L).map(Tuple1(_)).toDF("seq_id")
+    val out = Packing.shardSequences(df, "seq_id", numRanks = 8, seed = 42L).cache()
+    // independent reimplementation (JDK MessageDigest): the portability
+    // claim is that ANY engine recomputes these values
+    def md5hex(str: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.filter(col("seq_id") < 50).collect().foreach { r =>
+      val h = md5hex(s"42:${r.getAs[Long]("seq_id")}")
+      assert(r.getAs[String]("order_key") === h)
+      assert(r.getAs[Int]("rank") ===
+        (java.lang.Long.parseLong(h.take(8), 16) % 8).toInt)
+    }
+    // balance: 4000 rows over 8 ranks — md5 uniformity keeps each within
+    // a generous ±20% of 500
+    val counts = out.groupBy("rank").count().collect().map(_.getLong(1))
+    assert(counts.length === 8 && counts.forall(c => c > 400 && c < 600),
+      s"unbalanced: ${counts.toSeq}")
+    // a new seed is a new epoch: rank-0's shuffle order changes
+    val o1 = out.filter(col("rank") === 0).orderBy("order_key")
+      .select("seq_id").collect().map(_.getLong(0)).toSeq
+    val o2 = Packing.shardSequences(df, "seq_id", 8, seed = 43L)
+      .filter(col("rank") === 0).orderBy("order_key")
+      .select("seq_id").collect().map(_.getLong(0)).toSeq
+    assert(o1 !== o2)
+    out.unpersist()
+  }
+
   test("assignment pass ships counts, not payloads (measured shuffle bytes)") {
     // 500 docs x 4 KB token arrays = ~2 MB of payload; the assignment
     // shuffle must carry Chunk rows (id, chunk, len, bucket ~ 24 B) — if
