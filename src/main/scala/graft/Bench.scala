@@ -578,7 +578,26 @@ object Bench {
     val diagJson = diag.map { case (k, (g, j)) =>
       "\"" + k + "\":{\"gc_ms\":" + g + ",\"jit_ms\":" + j + "}"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    // provenance: the closing-bench protocol's adjudication rule is "no
+    // closing number may predate the last code commit" — stamp the run
+    // with the commit it measured and when, so the artifact carries its
+    // own evidence instead of relying on file mtimes
+    val gitHead: String = try {
+      val repo = new java.io.File(".git")
+      if (!repo.exists) "unknown"
+      else {
+        val head = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(".git/HEAD")).trim
+        if (head.startsWith("ref: ")) {
+          val refPath = java.nio.file.Paths.get(".git", head.drop(5))
+          if (java.nio.file.Files.exists(refPath))
+            java.nio.file.Files.readString(refPath).trim.take(12)
+          else "unknown"
+        } else head.take(12)
+      }
+    } catch { case _: Throwable => "unknown" }
+    val stamp = java.time.Instant.now().toString
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

@@ -637,6 +637,52 @@ class SimilaritySpec extends SparkSpec {
       "residual indexTopK must equal the online residual IVF-PQ at equal knobs")
   }
 
+  test("residual + OPQ composition: persisted == online, and exact re-rank is rotation-invariant") {
+    // the two build options compose: codes quantize OPQ-ROTATED residuals,
+    // scoring runs the LUT on the rotated query while the centroid dot
+    // stays in the original space. Any permute/rotation mismatch between
+    // the build's encode path and the query's LUT path breaks the persisted
+    // == online identity, and a rotation applied on only one side of the
+    // exact stage would corrupt the re-ranked sims vs plain brute truth.
+    val dim = 16
+    val rnd = new scala.util.Random(89)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.2 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-resopq").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", dir,
+      nlist = 8, kmeansIters = 2, m = 4, k = 8, residual = true, opqIters = 2)
+    val online = Similarity.ivfPqResidualTopK(q, corpus, "vec_id", "vec_id",
+        "embedding", k = 2, nlist = 8, nprobe = 3, kmeansIters = 2,
+        m = 4, kCodes = 8, opqIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val indexed = Similarity.indexTopK(q, dir, "vec_id", "embedding",
+        k = 2, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(indexed === online,
+      "residual+OPQ indexTopK must equal the online residual IVF-PQ at equal knobs")
+    // exact stage sanity: re-ranked sims come from stored vectors, so each
+    // returned (qid, nid) pair's sim must equal the plain cosine — the
+    // rotation must never leak into the exact scores
+    val sims = Similarity.indexTopK(q, dir, "vec_id", "embedding",
+        k = 2, nprobe = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val vecs = points.toMap.view.mapValues { v =>
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / n)
+    }.toMap
+    sims.foreach { case ((qid, nid), sim) =>
+      val exact = vecs(qid).zip(vecs(nid)).map { case (a, b) => a * b }.sum
+      assert(math.abs(sim - exact) < 1e-4 + 5e-5,
+        s"($qid,$nid): sim $sim vs exact cosine $exact")
+    }
+  }
+
   test("persisted index == online IVF-PQ across seeds, dims and knobs") {
     // seed-swept version of the fixed-seed identity law: the equality must
     // hold for any corpus shape, not one lucky configuration
