@@ -35,7 +35,7 @@ object Main {
     "strip-spans", "span-window", "span-min-docs",
     "decontaminate-bench", "decontaminate-text-col", "decontaminate-n",
     "decontaminate-min-hits", "pack-max-len", "pack-buckets", "pack-ranks",
-    "pack-seed")
+    "pack-seed", "mix-budget", "mix-temperature", "mix-source-col")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -292,7 +292,12 @@ object Main {
               bpeModelPath = raw.get("bpe-model"),
               packBuckets = raw.getOrElse("pack-buckets", "256").toInt,
               packRanks = raw.get("pack-ranks").map(_.toInt),
-              packSeed = raw.getOrElse("pack-seed", "0").toLong))
+              packSeed = raw.getOrElse("pack-seed", "0").toLong,
+              // accumulated-stream temperature mixing (state/mix):
+              // budgets re-derived per batch from total mass seen so far
+              mixBudget = raw.get("mix-budget").map(_.toLong),
+              mixTemperature = raw.getOrElse("mix-temperature", "0.5").toDouble,
+              mixSourceCol = raw.getOrElse("mix-source-col", "source")))
           q.awaitTermination(600000)
           val accepted = spark.read
             .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data").count()

@@ -109,14 +109,37 @@ object Mixing {
       .agg(sum(cost.cast("long")).as("_c")).collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toSeq.sortBy(_._1)
-    val weights = totals.map { case (src, c) =>
+    val budgets = temperatureBudgets(totals, totalBudget, temperature)
+    capPerSourceWith(docs, sourceCol, orderCol, cost, budgets,
+      numBuckets, tieCols)
+  }
+
+  /** Integer temperature-weighted budget split: `totalBudget * floor(c^τ) /
+    * Σ floor(c^τ)` per source, BigInt arithmetic (see [[temperatureMix]]'s
+    * reproducibility note). Shared by the batch operator and the streaming
+    * mix stage so both derive bit-identical budgets from the same masses. */
+  private[graft] def temperatureBudgets(masses: Seq[(String, Long)],
+                                        totalBudget: Long,
+                                        temperature: Double): Seq[(String, Long)] = {
+    val weights = masses.sortBy(_._1).map { case (src, c) =>
       src -> BigInt(math.floor(math.pow(math.max(c, 0L).toDouble,
         temperature)).toLong)
     }
     val wSum = weights.map(_._2).sum
-    val budgets = weights.map { case (src, w) =>
+    weights.map { case (src, w) =>
       (src, if (wSum == 0) 0L else (BigInt(totalBudget) * w / wSum).toLong)
     }
+  }
+
+  /** Per-source-budget prefix cap (the generalized [[capPerSource]]):
+    * sources absent from `budgets` are DROPPED (budget 0 ≠ unlimited). */
+  private[graft] def capPerSourceWith(docs: DataFrame, sourceCol: String,
+                                      orderCol: String, cost: Column,
+                                      budgets: Seq[(String, Long)],
+                                      numBuckets: Int = 32,
+                                      tieCols: Seq[String] = Nil): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val bdf = budgets.toDF("_tsrc", "_gbudget")
     capWithBudget(
       docs.join(broadcast(bdf),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ext.{Decontaminate, Dedup, Packing, TextAnalysis}
+import graft.ext.{Decontaminate, Dedup, Mixing, Packing, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -65,7 +65,10 @@ object StreamingCorpus {
                     bpeModelPath: Option[String] = None,
                     packBuckets: Int = 256,
                     packRanks: Option[Int] = None,
-                    packSeed: Long = 0L)
+                    packSeed: Long = 0L,
+                    mixBudget: Option[Long] = None,
+                    mixTemperature: Double = 0.5,
+                    mixSourceCol: String = "source")
 
   /** Frozen tokenizer for the packing stage, loaded once per stream
     * lifetime per path (the batch pipeline trains BPE on the full corpus;
@@ -256,8 +259,57 @@ object StreamingCorpus {
       case None => spark.range(0).select(col("id").as("doc_id"))
     }
     val dropIds = vsPrior.unionByName(vsBatch).unionByName(vsIndex).distinct()
-    val survivors = sigged.join(dropIds.withColumnRenamed("doc_id", cfg.idCol),
-      Seq(cfg.idCol), "left_anti")
+    val dedupSurvivors = sigged.join(
+      dropIds.withColumnRenamed("doc_id", cfg.idCol), Seq(cfg.idCol), "left_anti")
+
+    // 3.7 temperature mixing vs the ACCUMULATED stream (mixBudget): the
+    //     streaming analog of [[Mixing.temperatureMix]]. state/mix keeps
+    //     one (source, mass, spent, batch_id) row per source per batch;
+    //     each batch re-derives budgets from the TOTAL mass seen so far
+    //     (prior + this batch, same integer temperatureBudgets math as the
+    //     batch operator) and accepts this batch's ordered prefix against
+    //     budget − already-spent. Prefix-greedy semantics, documented: a
+    //     source whose relative mass share SHRINKS over the stream can sit
+    //     temporarily over-budget (remaining clamps to 0, nothing accepted)
+    //     until its budget catches back up — the stream cannot un-emit.
+    //     A single-batch stream is EXACTLY the batch operator (spec law).
+    //     Reads exclude the current batch like every other state.
+    val mixDir = s"$outDir/state/mix"
+    val (survivors, mixBatchRows) = cfg.mixBudget match {
+      case None => (dedupSurvivors, None)
+      case Some(totalB) =>
+        val costCol = length(col(cfg.textCol)).cast("long")
+        val batchMass = dedupSurvivors
+          .groupBy(col(cfg.mixSourceCol).cast("string").as("_src"))
+          .agg(sum(costCol).as("_mass")).collect()
+          .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+          .toMap
+        val prior: Map[String, (Long, Long)] =
+          stateRead(spark, mixDir, null) match {
+            case Some(st) => st.filter(col("batch_id") =!= batchId)
+              .select("source", "mass", "spent", "batch_id").distinct()
+              .groupBy("source").agg(sum("mass").as("m"), sum("spent").as("s"))
+              .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+              .toMap
+            case None => Map.empty
+          }
+        val masses = (batchMass.keySet ++ prior.keySet).toSeq.sorted.map { src =>
+          src -> (prior.get(src).map(_._1).getOrElse(0L) +
+            batchMass.getOrElse(src, 0L))
+        }
+        val budgets = Mixing.temperatureBudgets(masses, totalB, cfg.mixTemperature)
+        val remaining = budgets.map { case (src, b) =>
+          src -> math.max(0L, b - prior.get(src).map(_._2).getOrElse(0L)) }
+        val kept = Mixing.capPerSourceWith(dedupSurvivors, cfg.mixSourceCol,
+          cfg.idCol, costCol, remaining)
+        val spentNow = kept.groupBy(col(cfg.mixSourceCol).cast("string").as("_src"))
+          .agg(max("_cum").as("_spent")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rows = batchMass.keySet.toSeq.sorted.map { src =>
+          (src, batchMass(src), spentNow.getOrElse(src, 0L), batchId)
+        }
+        (kept.drop("_cum"), Some(rows))
+    }
 
     // 4. append survivors to the bundle (replay-safe committer) + states
     val docsOut = graft.transform.DocTransform.docs(
@@ -274,6 +326,13 @@ object StreamingCorpus {
     // batch-tagged rows are deduplicated on read)
     spanBatchDf.foreach(_.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).parquet(spanDir))
+    // mix-state append: this batch's per-source mass + accepted spend
+    // (identical rows on replay — deduplicated on read like the others)
+    mixBatchRows.foreach { rows =>
+      import spark.implicits._
+      rows.toDF("source", "mass", "spent", "batch_id")
+        .write.mode(SaveMode.Append).parquet(mixDir)
+    }
 
     // 5. maintain the standing semantic index as part of the commit.
     //    Replay-safe cases, disambiguated by the built_by_batch INTENT

@@ -195,6 +195,68 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(e.getMessage.contains("bpeModelPath"))
   }
 
+  test("mixBudget: single batch == batch temperatureMix; spend accumulates; replay identical") {
+    val rnd = new scala.util.Random(59)
+    def sentence(words: Int) =
+      (0 until words).map(_ => s"the w${rnd.nextInt(500)} of and to a").mkString(" ")
+    // skewed corpus: "big" has 10x the docs of "small"; every doc unique
+    // (no dedup interference with the mixing law under test)
+    def mkDocs(ids: Range, nBig: Int) = ids.map { i =>
+      val src = if (i % (nBig + 1) == nBig) "small" else "big"
+      (i.toLong, src, sentence(10))
+    }
+    val out = Files.createTempDirectory("graft-scorpus-mix-out").toString
+    val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+      mixBudget = Some(6000L), mixTemperature = 0.5)
+
+    // batch 0
+    val b0 = mkDocs(0 until 44, 10).toDF("doc_id", "source", "text")
+    StreamingCorpus.processBatch(b0, 0L, out, cfg)
+    def accepted(): Map[Long, String] = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select("_id", "_routing").collect()
+      .map(r => r.getString(0).toLong -> r.getString(0)).toMap
+    val acceptedB0 = accepted().keySet
+
+    // law 1: a single-batch stream is EXACTLY the batch operator — same
+    // quality gate, then temperatureMix at the same knobs (cost = length)
+    val batchEq = graft.ext.Mixing.temperatureMix(
+      b0.filter(graft.ext.TextAnalysis.qualityScoreRaw(col("text")) >= 0.3),
+      "source", "doc_id", length(col("text")), 6000L, temperature = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedB0 === batchEq,
+      s"single-batch stream diverged from batch operator: " +
+        s"${(acceptedB0 -- batchEq, batchEq -- acceptedB0)}")
+
+    // law 2: spend persists — batch 1 continues against remaining budget,
+    // and per-source accepted cost never exceeds the final-mass budgets
+    val b1 = mkDocs(1000 until 1044, 10).toDF("doc_id", "source", "text")
+    StreamingCorpus.processBatch(b1, 1L, out, cfg)
+    val mixState = spark.read.parquet(s"$out/state/mix")
+      .select("source", "mass", "spent", "batch_id").distinct()
+    val spent = mixState.groupBy("source").agg(sum("spent").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mass = mixState.groupBy("source").agg(sum("mass").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = graft.ext.Mixing.temperatureBudgets(
+      mass.toSeq.sortBy(_._1), 6000L, 0.5).toMap
+    budgets.foreach { case (src, b) =>
+      assert(spent.getOrElse(src, 0L) <= b,
+        s"$src spent ${spent.get(src)} over budget $b")
+    }
+
+    // law 3: replay of batch 1 is byte-identical — same accepted set, no
+    // double-spend in state (rows dedup on read)
+    val before = accepted().keySet
+    StreamingCorpus.processBatch(b1, 1L, out, cfg)
+    assert(accepted().keySet === before, "replay changed the accepted set")
+    val spentReplay = spark.read.parquet(s"$out/state/mix")
+      .select("source", "mass", "spent", "batch_id").distinct()
+      .groupBy("source").agg(sum("spent").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spentReplay === spent, s"replay double-spent: $spent -> $spentReplay")
+  }
+
   test("strip-spans + decontaminate: span counts accumulate across batches; eval collisions dropped") {
     // unique word LAST per segment (see CorpusPipelineSpec): the only
     // cross-doc repeated window is the planted boilerplate
