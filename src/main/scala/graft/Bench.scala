@@ -561,6 +561,60 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq shortlist 1m failed: ${e.getMessage}"); "{}" } }
 
+
+    // trainer-export tier at 1M docs: packing's counts-only assignment and
+    // the temperature mix's two-phase prefix cap, both on deterministic
+    // synthetic corpora (generation is distributed; the same shape runs at
+    // 1e9 on a cluster). Medians of 3 like the other 1M entries.
+    import org.apache.spark.sql.functions.lit
+    val pack1mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("pack_1m") { try {
+        val maxLen = 2048
+        val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+          (lit(64) + org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(col("id")), lit(1900)))
+            .cast("int").as("ntok")).repartition(64).cache()
+        val totalTok = docs.agg(fsum("ntok")).head().getLong(0)
+        var seqs = 0L
+        val secs = (1 to 3).map { _ =>
+          time {
+            seqs = graft.ext.Packing.packAssignments(docs, "doc_id", "ntok",
+                maxLen, numBuckets = 1000)
+              .select("seq_id").distinct().count()
+          }
+        }
+        docs.unpersist()
+        val med = secs.sorted.apply(secs.size / 2)
+        val fill = totalTok.toDouble / (seqs * maxLen)
+        f"""{"rows":1000000,"max_len":$maxLen,"sec":$med%.3f,"seqs":$seqs,"fill":$fill%.4f,"runs":3}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pack 1m failed: ${e.getMessage}"); "{}" } }
+    val mix1mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("mix_1m") { try {
+        val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+          org.apache.spark.sql.functions.concat(lit("src"),
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.xxhash64(col("id"), lit(1)),
+              lit(20))).as("source"),
+          (lit(50) + org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(col("id"), lit(2)),
+            lit(150))).cast("long").as("cost")).repartition(64).cache()
+        val total = docs.agg(fsum("cost")).head().getLong(0)
+        var kept = 0L
+        val secs = (1 to 3).map { _ =>
+          time {
+            kept = graft.ext.Mixing.temperatureMix(docs, "source", "doc_id",
+              col("cost"), total * 2 / 5, temperature = 0.5).count()
+          }
+        }
+        docs.unpersist()
+        val med = secs.sorted.apply(secs.size / 2)
+        f"""{"rows":1000000,"sec":$med%.3f,"kept":$kept,"runs":3}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] mix 1m failed: ${e.getMessage}"); "{}" } }
+
     val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)},"clustered_1m":${curveJson(ann1mCurve)}}"""
 
     val all = results :+ ("sink_bundle" -> sinkSec) :+
@@ -597,7 +651,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"mix_1m":$mix1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it
