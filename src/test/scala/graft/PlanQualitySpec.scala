@@ -87,6 +87,27 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q76 temperature mix: budget join broadcasts; no cartesian; scan pruned to 3 cols") {
+    val p = plan("q76_temperature_mix")
+    // the per-source budget frame is tiny and must ride a broadcast join —
+    // a shuffled join here would exchange the whole corpus against a
+    // 20-row frame
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"budget join fell back to SMJ:\n$p")
+    assert(!p.contains(" text"), s"scan reads the text payload it never needs:\n$p")
+  }
+
+  test("q77 rank shard: map-only derivation — the only exchange is the output sort") {
+    val p = plan("q77_rank_shard")
+    // md5 -> rank/order_key is per-row; nothing may shuffle except the
+    // final presentation ORDER BY
+    // count tree nodes ("Exchange (4)"), not the detail section repeats
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).length <= 1,
+      s"extra exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q54 BPE word-count: top-K words is TakeOrderedAndProject over partial+final agg") {
     import org.apache.spark.sql.functions._
     val df = graft.ext.Bpe.wordCountsPlan(
