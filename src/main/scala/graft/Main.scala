@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift]
+ *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -35,7 +35,8 @@ object Main {
     "strip-spans", "span-window", "span-min-docs",
     "decontaminate-bench", "decontaminate-text-col", "decontaminate-n",
     "decontaminate-min-hits", "pack-max-len", "pack-buckets", "pack-ranks",
-    "pack-seed", "mix-budget", "mix-temperature", "mix-source-col")
+    "pack-seed", "mix-budget", "mix-temperature", "mix-source-col",
+    "tokens-col")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -100,7 +101,7 @@ object Main {
         // install never needs an index; multi derives per-row names from
         // --index-col; validate without one means "--out is a multi-index
         // bundle root" (per-index validation)
-        case "install" | "validate" | "multi" => m.getOrElse("index", "")
+        case "install" | "validate" | "multi" | "pack" => m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
              "ann-drift" | "ann-stream" | "ann-split" | "ann-maintain" |
@@ -345,6 +346,40 @@ object Main {
             modelPath = raw.get("bpe-model"))
           println(s"tokenized: ${cfg.outDir}/${cfg.indexName}/tokenized")
           println(s"model: ${model.vocabSize} merges, totalTokens=$totalTokens")
+        case "pack" =>
+          // trainer-shape export over an ALREADY-tokenized corpus (e.g.
+          // --mode tokenize output): tokenize once, re-pack at any context
+          // length / rank count / epoch seed without retokenizing. With
+          // --pack-ranks the output is rank=K partition dirs whose
+          // order_key column is the epoch's reproducible shuffle order.
+          val raw = rawFlags(args)
+          val maxLen = raw.getOrElse("pack-max-len", throw new
+            IllegalArgumentException("--mode pack requires --pack-max-len")).toInt
+          val tokensCol = raw.getOrElse("tokens-col", "bpe_token_ids")
+          val docs = spark.read.parquet(cfg.input)
+          require(docs.columns.contains(tokensCol),
+            s"--mode pack: input has no '$tokensCol' column " +
+              s"(have: ${docs.columns.mkString(", ")}; set --tokens-col)")
+          val packed = graft.ext.Packing.packSequences(docs,
+            Option(cfg.id).getOrElse("doc_id"), tokensCol, maxLen,
+            raw.getOrElse("pack-buckets", "256").toInt)
+          val outP = s"${cfg.outDir}/packed"
+          raw.get("pack-ranks").map(_.toInt) match {
+            case Some(r) =>
+              graft.ext.Packing.shardSequences(packed, "seq_id", r,
+                  raw.getOrElse("pack-seed", "0").toLong)
+                .repartition(org.apache.spark.sql.functions.col("rank"))
+                .write.mode("overwrite").partitionBy("rank").parquet(outP)
+            case None =>
+              packed.write.mode("overwrite").parquet(outP)
+          }
+          val got = spark.read.parquet(outP)
+          val stats = got.agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum("n_tokens")).head()
+          println(s"packed -> $outP")
+          println(s"sequences=${stats.getLong(0)} tokens=${stats.getLong(1)} maxLen=$maxLen")
         case "validate" =>
           // install-time check: counts/files/bytes/placement vs manifest +
           // shard_state.json (reference server-side verify before install).
