@@ -111,6 +111,25 @@ object Packing {
   }
 
   /**
+   * Loader-companion columns over a [[packSequences]] frame: what a
+   * training loader derives from `doc_spans` per token, precomputed as
+   * columns so the reader is a plain parquet scan:
+   *   - `position_ids` — int per token, resetting to 0 at every document
+   *     boundary (per-document positional encoding across a packed row)
+   *   - `doc_index`    — int per token: which `doc_spans` slot the token
+   *     belongs to (the block-diagonal attention-mask key: tokens attend
+   *     only within equal doc_index)
+   * Pure column transforms over the spans — map-only, no shuffle, and the
+   * arrays are bounded by maxLen.
+   */
+  def withLoaderColumns(packed: DataFrame): DataFrame =
+    packed
+      .withColumn("position_ids", expr(
+        "flatten(transform(doc_spans, s -> sequence(0, s.end - s.begin - 1)))"))
+      .withColumn("doc_index", expr(
+        "flatten(transform(doc_spans, (s, i) -> array_repeat(i, s.end - s.begin)))"))
+
+  /**
    * Deterministic training-order export: assign keyed rows (packed
    * sequences, documents — anything with a unique key) to `numRanks`
    * data-parallel reader shards, with a reproducible pseudo-random read

@@ -130,6 +130,34 @@ class PackingSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("withLoaderColumns: position_ids reset at every doc boundary, doc_index is block-diagonal") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 80L).map { id =>
+      val n = if (id == 3) 70 else 1 + rnd.nextInt(20)
+      (id, (0 until n).map(p => (id * 1000 + p).toInt))
+    }.toDF("doc_id", "tokens")
+    val out = Packing.withLoaderColumns(
+      Packing.packSequences(docs, "doc_id", "tokens", maxLen)).cache()
+    // per-token arrays exactly n_tokens long
+    assert(out.filter(size(col("position_ids")) =!= col("n_tokens") ||
+      size(col("doc_index")) =!= col("n_tokens")).count() === 0)
+    // cross-check against the spans independently: token t's position is
+    // t - span.begin and its doc_index is its span's slot
+    val bad = out.select(col("position_ids"), col("doc_index"),
+        posexplode(col("doc_spans")).as(Seq("slot", "s")))
+      .withColumn("ok", expr(
+        "forall(sequence(s.begin, s.end - 1), t -> " +
+          "position_ids[t] = t - s.begin AND doc_index[t] = slot)"))
+      .filter(!col("ok"))
+    assert(bad.count() === 0)
+    // a multi-doc sequence really resets: some position_ids[t] == 0 at t > 0
+    // (Spark sequence(a, b) DESCENDS when a > b, so guard n_tokens = 1 rows)
+    assert(out.filter(col("n_tokens") > 1).filter(expr(
+      "exists(sequence(1, n_tokens - 1), t -> position_ids[t] = 0)"))
+      .count() > 0, "no packed sequence holds more than one doc — test data too sparse")
+    out.unpersist()
+  }
+
   test("shardSequences: portable md5 assignment, balanced ranks, reseed = new epoch order") {
     val df = (0L until 4000L).map(Tuple1(_)).toDF("seq_id")
     val out = Packing.shardSequences(df, "seq_id", numRanks = 8, seed = 42L).cache()
