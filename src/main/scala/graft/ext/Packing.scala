@@ -46,6 +46,22 @@ object Packing {
                                    tok_end: Int, seq_id: Long, seq_pos: Int)
   private[graft] case class Chunk(doc_id: Long, chunk_ix: Int, len: Int, bucket: Int)
 
+  /** Carried open-bin metadata for [[packCarryBatch]]: a part-filled
+    * sequence from an earlier micro-batch, still accepting chunks.
+    * `fill_count` = number of spans already placed (the next `seq_pos`). */
+  private[graft] case class BinMeta(seq_id: Long, bucket: Int, opened_batch: Long,
+                                    remaining: Int, fill_count: Int)
+
+  /** Tagged per-bucket packer output: kind 0 = a placed chunk, kind 1 = a
+    * bin carried forward open, kind 2 = a bin to emit this batch. */
+  private[graft] case class PackOut(kind: Int, doc_id: Long, chunk_ix: Int,
+                                    tok_begin: Int, tok_end: Int, seq_id: Long,
+                                    seq_pos: Int, bucket: Int, remaining: Int,
+                                    opened_batch: Long)
+
+  private[graft] val spanSqlType =
+    "array<struct<doc_id:bigint,chunk_ix:int,begin:int,end:int>>"
+
   /**
    * Pack documents into sequences of at most `maxLen` tokens, returning the
    * ASSIGNMENT ONLY — `(doc_id, chunk_ix, tok_begin, tok_end, seq_id,
@@ -108,6 +124,153 @@ object Packing {
       }
       out.iterator
     }.toDF()
+  }
+
+  /**
+   * Streaming packing with cross-batch bin carryover. Per-batch packing
+   * (the `packSequences` path) under-fills when batches are small — each
+   * batch's pools stand alone, so a 10-doc batch leaves every bin mostly
+   * empty. This variant threads OPEN BINS through micro-batches: batch N
+   * packs its chunks into the part-filled bins batch N-1 left open before
+   * opening new ones, so consecutive small batches share pools and fill
+   * approaches the batch path's.
+   *
+   * Inputs: `carried` is the previous batch's open-bin state (schema
+   * `(seq_id, bucket, opened_batch, remaining, input_ids, doc_spans)`;
+   * `None` on the first batch). Returns `(emitted, stillOpen)`:
+   *   - `emitted` — trainer-ready `(seq_id, input_ids, doc_spans,
+   *     n_tokens)` rows FINALIZED this batch: every bin that is exactly
+   *     full, plus every bin whose age (`batchId - opened_batch`) reached
+   *     `carryBatches`. Each sequence is emitted in exactly one batch.
+   *   - `stillOpen` — the new open-bin state to persist for batch N+1
+   *     (same schema as `carried`). Bounded: at most the last
+   *     `carryBatches` batches' leftover bins, each ≤ maxLen tokens.
+   *
+   * Emission latency is bounded by `carryBatches` (default 1: a bin gets
+   * exactly one top-up batch, then ships regardless of fill);
+   * `carryBatches = 0` degenerates to per-batch packing. Determinism and
+   * replay: the output pair is a pure function of (batch docs, carried
+   * state, batchId) — same hash-bucket scheme as [[packAssignments]], so
+   * it is partitioning-invariant, and a replayed batch that re-reads the
+   * PRIOR batch's state recomputes both frames byte-identically (the
+   * caller's read rule: latest snapshot with `batch_id != current`).
+   * `seq_id` here is `(openingBatch << 32) | (localBin*numBuckets +
+   * bucket)` — globally unique across the stream without counter state
+   * (a different id space from the batch path's `bin*numBuckets+bucket`).
+   *
+   * Cost shape per batch: the cogrouped assignment pass shuffles slim
+   * `(id, chunk, len)` triples plus one meta row per open bin; token
+   * payloads move once (assignment⋈docs join); carried content (bounded
+   * by open-bin count × maxLen tokens) joins once into the merge.
+   */
+  def packCarryBatch(docs: DataFrame, idCol: String, tokensCol: String,
+                     carried: Option[DataFrame], batchId: Long, maxLen: Int,
+                     numBuckets: Int = 256, carryBatches: Int = 1)
+      : (DataFrame, DataFrame) = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(carryBatches >= 0, s"carryBatches must be >= 0, got $carryBatches")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docs
+      .filter(col(tokensCol).isNotNull && size(col(tokensCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(col(tokensCol)).cast("int").as("ntok"),
+        pmod(xxhash64(col(idCol)), lit(numBuckets)).cast("int").as("bucket"))
+      .withColumn("chunk_ix",
+        explode(sequence(lit(0), ((col("ntok") - 1) / maxLen).cast("int"))))
+      .select(col("doc_id"), col("chunk_ix"),
+        least(lit(maxLen), col("ntok") - col("chunk_ix") * maxLen)
+          .cast("int").as("len"),
+        col("bucket")).as[Chunk]
+    val binsMeta = carried match {
+      case Some(st) => st.select(col("seq_id"), col("bucket").cast("int").as("bucket"),
+        col("opened_batch"), col("remaining").cast("int").as("remaining"),
+        size(col("doc_spans")).as("fill_count")).as[BinMeta]
+      case None => spark.emptyDataset[BinMeta]
+    }
+    val out = chunks.groupByKey(_.bucket).cogroup(binsMeta.groupByKey(_.bucket)) {
+      (bucket, itemsIt, binsIt) =>
+        // BFD exactly as packAssignments, but the capacity set is SEEDED
+        // with the carried bins, all maps key on the global seq_id, and
+        // every open bin leaves with an emit/carry decision row.
+        val items = itemsIt.toArray.sortBy(c => (-c.len, c.doc_id, c.chunk_ix))
+        val byCapacity = new java.util.TreeMap[(Int, Long), Unit](
+          Ordering.Tuple2[Int, Long])
+        val remaining = scala.collection.mutable.LongMap.empty[Int]
+        val fill = scala.collection.mutable.LongMap.empty[Int]
+        val opened = scala.collection.mutable.LongMap.empty[Long]
+        binsIt.foreach { b =>
+          byCapacity.put((b.remaining, b.seq_id), ())
+          remaining(b.seq_id) = b.remaining
+          fill(b.seq_id) = b.fill_count
+          opened(b.seq_id) = b.opened_batch
+        }
+        var nextBin = 0L
+        val out = new scala.collection.mutable.ArrayBuffer[PackOut](items.length)
+        items.foreach { c =>
+          val hit = byCapacity.ceilingKey((c.len, Long.MinValue))
+          val sid = if (hit == null) {
+            val s = (batchId << 32) | (nextBin * numBuckets + bucket)
+            nextBin += 1
+            remaining(s) = maxLen; fill(s) = 0; opened(s) = batchId
+            s
+          } else { byCapacity.remove(hit); hit._2 }
+          val pos = fill(sid)
+          out += PackOut(0, c.doc_id, c.chunk_ix, c.chunk_ix * maxLen,
+            c.chunk_ix * maxLen + c.len, sid, pos, bucket, 0, 0L)
+          fill(sid) = pos + 1
+          val rem = remaining(sid) - c.len
+          remaining(sid) = rem
+          if (rem > 0) byCapacity.put((rem, sid), ())
+        }
+        remaining.foreach { case (sid, rem) =>
+          val kind = if (rem == 0 || batchId - opened(sid) >= carryBatches) 2 else 1
+          out += PackOut(kind, 0L, 0, 0, 0, sid, 0, bucket, rem, opened(sid))
+        }
+        out.iterator
+    }.toDF().localCheckpoint() // slim rows; reused by 3 consumers below
+    val placed = out.filter(col("kind") === 0)
+      .select("doc_id", "chunk_ix", "tok_begin", "tok_end", "seq_id", "seq_pos")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).as("_toks"))
+    val newSlots = placed.join(toks, "doc_id")
+      .withColumn("_chunk_toks",
+        slice(col("_toks"), col("tok_begin") + 1, col("tok_end") - col("tok_begin")))
+      .groupBy("seq_id")
+      .agg(array_sort(collect_list(struct(
+        col("seq_pos"), col("doc_id"), col("chunk_ix"), col("_chunk_toks")))).as("_slots"))
+    val base = carried match {
+      case Some(st) => st.select(col("seq_id"),
+        col("input_ids").as("_base_ids"), col("doc_spans").as("_base_spans"))
+      case None => spark.range(0).select(col("id").as("seq_id"),
+        expr("cast(array() as array<int>)").as("_base_ids"),
+        expr(s"cast(array() as $spanSqlType)").as("_base_spans"))
+    }
+    // merge carried prefixes with this batch's slots: new spans offset by
+    // the carried length, untouched bins pass their content through
+    val merged = newSlots.join(base, Seq("seq_id"), "full_outer")
+      .withColumn("_bids", coalesce(col("_base_ids"), expr("cast(array() as array<int>)")))
+      .withColumn("_bspans", coalesce(col("_base_spans"), expr(s"cast(array() as $spanSqlType)")))
+      .withColumn("_s", coalesce(col("_slots"), expr(
+        "cast(array() as array<struct<seq_pos:int,doc_id:bigint,chunk_ix:int,_chunk_toks:array<int>>>)")))
+      .select(col("seq_id"),
+        concat(col("_bids"), flatten(expr("transform(_s, x -> x._chunk_toks)"))).as("input_ids"),
+        expr("""aggregate(_s,
+                 named_struct('spans', _bspans, 'off', size(_bids)),
+                 (acc, s) -> named_struct(
+                   'spans', array_append(acc.spans, named_struct(
+                     'doc_id', s.doc_id, 'chunk_ix', s.chunk_ix,
+                     'begin', acc.off, 'end', acc.off + size(s._chunk_toks))),
+                   'off', acc.off + size(s._chunk_toks)),
+                 acc -> acc.spans)""").as("doc_spans"))
+    val emitted = merged.join(out.filter(col("kind") === 2).select("seq_id"), "seq_id")
+      .withColumn("n_tokens", size(col("input_ids")))
+    val stillOpen = merged.join(
+      out.filter(col("kind") === 1)
+        .select("seq_id", "bucket", "opened_batch", "remaining"), "seq_id")
+      .select("seq_id", "bucket", "opened_batch", "remaining", "input_ids", "doc_spans")
+    (emitted, stillOpen)
   }
 
   /**

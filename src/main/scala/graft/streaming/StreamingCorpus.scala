@@ -66,6 +66,7 @@ object StreamingCorpus {
                     packBuckets: Int = 256,
                     packRanks: Option[Int] = None,
                     packSeed: Long = 0L,
+                    packCarry: Option[Int] = None,
                     mixBudget: Option[Long] = None,
                     mixTemperature: Double = 0.5,
                     mixSourceCol: String = "source")
@@ -360,6 +361,15 @@ object StreamingCorpus {
     //     the batch's survivors, which the state protocol replays
     //     identically, so rewriting the same batch_id dir is a no-op in
     //     content terms (vs appends, which would double sequences).
+    //     With packCarry = Some(k), open bins additionally thread through
+    //     state/packbins (snapshot per batch: ALL still-open bins tagged
+    //     batch_id, read = latest snapshot with batch_id != current, so a
+    //     replay re-packs from the prior batch's bins and rewrites both the
+    //     emitted dir and its own snapshot byte-identically; a sentinel
+    //     seq_id = -1 row makes an all-emitted empty snapshot visible).
+    //     Each sequence is emitted in exactly one packed/batch_id=N dir —
+    //     the batch that FILLED or AGED-OUT its bin, so consecutive small
+    //     batches share pools instead of each under-filling alone.
     for (maxLen <- cfg.packMaxLen) {
       val modelPath = cfg.bpeModelPath.getOrElse(throw new IllegalArgumentException(
         "packMaxLen on a stream requires bpeModelPath (a pre-trained BPE " +
@@ -368,17 +378,43 @@ object StreamingCorpus {
         p => graft.ext.Bpe.load(spark, p))
       val withIds = survivors
         .withColumn("_bpe_ids", model.tokenIds(col(cfg.textCol)))
-      val packed = Packing.packSequences(withIds, cfg.idCol, "_bpe_ids",
-        maxLen, cfg.packBuckets)
-      cfg.packRanks match {
+      def writePacked(df: DataFrame): Unit = cfg.packRanks match {
         case Some(r) =>
-          Packing.shardSequences(packed, "seq_id", r, cfg.packSeed)
+          Packing.shardSequences(df, "seq_id", r, cfg.packSeed)
             .repartition(col("rank"))
             .write.mode(SaveMode.Overwrite).partitionBy("rank")
             .parquet(s"$outDir/packed/batch_id=$batchId")
         case None =>
-          packed.write.mode(SaveMode.Overwrite)
+          df.write.mode(SaveMode.Overwrite)
             .parquet(s"$outDir/packed/batch_id=$batchId")
+      }
+      cfg.packCarry match {
+        case None =>
+          writePacked(Packing.packSequences(withIds, cfg.idCol, "_bpe_ids",
+            maxLen, cfg.packBuckets))
+        case Some(carryB) =>
+          val binDir = s"$outDir/state/packbins"
+          val prior = stateRead(spark, binDir, null).flatMap { st =>
+            // strictly BEFORE this batch (not merely != current): a snapshot
+            // is point-in-time state, so a replayed batch must re-pack from
+            // the bins as they stood when it first ran
+            val elig = st.filter(col("batch_id") < batchId)
+            val latest = elig.agg(max("batch_id")).head()
+            if (latest.isNullAt(0)) None
+            else Some(elig.filter(col("batch_id") === latest.getLong(0))
+              .filter(col("seq_id") >= 0).dropDuplicates("seq_id")
+              .drop("batch_id"))
+          }
+          val (emitted, stillOpen) = Packing.packCarryBatch(withIds, cfg.idCol,
+            "_bpe_ids", prior, batchId, maxLen, cfg.packBuckets, carryB)
+          writePacked(emitted)
+          val sentinel = spark.range(1).select(
+            lit(-1L).as("seq_id"), lit(-1).as("bucket"),
+            lit(batchId).as("opened_batch"), lit(0).as("remaining"),
+            expr("cast(array() as array<int>)").as("input_ids"),
+            expr(s"cast(array() as ${Packing.spanSqlType})").as("doc_spans"))
+          stillOpen.unionByName(sentinel).withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(binDir)
       }
     }
 

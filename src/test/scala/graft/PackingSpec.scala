@@ -186,6 +186,121 @@ class PackingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  // value-encoded tokens: token p of doc id is id*1000+p, so any slicing,
+  // ordering, or offset mistake in the carry merge changes decoded values
+  private def valDocs(ids: Seq[Long], len: Long => Int) =
+    ids.map(id => (id, (0 until len(id)).map(p => (id * 1000 + p).toInt)))
+      .toDF("doc_id", "tokens")
+
+  test("packCarryBatch: bins opened in one batch fill in the next; exactly-once, conservation") {
+    // 1 bucket, maxLen 32, 10-token docs: batch 0 opens 2 part-filled bins
+    // (30 and 20 tokens), emits nothing (carryBatches = 1, nothing full);
+    // batch 1 tops one bin to 30, ages both out, opens 1 new bin
+    val b0 = valDocs(0L until 5L, _ => 10)
+    val (e0, s0) = Packing.packCarryBatch(b0, "doc_id", "tokens", None,
+      batchId = 0L, maxLen = 32, numBuckets = 1, carryBatches = 1)
+    assert(e0.count() === 0, "nothing is full and nothing aged in batch 0")
+    val st0 = s0.cache()
+    assert(st0.count() === 2)
+    assert(st0.agg(sum(size(col("input_ids")))).head().getLong(0) === 50)
+
+    val b1 = valDocs(100L until 103L, _ => 10)
+    val (e1, s1) = Packing.packCarryBatch(b1, "doc_id", "tokens", Some(st0),
+      batchId = 1L, maxLen = 32, numBuckets = 1, carryBatches = 1)
+    val em1 = e1.cache(); val st1 = s1.cache()
+    // both carried bins aged out and emit; one holds docs from BOTH batches
+    assert(em1.count() === 2)
+    assert(em1.filter(col("n_tokens") > 32).count() === 0)
+    val crossBatch = em1.select(explode(col("doc_spans")).as("s"))
+      .select(col("s.doc_id")).distinct().as[Long].collect().toSet
+    assert(crossBatch.exists(_ < 5) && crossBatch.exists(_ >= 100),
+      s"no cross-batch bin: $crossBatch")
+    // conservation: emitted + still-open == every input token, values intact
+    assert(em1.agg(sum("n_tokens")).head().getLong(0) === 60)
+    assert(st1.count() === 1)
+    assert(st1.agg(sum(size(col("input_ids")))).head().getLong(0) === 20)
+    val badVals = em1.select(explode(col("doc_spans")).as("s"), col("input_ids"))
+      .select(expr("slice(input_ids, s.begin + 1, s.end - s.begin)").as("got"),
+        col("s.doc_id"), col("s.chunk_ix"))
+      .withColumn("ok", expr(
+        "forall(zip_with(got, sequence(0, size(got) - 1), (v, i) -> " +
+          "v = doc_id * 1000 + chunk_ix * 32 + i), x -> x)"))
+      .filter(!col("ok"))
+    assert(badVals.count() === 0, "carry merge corrupted token values or offsets")
+    // spans tile emitted sequences contiguously from 0
+    assert(em1.select(col("n_tokens"),
+      expr("aggregate(doc_spans, named_struct('off', 0, 'ok', true), " +
+        "(a, s) -> named_struct('off', s.end, 'ok', a.ok and s.begin = a.off), " +
+        "a -> a.ok and a.off = n_tokens)").as("t")).filter(!col("t")).count() === 0)
+    // seq_ids unique across the stream (batch-stamped id space)
+    val allIds = em1.select("seq_id").unionAll(st1.select("seq_id"))
+    assert(allIds.distinct().count() === allIds.count())
+    em1.unpersist(); st1.unpersist(); st0.unpersist()
+  }
+
+  test("packCarryBatch: full bins emit immediately; carryBatches=0 degenerates to per-batch") {
+    // a 70-token doc chunks into 32+32+6: the two full chunks each fill a
+    // bin alone and ship in their own batch even at age 0
+    val b = valDocs(Seq(7L), _ => 70)
+    val (e, s) = Packing.packCarryBatch(b, "doc_id", "tokens", None,
+      batchId = 3L, maxLen = 32, numBuckets = 1, carryBatches = 5)
+    assert(e.filter(col("n_tokens") === 32).count() === 2)
+    assert(s.agg(sum(size(col("input_ids")))).head().getLong(0) === 6)
+    // carryBatches = 0: everything emits, no state survives
+    val (e0, s0) = Packing.packCarryBatch(valDocs(0L until 9L, _ => 11),
+      "doc_id", "tokens", None, batchId = 0L, maxLen = 32, numBuckets = 1,
+      carryBatches = 0)
+    assert(s0.count() === 0)
+    assert(e0.agg(sum("n_tokens")).head().getLong(0) === 99)
+  }
+
+  test("packCarryBatch: replay determinism and partitioning invariance") {
+    val b0 = valDocs(0L until 20L, id => 1 + (id % 13).toInt)
+    val (_, s0) = Packing.packCarryBatch(b0, "doc_id", "tokens", None, 0L, 32, 2, 1)
+    val st0 = s0.cache(); st0.count()
+    val b1 = valDocs(200L until 212L, id => 1 + (id % 9).toInt)
+    def run(docs: org.apache.spark.sql.DataFrame) = {
+      val (e, s) = Packing.packCarryBatch(docs, "doc_id", "tokens", Some(st0), 1L, 32, 2, 1)
+      (e.orderBy("seq_id").collect().toSeq, s.orderBy("seq_id").collect().toSeq)
+    }
+    val (ea, sa) = run(b1)
+    val (eb, sb) = run(b1.repartition(7, col("doc_id")))
+    assert(ea === eb, "emitted rows depend on the partitioning")
+    assert(sa === sb, "state rows depend on the partitioning")
+    st0.unpersist()
+  }
+
+  test("packCarryBatch: consecutive small batches fill better than per-batch packing") {
+    // 8 batches of 6 docs, lengths 7..17: per-batch pools of 6 under-fill;
+    // carry lets each batch top up the previous leftovers
+    val batches = (0 until 8).map(b =>
+      valDocs((b * 10L) until (b * 10L + 6L), id => 7 + (id % 11).toInt))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var emittedSeqs = 0L; var emittedToks = 0L
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val (e, s) = Packing.packCarryBatch(docs, "doc_id", "tokens", state,
+        i.toLong, maxLen = 32, numBuckets = 1, carryBatches = 1)
+      val ec = e.cache()
+      emittedSeqs += ec.count()
+      emittedToks += ec.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+      val sc = s.cache(); sc.count()
+      state.foreach(_.unpersist()); state = Some(sc); ec.unpersist()
+    }
+    val perBatchSeqs = batches.map(docs =>
+      Packing.packSequences(docs, "doc_id", "tokens", 32, 1)
+        .select("seq_id").distinct().count()).sum
+    val pendingToks = state.get.agg(coalesce(sum(size(col("input_ids"))), lit(0L)))
+      .head().getLong(0)
+    val totalToks = batches.map(_.agg(sum(size(col("tokens")))).head().getLong(0)).sum
+    assert(emittedToks + pendingToks === totalToks,
+      s"tokens lost: $emittedToks emitted + $pendingToks pending != $totalToks")
+    // fill: emitted sequences average strictly better than the per-batch
+    // packing of the same batches (the whole point of carrying bins)
+    assert(emittedSeqs < perBatchSeqs,
+      s"carry emitted $emittedSeqs seqs vs per-batch $perBatchSeqs")
+    state.foreach(_.unpersist())
+  }
+
   test("assignment pass ships counts, not payloads (measured shuffle bytes)") {
     // 500 docs x 4 KB token arrays = ~2 MB of payload; the assignment
     // shuffle must carry Chunk rows (id, chunk, len, bucket ~ 24 B) — if

@@ -195,6 +195,79 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(e.getMessage.contains("bpeModelPath"))
   }
 
+  test("packCarry: open bins thread through batches; replay identical; conservation holds") {
+    val rnd = new scala.util.Random(53)
+    // stopword + unique-word pairs: every 3-shingle contains a random word,
+    // so docs clear the near-dup gate (unlike a shared filler frame, which
+    // MinHash would collapse) while keeping quality's stopword mass
+    def sentence() = (0 until 14).map(_ =>
+      Seq("the", "of", "and", "to", "a")(rnd.nextInt(5)) +
+        s" w${rnd.nextInt(100000)}").mkString(" ")
+    val out = Files.createTempDirectory("graft-scorpus-carry-out").toString
+    val trainDocs = (0L until 40L).map(i => (i, sentence())).toDF("doc_id", "text")
+    val model = graft.ext.Bpe.train(trainDocs, "text", numMerges = 30, maxWords = 2000)
+    val modelPath = s"$out/frozen_bpe.json"
+    graft.ext.Bpe.save(spark, model, modelPath)
+
+    val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+      packMaxLen = Some(512), bpeModelPath = Some(modelPath), packBuckets = 1,
+      packCarry = Some(1))
+
+    // three small batches: per-batch pools would under-fill; with carry,
+    // batch N+1 tops up batch N's leftover bins
+    // 5 docs x ~82 tokens per batch: each batch part-fills a 512-token bin
+    // (~100 remaining), so the next batch's docs can top it up
+    val bs = Seq((0L until 5L), (100L until 105L), (200L until 205L))
+      .map(r => r.map(i => (i, sentence())).toDF("doc_id", "text"))
+    bs.zipWithIndex.foreach { case (b, i) =>
+      StreamingCorpus.processBatch(b, i.toLong, out, cfg)
+    }
+
+    // state snapshots exist per batch (sentinel guarantees visibility even
+    // when a batch leaves nothing open); latest = batch 2
+    val snaps = spark.read.parquet(s"$out/state/packbins")
+    assert(snaps.select("batch_id").distinct().count() === 3)
+
+    // conservation: accepted tokens == emitted packed tokens + latest open bins
+    val acceptedTok = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select(get_json_object(col("doc"), "$.text").as("text"))
+      .select(model.tokenIds(col("text")).as("ids"))
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    val packed = spark.read.parquet(s"$out/packed")
+    val packedTok =
+      packed.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+    val pendingTok = snaps.filter(col("batch_id") === 2 && col("seq_id") >= 0)
+      .agg(coalesce(sum(size(col("input_ids"))), lit(0L))).head().getLong(0)
+    assert(acceptedTok === packedTok + pendingTok,
+      s"$acceptedTok accepted vs $packedTok packed + $pendingTok pending")
+    assert(packed.filter(col("n_tokens") > 512).count() === 0)
+
+    // cross-batch sequences exist: some emitted bin holds docs from two batches
+    val spansByBatch = packed.select(explode(col("doc_spans")).as("s"), col("seq_id"))
+      .select(col("seq_id"), (col("s.doc_id") / 100).cast("int").as("src_batch"))
+      .groupBy("seq_id").agg(countDistinct("src_batch").as("nb"))
+    assert(spansByBatch.filter(col("nb") > 1).count() > 0,
+      "no sequence drew from two batches — carry is not threading bins")
+
+    // replay of batch 1 (at-least-once): emitted dir and the batch-1
+    // snapshot recompute byte-identically, and batch 2 is untouched
+    def fingerprint() = {
+      val p = spark.read.parquet(s"$out/packed")
+        .select(col("seq_id"), col("n_tokens"), hash(col("input_ids")).as("h"))
+        .orderBy("seq_id").collect().toSeq
+      val s = spark.read.parquet(s"$out/state/packbins")
+        .filter(col("seq_id") >= 0)
+        .select(col("batch_id"), col("seq_id"), hash(col("input_ids")).as("h"))
+        .distinct().orderBy("batch_id", "seq_id").collect().toSeq
+      (p, s)
+    }
+    val before = fingerprint()
+    StreamingCorpus.processBatch(bs(1), 1L, out, cfg)
+    assert(fingerprint() === before,
+      "replaying batch 1 changed packed output or pack-bin state")
+  }
+
   test("mixBudget: single batch == batch temperatureMix; spend accumulates; replay identical") {
     val rnd = new scala.util.Random(59)
     def sentence(words: Int) =
