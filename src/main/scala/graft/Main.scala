@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift]
+ *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -35,8 +35,9 @@ object Main {
     "strip-spans", "span-window", "span-min-docs",
     "decontaminate-bench", "decontaminate-text-col", "decontaminate-n",
     "decontaminate-min-hits", "pack-max-len", "pack-buckets", "pack-ranks",
-    "pack-seed", "mix-budget", "mix-temperature", "mix-source-col",
-    "tokens-col")
+    "pack-seed", "pack-carry", "mix-budget", "mix-temperature",
+    "mix-source-col", "tokens-col", "negative", "quality-dim",
+    "quality-model", "quality-min")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -101,7 +102,8 @@ object Main {
         // install never needs an index; multi derives per-row names from
         // --index-col; validate without one means "--out is a multi-index
         // bundle root" (per-index validation)
-        case "install" | "validate" | "multi" | "pack" => m.getOrElse("index", "")
+        case "install" | "validate" | "multi" | "pack" |
+             "quality-train" | "quality-score" => m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
              "ann-drift" | "ann-stream" | "ann-split" | "ann-maintain" |
@@ -289,6 +291,10 @@ object Main {
               decontamMinHits = raw.getOrElse("decontaminate-min-hits", "1").toInt,
               // per-batch sequence packing with a FROZEN tokenizer (the
               // stream cannot train one; see StreamingCorpus.Config)
+              // --pack-carry K: cross-batch open-bin carryover (bins get
+              // K top-up batches before aging out; fixes small-batch
+              // under-fill at a K-batch emission-latency cost)
+              packCarry = raw.get("pack-carry").map(_.toInt),
               packMaxLen = raw.get("pack-max-len").map(_.toInt),
               bpeModelPath = raw.get("bpe-model"),
               packBuckets = raw.getOrElse("pack-buckets", "256").toInt,
@@ -346,6 +352,40 @@ object Main {
             modelPath = raw.get("bpe-model"))
           println(s"tokenized: ${cfg.outDir}/${cfg.indexName}/tokenized")
           println(s"model: ${model.vocabSize} merges, totalTokens=$totalTokens")
+        case "quality-train" =>
+          // trained quality filter (GPT-3/CCNet-style): fit LR over hashed
+          // n-grams separating --input (reference-quality seed) from
+          // --negative (ordinary/noisy sample); model persists as a single
+          // JSON artifact for map-only scoring anywhere
+          val raw = rawFlags(args)
+          val negPath = raw.getOrElse("negative", throw new
+            IllegalArgumentException("--mode quality-train requires --negative <parquet>"))
+          val textCol = raw.getOrElse("text-col", "text")
+          val model = graft.ext.QualityClassifier.train(
+            spark.read.parquet(cfg.input), spark.read.parquet(negPath), textCol,
+            dim = raw.getOrElse("quality-dim", (1 << 16).toString).toInt)
+          val mp = s"${cfg.outDir}/quality_model.json"
+          graft.ext.QualityClassifier.save(spark, model, mp)
+          println(s"quality model: ${model.indices.length} active weights -> $mp")
+        case "quality-score" =>
+          // map-only corpus scoring with a trained model; --quality-min T
+          // additionally filters to survivors (the pipeline gate form)
+          val raw = rawFlags(args)
+          val modelPath = raw.getOrElse("quality-model", throw new
+            IllegalArgumentException("--mode quality-score requires --quality-model"))
+          val model = graft.ext.QualityClassifier.load(spark, modelPath)
+          val textCol = raw.getOrElse("text-col", "text")
+          val scored = graft.ext.QualityClassifier.score(
+            spark.read.parquet(cfg.input), textCol, model)
+          val kept = raw.get("quality-min") match {
+            case Some(t) => scored.filter(
+              org.apache.spark.sql.functions.col("quality_prob") >= t.toDouble)
+            case None => scored
+          }
+          val outP = s"${cfg.outDir}/scored"
+          kept.write.mode("overwrite").parquet(outP)
+          val n = spark.read.parquet(outP).count()
+          println(s"scored corpus: $n rows -> $outP")
         case "pack" =>
           // trainer-shape export over an ALREADY-tokenized corpus (e.g.
           // --mode tokenize output): tokenize once, re-pack at any context

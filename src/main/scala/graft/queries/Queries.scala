@@ -1558,6 +1558,26 @@ object Queries {
           .orderBy("seq_id")
       }),
 
+    // ---- trained quality filter (GPT-3/CCNet-style LR over hashed
+    //      n-grams): positives = documents as-is, negatives = the same
+    //      text deterministically corrupted (vowels+spaces smashed, so
+    //      stopword/shape signal vanishes); score all docs and aggregate
+    //      by source. Model-based (L-BFGS) -> rows-only; separation,
+    //      persistence, and map-only-scoring laws in QualityClassifierSpec ----
+    QueryDef("q78_quality_classifier", None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val neg = docs.select(
+          translate(col("text"), "aeiou ", "zzzzz").as("text"))
+        val model = graft.ext.QualityClassifier.train(
+          docs.select("text"), neg, "text", dim = 1 << 14, maxIter = 20)
+        graft.ext.QualityClassifier.score(docs, "text", model)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("quality_prob"), 2).as("avg_prob"))
+          .orderBy("source")
+      }),
+
     // ---- seeded sampling (pipeline subsetting; determinism + bounds in
     //      QueriesSpec, sampler differs across engines so no oracle) ----
     QueryDef("q52_sample", None,
