@@ -19,5 +19,5 @@ for pat in sbt-launch sbtn; do
 done
 sleep 2
 
-JAR=$(ls target/scala-2.13/*.jar | head -1)
+JAR=$(ls target/scala-2.13/*.jar | grep -v -- '-tests' | head -1)
 exec java -Xmx96g -cp "$JAR:/opt/spark/jars/*" graft.Bench "$SFDIR"
