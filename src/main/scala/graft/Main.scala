@@ -37,7 +37,7 @@ object Main {
     "decontaminate-min-hits", "pack-max-len", "pack-buckets", "pack-ranks",
     "pack-seed", "pack-carry", "mix-budget", "mix-temperature",
     "mix-source-col", "tokens-col", "negative", "quality-dim",
-    "quality-model", "quality-min")
+    "quality-model", "quality-min", "quality-prob-min")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -249,10 +249,17 @@ object Main {
             packMaxLen = raw.get("pack-max-len").map(_.toInt),
             packBuckets = raw.getOrElse("pack-buckets", "256").toInt,
             packRanks = raw.get("pack-ranks").map(_.toInt),
-            packSeed = raw.getOrElse("pack-seed", "0").toLong)
+            packSeed = raw.getOrElse("pack-seed", "0").toLong,
+            // trained quality gate (quality-train output), composed after
+            // the heuristic one: P(doc ~ seed) >= --quality-prob-min
+            qualityModel = raw.get("quality-model")
+              .map(p => graft.ext.QualityClassifier.load(spark, p)),
+            qualityProbMin = raw.getOrElse("quality-prob-min", "0.5").toDouble)
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")
+          if (st.afterModelQuality >= 0)
+            println(s"  after model gate: ${st.afterModelQuality}")
           if (st.afterLm >= 0) println(s"  after LM filter:  ${st.afterLm}")
           if (st.afterDecontam >= 0)
             println(s"  after decontam:   ${st.afterDecontam}")
@@ -279,6 +286,10 @@ object Main {
               textCol = raw.getOrElse("text-col", "text"),
               numShards = cfg.numShards,
               qualityMin = raw.getOrElse("quality-min", "0.5").toDouble,
+              // frozen trained quality model (like --bpe-model: a stream
+              // scores against a pre-trained artifact, never retrains)
+              qualityModelPath = raw.get("quality-model"),
+              qualityProbMin = raw.getOrElse("quality-prob-min", "0.5").toDouble,
               nearDupThreshold = raw.getOrElse("neardup-threshold", "0.9").toDouble,
               annIndexDir = raw.get("ann-index"),
               embeddingCol = raw.getOrElse("embedding-col", "embedding"),

@@ -153,7 +153,10 @@ object Packing {
    * state, batchId) — same hash-bucket scheme as [[packAssignments]], so
    * it is partitioning-invariant, and a replayed batch that re-reads the
    * PRIOR batch's state recomputes both frames byte-identically (the
-   * caller's read rule: latest snapshot with `batch_id != current`).
+   * caller's read rule: latest snapshot with `batch_id` STRICTLY BEFORE
+   * the current batch — `!=` would seed a replayed batch N from batch
+   * N+1's bins and corrupt/duplicate sequences; see the replay read in
+   * StreamingCorpus, which implements `<` for exactly this reason).
    * `seq_id` here is `(openingBatch << 32) | (localBin*numBuckets +
    * bucket)` — globally unique across the stream without counter state
    * (a different id space from the batch path's `bin*numBuckets+bucket`).
@@ -211,7 +214,14 @@ object Packing {
         items.foreach { c =>
           val hit = byCapacity.ceilingKey((c.len, Long.MinValue))
           val sid = if (hit == null) {
-            val s = (batchId << 32) | (nextBin * numBuckets + bucket)
+            val low = nextBin * numBuckets + bucket
+            // the low word must stay inside 32 bits or the batchId prefix
+            // is silently corrupted => cross-batch seq_id collisions
+            require(low < (1L << 32),
+              s"packCarryBatch: bin counter overflow in bucket $bucket " +
+                s"(batch $batchId opened > 2^32/$numBuckets bins); " +
+                "raise numBuckets or split the batch")
+            val s = (batchId << 32) | low
             nextBin += 1
             remaining(s) = maxLen; fill(s) = 0; opened(s) = batchId
             s

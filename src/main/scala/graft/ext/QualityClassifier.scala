@@ -115,23 +115,26 @@ object QualityClassifier {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(path))
     val json = new String(in.readAllBytes(), "UTF-8"); in.close()
-    def arr(key: String): Array[String] = {
-      val i = json.indexOf(s""""$key":[""")
-      require(i >= 0, s"quality model missing $key: $path")
-      val start = json.indexOf('[', i) + 1
-      val end = json.indexOf(']', start)
-      val body = json.substring(start, end).trim
-      if (body.isEmpty) Array.empty else body.split(",")
+    // real JSON parse (Jackson ships with Spark) — tolerates whitespace,
+    // key reorder, pretty-printing, external producers
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"quality model at $path is not valid JSON: ${e.getMessage}", e) }
+    def req(key: String): com.fasterxml.jackson.databind.JsonNode = {
+      val n = root.get(key)
+      require(n != null && !n.isNull, s"quality model missing $key: $path")
+      n
     }
-    def num(key: String): String = {
-      val i = json.indexOf(s""""$key":""")
-      require(i >= 0, s"quality model missing $key: $path")
-      val start = i + key.length + 3
-      val end = json.indexWhere(c => c == ',' || c == '}', start)
-      json.substring(start, end).trim
+    def arr(key: String): com.fasterxml.jackson.databind.JsonNode = {
+      val n = req(key)
+      require(n.isArray, s"quality model $key must be an array: $path")
+      n
     }
-    QualityModel(num("dim").toInt, num("intercept").toDouble,
-      arr("idx").map(_.trim.toInt), arr("w").map(_.trim.toDouble))
+    val idxN = arr("idx"); val wN = arr("w")
+    QualityModel(req("dim").asInt, req("intercept").asDouble,
+      Array.tabulate(idxN.size)(i => idxN.get(i).asInt),
+      Array.tabulate(wN.size)(i => wN.get(i).asDouble))
   }
 }
 

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
  *    before anything else, so dedup/tokenization see the released text.
  *  - quality: [[TextAnalysis.qualityScoreRaw]] >= `qualityMin` (unrounded —
  *    thresholds on the raw value).
+ *  - trained quality (`qualityModel = Some(m)`): [[QualityClassifier.score]]
+ *    with a PRE-TRAINED model (e.g. `--mode quality-train` output) composed
+ *    AFTER the heuristic gate — the GPT-3/CCNet pattern: cheap surface
+ *    heuristics first, then P(doc ~ curated seed) >= `qualityProbMin`.
+ *    Scoring is map-only (one model broadcast, no shuffle), so the stage
+ *    adds zero exchanges to the pipeline plan.
  *  - LM filter (`lmMinScore = Some(x)`): [[NgramLm]] trained on the
  *    quality-passed corpus itself, then docs scoring below `x` mean char
  *    log-prob are dropped — catches fluent-looking junk the surface
@@ -67,7 +73,7 @@ object CorpusPipeline {
                    afterNearDup: Long, totalTokens: Long,
                    bundle: BundleSink.Result, afterLm: Long = -1L,
                    droppedVsIndex: Long = -1L, afterDecontam: Long = -1L,
-                   packedSeqs: Long = -1L)
+                   packedSeqs: Long = -1L, afterModelQuality: Long = -1L)
 
   /** Does `dir` hold a complete [[graft.ext.Similarity.buildIndex]] layout? */
   private def annIndexExists(spark: SparkSession, dir: String): Boolean = {
@@ -96,7 +102,9 @@ object CorpusPipeline {
           packMaxLen: Option[Int] = None,
           packBuckets: Int = 256,
           packRanks: Option[Int] = None,
-          packSeed: Long = 0L): Stats = {
+          packSeed: Long = 0L,
+          qualityModel: Option[graft.ext.QualityModel] = None,
+          qualityProbMin: Double = 0.5): Stats = {
     val raw = spark.read.parquet(input)
     val docs =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -104,12 +112,23 @@ object CorpusPipeline {
     val nInput = docs.count()
 
     val surface = docs.filter(TextAnalysis.qualityScoreRaw(col(textCol)) >= qualityMin)
-    val (quality, nLm) = lmMinScore match {
-      case Some(min) =>
-        val lm = NgramLm.train(surface, textCol)
-        val kept = NgramLm.filterByScore(surface, textCol, lm, min).drop("lm_score")
+    // trained quality gate, composed after the heuristic one: map-only
+    // scoring (broadcast model + sparse dot per doc — no exchange), then a
+    // plain probability threshold. Null text scores null => dropped here.
+    val (gated, nModel) = qualityModel match {
+      case Some(m) =>
+        val kept = graft.ext.QualityClassifier
+          .score(surface, textCol, m, "_qprob")
+          .filter(col("_qprob") >= qualityProbMin).drop("_qprob")
         (kept, kept.count())
       case None => (surface, -1L)
+    }
+    val (quality, nLm) = lmMinScore match {
+      case Some(min) =>
+        val lm = NgramLm.train(gated, textCol)
+        val kept = NgramLm.filterByScore(gated, textCol, lm, min).drop("lm_score")
+        (kept, kept.count())
+      case None => (gated, -1L)
     }
     val nQuality = surface.count()
 
@@ -281,6 +300,6 @@ object CorpusPipeline {
     }
     Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res,
       afterLm = nLm, droppedVsIndex = nVsIndex, afterDecontam = nDecontam,
-      packedSeqs = nPacked)
+      packedSeqs = nPacked, afterModelQuality = nModel)
   }
 }

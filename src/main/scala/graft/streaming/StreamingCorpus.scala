@@ -52,6 +52,8 @@ object StreamingCorpus {
     * breaking the rename-if-absent idempotence. */
   case class Config(idCol: String = "doc_id", textCol: String = "text",
                     numShards: Int = 3, qualityMin: Double = 0.5,
+                    qualityModelPath: Option[String] = None,
+                    qualityProbMin: Double = 0.5,
                     nearDupThreshold: Double = 0.9,
                     numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
                     annIndexDir: Option[String] = None,
@@ -78,6 +80,13 @@ object StreamingCorpus {
     * run's `bpe_model.json` or `--mode tokenize` output). */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ext.BpeModel]()
+
+  /** Frozen trained quality model (qualityModelPath), loaded once per
+    * stream lifetime per path — like the BPE model, a stream must score
+    * against a PRE-TRAINED artifact (per-batch retraining would drift the
+    * accept boundary across batches and break replay determinism). */
+  private val qualityCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ext.QualityModel]()
 
   /** Benchmark n-gram sets are static per (path, n, textCol): built once
     * per stream lifetime, reused by every batch (the set is deterministic,
@@ -111,9 +120,18 @@ object StreamingCorpus {
     val fpDir = s"$outDir/state/fingerprints"
     val bandDir = s"$outDir/state/bands"
 
-    // 1. quality gate (stateless)
-    val quality = batch.filter(
+    // 1. quality gate (stateless): surface heuristic, then optionally the
+    //    trained classifier (frozen model, map-only scoring — no exchange)
+    val heuristic = batch.filter(
       TextAnalysis.qualityScoreRaw(col(cfg.textCol)) >= cfg.qualityMin)
+    val quality = cfg.qualityModelPath match {
+      case Some(p) =>
+        val m = qualityCache.computeIfAbsent(p,
+          pp => graft.ext.QualityClassifier.load(spark, pp))
+        graft.ext.QualityClassifier.score(heuristic, cfg.textCol, m, "_qprob")
+          .filter(col("_qprob") >= cfg.qualityProbMin).drop("_qprob")
+      case None => heuristic
+    }
 
     // 1.5 cross-batch boilerplate stripping: window-hash document
     //     frequencies accumulate in state/spans (batch-tagged appends,
@@ -362,8 +380,9 @@ object StreamingCorpus {
     //     identically, so rewriting the same batch_id dir is a no-op in
     //     content terms (vs appends, which would double sequences).
     //     With packCarry = Some(k), open bins additionally thread through
-    //     state/packbins (snapshot per batch: ALL still-open bins tagged
-    //     batch_id, read = latest snapshot with batch_id != current, so a
+    //     state/packbins (one batch_id=N snapshot dir per batch holding ALL
+    //     still-open bins, read = latest snapshot with batch_id STRICTLY
+    //     BEFORE the current batch, so a
     //     replay re-packs from the prior batch's bins and rewrites both the
     //     emitted dir and its own snapshot byte-identically; a sentinel
     //     seq_id = -1 row makes an all-emitted empty snapshot visible).
@@ -393,17 +412,32 @@ object StreamingCorpus {
           writePacked(Packing.packSequences(withIds, cfg.idCol, "_bpe_ids",
             maxLen, cfg.packBuckets))
         case Some(carryB) =>
+          // snapshots live under batch_id=N partition dirs, one OVERWRITTEN
+          // dir per batch: the prior-state read below opens exactly ONE
+          // snapshot (a directory-name listing picks it), so per-batch read
+          // cost stays flat over the stream's lifetime instead of scanning
+          // every snapshot ever written. spark.read over the root still
+          // surfaces batch_id as a partition column for audits/specs.
           val binDir = s"$outDir/state/packbins"
-          val prior = stateRead(spark, binDir, null).flatMap { st =>
-            // strictly BEFORE this batch (not merely != current): a snapshot
-            // is point-in-time state, so a replayed batch must re-pack from
-            // the bins as they stood when it first ran
-            val elig = st.filter(col("batch_id") < batchId)
-            val latest = elig.agg(max("batch_id")).head()
-            if (latest.isNullAt(0)) None
-            else Some(elig.filter(col("batch_id") === latest.getLong(0))
-              .filter(col("seq_id") >= 0).dropDuplicates("seq_id")
-              .drop("batch_id"))
+          val binFs = fsOf(binDir)
+          val binRoot = new org.apache.hadoop.fs.Path(binDir)
+          val snapshotIds: Seq[Long] =
+            if (!binFs.exists(binRoot)) Seq.empty
+            else {
+              val names = binFs.listStatus(binRoot).toSeq.map(_.getPath.getName)
+              require(!names.exists(_.startsWith("part-")),
+                s"$binDir holds flat (pre-partitioned-layout) snapshot files; " +
+                  "migrate them under batch_id=N dirs before resuming")
+              names.filter(_.startsWith("batch_id="))
+                .map(_.stripPrefix("batch_id=").toLong)
+            }
+          // seed from the latest snapshot STRICTLY BEFORE this batch (not
+          // merely != current): a snapshot is point-in-time state, so a
+          // replayed batch must re-pack from the bins as they stood when it
+          // first ran
+          val prior = snapshotIds.filter(_ < batchId).sorted.lastOption.map { pb =>
+            spark.read.parquet(s"$binDir/batch_id=$pb")
+              .filter(col("seq_id") >= 0)
           }
           val (emitted, stillOpen) = Packing.packCarryBatch(withIds, cfg.idCol,
             "_bpe_ids", prior, batchId, maxLen, cfg.packBuckets, carryB)
@@ -413,8 +447,8 @@ object StreamingCorpus {
             lit(batchId).as("opened_batch"), lit(0).as("remaining"),
             expr("cast(array() as array<int>)").as("input_ids"),
             expr(s"cast(array() as ${Packing.spanSqlType})").as("doc_spans"))
-          stillOpen.unionByName(sentinel).withColumn("batch_id", lit(batchId))
-            .write.mode(SaveMode.Append).parquet(binDir)
+          stillOpen.unionByName(sentinel).write.mode(SaveMode.Overwrite)
+            .parquet(s"$binDir/batch_id=$batchId")
       }
     }
 

@@ -391,4 +391,92 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(nids2 === (100L until 120L).toSet,
       s"failed bundle write must leave the index untouched: $nids2")
   }
+  test("trained quality gate: model drops heuristic-passing junk; survivors match direct scoring") {
+    // two vocabularies over the SAME stopword skeleton, so every doc passes
+    // the surface heuristic and only the trained classifier separates them
+    val glue = Vector("the", "of", "and", "to", "a", "in", "is", "was")
+    val good = Vector("cat", "river", "theory", "music", "bread",
+      "garden", "window", "mountain", "letter", "engine")
+    val bad = Vector("zxq", "qqv", "kpz", "wxj", "vvk",
+      "jjx", "qzz", "xkv", "zzp", "kqx")
+    def doc(rnd: scala.util.Random, vocab: Vector[String], n: Int) =
+      (0 until n).map(_ => s"${glue(rnd.nextInt(glue.size))} " +
+        s"${vocab(rnd.nextInt(vocab.size))}").mkString(" ")
+    val trnd = new scala.util.Random(83)
+    val model = graft.ext.QualityClassifier.train(
+      (0 until 200).map(_ => doc(trnd, good, 12)).toDF("text"),
+      (0 until 200).map(_ => doc(trnd, bad, 12)).toDF("text"),
+      "text", dim = 1 << 14, maxIter = 30)
+
+    val crnd = new scala.util.Random(171)
+    val goodDocs = (0L until 30L).map(i => (i, "src", doc(crnd, good, 14)))
+    val junkDocs = (100L until 108L).map(i => (i, "src", doc(crnd, bad, 14)))
+    val input = Files.createTempDirectory("graft-cp-qm-in").toString
+    (goodDocs ++ junkDocs).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(input)
+
+    // precondition (model law, independent of the pipeline): the planted
+    // junk scores below the gate, the good docs above it
+    val scored = graft.ext.QualityClassifier.score(
+      (goodDocs ++ junkDocs).toDF("doc_id", "source", "text"), "text", model)
+    val expectKept = scored.filter(col("quality_prob") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expectKept === (0L until 30L).toSet,
+      s"classifier itself failed to separate the planted corpora: $expectKept")
+
+    val out = Files.createTempDirectory("graft-cp-qm-out").toString
+    val st = CorpusPipeline.run(spark, input, out, "corpus",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      bpeMerges = 40, bpeMaxWords = 2000,
+      qualityModel = Some(model), qualityProbMin = 0.5)
+    // the surface heuristic passes EVERYTHING (same stopword skeleton);
+    // the model gate is what removes the planted junk
+    assert(st.afterQuality === 38L, s"surface gate should pass all: $st")
+    assert(st.afterModelQuality === 30L, s"model gate miscounted: $st")
+    assert(st.afterNearDup === 30L)
+    val ids = spark.read.parquet(s"$out/corpus/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === expectKept, "bundle survivors != direct model scoring")
+  }
+
+  test("CLI --mode pipeline accepts --quality-model/--quality-prob-min and composes the gate") {
+    // flags parse (the allowlist admits them) and the pipeline-mode body's
+    // composition — load(model path) + run(qualityModel, qualityProbMin) —
+    // produces the gated bundle, mirroring Main's wiring
+    val raw = Main.rawFlags(Array("--mode", "pipeline", "--input", "x",
+      "--out", "y", "--index", "z",
+      "--quality-model", "/tmp/m.json", "--quality-prob-min", "0.6"))
+    assert(raw("quality-model") === "/tmp/m.json")
+    assert(raw("quality-prob-min") === "0.6")
+
+    val glue = Vector("the", "of", "and", "to", "a")
+    def doc(rnd: scala.util.Random, vocab: Vector[String]) =
+      (0 until 12).map(_ => s"${glue(rnd.nextInt(glue.size))} " +
+        s"${vocab(rnd.nextInt(vocab.size))}").mkString(" ")
+    val good = Vector("cat", "river", "music", "bread", "garden")
+    val bad = Vector("zxq", "qqv", "kpz", "wxj", "vvk")
+    val trnd = new scala.util.Random(19)
+    val model = graft.ext.QualityClassifier.train(
+      (0 until 150).map(_ => doc(trnd, good)).toDF("text"),
+      (0 until 150).map(_ => doc(trnd, bad)).toDF("text"),
+      "text", dim = 1 << 14, maxIter = 30)
+    val dir = Files.createTempDirectory("graft-cp-qm-cli").toString
+    val mp = s"$dir/quality_model.json"
+    graft.ext.QualityClassifier.save(spark, model, mp)
+
+    val crnd = new scala.util.Random(7)
+    val input = s"$dir/in"
+    ((0L until 10L).map(i => (i, doc(crnd, good))) ++
+      (50L until 54L).map(i => (i, doc(crnd, bad))))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(input)
+    val st = CorpusPipeline.run(spark, input, s"$dir/out", "corpus",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      bpeMerges = 30, bpeMaxWords = 1000,
+      qualityModel = Some(graft.ext.QualityClassifier.load(spark, mp)),
+      qualityProbMin = raw("quality-prob-min").toDouble)
+    assert(st.afterModelQuality === 10L, s"CLI-shaped run misgated: $st")
+    val ids = spark.read.parquet(s"$dir/out/corpus/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 10L).toSet)
+  }
 }

@@ -435,4 +435,50 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(spark.read.parquet(s"$annDir/cells").count() === 10L,
       "the first non-empty batch must build the index from its survivors")
   }
+  test("qualityModelPath: frozen model gates every batch; single batch == direct scoring") {
+    // same-skeleton good/junk vocabularies: the surface heuristic passes
+    // both, only the trained model separates (see CorpusPipelineSpec twin)
+    val glue = Vector("the", "of", "and", "to", "a")
+    val good = Vector("cat", "river", "music", "bread", "garden")
+    val bad = Vector("zxq", "qqv", "kpz", "wxj", "vvk")
+    def mkDoc(rnd: scala.util.Random, vocab: Vector[String]) =
+      (0 until 12).map(_ => s"${glue(rnd.nextInt(glue.size))} " +
+        s"${vocab(rnd.nextInt(vocab.size))}").mkString(" ")
+    val trnd = new scala.util.Random(131)
+    val model = graft.ext.QualityClassifier.train(
+      (0 until 150).map(_ => mkDoc(trnd, good)).toDF("text"),
+      (0 until 150).map(_ => mkDoc(trnd, bad)).toDF("text"),
+      "text", dim = 1 << 14, maxIter = 30)
+    val out = Files.createTempDirectory("graft-scorpus-qm").toString
+    val mp = s"$out/quality_model.json"
+    graft.ext.QualityClassifier.save(spark, model, mp)
+    val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+      qualityModelPath = Some(mp), qualityProbMin = 0.5)
+
+    val crnd = new scala.util.Random(37)
+    val b0 = ((0L until 12L).map(i => (i, mkDoc(crnd, good))) ++
+      (100L until 105L).map(i => (i, mkDoc(crnd, bad)))).toDF("doc_id", "text")
+    StreamingCorpus.processBatch(b0, 0L, out, cfg)
+    def accepted(): Set[Long] = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select("_id").collect().map(_.getString(0).toLong).toSet
+
+    // law 1: one streamed batch == heuristic gate + frozen-model gate,
+    // computed directly against the SAME persisted model
+    val loaded = graft.ext.QualityClassifier.load(spark, mp)
+    val direct = graft.ext.QualityClassifier.score(
+      b0.filter(graft.ext.TextAnalysis.qualityScoreRaw(col("text")) >= 0.3),
+      "text", loaded)
+      .filter(col("quality_prob") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(direct === (0L until 12L).toSet,
+      s"model failed to separate the planted corpora: $direct")
+    assert(accepted() === direct, "streamed batch != direct frozen-model gate")
+
+    // law 2: the model stays frozen across batches — an all-junk batch 1
+    // admits nothing (same boundary, no retraining drift)
+    val b1 = (200L until 206L).map(i => (i, mkDoc(crnd, bad))).toDF("doc_id", "text")
+    StreamingCorpus.processBatch(b1, 1L, out, cfg)
+    assert(accepted() === direct, "frozen model admitted junk in a later batch")
+  }
 }
