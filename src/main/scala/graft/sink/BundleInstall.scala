@@ -41,6 +41,17 @@ object BundleInstall {
     val fs = FileSystem.get(new java.net.URI(incomingDir),
       spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(installDir))
+    // heal sweep over the install root FIRST: a crash between a bundle's
+    // rename and its finalize leaves it installed (the dir moved out of
+    // incoming, so the candidate loop below will never revisit it) but
+    // without its _FINALIZED record — finalize is marker-gated, so the
+    // sweep is a no-op for every healthy bundle
+    fs.listStatus(new Path(installDir)).filter(_.isDirectory).foreach { d =>
+      if (fs.exists(new Path(d.getPath, "_INSTALLED")) &&
+          !fs.exists(new Path(d.getPath, "_FINALIZED")))
+        try finalizeBundle(fs, installDir, d.getPath.getName)
+        catch { case _: Exception => () } // containment, like the loop below
+    }
     val candidates = fs.listStatus(new Path(incomingDir))
       .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
     candidates.toSeq.map { dir =>
@@ -108,10 +119,97 @@ object BundleInstall {
               fs.delete(new Path(dir, "_INSTALLED"), false)
               throw new IllegalStateException(s"could not install $dir -> $target")
             }
+            finalizeBundle(fs, installDir, name)
             Installed(name, docs, compact)
           }
         }
       }
+    }
+  }
+
+  /**
+   * Post-install finalization — the reference leader's final-settings +
+   * alias-swap step once a build completes (`NodeService.java:129-152`:
+   * apply `finalIndexSetting`, wait for green, raise replica count;
+   * `ESClient.java:155-171` `updateAlies`: remove the alias from the old
+   * index, add it to the new one). This engine serves bundles from files,
+   * not a live cluster, so "apply" means: record each manifest's
+   * `finalSettings` as the bundle's EFFECTIVE serving settings in an
+   * atomic `_FINALIZED` record (downstream loaders read the record, not
+   * the build-time settings — the refresh-off/replicas-0 load profile
+   * gives way to the recorded serving profile exactly once), and repoint
+   * the install root's alias file: `_aliases/<alias>` holds
+   * `{"bundle": ..., "indexName": ...}` for whatever was finalized under
+   * that alias most recently — one tmp+rename overwrite, the same
+   * swap-visibility the reference's remove+add alias pair provides.
+   * Idempotent: `_FINALIZED` present means applied; a re-pass (or the
+   * heal path for a crash between rename and finalize) changes nothing.
+   */
+  private def finalizeBundle(fs: FileSystem, installDir: String,
+                             name: String): Unit = {
+    val bundle = new Path(installDir, name)
+    val marker = new Path(bundle, "_FINALIZED")
+    if (fs.exists(marker)) return
+    val manifests = fs.listStatus(bundle).map(_.getPath)
+      .filter(p => p.getName == "manifest.json" ||
+        p.getName.matches("manifest_.*\\.json"))
+      .sortBy(_.getName)
+    if (manifests.isEmpty) return
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def writeAtomic(target: Path, body: String): Unit = {
+      val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new IllegalStateException(s"could not publish $target")
+    }
+    val entries = manifests.map { mp =>
+      val in = fs.open(mp)
+      val root = try mapper.readTree(in.readAllBytes()) finally in.close()
+      val idx = Option(root.get("indexName")).map(_.asText).getOrElse(name)
+      val alias = Option(root.get("alias")).filterNot(_.isNull).map(_.asText)
+      val settings = Option(root.get("finalSettings")).map { s =>
+        val it = s.fields()
+        val b = Seq.newBuilder[(String, String)]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+        b.result()
+      }.getOrElse(Seq.empty)
+      (idx, alias, settings)
+    }
+    // alias swap first, record last: a crash in between re-runs both (the
+    // alias overwrite is idempotent), while the reverse order could leave
+    // an "applied" record whose alias still points at the old bundle
+    fs.mkdirs(new Path(installDir, "_aliases"))
+    entries.foreach { case (idx, alias, _) =>
+      alias.foreach { a =>
+        writeAtomic(new Path(installDir, s"_aliases/$a"),
+          s"""{"bundle":"$name","indexName":"$idx"}""")
+      }
+    }
+    val body = entries.map { case (idx, alias, settings) =>
+      val st = settings.sorted
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      val al = alias.map(a => "\"" + a + "\"").getOrElse("null")
+      s"""{"indexName":"$idx","alias":$al,"appliedSettings":$st}"""
+    }.mkString("[", ",", "]")
+    writeAtomic(marker, s"""{"applied":$body}""")
+  }
+
+  /** Resolve an alias at the install root: the `{bundle, indexName}` the
+    * alias currently points to (the lookup indirection the reference's
+    * alias swap provides), or None while nothing finalized under it. */
+  def resolveAlias(spark: SparkSession, installDir: String,
+                   alias: String): Option[(String, String)] = {
+    val fs = FileSystem.get(new java.net.URI(installDir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(installDir, s"_aliases/$alias")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root = try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(in.readAllBytes()) finally in.close()
+      Some((root.get("bundle").asText, root.get("indexName").asText))
     }
   }
 

@@ -188,4 +188,56 @@ class InstallSpec extends SparkSpec {
     }
     assert(spark.read.format("graft-bundle").load(s"$installed/idx_w").count() === 1500L)
   }
+  test("finalize: finalSettings recorded once, alias swap repoints to the newest bundle, heal + idempotent re-pass") {
+    val incoming = Files.createTempDirectory("graft-install-fin-in").toString
+    val installed = Files.createTempDirectory("graft-install-fin-out").toString
+    val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    BundleSink.write(docs, s"$incoming/idx_v1", numShards = 2,
+      partitionMultiples = 2, repartition = true, indexName = "idx_v1",
+      alias = Some("orders_live"),
+      finalSettings = Map("refresh_interval" -> "1s", "number_of_replicas" -> "2"))
+
+    val pass = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass.collect { case i: BundleInstall.Installed => i.bundle } === Seq("idx_v1"))
+    // applied-settings record: the manifest's finalSettings became the
+    // bundle's effective serving settings, atomically, at install time
+    val markerPath = Paths.get(s"$installed/idx_v1/_FINALIZED")
+    assert(Files.exists(markerPath), "_FINALIZED record missing after install")
+    val rec = new String(Files.readAllBytes(markerPath), "UTF-8")
+    assert(rec.contains("\"number_of_replicas\":\"2\"") &&
+      rec.contains("\"refresh_interval\":\"1s\"") &&
+      rec.contains("\"alias\":\"orders_live\""), rec)
+    // alias resolvable: the reference alias-swap's lookup indirection
+    assert(BundleInstall.resolveAlias(spark, installed, "orders_live")
+      === Some(("idx_v1", "idx_v1")))
+    assert(BundleInstall.resolveAlias(spark, installed, "nope") === None)
+
+    // applied ONCE: a re-pass must not rewrite the record
+    val mtime1 = Files.getLastModifiedTime(markerPath)
+    Thread.sleep(1200)
+    val again = BundleInstall.installOnce(spark, incoming, installed)
+    assert(again.forall(_.isInstanceOf[BundleInstall.Skipped]))
+    assert(Files.getLastModifiedTime(markerPath) === mtime1,
+      "idempotent re-pass rewrote the _FINALIZED record")
+
+    // heal: a crash between rename and finalize (installed, no record) is
+    // repaired by the next pass without reinstalling
+    Files.delete(markerPath)
+    BundleInstall.installOnce(spark, incoming, installed)
+    assert(Files.exists(markerPath), "heal pass did not restore _FINALIZED")
+    assert(BundleInstall.resolveAlias(spark, installed, "orders_live")
+      === Some(("idx_v1", "idx_v1")))
+
+    // swap: a newer bundle finalized under the SAME alias repoints it
+    // (reference remove+add pair); the old bundle keeps its own record
+    BundleSink.write(docs, s"$incoming/idx_v2", numShards = 2,
+      partitionMultiples = 2, repartition = true, indexName = "idx_v2",
+      alias = Some("orders_live"),
+      finalSettings = Map("number_of_replicas" -> "3"))
+    val pass2 = BundleInstall.installOnce(spark, incoming, installed)
+    assert(pass2.collect { case i: BundleInstall.Installed => i.bundle } === Seq("idx_v2"))
+    assert(BundleInstall.resolveAlias(spark, installed, "orders_live")
+      === Some(("idx_v2", "idx_v2")))
+    assert(Files.exists(markerPath), "old bundle's record must survive the swap")
+  }
 }
