@@ -185,8 +185,17 @@ object Main {
           // count/format/codec come from the bundle's own manifest; only
           // the new rows are exchanged and written.
           val src = spark.read.parquet(cfg.input).where(cfg.where)
-          val docs = graft.transform.DocTransform.docs(src,
-            Option(cfg.id).getOrElse(src.columns.head), Option(cfg.routing))
+          val rawA = rawFlags(args)
+          // --index-col: append into a MULTI-index bundle — the column
+          // routes each row to its index (per-index manifest CAS inside)
+          val docs = rawA.get("index-col") match {
+            case Some(c) => graft.transform.DocTransform.docs(src,
+                Option(cfg.id).getOrElse(src.columns.head), Option(cfg.routing),
+                keepCols = Seq(c))
+              .withColumnRenamed(c, "_index")
+            case None => graft.transform.DocTransform.docs(src,
+              Option(cfg.id).getOrElse(src.columns.head), Option(cfg.routing))
+          }
           val result = graft.sink.BundleSink.insertInto(docs,
             s"${cfg.outDir}/${cfg.indexName}", overwrite = false)
           println(s"bundle appended: ${result.outDir}")

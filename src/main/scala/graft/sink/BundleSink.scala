@@ -235,6 +235,14 @@ object BundleSink {
   private[graft] def casDir(outDir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(outDir, ".manifest-cas")
 
+  /** Per-index CAS chain of a MULTI-index bundle: each index's manifest
+    * (`manifest_<idx>.json`) gets its own independent version chain, so
+    * concurrent appends touching different indices never contend and
+    * appends to one index CAS against exactly that index's counts. */
+  private[graft] def casDirMulti(outRoot: String,
+                                 idx: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(outRoot, s".manifest-cas_$idx")
+
   /** Atomic create-if-absent. HDFS `create(p, overwrite=false)` is an
     * atomic namespace claim; Hadoop's LOCAL filesystem emulates the flag
     * with a non-atomic exists-check, so the file scheme goes through NIO's
@@ -257,8 +265,12 @@ object BundleSink {
     * between claim and content rename is one small write), rarely a
     * crashed one. */
   private def chainState(fs: org.apache.hadoop.fs.FileSystem,
-                         outDir: String): (Int, Int, Option[String]) = {
-    val dir = casDir(outDir)
+                         outDir: String): (Int, Int, Option[String]) =
+    chainStateAt(fs, casDir(outDir))
+
+  private def chainStateAt(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path)
+      : (Int, Int, Option[String]) = {
     if (!fs.exists(dir)) return (0, 0, None)
     val J = "v(\\d+)\\.json".r
     val C = "v(\\d+)\\.claim".r
@@ -290,12 +302,17 @@ object BundleSink {
     * counts were never published — the same data-in/manifest-stale crash
     * exposure the serialized path had, and BundleValidate's job to report. */
   private def settledChainState(fs: org.apache.hadoop.fs.FileSystem,
-                                outDir: String): (Int, Option[String]) = {
-    var (maxAny, maxJson, head) = chainState(fs, outDir)
+                                outDir: String): (Int, Option[String]) =
+    settledChainStateAt(fs, casDir(outDir))
+
+  private def settledChainStateAt(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: org.apache.hadoop.fs.Path)
+      : (Int, Option[String]) = {
+    var (maxAny, maxJson, head) = chainStateAt(fs, dir)
     var waitedMs = 0
     while (maxJson < maxAny && waitedMs < 30000) {
       Thread.sleep(50); waitedMs += 50
-      val s = chainState(fs, outDir)
+      val s = chainStateAt(fs, dir)
       maxAny = s._1; maxJson = s._2; head = s._3
     }
     (maxAny, head)
@@ -372,8 +389,11 @@ object BundleSink {
     * published content (best-effort; old entries are never read once a
     * newer head exists). */
   private def pruneChain(fs: org.apache.hadoop.fs.FileSystem, outDir: String,
-                         keep: Int): Unit = {
-    val dir = casDir(outDir)
+                         keep: Int): Unit =
+    pruneChainAt(fs, casDir(outDir), keep)
+
+  private def pruneChainAt(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path, keep: Int): Unit = {
     if (!fs.exists(dir)) return
     val V = "v(\\d+)\\.(json|claim)".r
     val entries = fs.listStatus(dir).flatMap(st => st.getPath.getName match {
@@ -437,17 +457,29 @@ object BundleSink {
     val spark = data.sparkSession
     import graft.sources.BundleManifest
     // multi-index bundles (manifest_<idx>.json siblings, data/_index=i/
-    // _shard=k layout) are written by writeMulti in one pass; a
-    // single-index insert would land rows OUTSIDE every _index partition
-    // and corrupt per-index manifests — refuse, don't guess
+    // _shard=k layout): append dispatches to the per-index path — rows
+    // carry their target index in an `_index` column and each touched
+    // index's manifest is CAS-refreshed independently. A single-index
+    // insert here would land rows OUTSIDE every _index partition and
+    // corrupt per-index manifests, so the column is required; overwrite
+    // of a whole multi bundle stays a writeMulti job (which index would
+    // an INSERT OVERWRITE without per-index scoping truncate?).
     locally {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(outDir, "manifest.json")))
-        throw new UnsupportedOperationException(
-          s"$outDir is a multi-index bundle (no single manifest.json); " +
-            "INSERT addresses one index — rewrite via BundleSink.writeMulti " +
-            "or insert into a single-index bundle")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(outDir, "manifest.json"))) {
+        if (overwrite) throw new UnsupportedOperationException(
+          s"$outDir is a multi-index bundle; INSERT OVERWRITE cannot scope " +
+            "to one index — rewrite via BundleSink.writeMulti")
+        require(data.columns.contains("_index"),
+          s"$outDir is a multi-index bundle: appends need an _index column " +
+            s"routing each row to its index (got ${data.columns.mkString(", ")})")
+        val per = insertIntoMulti(data, outDir)
+        val shards = per.values.headOption.map(_.numShards).getOrElse(0)
+        val mergedAll = per.values.flatMap(_.shardCounts).groupBy(_._1)
+          .map { case (sh, kvs) => sh -> kvs.map(_._2).sum }
+        return Result(outDir, shards, per.values.map(_.totalDocs).sum, mergedAll)
+      }
     }
     val numShards = BundleManifest.numShards(spark, outDir)
     val format = BundleManifest.format(spark, outDir)
@@ -540,6 +572,161 @@ object BundleSink {
     mirrorChainHead(fs, outDir, numShards)
     pruneChain(fs, outDir, keep = 8)
     Result(outDir, numShards, merged.values.sum, merged)
+  }
+
+  /**
+   * Append into a MULTI-index bundle ([[writeMulti]] layout): rows routed
+   * by their `_index` column into `data/_index=i/_shard=k/`, placement
+   * recomputed from `_routing` against the bundle's own shard count, and
+   * each TOUCHED index's `manifest_<idx>.json` refreshed through its own
+   * independent CAS chain (`.manifest-cas_<idx>/` — appends to different
+   * indices never contend; concurrent appends to the same index merge
+   * their deltas exactly like the single-index chain). An `_index` value
+   * with no existing manifest creates one (version chain from empty
+   * counts) — the new-tenant/new-day case, mirroring ES index
+   * auto-creation on bulk insert; a crash between its data landing and
+   * its first CAS publish is the same exposure as the single-index path,
+   * and `validateMulti` reports the orphan.
+   *
+   * Layout (shard count, format, codec, typeName) comes from the
+   * bundle's existing manifests, never from the caller.
+   */
+  def insertIntoMulti(data: DataFrame,
+                      outRoot: String): Map[String, Result] = {
+    val spark = data.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outRoot), spark.sparkContext.hadoopConfiguration)
+    val manifestNames = fs.listStatus(new org.apache.hadoop.fs.Path(outRoot))
+      .map(_.getPath.getName).filter(_.matches("manifest_.*\\.json"))
+    require(manifestNames.nonEmpty,
+      s"$outRoot has no manifest_*.json — not a multi-index bundle")
+    def fileManifest(idx: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(outRoot, s"manifest_$idx.json")
+      if (!fs.exists(p)) None
+      else { val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close() }
+    }
+    // layout from any existing manifest (uniform across a multi bundle:
+    // one writeMulti job wrote them, and appends re-derive from here)
+    val anyManifest = fileManifest(manifestNames.head
+      .stripPrefix("manifest_").stripSuffix(".json")).get
+    val numShards = """"numShards":(\d+)""".r.findFirstMatchIn(anyManifest)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"no numShards in $outRoot manifests"))
+    val format = """"format":"(\w+)"""".r.findFirstMatchIn(anyManifest)
+      .map(_.group(1)).getOrElse("json")
+    val codec = """"compression":"([\w-]+)"""".r.findFirstMatchIn(anyManifest)
+      .map(_.group(1)).getOrElse(if (format == "json") "gzip" else "zstd")
+    val typeName = """"typeName":"([^"]*)"""".r.findFirstMatchIn(anyManifest)
+      .map(_.group(1)).getOrElse("doc")
+    require(data.columns.contains("_routing"),
+      s"bundle inserts need a _routing column (got ${data.columns.mkString(", ")})")
+    require(data.columns.contains("_index"),
+      s"multi-index inserts need an _index column (got ${data.columns.mkString(", ")})")
+
+    // stage in the bundle's own format, counts observed on the write job
+    val obs = Observation(s"bundle-insert-multi-${java.util.UUID.randomUUID()}")
+    val sharded = data.drop("_shard")
+      .withColumn("_index", when(col("_index").isNull || col("_index") === "",
+        raise_error(concat(lit("null/empty _index for _id="),
+          coalesce(col("_id").cast("string"), lit("<null>")))))
+        .otherwise(col("_index")))
+      .withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
+      .observe(obs, graft.functions.CountByKeyAgg.count_by_key(
+        concat_ws("\u0000", col("_index"), col("_shard"))).as("index_shard_counts"))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$outRoot/.staging/insert=$tag"
+    val writer = sharded.write.mode("overwrite")
+      .partitionBy("_index", "_shard").option("compression", codec)
+    format match {
+      case "json"                 => writer.json(staging)
+      case "parquet" | "columnar" => writer.parquet(staging)
+      case other => throw new IllegalArgumentException(s"unsupported bundle format: $other")
+    }
+    val delta: Map[(String, Int), Long] = obs.get("index_shard_counts")
+      .asInstanceOf[scala.collection.Map[String, Long]]
+      .map { case (k, c) =>
+        val cut = k.lastIndexOf('\u0000')
+        (k.substring(0, cut), k.substring(cut + 1).toInt) -> c
+      }.toMap
+
+    // rename staged parts into their _index/_shard dirs (insert-scoped
+    // unique names: concurrent appends' data files never collide)
+    val partIdx = "part-(\\d+)".r
+    for (idxDir <- fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+         if idxDir.isDirectory;
+         shardDir <- fs.listStatus(idxDir.getPath) if shardDir.isDirectory) {
+      val target = new org.apache.hadoop.fs.Path(
+        s"$outRoot/data/${idxDir.getPath.getName}/${shardDir.getPath.getName}")
+      fs.mkdirs(target)
+      for (f <- fs.listStatus(shardDir.getPath)
+           if f.getPath.getName.startsWith("part-")) {
+        val i = partIdx.findFirstMatchIn(f.getPath.getName).map(_.group(1)).getOrElse("0")
+        val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(target, s"i$tag-p$i$suffix"))
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    try fs.delete(new org.apache.hadoop.fs.Path(s"$outRoot/.staging"), false)
+    catch { case _: java.io.IOException => () }
+
+    // per-index CAS publish + mirror, one independent chain per index
+    val touched = delta.keys.map(_._1).toSeq.distinct.sorted
+    touched.map { idx =>
+      val cas = casDirMulti(outRoot, idx)
+      fs.mkdirs(cas)
+      val idxDelta = (0 until numShards).map(sh =>
+        sh -> delta.getOrElse((idx, sh), 0L)).toMap
+      var merged: Map[Int, Long] = null
+      var won = -1
+      var attempts = 0
+      while (won < 0) {
+        attempts += 1
+        require(attempts <= 256,
+          s"manifest CAS on $outRoot [$idx] did not converge after 256 attempts")
+        val (maxSeen, head) = settledChainStateAt(fs, cas)
+        val baseManifest = head.orElse(fileManifest(idx))
+        val base = baseManifest.map(graft.sources.BundleManifest.parseShardCounts)
+          .getOrElse(Map.empty[Int, Long])
+        merged = (0 until numShards).map(sh =>
+          sh -> (base.getOrElse(sh, 0L) + idxDelta.getOrElse(sh, 0L))).toMap
+        val next = maxSeen + 1
+        if (claim(fs, new org.apache.hadoop.fs.Path(cas, s"v$next.claim"))) {
+          val manifest = manifestJson(idx, typeName,
+            s"$outRoot/data/_index=$idx", numShards, format, codec, merged,
+            carriedAliasFragment(baseManifest), next)
+          val tmp = new org.apache.hadoop.fs.Path(cas, s".tmp-$tag-v$next")
+          val o = fs.create(tmp, true); o.write(manifest.getBytes("UTF-8")); o.close()
+          if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(cas, s"v$next.json")))
+            throw new IllegalStateException(
+              s"could not publish claimed manifest version $next for $idx in $outRoot")
+          won = next
+        }
+      }
+      // mirror the chain head into manifest_<idx>.json (converging re-check
+      // like the single-index mirror; exact readers go through the chain)
+      var mirrored = -1
+      var done = false
+      while (!done) {
+        val (_, _, latest) = chainStateAt(fs, cas)
+        latest match {
+          case Some(content) =>
+            val v = """"version":(\d+)""".r.findFirstMatchIn(content)
+              .map(_.group(1).toInt).getOrElse(0)
+            if (v == mirrored) done = true
+            else {
+              val mf = fs.create(new org.apache.hadoop.fs.Path(
+                outRoot, s"manifest_$idx.json"), true)
+              mf.write(content.getBytes("UTF-8")); mf.close()
+              mirrored = v
+            }
+          case None => done = true
+        }
+      }
+      pruneChainAt(fs, cas, keep = 8)
+      idx -> Result(s"$outRoot/data/_index=$idx", numShards,
+        merged.values.sum, merged)
+    }.toMap
   }
 
   def write(docs: DataFrame, outDir: String, numShards: Int,

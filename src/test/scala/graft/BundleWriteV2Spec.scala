@@ -105,17 +105,106 @@ class BundleWriteV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE bt_v2w")
   }
 
-  test("insert into a multi-index bundle is refused, not misplaced") {
+  test("multi-index insert without _index is refused, not misplaced; OVERWRITE always refused") {
     val out = Files.createTempDirectory("graft-v2w-multi").toString
     val routed = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
       .withColumn("tier", lit("t0"))
     BundleSink.writeMulti(routed, s"$out/multi", "tier", numShards = 2,
       partitionMultiples = 2)
-    val e = intercept[UnsupportedOperationException] {
+    // rows with no _index column cannot be routed — refused loudly, either
+    // up front (require: no _index column) or, when Spark's V2 write
+    // schema-aligns the frame and null-fills _index, by the in-job
+    // raise_error (aborts before any staged file renames into data/)
+    val e = intercept[Exception] {
       DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
         .write.format("graft-bundle").mode("append").save(s"$out/multi")
     }
-    assert(e.getMessage.contains("multi-index"))
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("multi-index") || msg.contains("null/empty _index"),
+      e.toString)
+    // ...and nothing landed: both manifests still carry only the original rows
+    val reports0 = BundleValidate.validateMulti(spark, s"$out/multi")
+    assert(reports0.values.forall(_.ok), "refused insert must leave the bundle valid")
+    // overwrite cannot scope to one index — stays a writeMulti job
+    val e2 = intercept[UnsupportedOperationException] {
+      DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
+        .withColumn("_index", lit("t0"))
+        .write.format("graft-bundle").mode("overwrite").save(s"$out/multi")
+    }
+    assert(e2.getMessage.contains("OVERWRITE"))
+  }
+
+  test("multi-index append: _index routes rows, per-index manifest CAS, validateMulti green") {
+    val out = Files.createTempDirectory("graft-v2w-mappend").toString
+    val root = s"$out/multi"
+    // tiered bundle: orders split across t0/t1 by key parity
+    val routed = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+      .withColumn("tier", concat(lit("t"), pmod(col("_id").cast("long"), lit(2))))
+    val before = BundleSink.writeMulti(routed, root, "tier", numShards = 2,
+      partitionMultiples = 2)
+
+    // append customers into t1 ONLY, through the connector path that used
+    // to refuse — placement recomputed, only t1's manifest refreshed
+    val extra = DocTransform.docs(sf("sf0.001", "customer"), "c_custkey", None)
+      .withColumn("_index", lit("t1"))
+      .withColumn("_shard", lit(0)) // hostile: must be ignored
+    extra.write.format("graft-bundle").mode("append").save(root)
+
+    val t0Counts = graft.sources.BundleManifest.parseShardCounts(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/manifest_t0.json")), "UTF-8"))
+    val t1Counts = graft.sources.BundleManifest.parseShardCounts(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/manifest_t1.json")), "UTF-8"))
+    assert(t0Counts.values.sum === before("t0").totalDocs,
+      "untouched index's manifest must not change")
+    assert(t1Counts.values.sum === before("t1").totalDocs + 150,
+      "appended index's manifest must carry the delta")
+
+    // every index validates against ITS manifest, placement included
+    val reports = BundleValidate.validateMulti(spark, root)
+    assert(reports.values.forall(_.ok),
+      reports.map { case (i, r) => s"$i: ${r.problems}" }.mkString("; "))
+
+    // appended rows are readable and correctly placed
+    val t1 = spark.read.json(s"$root/data/_index=t1")
+    assert(t1.count() === before("t1").totalDocs + 150)
+    assert(t1.filter(col("_shard") =!=
+      graft.functions.EsFunctions.es_shard(col("_routing"), 2)).count() === 0)
+
+    // an unseen _index value auto-creates its manifest (new-tenant case)
+    DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
+      .withColumn("_index", lit("t9"))
+      .write.format("graft-bundle").mode("append").save(root)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/manifest_t9.json")))
+    val after = BundleValidate.validateMulti(spark, root)
+    assert(after.size === 3 && after.values.forall(_.ok),
+      after.map { case (i, r) => s"$i: ${r.problems}" }.mkString("; "))
+  }
+
+  test("CLI --mode append --index-col routes source rows into a multi-index bundle") {
+    val out = Files.createTempDirectory("graft-v2w-mcli").toString
+    val root = s"$out/multi"
+    val routed = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+      .withColumn("tier", lit("t0"))
+    BundleSink.writeMulti(routed, root, "tier", numShards = 2,
+      partitionMultiples = 2)
+    // drive Main's append body the way the CLI does: parse, keep the index
+    // column through DocTransform, rename to _index, insertInto
+    val (cfg, mode) = Main.parse(Array("--mode", "append",
+      "--input", "/root/testdata/sf0.001/nation.parquet",
+      "--out", out, "--index", "multi", "--id", "n_nationkey",
+      "--index-col", "tier"))
+    assert(mode === "append")
+    val raw = Main.rawFlags(Array("--mode", "append", "--index-col", "tier"))
+    val src = spark.read.parquet(cfg.input).where(cfg.where)
+      .withColumn("tier", concat(lit("t"), pmod(col("n_nationkey"), lit(2))))
+    val docs = DocTransform.docs(src, cfg.id, Option(cfg.routing),
+      keepCols = Seq(raw("index-col"))).withColumnRenamed(raw("index-col"), "_index")
+    val res = BundleSink.insertInto(docs, s"${cfg.outDir}/${cfg.indexName}",
+      overwrite = false)
+    assert(res.totalDocs === 25L + 1500L, s"aggregate result off: $res")
+    assert(BundleValidate.validateMulti(spark, root).values.forall(_.ok))
   }
 
   test("CLI --mode append: docs built from source rows, appended under the contract") {
