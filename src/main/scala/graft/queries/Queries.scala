@@ -1558,6 +1558,41 @@ object Queries {
           .orderBy("seq_id")
       }),
 
+    // ---- packing conservation twin (hash-exact oracle for q75's laws):
+    //      the ASSIGNMENT itself is not SQL-expressible (bin packing), but
+    //      its conservation invariants are — total assigned tokens and
+    //      chunk count are pure functions of the doc lengths (every
+    //      ntok>0 doc fully assigned, long docs split into ⌈n/maxLen⌉
+    //      chunks), coverage = every such doc appears, and the per-seq
+    //      budget surfaces as a violation count DuckDB pins at zero. A
+    //      packing bug (lost chunk, over-full bin, dropped doc, wrong
+    //      split) breaks the hash. ----
+    QueryDef("q79_pack_conservation",
+      Some("""WITH d AS (
+             |  SELECT len(string_split_regex(trim(text), '\s+')) AS ntok
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE text IS NOT NULL),
+             |v AS (SELECT ntok FROM d WHERE ntok > 0)
+             |SELECT CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             |       CAST(sum(CAST(ceil(ntok / 128.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(0 AS BIGINT) AS over_budget
+             |FROM v""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("ntok"))
+        val asg = graft.ext.Packing.packAssignments(d, "doc_id", "ntok",
+          maxLen = 128, numBuckets = 8)
+        val totals = asg.agg(
+          sum(col("tok_end") - col("tok_begin")).as("total_tokens"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        val budget = asg.groupBy("seq_id")
+          .agg(sum(col("tok_end") - col("tok_begin")).as("st"))
+          .agg(sum(when(col("st") > 128, 1L).otherwise(0L)).as("over_budget"))
+        totals.crossJoin(budget)
+      }),
+
     // ---- trained quality filter (GPT-3/CCNet-style LR over hashed
     //      n-grams): positives = documents as-is, negatives = the same
     //      text deterministically corrupted (vowels+spaces smashed, so
