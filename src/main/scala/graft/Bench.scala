@@ -615,6 +615,60 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] mix 1m failed: ${e.getMessage}"); "{}" } }
 
+    // streaming carry-packing at the 1M tier: the same corpus arrives as 4
+    // micro-batches of 250k docs (REAL token arrays this time — the carry
+    // path's cost includes merging carried input_ids, so benching counts
+    // only would flatter it); open bins thread batch-to-batch through a
+    // materialized state frame, like the stream's packbins snapshots.
+    // Reported: per-batch seconds, fill of EMITTED sequences, and the
+    // batch path's fill on the identical corpus as the comparison point.
+    val packCarry1mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("pack_carry_1m") { try {
+        import org.apache.spark.sql.functions.{coalesce, count => fcount, expr, lit, size => fsize}
+        val maxLen = 512
+        val nBatches = 4
+        val per = 250000L
+        def batchDocs(b: Int) =
+          spark.range(b * per, (b + 1) * per).select(col("id").as("doc_id"),
+            // 16..479 tokens/doc (avg ~247): arrays are the honest payload
+            expr("sequence(1, cast(16 + pmod(xxhash64(id), 464) as int))")
+              .as("toks")).repartition(32)
+        var carried: Option[org.apache.spark.sql.DataFrame] = None
+        var emittedSeqs = 0L
+        var emittedTok = 0L
+        val batchSecs = (0 until nBatches).map { b =>
+          val docs = batchDocs(b)
+          time {
+            val (emitted, open) = graft.ext.Packing.packCarryBatch(docs,
+              "doc_id", "toks", carried, b.toLong, maxLen,
+              numBuckets = 250, carryBatches = 1)
+            val agg = emitted.agg(fcount(lit(1)),
+              coalesce(fsum("n_tokens"), lit(0L))).head()
+            emittedSeqs += agg.getLong(0); emittedTok += agg.getLong(1)
+            // materialize the carried state like a real stream's snapshot
+            carried.foreach(_.unpersist())
+            carried = Some(open.localCheckpoint())
+          }
+        }
+        val pendingTok = carried.map(_.agg(
+          coalesce(fsum(fsize(col("input_ids"))), lit(0L))).head().getLong(0))
+          .getOrElse(0L)
+        carried.foreach(_.unpersist())
+        val fillEmitted = emittedTok.toDouble / (emittedSeqs * maxLen)
+        // comparison: one global batch-path packing of the same corpus
+        // (counts only — same number as pack_1m's fill law, same maxLen)
+        val allCounts = spark.range(nBatches * per).select(col("id").as("doc_id"),
+          expr("cast(16 + pmod(xxhash64(id), 464) as int)").as("ntok"))
+        val batchSeqs = graft.ext.Packing.packAssignments(allCounts, "doc_id",
+          "ntok", maxLen, numBuckets = 250).select("seq_id").distinct().count()
+        val totalTok = allCounts.agg(fsum("ntok")).head().getLong(0)
+        val fillBatch = totalTok.toDouble / (batchSeqs * maxLen)
+        val secsJson = batchSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+        f"""{"rows":${nBatches * per},"batches":$nBatches,"max_len":$maxLen,"batch_secs":$secsJson,"emitted_seqs":$emittedSeqs,"fill_emitted":$fillEmitted%.4f,"fill_batch_path":$fillBatch%.4f,"pending_tokens":$pendingTok}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pack carry 1m failed: ${e.getMessage}"); "{}" } }
+
     val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)},"clustered_1m":${curveJson(ann1mCurve)}}"""
 
     val all = results :+ ("sink_bundle" -> sinkSec) :+
@@ -651,7 +705,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"mix_1m":$mix1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"mix_1m":$mix1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it
