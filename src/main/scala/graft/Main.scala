@@ -37,7 +37,8 @@ object Main {
     "decontaminate-min-hits", "pack-max-len", "pack-buckets", "pack-ranks",
     "pack-seed", "pack-carry", "mix-budget", "mix-temperature",
     "mix-source-col", "tokens-col", "negative", "quality-dim",
-    "quality-model", "quality-min", "quality-prob-min")
+    "quality-model", "quality-min", "quality-prob-min",
+    "quality-pareto-alpha", "quality-pareto-seed")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -263,7 +264,11 @@ object Main {
             // the heuristic one: P(doc ~ seed) >= --quality-prob-min
             qualityModel = raw.get("quality-model")
               .map(p => graft.ext.QualityClassifier.load(spark, p)),
-            qualityProbMin = raw.getOrElse("quality-prob-min", "0.5").toDouble)
+            qualityProbMin = raw.getOrElse("quality-prob-min", "0.5").toDouble,
+            // --quality-pareto-alpha A: GPT-3-style sampling gate instead
+            // of the hard threshold (deterministic md5-seeded draws)
+            qualityParetoAlpha = raw.get("quality-pareto-alpha").map(_.toDouble),
+            qualityParetoSeed = raw.getOrElse("quality-pareto-seed", "0").toLong)
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")
@@ -299,6 +304,8 @@ object Main {
               // scores against a pre-trained artifact, never retrains)
               qualityModelPath = raw.get("quality-model"),
               qualityProbMin = raw.getOrElse("quality-prob-min", "0.5").toDouble,
+              qualityParetoAlpha = raw.get("quality-pareto-alpha").map(_.toDouble),
+              qualityParetoSeed = raw.getOrElse("quality-pareto-seed", "0").toLong,
               nearDupThreshold = raw.getOrElse("neardup-threshold", "0.9").toDouble,
               annIndexDir = raw.get("ann-index"),
               embeddingCol = raw.getOrElse("embedding-col", "embedding"),

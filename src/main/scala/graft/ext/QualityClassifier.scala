@@ -94,6 +94,35 @@ object QualityClassifier {
       .drop("_features")
   }
 
+  /**
+   * GPT-3-style importance sampling over a quality score (the published
+   * alternative to a hard threshold: GPT-3 appendix A kept a crawl
+   * document when `np.random.pareto(alpha) > 1 - document_score`,
+   * alpha = 9) — high scorers are near-certain keeps while low scorers
+   * survive with probability `(2 - s)^(-alpha)`, a smooth tail of
+   * ordinary text instead of a cliff at the threshold.
+   *
+   * DETERMINISTIC and PORTABLE where numpy's RNG is neither: the Pareto
+   * draw is the inverse-CDF transform `(1-u)^(-1/alpha) - 1` of a
+   * uniform built from `md5("<seed>:<id>")` (the same portable-hash
+   * argument as [[Packing.shardSequences]] / its q77 oracle — any engine
+   * recomputes the identical keep set, bit for bit). Consequences: a
+   * replayed streaming batch keeps exactly the docs it first kept, a
+   * re-run pipeline is reproducible, and the keep decision is
+   * oracle-checkable. Map-only; `seed` gives independent resamples.
+   */
+  def paretoSample(df: DataFrame, idCol: String, scoreCol: String,
+                   alpha: Double = 9.0, seed: Long = 0L): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    // 13 hex chars = 52 bits: exactly representable in a double, so the
+    // uniform (v / 2^52) is the same value on every engine
+    val u = conv(substring(md5(concat_ws(":",
+        lit(seed), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("double") / math.pow(2, 52)
+    val draw = pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)
+    df.filter(col(scoreCol).isNotNull && draw > lit(1.0) - col(scoreCol))
+  }
+
   /** Persist as a single JSON artifact (any Hadoop FS), like the BPE
     * model: `{"dim":...,"intercept":...,"idx":[...],"w":[...]}`. */
   def save(spark: org.apache.spark.sql.SparkSession, model: QualityModel,

@@ -104,7 +104,9 @@ object CorpusPipeline {
           packRanks: Option[Int] = None,
           packSeed: Long = 0L,
           qualityModel: Option[graft.ext.QualityModel] = None,
-          qualityProbMin: Double = 0.5): Stats = {
+          qualityProbMin: Double = 0.5,
+          qualityParetoAlpha: Option[Double] = None,
+          qualityParetoSeed: Long = 0L): Stats = {
     val raw = spark.read.parquet(input)
     val docs =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -113,13 +115,19 @@ object CorpusPipeline {
 
     val surface = docs.filter(TextAnalysis.qualityScoreRaw(col(textCol)) >= qualityMin)
     // trained quality gate, composed after the heuristic one: map-only
-    // scoring (broadcast model + sparse dot per doc — no exchange), then a
-    // plain probability threshold. Null text scores null => dropped here.
+    // scoring (broadcast model + sparse dot per doc — no exchange), then
+    // either a plain probability threshold or the GPT-3 Pareto sampling
+    // gate (qualityParetoAlpha — smooth low-score tail, deterministic
+    // md5-seeded draws). Null text scores null => dropped here.
     val (gated, nModel) = qualityModel match {
       case Some(m) =>
-        val kept = graft.ext.QualityClassifier
+        val scored = graft.ext.QualityClassifier
           .score(surface, textCol, m, "_qprob")
-          .filter(col("_qprob") >= qualityProbMin).drop("_qprob")
+        val kept = (qualityParetoAlpha match {
+          case Some(a) => graft.ext.QualityClassifier.paretoSample(
+            scored, idCol, "_qprob", a, qualityParetoSeed)
+          case None => scored.filter(col("_qprob") >= qualityProbMin)
+        }).drop("_qprob")
         (kept, kept.count())
       case None => (surface, -1L)
     }

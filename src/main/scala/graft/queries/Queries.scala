@@ -1593,6 +1593,31 @@ object Queries {
         totals.crossJoin(budget)
       }),
 
+    // ---- Pareto importance-sampling gate (GPT-3 appendix A: keep when
+    //      pareto(alpha) > 1 - score). The draw is the inverse-CDF
+    //      transform of an md5-derived uniform — PORTABLE, so DuckDB
+    //      recomputes the identical keep set (same argument as q77). The
+    //      score here is a deterministic proxy (length saturation) so the
+    //      oracle pins the SAMPLING math hash-exact; the trained-model
+    //      score path is covered by q78 + QualityClassifierSpec laws. ----
+    QueryDef("q80_pareto_sample",
+      Some("""SELECT doc_id
+             |FROM (
+             |  SELECT doc_id,
+             |    LEAST(n_chars / 400.0, 0.95) AS score,
+             |    CAST(('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+             |      / 4503599627370496.0 AS u
+             |  FROM read_parquet('{SFDIR}/documents.parquet'))
+             |WHERE pow(1.0 - u, -1.0 / 9.0) - 1.0 > 1.0 - score
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          least(col("n_chars") / lit(400.0), lit(0.95)).as("score"))
+        graft.ext.QualityClassifier
+          .paretoSample(scored, "doc_id", "score", alpha = 9.0, seed = 7L)
+          .select("doc_id").orderBy("doc_id")
+      }),
+
     // ---- trained quality filter (GPT-3/CCNet-style LR over hashed
     //      n-grams): positives = documents as-is, negatives = the same
     //      text deterministically corrupted (vowels+spaces smashed, so

@@ -54,6 +54,8 @@ object StreamingCorpus {
                     numShards: Int = 3, qualityMin: Double = 0.5,
                     qualityModelPath: Option[String] = None,
                     qualityProbMin: Double = 0.5,
+                    qualityParetoAlpha: Option[Double] = None,
+                    qualityParetoSeed: Long = 0L,
                     nearDupThreshold: Double = 0.9,
                     numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
                     annIndexDir: Option[String] = None,
@@ -128,8 +130,15 @@ object StreamingCorpus {
       case Some(p) =>
         val m = qualityCache.computeIfAbsent(p,
           pp => graft.ext.QualityClassifier.load(spark, pp))
-        graft.ext.QualityClassifier.score(heuristic, cfg.textCol, m, "_qprob")
-          .filter(col("_qprob") >= cfg.qualityProbMin).drop("_qprob")
+        val scored = graft.ext.QualityClassifier
+          .score(heuristic, cfg.textCol, m, "_qprob")
+        // Pareto gate stays replay-exact on a stream: the draw is a pure
+        // function of (seed, doc id), no RNG state to checkpoint
+        (cfg.qualityParetoAlpha match {
+          case Some(a) => graft.ext.QualityClassifier.paretoSample(
+            scored, cfg.idCol, "_qprob", a, cfg.qualityParetoSeed)
+          case None => scored.filter(col("_qprob") >= cfg.qualityProbMin)
+        }).drop("_qprob")
       case None => heuristic
     }
 

@@ -61,4 +61,37 @@ class QualityClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring shuffled:\n$plan")
   }
+  test("paretoSample: portable draws (independent md5 reimpl), monotone in score, smooth tail") {
+    val ids = (0L until 4000L)
+    // independent reimplementation of the draw: MessageDigest md5 over
+    // "<seed>:<id>", first 13 hex chars as 52-bit uniform, inverse-CDF
+    def keep(id: Long, score: Double, seed: Long, alpha: Double): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble /
+        math.pow(2, 52)
+      math.pow(1.0 - u, -1.0 / alpha) - 1.0 > 1.0 - score
+    }
+    val df = ids.map(i => (i, 0.5)).toDF("doc_id", "score")
+    val kept = QualityClassifier.paretoSample(df, "doc_id", "score", 9.0, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = ids.filter(keep(_, 0.5, 7L, 9.0)).toSet
+    assert(kept === expected, "Spark draw != independent md5 reimplementation")
+    // smooth tail, not a cliff: score 0.5 survives at ~(2-0.5)^(-9) = 2.6%
+    assert(kept.size > 20 && kept.size < 400, s"${kept.size} of 4000 at score 0.5")
+    // monotone per id: raising the score can only add keeps
+    val kept9 = QualityClassifier.paretoSample(
+      ids.map(i => (i, 0.9)).toDF("doc_id", "score"), "doc_id", "score", 9.0, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(kept9), "keep set not monotone in score")
+    // a perfect score is a near-certain keep (draw > 0 for every u > 0)
+    val kept1 = QualityClassifier.paretoSample(
+      ids.map(i => (i, 1.0)).toDF("doc_id", "score"), "doc_id", "score", 9.0, 7L).count()
+    assert(kept1 === 4000L)
+    // a new seed is an independent resample
+    val reseeded = QualityClassifier.paretoSample(df, "doc_id", "score", 9.0, 8L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reseeded !== kept, "reseed must change the sample")
+  }
 }
