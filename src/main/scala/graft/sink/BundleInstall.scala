@@ -213,6 +213,23 @@ object BundleInstall {
     }
   }
 
+  /** Read through an alias: resolve it at the install root and open the
+    * bundle it points to with the connector — the reference search
+    * client's "query the alias, not the index" usage. Multi-index
+    * bundles scope the read to the alias's own `_index=` partition. */
+  def readAlias(spark: SparkSession, installDir: String,
+                alias: String): org.apache.spark.sql.DataFrame = {
+    val (bundle, idx) = resolveAlias(spark, installDir, alias).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"alias '$alias' resolves to nothing under $installDir/_aliases"))
+    val root = s"$installDir/$bundle"
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.format("graft-bundle").load(root)
+    if (fs.exists(new Path(root, "manifest.json"))) df
+    else df.filter(org.apache.spark.sql.functions.col("_index") === idx)
+  }
+
   private def manifestCompleted(fs: FileSystem, dir: Path): Boolean = {
     val in = fs.open(new Path(dir, "manifest.json"))
     val m = new String(in.readAllBytes(), "UTF-8")

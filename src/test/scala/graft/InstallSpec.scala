@@ -240,4 +240,24 @@ class InstallSpec extends SparkSpec {
       === Some(("idx_v2", "idx_v2")))
     assert(Files.exists(markerPath), "old bundle's record must survive the swap")
   }
+  test("readAlias: the alias serves reads, swap repoints them to the new bundle") {
+    val incoming = Files.createTempDirectory("graft-install-ra-in").toString
+    val installed = Files.createTempDirectory("graft-install-ra-out").toString
+    val orders = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    BundleSink.write(orders, s"$incoming/v1", numShards = 2,
+      partitionMultiples = 2, repartition = true, indexName = "v1",
+      alias = Some("live"))
+    BundleInstall.installOnce(spark, incoming, installed)
+    assert(BundleInstall.readAlias(spark, installed, "live").count() === 1500L)
+    // newer bundle under the same alias: reads follow the swap
+    val nations = DocTransform.docs(sf("sf0.001", "nation"), "n_nationkey", None)
+    BundleSink.write(nations, s"$incoming/v2", numShards = 2,
+      partitionMultiples = 2, repartition = true, indexName = "v2",
+      alias = Some("live"))
+    BundleInstall.installOnce(spark, incoming, installed)
+    assert(BundleInstall.readAlias(spark, installed, "live").count() === 25L)
+    intercept[java.util.NoSuchElementException] {
+      BundleInstall.readAlias(spark, installed, "ghost")
+    }
+  }
 }
