@@ -113,4 +113,38 @@ class ConcurrentAppendSpec extends SparkSpec {
     assert(BundleManifest.shardCounts(spark, dir).get.values.sum === 5)
     assert(BundleValidate.validate(spark, dir).ok)
   }
+  test("racing multi-index appends: same-index races merge, cross-index never contend, validateMulti green") {
+    val out = Files.createTempDirectory("graft-casapp-multi").toString
+    val root = s"$out/multi"
+    val base = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+      .withColumn("tier", concat(lit("t"), pmod(col("_id").cast("long"), lit(2))))
+    val before = BundleSink.writeMulti(base, root, "tier", numShards = 2,
+      partitionMultiples = 2)
+    // 6 racing appends: 4 into t0 (same-index CAS contention), 2 into t1,
+    // each with thread-unique ids
+    def d(tag: String, tier: String) = DocTransform.docs(
+      sf("sf0.001", "region").withColumn("rid",
+        concat(lit(s"$tag-"), col("r_regionkey"))), "rid", None)
+      .withColumn("_index", lit(tier))
+    val fs = Await.result(Future.sequence(
+      (0 until 4).map(i => Future(BundleSink.insertIntoMulti(d(s"a$i", "t0"), root))) ++
+      (0 until 2).map(i => Future(BundleSink.insertIntoMulti(d(s"b$i", "t1"), root)))),
+      5.minutes)
+    val expT0 = before("t0").totalDocs + 4 * 5
+    val expT1 = before("t1").totalDocs + 2 * 5
+    // final chain state per index carries every delta
+    assert(fs.flatMap(_.get("t0")).map(_.totalDocs).max === expT0,
+      "a lost update dropped t0 counts")
+    assert(fs.flatMap(_.get("t1")).map(_.totalDocs).max === expT1,
+      "a lost update dropped t1 counts")
+    // mirrors converged and every index validates (counts + placement)
+    val reports = BundleValidate.validateMulti(spark, root)
+    assert(reports("t0").shards.map(_.docs).sum === expT0)
+    assert(reports("t1").shards.map(_.docs).sum === expT1)
+    assert(reports.values.forall(_.ok),
+      reports.map { case (i, r) => s"$i: ${r.problems}" }.mkString("; "))
+    // data agrees with the manifests
+    val t0 = spark.read.json(s"$root/data/_index=t0").count()
+    assert(t0 === expT0)
+  }
 }
