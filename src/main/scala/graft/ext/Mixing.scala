@@ -237,4 +237,34 @@ object Mixing {
         16, 10).cast("double"))
     case _ => None
   }
+  /**
+   * Cluster-balanced sampling — temperature mixing where the "source" is a
+   * LATENT topic cluster of the document's embedding rather than a
+   * provenance column. Provenance balancing can't see that one crawl
+   * source is 80% the same topic; this derives `cluster_id` from `k`
+   * spherical k-means centroids over `embeddingCol`
+   * ([[Similarity.assignClusters]] — bounded driver-sample training, one
+   * map-only argmax labeling pass) and then runs the standard
+   * [[temperatureMix]] budget math over the clusters: budget per topic ∝
+   * (its natural cost mass)^temperature, selection = the deterministic
+   * ordered prefix. The whole stage adds ONE aggregate (cluster masses)
+   * and the usual bucketed prefix-cap shuffles on top of the labeling
+   * projection — no new shuffle shapes at 100 TB.
+   *
+   * Returned rows keep `cluster_id` (reporting/debug); rows with null or
+   * wrong-dimension embeddings are dropped by the labeling step.
+   * Deterministic end to end (sampling, init, budgets, prefix all
+   * seeded/integer), so reruns select the identical subset.
+   */
+  def clusterBalancedSample(docs: DataFrame, idCol: String,
+                            embeddingCol: String, cost: Column,
+                            totalBudget: Long, k: Int,
+                            temperature: Double = 0.5,
+                            kmeansIters: Int = 4,
+                            numBuckets: Int = 32): DataFrame = {
+    val labeled = Similarity.assignClusters(docs, idCol, embeddingCol, k,
+      kmeansIters)
+    temperatureMix(labeled, "cluster_id", idCol, cost, totalBudget,
+      temperature, numBuckets)
+  }
 }

@@ -195,6 +195,28 @@ object Similarity {
       .map { case (v, i) => (i, v) }.toSeq.toDF("cent_id", "_centv"))
   }
 
+  /**
+   * Latent-cluster labels over an embedding column: trains `k` spherical
+   * k-means centroids (bounded driver sample + deterministic
+   * farthest-point init — the [[kmeansCentroids]] trainer) and adds
+   * `cluster_id` to EVERY surviving row as one codegen'd argmax
+   * projection — map-only, no join, no shuffle; rows with null or
+   * wrong-dimension embeddings are dropped (they have no position in the
+   * space). Deterministic for a given corpus: same sample, same seeds,
+   * same centroids, same labels on any cluster layout. The label column
+   * is what topic-aware curation stages group by
+   * ([[Mixing.clusterBalancedSample]]).
+   */
+  def assignClusters(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 4,
+                     outCol: String = "cluster_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cents = kmeansArray(df, idCol, vecCol, k, iters)
+    val dim = cents.head.length
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === lit(dim))
+      .withColumn(outCol, argBestCell(cents, unitize(asDouble(col(vecCol)))))
+  }
+
   /** Centroid set flattened to the payload form the assignment kernels take:
     * one nlist x dim array riding the expression as a reference object. */
   private def flatCents(cents: IndexedSeq[Seq[Double]]): (Array[Double], Int, Int) = {

@@ -1593,6 +1593,25 @@ object Queries {
         totals.crossJoin(budget)
       }),
 
+    // ---- cluster-balanced sampling (topic balancing: temperature budgets
+    //      over LATENT k-means clusters of the embedding instead of a
+    //      provenance column). k-means labels are engine-specific ->
+    //      rows-only; determinism/budget/rebalancing laws in MixingSpec ----
+    QueryDef("q81_cluster_mix", None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("cost"))
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val joined = docs.join(emb, "doc_id")
+        val budget = 100000L
+        graft.ext.Mixing.clusterBalancedSample(joined, "doc_id",
+            "embedding", col("cost"), budget, k = 8)
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_kept"), sum("cost").as("cost_kept"))
+          .orderBy("cluster_id")
+      }),
+
     // ---- Pareto importance-sampling gate (GPT-3 appendix A: keep when
     //      pareto(alpha) > 1 - score). The draw is the inverse-CDF
     //      transform of an md5-derived uniform — PORTABLE, so DuckDB

@@ -180,4 +180,56 @@ class MixingSpec extends SparkSpec {
     assert(b === a)
     assert(a.nonEmpty && a.size < 100)
   }
+  test("clusterBalancedSample: latent topics rebalanced; deterministic; per-cluster budgets honored") {
+    val rnd = new scala.util.Random(61)
+    // two planted topics in 16-dim: axis-0-heavy (90% of docs) and
+    // axis-1-heavy (10%), unit-ish with small jitter — spherical k-means
+    // at k=2 separates them exactly
+    def vec(axis: Int) = {
+      val a = Array.fill(16)(rnd.nextGaussian() * 0.05f)
+      a(axis) = 1f + rnd.nextGaussian().toFloat * 0.05f
+      a.toSeq
+    }
+    val docs = (0L until 1000L).map { i =>
+      val axis = if (i % 10 == 0) 1 else 0        // 100 small-topic docs
+      (i, vec(axis), 100L)                        // uniform cost 100
+    }.toDF("doc_id", "embedding", "cost")
+
+    val budget = 30000L // natural masses: big 90000, small 10000
+    val kept = graft.ext.Mixing.clusterBalancedSample(docs, "doc_id",
+      "embedding", col("cost"), budget, k = 2, temperature = 0.5)
+    val byCluster = kept.groupBy("cluster_id")
+      .agg(sum("cost").as("c"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // the labeling itself must recover the plant: cluster sizes 900/100
+    val labeled = graft.ext.Similarity.assignClusters(docs, "doc_id", "embedding", 2)
+    val sizes = labeled.groupBy("cluster_id").count()
+      .collect().map(r => r.getLong(1)).sorted
+    assert(sizes.toSeq === Seq(100L, 900L), s"k-means missed the plant: ${sizes.toSeq}")
+
+    // budgets honored: per-cluster kept cost <= its temperature budget,
+    // computed independently through the same public integer math
+    val masses = labeled.groupBy(col("cluster_id").cast("string").as("s"))
+      .agg(sum("cost").as("c")).collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val budgets = graft.ext.Mixing.temperatureBudgets(masses, budget, 0.5).toMap
+    byCluster.foreach { case (cl, (c, _)) =>
+      assert(c <= budgets(cl.toString), s"cluster $cl kept $c > budget ${budgets(cl.toString)}")
+    }
+    // balancing: at tau=0.5 the small topic's kept share must EXCEED its
+    // natural 10% share (sqrt weighting: 100/400 = 25% of the budget)
+    val total = byCluster.values.map(_._1).sum
+    val smallCluster = labeled.filter(col("doc_id") % 10 === 0)
+      .select("cluster_id").head().getInt(0)
+    val smallShare = byCluster(smallCluster)._1.toDouble / total
+    assert(smallShare > 0.2, s"small topic share $smallShare not rebalanced")
+    assert(total <= budget, s"total kept $total exceeds the global budget")
+
+    // determinism: a rerun selects the identical subset
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.ext.Mixing.clusterBalancedSample(docs, "doc_id",
+      "embedding", col("cost"), budget, k = 2, temperature = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2, "rerun selected a different subset")
+  }
 }
