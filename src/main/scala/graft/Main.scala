@@ -38,7 +38,7 @@ object Main {
     "pack-seed", "pack-carry", "mix-budget", "mix-temperature",
     "mix-source-col", "tokens-col", "negative", "quality-dim",
     "quality-model", "quality-min", "quality-prob-min",
-    "quality-pareto-alpha", "quality-pareto-seed")
+    "quality-pareto-alpha", "quality-pareto-seed", "mix-cluster-k")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -268,7 +268,14 @@ object Main {
             // --quality-pareto-alpha A: GPT-3-style sampling gate instead
             // of the hard threshold (deterministic md5-seeded draws)
             qualityParetoAlpha = raw.get("quality-pareto-alpha").map(_.toDouble),
-            qualityParetoSeed = raw.getOrElse("quality-pareto-seed", "0").toLong)
+            qualityParetoSeed = raw.getOrElse("quality-pareto-seed", "0").toLong,
+            // mixture weights after dedup (batch form of the streaming
+            // stage); --mix-cluster-k K balances latent embedding topics
+            // instead of the --mix-source-col provenance column
+            mixBudget = raw.get("mix-budget").map(_.toLong),
+            mixTemperature = raw.getOrElse("mix-temperature", "0.5").toDouble,
+            mixSourceCol = raw.getOrElse("mix-source-col", "source"),
+            mixClusterK = raw.get("mix-cluster-k").map(_.toInt))
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")
@@ -281,6 +288,8 @@ object Main {
           if (st.droppedVsIndex >= 0)
             println(s"  dropped vs index: ${st.droppedVsIndex}")
           println(s"  after near-dup:   ${st.afterNearDup}")
+          if (st.afterMix >= 0)
+            println(s"  after mix:        ${st.afterMix}")
           println(s"  total BPE tokens: ${st.totalTokens}")
           if (st.packedSeqs >= 0)
             println(s"  packed sequences: ${st.packedSeqs}")

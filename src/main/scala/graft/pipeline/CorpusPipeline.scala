@@ -63,6 +63,12 @@ import org.apache.spark.sql.functions._
  *    strands docs as indexed-but-unemitted (the membership guard would
  *    silently drop them from every retry). Cross-run state lives in
  *    the index's own cells; no corpus-x-corpus rescan ever happens.
+ *  - mix (`mixBudget = Some(b)`): temperature-reweighted mixture weights
+ *    over the deduped corpus ([[graft.ext.Mixing.temperatureMix]] on
+ *    `mixSourceCol`, or [[graft.ext.Mixing.clusterBalancedSample]] over
+ *    latent embedding topics when `mixClusterK` is set) — BEFORE
+ *    tokenization, so the BPE trains on the mixed distribution. The batch
+ *    form of the streaming pipeline's `mixBudget` stage.
  *  - tokenize: BPE trained on the SURVIVING corpus, tokens + counts land as
  *    typed columns in the columnar bundle; the model is persisted next to
  *    the manifest for downstream reuse.
@@ -73,7 +79,8 @@ object CorpusPipeline {
                    afterNearDup: Long, totalTokens: Long,
                    bundle: BundleSink.Result, afterLm: Long = -1L,
                    droppedVsIndex: Long = -1L, afterDecontam: Long = -1L,
-                   packedSeqs: Long = -1L, afterModelQuality: Long = -1L)
+                   packedSeqs: Long = -1L, afterModelQuality: Long = -1L,
+                   afterMix: Long = -1L)
 
   /** Does `dir` hold a complete [[graft.ext.Similarity.buildIndex]] layout? */
   private def annIndexExists(spark: SparkSession, dir: String): Boolean = {
@@ -106,7 +113,11 @@ object CorpusPipeline {
           qualityModel: Option[graft.ext.QualityModel] = None,
           qualityProbMin: Double = 0.5,
           qualityParetoAlpha: Option[Double] = None,
-          qualityParetoSeed: Long = 0L): Stats = {
+          qualityParetoSeed: Long = 0L,
+          mixBudget: Option[Long] = None,
+          mixTemperature: Double = 0.5,
+          mixSourceCol: String = "source",
+          mixClusterK: Option[Int] = None): Stats = {
     val raw = spark.read.parquet(input)
     val docs =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -231,7 +242,35 @@ object CorpusPipeline {
           .select(col("id").as(idCol))
       else pairs.select(col("id_b").as(idCol)).distinct()
     val dropIds = priorDrops.foldLeft(inRunDrops)(_ unionByName _).distinct()
-    val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
+    val deduped = exact.join(dropIds, Seq(idCol), "left_anti")
+
+    // mixture weights AFTER dedup, BEFORE tokenization (the streaming
+    // pipeline's mixBudget stage, batch form): per-source temperature
+    // budgets over char cost, deterministic id-ordered prefix per source.
+    // mixClusterK switches the grouping to LATENT k-means topics of
+    // `embeddingCol` (clusterBalancedSample) — for corpora whose imbalance
+    // is topical, not provenance-shaped. The BPE trains on the MIXED
+    // corpus, so over-represented sources/topics can't dominate the vocab.
+    val (survivors, nDedup) = mixBudget match {
+      case None => (deduped, -1L)
+      case Some(b) =>
+        val cost = length(col(textCol)).cast("long")
+        val mixed = mixClusterK match {
+          case Some(k) =>
+            require(deduped.columns.contains(embeddingCol),
+              s"mixClusterK needs column '$embeddingCol' on the corpus")
+            graft.ext.Mixing.clusterBalancedSample(deduped, idCol,
+                embeddingCol, cost, b, k, mixTemperature)
+              .drop("_cum", "cluster_id")
+          case None =>
+            require(deduped.columns.contains(mixSourceCol),
+              s"mixBudget needs column '$mixSourceCol' on the corpus " +
+                "(or set mixClusterK for latent-topic balancing)")
+            graft.ext.Mixing.temperatureMix(deduped, mixSourceCol, idCol,
+              cost, b, mixTemperature).drop("_cum")
+        }
+        (mixed, deduped.count())
+    }
     val nSurvivors = survivors.count()
 
     // tokenizer trained on what survives (junk filtered out above), ridden
@@ -306,8 +345,11 @@ object CorpusPipeline {
         ()
       }
     }
-    Stats(nInput, nQuality, nExact, nSurvivors, totalTokens, res,
+    Stats(nInput, nQuality, nExact,
+      afterNearDup = if (nDedup >= 0) nDedup else nSurvivors,
+      totalTokens = totalTokens, bundle = res,
       afterLm = nLm, droppedVsIndex = nVsIndex, afterDecontam = nDecontam,
-      packedSeqs = nPacked, afterModelQuality = nModel)
+      packedSeqs = nPacked, afterModelQuality = nModel,
+      afterMix = if (mixBudget.isDefined) nSurvivors else -1L)
   }
 }

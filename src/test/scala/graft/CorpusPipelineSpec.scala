@@ -479,4 +479,42 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids === (0L until 10L).toSet)
   }
+  test("mixBudget: batch pipeline mixes the deduped corpus == direct temperatureMix; BPE sees the mix") {
+    val rnd = new scala.util.Random(67)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"the w${rnd.nextInt(400)} of and to a").mkString(" ")
+    // skewed corpus: "big" has 9x the docs of "small", all unique
+    val docs = (0L until 100L).map { i =>
+      (i, if (i % 10 == 0) "small" else "big", sentence(12))
+    }
+    val input = Files.createTempDirectory("graft-cp-mix-in").toString
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(input)
+
+    val out = Files.createTempDirectory("graft-cp-mix-out").toString
+    val budget = 20000L
+    val st = CorpusPipeline.run(spark, input, out, "corpus",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      bpeMerges = 30, bpeMaxWords = 2000,
+      mixBudget = Some(budget), mixTemperature = 0.5)
+    assert(st.afterNearDup === 100L, s"dedup count polluted by mixing: $st")
+    assert(st.afterMix >= 0 && st.afterMix < 100L, s"mix did not cap: $st")
+    assert(st.bundle.totalDocs === st.afterMix)
+
+    // parity: the bundle's ids == direct temperatureMix over the same
+    // survivors at the same knobs (quality passes everything here, no dups)
+    val direct = graft.ext.Mixing.temperatureMix(
+      docs.toDF("doc_id", "source", "text"), "source", "doc_id",
+      length(col("text")).cast("long"), budget, temperature = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = spark.read.parquet(s"$out/corpus/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === direct, "pipeline mix != direct temperatureMix")
+    // rebalancing: the small source's sqrt-weighted budget (25% of total)
+    // exceeds its whole mass, so ALL its docs survive while big is capped —
+    // its kept share rises above the 10% natural share
+    assert((0L until 100L by 10).forall(ids.contains),
+      "small source lost docs despite an uncapping budget")
+    val smallShare = ids.count(_ % 10 == 0).toDouble / ids.size
+    assert(smallShare > 0.12, s"small source share $smallShare not rebalanced")
+  }
 }
