@@ -1581,8 +1581,14 @@ object Queries {
       (s, dir) => {
         val d = t(s, dir, "documents").select(col("doc_id"),
           size(split(trim(col("text")), "\\s+")).as("ntok"))
+        // localCheckpoint: TWO aggregate branches consume the assignment
+        // below — without materialization the bucketed BFD pass (the
+        // expensive part, O(corpus)) would execute once per branch. The
+        // checkpointed frame is the slim (id, chunk, span, seq) rows,
+        // ~32 B/chunk.
         val asg = graft.ext.Packing.packAssignments(d, "doc_id", "ntok",
-          maxLen = 128, numBuckets = 8)
+            maxLen = 128, numBuckets = 8)
+          .localCheckpoint()
         val totals = asg.agg(
           sum(col("tok_end") - col("tok_begin")).as("total_tokens"),
           count(lit(1)).as("n_chunks"),
