@@ -211,7 +211,41 @@ object Similarity {
                      k: Int, iters: Int = 4,
                      outCol: String = "cluster_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val cents = kmeansArray(df, idCol, vecCol, k, iters)
+    assignClustersWith(df, vecCol, kmeansArray(df, idCol, vecCol, k, iters),
+      outCol)
+  }
+
+  /** Persist a standalone cluster-centroid artifact: `(cent_id, centv)`
+    * parquet, the SAME layout as a [[buildIndex]] directory's
+    * `centroids/` — so an existing ANN index's centroids serve directly
+    * as a frozen clustering for streams ([[loadClusterCentroids]]). */
+  def trainClusterCentroids(df: DataFrame, idCol: String, vecCol: String,
+                            k: Int, iters: Int = 4, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    kmeansArray(df, idCol, vecCol, k, iters).zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cent_id", "centv")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Driver-bounded centroid array from a `(cent_id, centv)` parquet dir
+    * (a [[trainClusterCentroids]] artifact or an index's `centroids/`). */
+  def loadClusterCentroids(spark: org.apache.spark.sql.SparkSession,
+                           path: String): IndexedSeq[Seq[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path).orderBy("cent_id")
+      .select(col("cent_id"), col("centv"))
+      .as[(Int, Seq[Double])].collect().map(_._2).toIndexedSeq
+  }
+
+  /** [[assignClusters]] against PRE-TRAINED centroids (the frozen form a
+    * stream needs: per-batch retraining would drift labels across batches
+    * and break replay determinism, the same argument as frozen BPE).
+    * Map-only; null/wrong-dimension embeddings drop. */
+  def assignClustersWith(df: DataFrame, vecCol: String,
+                         cents: IndexedSeq[Seq[Double]],
+                         outCol: String = "cluster_id"): DataFrame = {
+    require(cents.nonEmpty, "empty centroid set")
     val dim = cents.head.length
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) === lit(dim))
       .withColumn(outCol, argBestCell(cents, unitize(asDouble(col(vecCol)))))

@@ -73,7 +73,8 @@ object StreamingCorpus {
                     packCarry: Option[Int] = None,
                     mixBudget: Option[Long] = None,
                     mixTemperature: Double = 0.5,
-                    mixSourceCol: String = "source")
+                    mixSourceCol: String = "source",
+                    mixClusterCentroids: Option[String] = None)
 
   /** Frozen tokenizer for the packing stage, loaded once per stream
     * lifetime per path (the batch pipeline trains BPE on the full corpus;
@@ -89,6 +90,16 @@ object StreamingCorpus {
     * accept boundary across batches and break replay determinism). */
   private val qualityCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ext.QualityModel]()
+
+  /** Frozen cluster centroids for topic-balanced mixing
+    * (mixClusterCentroids): a `(cent_id, centv)` parquet artifact
+    * (`Similarity.trainClusterCentroids` / an ANN index's `centroids/`),
+    * loaded once per stream lifetime per path — a stream must label
+    * against PRE-TRAINED centroids (per-batch retraining would drift
+    * cluster ids across batches, corrupting the accumulated per-cluster
+    * mass/spend state and breaking replay). */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[Seq[Double]]]()
 
   /** Benchmark n-gram sets are static per (path, n, textCol): built once
     * per stream lifetime, reused by every batch (the set is deterministic,
