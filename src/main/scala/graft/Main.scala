@@ -38,7 +38,8 @@ object Main {
     "pack-seed", "pack-carry", "mix-budget", "mix-temperature",
     "mix-source-col", "tokens-col", "negative", "quality-dim",
     "quality-model", "quality-min", "quality-prob-min",
-    "quality-pareto-alpha", "quality-pareto-seed", "mix-cluster-k")
+    "quality-pareto-alpha", "quality-pareto-seed", "mix-cluster-k",
+    "mix-cluster-centroids", "kmeans-iters")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -104,7 +105,8 @@ object Main {
         // --index-col; validate without one means "--out is a multi-index
         // bundle root" (per-index validation)
         case "install" | "validate" | "multi" | "pack" |
-             "quality-train" | "quality-score" => m.getOrElse("index", "")
+             "quality-train" | "quality-score" | "train-centroids" =>
+          m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
              "ann-drift" | "ann-stream" | "ann-split" | "ann-maintain" |
@@ -340,7 +342,11 @@ object Main {
               // budgets re-derived per batch from total mass seen so far
               mixBudget = raw.get("mix-budget").map(_.toLong),
               mixTemperature = raw.getOrElse("mix-temperature", "0.5").toDouble,
-              mixSourceCol = raw.getOrElse("mix-source-col", "source")))
+              mixSourceCol = raw.getOrElse("mix-source-col", "source"),
+              // frozen-centroid topic balancing (--mode train-centroids
+              // artifact, or an ANN index's centroids/): the mix state is
+              // keyed by latent cluster_id instead of the provenance column
+              mixClusterCentroids = raw.get("mix-cluster-centroids")))
           q.awaitTermination(600000)
           val accepted = spark.read
             .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data").count()
@@ -422,6 +428,23 @@ object Main {
           kept.write.mode("overwrite").parquet(outP)
           val n = spark.read.parquet(outP).count()
           println(s"scored corpus: $n rows -> $outP")
+        case "train-centroids" =>
+          // frozen cluster-centroid artifact for topic-balanced mixing:
+          // spherical k-means over --embedding-col (bounded driver sample +
+          // deterministic init), persisted as (cent_id, centv) parquet —
+          // the artifact a --mix-cluster-centroids stream labels against
+          // (frozen ids keep the accumulated mix state stable across
+          // batches; an ANN index's centroids/ dir works interchangeably)
+          val raw = rawFlags(args)
+          val k = raw.getOrElse("mix-cluster-k", throw new IllegalArgumentException(
+            "--mode train-centroids requires --mix-cluster-k")).toInt
+          val docs = spark.read.parquet(cfg.input)
+          val outP = s"${cfg.outDir}/centroids"
+          graft.ext.Similarity.trainClusterCentroids(docs,
+            Option(cfg.id).getOrElse("doc_id"),
+            raw.getOrElse("embedding-col", "embedding"), k,
+            iters = raw.getOrElse("kmeans-iters", "4").toInt, path = outP)
+          println(s"cluster centroids: k=$k -> $outP")
         case "pack" =>
           // trainer-shape export over an ALREADY-tokenized corpus (e.g.
           // --mode tokenize output): tokenize once, re-pack at any context

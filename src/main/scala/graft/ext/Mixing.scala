@@ -267,4 +267,22 @@ object Mixing {
     temperatureMix(labeled, "cluster_id", idCol, cost, totalBudget,
       temperature, numBuckets)
   }
+
+  /** [[clusterBalancedSample]] against PRE-TRAINED centroids (a
+    * [[Similarity.trainClusterCentroids]] artifact or an ANN index's
+    * `centroids/`) instead of training in-call — the form the STREAMING
+    * mix stage labels with (frozen centroids keep cluster ids stable
+    * across batches), and the batch twin its single-batch parity law
+    * compares against. Same budget math, same deterministic prefix;
+    * rows with null or wrong-dimension embeddings drop in labeling. */
+  def clusterBalancedSampleWith(docs: DataFrame, idCol: String,
+                                embeddingCol: String, cost: Column,
+                                totalBudget: Long,
+                                cents: IndexedSeq[Seq[Double]],
+                                temperature: Double = 0.5,
+                                numBuckets: Int = 32): DataFrame = {
+    val labeled = Similarity.assignClustersWith(docs, embeddingCol, cents)
+    temperatureMix(labeled, "cluster_id", idCol, cost, totalBudget,
+      temperature, numBuckets)
+  }
 }

@@ -313,13 +313,32 @@ object StreamingCorpus {
     //     until its budget catches back up — the stream cannot un-emit.
     //     A single-batch stream is EXACTLY the batch operator (spec law).
     //     Reads exclude the current batch like every other state.
+    //     With mixClusterCentroids set, the group key is a LATENT topic
+    //     cluster id from FROZEN centroids instead of the provenance
+    //     column ([[graft.ext.Mixing.clusterBalancedSampleWith]] batch
+    //     twin): centroids load once per stream lifetime (per-batch
+    //     retraining would drift cluster ids and corrupt the accumulated
+    //     per-group mass/spend state), labeling is one map-only codegen
+    //     argmax, and rows with null/wrong-dimension embeddings drop —
+    //     the same semantics as the batch operator.
     val mixDir = s"$outDir/state/mix"
     val (survivors, mixBatchRows) = cfg.mixBudget match {
       case None => (dedupSurvivors, None)
       case Some(totalB) =>
         val costCol = length(col(cfg.textCol)).cast("long")
-        val batchMass = dedupSurvivors
-          .groupBy(col(cfg.mixSourceCol).cast("string").as("_src"))
+        val (mixDocs, groupCol) = cfg.mixClusterCentroids match {
+          case Some(p) =>
+            require(dedupSurvivors.columns.contains(cfg.embeddingCol),
+              s"mixClusterCentroids needs column '${cfg.embeddingCol}' " +
+                "on the stream")
+            val cents = centroidCache.computeIfAbsent(p,
+              pp => graft.ext.Similarity.loadClusterCentroids(spark, pp))
+            (graft.ext.Similarity.assignClustersWith(dedupSurvivors,
+              cfg.embeddingCol, cents), "cluster_id")
+          case None => (dedupSurvivors, cfg.mixSourceCol)
+        }
+        val batchMass = mixDocs
+          .groupBy(col(groupCol).cast("string").as("_src"))
           .agg(sum(costCol).as("_mass")).collect()
           .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
           .toMap
@@ -339,15 +358,20 @@ object StreamingCorpus {
         val budgets = Mixing.temperatureBudgets(masses, totalB, cfg.mixTemperature)
         val remaining = budgets.map { case (src, b) =>
           src -> math.max(0L, b - prior.get(src).map(_._2).getOrElse(0L)) }
-        val kept = Mixing.capPerSourceWith(dedupSurvivors, cfg.mixSourceCol,
+        val kept = Mixing.capPerSourceWith(mixDocs, groupCol,
           cfg.idCol, costCol, remaining)
-        val spentNow = kept.groupBy(col(cfg.mixSourceCol).cast("string").as("_src"))
+        val spentNow = kept.groupBy(col(groupCol).cast("string").as("_src"))
           .agg(max("_cum").as("_spent")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val rows = batchMass.keySet.toSeq.sorted.map { src =>
           (src, batchMass(src), spentNow.getOrElse(src, 0L), batchId)
         }
-        (kept.drop("_cum"), Some(rows))
+        // cluster_id is derived labeling state, not corpus schema — the
+        // emitted docs keep the input columns either way
+        val cleanKept =
+          if (cfg.mixClusterCentroids.isDefined) kept.drop("_cum", "cluster_id")
+          else kept.drop("_cum")
+        (cleanKept, Some(rows))
     }
 
     // 4. append survivors to the bundle (replay-safe committer) + states

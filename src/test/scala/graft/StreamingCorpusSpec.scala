@@ -330,6 +330,88 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(spentReplay === spent, s"replay double-spent: $spent -> $spentReplay")
   }
 
+  test("mixClusterCentroids: single batch == batch operator with the frozen centroids; cluster-keyed spend accumulates; replay identical") {
+    val rnd = new scala.util.Random(67)
+    def sentence(words: Int) =
+      (0 until words).map(_ => s"the w${rnd.nextInt(500)} of and to a").mkString(" ")
+    // two planted topics in 16-dim: axis-0-heavy (90%) vs axis-1-heavy
+    // (10%) — what provenance mixing can't see (every doc has source=web)
+    def vec(axis: Int) = {
+      val a = Array.fill(16)(rnd.nextGaussian() * 0.05f)
+      a(axis) = 1f + rnd.nextGaussian().toFloat * 0.05f
+      a.toSeq
+    }
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, sentence(10), vec(if (i % 10 == 0) 1 else 0))
+    }
+    val out = Files.createTempDirectory("graft-scorpus-cmix-out").toString
+    val centDir = Files.createTempDirectory("graft-scorpus-cents").toString + "/c"
+
+    // frozen artifact: trained ONCE, up front (the train-centroids CLI
+    // step) — every batch labels against it
+    val b0 = mkDocs(0 until 50).toDF("doc_id", "text", "embedding")
+    graft.ext.Similarity.trainClusterCentroids(
+      b0, "doc_id", "embedding", k = 2, iters = 4, path = centDir)
+    val cents = graft.ext.Similarity.loadClusterCentroids(spark, centDir)
+
+    val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+      mixBudget = Some(5000L), mixTemperature = 0.5,
+      mixClusterCentroids = Some(centDir))
+    StreamingCorpus.processBatch(b0, 0L, out, cfg)
+    def accepted(): Set[Long] = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select("_id").collect().map(_.getString(0).toLong).toSet
+    val acceptedB0 = accepted()
+
+    // law 1: a single-batch stream IS the batch operator at the same
+    // frozen centroids (quality gate, then clusterBalancedSampleWith)
+    val batchEq = graft.ext.Mixing.clusterBalancedSampleWith(
+      b0.filter(graft.ext.TextAnalysis.qualityScoreRaw(col("text")) >= 0.3),
+      "doc_id", "embedding", length(col("text")), 5000L, cents,
+      temperature = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedB0 === batchEq,
+      s"single-batch stream diverged from batch operator: " +
+        s"${(acceptedB0 -- batchEq, batchEq -- acceptedB0)}")
+    // and the small topic is genuinely rebalanced: its docs (i % 10 == 0)
+    // exceed their natural 10% share under sqrt weighting
+    val smallKept = acceptedB0.count(_ % 10 == 0).toDouble
+    assert(smallKept / acceptedB0.size > 0.15,
+      s"small topic not rebalanced: $smallKept/${acceptedB0.size}")
+
+    // law 2: the state is keyed by CLUSTER id — per-cluster accepted cost
+    // never exceeds the accumulated-mass temperature budget
+    val b1 = mkDocs(1000 until 1050).toDF("doc_id", "text", "embedding")
+    StreamingCorpus.processBatch(b1, 1L, out, cfg)
+    val mixState = spark.read.parquet(s"$out/state/mix")
+      .select("source", "mass", "spent", "batch_id").distinct()
+    val keys = mixState.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(keys.subsetOf(Set("0", "1")),
+      s"mix state not keyed by cluster ids: $keys")
+    val spent = mixState.groupBy("source").agg(sum("spent").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mass = mixState.groupBy("source").agg(sum("mass").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = graft.ext.Mixing.temperatureBudgets(
+      mass.toSeq.sortBy(_._1), 5000L, 0.5).toMap
+    budgets.foreach { case (cl, b) =>
+      assert(spent.getOrElse(cl, 0L) <= b,
+        s"cluster $cl spent ${spent.get(cl)} over budget $b")
+    }
+
+    // law 3: replay of batch 1 is byte-identical (frozen centroids keep
+    // labels stable; state rows dedup on read — no double-spend)
+    val before = accepted()
+    StreamingCorpus.processBatch(b1, 1L, out, cfg)
+    assert(accepted() === before, "replay changed the accepted set")
+    val spentReplay = spark.read.parquet(s"$out/state/mix")
+      .select("source", "mass", "spent", "batch_id").distinct()
+      .groupBy("source").agg(sum("spent").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spentReplay === spent, s"replay double-spent: $spent -> $spentReplay")
+  }
+
   test("strip-spans + decontaminate: span counts accumulate across batches; eval collisions dropped") {
     // unique word LAST per segment (see CorpusPipelineSpec): the only
     // cross-doc repeated window is the planted boilerplate
