@@ -646,15 +646,18 @@ object Bench {
             val agg = emitted.agg(fcount(lit(1)),
               coalesce(fsum("n_tokens"), lit(0L))).head()
             emittedSeqs += agg.getLong(0); emittedTok += agg.getLong(1)
-            // materialize the carried state like a real stream's snapshot
-            carried.foreach(_.unpersist())
+            // materialize the carried state like a real stream's snapshot.
+            // The superseded snapshot's blocks are intentionally NOT freed
+            // here: Dataset.unpersist cannot release localCheckpoint RDD
+            // blocks (it only evicts cacheManager entries), they are
+            // bounded anyway (open bins <= numBuckets rows), and the
+            // ContextCleaner reclaims them once the frame is unreachable.
             carried = Some(open.localCheckpoint())
           }
         }
         val pendingTok = carried.map(_.agg(
           coalesce(fsum(fsize(col("input_ids"))), lit(0L))).head().getLong(0))
           .getOrElse(0L)
-        carried.foreach(_.unpersist())
         val fillEmitted = emittedTok.toDouble / (emittedSeqs * maxLen)
         // comparison: one global batch-path packing of the same corpus
         // (counts only — same number as pack_1m's fill law, same maxLen)
@@ -668,6 +671,58 @@ object Bench {
         f"""{"rows":${nBatches * per},"batches":$nBatches,"max_len":$maxLen,"batch_secs":$secsJson,"emitted_seqs":$emittedSeqs,"fill_emitted":$fillEmitted%.4f,"fill_batch_path":$fillBatch%.4f,"pending_tokens":$pendingTok}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pack carry 1m failed: ${e.getMessage}"); "{}" } }
+
+    // end-to-end corpus pipeline at the 1M tier: quality -> exact dedup ->
+    // MinHash near-dup -> temperature mix -> BPE tokenize -> columnar
+    // bundle, composed through CorpusPipeline.run — the component stages
+    // each have a 1M number above; this entry pins what the COMPOSITION
+    // costs (stage-count plumbing included: counts ride observe() metrics
+    // on the two localCheckpoint materializations, not per-stage count()
+    // re-executions). Single run, not median-of-3: the entry is minutes-
+    // scale and its variance story is carried by the per-stage entries.
+    // Plants: 50k exact duplicates (ids 950k+ repeat ids 0..50k) and 50k
+    // near-duplicates (ids 900k..950k add a 3-word suffix), so both drop
+    // paths do real work.
+    val pipeline1mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("pipeline_1m") { try {
+        import org.apache.spark.sql.functions.{concat, expr, length => flength, pmod, when, xxhash64}
+        val n = 1000000L
+        val pipeRoot = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
+        val textGen = expr(
+          "concat_ws(' ', transform(sequence(1, cast(30 + pmod(xxhash64(b), 40) as int)), " +
+            "j -> CASE WHEN pmod(xxhash64(b, j), 2) = 0 " +
+            "THEN element_at(array('the','of','and','to','a','in','is','for'), " +
+            "cast(pmod(xxhash64(b, j + 100), 8) + 1 as int)) " +
+            "ELSE concat('w', pmod(xxhash64(b, j + 200), 5000)) END))")
+        val gen = spark.range(n).select(col("id"),
+            when(col("id") >= 950000L, col("id") - 950000L)
+              .when(col("id") >= 900000L, col("id") - 900000L)
+              .otherwise(col("id")).as("b"),
+            (col("id") >= 900000L && col("id") < 950000L).as("nd"))
+          .select(col("id").as("doc_id"),
+            concat(lit("src"), pmod(xxhash64(col("id"), lit(1)), lit(20)))
+              .as("source"),
+            when(col("nd"), concat(textGen, lit(" zzz qqq www")))
+              .otherwise(textGen).as("text"))
+        val inDir = s"$pipeRoot/in"
+        gen.repartition(64).write.parquet(inDir)
+        val totalChars = spark.read.parquet(inDir)
+          .agg(fsum(flength(col("text")))).head().getLong(0)
+        var st: graft.pipeline.CorpusPipeline.Stats = null
+        val sec = time {
+          st = graft.pipeline.CorpusPipeline.run(spark, inDir,
+            s"$pipeRoot/out", "corpus", numShards = 4,
+            qualityMin = 0.2, nearDupThreshold = 0.9,
+            bpeMerges = 30, bpeMaxWords = 50000,
+            mixBudget = Some(totalChars * 2 / 5), mixTemperature = 0.5)
+        }
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(pipeRoot), spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(pipeRoot), true)
+        f"""{"rows":$n,"sec":$sec%.3f,"after_quality":${st.afterQuality},"after_model_gate":${st.afterModelQuality},"after_exact":${st.afterExact},"after_neardup":${st.afterNearDup},"after_mix":${st.afterMix},"total_tokens":${st.totalTokens},"bundle_docs":${st.bundle.totalDocs}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline 1m failed: ${e.getMessage}"); "{}" } }
 
     val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)},"clustered_1m":${curveJson(ann1mCurve)}}"""
 
@@ -705,7 +760,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"mix_1m":$mix1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"mix_1m":$mix1mJson,"pipeline_1m":$pipeline1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

@@ -118,38 +118,64 @@ object CorpusPipeline {
           mixTemperature: Double = 0.5,
           mixSourceCol: String = "source",
           mixClusterK: Option[Int] = None): Stats = {
+    // Stage counts ride the pipeline's own materializing passes as
+    // observe() metrics instead of one count() action per stage: each
+    // count() re-ran the un-cached upstream chain (redaction -> scoring ->
+    // model gate -> dedup ...), so Stats cost O(stages) full
+    // re-executions of an increasingly expensive prefix. Observations are
+    // free riders on the localCheckpoint materializations below — the
+    // checkpoint at the exact-dedup boundary is ALSO what keeps the
+    // near-dup/mix/tokenize passes from re-running the text-processing
+    // prefix (the q79 pattern). Checkpoint blocks are MEMORY_AND_DISK on
+    // executors and are released by the ContextCleaner when run() returns.
+    val obsInput = org.apache.spark.sql.Observation("cp_input")
+    val obsSurface = org.apache.spark.sql.Observation("cp_surface")
+    val obsExact = org.apache.spark.sql.Observation("cp_exact")
+    val obsDedup = org.apache.spark.sql.Observation("cp_dedup")
+    val obsSurv = org.apache.spark.sql.Observation("cp_survivors")
+    def obsN(o: org.apache.spark.sql.Observation): Long =
+      o.get("n").asInstanceOf[Long]
+    val nRows = count(lit(1)).as("n")
+
     val raw = spark.read.parquet(input)
-    val docs =
+    val docs0 =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       else raw
-    val nInput = docs.count()
+    val docs = docs0.observe(obsInput, nRows)
 
-    val surface = docs.filter(TextAnalysis.qualityScoreRaw(col(textCol)) >= qualityMin)
+    val surface = docs
+      .filter(TextAnalysis.qualityScoreRaw(col(textCol)) >= qualityMin)
+      .observe(obsSurface, nRows)
     // trained quality gate, composed after the heuristic one: map-only
     // scoring (broadcast model + sparse dot per doc — no exchange), then
     // either a plain probability threshold or the GPT-3 Pareto sampling
     // gate (qualityParetoAlpha — smooth low-score tail, deterministic
     // md5-seeded draws). Null text scores null => dropped here.
-    val (gated, nModel) = qualityModel match {
+    val (gated, obsModel) = qualityModel match {
       case Some(m) =>
+        val o = org.apache.spark.sql.Observation("cp_model")
         val scored = graft.ext.QualityClassifier
           .score(surface, textCol, m, "_qprob")
         val kept = (qualityParetoAlpha match {
           case Some(a) => graft.ext.QualityClassifier.paretoSample(
             scored, idCol, "_qprob", a, qualityParetoSeed)
           case None => scored.filter(col("_qprob") >= qualityProbMin)
-        }).drop("_qprob")
-        (kept, kept.count())
-      case None => (surface, -1L)
+        }).drop("_qprob").observe(o, nRows)
+        (kept, Some(o))
+      case None => (surface, None)
     }
-    val (quality, nLm) = lmMinScore match {
+    val (quality, obsLm) = lmMinScore match {
       case Some(min) =>
+        // the LM trains on the gated corpus — its aggregation pass is the
+        // first action, so the upstream observations fire here (same
+        // values: observations keep the first action's result)
+        val o = org.apache.spark.sql.Observation("cp_lm")
         val lm = NgramLm.train(gated, textCol)
-        val kept = NgramLm.filterByScore(gated, textCol, lm, min).drop("lm_score")
-        (kept, kept.count())
-      case None => (gated, -1L)
+        val kept = NgramLm.filterByScore(gated, textCol, lm, min)
+          .drop("lm_score").observe(o, nRows)
+        (kept, Some(o))
+      case None => (gated, None)
     }
-    val nQuality = surface.count()
 
     // cross-document boilerplate removal, BEFORE dedup: two docs identical
     // modulo a shared header/footer become exact duplicates once the shared
@@ -165,25 +191,37 @@ object CorpusPipeline {
     // eval set reduces to one broadcast hash set, the corpus side is
     // map-only. Before dedup, so a contaminated doc can never be the
     // representative a clean duplicate gets dropped in favor of.
-    val (cleared, nDecontam) = decontamBench match {
+    val (cleared, obsDecontam) = decontamBench match {
       case Some(path) =>
+        val o = org.apache.spark.sql.Observation("cp_decontam")
         val set = Decontaminate.benchmarkNgrams(
           spark.read.parquet(path), decontamBenchTextCol, decontamN)
         val kept = Decontaminate.dropContaminated(
-          despanned, textCol, set, decontamMinHits)
-        (kept, kept.count())
-      case None => (despanned, -1L)
+          despanned, textCol, set, decontamMinHits).observe(o, nRows)
+        (kept, Some(o))
+      case None => (despanned, None)
     }
 
     // exact dedup keeping FULL rows (Dedup.exact projects to key+order
-    // cols): group-limit window on the normalized text, lowest id survives
+    // cols): group-limit window on the normalized text, lowest id survives.
+    // The checkpoint here is the pipeline's big materialization boundary:
+    // everything downstream (near-dup candidate joins, index queries, mix
+    // collects, BPE training, the bundle write) re-reads these blocks
+    // instead of re-running the text-processing prefix.
     val wNorm = org.apache.spark.sql.expressions.Window
       .partitionBy("_norm").orderBy(idCol)
     val exact = cleared
       .withColumn("_norm", regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
       .withColumn("_rn", row_number().over(wNorm))
       .filter(col("_rn") === 1).drop("_norm", "_rn")
-    val nExact = exact.count()
+      .observe(obsExact, nRows)
+      .localCheckpoint()
+    val nInput = obsN(obsInput)
+    val nQuality = obsN(obsSurface)
+    val nModel = obsModel.map(obsN).getOrElse(-1L)
+    val nLm = obsLm.map(obsN).getOrElse(-1L)
+    val nDecontam = obsDecontam.map(obsN).getOrElse(-1L)
+    val nExact = obsN(obsExact)
 
     // near-dup pairs on the exact-deduped corpus; drop the higher id of
     // each pair (distinct drop-set, then one left_anti)
@@ -215,6 +253,7 @@ object CorpusPipeline {
     // whose id is already indexed is dropped too — an nid-only
     // column-pruned scan of the cells, and the guard that keeps re-runs
     // from appending duplicate ids into the index.
+    val obsVsIndex = org.apache.spark.sql.Observation("cp_vsindex")
     val priorDrops: Option[DataFrame] = annIndexDir
       .filter(annIndexExists(spark, _))
       .map { dir =>
@@ -225,9 +264,10 @@ object CorpusPipeline {
         val member = exact.select(col(idCol)).join(
           spark.read.parquet(s"$dir/cells").select(col("nid").as(idCol)),
           Seq(idCol), "left_semi")
-        near.unionByName(member).distinct()
+        // the drop-count observation rides the anti-join's right side —
+        // every row flows through it when `deduped` first materializes
+        near.unionByName(member).distinct().observe(obsVsIndex, nRows)
       }
-    val nVsIndex = priorDrops.map(_.count()).getOrElse(-1L)
     // two drop policies over the pair graph:
     //  - pairwise (default): drop the higher id of each pair — keeps a
     //    maximal-independent-ish set (two docs that only share a dropped
@@ -242,7 +282,14 @@ object CorpusPipeline {
           .select(col("id").as(idCol))
       else pairs.select(col("id_b").as(idCol)).distinct()
     val dropIds = priorDrops.foldLeft(inRunDrops)(_ unionByName _).distinct()
-    val deduped = exact.join(dropIds, Seq(idCol), "left_anti")
+    val deduped0 = exact.join(dropIds, Seq(idCol), "left_anti")
+      .observe(obsDedup, nRows)
+    // with a mix stage ahead, checkpoint the deduped corpus too: the mix
+    // operators run 2 bounded collects (source masses, bucket splitters)
+    // plus the final pass — each would otherwise redo the near-dup
+    // anti-join machinery from the exact checkpoint
+    val deduped =
+      if (mixBudget.isDefined) deduped0.localCheckpoint() else deduped0
 
     // mixture weights AFTER dedup, BEFORE tokenization (the streaming
     // pipeline's mixBudget stage, batch form): per-source temperature
@@ -251,11 +298,11 @@ object CorpusPipeline {
     // `embeddingCol` (clusterBalancedSample) — for corpora whose imbalance
     // is topical, not provenance-shaped. The BPE trains on the MIXED
     // corpus, so over-represented sources/topics can't dominate the vocab.
-    val (survivors, nDedup) = mixBudget match {
-      case None => (deduped, -1L)
+    val survivors0 = mixBudget match {
+      case None => deduped
       case Some(b) =>
         val cost = length(col(textCol)).cast("long")
-        val mixed = mixClusterK match {
+        mixClusterK match {
           case Some(k) =>
             require(deduped.columns.contains(embeddingCol),
               s"mixClusterK needs column '$embeddingCol' on the corpus")
@@ -269,9 +316,17 @@ object CorpusPipeline {
             graft.ext.Mixing.temperatureMix(deduped, mixSourceCol, idCol,
               cost, b, mixTemperature).drop("_cum")
         }
-        (mixed, deduped.count())
     }
-    val nSurvivors = survivors.count()
+    // second (or only) checkpoint: the surviving corpus feeds the BPE
+    // trainer, the token aggregate, the bundle write, packing, and the
+    // index append — five passes that now read these blocks instead of
+    // re-deriving the corpus. Materializing it also fires every pending
+    // observation upstream, so ALL stage counts are settled here.
+    val survivors = survivors0.observe(obsSurv, nRows).localCheckpoint()
+    val nDedup = obsN(obsDedup)
+    val nVsIndex =
+      if (priorDrops.isDefined) obsN(obsVsIndex) else -1L
+    val nSurvivors = obsN(obsSurv)
 
     // tokenizer trained on what survives (junk filtered out above), ridden
     // into the bundle as typed columns
@@ -346,7 +401,7 @@ object CorpusPipeline {
       }
     }
     Stats(nInput, nQuality, nExact,
-      afterNearDup = if (nDedup >= 0) nDedup else nSurvivors,
+      afterNearDup = nDedup,
       totalTokens = totalTokens, bundle = res,
       afterLm = nLm, droppedVsIndex = nVsIndex, afterDecontam = nDecontam,
       packedSeqs = nPacked, afterModelQuality = nModel,
