@@ -156,13 +156,34 @@ object BundleInstall {
       .sortBy(_.getName)
     if (manifests.isEmpty) return
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // overwrite-ATOMIC publish: a plain delete+rename leaves a window in
+    // which concurrent resolveAlias/readAlias see no alias file at all —
+    // the reference's alias update has no such gap. The file scheme gets
+    // POSIX rename-replace via NIO (like claim()); other schemes use
+    // FileContext.rename(OVERWRITE); only a scheme supporting neither
+    // falls back to delete+rename.
     def writeAtomic(target: Path, body: String): Unit = {
       val tmp = new Path(target.getParent, s".${target.getName}.tmp")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      fs.delete(target, false)
-      if (!fs.rename(tmp, target))
-        throw new IllegalStateException(s"could not publish $target")
+      if (fs.getScheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(target.toUri, fs.getConf)
+            .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch { case _: UnsupportedOperationException =>
+          fs.delete(target, false)
+          if (!fs.rename(tmp, target))
+            throw new IllegalStateException(s"could not publish $target")
+        }
+      }
     }
     val entries = manifests.map { mp =>
       val in = fs.open(mp)
@@ -180,20 +201,35 @@ object BundleInstall {
     // alias swap first, record last: a crash in between re-runs both (the
     // alias overwrite is idempotent), while the reverse order could leave
     // an "applied" record whose alias still points at the old bundle
+    // records serialized with Jackson (reading already is): a name or
+    // settings value containing a quote/backslash must round-trip, not
+    // produce JSON the readers then fail to parse
     fs.mkdirs(new Path(installDir, "_aliases"))
     entries.foreach { case (idx, alias, _) =>
       alias.foreach { a =>
+        val rec = mapper.createObjectNode()
+        rec.put("bundle", name); rec.put("indexName", idx)
         writeAtomic(new Path(installDir, s"_aliases/$a"),
-          s"""{"bundle":"$name","indexName":"$idx"}""")
+          mapper.writeValueAsString(rec))
       }
     }
-    val body = entries.map { case (idx, alias, settings) =>
-      val st = settings.sorted
-        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-      val al = alias.map(a => "\"" + a + "\"").getOrElse("null")
-      s"""{"indexName":"$idx","alias":$al,"appliedSettings":$st}"""
-    }.mkString("[", ",", "]")
-    writeAtomic(marker, s"""{"applied":$body}""")
+    val applied = mapper.createArrayNode()
+    entries.foreach { case (idx, alias, settings) =>
+      val e = mapper.createObjectNode()
+      e.put("indexName", idx)
+      alias match {
+        case Some(a) => e.put("alias", a)
+        case None    => e.putNull("alias")
+      }
+      val st = mapper.createObjectNode()
+      settings.sorted.foreach { case (k, v) => st.put(k, v) }
+      e.set[com.fasterxml.jackson.databind.node.ObjectNode]("appliedSettings", st)
+      applied.add(e)
+      ()
+    }
+    val rec = mapper.createObjectNode()
+    rec.set[com.fasterxml.jackson.databind.node.ObjectNode]("applied", applied)
+    writeAtomic(marker, mapper.writeValueAsString(rec))
   }
 
   /** Resolve an alias at the install root: the `{bundle, indexName}` the

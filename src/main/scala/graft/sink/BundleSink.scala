@@ -64,6 +64,13 @@ object BundleSink {
       .withColumn("_index", when(col(indexCol).isNull || col(indexCol) === "",
         raise_error(concat(lit(s"null/empty $indexCol for _id="),
           coalesce(col("_id").cast("string"), lit("<null>")))))
+        // index values become path segments (data/_index=i/, manifest_<i>
+        // .json, .manifest-cas_<i>/): constrain to a safe charset so the
+        // raw-interpolated manifest/CAS names can never diverge from
+        // Spark's percent-escaped partition dirs or escape the root
+        .when(!col(indexCol).rlike("^[A-Za-z0-9_-][A-Za-z0-9._-]*$"),
+          raise_error(concat(lit("unsafe index value (allowed: " +
+            "[A-Za-z0-9._-]+, no leading dot): "), col(indexCol))))
         .otherwise(col(indexCol)))
       .withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
     val arranged =
@@ -115,7 +122,7 @@ object BundleSink {
         .map(sh => sh -> counts.getOrElse((idx, sh), 0L)).toMap
       val total = perShard.values.sum
       val manifest =
-        s"""{"indexName":"$idx","typeName":"$typeName","workDir":"$outRoot/data/_index=$idx",
+        s"""{"indexName":${jstr(idx)},"typeName":${jstr(typeName)},"workDir":${jstr(s"$outRoot/data/_index=$idx")},
            |"numShards":$numShards,"format":"$format","compression":"$codec","totalDocs":$total,
            |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
            |${aliasSettingsJson(aliasFor(idx), finalSettings)},
@@ -204,14 +211,20 @@ object BundleSink {
       }
     }
 
+  /** Jackson-escaped JSON string literal (quotes included): a name or
+    * setting value containing a quote/backslash must not produce an
+    * unparseable manifest. */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def jstr(s: String): String = jsonMapper.writeValueAsString(s)
+
   /** `"alias":…,"finalSettings":{…}` manifest fragment (reference alias
     * swap `ESClient.java:154-170` + health-gated final settings
     * `NodeService.java:129-152`, applied by the downstream loader). */
   private def aliasSettingsJson(alias: Option[String],
                                 finalSettings: Map[String, String]): String = {
-    val a = alias.map(s => "\"" + s + "\"").getOrElse("null")
+    val a = alias.map(jstr).getOrElse("null")
     val fs = finalSettings.toSeq.sorted
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     s""""alias":$a,"finalSettings":$fs"""
   }
 
@@ -319,19 +332,25 @@ object BundleSink {
   }
 
   /** The `"alias":…,"finalSettings":{…}` fragment of an existing manifest,
-    * carried forward verbatim across appends (an append must not strip the
-    * bundle's alias/final-settings contract). */
+    * carried forward across appends (an append must not strip the bundle's
+    * alias/final-settings contract). Jackson round-trip, not a regex
+    * capture: escaped strings and pretty-printed manifests survive. */
   private def carriedAliasFragment(manifest: Option[String]): String =
-    manifest.flatMap(m =>
-      """"alias":(null|"[^"]*"),"finalSettings":(\{[^}]*\})""".r
-        .findFirstMatchIn(m).map(_.matched))
-      .getOrElse(aliasSettingsJson(None, Map.empty))
+    manifest.flatMap { m =>
+      scala.util.Try {
+        val node = graft.sources.BundleManifest.jsonNode(m)
+        if (node.has("alias") && node.has("finalSettings"))
+          Some(s""""alias":${jsonMapper.writeValueAsString(node.get("alias"))},""" +
+            s""""finalSettings":${jsonMapper.writeValueAsString(node.get("finalSettings"))}""")
+        else None
+      }.toOption.flatten
+    }.getOrElse(aliasSettingsJson(None, Map.empty))
 
   private def manifestJson(indexName: String, typeName: String, outDir: String,
                            numShards: Int, format: String, codec: String,
                            perShard: Map[Int, Long], aliasFragment: String,
                            version: Int): String =
-    s"""{"indexName":"$indexName","typeName":"$typeName","workDir":"$outDir",
+    s"""{"indexName":${jstr(indexName)},"typeName":${jstr(typeName)},"workDir":${jstr(outDir)},
        |"numShards":$numShards,"format":"$format","compression":"$codec","totalDocs":${perShard.values.sum},
        |"shardCounts":{${perShard.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
        |$aliasFragment,"version":$version,
@@ -372,8 +391,7 @@ object BundleSink {
       val (_, _, latest) = chainState(fs, outDir)
       latest match {
         case Some(content) =>
-          val v = """"version":(\d+)""".r.findFirstMatchIn(content)
-            .map(_.group(1).toInt).getOrElse(0)
+          val v = graft.sources.BundleManifest.versionOf(content)
           if (v == mirrored) done = true
           else {
             val counts = graft.sources.BundleManifest.parseShardCounts(content)
@@ -607,29 +625,38 @@ object BundleSink {
         try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close() }
     }
     // layout from any existing manifest (uniform across a multi bundle:
-    // one writeMulti job wrote them, and appends re-derive from here)
+    // one writeMulti job wrote them, and appends re-derive from here).
+    // Jackson-parsed like finalizeBundle: pretty-printed or externally
+    // produced manifests parse identically to engine-written compact ones.
     val anyManifest = fileManifest(manifestNames.head
       .stripPrefix("manifest_").stripSuffix(".json")).get
-    val numShards = """"numShards":(\d+)""".r.findFirstMatchIn(anyManifest)
-      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+    val numShards = graft.sources.BundleManifest.numShardsOf(anyManifest)
+      .getOrElse(throw new IllegalStateException(
         s"no numShards in $outRoot manifests"))
-    val format = """"format":"(\w+)"""".r.findFirstMatchIn(anyManifest)
-      .map(_.group(1)).getOrElse("json")
-    val codec = """"compression":"([\w-]+)"""".r.findFirstMatchIn(anyManifest)
-      .map(_.group(1)).getOrElse(if (format == "json") "gzip" else "zstd")
-    val typeName = """"typeName":"([^"]*)"""".r.findFirstMatchIn(anyManifest)
-      .map(_.group(1)).getOrElse("doc")
+    val format = graft.sources.BundleManifest.formatOf(anyManifest)
+    val codec = graft.sources.BundleManifest.compressionOf(anyManifest)
+      .getOrElse(if (format == "json") "gzip" else "zstd")
+    val typeName = graft.sources.BundleManifest.typeNameOf(anyManifest)
     require(data.columns.contains("_routing"),
       s"bundle inserts need a _routing column (got ${data.columns.mkString(", ")})")
     require(data.columns.contains("_index"),
       s"multi-index inserts need an _index column (got ${data.columns.mkString(", ")})")
 
-    // stage in the bundle's own format, counts observed on the write job
+    // stage in the bundle's own format, counts observed on the write job.
+    // _index values become filesystem path segments (data/_index=i/,
+    // manifest_<i>.json, .manifest-cas_<i>/) — constrain them to a safe
+    // charset BEFORE staging: Spark percent-escapes special characters in
+    // partition dir names (_index=a%2Fb) while the manifest/CAS naming
+    // interpolates the raw value, so a '/', '%', or leading-dot value
+    // would desynchronize the two layouts (or escape the bundle root).
     val obs = Observation(s"bundle-insert-multi-${java.util.UUID.randomUUID()}")
     val sharded = data.drop("_shard")
       .withColumn("_index", when(col("_index").isNull || col("_index") === "",
         raise_error(concat(lit("null/empty _index for _id="),
           coalesce(col("_id").cast("string"), lit("<null>")))))
+        .when(!col("_index").rlike("^[A-Za-z0-9_-][A-Za-z0-9._-]*$"),
+          raise_error(concat(lit("unsafe _index value (allowed: " +
+            "[A-Za-z0-9._-]+, no leading dot): "), col("_index"))))
         .otherwise(col("_index")))
       .withColumn("_shard", EsFunctions.es_shard(col("_routing"), numShards))
       .observe(obs, graft.functions.CountByKeyAgg.count_by_key(
@@ -711,8 +738,7 @@ object BundleSink {
         val (_, _, latest) = chainStateAt(fs, cas)
         latest match {
           case Some(content) =>
-            val v = """"version":(\d+)""".r.findFirstMatchIn(content)
-              .map(_.group(1).toInt).getOrElse(0)
+            val v = graft.sources.BundleManifest.versionOf(content)
             if (v == mirrored) done = true
             else {
               val mf = fs.create(new org.apache.hadoop.fs.Path(

@@ -58,17 +58,16 @@ object BundleValidate {
       .map { p =>
         val in = fs.open(p)
         val m = new String(in.readAllBytes(), "UTF-8"); in.close()
-        val idx = """"indexName":"([^"]*)"""".r.findFirstMatchIn(m).map(_.group(1))
+        val idx = Option(graft.sources.BundleManifest.indexNameOf(m))
+          .filter(_.nonEmpty)
           .getOrElse(p.getName.stripPrefix("manifest_").stripSuffix(".json"))
         idx -> m
       }.toMap
     require(manifests.nonEmpty, s"no manifest_*.json in $bundleRoot")
-    val n = """"numShards":(\d+)""".r.findFirstMatchIn(manifests.head._2)
-      .map(_.group(1).toInt)
+    val n = graft.sources.BundleManifest.numShardsOf(manifests.head._2)
       .getOrElse(throw new IllegalStateException(s"no numShards in $bundleRoot manifests"))
     // one aggregated pass over every index
-    val fmt = """"format":"(\w+)"""".r.findFirstMatchIn(manifests.head._2)
-      .map(_.group(1)).getOrElse("json")
+    val fmt = graft.sources.BundleManifest.formatOf(manifests.head._2)
     val df = fmt match {
       case "json" => spark.read
         .schema(graft.streaming.BundleStream.bundleSchema.add("_index",
@@ -83,11 +82,9 @@ object BundleValidate {
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
     val covered = manifests.map { case (idx, manifest) =>
-      val counts = """"(\d+)":(\d+)""".r.findAllMatchIn(
-        """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(manifest).map(_.group(1)).getOrElse(""))
-        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
-      val total = """"totalDocs":(\d+)""".r.findFirstMatchIn(manifest)
-        .map(_.group(1).toLong).getOrElse(-1L)
+      val counts = graft.sources.BundleManifest.parseShardCounts(manifest)
+      val total = graft.sources.BundleManifest.totalDocsOf(manifest)
+        .getOrElse(-1L)
       val shards = (0 until n).map { sh =>
         val dir = new org.apache.hadoop.fs.Path(s"$bundleRoot/data/_index=$idx/_shard=$sh")
         val (files, bytes) =
@@ -128,11 +125,9 @@ object BundleValidate {
     // chain-aware: after concurrent appends the authoritative counts are
     // the CAS chain head, which the manifest.json mirror can lag
     val manifest = graft.sources.BundleManifest.raw(spark, bundleDir)
-    val manifestCounts = """"(\d+)":(\d+)""".r.findAllMatchIn(
-      """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(manifest).map(_.group(1)).getOrElse(""))
-      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
-    val manifestTotal = """"totalDocs":(\d+)""".r.findFirstMatchIn(manifest)
-      .map(_.group(1).toLong).getOrElse(-1L)
+    val manifestCounts = graft.sources.BundleManifest.parseShardCounts(manifest)
+    val manifestTotal = graft.sources.BundleManifest.totalDocsOf(manifest)
+      .getOrElse(-1L)
     // shard_state.json is optional (bundles predating it): absent -> expect
     // the observed listing, i.e. the file/byte checks pass trivially
     val statePath = new org.apache.hadoop.fs.Path(bundleDir, "shard_state.json")

@@ -257,43 +257,86 @@ object BundleManifest {
   private[graft] def raw(spark: SparkSession, bundleDir: String): String =
     read(spark, bundleDir)
 
+  // ---- content-level accessors: one Jackson parse, no field regexes ----
+  // (regex field-plucking broke on pretty-printed or externally produced
+  // manifests — `"numShards": 3` with a space never matched; a real JSON
+  // parse is layout-agnostic and fails loudly on malformed content)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[graft] def jsonNode(manifest: String)
+      : com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(manifest)
+
+  private[graft] def numShardsOf(manifest: String): Option[Int] = {
+    val n = jsonNode(manifest).path("numShards")
+    if (n.isNumber) Some(n.asInt) else None
+  }
+
+  private[graft] def formatOf(manifest: String): String = {
+    val n = jsonNode(manifest).path("format")
+    if (n.isTextual) n.asText else "json"
+  }
+
+  private[graft] def compressionOf(manifest: String): Option[String] = {
+    val n = jsonNode(manifest).path("compression")
+    if (n.isTextual) Some(n.asText) else None
+  }
+
+  private[graft] def indexNameOf(manifest: String): String = {
+    val n = jsonNode(manifest).path("indexName")
+    if (n.isTextual) n.asText else ""
+  }
+
+  private[graft] def typeNameOf(manifest: String): String = {
+    val n = jsonNode(manifest).path("typeName")
+    if (n.isTextual) n.asText else "doc"
+  }
+
+  private[graft] def versionOf(manifest: String): Int = {
+    val n = jsonNode(manifest).path("version")
+    if (n.isNumber) n.asInt else 0
+  }
+
+  private[graft] def totalDocsOf(manifest: String): Option[Long] = {
+    val n = jsonNode(manifest).path("totalDocs")
+    if (n.isNumber) Some(n.asLong) else None
+  }
+
   /** `"shardCounts":{…}` parsed out of a manifest content string. */
-  private[graft] def parseShardCounts(manifest: String): Map[Int, Long] =
-    """"shardCounts":\{([^}]*)\}""".r.findFirstMatchIn(manifest)
-      .map(m => """"(\d+)":(\d+)""".r.findAllMatchIn(m.group(1))
-        .map(g => g.group(1).toInt -> g.group(2).toLong).toMap)
-      .getOrElse(Map.empty)
+  private[graft] def parseShardCounts(manifest: String): Map[Int, Long] = {
+    val n = jsonNode(manifest).path("shardCounts")
+    if (!n.isObject) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      n.properties().asScala
+        .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+    }
+  }
 
   def numShards(spark: SparkSession, bundleDir: String): Int =
-    """"numShards":(\d+)""".r.findFirstMatchIn(read(spark, bundleDir)) match {
-      case Some(m) => m.group(1).toInt
-      case None => throw new IllegalStateException(s"no numShards in $bundleDir manifest")
-    }
+    numShardsOf(read(spark, bundleDir)).getOrElse(
+      throw new IllegalStateException(s"no numShards in $bundleDir manifest"))
 
   /** Bundle data format as recorded by the writer ("json" when absent —
     * bundles predating the manifest field). */
   def format(spark: SparkSession, bundleDir: String): String =
-    """"format":"(\w+)"""".r.findFirstMatchIn(read(spark, bundleDir))
-      .map(_.group(1)).getOrElse("json")
+    formatOf(read(spark, bundleDir))
 
   /** Writer-recorded codec (absent on streaming-state manifests). */
   def compression(spark: SparkSession, bundleDir: String): Option[String] =
-    """"compression":"([\w-]+)"""".r.findFirstMatchIn(read(spark, bundleDir))
-      .map(_.group(1))
+    compressionOf(read(spark, bundleDir))
 
   def indexName(spark: SparkSession, bundleDir: String): String =
-    """"indexName":"([^"]*)"""".r.findFirstMatchIn(read(spark, bundleDir))
-      .map(_.group(1)).getOrElse("")
+    indexNameOf(read(spark, bundleDir))
 
   def typeName(spark: SparkSession, bundleDir: String): String =
-    """"typeName":"([^"]*)"""".r.findFirstMatchIn(read(spark, bundleDir))
-      .map(_.group(1)).getOrElse("doc")
+    typeNameOf(read(spark, bundleDir))
 
   /** Per-shard doc counts from the manifest; None when the manifest has no
     * counts yet (streaming-state bundle before seal). */
   def shardCounts(spark: SparkSession, bundleDir: String): Option[Map[Int, Long]] = {
     val m = read(spark, bundleDir)
-    if (""""shardCounts":\{""".r.findFirstIn(m).isDefined) Some(parseShardCounts(m))
+    if (jsonNode(m).path("shardCounts").isObject) Some(parseShardCounts(m))
     else None
   }
 }

@@ -182,6 +182,56 @@ class BundleWriteV2Spec extends SparkSpec {
       after.map { case (i, r) => s"$i: ${r.problems}" }.mkString("; "))
   }
 
+  test("multi-index append: pretty-printed manifests parse; unsafe _index values refused") {
+    val out = Files.createTempDirectory("graft-v2w-mhard").toString
+    val root = s"$out/multi"
+    val routed = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+      .withColumn("tier", concat(lit("t"), pmod(col("_id").cast("long"), lit(2))))
+    val before = BundleSink.writeMulti(routed, root, "tier", numShards = 2,
+      partitionMultiples = 2)
+
+    // externally reformatted manifest (pretty-printed, extra whitespace):
+    // layout fields and base counts must parse identically — the regex
+    // pluckers this replaced matched compact engine output only
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t0Path = java.nio.file.Paths.get(s"$root/manifest_t0.json")
+    val pretty = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
+      mapper.readTree(java.nio.file.Files.readString(t0Path)))
+    java.nio.file.Files.writeString(t0Path, pretty)
+    // the out-of-band rewrite invalidates Hadoop LocalFS's checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/.manifest_t0.json.crc"))
+    assert(pretty.contains("\n  "), "precondition: manifest really is pretty-printed")
+
+    val extra = DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
+      .withColumn("_index", lit("t0"))
+    extra.write.format("graft-bundle").mode("append").save(root)
+    val t0Counts = graft.sources.BundleManifest.parseShardCounts(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root/manifest_t0.json")))
+    assert(t0Counts.values.sum === before("t0").totalDocs + 5,
+      "append onto a pretty-printed manifest must merge its base counts")
+    val reports = BundleValidate.validateMulti(spark, root)
+    assert(reports.values.forall(_.ok),
+      reports.map { case (i, r) => s"$i: ${r.problems}" }.mkString("; "))
+
+    // _index values become filesystem path segments: traversal/percent/
+    // slash values are refused in-job, before any staged file renames
+    for (evil <- Seq("../escape", "a/b", "a%2Fb", ".hidden")) {
+      val e = intercept[Exception] {
+        DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
+          .withColumn("_index", lit(evil))
+          .write.format("graft-bundle").mode("append").save(root)
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("unsafe _index") || msg.contains("unsafe index"),
+        s"'$evil' must be refused as unsafe, got: $e")
+    }
+    // ...and the refused appends left the bundle untouched and valid
+    val after = BundleValidate.validateMulti(spark, root)
+    assert(after.keySet === Set("t0", "t1") && after.values.forall(_.ok),
+      after.map { case (i, r) => s"$i: ${r.problems}" }.mkString("; "))
+  }
+
   test("CLI --mode append --index-col routes source rows into a multi-index bundle") {
     val out = Files.createTempDirectory("graft-v2w-mcli").toString
     val root = s"$out/multi"
