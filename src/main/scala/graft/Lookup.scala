@@ -7,17 +7,34 @@ import org.apache.spark.sql.functions._
  * Routed point lookup over a bundle — the ES `?routing=k` search analog:
  *
  *   graft.Lookup <bundleDir> <routingKey>
+ *   graft.Lookup <installDir> <alias> <routingKey>
  *
  * Uses [[graft.plans.BundleRoutingPruning]] so only the one shard directory
- * implied by the routing hash is scanned.
+ * implied by the routing hash is scanned. The 3-arg form queries THROUGH an
+ * install root's alias indirection (`_aliases/<alias>`, the reference's
+ * "query the alias, not the index") — pruning is identical: the connector
+ * scopes a multi-index bundle to the alias's `_index=` partition in the
+ * file listing and the `_routing -> _shard` implication still lands in the
+ * scan's partition filters.
  */
 object Lookup {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: Lookup <bundleDir> <routingKey>")
-    val Array(dir, key) = args
+    require(args.length == 2 || args.length == 3,
+      "usage: Lookup <bundleDir> <routingKey> | Lookup <installDir> <alias> <routingKey>")
     val spark = GraftSession.get("graft-lookup")
     try {
-      val df = BundleReader.read(spark, dir).filter(col("_routing") === key)
+      val (df0, dir, key) =
+        if (args.length == 2)
+          (BundleReader.read(spark, args(0)), args(0), args(1))
+        else {
+          val (bundle, _) = graft.sink.BundleInstall
+            .resolveAlias(spark, args(0), args(1))
+            .getOrElse(throw new java.util.NoSuchElementException(
+              s"alias '${args(1)}' resolves to nothing under ${args(0)}/_aliases"))
+          (graft.sink.BundleInstall.readAlias(spark, args(0), args(1)),
+            s"${args(0)}/$bundle", args(2))
+        }
+      val df = df0.filter(col("_routing") === key)
       val plan = df.queryExecution.executedPlan.toString
       val pruned = "PartitionFilters: \\[[^\\]]*_shard[^\\]]*\\]".r.findFirstIn(plan)
       println(s"partition pruning: ${pruned.getOrElse("NONE (full scan!)")}")

@@ -251,20 +251,13 @@ object BundleInstall {
 
   /** Read through an alias: resolve it at the install root and open the
     * bundle it points to with the connector — the reference search
-    * client's "query the alias, not the index" usage. Multi-index
-    * bundles scope the read to the alias's own `_index=` partition. */
+    * client's "query the alias, not the index" usage. Delegates to the
+    * connector's own alias option, so multi-index bundles get their
+    * `_index=` partition scoped in the FILE LISTING (other indices'
+    * files are never listed) with `_shard` routing pruning intact. */
   def readAlias(spark: SparkSession, installDir: String,
-                alias: String): org.apache.spark.sql.DataFrame = {
-    val (bundle, idx) = resolveAlias(spark, installDir, alias).getOrElse(
-      throw new java.util.NoSuchElementException(
-        s"alias '$alias' resolves to nothing under $installDir/_aliases"))
-    val root = s"$installDir/$bundle"
-    val fs = FileSystem.get(new java.net.URI(root),
-      spark.sparkContext.hadoopConfiguration)
-    val df = spark.read.format("graft-bundle").load(root)
-    if (fs.exists(new Path(root, "manifest.json"))) df
-    else df.filter(org.apache.spark.sql.functions.col("_index") === idx)
-  }
+                alias: String): org.apache.spark.sql.DataFrame =
+    spark.read.format("graft-bundle").option("alias", alias).load(installDir)
 
   private def manifestCompleted(fs: FileSystem, dir: Path): Boolean = {
     val in = fs.open(new Path(dir, "manifest.json"))

@@ -67,14 +67,48 @@ class BundleDataSource extends org.apache.spark.sql.connector.catalog.TableProvi
     p
   }
 
+  /** Alias indirection (`option("alias", a)`): `path` is then an INSTALL
+    * root ([[graft.sink.BundleInstall]] layout) and the read resolves
+    * through `_aliases/<a>` to whatever bundle was finalized under the
+    * alias most recently — the reference search client's "query the
+    * alias, not the index" usage (`ESClient.java:154-170`). For a
+    * multi-index bundle the alias names ONE index: the file listing is
+    * scoped to its `_index=` partition up front (basePath keeps `_index`
+    * a column and `_shard` pruning intact), so other indices' files are
+    * never even listed. Returns (bundle root, scoped index). */
+  private def resolveRoot(options: CaseInsensitiveStringMap)
+      : (String, Option[String]) = {
+    val p = rootPath(options)
+    Option(options.get("alias")).filter(_.nonEmpty) match {
+      case None => (p, None)
+      case Some(a) =>
+        val spark = sparkSession
+        val (bundle, idx) = graft.sink.BundleInstall.resolveAlias(spark, p, a)
+          .getOrElse(throw new java.util.NoSuchElementException(
+            s"alias '$a' resolves to nothing under $p/_aliases"))
+        val root = s"$p/$bundle"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(root, "manifest.json")))
+          (root, None) // single-index bundle: the alias IS the bundle
+        else (root, Some(idx))
+    }
+  }
+
   private def makeTable(options: CaseInsensitiveStringMap,
                         schema: Option[StructType]): BundleTable = {
-    val root = rootPath(options)
+    val (root, scopedIdx) = resolveRoot(options)
     val spark = sparkSession
     val fmt = BundleManifest.format(spark, root)
     val shards = BundleManifest.numShards(spark, root)
-    BundleTable(s"graft-bundle $root", spark, options,
-      Seq(s"$root/data"), schema, fmt, shards)
+    val (paths, opts) = scopedIdx match {
+      case Some(idx) =>
+        val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+        m.put("basePath", s"$root/data")
+        (Seq(s"$root/data/_index=$idx"), new CaseInsensitiveStringMap(m))
+      case None => (Seq(s"$root/data"), options)
+    }
+    BundleTable(s"graft-bundle $root", spark, opts, paths, schema, fmt, shards)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -417,6 +451,10 @@ case class BundleTable(name: String, sparkSession: SparkSession,
       throw new UnsupportedOperationException(
         "graft-bundle writes address one bundle directory (path option); " +
           "create bundles with graft.sink.BundleSink / graft.Main")
+    if (options.containsKey("alias") && !options.get("alias").isEmpty)
+      throw new UnsupportedOperationException(
+        "the alias option is a READ indirection (path = install root); " +
+          "writes address the bundle directory itself")
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }

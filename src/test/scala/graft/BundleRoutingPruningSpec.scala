@@ -135,6 +135,60 @@ class BundleRoutingPruningSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("alias option: read resolves through the install root; _index + _shard pruning preserved") {
+    val incoming = Files.createTempDirectory("graft-alias-prune-in").toString
+    val installed = Files.createTempDirectory("graft-alias-prune-out").toString
+    val src = sf("sf0.001", "orders")
+      .withColumn("idx", concat(lit("t_"), col("o_orderstatus")))
+    val docs = DocTransform.docs(src, "o_orderkey", Some("o_custkey"), keepCols = Seq("idx"))
+    BundleSink.writeMulti(docs, s"$incoming/orders_v1", "idx", numShards = 3,
+      partitionMultiples = 2,
+      aliasFor = i => if (i == "t_O") Some("open_live") else None)
+    graft.sink.BundleInstall.installOnce(spark, incoming, installed)
+
+    // the connector option resolves alias -> (bundle, index) and scopes the
+    // multi bundle to the alias's _index partition IN THE FILE LISTING
+    val q0 = spark.read.format("graft-bundle").option("alias", "open_live")
+      .load(installed)
+    assert(q0.columns.contains("_index"), q0.columns.mkString(","))
+    val direct = spark.read.format("graft-bundle").load(s"$installed/orders_v1")
+      .filter(col("_index") === "t_O")
+    assert(q0.count() === direct.count() && q0.count() > 0)
+    assert(plannedFiles(q0).forall(_.contains("_index=t_O")),
+      s"alias read listed other indices' files:\n${plannedFiles(q0).mkString("\n")}")
+
+    // routing pruning still fires THROUGH the indirection: one (_index,
+    // _shard) dir planned for a point lookup
+    val routing = "42"
+    val expectShard = EsMurmur3.shard(routing, 3)
+    val q = q0.filter(col("_routing") === routing)
+    val files = plannedFiles(q)
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("_index=t_O") && f.contains(s"_shard=$expectShard")),
+      s"not pruned to the alias's (_index,_shard) dir:\n${files.mkString("\n")}")
+    assert(q.count() > 0)
+
+    // readAlias delegates to the same path
+    val ra = graft.sink.BundleInstall.readAlias(spark, installed, "open_live")
+    assert(ra.count() === q0.count())
+
+    // the alias option is a read indirection only
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("'x' _id", "'x' _routing", "'{}' doc")
+        .write.format("graft-bundle").option("alias", "open_live")
+        .mode("append").save(installed)
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("READ indirection"), e.toString)
+
+    // unknown alias fails loudly
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-bundle").option("alias", "nope").load(installed).count()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("resolves to nothing"), e2.toString)
+  }
+
   test("catalog DDL: CREATE TABLE USING graft-bundle reads the bundle; writes keep the contract") {
     val dir = writeBundle()
     spark.sql("DROP TABLE IF EXISTS ddl_bundle")
