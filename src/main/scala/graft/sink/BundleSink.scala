@@ -479,20 +479,25 @@ object BundleSink {
     // carry their target index in an `_index` column and each touched
     // index's manifest is CAS-refreshed independently. A single-index
     // insert here would land rows OUTSIDE every _index partition and
-    // corrupt per-index manifests, so the column is required; overwrite
-    // of a whole multi bundle stays a writeMulti job (which index would
-    // an INSERT OVERWRITE without per-index scoping truncate?).
+    // corrupt per-index manifests, so the column is required. OVERWRITE
+    // is _index-SCOPED: exactly the indices present in the data are
+    // truncated and rewritten (fresh manifest, chain reset), every other
+    // index's data and CAS chain untouched; without an `_index` column
+    // there is nothing to scope the truncation to — refused.
     locally {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(outDir, "manifest.json"))) {
-        if (overwrite) throw new UnsupportedOperationException(
-          s"$outDir is a multi-index bundle; INSERT OVERWRITE cannot scope " +
-            "to one index — rewrite via BundleSink.writeMulti")
+        if (overwrite && !data.columns.contains("_index"))
+          throw new UnsupportedOperationException(
+            s"$outDir is a multi-index bundle; INSERT OVERWRITE without an " +
+              "_index column cannot scope the truncation to an index — add " +
+              "_index (scoped per-index rewrite) or rebuild the whole " +
+              "bundle via BundleSink.writeMulti")
         require(data.columns.contains("_index"),
           s"$outDir is a multi-index bundle: appends need an _index column " +
             s"routing each row to its index (got ${data.columns.mkString(", ")})")
-        val per = insertIntoMulti(data, outDir)
+        val per = insertIntoMulti(data, outDir, overwrite)
         val shards = per.values.headOption.map(_.numShards).getOrElse(0)
         val mergedAll = per.values.flatMap(_.shardCounts).groupBy(_._1)
           .map { case (sh, kvs) => sh -> kvs.map(_._2).sum }
@@ -608,9 +613,24 @@ object BundleSink {
    *
    * Layout (shard count, format, codec, typeName) comes from the
    * bundle's existing manifests, never from the caller.
+   *
+   * `overwrite = true` is an `_index`-SCOPED rewrite: each index present
+   * in the data is truncated (its `data/_index=i/` dir and
+   * `.manifest-cas_<i>/` chain deleted) and replaced by exactly this
+   * job's rows under a FRESH version-1 manifest — the per-index analog
+   * of the single-index full-state publisher, which likewise resets the
+   * chain and (matching single-index overwrite semantics) starts from
+   * the default alias/finalSettings fragment. Indices absent from the
+   * data keep their data, manifests and CAS chains byte-identical.
+   * Like the reference's serialized builds, a scoped overwrite is not
+   * designed to race a concurrent append TO THE SAME index (the append
+   * could land between truncate and publish); appends to other indices
+   * are unaffected. A crash mid-rewrite leaves that one index
+   * data/manifest-inconsistent — `validateMulti` reports it, the other
+   * indices still validate.
    */
-  def insertIntoMulti(data: DataFrame,
-                      outRoot: String): Map[String, Result] = {
+  def insertIntoMulti(data: DataFrame, outRoot: String,
+                      overwrite: Boolean = false): Map[String, Result] = {
     val spark = data.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outRoot), spark.sparkContext.hadoopConfiguration)
@@ -677,6 +697,16 @@ object BundleSink {
         (k.substring(0, cut), k.substring(cut + 1).toInt) -> c
       }.toMap
 
+    // scoped truncate BEFORE the staged renames land: the staging write
+    // already committed this job's rows, so the window where an index is
+    // empty is the rename loop only (same order as write()'s full rewrite)
+    if (overwrite) {
+      delta.keys.map(_._1).toSeq.distinct.foreach { idx =>
+        fs.delete(casDirMulti(outRoot, idx), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$outRoot/data/_index=$idx"), true)
+      }
+    }
+
     // rename staged parts into their _index/_shard dirs (insert-scoped
     // unique names: concurrent appends' data files never collide)
     val partIdx = "part-(\\d+)".r
@@ -698,12 +728,36 @@ object BundleSink {
     catch { case _: java.io.IOException => () }
 
     // per-index CAS publish + mirror, one independent chain per index
+    // (overwrite: fresh version-1 manifest instead — the chain was reset
+    // with the truncate, this job's counts are the new authority)
     val touched = delta.keys.map(_._1).toSeq.distinct.sorted
     touched.map { idx =>
-      val cas = casDirMulti(outRoot, idx)
-      fs.mkdirs(cas)
       val idxDelta = (0 until numShards).map(sh =>
         sh -> delta.getOrElse((idx, sh), 0L)).toMap
+      if (overwrite) {
+        val manifest = manifestJson(idx, typeName,
+          s"$outRoot/data/_index=$idx", numShards, format, codec, idxDelta,
+          aliasSettingsJson(None, Map.empty), 1)
+        val mf = fs.create(new org.apache.hadoop.fs.Path(
+          outRoot, s"manifest_$idx.json"), true)
+        mf.write(manifest.getBytes("UTF-8")); mf.close()
+        idx -> Result(s"$outRoot/data/_index=$idx", numShards,
+          idxDelta.values.sum, idxDelta)
+      } else insertMultiPublish(fs, outRoot, idx, numShards, format, codec,
+        typeName, idxDelta, () => fileManifest(idx), tag)
+    }.toMap
+  }
+
+  /** One index's CAS publish + mirror for [[insertIntoMulti]] appends. */
+  private def insertMultiPublish(fs: org.apache.hadoop.fs.FileSystem,
+                                 outRoot: String, idx: String, numShards: Int,
+                                 format: String, codec: String,
+                                 typeName: String, idxDelta: Map[Int, Long],
+                                 fileManifest: () => Option[String],
+                                 tag: String): (String, Result) = {
+    locally {
+      val cas = casDirMulti(outRoot, idx)
+      fs.mkdirs(cas)
       var merged: Map[Int, Long] = null
       var won = -1
       var attempts = 0
@@ -712,7 +766,7 @@ object BundleSink {
         require(attempts <= 256,
           s"manifest CAS on $outRoot [$idx] did not converge after 256 attempts")
         val (maxSeen, head) = settledChainStateAt(fs, cas)
-        val baseManifest = head.orElse(fileManifest(idx))
+        val baseManifest = head.orElse(fileManifest())
         val base = baseManifest.map(graft.sources.BundleManifest.parseShardCounts)
           .getOrElse(Map.empty[Int, Long])
         merged = (0 until numShards).map(sh =>
@@ -752,7 +806,7 @@ object BundleSink {
       pruneChainAt(fs, cas, keep = 8)
       idx -> Result(s"$outRoot/data/_index=$idx", numShards,
         merged.values.sum, merged)
-    }.toMap
+    }
   }
 
   def write(docs: DataFrame, outDir: String, numShards: Int,

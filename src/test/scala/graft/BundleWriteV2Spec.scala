@@ -125,13 +125,67 @@ class BundleWriteV2Spec extends SparkSpec {
     // ...and nothing landed: both manifests still carry only the original rows
     val reports0 = BundleValidate.validateMulti(spark, s"$out/multi")
     assert(reports0.values.forall(_.ok), "refused insert must leave the bundle valid")
-    // overwrite cannot scope to one index — stays a writeMulti job
+    // overwrite WITHOUT an _index column has nothing to scope the
+    // truncation to — refused up front on the direct API
     val e2 = intercept[UnsupportedOperationException] {
-      DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
-        .withColumn("_index", lit("t0"))
-        .write.format("graft-bundle").mode("overwrite").save(s"$out/multi")
+      graft.sink.BundleSink.insertInto(
+        DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None),
+        s"$out/multi", overwrite = true)
     }
     assert(e2.getMessage.contains("OVERWRITE"))
+  }
+
+  test("multi-index overwrite: scoped to the _index values present; other indices untouched") {
+    val out = Files.createTempDirectory("graft-v2w-mow").toString
+    val root = s"$out/multi"
+    val routed = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+      .withColumn("tier", concat(lit("t"), pmod(col("_id").cast("long"), lit(2))))
+    val before = BundleSink.writeMulti(routed, root, "tier", numShards = 2,
+      partitionMultiples = 2)
+    // give t1 an append history so it has a CAS chain that must survive
+    DocTransform.docs(sf("sf0.001", "customer"), "c_custkey", None)
+      .withColumn("_index", lit("t1"))
+      .write.format("graft-bundle").mode("append").save(root)
+    def listDir(p: String): Seq[String] = {
+      val d = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(d)) Seq.empty
+      else java.nio.file.Files.list(d).toArray.map(_.toString).toSeq.sorted
+    }
+    val t1CasBefore = listDir(s"$root/.manifest-cas_t1")
+    val t1ManifestBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifest_t1.json"))
+    assert(t1CasBefore.nonEmpty, "precondition: t1 has a CAS chain")
+
+    // scoped overwrite: t0 is truncated and replaced by exactly these rows
+    DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
+      .withColumn("_index", lit("t0"))
+      .write.format("graft-bundle").mode("overwrite").save(root)
+
+    val t0m = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifest_t0.json"))
+    assert(graft.sources.BundleManifest.parseShardCounts(t0m).values.sum === 5,
+      s"t0 must hold exactly the overwrite's rows: $t0m")
+    assert(graft.sources.BundleManifest.versionOf(t0m) === 1,
+      "overwrite must publish a fresh version-1 manifest")
+    assert(listDir(s"$root/.manifest-cas_t0").isEmpty,
+      "overwrite must reset t0's CAS chain")
+    val t0rows = spark.read.json(s"$root/data/_index=t0")
+    assert(t0rows.count() === 5)
+    assert(t0rows.filter(col("_shard") =!=
+      graft.functions.EsFunctions.es_shard(col("_routing"), 2)).count() === 0,
+      "overwrite must recompute placement")
+
+    // t1 byte-identical: data counts, manifest, CAS chain all untouched
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifest_t1.json")) === t1ManifestBefore)
+    assert(listDir(s"$root/.manifest-cas_t1") === t1CasBefore)
+    assert(spark.read.json(s"$root/data/_index=t1").count()
+      === before("t1").totalDocs + 150)
+
+    // the whole bundle still validates per index
+    val reports = BundleValidate.validateMulti(spark, root)
+    assert(reports.keySet === Set("t0", "t1") && reports.values.forall(_.ok),
+      reports.map { case (i, r) => s"$i: ${r.problems}" }.mkString("; "))
   }
 
   test("multi-index append: _index routes rows, per-index manifest CAS, validateMulti green") {
