@@ -329,21 +329,24 @@ object CorpusPipeline {
     val nSurvivors = obsN(obsSurv)
 
     // tokenizer trained on what survives (junk filtered out above), ridden
-    // into the bundle as typed columns
+    // into the bundle as typed columns. The token total rides the bundle
+    // write as one more observation (tokenization is the expensive
+    // projection here — a separate agg action would run it a second time);
+    // coalesce: sum over zero rows is NULL (a run CAN drop everything —
+    // e.g. a re-ingest where every doc already near-dups the index).
     val model = Bpe.train(survivors, textCol, bpeMerges, bpeMaxWords)
+    val obsTok = org.apache.spark.sql.Observation("cp_tokens")
     val tokenized = survivors
       .withColumn("bpe_tokens", model.tokens(col(textCol)))
       .withColumn("bpe_token_cnt", size(col("bpe_tokens")))
       .withColumn("vocab_fit", round(model.vocabularyFit(col(textCol)), 4))
-    // coalesce: sum over zero rows is NULL (a run CAN drop everything —
-    // e.g. a re-ingest where every doc already near-dups the index)
-    val totalTokens = tokenized.agg(coalesce(sum("bpe_token_cnt"), lit(0L)))
-      .head().getLong(0)
+      .observe(obsTok, coalesce(sum("bpe_token_cnt"), lit(0L)).as("t"))
 
     val bundleDocs = DocTransform.docsColumnar(tokenized, idCol, None)
     val res = BundleSink.write(bundleDocs, s"$outDir/$indexName", numShards,
       partitionMultiples, repartition = true, format = "columnar",
       indexName = indexName)
+    val totalTokens = obsTok.get("t").asInstanceOf[Long]
     Bpe.save(spark, model, s"$outDir/$indexName/bpe_model.json")
 
     // maintain the standing index with this run's accepted docs — AFTER
