@@ -277,7 +277,10 @@ object Main {
             mixBudget = raw.get("mix-budget").map(_.toLong),
             mixTemperature = raw.getOrElse("mix-temperature", "0.5").toDouble,
             mixSourceCol = raw.getOrElse("mix-source-col", "source"),
-            mixClusterK = raw.get("mix-cluster-k").map(_.toInt))
+            mixClusterK = raw.get("mix-cluster-k").map(_.toInt),
+            // frozen centroids (train-centroids artifact) beat in-run
+            // k-means when set: batch re-runs and streams label identically
+            mixClusterCentroids = raw.get("mix-cluster-centroids"))
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")

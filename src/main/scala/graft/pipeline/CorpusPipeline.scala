@@ -117,7 +117,8 @@ object CorpusPipeline {
           mixBudget: Option[Long] = None,
           mixTemperature: Double = 0.5,
           mixSourceCol: String = "source",
-          mixClusterK: Option[Int] = None): Stats = {
+          mixClusterK: Option[Int] = None,
+          mixClusterCentroids: Option[String] = None): Stats = {
     // Stage counts ride the pipeline's own materializing passes as
     // observe() metrics instead of one count() action per stage: each
     // count() re-ran the un-cached upstream chain (redaction -> scoring ->
@@ -302,17 +303,30 @@ object CorpusPipeline {
       case None => deduped
       case Some(b) =>
         val cost = length(col(textCol)).cast("long")
-        mixClusterK match {
-          case Some(k) =>
+        (mixClusterCentroids, mixClusterK) match {
+          case (Some(path), _) =>
+            // FROZEN centroids (a train-centroids artifact or an ANN
+            // index's centroids/): the batch twin of the streaming mix
+            // stage — a batch re-run and a stream over the same corpus
+            // label identically and derive the same budgets
+            require(deduped.columns.contains(embeddingCol),
+              s"mixClusterCentroids needs column '$embeddingCol' on the corpus")
+            graft.ext.Mixing.clusterBalancedSampleWith(deduped, idCol,
+                embeddingCol, cost, b,
+                graft.ext.Similarity.loadClusterCentroids(spark, path),
+                mixTemperature)
+              .drop("_cum", "cluster_id")
+          case (None, Some(k)) =>
             require(deduped.columns.contains(embeddingCol),
               s"mixClusterK needs column '$embeddingCol' on the corpus")
             graft.ext.Mixing.clusterBalancedSample(deduped, idCol,
                 embeddingCol, cost, b, k, mixTemperature)
               .drop("_cum", "cluster_id")
-          case None =>
+          case (None, None) =>
             require(deduped.columns.contains(mixSourceCol),
               s"mixBudget needs column '$mixSourceCol' on the corpus " +
-                "(or set mixClusterK for latent-topic balancing)")
+                "(or set mixClusterK / mixClusterCentroids for " +
+                "latent-topic balancing)")
             graft.ext.Mixing.temperatureMix(deduped, mixSourceCol, idCol,
               cost, b, mixTemperature).drop("_cum")
         }

@@ -708,15 +708,22 @@ object BundleSink {
     }
 
     // rename staged parts into their _index/_shard dirs (insert-scoped
-    // unique names: concurrent appends' data files never collide)
+    // unique names: concurrent appends' data files never collide).
+    // Renames are metadata-only but driver-side: a corpus-sized append
+    // (thousands of parts) would crawl serially, so the per-(index,shard)
+    // dirs rename in parallel — independent targets, no rename races.
     val partIdx = "part-(\\d+)".r
-    for (idxDir <- fs.listStatus(new org.apache.hadoop.fs.Path(staging))
-         if idxDir.isDirectory;
-         shardDir <- fs.listStatus(idxDir.getPath) if shardDir.isDirectory) {
+    val shardDirs = (for {
+      idxDir <- fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+      if idxDir.isDirectory
+      shardDir <- fs.listStatus(idxDir.getPath).toSeq if shardDir.isDirectory
+    } yield (idxDir.getPath.getName, shardDir.getPath)).toVector
+    import scala.collection.parallel.CollectionConverters._
+    shardDirs.par.foreach { case (idxName, shardPath) =>
       val target = new org.apache.hadoop.fs.Path(
-        s"$outRoot/data/${idxDir.getPath.getName}/${shardDir.getPath.getName}")
+        s"$outRoot/data/$idxName/${shardPath.getName}")
       fs.mkdirs(target)
-      for (f <- fs.listStatus(shardDir.getPath)
+      for (f <- fs.listStatus(shardPath)
            if f.getPath.getName.startsWith("part-")) {
         val i = partIdx.findFirstMatchIn(f.getPath.getName).map(_.group(1)).getOrElse("0")
         val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")

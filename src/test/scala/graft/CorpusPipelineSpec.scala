@@ -517,4 +517,50 @@ class CorpusPipelineSpec extends SparkSpec {
     val smallShare = ids.count(_ % 10 == 0).toDouble / ids.size
     assert(smallShare > 0.12, s"small source share $smallShare not rebalanced")
   }
+
+  test("mixClusterCentroids: batch pipeline labels against the frozen artifact == direct operator") {
+    val rnd = new scala.util.Random(71)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"the w${rnd.nextInt(400)} of and to a").mkString(" ")
+    // two planted topics (axis-0 90%, axis-1 10%); one provenance source,
+    // so ONLY topic labeling can rebalance this corpus
+    def vec(axis: Int) = {
+      val a = Array.fill(16)(rnd.nextGaussian() * 0.05f)
+      a(axis) = 1f + rnd.nextGaussian().toFloat * 0.05f
+      a.toSeq
+    }
+    val docs = (0L until 100L).map { i =>
+      (i, sentence(12), vec(if (i % 10 == 0) 1 else 0))
+    }
+    val input = Files.createTempDirectory("graft-cp-cmix-in").toString
+    docs.toDF("doc_id", "text", "embedding").write.mode("overwrite").parquet(input)
+    val centDir = Files.createTempDirectory("graft-cp-cmix-cent").toString + "/c"
+    graft.ext.Similarity.trainClusterCentroids(
+      docs.toDF("doc_id", "text", "embedding"), "doc_id", "embedding",
+      k = 2, iters = 4, path = centDir)
+
+    val out = Files.createTempDirectory("graft-cp-cmix-out").toString
+    val budget = 20000L
+    val st = CorpusPipeline.run(spark, input, out, "corpus",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      bpeMerges = 30, bpeMaxWords = 2000,
+      mixBudget = Some(budget), mixTemperature = 0.5,
+      mixClusterCentroids = Some(centDir))
+    assert(st.afterMix >= 0 && st.afterMix < 100L, s"mix did not cap: $st")
+    assert(st.bundle.totalDocs === st.afterMix)
+
+    // parity: bundle ids == clusterBalancedSampleWith at the same frozen
+    // centroids (quality passes everything here, no dups)
+    val cents = graft.ext.Similarity.loadClusterCentroids(spark, centDir)
+    val direct = graft.ext.Mixing.clusterBalancedSampleWith(
+      docs.toDF("doc_id", "text", "embedding"), "doc_id", "embedding",
+      length(col("text")).cast("long"), budget, cents, temperature = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = spark.read.parquet(s"$out/corpus/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === direct, "pipeline cluster mix != direct operator")
+    // topic rebalancing visible in the kept share
+    val smallShare = ids.count(_ % 10 == 0).toDouble / ids.size
+    assert(smallShare > 0.12, s"small topic share $smallShare not rebalanced")
+  }
 }
