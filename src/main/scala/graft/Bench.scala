@@ -672,6 +672,31 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pack carry 1m failed: ${e.getMessage}"); "{}" } }
 
+    // concat-and-chunk packing at 1M docs with REAL token arrays (the
+    // honest payload: the operator's cost is the two token-bearing
+    // shuffles — offsets join + window assembly). fill is 1.0 by
+    // construction up to the final partial window; the entry pins the
+    // throughput of re-chunking ~250M tokens.
+    val chunk1mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("chunk_1m") { try {
+        import org.apache.spark.sql.functions.{count => fcount, expr}
+        val maxLen = 2048
+        val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+          expr("sequence(1, cast(16 + pmod(xxhash64(id), 464) as int))")
+            .as("toks")).repartition(64)
+        var seqs = 0L; var toks = 0L
+        val sec = time {
+          val agg = graft.ext.Packing
+            .chunkSequences(docs, "doc_id", "toks", maxLen)
+            .agg(fcount(lit(1)), fsum("n_tokens")).head()
+          seqs = agg.getLong(0); toks = agg.getLong(1)
+        }
+        val fill = toks.toDouble / (seqs * maxLen)
+        f"""{"rows":1000000,"max_len":$maxLen,"sec":$sec%.3f,"seqs":$seqs,"tokens":$toks,"fill":$fill%.4f}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] chunk 1m failed: ${e.getMessage}"); "{}" } }
+
     // end-to-end corpus pipeline at the 1M tier: quality -> exact dedup ->
     // MinHash near-dup -> temperature mix -> BPE tokenize -> columnar
     // bundle, composed through CorpusPipeline.run — the component stages
@@ -760,7 +785,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"mix_1m":$mix1mJson,"pipeline_1m":$pipeline1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"pipeline_1m":$pipeline1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

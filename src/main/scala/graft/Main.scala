@@ -39,7 +39,7 @@ object Main {
     "mix-source-col", "tokens-col", "negative", "quality-dim",
     "quality-model", "quality-min", "quality-prob-min",
     "quality-pareto-alpha", "quality-pareto-seed", "mix-cluster-k",
-    "mix-cluster-centroids", "kmeans-iters")
+    "mix-cluster-centroids", "kmeans-iters", "pack-style", "pack-eod")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -462,9 +462,20 @@ object Main {
           require(docs.columns.contains(tokensCol),
             s"--mode pack: input has no '$tokensCol' column " +
               s"(have: ${docs.columns.mkString(", ")}; set --tokens-col)")
-          val packed = graft.ext.Packing.packSequences(docs,
-            Option(cfg.id).getOrElse("doc_id"), tokensCol, maxLen,
-            raw.getOrElse("pack-buckets", "256").toInt)
+          // --pack-style bins (default): whole-doc BFD bin packing;
+          // --pack-style chunk: GPT-style concat-and-chunk (id-ordered
+          // stream cut into full windows, docs spanning boundaries;
+          // --pack-eod N terminates every doc with token N first)
+          val packed = raw.getOrElse("pack-style", "bins") match {
+            case "chunk" => graft.ext.Packing.chunkSequences(docs,
+              Option(cfg.id).getOrElse("doc_id"), tokensCol, maxLen,
+              eodToken = raw.get("pack-eod").map(_.toInt))
+            case "bins" => graft.ext.Packing.packSequences(docs,
+              Option(cfg.id).getOrElse("doc_id"), tokensCol, maxLen,
+              raw.getOrElse("pack-buckets", "256").toInt)
+            case other => throw new IllegalArgumentException(
+              s"unknown --pack-style '$other' (bins | chunk)")
+          }
           val outP = s"${cfg.outDir}/packed"
           raw.get("pack-ranks").map(_.toInt) match {
             case Some(r) =>

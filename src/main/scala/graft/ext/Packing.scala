@@ -318,6 +318,97 @@ object Packing {
    * columns is one map-only pass, no shuffle of the payload until the
    * caller repartitions by `rank`.
    */
+  /**
+   * GPT-style concat-and-chunk packing — the OTHER standard trainer
+   * export ([[packSequences]] keeps documents whole in BFD bins at the
+   * cost of padding; this one wastes nothing): documents concatenate in
+   * global `idCol` order into one token stream (optionally terminated by
+   * `eodToken` each — the GPT convention) and the stream is cut into
+   * consecutive `maxLen` windows. Every sequence except the last is
+   * exactly full (fill = 1 up to the final partial window); documents
+   * SPAN sequence boundaries, recorded in `doc_spans` (`chunk_ix` counts
+   * a document's pieces across the stream, `begin`/`end` are positions
+   * inside `input_ids`) so a loader can reset attention masks at
+   * boundaries. Output schema matches [[packSequences]]:
+   * `(seq_id, input_ids, doc_spans, n_tokens)` with dense `seq_id`
+   * 0..S-1 in stream order.
+   *
+   * Distributed shape (the 100 TB form): the global offset of each
+   * document is an EXACT prefix sum over id order, computed without a
+   * single-task global window — order-contiguous range buckets of
+   * `idCol` (the [[Mixing.bucketize]] splitter: boundaries from one
+   * collected percentile sketch, so every branch buckets identically
+   * and boundary quality affects task balance, never values), exclusive
+   * per-bucket offsets from a numBuckets-row aggregate, in-bucket
+   * running sum under `Window.partitionBy(bucket)`. The token payload
+   * then moves ONCE: one row per (document, overlapped sequence) with
+   * the piece already sliced — O(docs + seqs) rows, not per-token — and
+   * `groupBy(seq_id)` assembles windows bounded by `maxLen` tokens.
+   *
+   * Deterministic and repartition-invariant: offsets depend only on
+   * (id, count). `idCol` must be unique. Unlike [[packAssignments]],
+   * documents with zero tokens still contribute their `eodToken` when
+   * one is set (every document is terminated in the stream); with no
+   * eodToken they are dropped.
+   */
+  def chunkSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                     maxLen: Int, eodToken: Option[Int] = None,
+                     numBuckets: Int = 64): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    val base0 = docs.filter(col(tokensCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(tokensCol).as("_toks"))
+    val base = eodToken match {
+      case Some(e) => base0.withColumn("_toks",
+        concat(coalesce(col("_toks"), expr("array()")), array(lit(e))))
+      case None => base0.filter(size(col("_toks")) > 0)
+    }
+    // exact global prefix sum in two phases (no single-task sort), on a
+    // SLIM (doc_id, count) frame — the window sort must never carry the
+    // token arrays as payload; they join back once, by id, below
+    val counted = base
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("_n"))
+      .withColumn("_src", lit("s"))
+    val bucketed = Mixing.bucketize(counted, "_src", "doc_id", numBuckets)
+      .getOrElse(counted.withColumn("_gbkt", lit(0)))
+    val w = org.apache.spark.sql.expressions.Window
+    val offs = bucketed.groupBy("_gbkt").agg(sum("_n").as("_tot"))
+      .withColumn("_goff", coalesce(sum("_tot").over(
+        w.orderBy("_gbkt").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("_gbkt", "_goff")
+    val inBkt = w.partitionBy("_gbkt").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, -1)
+    val slimOff = bucketed.join(broadcast(offs), "_gbkt")
+      .withColumn("_off", col("_goff") + coalesce(sum("_n").over(inBkt), lit(0L)))
+      .select("doc_id", "_n", "_off")
+    val withOff = slimOff.join(base, "doc_id")
+    // one row per (doc, overlapped sequence): piece sliced at the source
+    val pieces = withOff.filter(col("_n") > 0)
+      .withColumn("_firstSeq", (col("_off") / maxLen).cast("long"))
+      .withColumn("seq_id", explode(sequence(col("_firstSeq"),
+        ((col("_off") + col("_n") - 1) / maxLen).cast("long"))))
+      .withColumn("_seqStart", col("seq_id") * maxLen)
+      .withColumn("_begin", greatest(col("_seqStart"), col("_off")))
+      .withColumn("_endEx",
+        least(col("_seqStart") + maxLen, col("_off") + col("_n")))
+      .withColumn("_pieceLen", (col("_endEx") - col("_begin")).cast("int"))
+      .withColumn("_sliceFrom", (col("_begin") - col("_off")).cast("int"))
+      .withColumn("_piece",
+        slice(col("_toks"), col("_sliceFrom") + 1, col("_pieceLen")))
+      .withColumn("_posInSeq", (col("_begin") - col("_seqStart")).cast("int"))
+      .withColumn("chunk_ix", (col("seq_id") - col("_firstSeq")).cast("int"))
+    pieces.groupBy("seq_id")
+      .agg(array_sort(collect_list(struct(
+        col("_posInSeq"), col("doc_id"), col("chunk_ix"), col("_piece"))))
+        .as("_slots"))
+      .select(col("seq_id"),
+        flatten(expr("transform(_slots, s -> s._piece)")).as("input_ids"),
+        expr("""transform(_slots, s -> named_struct(
+                 'doc_id', s.doc_id, 'chunk_ix', s.chunk_ix,
+                 'begin', s._posInSeq,
+                 'end', s._posInSeq + size(s._piece)))""").as("doc_spans"))
+      .withColumn("n_tokens", size(col("input_ids")))
+  }
+
   def shardSequences(rows: DataFrame, keyCol: String, numRanks: Int,
                      seed: Long = 0L): DataFrame = {
     require(numRanks > 0, s"numRanks must be positive, got $numRanks")

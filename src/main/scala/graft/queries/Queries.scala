@@ -1599,6 +1599,43 @@ object Queries {
         totals.crossJoin(budget)
       }),
 
+    // ---- concat-and-chunk packing (GPT-style: id-ordered token stream
+    //      cut into fixed windows, docs spanning boundaries). Unlike BFD
+    //      bin packing (q75/q79), this assignment IS SQL-expressible —
+    //      exact prefix sums over id order — so the oracle pins the
+    //      per-sequence layout hash-exact, not just conservation totals:
+    //      a wrong offset, lost piece, misplaced boundary, or dropped doc
+    //      shifts some sequence's (n_tokens, n_docs) and breaks the hash.
+    //      Token counts use the shared whitespace tokenization law
+    //      (q22/q79): len(string_split_regex(trim(text), '\s+')). ----
+    QueryDef("q82_chunk_sequences",
+      Some("""WITH d AS (
+             |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE text IS NOT NULL),
+             |v AS (SELECT doc_id, n FROM d WHERE n > 0),
+             |o AS (SELECT doc_id, n,
+             |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             |      FROM v),
+             |p AS (SELECT o.doc_id, s.seq_id,
+             |        LEAST((s.seq_id+1)*128, o.off+o.n) - GREATEST(s.seq_id*128, o.off) AS piece
+             |      FROM o, UNNEST(generate_series(CAST(o.off//128 AS BIGINT), CAST((o.off+o.n-1)//128 AS BIGINT))) AS s(seq_id))
+             |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+             |       CAST(SUM(piece) AS BIGINT) AS n_tokens,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("transform(split(trim(text), '\\\\s+'), w -> length(w))")
+              .as("ids"))
+        graft.ext.Packing.chunkSequences(d, "doc_id", "ids", maxLen = 128)
+          .select(col("seq_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            size(col("doc_spans")).cast("long").as("n_docs"))
+          .orderBy("seq_id")
+      }),
+
     // ---- cluster-balanced sampling (topic balancing: temperature budgets
     //      over LATENT k-means clusters of the embedding instead of a
     //      provenance column). k-means labels are engine-specific ->

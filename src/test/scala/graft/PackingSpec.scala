@@ -331,4 +331,101 @@ class PackingSpec extends SparkSpec {
     assert(written.get() < 200 * 1024,
       s"assignment shuffled ${written.get()} bytes — token payloads leaked")
   }
+
+  test("chunkSequences: stream order preserved, all-but-last exactly full, spans tile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    // lengths spanning: tiny, window-sized, multi-window (forces splits)
+    val docs = (0L until 200L).map { i =>
+      val n = rnd.nextInt(3) match {
+        case 0 => 1 + rnd.nextInt(20)
+        case 1 => 100 + rnd.nextInt(60)
+        case 2 => 300 + rnd.nextInt(400)
+      }
+      (i, (0 until n).map(j => (i * 1000 + j).toInt))
+    }
+    val df = docs.toDF("doc_id", "ids")
+    val maxLen = 128
+    val out = Packing.chunkSequences(df, "doc_id", "ids", maxLen).cache()
+    val rows = out.orderBy("seq_id").collect()
+
+    // dense seq ids in stream order; every sequence but the last full
+    val total = docs.map(_._2.size).sum
+    assert(rows.map(_.getLong(0)).toSeq === (0L until rows.length).toSeq,
+      "seq_id must be dense 0..S-1")
+    rows.dropRight(1).foreach(r =>
+      assert(r.getAs[Int]("n_tokens") === maxLen,
+        s"seq ${r.getLong(0)} not full: ${r.getAs[Int]("n_tokens")}"))
+    assert(rows.map(_.getAs[Int]("n_tokens")).sum === total,
+      "every token must be used exactly once")
+
+    // THE law: concatenating input_ids in seq order == concatenating doc
+    // tokens in id order (nothing reordered, dropped, or duplicated)
+    val stream = rows.flatMap(_.getAs[scala.collection.Seq[Int]]("input_ids"))
+    val expected = docs.flatMap(_._2)
+    assert(stream.toSeq === expected,
+      "chunked stream diverged from the id-ordered concatenation")
+
+    // spans tile each sequence contiguously and name the right doc
+    rows.foreach { r =>
+      val spans = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
+      val sorted = spans.sortBy(_.getAs[Int]("begin"))
+      assert(sorted.head.getAs[Int]("begin") === 0)
+      sorted.sliding(2).foreach {
+        case scala.collection.Seq(a, b) =>
+          assert(a.getAs[Int]("end") === b.getAs[Int]("begin"),
+            s"gap in seq ${r.getLong(0)}")
+        case _ => ()
+      }
+      assert(sorted.last.getAs[Int]("end") === r.getAs[Int]("n_tokens"))
+      val ids = r.getAs[scala.collection.Seq[Int]]("input_ids")
+      sorted.foreach { sp =>
+        val d = sp.getAs[Long]("doc_id")
+        (sp.getAs[Int]("begin") until sp.getAs[Int]("end")).foreach(p =>
+          assert(ids(p) / 1000 === d, s"token at $p not from doc $d"))
+      }
+    }
+    // per-doc: pieces' chunk_ix consecutive from 0, lens rebuild the doc
+    val perDoc = rows.flatMap { r =>
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
+        .map(sp => (sp.getAs[Long]("doc_id"), sp.getAs[Int]("chunk_ix"),
+          sp.getAs[Int]("end") - sp.getAs[Int]("begin")))
+    }.groupBy(_._1)
+    docs.foreach { case (id, toks) =>
+      val pcs = perDoc(id).sortBy(_._2)
+      assert(pcs.map(_._2).toSeq === (0 until pcs.length), s"doc $id chunk_ix gap")
+      assert(pcs.map(_._3).sum === toks.size, s"doc $id pieces != length")
+    }
+    out.unpersist()
+    ()
+  }
+
+  test("chunkSequences: eodToken terminates every doc (empty docs included); determinism; repartition invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Seq(1, 2, 3)), (1L, Seq.empty[Int]), (2L, Seq(4, 5)),
+      (3L, (0 until 20).toSeq), (4L, Seq(9)))
+    val df = docs.toDF("doc_id", "ids")
+    val eod = -1
+    val out = Packing.chunkSequences(df, "doc_id", "ids", maxLen = 7,
+        eodToken = Some(eod))
+      .orderBy("seq_id").collect()
+    val stream = out.flatMap(_.getAs[scala.collection.Seq[Int]]("input_ids")).toSeq
+    val expected = docs.flatMap { case (_, t) => t :+ eod }
+    assert(stream === expected, "eod stream mismatch")
+    assert(stream.count(_ == eod) === docs.length,
+      "every doc (empty ones included) must contribute exactly one EOD")
+
+    // determinism + partitioning invariance (the offsets are two-phase;
+    // values must not depend on layout)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.chunkSequences(d, "doc_id", "ids", maxLen = 7,
+          eodToken = Some(eod))
+        .orderBy("seq_id")
+        .select(col("seq_id"), hash(col("input_ids")), to_json(col("doc_spans")))
+        .collect().toSeq
+    assert(run(df) === run(df.repartition(7)),
+      "chunking depends on the partitioning")
+    assert(run(df) === run(df), "chunking not deterministic")
+  }
 }
