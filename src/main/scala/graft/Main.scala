@@ -262,6 +262,10 @@ object Main {
             packBuckets = raw.getOrElse("pack-buckets", "256").toInt,
             packRanks = raw.get("pack-ranks").map(_.toInt),
             packSeed = raw.getOrElse("pack-seed", "0").toLong,
+            // --pack-style chunk: GPT-style concat-and-chunk export
+            // (fill = 1, docs span boundaries; --pack-eod N terminates)
+            packStyle = raw.getOrElse("pack-style", "bins"),
+            packEodToken = raw.get("pack-eod").map(_.toInt),
             // trained quality gate (quality-train output), composed after
             // the heuristic one: P(doc ~ seed) >= --quality-prob-min
             qualityModel = raw.get("quality-model")

@@ -110,6 +110,8 @@ object CorpusPipeline {
           packBuckets: Int = 256,
           packRanks: Option[Int] = None,
           packSeed: Long = 0L,
+          packStyle: String = "bins",
+          packEodToken: Option[Int] = None,
           qualityModel: Option[graft.ext.QualityModel] = None,
           qualityProbMin: Double = 0.5,
           qualityParetoAlpha: Option[Double] = None,
@@ -384,8 +386,17 @@ object CorpusPipeline {
     val nPacked = packMaxLen match {
       case Some(maxLen) =>
         val withIds = tokenized.withColumn("_bpe_ids", model.tokenIds(col(textCol)))
-        val packed = graft.ext.Packing.packSequences(
-          withIds, idCol, "_bpe_ids", maxLen, packBuckets)
+        // packStyle "bins" (default): whole-doc BFD; "chunk": GPT-style
+        // concat-and-chunk (fill = 1, docs span boundaries; packEodToken
+        // terminates every doc first). Same output schema either way.
+        val packed = packStyle match {
+          case "chunk" => graft.ext.Packing.chunkSequences(
+            withIds, idCol, "_bpe_ids", maxLen, eodToken = packEodToken)
+          case "bins" => graft.ext.Packing.packSequences(
+            withIds, idCol, "_bpe_ids", maxLen, packBuckets)
+          case other => throw new IllegalArgumentException(
+            s"unknown packStyle '$other' (bins | chunk)")
+        }
         // packRanks: data-parallel export — each reader shard is its own
         // rank=K partition dir, order_key inside it is the epoch's
         // reproducible shuffle order (portable md5; see shardSequences)

@@ -68,6 +68,44 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(bundleTok === packedTok, s"bundle $bundleTok vs packed $packedTok")
   }
 
+  test("packStyle=chunk: full windows + EOD accounting; loader columns reset at spans") {
+    val rnd = new scala.util.Random(57)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"the w${rnd.nextInt(200)} of and to a").mkString(" ")
+    val docs = (0L until 30L).map(i => (i, "src", sentence(4 + rnd.nextInt(12))))
+    val input = Files.createTempDirectory("graft-cp-chunk-in").toString
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(input)
+
+    val out = Files.createTempDirectory("graft-cp-chunk-out").toString
+    val st = CorpusPipeline.run(spark, input, out, "corpus",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      bpeMerges = 40, bpeMaxWords = 2000,
+      packMaxLen = Some(64), packStyle = "chunk", packEodToken = Some(-1))
+    val packed = spark.read.parquet(s"$out/corpus/packed").orderBy("seq_id")
+    assert(packed.count() === st.packedSeqs && st.packedSeqs > 0)
+    // every window full except the last; tokens = bundle tokens + one EOD
+    // per surviving doc
+    val rows = packed.collect()
+    rows.dropRight(1).foreach(r => assert(r.getAs[Int]("n_tokens") === 64))
+    val bundle = spark.read.parquet(s"$out/corpus/data")
+    val bundleTok = bundle.agg(sum("bpe_token_cnt")).head().getLong(0)
+    val nDocs = bundle.count()
+    assert(rows.map(_.getAs[Int]("n_tokens")).sum === bundleTok + nDocs,
+      "chunk stream must hold every token plus one EOD per doc")
+    // loader columns compose: position_ids restart at every span boundary
+    val loaded = graft.ext.Packing.withLoaderColumns(
+      spark.read.parquet(s"$out/corpus/packed")).orderBy("seq_id").collect()
+    loaded.foreach { r =>
+      val pos = r.getAs[scala.collection.Seq[Int]]("position_ids")
+      val spans = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
+      spans.foreach { sp =>
+        val b = sp.getAs[Int]("begin"); val e = sp.getAs[Int]("end")
+        assert(pos.slice(b, e) === (0 until e - b),
+          s"position_ids not reset at span [$b,$e)")
+      }
+    }
+  }
+
   test("optional stages: PII redacted before the bundle; LM filter drops fluent-looking junk") {
     val rnd = new scala.util.Random(41)
     def sentence(n: Int) =
