@@ -345,6 +345,10 @@ object Main {
               packBuckets = raw.getOrElse("pack-buckets", "256").toInt,
               packRanks = raw.get("pack-ranks").map(_.toInt),
               packSeed = raw.getOrElse("pack-seed", "0").toLong,
+              // --pack-style chunk: concat-and-chunk across the stream
+              // (partial windows carry via state/chunkcarry snapshots)
+              packStyle = raw.getOrElse("pack-style", "bins"),
+              packEodToken = raw.get("pack-eod").map(_.toInt),
               // accumulated-stream temperature mixing (state/mix):
               // budgets re-derived per batch from total mass seen so far
               mixBudget = raw.get("mix-budget").map(_.toLong),

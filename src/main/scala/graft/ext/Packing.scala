@@ -353,8 +353,17 @@ object Packing {
    */
   def chunkSequences(docs: DataFrame, idCol: String, tokensCol: String,
                      maxLen: Int, eodToken: Option[Int] = None,
-                     numBuckets: Int = 64): DataFrame = {
-    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+                     numBuckets: Int = 64): DataFrame =
+    chunkPieces(
+      batchStreamPieces(docs, idCol, tokensCol, eodToken, grp = 0),
+      maxLen, numBuckets, seqOffset = 0L)
+
+  /** The batch's contribution to a chunk stream: one piece per doc in id
+    * order under group `grp`, eod appended (empty docs included) when
+    * set, zero-token docs dropped otherwise. */
+  private def batchStreamPieces(docs: DataFrame, idCol: String,
+                                tokensCol: String, eodToken: Option[Int],
+                                grp: Int): DataFrame = {
     val base0 = docs.filter(col(tokensCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"), col(tokensCol).as("_toks"))
     val base = eodToken match {
@@ -362,31 +371,46 @@ object Packing {
         concat(coalesce(col("_toks"), expr("array()")), array(lit(e))))
       case None => base0.filter(size(col("_toks")) > 0)
     }
+    base.select(lit(grp).as("_grp"), col("doc_id").as("_ord"),
+      col("doc_id"), lit(0).as("_cbase"), col("_toks"))
+  }
+
+  /**
+   * Shared chunking core over an ORDERED piece stream: rows
+   * `(_grp, _ord, doc_id, _cbase, _toks)` concatenate in `(_grp, _ord)`
+   * order and cut into `maxLen` windows; output `seq_id` starts at
+   * `seqOffset`, and a piece that spans windows gets `chunk_ix =
+   * _cbase + local window index` (so re-chunked carried pieces keep
+   * their original numbering). `(_grp, _ord)` must be unique.
+   */
+  private def chunkPieces(pieceStream: DataFrame, maxLen: Int,
+                          numBuckets: Int, seqOffset: Long): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
     // exact global prefix sum in two phases (no single-task sort), on a
-    // SLIM (doc_id, count) frame — the window sort must never carry the
-    // token arrays as payload; they join back once, by id, below
-    val counted = base
-      .select(col("doc_id"), size(col("_toks")).cast("long").as("_n"))
-      .withColumn("_src", lit("s"))
-    val bucketed = Mixing.bucketize(counted, "_src", "doc_id", numBuckets)
+    // SLIM (key, count) frame — the window sort must never carry the
+    // token arrays as payload; they join back once, by key, below
+    val counted = pieceStream
+      .select(col("_grp"), col("_ord"), size(col("_toks")).cast("long").as("_n"))
+    val bucketed = Mixing.bucketize(counted, "_grp", "_ord", numBuckets)
       .getOrElse(counted.withColumn("_gbkt", lit(0)))
     val w = org.apache.spark.sql.expressions.Window
-    val offs = bucketed.groupBy("_gbkt").agg(sum("_n").as("_tot"))
+    val offs = bucketed.groupBy("_grp", "_gbkt").agg(sum("_n").as("_tot"))
       .withColumn("_goff", coalesce(sum("_tot").over(
-        w.orderBy("_gbkt").rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select("_gbkt", "_goff")
-    val inBkt = w.partitionBy("_gbkt").orderBy("doc_id")
+        w.orderBy("_grp", "_gbkt").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("_grp").as("_ogrp"), col("_gbkt").as("_obkt"), col("_goff"))
+    val inBkt = w.partitionBy("_grp", "_gbkt").orderBy("_ord")
       .rowsBetween(Long.MinValue, -1)
-    val slimOff = bucketed.join(broadcast(offs), "_gbkt")
+    val slimOff = bucketed.join(broadcast(offs),
+        col("_grp") === col("_ogrp") && col("_gbkt") === col("_obkt"))
       .withColumn("_off", col("_goff") + coalesce(sum("_n").over(inBkt), lit(0L)))
-      .select("doc_id", "_n", "_off")
-    val withOff = slimOff.join(base, "doc_id")
-    // one row per (doc, overlapped sequence): piece sliced at the source
+      .select("_grp", "_ord", "_n", "_off")
+    val withOff = slimOff.join(pieceStream, Seq("_grp", "_ord"))
+    // one row per (piece, overlapped sequence): sliced at the source
     val pieces = withOff.filter(col("_n") > 0)
       .withColumn("_firstSeq", (col("_off") / maxLen).cast("long"))
-      .withColumn("seq_id", explode(sequence(col("_firstSeq"),
+      .withColumn("_localSeq", explode(sequence(col("_firstSeq"),
         ((col("_off") + col("_n") - 1) / maxLen).cast("long"))))
-      .withColumn("_seqStart", col("seq_id") * maxLen)
+      .withColumn("_seqStart", col("_localSeq") * maxLen)
       .withColumn("_begin", greatest(col("_seqStart"), col("_off")))
       .withColumn("_endEx",
         least(col("_seqStart") + maxLen, col("_off") + col("_n")))
@@ -395,18 +419,79 @@ object Packing {
       .withColumn("_piece",
         slice(col("_toks"), col("_sliceFrom") + 1, col("_pieceLen")))
       .withColumn("_posInSeq", (col("_begin") - col("_seqStart")).cast("int"))
-      .withColumn("chunk_ix", (col("seq_id") - col("_firstSeq")).cast("int"))
-    pieces.groupBy("seq_id")
+      .withColumn("chunk_ix",
+        (col("_cbase") + col("_localSeq") - col("_firstSeq")).cast("int"))
+    pieces.groupBy("_localSeq")
       .agg(array_sort(collect_list(struct(
         col("_posInSeq"), col("doc_id"), col("chunk_ix"), col("_piece"))))
         .as("_slots"))
-      .select(col("seq_id"),
+      .select((col("_localSeq") + seqOffset).as("seq_id"),
         flatten(expr("transform(_slots, s -> s._piece)")).as("input_ids"),
         expr("""transform(_slots, s -> named_struct(
                  'doc_id', s.doc_id, 'chunk_ix', s.chunk_ix,
                  'begin', s._posInSeq,
                  'end', s._posInSeq + size(s._piece)))""").as("doc_spans"))
       .withColumn("n_tokens", size(col("input_ids")))
+  }
+
+  /**
+   * Streaming concat-and-chunk with cross-batch window carry — the
+   * [[chunkSequences]] analog of [[packCarryBatch]]: the stream's final
+   * PARTIAL window (there is at most one; every other window is full by
+   * construction) is not emitted but carried, its pieces re-entering the
+   * next batch's stream ahead of that batch's documents. A stream of
+   * arbitrarily small batches therefore emits ONLY exactly-full windows,
+   * each exactly once, with globally continuous `seq_id`s — and when
+   * batch ids are monotone (later batches carry larger doc ids, the
+   * usual ingest shape) the emitted windows are IDENTICAL to running
+   * [[chunkSequences]] over the concatenated corpus (the spec law).
+   *
+   * `carried` is the previous batch's carry state (`None` first batch):
+   * `(piece_ord, doc_id, chunk_base, toks, next_seq)` — the partial
+   * window's pieces in order, plus a `piece_ord = -1` sentinel row that
+   * keeps `next_seq` (the next global window id) visible even when the
+   * stream happened to end exactly on a window boundary. Returns
+   * `(emitted, carriedOut)`, both lazy; `carriedOut` always contains the
+   * sentinel. Carried pieces keep their original `doc_id`/`chunk_ix`
+   * (`chunk_base` threads through the re-chunk), and a carried piece can
+   * never split again: the carry is < maxLen tokens, so the next batch's
+   * first window swallows it whole. Deterministic pure function of
+   * (batch docs, carried state) — replay-safe under the same
+   * read-strictly-before snapshot rule as [[packCarryBatch]].
+   */
+  def chunkCarryBatch(docs: DataFrame, idCol: String, tokensCol: String,
+                      carried: Option[DataFrame], maxLen: Int,
+                      eodToken: Option[Int] = None,
+                      numBuckets: Int = 64): (DataFrame, DataFrame) = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    // bounded driver read: ONE row (the sentinel carries next_seq)
+    val offset: Long =
+      carried.map(_.select(max("next_seq")).head().getLong(0)).getOrElse(0L)
+    val carrPieces = carried.map(_.filter(col("piece_ord") >= 0)
+      .select(lit(0).as("_grp"), col("piece_ord").cast("long").as("_ord"),
+        col("doc_id"), col("chunk_base").as("_cbase"),
+        col("toks").as("_toks")))
+    val batchPieces =
+      batchStreamPieces(docs, idCol, tokensCol, eodToken, grp = 1)
+    val all = carrPieces.map(_.unionByName(batchPieces)).getOrElse(batchPieces)
+    val windows = chunkPieces(all, maxLen, numBuckets, offset)
+    val emitted = windows.filter(col("n_tokens") === maxLen)
+    // the at-most-one partial window decomposes back into carry pieces
+    val partial = windows.filter(col("n_tokens") < maxLen)
+    val pieces = partial
+      .select(col("seq_id"), col("input_ids"),
+        posexplode(col("doc_spans")).as(Seq("piece_ord", "s")))
+      .select(col("piece_ord"), col("s.doc_id").as("doc_id"),
+        col("s.chunk_ix").as("chunk_base"),
+        expr("slice(input_ids, s.begin + 1, s.end - s.begin)").as("toks"),
+        col("seq_id").as("next_seq"))
+    val sentinel = windows
+      .agg((lit(offset) + coalesce(sum(when(col("n_tokens") === maxLen, 1L)),
+        lit(0L))).as("next_seq"))
+      .select(lit(-1).as("piece_ord"), lit(-1L).as("doc_id"),
+        lit(0).as("chunk_base"),
+        expr("cast(array() as array<int>)").as("toks"), col("next_seq"))
+    (emitted, pieces.unionByName(sentinel))
   }
 
   def shardSequences(rows: DataFrame, keyCol: String, numRanks: Int,

@@ -71,6 +71,8 @@ object StreamingCorpus {
                     packRanks: Option[Int] = None,
                     packSeed: Long = 0L,
                     packCarry: Option[Int] = None,
+                    packStyle: String = "bins",
+                    packEodToken: Option[Int] = None,
                     mixBudget: Option[Long] = None,
                     mixTemperature: Double = 0.5,
                     mixSourceCol: String = "source",
@@ -451,7 +453,40 @@ object StreamingCorpus {
           df.write.mode(SaveMode.Overwrite)
             .parquet(s"$outDir/packed/batch_id=$batchId")
       }
-      cfg.packCarry match {
+      def snapshotIdsOf(dir: String): Seq[Long] = {
+        val fsS = fsOf(dir)
+        val root = new org.apache.hadoop.fs.Path(dir)
+        if (!fsS.exists(root)) Seq.empty
+        else {
+          val names = fsS.listStatus(root).toSeq.map(_.getPath.getName)
+          require(!names.exists(_.startsWith("part-")),
+            s"$dir holds flat (pre-partitioned-layout) snapshot files; " +
+              "migrate them under batch_id=N dirs before resuming")
+          names.filter(_.startsWith("batch_id="))
+            .map(_.stripPrefix("batch_id=").toLong)
+        }
+      }
+      // packStyle "chunk": GPT-style concat-and-chunk across the stream —
+      // the final PARTIAL window threads through state/chunkcarry
+      // snapshots (same batch_id=N overwrite + read-strictly-before
+      // protocol as packbins), so a stream of small batches emits only
+      // exactly-full windows with globally continuous seq_ids. With
+      // monotone batch ids the emitted windows equal the batch operator's
+      // (the PackingSpec law). packCarry is the BFD path's knob — the two
+      // styles are mutually exclusive.
+      if (cfg.packStyle == "chunk") {
+        require(cfg.packCarry.isEmpty,
+          "packCarry applies to packStyle=bins (chunk carries its partial " +
+            "window by design)")
+        val ccDir = s"$outDir/state/chunkcarry"
+        val prior = snapshotIdsOf(ccDir).filter(_ < batchId).sorted.lastOption
+          .map(pb => spark.read.parquet(s"$ccDir/batch_id=$pb"))
+        val (emitted, carryOut) = Packing.chunkCarryBatch(withIds, cfg.idCol,
+          "_bpe_ids", prior, maxLen, cfg.packEodToken)
+        writePacked(emitted)
+        carryOut.write.mode(SaveMode.Overwrite)
+          .parquet(s"$ccDir/batch_id=$batchId")
+      } else cfg.packCarry match {
         case None =>
           writePacked(Packing.packSequences(withIds, cfg.idCol, "_bpe_ids",
             maxLen, cfg.packBuckets))
@@ -463,18 +498,7 @@ object StreamingCorpus {
           // every snapshot ever written. spark.read over the root still
           // surfaces batch_id as a partition column for audits/specs.
           val binDir = s"$outDir/state/packbins"
-          val binFs = fsOf(binDir)
-          val binRoot = new org.apache.hadoop.fs.Path(binDir)
-          val snapshotIds: Seq[Long] =
-            if (!binFs.exists(binRoot)) Seq.empty
-            else {
-              val names = binFs.listStatus(binRoot).toSeq.map(_.getPath.getName)
-              require(!names.exists(_.startsWith("part-")),
-                s"$binDir holds flat (pre-partitioned-layout) snapshot files; " +
-                  "migrate them under batch_id=N dirs before resuming")
-              names.filter(_.startsWith("batch_id="))
-                .map(_.stripPrefix("batch_id=").toLong)
-            }
+          val snapshotIds: Seq[Long] = snapshotIdsOf(binDir)
           // seed from the latest snapshot STRICTLY BEFORE this batch (not
           // merely != current): a snapshot is point-in-time state, so a
           // replayed batch must re-pack from the bins as they stood when it

@@ -400,6 +400,81 @@ class PackingSpec extends SparkSpec {
     ()
   }
 
+  test("chunkCarryBatch: emitted windows across batches == the batch operator; exactly-once; replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(89)
+    // monotone batches (the ingest shape): batch b holds ids [100b, 100b+n)
+    val batches = (0 until 4).map { b =>
+      (0 until 40 + rnd.nextInt(40)).map { j =>
+        val id = b * 100L + j
+        (id, (0 until 1 + rnd.nextInt(60)).map(k => (id * 1000 + k).toInt))
+      }
+    }
+    val maxLen = 128
+    val eod = Some(-7)
+    var carried: Option[org.apache.spark.sql.DataFrame] = None
+    val emittedAll = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    batches.foreach { docs =>
+      val (em, carry) = Packing.chunkCarryBatch(docs.toDF("doc_id", "ids"),
+        "doc_id", "ids", carried, maxLen, eodToken = eod)
+      emittedAll ++= em.orderBy("seq_id").collect()
+      carried = Some(carry.localCheckpoint())
+    }
+    // THE law: emitted windows (plus the final carry) == chunkSequences
+    // over the whole corpus at once — same seq ids, same content, same
+    // spans/chunk_ix
+    val whole = Packing.chunkSequences(
+      batches.flatten.toDF("doc_id", "ids"), "doc_id", "ids", maxLen,
+      eodToken = eod).orderBy("seq_id").collect()
+    val wholeFull = whole.filter(_.getAs[Int]("n_tokens") === maxLen)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("seq_id"), r.getAs[scala.collection.Seq[Int]]("input_ids").toList,
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
+          .map(s => (s.getLong(0), s.getInt(1), s.getInt(2), s.getInt(3))).toList)
+    assert(emittedAll.map(key).toList === wholeFull.map(key).toList,
+      "streamed emission diverged from the batch operator")
+    // the carry holds exactly the batch operator's final partial window
+    val finalPartial = whole.filter(_.getAs[Int]("n_tokens") < maxLen)
+    val carryToks = carried.get.filter(col("piece_ord") >= 0)
+      .orderBy("piece_ord").collect()
+      .flatMap(_.getAs[scala.collection.Seq[Int]]("toks"))
+    assert(carryToks.toSeq ===
+      finalPartial.toSeq.flatMap(_.getAs[scala.collection.Seq[Int]]("input_ids")),
+      "carry != the batch operator's final partial window")
+    // exactly-once: emitted seq ids are dense and unique across batches
+    assert(emittedAll.map(_.getAs[Long]("seq_id")).toList ===
+      (0L until emittedAll.length).toList)
+
+    // replay of the LAST batch against the PRIOR carry is byte-identical
+    val priorCarry = {
+      var c: Option[org.apache.spark.sql.DataFrame] = None
+      batches.dropRight(1).foreach { docs =>
+        val (_, k) = Packing.chunkCarryBatch(docs.toDF("doc_id", "ids"),
+          "doc_id", "ids", c, maxLen, eodToken = eod)
+        c = Some(k.localCheckpoint())
+      }
+      c
+    }
+    def runLast() = {
+      val (em, k) = Packing.chunkCarryBatch(
+        batches.last.toDF("doc_id", "ids"), "doc_id", "ids", priorCarry,
+        maxLen, eodToken = eod)
+      (em.orderBy("seq_id").collect().map(key).toList,
+        k.orderBy("piece_ord").collect().map(_.toString).toList)
+    }
+    assert(runLast() === runLast(), "replayed batch diverged")
+
+    // empty batch: nothing emitted, carry unchanged in content
+    val (emE, carryE) = Packing.chunkCarryBatch(
+      Seq.empty[(Long, Seq[Int])].toDF("doc_id", "ids"), "doc_id", "ids",
+      carried, maxLen, eodToken = eod)
+    assert(emE.count() === 0)
+    assert(carryE.filter(col("piece_ord") >= 0).orderBy("piece_ord")
+      .collect().flatMap(_.getAs[scala.collection.Seq[Int]]("toks")).toSeq
+      === carryToks.toSeq, "empty batch mutated the carry")
+  }
+
   test("chunkSequences: eodToken terminates every doc (empty docs included); determinism; repartition invariance") {
     import spark.implicits._
     val docs = Seq(

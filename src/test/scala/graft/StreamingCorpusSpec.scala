@@ -195,6 +195,86 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(e.getMessage.contains("bpeModelPath"))
   }
 
+  test("packStyle=chunk: stream emits only full windows, carry threads, equals the batch operator") {
+    val rnd = new scala.util.Random(91)
+    def sentence() = (0 until 14).map(_ =>
+      Seq("the", "of", "and", "to", "a")(rnd.nextInt(5)) +
+        s" w${rnd.nextInt(100000)}").mkString(" ")
+    val out = Files.createTempDirectory("graft-scorpus-chunk-out").toString
+    val trainDocs = (0L until 40L).map(i => (i, sentence())).toDF("doc_id", "text")
+    val model = graft.ext.Bpe.train(trainDocs, "text", numMerges = 30, maxWords = 2000)
+    val modelPath = s"$out/frozen_bpe.json"
+    graft.ext.Bpe.save(spark, model, modelPath)
+
+    val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+      packMaxLen = Some(128), bpeModelPath = Some(modelPath),
+      packStyle = "chunk", packEodToken = Some(0))
+    val bs = Seq((0L until 5L), (100L until 105L), (200L until 205L))
+      .map(r => r.map(i => (i, sentence())).toDF("doc_id", "text"))
+    bs.zipWithIndex.foreach { case (b, i) =>
+      StreamingCorpus.processBatch(b, i.toLong, out, cfg)
+    }
+
+    // only exactly-full windows are ever emitted, seq_ids globally dense
+    val packed = spark.read.parquet(s"$out/packed")
+    assert(packed.filter(col("n_tokens") =!= 128).count() === 0,
+      "chunk stream emitted a partial window")
+    val ids = packed.select("seq_id").orderBy("seq_id")
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq === (0L until ids.length), s"seq ids not dense: ${ids.toSeq}")
+
+    // conservation: accepted tokens + one EOD per accepted doc ==
+    // emitted tokens + the latest carry's pending tokens
+    val accepted = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select(get_json_object(col("doc"), "$.doc_id").cast("long").as("doc_id"),
+        get_json_object(col("doc"), "$.text").as("text"))
+    val acceptedStats = accepted.select(model.tokenIds(col("text")).as("ids"))
+      .agg(sum(size(col("ids"))), count(lit(1))).head()
+    val packedTok = packed.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+    val carrySnaps = spark.read.parquet(s"$out/state/chunkcarry")
+    assert(carrySnaps.select("batch_id").distinct().count() === 3)
+    val carryTok = carrySnaps.filter(col("batch_id") === 2 && col("piece_ord") >= 0)
+      .agg(coalesce(sum(size(col("toks"))), lit(0L))).head().getLong(0)
+    assert(acceptedStats.getLong(0) + acceptedStats.getLong(1)
+      === packedTok + carryTok,
+      s"tokens+eod ${acceptedStats.getLong(0) + acceptedStats.getLong(1)} " +
+        s"!= emitted $packedTok + carry $carryTok")
+
+    // the streamed emission IS the batch operator over the accepted corpus
+    // (batch ids monotone, so arrival order == id order)
+    val withIds = accepted.select(col("doc_id"),
+      model.tokenIds(col("text")).as("ids"))
+    val whole = graft.ext.Packing.chunkSequences(withIds, "doc_id", "ids",
+        maxLen = 128, eodToken = Some(0))
+      .filter(col("n_tokens") === 128)
+      .select(col("seq_id"), hash(col("input_ids")).as("h"))
+      .orderBy("seq_id").collect().toSeq
+    val streamed = packed.select(col("seq_id"), hash(col("input_ids")).as("h"))
+      .orderBy("seq_id").collect().toSeq
+    assert(streamed === whole, "streamed windows != batch operator")
+
+    // replay of batch 2: emitted dir + carry snapshot byte-identical
+    def state() = (
+      spark.read.parquet(s"$out/packed").select(col("seq_id"),
+        hash(col("input_ids")).as("h")).orderBy("seq_id").collect().toSeq,
+      spark.read.parquet(s"$out/state/chunkcarry")
+        .filter(col("batch_id") === 2).orderBy("piece_ord")
+        .select(col("piece_ord"), col("doc_id"), col("chunk_base"),
+          hash(col("toks")).as("h"), col("next_seq"))
+        .collect().toSeq)
+    val before = state()
+    StreamingCorpus.processBatch(bs(2), 2L, out, cfg)
+    assert(state() === before, "replay changed chunk output or carry state")
+
+    // misconfiguration fails loud: chunk + packCarry are exclusive
+    val e = intercept[IllegalArgumentException] {
+      StreamingCorpus.processBatch(bs(0), 3L, out,
+        cfg.copy(packCarry = Some(1)))
+    }
+    assert(e.getMessage.contains("packCarry"))
+  }
+
   test("packCarry: open bins thread through batches; replay identical; conservation holds") {
     val rnd = new scala.util.Random(53)
     // stopword + unique-word pairs: every 3-shingle contains a random word,
