@@ -268,6 +268,48 @@ object Mixing {
       temperature, numBuckets)
   }
 
+  /** One stage of a [[phasedMix]] schedule: its output label, its total
+    * cost budget, and its mixture temperature. */
+  case class MixPhase(name: String, budget: Long, temperature: Double = 0.5)
+
+  /**
+   * Multi-phase (annealing/curriculum) mixing schedule: phase k selects a
+   * deterministic temperature-mixed subset from the docs NOT selected by
+   * phases 0..k-1, under its own `(budget, temperature)` — the published
+   * pretrain-then-anneal pattern: a large phase at τ≈0.5 over the whole
+   * corpus, then an annealing phase at a different temperature over what
+   * REMAINS, so the anneal never re-spends documents the earlier phase
+   * already consumed. Per-source budgets re-derive from the remaining
+   * masses at each phase boundary with the same integer `floor(c^τ)`
+   * arithmetic as [[temperatureMix]] (engine-reproducible at τ = 0.5 —
+   * the q83 DuckDB oracle recomputes the full two-phase selection
+   * hash-exact). Output = the selected rows tagged with a `phase` column;
+   * a document appears in at most one phase.
+   *
+   * Each phase boundary materializes the phase's selected ids
+   * (localCheckpoint — ids only, bounded), so phase k+1's plan anti-joins
+   * a checkpointed id set instead of re-deriving every earlier phase.
+   * Cost: P phases × (one bounded mass collect + the standard bucketed
+   * prefix-cap shuffles) — the schedule length is small by nature.
+   */
+  def phasedMix(docs: DataFrame, sourceCol: String, idCol: String,
+                cost: Column, phases: Seq[MixPhase], numBuckets: Int = 32,
+                tieCols: Seq[String] = Nil): DataFrame = {
+    require(phases.nonEmpty, "phasedMix needs at least one phase")
+    require(phases.map(_.name).distinct.length == phases.length,
+      s"phase names must be unique, got ${phases.map(_.name)}")
+    var remaining = docs
+    val parts = phases.map { ph =>
+      val sel = temperatureMix(remaining, sourceCol, idCol, cost, ph.budget,
+        ph.temperature, numBuckets, tieCols).drop("_cum")
+      val selIds = sel.select(col(idCol).as("_sel_id")).localCheckpoint()
+      remaining = remaining
+        .join(selIds, col(idCol) === col("_sel_id"), "left_anti")
+      sel.withColumn("phase", lit(ph.name))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** [[clusterBalancedSample]] against PRE-TRAINED centroids (a
     * [[Similarity.trainClusterCentroids]] artifact or an ANN index's
     * `centroids/`) instead of training in-call — the form the STREAMING

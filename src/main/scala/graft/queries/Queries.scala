@@ -1636,6 +1636,61 @@ object Queries {
           .orderBy("seq_id")
       }),
 
+    // ---- phased (annealing) mixing schedule: phase 1 = temperature mix
+    //      at tau=0.5 over the whole corpus (40% of char mass), phase 2 =
+    //      an anneal over what REMAINS (20%), budgets re-derived from the
+    //      remaining masses. Same floor(sqrt) integer budget math as q76,
+    //      so DuckDB recomputes the full two-phase selection hash-exact —
+    //      including the exclusion (a doc spent in phase 1 must never
+    //      reappear in phase 2). ----
+    QueryDef("q83_phased_mix",
+      Some("""WITH d AS (SELECT doc_id, source, n_chars
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |bt AS (SELECT (sum(n_chars) * 2) // 5 AS b1,
+             |              sum(n_chars) // 5 AS b2 FROM d),
+             |t1 AS (SELECT source, sum(n_chars) AS c FROM d GROUP BY source),
+             |w1 AS (SELECT source,
+             |         CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS HUGEINT) AS wt
+             |       FROM t1),
+             |bud1 AS (SELECT w1.source,
+             |           (bt.b1 * w1.wt) // (SELECT sum(wt) FROM w1) AS bud
+             |         FROM w1, bt),
+             |c1 AS (SELECT doc_id, source,
+             |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |                            ROWS UNBOUNDED PRECEDING) AS rcum
+             |       FROM d),
+             |p1 AS (SELECT doc_id, source
+             |       FROM c1 JOIN bud1 USING (source) WHERE rcum <= bud),
+             |r AS (SELECT * FROM d
+             |      WHERE doc_id NOT IN (SELECT doc_id FROM p1)),
+             |t2 AS (SELECT source, sum(n_chars) AS c FROM r GROUP BY source),
+             |w2 AS (SELECT source,
+             |         CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS HUGEINT) AS wt
+             |       FROM t2),
+             |bud2 AS (SELECT w2.source,
+             |           (bt.b2 * w2.wt) // (SELECT sum(wt) FROM w2) AS bud
+             |         FROM w2, bt),
+             |c2 AS (SELECT doc_id, source,
+             |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |                            ROWS UNBOUNDED PRECEDING) AS rcum
+             |       FROM r),
+             |p2 AS (SELECT doc_id, source
+             |       FROM c2 JOIN bud2 USING (source) WHERE rcum <= bud)
+             |SELECT phase, doc_id, source FROM (
+             |  SELECT 'pretrain' AS phase, doc_id, source FROM p1
+             |  UNION ALL
+             |  SELECT 'anneal' AS phase, doc_id, source FROM p2)
+             |ORDER BY phase, doc_id""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+        val totalChars = d.agg(sum(col("n_chars"))).head().getLong(0)
+        graft.ext.Mixing.phasedMix(d, "source", "doc_id", col("n_chars"),
+            Seq(graft.ext.Mixing.MixPhase("pretrain", totalChars * 2 / 5, 0.5),
+              graft.ext.Mixing.MixPhase("anneal", totalChars / 5, 0.5)))
+          .select("phase", "doc_id", "source")
+          .orderBy("phase", "doc_id")
+      }),
+
     // ---- cluster-balanced sampling (topic balancing: temperature budgets
     //      over LATENT k-means clusters of the embedding instead of a
     //      provenance column). k-means labels are engine-specific ->

@@ -180,6 +180,63 @@ class MixingSpec extends SparkSpec {
     assert(b === a)
     assert(a.nonEmpty && a.size < 100)
   }
+  test("phasedMix: phases disjoint, budgets honored per phase over remaining mass, deterministic") {
+    val rnd = new scala.util.Random(73)
+    // skewed corpus: big has ~9x small's docs; unique cost per doc
+    val docs = (0L until 400L).map { i =>
+      (i, if (i % 10 == 0) "small" else "big", 50L + rnd.nextInt(150))
+    }.toDF("doc_id", "source", "cost")
+    val total = docs.agg(sum("cost")).head().getLong(0)
+    val phases = Seq(
+      graft.ext.Mixing.MixPhase("pretrain", total * 2 / 5, 0.5),
+      graft.ext.Mixing.MixPhase("anneal", total / 5, 1.0))
+    val out = graft.ext.Mixing.phasedMix(docs, "source", "doc_id",
+      col("cost"), phases).cache()
+
+    // disjoint: a doc appears in at most one phase
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() === 0,
+      "a doc was selected by two phases")
+
+    // phase 1 == plain temperatureMix at the same knobs
+    val p1 = out.filter(col("phase") === "pretrain")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct1 = graft.ext.Mixing.temperatureMix(docs, "source", "doc_id",
+      col("cost"), total * 2 / 5, temperature = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p1 === direct1, "phase 1 != the single-phase operator")
+
+    // phase 2 == temperatureMix over the REMAINING corpus (fresh masses)
+    val p2 = out.filter(col("phase") === "anneal")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val remaining = docs.filter(!col("doc_id").isInCollection(p1))
+    val direct2 = graft.ext.Mixing.temperatureMix(remaining, "source",
+      "doc_id", col("cost"), total / 5, temperature = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p2 === direct2, "phase 2 != the operator over the remainder")
+    assert(p2.nonEmpty && (p1 intersect p2).isEmpty)
+
+    // per-phase budgets honored against independently-derived budgets
+    val remMass = remaining.groupBy(col("source").cast("string").as("s"))
+      .agg(sum("cost").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val buds2 = graft.ext.Mixing.temperatureBudgets(remMass, total / 5, 1.0).toMap
+    val spent2 = out.filter(col("phase") === "anneal")
+      .groupBy(col("source").cast("string").as("s")).agg(sum("cost").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spent2.foreach { case (src, c) =>
+      assert(c <= buds2(src), s"anneal $src spent $c > budget ${buds2(src)}")
+    }
+
+    // determinism: rerun selects identical (phase, doc) pairs
+    val rerun = graft.ext.Mixing.phasedMix(docs, "source", "doc_id",
+      col("cost"), phases).select("phase", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rerun === out.select("phase", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    out.unpersist()
+    ()
+  }
+
   test("clusterBalancedSample: latent topics rebalanced; deterministic; per-cluster budgets honored") {
     val rnd = new scala.util.Random(61)
     // two planted topics in 16-dim: axis-0-heavy (90% of docs) and
