@@ -742,12 +742,20 @@ object BundleSink {
       val idxDelta = (0 until numShards).map(sh =>
         sh -> delta.getOrElse((idx, sh), 0L)).toMap
       if (overwrite) {
+        // tmp+rename: with the chain reset this file is the index's SOLE
+        // authority — a reader must never see a half-written manifest
         val manifest = manifestJson(idx, typeName,
           s"$outRoot/data/_index=$idx", numShards, format, codec, idxDelta,
           aliasSettingsJson(None, Map.empty), 1)
-        val mf = fs.create(new org.apache.hadoop.fs.Path(
-          outRoot, s"manifest_$idx.json"), true)
+        val tmp = new org.apache.hadoop.fs.Path(
+          outRoot, s".manifest_$idx.json.tmp-$tag")
+        val mf = fs.create(tmp, true)
         mf.write(manifest.getBytes("UTF-8")); mf.close()
+        val target = new org.apache.hadoop.fs.Path(outRoot, s"manifest_$idx.json")
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new IllegalStateException(
+            s"could not publish overwrite manifest for $idx in $outRoot")
         idx -> Result(s"$outRoot/data/_index=$idx", numShards,
           idxDelta.values.sum, idxDelta)
       } else insertMultiPublish(fs, outRoot, idx, numShards, format, codec,

@@ -14,7 +14,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *   [-> benchmark decontamination] -> exact dedup (in-batch + vs all
  *   prior batches) -> near-dup removal vs the ACCUMULATED corpus
  *   (MinHash bands) -> shard-routed append into the bundle
- *   [-> frozen-BPE tokenize + per-batch sequence packing -> packed/]
+ *   [-> frozen-BPE tokenize + sequence packing -> packed/  (BFD bins,
+ *       optionally cross-batch via packCarry — or packStyle=chunk:
+ *       concat-and-chunk whose partial window carries between batches)]
  *
  * without ever recomputing over history. Accumulated knowledge lives in
  * compact parquet side-states under the bundle dir:
