@@ -23,16 +23,26 @@ object Lookup {
       "usage: Lookup <bundleDir> <routingKey> | Lookup <installDir> <alias> <routingKey>")
     val spark = GraftSession.get("graft-lookup")
     try {
+      // the alias resolves ONCE: a concurrent swap between two
+      // resolutions could otherwise describe one bundle while querying
+      // another; everything below derives from this single resolution
       val (df0, dir, key) =
         if (args.length == 2)
           (BundleReader.read(spark, args(0)), args(0), args(1))
         else {
-          val (bundle, _) = graft.sink.BundleInstall
+          val (bundle, idx) = graft.sink.BundleInstall
             .resolveAlias(spark, args(0), args(1))
             .getOrElse(throw new java.util.NoSuchElementException(
               s"alias '${args(1)}' resolves to nothing under ${args(0)}/_aliases"))
-          (graft.sink.BundleInstall.readAlias(spark, args(0), args(1)),
-            s"${args(0)}/$bundle", args(2))
+          val root = s"${args(0)}/$bundle"
+          val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+            spark.sparkContext.hadoopConfiguration)
+          val base = spark.read.format("graft-bundle").load(root)
+          val scoped =
+            if (fs.exists(new org.apache.hadoop.fs.Path(root, "manifest.json")))
+              base
+            else base.filter(col("_index") === idx) // partition-pruned
+          (scoped, root, args(2))
         }
       val df = df0.filter(col("_routing") === key)
       val plan = df.queryExecution.executedPlan.toString

@@ -474,7 +474,12 @@ object Packing {
     val batchPieces =
       batchStreamPieces(docs, idCol, tokensCol, eodToken, grp = 1)
     val all = carrPieces.map(_.unionByName(batchPieces)).getOrElse(batchPieces)
-    val windows = chunkPieces(all, maxLen, numBuckets, offset)
+    // materialize ONCE: three consumers read `windows` (the emitted
+    // filter, the partial-window decomposition, the sentinel aggregate) —
+    // without this the two token-bearing shuffles would re-run per
+    // consumer; blocks are bounded by the batch and reclaimed when the
+    // frames go unreachable
+    val windows = chunkPieces(all, maxLen, numBuckets, offset).localCheckpoint()
     val emitted = windows.filter(col("n_tokens") === maxLen)
     // the at-most-one partial window decomposes back into carry pieces
     val partial = windows.filter(col("n_tokens") < maxLen)

@@ -136,8 +136,20 @@ object CorpusPipeline {
     val obsExact = org.apache.spark.sql.Observation("cp_exact")
     val obsDedup = org.apache.spark.sql.Observation("cp_dedup")
     val obsSurv = org.apache.spark.sql.Observation("cp_survivors")
-    def obsN(o: org.apache.spark.sql.Observation): Long =
-      o.get("n").asInstanceOf[Long]
+    // Observation.get blocks with no timeout, and a CollectMetrics node
+    // can be PRUNED from the final plan when AQE's empty-relation
+    // propagation rewrites an operator above a runtime-empty exchange
+    // (a fully-filtered or empty corpus) — so every read carries a
+    // timeout + exact count() fallback: free in the normal case (the
+    // metric is already delivered when read), one extra bounded pass in
+    // the degenerate empty corner instead of a hang.
+    def obsN(o: org.apache.spark.sql.Observation, fallback: => Long): Long = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      try Await.result(Future(o.get("n").asInstanceOf[Long]), 60.seconds)
+      catch { case _: java.util.concurrent.TimeoutException => fallback }
+    }
     val nRows = count(lit(1)).as("n")
 
     val raw = spark.read.parquet(input)
@@ -219,12 +231,12 @@ object CorpusPipeline {
       .filter(col("_rn") === 1).drop("_norm", "_rn")
       .observe(obsExact, nRows)
       .localCheckpoint()
-    val nInput = obsN(obsInput)
-    val nQuality = obsN(obsSurface)
-    val nModel = obsModel.map(obsN).getOrElse(-1L)
-    val nLm = obsLm.map(obsN).getOrElse(-1L)
-    val nDecontam = obsDecontam.map(obsN).getOrElse(-1L)
-    val nExact = obsN(obsExact)
+    val nInput = obsN(obsInput, docs.count())
+    val nQuality = obsN(obsSurface, surface.count())
+    val nModel = obsModel.map(obsN(_, gated.count())).getOrElse(-1L)
+    val nLm = obsLm.map(obsN(_, quality.count())).getOrElse(-1L)
+    val nDecontam = obsDecontam.map(obsN(_, cleared.count())).getOrElse(-1L)
+    val nExact = obsN(obsExact, exact.count())
 
     // near-dup pairs on the exact-deduped corpus; drop the higher id of
     // each pair (distinct drop-set, then one left_anti)
@@ -256,7 +268,6 @@ object CorpusPipeline {
     // whose id is already indexed is dropped too — an nid-only
     // column-pruned scan of the cells, and the guard that keeps re-runs
     // from appending duplicate ids into the index.
-    val obsVsIndex = org.apache.spark.sql.Observation("cp_vsindex")
     val priorDrops: Option[DataFrame] = annIndexDir
       .filter(annIndexExists(spark, _))
       .map { dir =>
@@ -267,10 +278,16 @@ object CorpusPipeline {
         val member = exact.select(col(idCol)).join(
           spark.read.parquet(s"$dir/cells").select(col("nid").as(idCol)),
           Seq(idCol), "left_semi")
-        // the drop-count observation rides the anti-join's right side —
-        // every row flows through it when `deduped` first materializes
-        near.unionByName(member).distinct().observe(obsVsIndex, nRows)
+        // NOT an observe() rider: this frame is the anti-join's RIGHT
+        // side, and when it materializes empty (a clean incremental
+        // ingest — the common case) AQE's empty-relation propagation
+        // eliminates the join together with the CollectMetrics node, so
+        // an Observation here would never report and its blocking get()
+        // would hang the run. The count is its own bounded action over
+        // the checkpointed `exact` instead.
+        near.unionByName(member).distinct()
       }
+    val nVsIndex = priorDrops.map(_.count()).getOrElse(-1L)
     // two drop policies over the pair graph:
     //  - pairwise (default): drop the higher id of each pair — keeps a
     //    maximal-independent-ish set (two docs that only share a dropped
@@ -339,10 +356,8 @@ object CorpusPipeline {
     // re-deriving the corpus. Materializing it also fires every pending
     // observation upstream, so ALL stage counts are settled here.
     val survivors = survivors0.observe(obsSurv, nRows).localCheckpoint()
-    val nDedup = obsN(obsDedup)
-    val nVsIndex =
-      if (priorDrops.isDefined) obsN(obsVsIndex) else -1L
-    val nSurvivors = obsN(obsSurv)
+    val nDedup = obsN(obsDedup, deduped.count())
+    val nSurvivors = obsN(obsSurv, survivors.count())
 
     // tokenizer trained on what survives (junk filtered out above), ridden
     // into the bundle as typed columns. The token total rides the bundle
@@ -362,7 +377,15 @@ object CorpusPipeline {
     val res = BundleSink.write(bundleDocs, s"$outDir/$indexName", numShards,
       partitionMultiples, repartition = true, format = "columnar",
       indexName = indexName)
-    val totalTokens = obsTok.get("t").asInstanceOf[Long]
+    val totalTokens = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      try Await.result(Future(obsTok.get("t").asInstanceOf[Long]), 60.seconds)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        tokenized.agg(coalesce(sum("bpe_token_cnt"), lit(0L))).head().getLong(0)
+      }
+    }
     Bpe.save(spark, model, s"$outDir/$indexName/bpe_model.json")
 
     // maintain the standing index with this run's accepted docs — AFTER

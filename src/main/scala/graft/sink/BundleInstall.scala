@@ -178,10 +178,15 @@ object BundleInstall {
           org.apache.hadoop.fs.FileContext
             .getFileContext(target.toUri, fs.getConf)
             .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        } catch { case _: UnsupportedOperationException =>
-          fs.delete(target, false)
-          if (!fs.rename(tmp, target))
-            throw new IllegalStateException(s"could not publish $target")
+        } catch {
+          // UnsupportedFileSystemException: the scheme has a FileSystem
+          // but no AbstractFileSystem binding — FileContext can't serve
+          // it at all, so the non-atomic fallback is the only option
+          case _: UnsupportedOperationException |
+               _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            fs.delete(target, false)
+            if (!fs.rename(tmp, target))
+              throw new IllegalStateException(s"could not publish $target")
         }
       }
     }
@@ -207,6 +212,13 @@ object BundleInstall {
     fs.mkdirs(new Path(installDir, "_aliases"))
     entries.foreach { case (idx, alias, _) =>
       alias.foreach { a =>
+        // alias names are path segments under _aliases/: a '/', '..' or
+        // leading dot would escape or nest — fail the finalize loudly
+        // (Jackson-escaped manifests happily carry such strings, so the
+        // guard must live here, at the interpolation)
+        require(safeAliasName(a),
+          s"unsafe alias name (allowed: [A-Za-z0-9._-]+, no leading " +
+            s"dot): '$a' in bundle $name")
         val rec = mapper.createObjectNode()
         rec.put("bundle", name); rec.put("indexName", idx)
         writeAtomic(new Path(installDir, s"_aliases/$a"),
@@ -232,11 +244,20 @@ object BundleInstall {
     writeAtomic(marker, mapper.writeValueAsString(rec))
   }
 
+  /** Path-segment-safe alias/bundle name: the charset the `_index` guard
+    * enforces on the write side ([A-Za-z0-9._-]+, no leading dot). */
+  private def safeAliasName(a: String): Boolean =
+    a.nonEmpty && a.head != '.' && a.forall(c =>
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-')
+
   /** Resolve an alias at the install root: the `{bundle, indexName}` the
     * alias currently points to (the lookup indirection the reference's
     * alias swap provides), or None while nothing finalized under it. */
   def resolveAlias(spark: SparkSession, installDir: String,
                    alias: String): Option[(String, String)] = {
+    require(safeAliasName(alias),
+      s"unsafe alias name (allowed: [A-Za-z0-9._-]+, no leading dot): '$alias'")
     val fs = FileSystem.get(new java.net.URI(installDir),
       spark.sparkContext.hadoopConfiguration)
     val p = new Path(installDir, s"_aliases/$alias")

@@ -68,7 +68,7 @@ object BundleSink {
         // .json, .manifest-cas_<i>/): constrain to a safe charset so the
         // raw-interpolated manifest/CAS names can never diverge from
         // Spark's percent-escaped partition dirs or escape the root
-        .when(!col(indexCol).rlike("^[A-Za-z0-9_-][A-Za-z0-9._-]*$"),
+        .when(!col(indexCol).rlike("""\A[A-Za-z0-9_-][A-Za-z0-9._-]*\z"""),
           raise_error(concat(lit("unsafe index value (allowed: " +
             "[A-Za-z0-9._-]+, no leading dot): "), col(indexCol))))
         .otherwise(col(indexCol)))
@@ -674,7 +674,7 @@ object BundleSink {
       .withColumn("_index", when(col("_index").isNull || col("_index") === "",
         raise_error(concat(lit("null/empty _index for _id="),
           coalesce(col("_id").cast("string"), lit("<null>")))))
-        .when(!col("_index").rlike("^[A-Za-z0-9_-][A-Za-z0-9._-]*$"),
+        .when(!col("_index").rlike("""\A[A-Za-z0-9_-][A-Za-z0-9._-]*\z"""),
           raise_error(concat(lit("unsafe _index value (allowed: " +
             "[A-Za-z0-9._-]+, no leading dot): "), col("_index"))))
         .otherwise(col("_index")))

@@ -476,6 +476,8 @@ object StreamingCorpus {
       // monotone batch ids the emitted windows equal the batch operator's
       // (the PackingSpec law). packCarry is the BFD path's knob — the two
       // styles are mutually exclusive.
+      require(Set("bins", "chunk")(cfg.packStyle),
+        s"unknown packStyle '${cfg.packStyle}' (bins | chunk)")
       if (cfg.packStyle == "chunk") {
         require(cfg.packCarry.isEmpty,
           "packCarry applies to packStyle=bins (chunk carries its partial " +

@@ -270,7 +270,7 @@ class BundleWriteV2Spec extends SparkSpec {
 
     // _index values become filesystem path segments: traversal/percent/
     // slash values are refused in-job, before any staged file renames
-    for (evil <- Seq("../escape", "a/b", "a%2Fb", ".hidden")) {
+    for (evil <- Seq("../escape", "a/b", "a%2Fb", ".hidden", "idx\n")) {
       val e = intercept[Exception] {
         DocTransform.docs(sf("sf0.001", "region"), "r_regionkey", None)
           .withColumn("_index", lit(evil))

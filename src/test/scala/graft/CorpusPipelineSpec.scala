@@ -316,6 +316,19 @@ class CorpusPipelineSpec extends SparkSpec {
     val st3 = run(in3, out3, "ann_r3", Some(annDir))
     assert(st3.droppedVsIndex === 1L && st3.afterNearDup === 0L,
       s"a near-dup of a run-2 survivor must drop in run 3: $st3")
+    // clean incremental ingest (the common case): a batch with ZERO
+    // overlap vs the index — the drop set is runtime-empty, which AQE
+    // folds away together with the anti-join; the run must complete with
+    // droppedVsIndex 0, not hang on a pruned metric (the r9 review's
+    // Observation-on-the-join-side hazard, pinned here)
+    val inClean = Files.createTempDirectory("graft-cpann-clean").toString
+    (5000L until 5006L).map(i => (i, sentence(12), vec(i.toInt + 9000)))
+      .toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(inClean)
+    val outClean = Files.createTempDirectory("graft-cpann-cleanout").toString
+    val stClean = run(inClean, outClean, "ann_clean", Some(annDir))
+    assert(stClean.droppedVsIndex === 0L && stClean.afterNearDup === 6L,
+      s"clean ingest must keep everything and report zero drops: $stClean")
     // re-ingesting run-1's corpus VERBATIM (same ids) drops everything:
     // the ANN query self-excludes equal ids, so indexed-id membership must
     // count as prior presence — otherwise a re-run silently appends

@@ -240,6 +240,33 @@ class InstallSpec extends SparkSpec {
       === Some(("idx_v2", "idx_v2")))
     assert(Files.exists(markerPath), "old bundle's record must survive the swap")
   }
+  test("unsafe alias names refused: finalize fails loudly, resolveAlias rejects traversal") {
+    val incoming = Files.createTempDirectory("graft-install-ua-in").toString
+    val installed = Files.createTempDirectory("graft-install-ua-out").toString
+    val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    // Jackson-escaped manifests happily carry a traversal string — the
+    // guard must live at the path interpolation, not the serialization
+    BundleSink.write(docs, s"$incoming/evil", numShards = 2,
+      partitionMultiples = 2, repartition = true, indexName = "evil",
+      alias = Some("x/../../owned"))
+    // per-bundle containment turns the loud failure into a Skipped
+    // outcome (transient: a later pass retries) — the point is that the
+    // alias file is NEVER written outside the root
+    val pass = BundleInstall.installOnce(spark, incoming, installed)
+    val skipped = pass.collect { case s: BundleInstall.Skipped => s }
+    assert(skipped.exists(_.reason.contains("unsafe alias")),
+      s"expected an unsafe-alias skip, got $pass")
+    assert(!Files.exists(Paths.get(s"$installed/owned")) &&
+      !Files.exists(java.nio.file.Paths.get(installed).getParent.resolve("owned")),
+      "traversal alias escaped the install root")
+    for (bad <- Seq("../x", "a/b", ".hidden", "")) {
+      val e2 = intercept[IllegalArgumentException] {
+        BundleInstall.resolveAlias(spark, installed, bad)
+      }
+      assert(e2.getMessage.contains("unsafe alias"), s"'$bad': ${e2.getMessage}")
+    }
+  }
+
   test("readAlias: the alias serves reads, swap repoints them to the new bundle") {
     val incoming = Files.createTempDirectory("graft-install-ra-in").toString
     val installed = Files.createTempDirectory("graft-install-ra-out").toString
