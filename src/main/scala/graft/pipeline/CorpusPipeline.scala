@@ -139,17 +139,32 @@ object CorpusPipeline {
     // Observation.get blocks with no timeout, and a CollectMetrics node
     // can be PRUNED from the final plan when AQE's empty-relation
     // propagation rewrites an operator above a runtime-empty exchange
-    // (a fully-filtered or empty corpus) — so every read carries a
-    // timeout + exact count() fallback: free in the normal case (the
-    // metric is already delivered when read), one extra bounded pass in
-    // the degenerate empty corner instead of a hang.
-    def obsN(o: org.apache.spark.sql.Observation, fallback: => Long): Long = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      try Await.result(Future(o.get("n").asInstanceOf[Long]), 60.seconds)
-      catch { case _: java.util.concurrent.TimeoutException => fallback }
+    // (a fully-filtered or empty corpus) — so every read probes
+    // NON-BLOCKINGLY (getOrEmpty in a short deadline loop; the earlier
+    // Await(Future(o.get)) form waited a fixed 60 s PER observation
+    // sequentially on an empty corpus and leaked each timed-out waiter as
+    // a thread pinned forever in the global ExecutionContext) with an
+    // exact count() fallback: free in the normal case (the metric is
+    // already delivered when probed — the materializing action has
+    // completed), a bounded ~2 s listener-delivery grace + one extra
+    // bounded pass in the degenerate pruned corner instead of a hang or
+    // a leak.
+    def obsRead(o: org.apache.spark.sql.Observation, key: String,
+                fallback: => Long): Long = {
+      val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+      var out: Option[Long] = None
+      while (out.isEmpty && System.nanoTime() < deadline) {
+        // future.value is the public non-blocking probe (getOrEmpty is
+        // private[sql]); completed exactly when the metric row arrived
+        out = o.future.value.collect {
+          case scala.util.Success(row) => row.getAs[Long](key)
+        }
+        if (out.isEmpty) Thread.sleep(25)
+      }
+      out.getOrElse(fallback)
     }
+    def obsN(o: org.apache.spark.sql.Observation, fallback: => Long): Long =
+      obsRead(o, "n", fallback)
     val nRows = count(lit(1)).as("n")
 
     val raw = spark.read.parquet(input)
@@ -377,15 +392,8 @@ object CorpusPipeline {
     val res = BundleSink.write(bundleDocs, s"$outDir/$indexName", numShards,
       partitionMultiples, repartition = true, format = "columnar",
       indexName = indexName)
-    val totalTokens = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      try Await.result(Future(obsTok.get("t").asInstanceOf[Long]), 60.seconds)
-      catch { case _: java.util.concurrent.TimeoutException =>
-        tokenized.agg(coalesce(sum("bpe_token_cnt"), lit(0L))).head().getLong(0)
-      }
-    }
+    val totalTokens = obsRead(obsTok, "t",
+      tokenized.agg(coalesce(sum("bpe_token_cnt"), lit(0L))).head().getLong(0))
     Bpe.save(spark, model, s"$outDir/$indexName/bpe_model.json")
 
     // maintain the standing index with this run's accepted docs — AFTER
@@ -414,7 +422,8 @@ object CorpusPipeline {
         // terminates every doc first). Same output schema either way.
         val packed = packStyle match {
           case "chunk" => graft.ext.Packing.chunkSequences(
-            withIds, idCol, "_bpe_ids", maxLen, eodToken = packEodToken)
+            withIds, idCol, "_bpe_ids", maxLen, eodToken = packEodToken,
+            numBuckets = packBuckets)
           case "bins" => graft.ext.Packing.packSequences(
             withIds, idCol, "_bpe_ids", maxLen, packBuckets)
           case other => throw new IllegalArgumentException(

@@ -158,37 +158,15 @@ object BundleInstall {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // overwrite-ATOMIC publish: a plain delete+rename leaves a window in
     // which concurrent resolveAlias/readAlias see no alias file at all —
-    // the reference's alias update has no such gap. The file scheme gets
-    // POSIX rename-replace via NIO (like claim()); other schemes use
-    // FileContext.rename(OVERWRITE); only a scheme supporting neither
-    // falls back to delete+rename.
+    // the reference's alias update has no such gap. Replace semantics
+    // (and the local-scheme .crc sidecar handling) live in
+    // [[FsAtomic.renameReplace]], shared with the multi-bundle manifest
+    // publish.
     def writeAtomic(target: Path, body: String): Unit = {
       val tmp = new Path(target.getParent, s".${target.getName}.tmp")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      if (fs.getScheme == "file") {
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(target.toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        ()
-      } else {
-        try {
-          org.apache.hadoop.fs.FileContext
-            .getFileContext(target.toUri, fs.getConf)
-            .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        } catch {
-          // UnsupportedFileSystemException: the scheme has a FileSystem
-          // but no AbstractFileSystem binding — FileContext can't serve
-          // it at all, so the non-atomic fallback is the only option
-          case _: UnsupportedOperationException |
-               _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            fs.delete(target, false)
-            if (!fs.rename(tmp, target))
-              throw new IllegalStateException(s"could not publish $target")
-        }
-      }
+      FsAtomic.renameReplace(fs, tmp, target)
     }
     val entries = manifests.map { mp =>
       val in = fs.open(mp)

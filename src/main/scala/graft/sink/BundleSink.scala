@@ -752,10 +752,10 @@ object BundleSink {
         val mf = fs.create(tmp, true)
         mf.write(manifest.getBytes("UTF-8")); mf.close()
         val target = new org.apache.hadoop.fs.Path(outRoot, s"manifest_$idx.json")
-        fs.delete(target, false)
-        if (!fs.rename(tmp, target))
-          throw new IllegalStateException(
-            s"could not publish overwrite manifest for $idx in $outRoot")
+        // rename-REPLACE, not delete+rename: a concurrent reader of the
+        // multi bundle must never hit an instant where manifest_<idx>.json
+        // does not exist (same helper as the alias/_FINALIZED publish)
+        FsAtomic.renameReplace(fs, tmp, target)
         idx -> Result(s"$outRoot/data/_index=$idx", numShards,
           idxDelta.values.sum, idxDelta)
       } else insertMultiPublish(fs, outRoot, idx, numShards, format, codec,

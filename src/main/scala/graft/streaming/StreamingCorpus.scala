@@ -485,8 +485,11 @@ object StreamingCorpus {
         val ccDir = s"$outDir/state/chunkcarry"
         val prior = snapshotIdsOf(ccDir).filter(_ < batchId).sorted.lastOption
           .map(pb => spark.read.parquet(s"$ccDir/batch_id=$pb"))
+        // packBuckets threads through like the bins path: it only shapes
+        // task balance (offsets are exact either way), but silently
+        // pinning the default 64 would ignore the user's knob at scale
         val (emitted, carryOut) = Packing.chunkCarryBatch(withIds, cfg.idCol,
-          "_bpe_ids", prior, maxLen, cfg.packEodToken)
+          "_bpe_ids", prior, maxLen, cfg.packEodToken, cfg.packBuckets)
         writePacked(emitted)
         carryOut.write.mode(SaveMode.Overwrite)
           .parquet(s"$ccDir/batch_id=$batchId")
