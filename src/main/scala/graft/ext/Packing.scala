@@ -284,21 +284,52 @@ object Packing {
   }
 
   /**
-   * Loader-companion columns over a [[packSequences]] frame: what a
-   * training loader derives from `doc_spans` per token, precomputed as
-   * columns so the reader is a plain parquet scan:
-   *   - `position_ids` — int per token, resetting to 0 at every document
-   *     boundary (per-document positional encoding across a packed row)
+   * Loader-companion columns over a [[packSequences]] (BFD whole-doc)
+   * frame: what a training loader derives from `doc_spans` per token,
+   * precomputed as columns so the reader is a plain parquet scan:
+   *   - `position_ids` — int per token, RESETTING TO 0 AT EVERY SPAN
+   *     (per-document positional encoding across a packed row — correct
+   *     for BFD output, where every span starts a document)
    *   - `doc_index`    — int per token: which `doc_spans` slot the token
    *     belongs to (the block-diagonal attention-mask key: tokens attend
    *     only within equal doc_index)
    * Pure column transforms over the spans — map-only, no shuffle, and the
    * arrays are bounded by maxLen.
+   *
+   * NOT for [[chunkSequences]] output: there a span can be the
+   * CONTINUATION of a document split at the previous window boundary
+   * (chunk_ix > 0), and restarting its positions at 0 is not the GPT
+   * convention — use [[withChunkLoaderColumns]], which emits plain
+   * 0..L-1 positions per window.
    */
   def withLoaderColumns(packed: DataFrame): DataFrame =
     packed
       .withColumn("position_ids", expr(
         "flatten(transform(doc_spans, s -> sequence(0, s.end - s.begin - 1)))"))
+      .withColumn("doc_index", expr(
+        "flatten(transform(doc_spans, (s, i) -> array_repeat(i, s.end - s.begin)))"))
+
+  /**
+   * Loader-companion columns over a [[chunkSequences]] /
+   * [[chunkCarryBatch]] frame — the GPT concat-and-chunk convention:
+   *   - `position_ids` — plain `0..n_tokens-1` per window (positions are
+   *     window-relative, NOT per-document: a mid-document piece that
+   *     continues from the previous window does not restart at 0 — its
+   *     absolute document position is unrecoverable inside one window,
+   *     and GPT-style training uses window positions throughout)
+   *   - `doc_index`    — int per token: the `doc_spans` slot, exactly as
+   *     [[withLoaderColumns]] — the attention mask resets only at TRUE
+   *     document boundaries inside the window (each span in a chunk
+   *     window is a distinct document's piece, so slot index == document
+   *     boundary key; whether a loader masks across the leading
+   *     continuation piece is its policy — the spans carry `chunk_ix` to
+   *     decide)
+   * Map-only, bounded by maxLen, like the BFD variant.
+   */
+  def withChunkLoaderColumns(packed: DataFrame): DataFrame =
+    packed
+      .withColumn("position_ids", expr(
+        "transform(input_ids, (x, i) -> i)"))
       .withColumn("doc_index", expr(
         "flatten(transform(doc_spans, (s, i) -> array_repeat(i, s.end - s.begin)))"))
 

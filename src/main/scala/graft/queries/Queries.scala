@@ -1150,9 +1150,32 @@ object Queries {
         val spine = b.agg(min("h").as("lo"), max("h").as("hi"))
           .select(explode(sequence(col("lo"), col("hi"),
             expr("INTERVAL 1 HOUR"))).as("h"))
-        val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        spine.join(b, Seq("h"), "left_outer")
-          .withColumn("filled", last(col("avg_value"), ignoreNulls = true).over(w))
+        // Two-level fill instead of one global Window.orderBy(h): the
+        // running IGNORE-NULLS last over the whole spine is a single-task
+        // sort that grows linearly with the time extent. Partition by DAY:
+        //  - in-day fill: last observed value up to each hour, parallel
+        //    per-day windows (24 rows each);
+        //  - cross-day carry: each day's last observation, carried by one
+        //    window over the DAY spine (24x fewer rows than hours — the
+        //    only unpartitioned frame, bounded by extent/24) and joined
+        //    back broadcast. filled = in-day fill, else the carry.
+        val hours = spine.join(b, Seq("h"), "left_outer")
+          .withColumn("_day", date_trunc("day", col("h")))
+        val wDay = Window.partitionBy("_day").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inDay = hours.withColumn("_dayfill",
+          last(col("avg_value"), ignoreNulls = true).over(wDay))
+        val dayLast = hours.filter(col("avg_value").isNotNull)
+          .groupBy("_day").agg(max_by(col("avg_value"), col("h")).as("_last"))
+        val wCarry = Window.orderBy("_day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = hours.select(col("_day")).distinct()
+          .join(dayLast, Seq("_day"), "left_outer")
+          .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(wCarry))
+          .select(col("_day"), col("_carry"))
+        inDay.join(broadcast(carry), Seq("_day"))
+          .select(col("h"), col("avg_value"),
+            coalesce(col("_dayfill"), col("_carry")).as("filled"))
           .orderBy("h")
       }),
 
@@ -1708,6 +1731,73 @@ object Queries {
           .groupBy("cluster_id")
           .agg(count(lit(1)).as("n_kept"), sum("cost").as("cost_kept"))
           .orderBy("cluster_id")
+      }),
+
+    // ---- cluster-balanced sampling against FROZEN centroids — the q81
+    //      operator with the one engine-specific piece (in-call k-means)
+    //      replaced by a literal centroid artifact (here: the unit-norm
+    //      assignment against four exemplar document embeddings), which
+    //      makes the WHOLE selection DuckDB-recomputable hash-exact:
+    //      labeling = argmax over dot(unit(v), cent) with ties to the
+    //      smallest index (the exact best_cell kernel semantics — the
+    //      oracle mimics the unitize divide element-for-element so both
+    //      engines see bit-identical scores), budgets = the integer
+    //      floor(sqrt(mass)) split of q76/q83, selection = the
+    //      deterministic id-ordered prefix. This is the frozen-centroid
+    //      form the STREAMING mix stage labels with
+    //      (Mixing.clusterBalancedSampleWith). ----
+    QueryDef("q84_cluster_mix_frozen",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')),
+             |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+             |      FROM e WHERE vec_id IN (0, 3, 11, 17)),
+             |d AS (SELECT dd.doc_id, CAST(dd.n_chars AS BIGINT) AS cost, e.v
+             |      FROM read_parquet('{SFDIR}/documents.parquet') dd
+             |      JOIN e ON dd.doc_id = e.vec_id),
+             |u AS (SELECT doc_id, cost,
+             |        CASE WHEN list_dot_product(v, v) > 0
+             |             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |             ELSE v END AS uv
+             |      FROM d),
+             |lab AS (SELECT doc_id, cost, cent_id,
+             |          row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY list_dot_product(uv, cv) DESC, cent_id ASC) AS rk
+             |        FROM u CROSS JOIN c),
+             |l AS (SELECT doc_id, cost, CAST(cent_id AS INT) AS cluster_id
+             |      FROM lab WHERE rk = 1),
+             |bt AS (SELECT sum(cost) // 3 AS tb FROM l),
+             |t AS (SELECT cluster_id, sum(cost) AS m FROM l GROUP BY cluster_id),
+             |w AS (SELECT cluster_id,
+             |        CAST(FLOOR(SQRT(CAST(m AS DOUBLE))) AS HUGEINT) AS wt FROM t),
+             |bud AS (SELECT w.cluster_id,
+             |          (bt.tb * w.wt) // (SELECT sum(wt) FROM w) AS bud
+             |        FROM w, bt),
+             |cum AS (SELECT doc_id, cluster_id,
+             |          sum(cost) OVER (PARTITION BY cluster_id ORDER BY doc_id
+             |                          ROWS UNBOUNDED PRECEDING) AS rcum
+             |        FROM l)
+             |SELECT cum.doc_id, cum.cluster_id
+             |FROM cum JOIN bud USING (cluster_id)
+             |WHERE cum.rcum <= bud.bud
+             |ORDER BY cum.doc_id""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("cost"))
+        val joined = docs.join(emb, "doc_id")
+        // frozen centroid artifact: four exemplar embeddings by fixed id
+        // (raw — assignClustersWith unitizes the ROW side only, exactly
+        // like the oracle)
+        val cents = emb
+          .filter(col("doc_id").isin(0L, 3L, 11L, 17L)).orderBy("doc_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0)).toIndexedSeq
+        val budget = joined.agg(sum("cost")).head().getLong(0) / 3
+        graft.ext.Mixing.clusterBalancedSampleWith(joined, "doc_id",
+            "embedding", col("cost"), budget, cents, temperature = 0.5)
+          .select("doc_id", "cluster_id")
+          .orderBy("doc_id")
       }),
 
     // ---- Pareto importance-sampling gate (GPT-3 appendix A: keep when

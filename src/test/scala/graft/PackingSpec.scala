@@ -158,6 +158,40 @@ class PackingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("withChunkLoaderColumns: window-relative 0..L-1 positions (no reset at continued pieces), doc_index block-diagonal") {
+    val rnd = new scala.util.Random(17)
+    val docs = (0L until 60L).map { id =>
+      val n = if (id == 4) 70 else 1 + rnd.nextInt(20) // one doc spans >2 windows
+      (id, (0 until n).map(p => (id * 1000 + p).toInt))
+    }.toDF("doc_id", "tokens")
+    val out = Packing.withChunkLoaderColumns(
+      Packing.chunkSequences(docs, "doc_id", "tokens", maxLen)).cache()
+    // the GPT convention: position_ids is PLAIN 0..n_tokens-1 per window —
+    // window-relative, never per-document
+    assert(out.filter(size(col("position_ids")) =!= col("n_tokens") ||
+      size(col("doc_index")) =!= col("n_tokens")).count() === 0)
+    assert(out.filter(expr(
+      "position_ids != sequence(0, n_tokens - 1)")).count() === 0)
+    // doc_index keys the block-diagonal mask exactly as the BFD variant:
+    // token t in span slot k has doc_index[t] = k
+    val bad = out.select(col("doc_index"),
+        posexplode(col("doc_spans")).as(Seq("slot", "s")))
+      .withColumn("ok", expr(
+        "forall(sequence(s.begin, s.end - 1), t -> doc_index[t] = slot)"))
+      .filter(!col("ok"))
+    assert(bad.count() === 0)
+    // the convention DIFFERS from withLoaderColumns where it must: a
+    // boundary-spanning document's continuation piece exists (chunk_ix>0
+    // at window start) and its positions do NOT restart at 0 per doc —
+    // the second span of any window starts at position s.begin != 0
+    assert(out.filter(expr(
+      "exists(doc_spans, s -> s.chunk_ix > 0)")).count() > 0,
+      "no document spans a window boundary — test data too sparse")
+    assert(out.filter(size(col("doc_spans")) > 1).filter(expr(
+      "position_ids[doc_spans[1].begin] != doc_spans[1].begin")).count() === 0)
+    out.unpersist()
+  }
+
   test("shardSequences: portable md5 assignment, balanced ranks, reseed = new epoch order") {
     val df = (0L until 4000L).map(Tuple1(_)).toDF("seq_id")
     val out = Packing.shardSequences(df, "seq_id", numRanks = 8, seed = 42L).cache()
