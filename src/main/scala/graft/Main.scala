@@ -39,7 +39,8 @@ object Main {
     "mix-source-col", "tokens-col", "negative", "quality-dim",
     "quality-model", "quality-min", "quality-prob-min",
     "quality-pareto-alpha", "quality-pareto-seed", "mix-cluster-k",
-    "mix-cluster-centroids", "kmeans-iters", "pack-style", "pack-eod")
+    "mix-cluster-centroids", "kmeans-iters", "pack-style", "pack-eod",
+    "mix-phases")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -161,6 +162,19 @@ object Main {
     }
     m
   }
+
+  /** `--mix-phases "name:budget[:temperature],..."` — e.g.
+    * `pretrain:40000:0.5,anneal:20000:0.7` (temperature defaults 0.5). */
+  private[graft] def parseMixPhases(s: String): Seq[graft.ext.Mixing.MixPhase] =
+    s.split(",").toIndexedSeq.filter(_.nonEmpty).map { p =>
+      p.split(":") match {
+        case Array(n, b) => graft.ext.Mixing.MixPhase(n.trim, b.trim.toLong)
+        case Array(n, b, t) =>
+          graft.ext.Mixing.MixPhase(n.trim, b.trim.toLong, t.trim.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"bad --mix-phases entry '$p' (want name:budget[:temperature])")
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val (cfg0, mode) = parse(args)
@@ -357,7 +371,13 @@ object Main {
               // frozen-centroid topic balancing (--mode train-centroids
               // artifact, or an ANN index's centroids/): the mix state is
               // keyed by latent cluster_id instead of the provenance column
-              mixClusterCentroids = raw.get("mix-cluster-centroids")))
+              mixClusterCentroids = raw.get("mix-cluster-centroids"),
+              // phased (annealing) schedule over the stream:
+              // --mix-phases "pretrain:40000:0.5,anneal:20000:0.7"
+              // (name:budget[:temperature]); mutually exclusive with
+              // --mix-budget. Emitted docs carry a `phase` column.
+              mixPhases = raw.get("mix-phases").map(parseMixPhases)
+                .getOrElse(Nil)))
           q.awaitTermination(600000)
           val accepted = spark.read
             .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data").count()

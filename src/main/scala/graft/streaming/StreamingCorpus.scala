@@ -78,7 +78,8 @@ object StreamingCorpus {
                     mixBudget: Option[Long] = None,
                     mixTemperature: Double = 0.5,
                     mixSourceCol: String = "source",
-                    mixClusterCentroids: Option[String] = None)
+                    mixClusterCentroids: Option[String] = None,
+                    mixPhases: Seq[Mixing.MixPhase] = Nil)
 
   /** Frozen tokenizer for the packing stage, loaded once per stream
     * lifetime per path (the batch pipeline trains BPE on the full corpus;
@@ -326,21 +327,29 @@ object StreamingCorpus {
     //     argmax, and rows with null/wrong-dimension embeddings drop —
     //     the same semantics as the batch operator.
     val mixDir = s"$outDir/state/mix"
-    val (survivors, mixBatchRows) = cfg.mixBudget match {
-      case None => (dedupSurvivors, None)
-      case Some(totalB) =>
+    val phMassDir = s"$outDir/state/phasedmix_mass"
+    val phSpentDir = s"$outDir/state/phasedmix_spent"
+    require(cfg.mixBudget.isEmpty || cfg.mixPhases.isEmpty,
+      "mixBudget and mixPhases are mutually exclusive (a phase schedule " +
+        "carries its own per-phase budgets)")
+    // shared labeling: provenance column, or frozen-centroid topic labels
+    def labeledMixDocs(): (DataFrame, String) = cfg.mixClusterCentroids match {
+      case Some(p) =>
+        require(dedupSurvivors.columns.contains(cfg.embeddingCol),
+          s"mixClusterCentroids needs column '${cfg.embeddingCol}' " +
+            "on the stream")
+        val cents = centroidCache.computeIfAbsent(p,
+          pp => graft.ext.Similarity.loadClusterCentroids(spark, pp))
+        (graft.ext.Similarity.assignClustersWith(dedupSurvivors,
+          cfg.embeddingCol, cents), "cluster_id")
+      case None => (dedupSurvivors, cfg.mixSourceCol)
+    }
+    val (survivors, mixBatchRows, phasedBatchRows) = (cfg.mixBudget,
+        cfg.mixPhases) match {
+      case (None, Nil) => (dedupSurvivors, None, None)
+      case (Some(totalB), _) =>
         val costCol = length(col(cfg.textCol)).cast("long")
-        val (mixDocs, groupCol) = cfg.mixClusterCentroids match {
-          case Some(p) =>
-            require(dedupSurvivors.columns.contains(cfg.embeddingCol),
-              s"mixClusterCentroids needs column '${cfg.embeddingCol}' " +
-                "on the stream")
-            val cents = centroidCache.computeIfAbsent(p,
-              pp => graft.ext.Similarity.loadClusterCentroids(spark, pp))
-            (graft.ext.Similarity.assignClustersWith(dedupSurvivors,
-              cfg.embeddingCol, cents), "cluster_id")
-          case None => (dedupSurvivors, cfg.mixSourceCol)
-        }
+        val (mixDocs, groupCol) = labeledMixDocs()
         val batchMass = mixDocs
           .groupBy(col(groupCol).cast("string").as("_src"))
           .agg(sum(costCol).as("_mass")).collect()
@@ -375,7 +384,100 @@ object StreamingCorpus {
         val cleanKept =
           if (cfg.mixClusterCentroids.isDefined) kept.drop("_cum", "cluster_id")
           else kept.drop("_cum")
-        (cleanKept, Some(rows))
+        (cleanKept, Some(rows), None)
+
+      // 3.8 PHASED (annealing) mixing over the stream — the streaming twin
+      //     of [[Mixing.phasedMix]]: phase k accepts from the docs phases
+      //     0..k-1 did not take, under its own (budget, temperature), with
+      //     phase-k budgets re-derived EVERY batch from the accumulated
+      //     remaining masses (total mass seen so far minus what earlier
+      //     phases spent — exactly the mass the batch operator would see as
+      //     "remaining" at that boundary) and acceptance prefix-greedy
+      //     against budget − already-spent per (phase, group). State:
+      //     state/phasedmix_mass (source, mass, batch_id — one row per
+      //     group per batch) + state/phasedmix_spent (phase, source, spent,
+      //     batch_id), both batch-tagged, deduplicated and current-batch-
+      //     excluded on read like every other state. A SINGLE-batch stream
+      //     is exactly [[Mixing.phasedMix]] (spec law); so is a multi-batch
+      //     monotone-id stream whose group shares stay constant (e.g. one
+      //     group), where the re-derived budgets coincide with the final
+      //     ones. Otherwise the same documented prefix-greedy tradeoff as
+      //     mixBudget applies: the stream cannot un-emit, so a group whose
+      //     mass share shrinks can sit temporarily over-budget. Emitted
+      //     docs carry a `phase` column (the batch operator's output
+      //     contract); a doc appears in at most one phase, ever.
+      case (None, phases) =>
+        require(phases.map(_.name).distinct.length == phases.length,
+          s"phase names must be unique, got ${phases.map(_.name)}")
+        val costCol = length(col(cfg.textCol)).cast("long")
+        val (mixDocs, groupCol) = labeledMixDocs()
+        val batchMass = mixDocs
+          .groupBy(col(groupCol).cast("string").as("_src"))
+          .agg(sum(costCol).as("_mass")).collect()
+          .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+          .toMap
+        val priorMass: Map[String, Long] =
+          stateRead(spark, phMassDir, null) match {
+            case Some(st) => st.filter(col("batch_id") =!= batchId)
+              .select("source", "mass", "batch_id").distinct()
+              .groupBy("source").agg(sum("mass").as("m"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            case None => Map.empty
+          }
+        val accMass = (batchMass.keySet ++ priorMass.keySet).map { src =>
+          src -> (priorMass.getOrElse(src, 0L) + batchMass.getOrElse(src, 0L))
+        }.toMap
+        val priorSpent: Map[(String, String), Long] =
+          stateRead(spark, phSpentDir, null) match {
+            case Some(st) => st.filter(col("batch_id") =!= batchId)
+              .select("phase", "source", "spent", "batch_id").distinct()
+              .groupBy("phase", "source").agg(sum("spent").as("s"))
+              .collect()
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+            case None => Map.empty
+          }
+        var pool = mixDocs
+        // accumulated spend of EARLIER phases per group (prior batches +
+        // this batch's earlier-phase accepts): what phase k's masses deduct
+        var spentBefore: Map[String, Long] = Map.empty
+        val outs = Seq.newBuilder[DataFrame]
+        val spentRows = Seq.newBuilder[(String, String, Long, Long)]
+        phases.foreach { ph =>
+          val priorPh: Map[String, Long] = priorSpent.collect {
+            case ((p, s), v) if p == ph.name => s -> v }
+          val masses = accMass.toSeq.sortBy(_._1).map { case (src, m) =>
+            src -> math.max(0L, m - spentBefore.getOrElse(src, 0L)) }
+          val budgets = Mixing.temperatureBudgets(masses, ph.budget,
+            ph.temperature)
+          val remaining = budgets.map { case (src, b) =>
+            src -> math.max(0L, b - priorPh.getOrElse(src, 0L)) }
+          // localCheckpoint: three consumers (spend collect, anti-join,
+          // output union) — and it keeps phase k+1's plan from re-deriving
+          // every earlier phase (the batch operator's id-set pattern)
+          val kept = Mixing.capPerSourceWith(pool, groupCol,
+            cfg.idCol, costCol, remaining).localCheckpoint()
+          val spentNow: Map[String, Long] = kept
+            .groupBy(col(groupCol).cast("string").as("_src"))
+            .agg(max("_cum").as("_s")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          spentRows ++= batchMass.keySet.toSeq.sorted.map { src =>
+            (ph.name, src, spentNow.getOrElse(src, 0L), batchId) }
+          spentBefore = (spentBefore.keySet ++ priorPh.keySet ++
+            spentNow.keySet).map { src =>
+            src -> (spentBefore.getOrElse(src, 0L) +
+              priorPh.getOrElse(src, 0L) + spentNow.getOrElse(src, 0L))
+          }.toMap
+          pool = pool.join(kept.select(col(cfg.idCol).as("_ph_id")),
+            col(cfg.idCol) === col("_ph_id"), "left_anti")
+          outs += kept.withColumn("phase", lit(ph.name))
+        }
+        val allKept = outs.result().reduce(_ unionByName _)
+        val cleanKept =
+          if (cfg.mixClusterCentroids.isDefined) allKept.drop("_cum", "cluster_id")
+          else allKept.drop("_cum")
+        val massRows = batchMass.keySet.toSeq.sorted.map { src =>
+          (src, batchMass(src), batchId) }
+        (cleanKept, None, Some((massRows, spentRows.result())))
     }
 
     // 4. append survivors to the bundle (replay-safe committer) + states
@@ -399,6 +501,15 @@ object StreamingCorpus {
       import spark.implicits._
       rows.toDF("source", "mass", "spent", "batch_id")
         .write.mode(SaveMode.Append).parquet(mixDir)
+    }
+    // phased-mix state append: per-group mass once per batch, spend per
+    // (phase, group) — same batch-tagged replay protocol
+    phasedBatchRows.foreach { case (massRows, spentRows) =>
+      import spark.implicits._
+      massRows.toDF("source", "mass", "batch_id")
+        .write.mode(SaveMode.Append).parquet(phMassDir)
+      spentRows.toDF("phase", "source", "spent", "batch_id")
+        .write.mode(SaveMode.Append).parquet(phSpentDir)
     }
 
     // 5. maintain the standing semantic index as part of the commit.

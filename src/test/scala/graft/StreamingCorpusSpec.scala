@@ -492,6 +492,89 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(spentReplay === spent, s"replay double-spent: $spent -> $spentReplay")
   }
 
+  test("mixPhases: single batch == batch phasedMix; monotone single-group stream switches phase mid-stream == batch operator; replay; disjoint") {
+    import graft.ext.Mixing
+    val rnd = new scala.util.Random(71)
+    def sentence(words: Int) =
+      (0 until words).map(_ => s"the w${rnd.nextInt(500)} of and to a").mkString(" ")
+    // sized against the ~6.3k-char batches below: pretrain swallows all of
+    // batch 0 and crosses its budget boundary INSIDE batch 1, anneal takes
+    // the next slice — the mid-stream switch law needs both in batch 1
+    val phases = Seq(Mixing.MixPhase("pretrain", 8000L, 0.5),
+      Mixing.MixPhase("anneal", 2500L, 0.7))
+    def acceptedPhases(out: String): Map[Long, String] = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select(col("_id"), get_json_object(col("doc"), "$.phase").as("ph"))
+      .collect().map(r => r.getString(0).toLong -> r.getString(1)).toMap
+    def batchOp(docs: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Mixing.phasedMix(
+        docs.filter(graft.ext.TextAnalysis.qualityScoreRaw(col("text")) >= 0.3),
+        "source", "doc_id", length(col("text")).cast("long"), phases)
+        .select("doc_id", "phase").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // law 1: a single-batch TWO-source stream is EXACTLY Mixing.phasedMix —
+    // per-source floor(sqrt) budget re-derivation included
+    locally {
+      val out = Files.createTempDirectory("graft-scorpus-pmix1-out").toString
+      val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+        mixPhases = phases)
+      val b0 = (0 until 44).map { i =>
+        val src = if (i % 11 == 10) "small" else "big"
+        (i.toLong, src, sentence(10))
+      }.toDF("doc_id", "source", "text")
+      StreamingCorpus.processBatch(b0, 0L, out, cfg)
+      val got = acceptedPhases(out)
+      val want = batchOp(b0)
+      assert(got === want,
+        s"single-batch stream diverged from phasedMix: " +
+          s"extra=${got.toSet -- want.toSet} missing=${want.toSet -- got.toSet}")
+    }
+
+    // laws 2-4: a SINGLE-group monotone-id stream (group shares constant,
+    // so per-batch re-derived budgets equal the final ones) — the emitted
+    // (doc, phase) set across batches must equal the batch operator over
+    // the CONCATENATED corpus, with the pretrain->anneal switch landing
+    // mid-batch-1; replay of batch 1 changes nothing; phases disjoint.
+    val out = Files.createTempDirectory("graft-scorpus-pmix2-out").toString
+    val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+      mixPhases = phases)
+    def mkMono(ids: Range) =
+      ids.map(i => (i.toLong, "web", sentence(10))).toDF("doc_id", "source", "text")
+    val b0 = mkMono(0 until 30)
+    val b1 = mkMono(1000 until 1030)
+    StreamingCorpus.processBatch(b0, 0L, out, cfg)
+    StreamingCorpus.processBatch(b1, 1L, out, cfg)
+    val got = acceptedPhases(out)
+    val want = batchOp(b0.unionByName(b1))
+    assert(got === want,
+      s"multi-batch stream diverged from phasedMix over the concatenation: " +
+        s"extra=${got.toSet -- want.toSet} missing=${want.toSet -- got.toSet}")
+    // the schedule really switched mid-stream: batch 1 contributed docs to
+    // BOTH phases (budget boundary crossed inside the batch)
+    val b1Phases = got.collect { case (id, ph) if id >= 1000 => ph }.toSet
+    assert(b1Phases === Set("pretrain", "anneal"),
+      s"expected the phase switch inside batch 1, got phases $b1Phases")
+
+    // law 3: replay of batch 1 — same accepted set, no double-spend
+    StreamingCorpus.processBatch(b1, 1L, out, cfg)
+    assert(acceptedPhases(out) === got, "replay changed the accepted set")
+    val spent = spark.read.parquet(s"$out/state/phasedmix_spent")
+      .select("phase", "source", "spent", "batch_id").distinct()
+      .groupBy("phase", "source").agg(sum("spent").as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    phases.foreach { ph =>
+      assert(spent.getOrElse((ph.name, "web"), 0L) <= ph.budget,
+        s"${ph.name} spent ${spent.get((ph.name, "web"))} over ${ph.budget}")
+    }
+    // law 4: a doc appears in at most one phase, ever (one emitted row per
+    // id across every batch's files)
+    val rows = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+    assert(rows.count() === rows.select("_id").distinct().count(),
+      "a document was emitted more than once across phases/batches")
+  }
+
   test("strip-spans + decontaminate: span counts accumulate across batches; eval collisions dropped") {
     // unique word LAST per segment (see CorpusPipelineSpec): the only
     // cross-doc repeated window is the planted boilerplate
