@@ -703,11 +703,12 @@ object Bench {
     // each have a 1M number above; this entry pins what the COMPOSITION
     // costs (stage-count plumbing included: counts ride observe() metrics
     // on the two localCheckpoint materializations, not per-stage count()
-    // re-executions). Single run, not median-of-3: the entry is minutes-
-    // scale and its variance story is carried by the per-stage entries.
-    // Plants: 50k exact duplicates (ids 950k+ repeat ids 0..50k) and 50k
-    // near-duplicates (ids 900k..950k add a 3-word suffix), so both drop
-    // paths do real work.
+    // re-executions). Median of 3 like the other 1M entries: single
+    // captures of this entry spread 28.6-66 s across rounds (stage counts
+    // byte-identical — environment swing, not nondeterminism), too wide to
+    // detect a 1.5x regression from one sample. Plants: 50k exact
+    // duplicates (ids 950k+ repeat ids 0..50k) and 50k near-duplicates
+    // (ids 900k..950k add a 3-word suffix), so both drop paths do real work.
     val pipeline1mJson: String =
       if (!run1m) "{}"
       else recordDiag("pipeline_1m") { try {
@@ -734,20 +735,100 @@ object Bench {
         gen.repartition(64).write.parquet(inDir)
         val totalChars = spark.read.parquet(inDir)
           .agg(fsum(flength(col("text")))).head().getLong(0)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(pipeRoot), spark.sparkContext.hadoopConfiguration)
+        var st: graft.pipeline.CorpusPipeline.Stats = null
+        val secs = (1 to 3).map { _ =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$pipeRoot/out"), true)
+          time {
+            st = graft.pipeline.CorpusPipeline.run(spark, inDir,
+              s"$pipeRoot/out", "corpus", numShards = 4,
+              qualityMin = 0.2, nearDupThreshold = 0.9,
+              bpeMerges = 30, bpeMaxWords = 50000,
+              mixBudget = Some(totalChars * 2 / 5), mixTemperature = 0.5)
+          }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(pipeRoot), true)
+        val med = secs.sorted.apply(secs.size / 2)
+        f"""{"rows":$n,"sec":$med%.3f,"after_quality":${st.afterQuality},"after_model_gate":${st.afterModelQuality},"after_exact":${st.afterExact},"after_neardup":${st.afterNearDup},"after_mix":${st.afterMix},"total_tokens":${st.totalTokens},"bundle_docs":${st.bundle.totalDocs},"runs":3}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline 1m failed: ${e.getMessage}"); "{}" } }
+
+    // FULL-stage composed pipeline at the 1M tier: every curation stage on
+    // in one run — PII redaction, surface quality, char-ngram LM filter,
+    // repeated-span stripping, benchmark decontamination, exact dedup,
+    // EMBEDDING near-dup (LSH + standing ANN index build/append +
+    // maintenance), temperature mix, BPE tokenize, columnar bundle, and
+    // BFD sequence packing. pipeline_1m above isolates the common path;
+    // each stage has an isolated 1M number elsewhere; this entry pins what
+    // the COMPLETE path costs when composed (stage interleaving, the two
+    // localCheckpoint boundaries, the index append after the write).
+    // Single run: minutes-scale, variance carried by the per-stage entries.
+    // Plants: the same 50k exact + 50k near dups (near dups share their
+    // base's EMBEDDING exactly — the embedding path must drop them), a
+    // 2k-doc benchmark file copied verbatim from the corpus (decontam does
+    // real work), spanMinDocs=5 so the span pass pays full df-count cost
+    // without mass-stripping the planted duplicate families.
+    val pipelineFull1mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("pipeline_full_1m") { try {
+        import org.apache.spark.sql.functions.{concat, expr, length => flength, pmod, when, xxhash64}
+        val n = 1000000L
+        val pipeRoot = java.nio.file.Files.createTempDirectory("graft-bench-pipefull").toString
+        val textGen = expr(
+          "concat_ws(' ', transform(sequence(1, cast(30 + pmod(xxhash64(b), 40) as int)), " +
+            "j -> CASE WHEN pmod(xxhash64(b, j), 2) = 0 " +
+            "THEN element_at(array('the','of','and','to','a','in','is','for'), " +
+            "cast(pmod(xxhash64(b, j + 100), 8) + 1 as int)) " +
+            "ELSE concat('w', pmod(xxhash64(b, j + 200), 5000)) END))")
+        // 64-dim embedding derived from the BASE id b: an exact/near dup
+        // carries its base's exact vector, so cosine 1.0 >= threshold.
+        // 64 dims, not fewer: at 1M random vectors a 16-dim space has
+        // hundreds of thousands of SPURIOUS cosine>=0.9 pairs (measured
+        // 355k drops vs 50k planted), which both distorts the stage
+        // semantics and inflates the LSH bucket joins
+        val embGen = expr(
+          "transform(sequence(1, 64), j -> " +
+            "cast(pmod(xxhash64(b, j + 300), 2001) - 1000 as double) / 1000.0)")
+        val gen = spark.range(n).select(col("id"),
+            when(col("id") >= 950000L, col("id") - 950000L)
+              .when(col("id") >= 900000L, col("id") - 900000L)
+              .otherwise(col("id")).as("b"),
+            (col("id") >= 900000L && col("id") < 950000L).as("nd"))
+          .select(col("id").as("doc_id"),
+            concat(lit("src"), pmod(xxhash64(col("id"), lit(1)), lit(20)))
+              .as("source"),
+            when(col("nd"), concat(textGen, lit(" zzz qqq www")))
+              .otherwise(textGen).as("text"),
+            embGen.as("embedding"))
+        val inDir = s"$pipeRoot/in"
+        gen.repartition(64).write.parquet(inDir)
+        // benchmark set = 2k corpus docs verbatim (their 13-grams collide)
+        spark.read.parquet(inDir).filter(col("doc_id") < 2000)
+          .select("text").write.parquet(s"$pipeRoot/bench")
+        val totalChars = spark.read.parquet(inDir)
+          .agg(fsum(flength(col("text")))).head().getLong(0)
         var st: graft.pipeline.CorpusPipeline.Stats = null
         val sec = time {
           st = graft.pipeline.CorpusPipeline.run(spark, inDir,
             s"$pipeRoot/out", "corpus", numShards = 4,
             qualityMin = 0.2, nearDupThreshold = 0.9,
             bpeMerges = 30, bpeMaxWords = 50000,
+            redactPii = true,
+            lmMinScore = Some(-10.0), // loose: pins the train+score cost
+            nearDupMethod = "embedding",
+            annIndexDir = Some(s"$pipeRoot/annidx"),
+            stripSpans = true, spanK = 10, spanMinDocs = 5,
+            decontamBench = Some(s"$pipeRoot/bench"),
+            packMaxLen = Some(1024),
             mixBudget = Some(totalChars * 2 / 5), mixTemperature = 0.5)
         }
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(pipeRoot), spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(pipeRoot), true)
-        f"""{"rows":$n,"sec":$sec%.3f,"after_quality":${st.afterQuality},"after_model_gate":${st.afterModelQuality},"after_exact":${st.afterExact},"after_neardup":${st.afterNearDup},"after_mix":${st.afterMix},"total_tokens":${st.totalTokens},"bundle_docs":${st.bundle.totalDocs}}"""
+        f"""{"rows":$n,"sec":$sec%.3f,"after_quality":${st.afterQuality},"after_lm":${st.afterLm},"after_decontam":${st.afterDecontam},"after_exact":${st.afterExact},"dropped_vs_index":${st.droppedVsIndex},"after_neardup":${st.afterNearDup},"after_mix":${st.afterMix},"total_tokens":${st.totalTokens},"packed_seqs":${st.packedSeqs},"bundle_docs":${st.bundle.totalDocs}}"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] pipeline 1m failed: ${e.getMessage}"); "{}" } }
+        System.err.println(s"[bench] pipeline full 1m failed: ${e.getMessage}"); "{}" } }
 
     val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)},"clustered_1m":${curveJson(ann1mCurve)}}"""
 
@@ -785,7 +866,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"pipeline_1m":$pipeline1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

@@ -298,7 +298,11 @@ object Main {
             mixClusterK = raw.get("mix-cluster-k").map(_.toInt),
             // frozen centroids (train-centroids artifact) beat in-run
             // k-means when set: batch re-runs and streams label identically
-            mixClusterCentroids = raw.get("mix-cluster-centroids"))
+            mixClusterCentroids = raw.get("mix-cluster-centroids"),
+            // --mix-phases "pretrain:40000:0.5,anneal:20000:0.7": phased
+            // (annealing) schedule instead of the single budget
+            mixPhases = raw.get("mix-phases").map(parseMixPhases)
+              .getOrElse(Nil))
           println(s"corpus pipeline -> ${st.bundle.outDir}")
           println(s"  input docs:       ${st.input}")
           println(s"  after quality:    ${st.afterQuality}")

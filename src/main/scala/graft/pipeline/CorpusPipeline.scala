@@ -69,6 +69,10 @@ import org.apache.spark.sql.functions._
  *    latent embedding topics when `mixClusterK` is set) — BEFORE
  *    tokenization, so the BPE trains on the mixed distribution. The batch
  *    form of the streaming pipeline's `mixBudget` stage.
+ *  - phased mix (`mixPhases = Seq(...)`, mutually exclusive with
+ *    `mixBudget`): the annealing schedule instead —
+ *    [[graft.ext.Mixing.phasedMix]]; emitted docs carry a `phase` column,
+ *    each doc in at most one phase. Same grouping options.
  *  - tokenize: BPE trained on the SURVIVING corpus, tokens + counts land as
  *    typed columns in the columnar bundle; the model is persisted next to
  *    the manifest for downstream reuse.
@@ -120,7 +124,11 @@ object CorpusPipeline {
           mixTemperature: Double = 0.5,
           mixSourceCol: String = "source",
           mixClusterK: Option[Int] = None,
-          mixClusterCentroids: Option[String] = None): Stats = {
+          mixClusterCentroids: Option[String] = None,
+          mixPhases: Seq[graft.ext.Mixing.MixPhase] = Nil): Stats = {
+    require(mixBudget.isEmpty || mixPhases.isEmpty,
+      "mixBudget and mixPhases are mutually exclusive (a phase schedule " +
+        "carries its own per-phase budgets)")
     // Stage counts ride the pipeline's own materializing passes as
     // observe() metrics instead of one count() action per stage: each
     // count() re-ran the un-cached upstream chain (redaction -> scoring ->
@@ -324,7 +332,8 @@ object CorpusPipeline {
     // plus the final pass — each would otherwise redo the near-dup
     // anti-join machinery from the exact checkpoint
     val deduped =
-      if (mixBudget.isDefined) deduped0.localCheckpoint() else deduped0
+      if (mixBudget.isDefined || mixPhases.nonEmpty) deduped0.localCheckpoint()
+      else deduped0
 
     // mixture weights AFTER dedup, BEFORE tokenization (the streaming
     // pipeline's mixBudget stage, batch form): per-source temperature
@@ -333,9 +342,9 @@ object CorpusPipeline {
     // `embeddingCol` (clusterBalancedSample) — for corpora whose imbalance
     // is topical, not provenance-shaped. The BPE trains on the MIXED
     // corpus, so over-represented sources/topics can't dominate the vocab.
-    val survivors0 = mixBudget match {
-      case None => deduped
-      case Some(b) =>
+    val survivors0 = (mixBudget, mixPhases) match {
+      case (None, Nil) => deduped
+      case (Some(b), _) =>
         val cost = length(col(textCol)).cast("long")
         (mixClusterCentroids, mixClusterK) match {
           case (Some(path), _) =>
@@ -364,6 +373,34 @@ object CorpusPipeline {
             graft.ext.Mixing.temperatureMix(deduped, mixSourceCol, idCol,
               cost, b, mixTemperature).drop("_cum")
         }
+      // phased (annealing) schedule — [[graft.ext.Mixing.phasedMix]]: the
+      // batch twin of the streaming mixPhases stage. Emitted docs carry a
+      // `phase` column into the bundle; a doc appears in at most one phase.
+      // Composes with the same grouping options as the single budget.
+      case (None, phases) =>
+        val cost = length(col(textCol)).cast("long")
+        val (labeled, groupCol) = (mixClusterCentroids, mixClusterK) match {
+          case (Some(path), _) =>
+            require(deduped.columns.contains(embeddingCol),
+              s"mixClusterCentroids needs column '$embeddingCol' on the corpus")
+            (graft.ext.Similarity.assignClustersWith(deduped, embeddingCol,
+              graft.ext.Similarity.loadClusterCentroids(spark, path)),
+              "cluster_id")
+          case (None, Some(k)) =>
+            require(deduped.columns.contains(embeddingCol),
+              s"mixClusterK needs column '$embeddingCol' on the corpus")
+            (graft.ext.Similarity.assignClusters(deduped, idCol,
+              embeddingCol, k), "cluster_id")
+          case (None, None) =>
+            require(deduped.columns.contains(mixSourceCol),
+              s"mixPhases needs column '$mixSourceCol' on the corpus " +
+                "(or set mixClusterK / mixClusterCentroids for " +
+                "latent-topic balancing)")
+            (deduped, mixSourceCol)
+        }
+        val mixed = graft.ext.Mixing.phasedMix(labeled, groupCol, idCol,
+          cost, phases)
+        if (groupCol == "cluster_id") mixed.drop("cluster_id") else mixed
     }
     // second (or only) checkpoint: the surviving corpus feeds the BPE
     // trainer, the token aggregate, the bundle write, packing, and the
@@ -465,6 +502,7 @@ object CorpusPipeline {
       totalTokens = totalTokens, bundle = res,
       afterLm = nLm, droppedVsIndex = nVsIndex, afterDecontam = nDecontam,
       packedSeqs = nPacked, afterModelQuality = nModel,
-      afterMix = if (mixBudget.isDefined) nSurvivors else -1L)
+      afterMix =
+        if (mixBudget.isDefined || mixPhases.nonEmpty) nSurvivors else -1L)
   }
 }

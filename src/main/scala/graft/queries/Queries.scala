@@ -1659,6 +1659,51 @@ object Queries {
           .orderBy("seq_id")
       }),
 
+    // ---- chunk loader columns (GPT convention): per-TOKEN oracle over
+    //      the q82 layout — position_ids must be the plain window index
+    //      (a continued piece does not restart at 0) and doc_index must be
+    //      the span slot. DuckDB re-derives the whole (window, slot,
+    //      position) tiling from prefix sums, so a wrong offset, reset
+    //      position, misassigned slot, or lost token breaks the hash. ----
+    QueryDef("q85_chunk_loader",
+      Some("""WITH d AS (
+             |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE text IS NOT NULL),
+             |v AS (SELECT doc_id, n FROM d WHERE n > 0),
+             |o AS (SELECT doc_id, n,
+             |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             |      FROM v),
+             |p AS (SELECT o.doc_id, s.seq_id,
+             |        GREATEST(s.seq_id*128, o.off) - s.seq_id*128 AS pos,
+             |        LEAST((s.seq_id+1)*128, o.off+o.n) - GREATEST(s.seq_id*128, o.off) AS piece
+             |      FROM o, UNNEST(generate_series(CAST(o.off//128 AS BIGINT), CAST((o.off+o.n-1)//128 AS BIGINT))) AS s(seq_id)),
+             |sl AS (SELECT seq_id, pos, piece,
+             |         row_number() OVER (PARTITION BY seq_id ORDER BY pos) - 1 AS slot
+             |       FROM p)
+             |SELECT CAST(sl.seq_id AS BIGINT) AS seq_id,
+             |       CAST(t.t AS INT) AS t,
+             |       CAST(t.t AS INT) AS position_id,
+             |       CAST(sl.slot AS INT) AS doc_index
+             |FROM sl, UNNEST(generate_series(sl.pos, sl.pos + sl.piece - 1)) AS t(t)
+             |ORDER BY seq_id, t""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("transform(split(trim(text), '\\\\s+'), w -> length(w))")
+              .as("ids"))
+        val packed = graft.ext.Packing.withChunkLoaderColumns(
+          graft.ext.Packing.chunkSequences(d, "doc_id", "ids", maxLen = 128))
+        packed
+          .select(col("seq_id"),
+            posexplode(arrays_zip(col("position_ids"), col("doc_index")))
+              .as(Seq("t", "z")))
+          .select(col("seq_id"), col("t").cast("int").as("t"),
+            col("z.position_ids").cast("int").as("position_id"),
+            col("z.doc_index").cast("int").as("doc_index"))
+          .orderBy("seq_id", "t")
+      }),
+
     // ---- phased (annealing) mixing schedule: phase 1 = temperature mix
     //      at tau=0.5 over the whole corpus (40% of char mass), phase 2 =
     //      an anneal over what REMAINS (20%), budgets re-derived from the

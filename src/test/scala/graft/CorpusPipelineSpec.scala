@@ -614,4 +614,40 @@ class CorpusPipelineSpec extends SparkSpec {
     val smallShare = ids.count(_ % 10 == 0).toDouble / ids.size
     assert(smallShare > 0.12, s"small topic share $smallShare not rebalanced")
   }
+
+  test("mixPhases: batch pipeline annealing schedule == direct phasedMix; phase column lands in the bundle") {
+    val rnd = new scala.util.Random(73)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"the w${rnd.nextInt(400)} of and to a").mkString(" ")
+    val docs = (0L until 100L).map { i =>
+      (i, if (i % 10 == 0) "small" else "big", sentence(12))
+    }
+    val input = Files.createTempDirectory("graft-cp-pmix-in").toString
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(input)
+
+    val out = Files.createTempDirectory("graft-cp-pmix-out").toString
+    val phases = Seq(graft.ext.Mixing.MixPhase("pretrain", 12000L, 0.5),
+      graft.ext.Mixing.MixPhase("anneal", 5000L, 0.7))
+    val st = CorpusPipeline.run(spark, input, out, "corpus",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      bpeMerges = 30, bpeMaxWords = 2000, mixPhases = phases)
+    assert(st.afterMix >= 0 && st.afterMix < 100L, s"phased mix did not cap: $st")
+    assert(st.bundle.totalDocs === st.afterMix)
+
+    // parity: bundle (id, phase) == direct phasedMix over the same corpus
+    // (quality passes everything here, no dups)
+    val direct = graft.ext.Mixing.phasedMix(
+      docs.toDF("doc_id", "source", "text"), "source", "doc_id",
+      length(col("text")).cast("long"), phases)
+      .select("doc_id", "phase").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = spark.read.parquet(s"$out/corpus/data")
+      .select("doc_id", "phase").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === direct, "pipeline phased mix != direct phasedMix")
+    // both phases populated, each doc in exactly one (got is a map keyed
+    // by id, so size equality vs the raw row count pins uniqueness)
+    assert(got.values.toSet === Set("pretrain", "anneal"))
+    assert(spark.read.parquet(s"$out/corpus/data").count() === got.size)
+  }
 }
