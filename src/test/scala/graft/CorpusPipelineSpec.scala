@@ -650,4 +650,49 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got.values.toSet === Set("pretrain", "anneal"))
     assert(spark.read.parquet(s"$out/corpus/data").count() === got.size)
   }
+
+  test("mixPhases + mixClusterCentroids: annealing over frozen topic groups == direct labeled phasedMix") {
+    val rnd = new scala.util.Random(79)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"the w${rnd.nextInt(400)} of and to a").mkString(" ")
+    def vec(axis: Int) = {
+      val a = Array.fill(16)(rnd.nextGaussian() * 0.05f)
+      a(axis) = 1f + rnd.nextGaussian().toFloat * 0.05f
+      a.toSeq
+    }
+    val docs = (0L until 100L).map { i =>
+      (i, sentence(12), vec(if (i % 10 == 0) 1 else 0))
+    }
+    val input = Files.createTempDirectory("graft-cp-pcmix-in").toString
+    docs.toDF("doc_id", "text", "embedding").write.mode("overwrite").parquet(input)
+    val centDir = Files.createTempDirectory("graft-cp-pcmix-cent").toString + "/c"
+    graft.ext.Similarity.trainClusterCentroids(
+      docs.toDF("doc_id", "text", "embedding"), "doc_id", "embedding",
+      k = 2, iters = 4, path = centDir)
+
+    val out = Files.createTempDirectory("graft-cp-pcmix-out").toString
+    val phases = Seq(graft.ext.Mixing.MixPhase("pretrain", 12000L, 0.5),
+      graft.ext.Mixing.MixPhase("anneal", 5000L, 0.7))
+    val st = CorpusPipeline.run(spark, input, out, "corpus",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      bpeMerges = 30, bpeMaxWords = 2000, mixPhases = phases,
+      mixClusterCentroids = Some(centDir))
+    assert(st.afterMix >= 0 && st.afterMix < 100L, s"phased mix did not cap: $st")
+
+    // parity: labeling with the same frozen artifact, then direct phasedMix
+    // over cluster_id groups (quality passes everything here, no dups)
+    val cents = graft.ext.Similarity.loadClusterCentroids(spark, centDir)
+    val direct = graft.ext.Mixing.phasedMix(
+      graft.ext.Similarity.assignClustersWith(
+        docs.toDF("doc_id", "text", "embedding"), "embedding", cents),
+      "cluster_id", "doc_id", length(col("text")).cast("long"), phases)
+      .select("doc_id", "phase").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = spark.read.parquet(s"$out/corpus/data")
+      .select("doc_id", "phase").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === direct, "pipeline phased cluster mix != direct operator")
+    // cluster_id is labeling state, not corpus schema
+    assert(!spark.read.parquet(s"$out/corpus/data").columns.contains("cluster_id"))
+  }
 }
