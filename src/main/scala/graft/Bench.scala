@@ -781,14 +781,16 @@ object Bench {
             "THEN element_at(array('the','of','and','to','a','in','is','for'), " +
             "cast(pmod(xxhash64(b, j + 100), 8) + 1 as int)) " +
             "ELSE concat('w', pmod(xxhash64(b, j + 200), 5000)) END))")
-        // 64-dim embedding derived from the BASE id b: an exact/near dup
+        // 32-dim embedding derived from the BASE id b: an exact/near dup
         // carries its base's exact vector, so cosine 1.0 >= threshold.
-        // 64 dims, not fewer: at 1M random vectors a 16-dim space has
+        // 32 dims, not fewer: at 1M random vectors a 16-dim space has
         // hundreds of thousands of SPURIOUS cosine>=0.9 pairs (measured
-        // 355k drops vs 50k planted), which both distorts the stage
-        // semantics and inflates the LSH bucket joins
+        // 355k drops vs 50k planted — P(cos>=t) ~ (1-t^2)^((d-1)/2) puts
+        // ~2e6 expected pairs at d=16 but ~5 at d=32), which both
+        // distorts the stage semantics and inflates the LSH bucket joins;
+        // 64 dims would only double the vector math for the same zero
         val embGen = expr(
-          "transform(sequence(1, 64), j -> " +
+          "transform(sequence(1, 32), j -> " +
             "cast(pmod(xxhash64(b, j + 300), 2001) - 1000 as double) / 1000.0)")
         val gen = spark.range(n).select(col("id"),
             when(col("id") >= 950000L, col("id") - 950000L)

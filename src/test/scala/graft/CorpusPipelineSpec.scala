@@ -92,16 +92,23 @@ class CorpusPipelineSpec extends SparkSpec {
     val nDocs = bundle.count()
     assert(rows.map(_.getAs[Int]("n_tokens")).sum === bundleTok + nDocs,
       "chunk stream must hold every token plus one EOD per doc")
-    // loader columns compose: position_ids restart at every span boundary
-    val loaded = graft.ext.Packing.withLoaderColumns(
+    // loader columns compose through the parquet round-trip — with the
+    // CHUNK convention (withChunkLoaderColumns): positions are the plain
+    // window index (a continued piece does not restart at 0), doc_index
+    // is the span slot. The per-span-reset variant (withLoaderColumns) is
+    // the BFD convention and does NOT apply to chunk output.
+    val loaded = graft.ext.Packing.withChunkLoaderColumns(
       spark.read.parquet(s"$out/corpus/packed")).orderBy("seq_id").collect()
     loaded.foreach { r =>
+      val n = r.getAs[Int]("n_tokens")
       val pos = r.getAs[scala.collection.Seq[Int]]("position_ids")
+      assert(pos === (0 until n), "position_ids must be the plain window index")
+      val dix = r.getAs[scala.collection.Seq[Int]]("doc_index")
       val spans = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
-      spans.foreach { sp =>
+      spans.zipWithIndex.foreach { case (sp, slot) =>
         val b = sp.getAs[Int]("begin"); val e = sp.getAs[Int]("end")
-        assert(pos.slice(b, e) === (0 until e - b),
-          s"position_ids not reset at span [$b,$e)")
+        assert(dix.slice(b, e).forall(_ == slot),
+          s"doc_index not block-diagonal at span [$b,$e)")
       }
     }
   }
