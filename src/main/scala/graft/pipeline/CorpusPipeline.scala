@@ -497,12 +497,47 @@ object CorpusPipeline {
         ()
       }
     }
-    Stats(nInput, nQuality, nExact,
+    val stats = Stats(nInput, nQuality, nExact,
       afterNearDup = nDedup,
       totalTokens = totalTokens, bundle = res,
       afterLm = nLm, droppedVsIndex = nVsIndex, afterDecontam = nDecontam,
       packedSeqs = nPacked, afterModelQuality = nModel,
       afterMix =
         if (mixBudget.isDefined || mixPhases.nonEmpty) nSurvivors else -1L)
+    writeStats(spark, s"$outDir/$indexName", stats)
+    stats
+  }
+
+  /** Persist the run's yield accounting next to the bundle
+    * (`pipeline_stats.json`): the per-stage counts a curation team reads
+    * to answer "where did my tokens go" without scraping driver logs —
+    * Jackson-serialized (quotes/backslashes in paths round-trip), -1 means
+    * the stage was off, rename-replace publish like every other control
+    * file. Driver-side only; negligible next to the run. */
+  private def writeStats(spark: SparkSession, bundleDir: String,
+                         st: Stats): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(bundleDir), spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rec = mapper.createObjectNode()
+    rec.put("input", st.input)
+    rec.put("after_quality", st.afterQuality)
+    rec.put("after_model_quality", st.afterModelQuality)
+    rec.put("after_lm", st.afterLm)
+    rec.put("after_decontam", st.afterDecontam)
+    rec.put("after_exact", st.afterExact)
+    rec.put("dropped_vs_index", st.droppedVsIndex)
+    rec.put("after_neardup", st.afterNearDup)
+    rec.put("after_mix", st.afterMix)
+    rec.put("total_tokens", st.totalTokens)
+    rec.put("packed_seqs", st.packedSeqs)
+    rec.put("bundle_docs", st.bundle.totalDocs)
+    val tmp = new org.apache.hadoop.fs.Path(bundleDir, ".pipeline_stats.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rec)
+      .getBytes("UTF-8"))
+    finally out.close()
+    graft.sink.FsAtomic.renameReplace(fs, tmp,
+      new org.apache.hadoop.fs.Path(bundleDir, "pipeline_stats.json"))
   }
 }

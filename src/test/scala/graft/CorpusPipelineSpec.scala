@@ -40,6 +40,18 @@ class CorpusPipelineSpec extends SparkSpec {
     // surviving ids are exactly the 40 originals (canonical-minimum law)
     val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids === (0L until 40L).toSet)
+
+    // yield accounting persisted next to the bundle — the artifact form of
+    // the returned Stats (a curation team reads this, not driver stdout)
+    val rec = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(Paths.get(s"$out/corpus/pipeline_stats.json")))
+    assert(rec.get("input").asLong === st.input)
+    assert(rec.get("after_quality").asLong === st.afterQuality)
+    assert(rec.get("after_exact").asLong === st.afterExact)
+    assert(rec.get("after_neardup").asLong === st.afterNearDup)
+    assert(rec.get("total_tokens").asLong === st.totalTokens)
+    assert(rec.get("bundle_docs").asLong === st.bundle.totalDocs)
+    assert(rec.get("after_mix").asLong === -1L) // stage off -> -1 recorded
   }
 
   test("packMaxLen: survivors' token ids packed under budget, nothing lost") {
