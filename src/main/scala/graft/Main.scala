@@ -40,7 +40,7 @@ object Main {
     "quality-model", "quality-min", "quality-prob-min",
     "quality-pareto-alpha", "quality-pareto-seed", "mix-cluster-k",
     "mix-cluster-centroids", "kmeans-iters", "pack-style", "pack-eod",
-    "mix-phases")
+    "mix-phases", "pack-loader-cols")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -280,6 +280,9 @@ object Main {
             // (fill = 1, docs span boundaries; --pack-eod N terminates)
             packStyle = raw.getOrElse("pack-style", "bins"),
             packEodToken = raw.get("pack-eod").map(_.toInt),
+            // --pack-loader-cols true: bake position_ids/doc_index into
+            // the export (convention follows the style)
+            packLoaderCols = raw.get("pack-loader-cols").exists(_.toBoolean),
             // trained quality gate (quality-train output), composed after
             // the heuristic one: P(doc ~ seed) >= --quality-prob-min
             qualityModel = raw.get("quality-model")
@@ -367,6 +370,7 @@ object Main {
               // (partial windows carry via state/chunkcarry snapshots)
               packStyle = raw.getOrElse("pack-style", "bins"),
               packEodToken = raw.get("pack-eod").map(_.toInt),
+              packLoaderCols = raw.get("pack-loader-cols").exists(_.toBoolean),
               // accumulated-stream temperature mixing (state/mix):
               // budgets re-derived per batch from total mass seen so far
               mixBudget = raw.get("mix-budget").map(_.toLong),
@@ -498,7 +502,8 @@ object Main {
           // --pack-style chunk: GPT-style concat-and-chunk (id-ordered
           // stream cut into full windows, docs spanning boundaries;
           // --pack-eod N terminates every doc with token N first)
-          val packed = raw.getOrElse("pack-style", "bins") match {
+          val style = raw.getOrElse("pack-style", "bins")
+          val packed0 = style match {
             case "chunk" => graft.ext.Packing.chunkSequences(docs,
               Option(cfg.id).getOrElse("doc_id"), tokensCol, maxLen,
               eodToken = raw.get("pack-eod").map(_.toInt))
@@ -508,6 +513,12 @@ object Main {
             case other => throw new IllegalArgumentException(
               s"unknown --pack-style '$other' (bins | chunk)")
           }
+          // --pack-loader-cols true: bake position_ids/doc_index into the
+          // export (bins: per-doc reset; chunk: plain window positions)
+          val packed =
+            if (raw.get("pack-loader-cols").exists(_.toBoolean))
+              graft.ext.Packing.loaderColumnsFor(style, packed0)
+            else packed0
           val outP = s"${cfg.outDir}/packed"
           raw.get("pack-ranks").map(_.toInt) match {
             case Some(r) =>

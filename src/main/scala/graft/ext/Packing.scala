@@ -333,6 +333,18 @@ object Packing {
       .withColumn("doc_index", expr(
         "flatten(transform(doc_spans, (s, i) -> array_repeat(i, s.end - s.begin)))"))
 
+  /** Style-dispatched loader columns — the convention follows the packing
+    * style by construction: "bins" (BFD whole-doc) resets positions at
+    * every span ([[withLoaderColumns]]); "chunk" (concat-and-chunk) emits
+    * plain window positions ([[withChunkLoaderColumns]]). */
+  def loaderColumnsFor(packStyle: String, packed: DataFrame): DataFrame =
+    packStyle match {
+      case "chunk" => withChunkLoaderColumns(packed)
+      case "bins"  => withLoaderColumns(packed)
+      case other => throw new IllegalArgumentException(
+        s"unknown packStyle '$other' (bins | chunk)")
+    }
+
   /**
    * Deterministic training-order export: assign keyed rows (packed
    * sequences, documents — anything with a unique key) to `numRanks`

@@ -116,6 +116,7 @@ object CorpusPipeline {
           packSeed: Long = 0L,
           packStyle: String = "bins",
           packEodToken: Option[Int] = None,
+          packLoaderCols: Boolean = false,
           qualityModel: Option[graft.ext.QualityModel] = None,
           qualityProbMin: Double = 0.5,
           qualityParetoAlpha: Option[Double] = None,
@@ -466,17 +467,24 @@ object CorpusPipeline {
           case other => throw new IllegalArgumentException(
             s"unknown packStyle '$other' (bins | chunk)")
         }
+        // packLoaderCols: bake position_ids/doc_index into the export so
+        // the training reader is a plain parquet scan — the convention
+        // follows the style (bins: per-doc reset; chunk: plain window
+        // positions). Map-only, bounded by maxLen.
+        val packedOut =
+          if (packLoaderCols) graft.ext.Packing.loaderColumnsFor(packStyle, packed)
+          else packed
         // packRanks: data-parallel export — each reader shard is its own
         // rank=K partition dir, order_key inside it is the epoch's
         // reproducible shuffle order (portable md5; see shardSequences)
         packRanks match {
           case Some(r) =>
-            graft.ext.Packing.shardSequences(packed, "seq_id", r, packSeed)
+            graft.ext.Packing.shardSequences(packedOut, "seq_id", r, packSeed)
               .repartition(col("rank"))
               .write.mode("overwrite").partitionBy("rank")
               .parquet(s"$outDir/$indexName/packed")
           case None =>
-            packed.write.mode("overwrite")
+            packedOut.write.mode("overwrite")
               .parquet(s"$outDir/$indexName/packed")
         }
         spark.read.parquet(s"$outDir/$indexName/packed").count()

@@ -1790,7 +1790,10 @@ object Queries {
     //      floor(sqrt(mass)) split of q76/q83, selection = the
     //      deterministic id-ordered prefix. This is the frozen-centroid
     //      form the STREAMING mix stage labels with
-    //      (Mixing.clusterBalancedSampleWith). ----
+    //      (Mixing.clusterBalancedSampleWith). FP robustness: the
+    //      smallest best-vs-second argmax margin is 8.2e-5 (sf0.001) /
+    //      6.4e-4 (sf0.01) / 1.0e-4 (sf0.1) — eleven orders above double
+    //      rounding, so no summation-order divergence can flip a label. ----
     QueryDef("q84_cluster_mix_frozen",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |  FROM read_parquet('{SFDIR}/embeddings.parquet')),

@@ -75,6 +75,7 @@ object StreamingCorpus {
                     packCarry: Option[Int] = None,
                     packStyle: String = "bins",
                     packEodToken: Option[Int] = None,
+                    packLoaderCols: Boolean = false,
                     mixBudget: Option[Long] = None,
                     mixTemperature: Double = 0.5,
                     mixSourceCol: String = "source",
@@ -556,15 +557,23 @@ object StreamingCorpus {
         p => graft.ext.Bpe.load(spark, p))
       val withIds = survivors
         .withColumn("_bpe_ids", model.tokenIds(col(cfg.textCol)))
-      def writePacked(df: DataFrame): Unit = cfg.packRanks match {
-        case Some(r) =>
-          Packing.shardSequences(df, "seq_id", r, cfg.packSeed)
-            .repartition(col("rank"))
-            .write.mode(SaveMode.Overwrite).partitionBy("rank")
-            .parquet(s"$outDir/packed/batch_id=$batchId")
-        case None =>
-          df.write.mode(SaveMode.Overwrite)
-            .parquet(s"$outDir/packed/batch_id=$batchId")
+      def writePacked(df0: DataFrame): Unit = {
+        // packLoaderCols bakes the trainer loader columns into the
+        // emitted rows (convention follows the style); writePacked only
+        // ever sees EMITTED frames, never carry state
+        val df =
+          if (cfg.packLoaderCols) Packing.loaderColumnsFor(cfg.packStyle, df0)
+          else df0
+        cfg.packRanks match {
+          case Some(r) =>
+            Packing.shardSequences(df, "seq_id", r, cfg.packSeed)
+              .repartition(col("rank"))
+              .write.mode(SaveMode.Overwrite).partitionBy("rank")
+              .parquet(s"$outDir/packed/batch_id=$batchId")
+          case None =>
+            df.write.mode(SaveMode.Overwrite)
+              .parquet(s"$outDir/packed/batch_id=$batchId")
+        }
       }
       def snapshotIdsOf(dir: String): Seq[Long] = {
         val fsS = fsOf(dir)

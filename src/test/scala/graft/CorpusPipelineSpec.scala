@@ -92,7 +92,8 @@ class CorpusPipelineSpec extends SparkSpec {
     val st = CorpusPipeline.run(spark, input, out, "corpus",
       numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
       bpeMerges = 40, bpeMaxWords = 2000,
-      packMaxLen = Some(64), packStyle = "chunk", packEodToken = Some(-1))
+      packMaxLen = Some(64), packStyle = "chunk", packEodToken = Some(-1),
+      packLoaderCols = true)
     val packed = spark.read.parquet(s"$out/corpus/packed").orderBy("seq_id")
     assert(packed.count() === st.packedSeqs && st.packedSeqs > 0)
     // every window full except the last; tokens = bundle tokens + one EOD
@@ -104,13 +105,13 @@ class CorpusPipelineSpec extends SparkSpec {
     val nDocs = bundle.count()
     assert(rows.map(_.getAs[Int]("n_tokens")).sum === bundleTok + nDocs,
       "chunk stream must hold every token plus one EOD per doc")
-    // loader columns compose through the parquet round-trip — with the
-    // CHUNK convention (withChunkLoaderColumns): positions are the plain
-    // window index (a continued piece does not restart at 0), doc_index
-    // is the span slot. The per-span-reset variant (withLoaderColumns) is
-    // the BFD convention and does NOT apply to chunk output.
-    val loaded = graft.ext.Packing.withChunkLoaderColumns(
-      spark.read.parquet(s"$out/corpus/packed")).orderBy("seq_id").collect()
+    // packLoaderCols=true bakes the loader columns into the export — with
+    // the CHUNK convention (withChunkLoaderColumns): positions are the
+    // plain window index (a continued piece does not restart at 0),
+    // doc_index is the span slot. The per-span-reset variant
+    // (withLoaderColumns) is the BFD convention and does NOT apply here.
+    val loaded = spark.read.parquet(s"$out/corpus/packed")
+      .orderBy("seq_id").collect()
     loaded.foreach { r =>
       val n = r.getAs[Int]("n_tokens")
       val pos = r.getAs[scala.collection.Seq[Int]]("position_ids")
