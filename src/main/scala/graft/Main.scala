@@ -167,12 +167,20 @@ object Main {
     * `pretrain:40000:0.5,anneal:20000:0.7` (temperature defaults 0.5). */
   private[graft] def parseMixPhases(s: String): Seq[graft.ext.Mixing.MixPhase] =
     s.split(",").toIndexedSeq.filter(_.nonEmpty).map { p =>
-      p.split(":") match {
-        case Array(n, b) => graft.ext.Mixing.MixPhase(n.trim, b.trim.toLong)
+      def bad(why: String) = throw new IllegalArgumentException(
+        s"bad --mix-phases entry '$p' ($why; want name:budget[:temperature])")
+      def num[A](what: String, v: String, f: String => A): A =
+        try f(v.trim) catch { case _: NumberFormatException =>
+          bad(s"non-numeric $what '$v'") }
+      // split with limit -1: a trailing ':' must be an error, not a
+      // silently-defaulted temperature
+      p.split(":", -1) match {
+        case Array(n, b) =>
+          graft.ext.Mixing.MixPhase(n.trim, num("budget", b, _.toLong))
         case Array(n, b, t) =>
-          graft.ext.Mixing.MixPhase(n.trim, b.trim.toLong, t.trim.toDouble)
-        case _ => throw new IllegalArgumentException(
-          s"bad --mix-phases entry '$p' (want name:budget[:temperature])")
+          graft.ext.Mixing.MixPhase(n.trim, num("budget", b, _.toLong),
+            num("temperature", t, _.toDouble))
+        case _ => bad("wrong field count")
       }
     }
 
@@ -506,7 +514,8 @@ object Main {
           val packed0 = style match {
             case "chunk" => graft.ext.Packing.chunkSequences(docs,
               Option(cfg.id).getOrElse("doc_id"), tokensCol, maxLen,
-              eodToken = raw.get("pack-eod").map(_.toInt))
+              eodToken = raw.get("pack-eod").map(_.toInt),
+              numBuckets = raw.getOrElse("pack-buckets", "64").toInt)
             case "bins" => graft.ext.Packing.packSequences(docs,
               Option(cfg.id).getOrElse("doc_id"), tokensCol, maxLen,
               raw.getOrElse("pack-buckets", "256").toInt)
@@ -514,10 +523,11 @@ object Main {
               s"unknown --pack-style '$other' (bins | chunk)")
           }
           // --pack-loader-cols true: bake position_ids/doc_index into the
-          // export (bins: per-doc reset; chunk: plain window positions)
+          // export (bins: true per-document positions incl. split
+          // continuation offsets; chunk: plain window positions)
           val packed =
             if (raw.get("pack-loader-cols").exists(_.toBoolean))
-              graft.ext.Packing.loaderColumnsFor(style, packed0)
+              graft.ext.Packing.loaderColumnsFor(style, packed0, maxLen)
             else packed0
           val outP = s"${cfg.outDir}/packed"
           raw.get("pack-ranks").map(_.toInt) match {

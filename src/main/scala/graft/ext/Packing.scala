@@ -287,25 +287,30 @@ object Packing {
    * Loader-companion columns over a [[packSequences]] (BFD whole-doc)
    * frame: what a training loader derives from `doc_spans` per token,
    * precomputed as columns so the reader is a plain parquet scan:
-   *   - `position_ids` — int per token, RESETTING TO 0 AT EVERY SPAN
-   *     (per-document positional encoding across a packed row — correct
-   *     for BFD output, where every span starts a document)
+   *   - `position_ids` — int per token: the token's TRUE position inside
+   *     its document. A span that starts a document (chunk_ix = 0) starts
+   *     at 0; the continuation chunk of a document longer than `maxLen`
+   *     (chunk_ix > 0 — BFD splits such docs into maxLen-sized chunks)
+   *     CONTINUES at `chunk_ix * maxLen`, so per-document positional
+   *     encoding survives the split (a plain reset-at-every-span would
+   *     position the middle of a long document as 0..L-1).
    *   - `doc_index`    — int per token: which `doc_spans` slot the token
    *     belongs to (the block-diagonal attention-mask key: tokens attend
-   *     only within equal doc_index)
+   *     only within equal doc_index — a continuation chunk is its own
+   *     block, since its earlier tokens live in another sequence)
+   * `maxLen` must be the packing maxLen (chunk offsets derive from it).
    * Pure column transforms over the spans — map-only, no shuffle, and the
    * arrays are bounded by maxLen.
    *
-   * NOT for [[chunkSequences]] output: there a span can be the
-   * CONTINUATION of a document split at the previous window boundary
-   * (chunk_ix > 0), and restarting its positions at 0 is not the GPT
-   * convention — use [[withChunkLoaderColumns]], which emits plain
+   * NOT for [[chunkSequences]] output: there positions are window-relative
+   * by convention — use [[withChunkLoaderColumns]], which emits plain
    * 0..L-1 positions per window.
    */
-  def withLoaderColumns(packed: DataFrame): DataFrame =
+  def withLoaderColumns(packed: DataFrame, maxLen: Int): DataFrame =
     packed
       .withColumn("position_ids", expr(
-        "flatten(transform(doc_spans, s -> sequence(0, s.end - s.begin - 1)))"))
+        s"flatten(transform(doc_spans, s -> sequence(s.chunk_ix * $maxLen, " +
+          s"s.chunk_ix * $maxLen + (s.end - s.begin) - 1)))"))
       .withColumn("doc_index", expr(
         "flatten(transform(doc_spans, (s, i) -> array_repeat(i, s.end - s.begin)))"))
 
@@ -334,13 +339,15 @@ object Packing {
         "flatten(transform(doc_spans, (s, i) -> array_repeat(i, s.end - s.begin)))"))
 
   /** Style-dispatched loader columns — the convention follows the packing
-    * style by construction: "bins" (BFD whole-doc) resets positions at
-    * every span ([[withLoaderColumns]]); "chunk" (concat-and-chunk) emits
-    * plain window positions ([[withChunkLoaderColumns]]). */
-  def loaderColumnsFor(packStyle: String, packed: DataFrame): DataFrame =
+    * style by construction: "bins" (BFD whole-doc) emits true per-document
+    * positions incl. split continuation offsets ([[withLoaderColumns]];
+    * needs the packing `maxLen`); "chunk" (concat-and-chunk) emits plain
+    * window positions ([[withChunkLoaderColumns]]). */
+  def loaderColumnsFor(packStyle: String, packed: DataFrame,
+                       maxLen: Int): DataFrame =
     packStyle match {
       case "chunk" => withChunkLoaderColumns(packed)
-      case "bins"  => withLoaderColumns(packed)
+      case "bins"  => withLoaderColumns(packed, maxLen)
       case other => throw new IllegalArgumentException(
         s"unknown packStyle '$other' (bins | chunk)")
     }

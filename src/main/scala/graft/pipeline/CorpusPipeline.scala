@@ -155,12 +155,13 @@ object CorpusPipeline {
     // a thread pinned forever in the global ExecutionContext) with an
     // exact count() fallback: free in the normal case (the metric is
     // already delivered when probed — the materializing action has
-    // completed), a bounded ~2 s listener-delivery grace + one extra
-    // bounded pass in the degenerate pruned corner instead of a hang or
-    // a leak.
+    // completed), a bounded listener-delivery grace (10 s: the listener
+    // bus can lag seconds behind a heavy action, and a premature fallback
+    // silently re-executes the whole upstream chain) + one extra bounded
+    // pass in the degenerate pruned corner instead of a hang or a leak.
     def obsRead(o: org.apache.spark.sql.Observation, key: String,
                 fallback: => Long): Long = {
-      val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       var out: Option[Long] = None
       while (out.isEmpty && System.nanoTime() < deadline) {
         // future.value is the public non-blocking probe (getOrEmpty is
@@ -401,7 +402,12 @@ object CorpusPipeline {
         }
         val mixed = graft.ext.Mixing.phasedMix(labeled, groupCol, idCol,
           cost, phases)
-        if (groupCol == "cluster_id") mixed.drop("cluster_id") else mixed
+        // drop the LABELING column only when clustering added it — a user
+        // provenance column that happens to be named cluster_id (grouped
+        // via mixSourceCol) must survive into the bundle
+        if (mixClusterCentroids.isDefined || mixClusterK.isDefined)
+          mixed.drop("cluster_id")
+        else mixed
     }
     // second (or only) checkpoint: the surviving corpus feeds the BPE
     // trainer, the token aggregate, the bundle write, packing, and the
@@ -472,7 +478,8 @@ object CorpusPipeline {
         // follows the style (bins: per-doc reset; chunk: plain window
         // positions). Map-only, bounded by maxLen.
         val packedOut =
-          if (packLoaderCols) graft.ext.Packing.loaderColumnsFor(packStyle, packed)
+          if (packLoaderCols)
+            graft.ext.Packing.loaderColumnsFor(packStyle, packed, maxLen)
           else packed
         // packRanks: data-parallel export — each reader shard is its own
         // rank=K partition dir, order_key inside it is the epoch's
@@ -512,7 +519,13 @@ object CorpusPipeline {
       packedSeqs = nPacked, afterModelQuality = nModel,
       afterMix =
         if (mixBudget.isDefined || mixPhases.nonEmpty) nSurvivors else -1L)
-    writeStats(spark, s"$outDir/$indexName", stats)
+    // best-effort: at this point the bundle, BPE model, packed export and
+    // index append have ALL committed — a stats-publish hiccup must not
+    // fail (and so re-run) a fully-committed run
+    try writeStats(spark, s"$outDir/$indexName", stats)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[pipeline] stats publish failed (run committed): $e")
+    }
     stats
   }
 

@@ -562,7 +562,8 @@ object StreamingCorpus {
         // emitted rows (convention follows the style); writePacked only
         // ever sees EMITTED frames, never carry state
         val df =
-          if (cfg.packLoaderCols) Packing.loaderColumnsFor(cfg.packStyle, df0)
+          if (cfg.packLoaderCols)
+            Packing.loaderColumnsFor(cfg.packStyle, df0, maxLen)
           else df0
         cfg.packRanks match {
           case Some(r) =>

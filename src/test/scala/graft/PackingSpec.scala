@@ -130,24 +130,26 @@ class PackingSpec extends SparkSpec {
     packed.unpersist()
   }
 
-  test("withLoaderColumns: position_ids reset at every doc boundary, doc_index is block-diagonal") {
+  test("withLoaderColumns: true per-document positions (split chunks continue), doc_index is block-diagonal") {
     val rnd = new scala.util.Random(13)
     val docs = (0L until 80L).map { id =>
-      val n = if (id == 3) 70 else 1 + rnd.nextInt(20)
+      val n = if (id == 3) 70 else 1 + rnd.nextInt(20) // doc 3 splits: 32+32+6
       (id, (0 until n).map(p => (id * 1000 + p).toInt))
     }.toDF("doc_id", "tokens")
     val out = Packing.withLoaderColumns(
-      Packing.packSequences(docs, "doc_id", "tokens", maxLen)).cache()
+      Packing.packSequences(docs, "doc_id", "tokens", maxLen), maxLen).cache()
     // per-token arrays exactly n_tokens long
     assert(out.filter(size(col("position_ids")) =!= col("n_tokens") ||
       size(col("doc_index")) =!= col("n_tokens")).count() === 0)
     // cross-check against the spans independently: token t's position is
-    // t - span.begin and its doc_index is its span's slot
+    // its TRUE document position chunk_ix*maxLen + (t - begin), and its
+    // doc_index is its span's slot
     val bad = out.select(col("position_ids"), col("doc_index"),
         posexplode(col("doc_spans")).as(Seq("slot", "s")))
       .withColumn("ok", expr(
         "forall(sequence(s.begin, s.end - 1), t -> " +
-          "position_ids[t] = t - s.begin AND doc_index[t] = slot)"))
+          s"position_ids[t] = s.chunk_ix * $maxLen + t - s.begin " +
+          "AND doc_index[t] = slot)"))
       .filter(!col("ok"))
     assert(bad.count() === 0)
     // a multi-doc sequence really resets: some position_ids[t] == 0 at t > 0
@@ -155,6 +157,16 @@ class PackingSpec extends SparkSpec {
     assert(out.filter(col("n_tokens") > 1).filter(expr(
       "exists(sequence(1, n_tokens - 1), t -> position_ids[t] = 0)"))
       .count() > 0, "no packed sequence holds more than one doc — test data too sparse")
+    // the split document's continuation chunks CONTINUE, never restart:
+    // its chunk_ix=1 span starts at position 32, the tail at 64 — a span
+    // with chunk_ix > 0 must exist (doc 3) and begin at chunk_ix*maxLen
+    val conts = out.select(posexplode(col("doc_spans")).as(Seq("slot", "s")),
+        col("position_ids"))
+      .filter(col("s.chunk_ix") > 0)
+    assert(conts.count() > 0, "no split document in the pool — test data too sparse")
+    assert(conts.filter(expr(
+      s"position_ids[s.begin] != s.chunk_ix * $maxLen")).count() === 0,
+      "continuation chunk restarted its positions")
     out.unpersist()
   }
 
