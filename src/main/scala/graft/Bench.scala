@@ -615,6 +615,35 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] mix 1m failed: ${e.getMessage}"); "{}" } }
 
+    // BM25 search at the 1M tier: literal 3-term query over 1M synthetic
+    // docs (~100 words each from a 100-word vocab => ~100M token scan).
+    // The literal-query path is two map-only passes (stats agg + score/
+    // TakeOrdered) — the entry pins that a full-text top-k over the corpus
+    // costs scan time, not postings-build time. Median of 3.
+    val bm251mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("bm25_1m") { try {
+        import org.apache.spark.sql.functions.expr
+        val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+          expr("""array_join(transform(
+                    sequence(1, cast(50 + pmod(xxhash64(id), 100) as int)),
+                    i -> concat('w', pmod(xxhash64(id, i), 100))), ' ')""")
+            .as("text")).repartition(64).cache()
+        docs.count() // materialize generation outside the timed region
+        var top = Array.empty[(Long, Double)]
+        val secs = (1 to 3).map { _ =>
+          time {
+            top = graft.ext.Search.bm25TopK(docs, "doc_id", "text",
+                "w3 w17 w42", k = 10)
+              .collect().map(r => (r.getLong(0), r.getDouble(2)))
+          }
+        }
+        docs.unpersist()
+        val med = secs.sorted.apply(secs.size / 2)
+        f"""{"rows":1000000,"sec":$med%.3f,"k":10,"top1_doc":${top.head._1},"top1_score":${top.head._2}%.4f,"runs":3}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bm25 1m failed: ${e.getMessage}"); "{}" } }
+
     // streaming carry-packing at the 1M tier: the same corpus arrives as 4
     // micro-batches of 250k docs (REAL token arrays this time — the carry
     // path's cost includes merging carried input_ids, so benching counts
@@ -868,7 +897,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift]
+ *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|search|search-build|search-append|semdedup]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -40,7 +40,9 @@ object Main {
     "quality-model", "quality-min", "quality-prob-min",
     "quality-pareto-alpha", "quality-pareto-seed", "mix-cluster-k",
     "mix-cluster-centroids", "kmeans-iters", "pack-style", "pack-eod",
-    "mix-phases", "pack-loader-cols")
+    "mix-phases", "pack-loader-cols",
+    "query", "topk", "embeddings", "search-vec-id", "search-vec-id-col",
+    "search-kcand", "search-index", "search-buckets")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -96,7 +98,9 @@ object Main {
       m.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val cfg = GraftConfig(
       input = if (Set("compact", "validate", "ann-compact", "ann-drift",
-                      "ann-split", "ann-maintain", "ann-strip")(m("mode")))
+                      "ann-split", "ann-maintain", "ann-strip")(m("mode")) ||
+                  // an indexed search never touches the corpus
+                  (m("mode") == "search" && m.contains("search-index")))
                 m.getOrElse("input", "")
               else req("input"),
       outDir = req("out"),
@@ -106,7 +110,8 @@ object Main {
         // --index-col; validate without one means "--out is a multi-index
         // bundle root" (per-index validation)
         case "install" | "validate" | "multi" | "pack" |
-             "quality-train" | "quality-score" | "train-centroids" =>
+             "quality-train" | "quality-score" | "train-centroids" |
+             "search" | "semdedup" | "search-build" | "search-append" =>
           m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
@@ -725,6 +730,84 @@ object Main {
               throw new IllegalStateException(
                 "rebuild the index (--mode ann-build)")
           }
+        case "search" =>
+          // query-side relevance over a document corpus: BM25 top-k for
+          // --query; with --embeddings + --search-vec-id it fuses the
+          // BM25 and cosine candidate lists via reciprocal-rank fusion
+          // (the ES/OpenSearch hybrid). Results -> --out/search + stdout.
+          val raw = rawFlags(args)
+          val query = raw.getOrElse("query", throw new
+            IllegalArgumentException("--mode search requires --query"))
+          val textCol = raw.getOrElse("text-col", "text")
+          val idCol = Option(cfg.id).getOrElse("doc_id")
+          val k = raw.getOrElse("topk", "10").toInt
+          lazy val docs = spark.read.parquet(cfg.input)
+          val result = raw.get("embeddings") match {
+            case Some(embPath) =>
+              val emb = spark.read.parquet(embPath)
+              val vecCol = raw.getOrElse("vec-col", "embedding")
+              val vecIdCol = raw.getOrElse("search-vec-id-col", idCol)
+              val qvId = raw.getOrElse("search-vec-id", throw new
+                IllegalArgumentException(
+                  "--mode search with --embeddings requires --search-vec-id"))
+              val qv = emb
+                .filter(org.apache.spark.sql.functions.col(vecIdCol) === qvId.toLong)
+                .select(org.apache.spark.sql.functions.col(vecCol)
+                  .cast("array<double>"))
+                .head().getSeq[Double](0).toSeq
+              graft.ext.Search.hybridTopK(docs, idCol, textCol, emb,
+                vecIdCol, vecCol, query, qv, k,
+                kCand = raw.getOrElse("search-kcand", "50").toInt)
+            case None => raw.get("search-index") match {
+              // a persisted postings index (--mode search-build output):
+              // identical results to the corpus scan, pruned-bucket cost
+              case Some(idxDir) =>
+                graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k)
+              case None =>
+                graft.ext.Search.bm25TopK(docs, idCol, textCol, query, k)
+            }
+          }
+          val outP = s"${cfg.outDir}/search"
+          result.write.mode("overwrite").parquet(outP)
+          val top = spark.read.parquet(outP).orderBy("rank").collect()
+          println(s"search results: ${top.length} rows -> $outP")
+          top.take(10).foreach(r => println(s"  $r"))
+        case "search-build" | "search-append" =>
+          // persisted BM25 postings index lifecycle (the ann-build/append
+          // twin for full text): --out is the index DIRECTORY
+          val raw = rawFlags(args)
+          val idCol = Option(cfg.id).getOrElse("doc_id")
+          val textCol = raw.getOrElse("text-col", "text")
+          val docs = spark.read.parquet(cfg.input)
+          if (mode == "search-build")
+            graft.ext.Search.buildPostingsIndex(docs, idCol, textCol,
+              cfg.outDir, buckets = raw.getOrElse("search-buckets", "64").toInt)
+          else
+            graft.ext.Search.appendToPostingsIndex(docs, idCol, textCol,
+              cfg.outDir)
+          val n = spark.read.parquet(s"${cfg.outDir}/stats").head()
+          println(s"postings index at ${cfg.outDir}: ${n.getAs[Long]("n_docs")} " +
+            s"docs, ${n.getAs[Long]("total_tokens")} tokens, " +
+            s"${n.getAs[Int]("buckets")} buckets")
+        case "semdedup" =>
+          // semantic dedup against a frozen centroid artifact (--mode
+          // train-centroids output or an ANN index's centroids/): label,
+          // prune within-cluster cosine dups keep-first, write survivors
+          val raw = rawFlags(args)
+          val centPath = raw.getOrElse("mix-cluster-centroids", throw new
+            IllegalArgumentException(
+              "--mode semdedup requires --mix-cluster-centroids <artifact>"))
+          val idCol = Option(cfg.id).getOrElse("doc_id")
+          val vecCol = raw.getOrElse("vec-col", "embedding")
+          val tau = raw.getOrElse("neardup-threshold", "0.9").toDouble
+          val docs = spark.read.parquet(cfg.input)
+          val cents = graft.ext.Similarity.loadClusterCentroids(spark, centPath)
+          val kept = graft.ext.Dedup.semDedup(docs, idCol, vecCol, cents, tau)
+          val outP = s"${cfg.outDir}/semdedup"
+          kept.write.mode("overwrite").parquet(outP)
+          val nIn = docs.count(); val nOut = spark.read.parquet(outP).count()
+          println(s"semdedup: $nIn -> $nOut rows (threshold $tau, " +
+            s"${cents.length} clusters) -> $outP")
         case "ann-drift" =>
           // quantizer health: sampled vector->centroid cosine + cell skew
           // vs the stats the index recorded at build time

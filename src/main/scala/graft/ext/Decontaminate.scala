@@ -159,4 +159,74 @@ object Decontaminate {
                        minHits: Int): DataFrame =
     tag(corpus, textCol, set).filter(col("ngram_hits") < minHits)
       .drop("ngram_hits", "ngram_total")
+
+  // ------------------------------------------------------------------
+  // Scale path: benchmark set TOO BIG to broadcast exactly
+  // ------------------------------------------------------------------
+
+  /**
+   * Contaminated-document detection when the benchmark gram set exceeds
+   * the exact-broadcast ceiling (many eval suites at once): a broadcast
+   * BLOOM filter (~10 bits/gram at fpp=0.01 vs 64 for the exact hash set)
+   * prefilters each document's distinct grams map-side; only the bloom
+   * SURVIVORS — true hits plus the fpp sliver — are exploded and verified
+   * exactly against the DISTRIBUTED benchmark gram table (a semi join the
+   * benchmark side never broadcasts). Zero false negatives by Bloom
+   * construction, so after exact verification the output is IDENTICAL to
+   * the exact [[tag]] selection: `(idCol, ngram_hits, ngram_total)` for
+   * every document with `ngram_hits >= minHits`.
+   *
+   * Scale shape: the corpus is read ONCE, map-only — what shuffles is
+   * (doc, surviving-gram-hash) pairs, i.e. `contamination + fpp·grams`
+   * rows, not the corpus and not a full gram explode. The flagged output
+   * is small by definition (it's the contamination), so the companion
+   * [[dropContaminatedScalable]] applies it as a broadcast anti join —
+   * the 100 TB corpus never shuffles at any step.
+   */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+                      bench: DataFrame, benchTextCol: String, n: Int,
+                      minHits: Int, fpp: Double = 0.01,
+                      expectedGrams: Long = -1L): DataFrame = {
+    val spark = corpus.sparkSession
+    // distinct benchmark gram hashes, DISTRIBUTED (used twice: bloom
+    // aggregate + verify join) — persisted, 8 bytes/gram
+    val benchHashes = bench
+      .select(explode(wordNgrams(col(benchTextCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = if (expectedGrams > 0) expectedGrams
+                else math.max(benchHashes.count(), 1L)
+    val bloom = benchHashes.stat.bloomFilter("h", grams, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    // map-side candidate extraction: distinct grams hashed by the
+    // BenchmarkSet.hashGram law (== the xxhash64 above), bloom-screened
+    val cand = udf((s: String) => {
+      val g = distinctNgrams(s, n)
+      val hits = g.iterator.map(BenchmarkSet.hashGram)
+        .filter(bc.value.mightContainLong).toArray
+      (hits, g.size)
+    })
+    corpus
+      .select(col(idCol), cand(col(textCol)).as("_c"))
+      .select(col(idCol), col("_c._2").cast("long").as("ngram_total"),
+        explode(col("_c._1")).as("h"))
+      .join(benchHashes, Seq("h"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("ngram_hits"), first("ngram_total").as("ngram_total"))
+      .filter(col("ngram_hits") >= minHits)
+      .select(col(idCol), col("ngram_hits"), col("ngram_total"))
+  }
+
+  /** Filter twin of [[contaminatedIds]]: the flagged set (small by
+    * definition) broadcasts into a LEFT ANTI join — same kept rows as
+    * [[dropContaminated]] without ever materializing the benchmark set on
+    * the driver or shuffling the corpus. */
+  def dropContaminatedScalable(corpus: DataFrame, idCol: String, textCol: String,
+                               bench: DataFrame, benchTextCol: String, n: Int,
+                               minHits: Int, fpp: Double = 0.01): DataFrame = {
+    val flagged = contaminatedIds(corpus, idCol, textCol, bench, benchTextCol,
+      n, minHits, fpp).select(idCol)
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
 }

@@ -304,6 +304,41 @@ object Dedup {
   /** Keep one representative per near-dup cluster: drops every doc whose
     * id appears in a pair but is not its component's min id. Docs in no
     * pair always survive. */
+  /**
+   * SemDeDup (Abbas et al., 2023): semantic dedup via cluster-bounded
+   * cosine pruning. Embeddings are labeled against FROZEN centroids (the
+   * deterministic [[Similarity.assignClustersWith]] kernel — same frozen
+   * artifact discipline as streaming cluster mixing), then within each
+   * cluster a row is dropped when an earlier row (smaller id) of the SAME
+   * cluster has cosine ≥ `threshold` to it — the deterministic greedy
+   * keep-first variant of the paper's per-group pruning. Returns the kept
+   * rows with their `cluster_id`.
+   *
+   * Scale shape: the quadratic candidate pairing is an equi-join ON THE
+   * CLUSTER LABEL, so pair cost is Σ|cluster|², not n² — the label is the
+   * LSH-like blocking key, and `nlist` is the knob that bounds it (the
+   * paper runs k=50k on 5B embeddings). Only bare (id, unit-vec) pairs
+   * enter the join; the exact cosine is computed inside the join
+   * projection and thresholded immediately (the cosineNearDupsLsh shuffle
+   * discipline). A degenerate cluster (≫ corpus/nlist) should be re-split
+   * with a finer artifact — the join's skew is AQE-handled but the
+   * quadratic cost is semantic.
+   */
+  def semDedup(docs: DataFrame, idCol: String, vecCol: String,
+               cents: IndexedSeq[Seq[Double]], threshold: Double,
+               roundTo: Int = 4): DataFrame = {
+    val labeled = Similarity.assignClustersWith(docs, vecCol, cents)
+    val slim = labeled.select(col(idCol).as("_id"), col("cluster_id").as("_cl"),
+      Similarity.unitize(col(vecCol).cast("array<double>")).as("_uv"))
+    val a = slim.select(col("_id").as("_ida"), col("_cl"), col("_uv").as("_uva"))
+    val b = slim.select(col("_id").as("_idb"), col("_cl"), col("_uv").as("_uvb"))
+    val dropped = a.join(b, Seq("_cl"))
+      .filter(col("_ida") < col("_idb") &&
+        round(Similarity.dot(col("_uva"), col("_uvb")), roundTo) >= threshold)
+      .select(col("_idb").as(idCol)).distinct()
+    labeled.join(dropped, Seq(idCol), "left_anti")
+  }
+
   def dropNearDupClusters(docs: DataFrame, idCol: String,
                           pairs: DataFrame): DataFrame = {
     val nonRep = nearDupClusters(pairs)

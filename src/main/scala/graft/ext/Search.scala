@@ -1,0 +1,377 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Query-side full-text search over the corpus: BM25 ranking and
+ * BM25+vector hybrid fusion (reciprocal-rank fusion), the read-side twin
+ * of the bundle sink. The reference engine only BUILDS search indices
+ * (hive2es-offline writes ES-compatible shards — see
+ * `reference/src/main/scala` bulk-loading path); a user of that engine
+ * queries them with BM25/hybrid ranking on the serving side. This module
+ * gives the same ranking semantics Spark-side, so curation-time relevance
+ * checks ("which training docs would this eval query retrieve?") don't
+ * need a serving cluster. Formula is the published Lucene/ES practical
+ * BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+ * score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+ *
+ * Scale shape (the part that matters at 100 TB):
+ *  - [[bm25TopK]] (literal query) is MAP-ONLY + TakeOrderedAndProject:
+ *    per-term tf is a codegen'd `size(filter(tokens, = term))` projection —
+ *    no explode, no postings shuffle, the corpus is read once and never
+ *    moves; the global top-k is Spark's distributed TakeOrdered. The
+ *    corpus statistics (N, Σdl, per-term df) are ONE bounded partial+final
+ *    aggregate beforehand (|terms|+2 longs to the driver).
+ *  - [[bm25TopKBatch]] (query table) is the inverted-postings shape: one
+ *    corpus explode → (doc, term, tf) postings, query terms broadcast into
+ *    the join, one (query_id, doc_id) aggregation. Postings can be
+ *    persisted/bucketed by term for repeated batches.
+ *  - [[hybridTopK]] fuses bounded candidate lists (k_cand each), so the
+ *    fusion join/window never sees more than 2·k_cand rows.
+ *
+ * Tokenization is the corpus-wide shared law (same as
+ * [[Decontaminate.tokenize]]): lowercase, split on whitespace runs, drop
+ * empties — documented, not configurable, so index-time and query-time
+ * analysis can never disagree (the classic ES mapping pitfall).
+ */
+object Search {
+
+  /** k1/b defaults per the Lucene/ES practical BM25. */
+  case class Bm25Params(k1: Double = 1.2, b: Double = 0.75)
+
+  /** Tokenized text column (the shared analysis law). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), x => x =!= lit(""))
+
+  /** Distinct query terms in FIXED (sorted) order — the score is a float
+    * sum built in this order on both the engine and any oracle, so the
+    * non-associativity of IEEE addition cannot diverge them. */
+  def queryTerms(query: String): Seq[String] =
+    query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted.toSeq
+
+  /** Corpus statistics for a bounded term set: one distributed
+    * partial+final aggregate, |terms|+2 longs back to the driver. */
+  case class CorpusStats(nDocs: Long, totalTokens: Long, df: Map[String, Long]) {
+    require(nDocs > 0, "empty corpus")
+    def avgdl: Double = totalTokens.toDouble / nDocs
+    def idf(term: String): Double = {
+      val d = df.getOrElse(term, 0L).toDouble
+      math.log(1.0 + (nDocs - d + 0.5) / (d + 0.5))
+    }
+  }
+
+  def corpusStats(docs: DataFrame, textCol: String, terms: Seq[String]): CorpusStats = {
+    val tok = tokens(col(textCol))
+    val dfCols = terms.map(t =>
+      sum(when(array_contains(tok, t), 1L).otherwise(0L)).as(s"df_$t"))
+    val row = docs.agg(
+      count(lit(1)).as("n"),
+      (sum(size(tok).cast("long")).as("tot") +: dfCols): _*).head()
+    CorpusStats(row.getLong(0), row.getLong(1),
+      terms.zipWithIndex.map { case (t, i) => t -> row.getLong(i + 2) }.toMap)
+  }
+
+  /** Per-document BM25 score for a literal query as ONE projection column
+    * (fixed term order, all constants folded driver-side). */
+  private def scoreCol(terms: Seq[String], stats: CorpusStats,
+                       p: Bm25Params, tok: Column, dl: Column): Column = {
+    val lenNorm = lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * dl / lit(stats.avgdl))
+    terms.map { t =>
+      val tf = size(filter(tok, x => x === lit(t))).cast("double")
+      lit(stats.idf(t)) * (tf * lit(p.k1 + 1.0)) / (tf + lenNorm)
+    }.reduce(_ + _)
+  }
+
+  /**
+   * BM25 top-k for one literal query. Map-only scan (no explode, no
+   * shuffle except the distributed TakeOrdered) over a two-action plan:
+   * stats aggregate, then score+top-k. Ties break to the smaller id;
+   * scores round to `roundTo` decimals (the q24 determinism convention).
+   * Only docs matching ≥1 term are ranked.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String, query: String,
+               k: Int, params: Bm25Params = Bm25Params(),
+               roundTo: Int = 4): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val stats = corpusStats(docs, textCol, terms)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val matched = terms.map(t => when(array_contains(tok, t), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = docs
+      .where(matched > 0)
+      .select(col(idCol).as("doc_id"),
+        round(scoreCol(terms, stats, params, tok, dl), roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    // rank assignment runs over ≤ k rows (bounded), AFTER the distributed
+    // TakeOrdered — the single-partition window is k-row, not corpus-sized
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Batch BM25: one row per (query_id, doc_id) in the per-query top-k.
+   * The inverted-postings shape: corpus explodes ONCE into (doc, term, tf)
+   * postings, the (small by definition) query-term table broadcasts into
+   * the join, scores aggregate on (query_id, doc_id), per-query top-k via
+   * a window over each query's matched set. `queries` columns:
+   * (query_id, query_text).
+   */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, k: Int,
+                    params: Bm25Params = Bm25Params(),
+                    roundTo: Int = 4): DataFrame = {
+    val tok = tokens(col(textCol))
+    // postings: (doc_id, dl, term, tf) — distinct terms per doc via the
+    // aggregate, so tf rides the explode instead of a second shuffle
+    val postings = docs
+      .select(col(idCol).as("doc_id"), tok.as("_w"))
+      .select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
+        explode(col("_w")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // N, avgdl and per-term df for the UNION of the batch's terms in one
+    // map-only aggregate pass (no postings re-scan: the postings lineage
+    // below is evaluated exactly once, by the scored aggregation)
+    val allTerms = queries.select(explode(array_distinct(tokens(col("query_text"))))
+      .as("term")).distinct().collect().map(_.getString(0)).sorted.toSeq
+    val stats = corpusStats(docs, textCol, allTerms)
+    // query terms: tiny — broadcast against the postings, never shuffled;
+    // idf folds driver-side (a df=0 term matches no postings anyway)
+    val qTerms = queries.select(col("query_id"),
+      explode(array_distinct(tokens(col("query_text")))).as("term"))
+    val idfByTerm = typedLit(allTerms.map(t => t -> stats.idf(t)).toMap)
+    val contrib = postings
+      .join(broadcast(qTerms), Seq("term"))
+      .withColumn("idf", element_at(idfByTerm, col("term")))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(params.k1 + 1.0) /
+          (col("tf") + lit(params.k1) *
+            (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(stats.avgdl))))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum("contrib"), roundTo).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "score")
+  }
+
+  /** Cosine top-k against ONE literal query vector: map-only scoring +
+    * distributed TakeOrdered, rank window over the bounded result (the
+    * same shape as [[bm25TopK]]). Rows are unitized; the query vector is
+    * unitized driver-side with the same sequential-sum law. */
+  def cosineTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                 queryVec: Seq[Double], k: Int, roundTo: Int = 4): DataFrame = {
+    val nrm = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
+    val qv = if (nrm > 0) queryVec.map(_ / nrm) else queryVec
+    val qCol = array(qv.map(lit): _*)
+    val scored = vecs
+      .select(col(idCol).as("doc_id"),
+        round(Similarity.dot(
+          Similarity.unitize(col(vecCol).cast("array<double>")), qCol),
+          roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted postings index: build once, query many
+  // ------------------------------------------------------------------
+  //
+  // The read-side analog of the persisted ANN index (`Similarity.buildIndex`
+  // family): [[bm25TopK]] costs two full corpus scans per query, which is
+  // the right shape for one-off curation checks but not for a standing
+  // eval-retrieval loop over a frozen 100 TB corpus. The index pays ONE
+  // corpus explode at build time and stores (term, doc_id, tf, dl)
+  // postings hash-partitioned into `tb=<bucket>` directories; a query then
+  // opens ONLY the buckets its terms hash to (explicit pruned paths, the
+  // indexTopK listing discipline — no full-tree InMemoryFileIndex) and
+  // reads Σ_t df(t) posting rows instead of the corpus. Results are
+  // BIT-IDENTICAL to [[bm25TopK]] on the source corpus: df/N/avgdl are
+  // exact (not sketched), and the score is assembled with the same
+  // fixed-term-order float sum (per-term pivot columns added left to
+  // right), so even IEEE non-associativity cannot diverge them.
+
+  /** Postings layout version + corpus stats, stored as a tiny parquet
+    * (house convention: `Similarity.buildIndex` model/stats tables). */
+  private def writeStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         nDocs: Long, totalTokens: Long, buckets: Int): Unit = {
+    import spark.implicits._
+    Seq((nDocs, totalTokens, buckets))
+      .toDF("n_docs", "total_tokens", "buckets")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): (Long, Long, Int) = {
+    val r = spark.read.parquet(s"$dir/stats").head()
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+      r.getAs[Int]("buckets"))
+  }
+
+  /** The term→bucket law, shared executor/driver side: Spark's seed-42
+    * xxhash64 over UTF-8 (== [[Decontaminate.BenchmarkSet.hashGram]]),
+    * floorMod into `buckets`. The driver uses it to compute which `tb=`
+    * directories a query must open WITHOUT touching the index. */
+  def termBucket(term: String, buckets: Int): Int =
+    java.lang.Math.floorMod(Decontaminate.BenchmarkSet.hashGram(term),
+      buckets.toLong).toInt
+
+  /**
+   * Build a persisted postings index at `dir`: one corpus explode →
+   * distinct (term, doc_id, tf, dl) postings, hash-partitioned by
+   * [[termBucket]] into `postings/tb=<b>/`, plus exact corpus stats.
+   * `buckets` bounds query-time listing (a query opens ≤ |terms| bucket
+   * dirs); more buckets = finer pruning, more files. The explode is the
+   * build's only shuffle and runs once per corpus version — the
+   * incremental path is [[appendToPostingsIndex]].
+   */
+  def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+                         dir: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = docs.sparkSession
+    postings(docs, idCol, textCol, buckets)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+    val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
+      .cast("long"))).head()
+    writeStats(spark, dir, row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1), buckets)
+  }
+
+  /** Incremental maintenance (the ann-append story): NEW docs' postings
+    * append into the matching `tb=` partitions — one bounded pass over the
+    * new rows only — and the exact corpus stats re-publish. Ids must be
+    * disjoint from the indexed corpus (the caller's contract, as with
+    * every dedup/append operator here). Offline maintenance op: a query
+    * racing the stats re-publish may see pre-append statistics, same
+    * read-vs-maintenance contract as `ann-append`. */
+  def appendToPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+                            dir: String): Unit = {
+    val spark = docs.sparkSession
+    val (n0, t0, buckets) = readStats(spark, dir)
+    postings(docs, idCol, textCol, buckets)
+      .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
+    val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
+      .cast("long"))).head()
+    writeStats(spark, dir, n0 + row.getLong(0),
+      t0 + (if (row.isNullAt(1)) 0L else row.getLong(1)), buckets)
+  }
+
+  /** (term, doc_id, tf, dl, tb) postings — the [[bm25TopKBatch]] explode
+    * with the bucket key attached executor-side via the same xxhash64. */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+                       buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("_w"))
+      .select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
+        explode(col("_w")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong))
+        .cast("int"))
+
+  /**
+   * BM25 top-k from a persisted postings index — bit-identical output to
+   * [[bm25TopK]] over the source corpus (same rounding, same tie-break,
+   * same fixed-term-order float sum), at Σ_t df(t) posting rows of read
+   * instead of two corpus scans.
+   *
+   * Scale shape: the driver computes the needed buckets from the query
+   * terms alone ([[termBucket]]) and opens ONLY those `tb=` directories as
+   * explicit paths (≤ |terms| existence RPCs; never a full-tree listing),
+   * with `term IN (...)` pushed into the parquet reader on top. Per-term
+   * df is ONE bounded aggregate over the pruned postings; scoring pivots
+   * each term's single (doc, term) posting into a column and adds them in
+   * sorted term order, so the arithmetic is the [[bm25TopK]] projection
+   * verbatim. The global top-k is the same distributed TakeOrdered.
+   */
+  def indexedBm25TopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      query: String, k: Int,
+                      params: Bm25Params = Bm25Params(),
+                      roundTo: Int = 4): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val avgdl = totalTokens.toDouble / nDocs
+    val root = s"$dir/postings"
+    val needed = terms.map(termBucket(_, buckets)).distinct.sorted
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // explicit pruned paths (the indexTopK discipline): a bucket dir can
+    // be absent when nothing ever hashed there
+    val paths = needed.map(b => s"$root/tb=$b")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val pruned0 =
+      if (paths.isEmpty) spark.read.parquet(root).where(lit(false))
+      else spark.read.option("basePath", root).parquet(paths: _*)
+        .where(col("tb").isin(needed.map(_.asInstanceOf[Any]): _*))
+    val pruned = pruned0.where(col("term").isin(terms: _*))
+    // exact per-term df in ONE bounded aggregate (|terms| longs)
+    val dfRow = pruned.agg(
+      count(lit(1)).as("_n"), // force a non-empty agg list even for 1 term
+      terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L))
+        .as(s"df_$t")): _*).head()
+    val stats = CorpusStats(nDocs, totalTokens,
+      terms.zipWithIndex.map { case (t, i) =>
+        t -> (if (dfRow.isNullAt(i + 1)) 0L else dfRow.getLong(i + 1)) }.toMap)
+    // pivot: each (doc, term) posting is one row, so sum(when) just
+    // selects it; a doc missing a term gets tf=0.0 — contributing exactly
+    // +0.0, like the scan path's size(filter)=0
+    val grouped = pruned.groupBy("doc_id").agg(
+      first(col("dl")).as("dl"),
+      terms.map(t => coalesce(sum(when(col("term") === t, col("tf"))),
+        lit(0.0)).as(s"tf_$t")): _*)
+    val lenNorm = lit(params.k1) *
+      (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(avgdl))
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t")
+      lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
+    }.reduce(_ + _)
+    val scored = grouped
+      .select(col("doc_id"), round(score, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Hybrid BM25 + vector search with reciprocal-rank fusion — the
+   * published ES/OpenSearch hybrid ranking: each ranker contributes
+   * 1/(rrfK + rank) over its top `kCand` candidates, fused score summed
+   * in fixed (bm25, vector) order. Docs in either candidate list
+   * qualify. `rrfK=60` per the RRF paper (Cormack et al., SIGIR'09).
+   * The fusion input is ≤ 2·kCand rows — everything after the two
+   * candidate scans is bounded.
+   */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+                 vecs: DataFrame, vecIdCol: String, vecCol: String,
+                 query: String, queryVec: Seq[Double], k: Int,
+                 kCand: Int = 50, rrfK: Int = 60,
+                 params: Bm25Params = Bm25Params()): DataFrame = {
+    val bm = bm25TopK(docs, idCol, textCol, query, kCand, params)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val vc = cosineTopK(vecs, vecIdCol, vecCol, queryVec, kCand)
+      .select(col("doc_id"), col("rank").as("vec_rank"))
+    val fused = bm.join(vc, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("bm25_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+    fused.withColumn("rank",
+      row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "bm25_rank", "vec_rank", "rrf_score")
+  }
+}

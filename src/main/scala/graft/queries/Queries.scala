@@ -1900,6 +1900,259 @@ object Queries {
         .sample(withReplacement = false, 0.1, seed = 42L)
         .agg(count(lit(1)).as("sampled_rows"),
           countDistinct(col("l_orderkey")).as("sampled_orders"))),
+
+    // ---- BM25 full-text top-k (the read-side twin of the ES bundle sink:
+    //      Lucene/ES practical BM25, ln(1+(N-df+.5)/(df+.5)) idf). The
+    //      Spark side is the MAP-ONLY literal-query path (per-term tf as a
+    //      codegen filter-size projection, no explode, distributed
+    //      TakeOrdered); the oracle recomputes every factor from the raw
+    //      text with the SAME fixed term order (sorted: merge, spark,
+    //      window) and the same literal-for-literal float arithmetic, so a
+    //      hash match pins idf/length-norm/tf and the tie-broken ranking
+    //      end to end. round(,4) absorbs the ln last-ulp divergence
+    //      between libm and the JVM (same convention as q24/q84). ----
+    QueryDef("q86_bm25_search",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df3
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'merge'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'merge'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'merge') OR list_contains(w, 'spark')
+             |     OR list_contains(w, 'window'))
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text", "spark window merge", k = 20)
+        .orderBy("rank")),
+
+    // ---- hybrid BM25 + vector search, reciprocal-rank fusion (the
+    //      published ES/OpenSearch hybrid: 1/(60+rank) per ranker over
+    //      bounded top-50 candidate lists, fused in fixed (bm25, vector)
+    //      order). Query vector = embedding 7 (a literal artifact, q84
+    //      discipline); both engines unitize the row side element-for-
+    //      element and rank with doc_id tie-breaks, so the fused scores
+    //      are bit-identical rational sums of integer ranks. ----
+    QueryDef("q87_hybrid_rrf",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END)::DOUBLE AS df3
+             |  FROM docs),
+             |bm AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+             |  FROM (
+             |    SELECT doc_id, round(
+             |        ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |          * (len(list_filter(w, x -> x = 'join'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'join'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |      + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |          * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |      + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |          * (len(list_filter(w, x -> x = 'stream'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'stream'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |    FROM docs, st
+             |    WHERE list_contains(w, 'join') OR list_contains(w, 'spark')
+             |       OR list_contains(w, 'stream')) s),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |      FROM read_parquet('{SFDIR}/embeddings.parquet')),
+             |qv AS (SELECT CASE WHEN list_dot_product(v, v) > 0
+             |              THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |              ELSE v END AS q
+             |       FROM e WHERE vec_id = 7),
+             |vr AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS vec_rank
+             |  FROM (
+             |    SELECT e.vec_id AS doc_id,
+             |      round(list_dot_product(
+             |        CASE WHEN list_dot_product(e.v, e.v) > 0
+             |             THEN list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v)))
+             |             ELSE e.v END, qv.q), 4) AS score
+             |    FROM e, qv) s),
+             |bmk AS (SELECT doc_id, bm25_rank FROM bm WHERE bm25_rank <= 50),
+             |vrk AS (SELECT doc_id, vec_rank FROM vr WHERE vec_rank <= 50),
+             |fused AS (
+             |  SELECT COALESCE(bmk.doc_id, vrk.doc_id) AS doc_id,
+             |    bmk.bm25_rank, vrk.vec_rank,
+             |    COALESCE(1.0 / (60.0 + bmk.bm25_rank), 0.0)
+             |      + COALESCE(1.0 / (60.0 + vrk.vec_rank), 0.0) AS rrf_score
+             |  FROM bmk FULL OUTER JOIN vrk ON bmk.doc_id = vrk.doc_id)
+             |SELECT doc_id, rank, bm25_rank, vec_rank, rrf_score FROM (
+             |  SELECT doc_id, bm25_rank, vec_rank, rrf_score,
+             |    row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+             |  FROM fused) x
+             |WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 7)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        graft.ext.Search.hybridTopK(docs, "doc_id", "text",
+            emb, "vec_id", "embedding",
+            query = "spark join stream", queryVec = qv, k = 15, kCand = 50)
+          .orderBy("rank")
+      }),
+
+    // ---- SemDeDup (Abbas et al. 2023): frozen-centroid semantic dedup —
+    //      cluster-bounded greedy keep-first cosine pruning. Labels use
+    //      the q84 exemplar-centroid artifact (same measured argmax
+    //      margins); the oracle recomputes labeling AND the within-cluster
+    //      pair pruning from raw embeddings, so a hash match pins the
+    //      blocking key and the drop rule exactly. ----
+    QueryDef("q88_semdedup",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')),
+             |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+             |      FROM e WHERE vec_id IN (0, 3, 11, 17)),
+             |u AS (SELECT vec_id,
+             |        CASE WHEN list_dot_product(v, v) > 0
+             |             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |             ELSE v END AS uv
+             |      FROM e),
+             |lab AS (SELECT vec_id, uv, cent_id,
+             |          row_number() OVER (PARTITION BY vec_id
+             |            ORDER BY list_dot_product(uv, cv) DESC, cent_id ASC) AS rk
+             |        FROM u CROSS JOIN c),
+             |l AS (SELECT vec_id, uv, CAST(cent_id AS INT) AS cluster_id
+             |      FROM lab WHERE rk = 1),
+             |dropped AS (
+             |  SELECT DISTINCT b.vec_id
+             |  FROM l a JOIN l b ON a.cluster_id = b.cluster_id
+             |    AND a.vec_id < b.vec_id
+             |    AND round(list_dot_product(a.uv, b.uv), 4) >= 0.35)
+             |SELECT vec_id, cluster_id FROM l
+             |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+             |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id").isin(0L, 3L, 11L, 17L)).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toSeq).toIndexedSeq
+        graft.ext.Dedup.semDedup(e, "vec_id", "embedding", cents, threshold = 0.35)
+          .select(col("vec_id"), col("cluster_id"))
+          .orderBy("vec_id")
+      }),
+
+    // ---- Bloom-prefiltered decontamination (the scale path when the
+    //      benchmark gram set exceeds the exact-broadcast ceiling): bloom
+    //      candidates are exactly re-verified against the DISTRIBUTED gram
+    //      table, so the output is IDENTICAL to exact semantics — the
+    //      oracle is the q72 exact-string recomputation (2-grams, bench =
+    //      doc_id % 50). A hash match proves the bloom path introduces
+    //      zero false positives AND zero false negatives end-to-end. ----
+    QueryDef("q89_decontaminate_bloom",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |grams AS (
+             |  SELECT doc_id,
+             |    len(list_distinct(list_transform(range(1, greatest(len(w), 1)),
+             |        i -> array_to_string(w[i:i+1], ' ')))) AS tot,
+             |    unnest(list_distinct(list_transform(range(1, greatest(len(w), 1)),
+             |        i -> array_to_string(w[i:i+1], ' ')))) AS g
+             |  FROM docs),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+             |SELECT c.doc_id, count(*) AS ngram_hits,
+             |  any_value(tot) AS ngram_total
+             |FROM grams c JOIN bench USING (g)
+             |WHERE c.doc_id % 50 <> 0
+             |GROUP BY c.doc_id HAVING count(*) >= 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ext.Decontaminate.contaminatedIds(
+            docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 50 === 0), "text",
+            n = 2, minHits = 1)
+          .orderBy("doc_id")
+      }),
+
+    // ---- persisted BM25 postings index, built THEN queried in-query (the
+    //      q70/q71 discipline): the Spark side pays the full index
+    //      lifecycle — explode into tb=bucket postings + stats, then the
+    //      pruned-bucket indexed query — while the oracle recomputes BM25
+    //      from the RAW TEXT exactly as q86 does. A hash match therefore
+    //      pins that the build→append-layout→prune→pivot-scoring path is
+    //      bit-identical to a direct corpus scan (same fixed term order
+    //      filter < hash < scan, same float arithmetic, same tie-break),
+    //      i.e. the index introduces NO approximation anywhere. ----
+    QueryDef("q90_bm25_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'filter') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'scan') THEN 1 ELSE 0 END)::DOUBLE AS df3
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'filter'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'filter'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'hash'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'hash'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'scan'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'scan'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'filter') OR list_contains(w, 'hash')
+             |     OR list_contains(w, 'scan'))
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q90-bm25idx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedBm25TopK(s, idx, "scan hash filter", k = 20)
+          .orderBy("rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

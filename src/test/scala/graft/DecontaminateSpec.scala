@@ -78,4 +78,54 @@ class DecontaminateSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct"))
   }
+
+  test("bloom scale path: contaminatedIds == exact tag selection") {
+    val docs = sf("sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    for (minHits <- Seq(1, 3)) {
+      val exact = Decontaminate.tag(corpus, "text",
+          Decontaminate.benchmarkNgrams(bench, "text", n = 2))
+        .filter(col("ngram_hits") >= minHits)
+        .select("doc_id", "ngram_hits", "ngram_total")
+      val scalable = Decontaminate.contaminatedIds(corpus, "doc_id", "text",
+        bench, "text", n = 2, minHits = minHits)
+      assert(scalable.exceptAll(exact).count() === 0 &&
+        exact.exceptAll(scalable).count() === 0, s"minHits=$minHits")
+    }
+  }
+
+  test("bloom scale path: exact even at a pathological fpp (verification " +
+      "removes every bloom false positive)") {
+    val docs = sf("sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val exact = Decontaminate.tag(corpus, "text",
+        Decontaminate.benchmarkNgrams(bench, "text", n = 2))
+      .filter(col("ngram_hits") >= 2)
+      .select("doc_id", "ngram_hits", "ngram_total")
+    // fpp=0.4: nearly half of clean grams survive the bloom — the exact
+    // verify join must still reduce to identical output
+    val sloppy = Decontaminate.contaminatedIds(corpus, "doc_id", "text",
+      bench, "text", n = 2, minHits = 2, fpp = 0.4)
+    assert(sloppy.exceptAll(exact).count() === 0 &&
+      exact.exceptAll(sloppy).count() === 0)
+  }
+
+  test("dropContaminatedScalable == dropContaminated, via broadcast anti join") {
+    val docs = sf("sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val keptExact = Decontaminate.dropContaminated(corpus, "text",
+        Decontaminate.benchmarkNgrams(bench, "text", n = 2), minHits = 1)
+      .select("doc_id")
+    val kept = Decontaminate.dropContaminatedScalable(corpus, "doc_id", "text",
+      bench, "text", n = 2, minHits = 1)
+    assert(kept.columns.toSeq === corpus.columns.toSeq)
+    assert(kept.select("doc_id").exceptAll(keptExact).count() === 0 &&
+      keptExact.exceptAll(kept.select("doc_id")).count() === 0)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"flagged set must broadcast into the anti join:\n$plan")
+  }
 }

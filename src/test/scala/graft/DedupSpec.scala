@@ -191,6 +191,60 @@ class DedupSpec extends SparkSpec {
     assert(full.collect().map(r => r.getLong(1)).forall(_ === 0L))
   }
 
+  test("semDedup: greedy keep-first law against a driver-side recomputation") {
+    val e = sf("sf0.001", "embeddings")
+    val cents = e.filter(col("vec_id").isin(0L, 3L, 11L, 17L)).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toIndexedSeq
+    val tau = 0.35
+    val kept = Dedup.semDedup(e, "vec_id", "embedding", cents, threshold = tau)
+      .select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent recomputation: label by argmax dot(unit(v), cent) with
+    // ties to the smallest index, then greedy keep-first within cluster
+    val rows = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    def dot(a: Array[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val labeled = rows.map { case (id, v) =>
+      val uv = unit(v)
+      val lbl = cents.indices.maxBy(i => (dot(uv, cents(i)), -i))
+      (id, lbl, uv)
+    }
+    val refKept = scala.collection.mutable.Map.empty[Long, Int]
+    val dropped = scala.collection.mutable.Set.empty[Long]
+    for ((id, lbl, uv) <- labeled) {
+      val hasEarlier = labeled.exists { case (id2, lbl2, uv2) =>
+        // HALF_UP rounding — the round() convention of the operator
+        id2 < id && lbl2 == lbl && BigDecimal(
+          uv.zip(uv2).map { case (x, y) => x * y }.sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= tau
+      }
+      if (hasEarlier) dropped += id else refKept(id) = lbl
+    }
+    assert(kept === refKept.toMap)
+    assert(dropped.nonEmpty, "sf0.001 embeddings should contain semantic dups")
+  }
+
+  test("semDedup: candidate pairing is cluster-bounded (join on the label)") {
+    val e = sf("sf0.001", "embeddings")
+    val cents = e.filter(col("vec_id").isin(0L, 3L)).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toIndexedSeq
+    val plan = Dedup.semDedup(e, "vec_id", "embedding", cents, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    // the quadratic pruning must be an equi-join on the cluster label —
+    // a cartesian/broadcast-nested-loop here would be all-pairs at scale
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic pruning degenerated to all-pairs:\n$plan")
+  }
+
   test("simhash: identical texts equal; near texts within small hamming") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog again and again today"),

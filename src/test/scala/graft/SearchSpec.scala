@@ -1,0 +1,218 @@
+package graft
+
+import graft.ext.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent driver-side BM25 over collected rows — shares nothing
+    * with the operator but the published formula. */
+  private def refBm25(rows: Seq[(Long, String)], query: String,
+                      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    def tok(s: String): Seq[String] =
+      if (s == null) Seq.empty
+      else s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = tok(query).distinct.sorted
+    val docs = rows.map { case (id, s) => id -> tok(s) }
+    val n = docs.size
+    val avgdl = docs.map(_._2.size).sum.toDouble / n
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    docs.flatMap { case (id, w) =>
+      val matched = terms.exists(w.contains)
+      if (!matched) None
+      else {
+        val dl = w.size.toDouble
+        val score = terms.map { t =>
+          val tf = w.count(_ == t).toDouble
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        }.sum
+        Some(id -> score)
+      }
+    }.toMap
+  }
+
+  test("bm25TopK matches an independent driver-side recomputation") {
+    val docs = sf("sf0.001", "documents")
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val query = "spark window merge"
+    val got = Search.bm25TopK(docs, "doc_id", "text", query, k = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val ref = refBm25(rows, query)
+    // ranking: sort ref by (rounded score desc, id asc), take 30
+    val expected = ref.toSeq
+      .map { case (id, s) => (id, math.rint(s * 1e4) / 1e4) }
+      .sortBy { case (id, s) => (-s, id) }.take(30)
+    assert(got.length === expected.length)
+    got.zip(expected).zipWithIndex.foreach { case (((gid, grk, gsc), (eid, esc)), i) =>
+      assert(grk === i + 1)
+      assert(gid === eid, s"rank ${i + 1}")
+      assert(math.abs(gsc - esc) < 1e-9, s"rank ${i + 1} score")
+    }
+    // only matching docs are ranked; scores strictly positive
+    assert(got.forall(_._3 > 0.0))
+  }
+
+  test("bm25TopK plan is map-only: TakeOrdered, no corpus-sized exchange") {
+    val docs = sf("sf0.001", "documents")
+    val df = Search.bm25TopK(docs, "doc_id", "text", "spark merge", k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected distributed TakeOrdered in:\n$plan")
+    // the only Exchange allowed is the bounded (<= k rows) single-partition
+    // one feeding the rank window AFTER the TakeOrdered
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(plan).size
+    assert(exchanges === 0,
+      s"corpus-sized exchange in what must be a map-only plan:\n$plan")
+    // no explode anywhere: tf is a projection, not a postings blow-up
+    assert(!plan.toLowerCase.contains("generate"),
+      s"explode in the literal-query path:\n$plan")
+  }
+
+  test("bm25TopKBatch agrees with the single-query path per query") {
+    val docs = sf("sf0.001", "documents")
+    val queries = Seq((1L, "spark window merge"), (2L, "join stream"),
+      (3L, "table scan batch")).toDF("query_id", "query_text")
+    val batch = Search.bm25TopKBatch(docs, "doc_id", "text", queries, k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+      .toMap
+    for ((qid, qtext) <- Seq((1L, "spark window merge"), (2L, "join stream"),
+        (3L, "table scan batch"))) {
+      val single = Search.bm25TopK(docs, "doc_id", "text", qtext, k = 15)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val b = batch.collect { case ((q, d), v) if q == qid => (d, v) }.toMap
+      assert(b.keySet === single.map(_._1).toSet, s"query $qid candidate set")
+      single.foreach { case (d, _, sc) =>
+        assert(math.abs(b(d)._2 - sc) < 1e-9, s"query $qid doc $d score") }
+    }
+  }
+
+  test("cosineTopK against a corpus row's vector agrees with bruteForceTopK") {
+    val e = sf("sf0.001", "embeddings")
+    val qv = e.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val got = Search.cosineTopK(e, "vec_id", "embedding", qv, k = 11)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // bruteForceTopK with query row 7 and self excluded == cosineTopK
+    // minus its rank-1 self hit (cos(q, q) = 1.0), shifted by one
+    val ref = graft.ext.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 7), e, "vec_id", "vec_id", "embedding",
+        k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.head._1 === 7L && got.head._3 === 1.0)
+    got.tail.zip(ref).foreach { case ((gid, grk, gsc), (rid, rrk, rsc)) =>
+      assert(gid === rid && grk === rrk + 1)
+      assert(math.abs(gsc - rsc) < 2e-4) // both rounded to 4 decimals
+    }
+  }
+
+  test("hybridTopK: RRF fusion math and candidate-union membership") {
+    val docs = sf("sf0.001", "documents")
+    val e = sf("sf0.001", "embeddings")
+    val qv = e.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val kCand = 25
+    val bm = Search.bm25TopK(docs, "doc_id", "text", "spark join stream", kCand)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vc = Search.cosineTopK(e, "vec_id", "embedding", qv, kCand)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Search.hybridTopK(docs, "doc_id", "text", e, "vec_id", "embedding",
+        "spark join stream", qv, k = 12, kCand = kCand)
+      .collect()
+    assert(got.length === 12)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val br = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val vr = Option(r.get(3)).map(_.asInstanceOf[Int])
+      assert(br === bm.get(id), s"doc $id bm25 rank")
+      assert(vr === vc.get(id), s"doc $id vec rank")
+      val expected = br.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        vr.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(r.getDouble(4) === expected, s"doc $id rrf")
+    }
+    // fused ranking is by rrf desc, id asc, and from the candidate union
+    val rrfs = got.map(_.getDouble(4)).toSeq
+    assert(rrfs === rrfs.sorted.reverse)
+    assert(got.map(_.getLong(0)).toSet.subsetOf(bm.keySet ++ vc.keySet))
+    // a doc present in BOTH lists outranks one with only a comparable
+    // single-list rank: rank-1-both beats rank-2-single by construction
+    val both = got.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    if (both.nonEmpty) assert(both.head.getInt(1) === got.head.getInt(1))
+  }
+
+  test("postings index: indexedBm25TopK is bit-identical to bm25TopK") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 16)
+    for (q <- Seq("spark window merge", "join stream",
+        "zzznosuchterm spark")) {
+      val scan = Search.bm25TopK(docs, "doc_id", "text", q, k = 25)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val idx = Search.indexedBm25TopK(spark, dir, q, k = 25)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      // EXACT double equality: ranking, rounding and the fixed-term-order
+      // float sum must all agree bit for bit
+      assert(idx === scan, s"query '$q'")
+    }
+  }
+
+  test("postings index: append == full rebuild, for postings and queries") {
+    val docs = sf("sf0.001", "documents")
+    val first = docs.filter(col("doc_id") < 250)
+    val rest = docs.filter(col("doc_id") >= 250)
+    val inc = java.nio.file.Files.createTempDirectory("graft-bm25inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-bm25full").toString
+    Search.buildPostingsIndex(first, "doc_id", "text", inc, buckets = 8)
+    Search.appendToPostingsIndex(rest, "doc_id", "text", inc)
+    Search.buildPostingsIndex(docs, "doc_id", "text", full, buckets = 8)
+    val pInc = spark.read.parquet(s"$inc/postings")
+    val pFull = spark.read.parquet(s"$full/postings")
+    assert(pInc.exceptAll(pFull).count() === 0 &&
+      pFull.exceptAll(pInc).count() === 0, "postings sets differ")
+    val q = "spark window merge join"
+    val gInc = Search.indexedBm25TopK(spark, inc, q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val gScan = Search.bm25TopK(docs, "doc_id", "text", q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(gInc === gScan)
+  }
+
+  test("postings index query opens ONLY the needed tb= buckets") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25prune").toString
+    val buckets = 16
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets)
+    val q = "spark merge"
+    val needed = Search.queryTerms(q).map(Search.termBucket(_, buckets)).toSet
+    assert(needed.size < buckets, "test needs a pruning opportunity")
+    val df = Search.indexedBm25TopK(spark, dir, q, k = 5)
+    val roots = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    val tbRoots = roots.filter(_.contains("/tb="))
+    assert(tbRoots.nonEmpty, "expected explicit pruned tb= paths")
+    val opened = tbRoots.map(p => p.substring(p.indexOf("/tb=") + 4).toInt).toSet
+    assert(opened.subsetOf(needed),
+      s"opened buckets $opened exceed the needed set $needed")
+    // and the term predicate pushes into the parquet reader
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term IN must reach the scan:\n$plan")
+  }
+
+  test("tokenization law: shared with Decontaminate, empty/null safe") {
+    val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), Search.tokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(toks(1L) === Some(Seq("a", "b", "c")))
+    assert(toks(2L) === Some(Seq.empty))
+    assert(toks(3L) === None)
+    assert(Search.queryTerms("Window  spark window") === Seq("spark", "window"))
+  }
+}
