@@ -644,6 +644,40 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bm25 1m failed: ${e.getMessage}"); "{}" } }
 
+    // persisted postings index at the 1M tier: one-time build cost over
+    // the same synthetic corpus, then the indexed-query latency — the
+    // pruned-bucket read should be 10-100x below the scan path's
+    // (bm25_1m), pinning the standing-index story's payoff. Median of 3.
+    val bm25Index1mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("bm25_index_1m") { try {
+        import org.apache.spark.sql.functions.expr
+        val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+          expr("""array_join(transform(
+                    sequence(1, cast(50 + pmod(xxhash64(id), 100) as int)),
+                    i -> concat('w', pmod(xxhash64(id, i), 100))), ' ')""")
+            .as("text")).repartition(64).cache()
+        docs.count()
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bench-bm25idx").toString
+        val buildSec = time {
+          graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text", dir,
+            buckets = 64)
+        }
+        docs.unpersist()
+        var top = Array.empty[(Long, Double)]
+        val qsecs = (1 to 3).map { _ =>
+          time {
+            top = graft.ext.Search.indexedBm25TopK(spark, dir,
+                "w3 w17 w42", k = 10)
+              .collect().map(r => (r.getLong(0), r.getDouble(2)))
+          }
+        }
+        val qMed = qsecs.sorted.apply(qsecs.size / 2)
+        f"""{"rows":1000000,"build_sec":$buildSec%.3f,"query_sec":$qMed%.3f,"k":10,"top1_doc":${top.head._1},"top1_score":${top.head._2}%.4f,"runs":3}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bm25 index 1m failed: ${e.getMessage}"); "{}" } }
+
     // streaming carry-packing at the 1M tier: the same corpus arrives as 4
     // micro-batches of 250k docs (REAL token arrays this time — the carry
     // path's cost includes merging carried input_ids, so benching counts
@@ -897,7 +931,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"bm25_index_1m":$bm25Index1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|search|search-build|search-append|semdedup]
+ *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|search|search-build|search-append|search-stream|semdedup]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -111,7 +111,8 @@ object Main {
         // bundle root" (per-index validation)
         case "install" | "validate" | "multi" | "pack" |
              "quality-train" | "quality-score" | "train-centroids" |
-             "search" | "semdedup" | "search-build" | "search-append" =>
+             "search" | "semdedup" | "search-build" | "search-append" |
+             "search-stream" =>
           m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
@@ -772,6 +773,23 @@ object Main {
           val top = spark.read.parquet(outP).orderBy("rank").collect()
           println(s"search results: ${top.length} rows -> $outP")
           top.take(10).foreach(r => println(s"  $r"))
+        case "search-stream" =>
+          // streaming postings maintenance: watch --input as a DIRECTORY
+          // of arriving parquet (id, text) files and commit each
+          // micro-batch into the standing postings index at --out
+          // (exactly-once staging+rename + idempotent stats deltas)
+          val raw = rawFlags(args)
+          val idCol = Option(cfg.id).getOrElse("doc_id")
+          val textCol = raw.getOrElse("text-col", "text")
+          val src = spark.read.parquet(cfg.input)
+          val stream = spark.readStream.schema(src.schema).parquet(cfg.input)
+          val q = graft.streaming.PostingsIndexStream.start(stream,
+            cfg.outDir, idCol, textCol,
+            checkpointDir = s"${cfg.outDir}/.ckpt_stream")
+          q.awaitTermination(raw.getOrElse("timeout-ms", "600000").toLong)
+          val n = spark.read.parquet(s"${cfg.outDir}/postings").count()
+          println(s"postings index maintained from stream: ${cfg.outDir} " +
+            s"($n postings)")
         case "search-build" | "search-append" =>
           // persisted BM25 postings index lifecycle (the ann-build/append
           // twin for full text): --out is the index DIRECTORY

@@ -211,11 +211,33 @@ object Search {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): (Long, Long, Int) = {
+  /** Build/append-owned base stats only (streaming batch deltas excluded —
+    * [[appendToPostingsIndex]] rewrites THIS record, so it must not fold
+    * the idempotent per-batch deltas in or a later read would double
+    * count them). */
+  private[graft] def readBaseStats(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): (Long, Long, Int) = {
     val r = spark.read.parquet(s"$dir/stats").head()
     (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
       r.getAs[Int]("buckets"))
+  }
+
+  /** Effective corpus stats: base build/append record plus the streaming
+    * maintainer's per-batch deltas (`batch_stats/batch=N`, each written
+    * idempotently by [[graft.streaming.PostingsIndexStream]]). */
+  private[graft] def readStats(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): (Long, Long, Int) = {
+    val (n0, t0, buckets) = readBaseStats(spark, dir)
+    val bs = new org.apache.hadoop.fs.Path(s"$dir/batch_stats")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bs)) (n0, t0, buckets)
+    else {
+      val r = spark.read.parquet(bs.toString)
+        .agg(sum("n_docs"), sum("total_tokens")).head()
+      (n0 + (if (r.isNullAt(0)) 0L else r.getLong(0)),
+        t0 + (if (r.isNullAt(1)) 0L else r.getLong(1)), buckets)
+    }
   }
 
   /** The term→bucket law, shared executor/driver side: Spark's seed-42
@@ -257,7 +279,7 @@ object Search {
   def appendToPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
                             dir: String): Unit = {
     val spark = docs.sparkSession
-    val (n0, t0, buckets) = readStats(spark, dir)
+    val (n0, t0, buckets) = readBaseStats(spark, dir)
     postings(docs, idCol, textCol, buckets)
       .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
     val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
@@ -268,8 +290,8 @@ object Search {
 
   /** (term, doc_id, tf, dl, tb) postings — the [[bm25TopKBatch]] explode
     * with the bucket key attached executor-side via the same xxhash64. */
-  private def postings(docs: DataFrame, idCol: String, textCol: String,
-                       buckets: Int): DataFrame =
+  private[graft] def postings(docs: DataFrame, idCol: String, textCol: String,
+                              buckets: Int): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         tokens(col(textCol)).as("_w"))
@@ -344,6 +366,60 @@ object Search {
     scored.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select("doc_id", "rank", "score")
+  }
+
+  // ------------------------------------------------------------------
+  // Retrieval evaluation: the metrics side of the search family
+  // ------------------------------------------------------------------
+
+  /**
+   * Standard retrieval metrics per query — precision@k, recall@k, MRR@k,
+   * binary nDCG@k — over a run table `(query_id, doc_id, rank)` and a
+   * judgments table `(query_id, doc_id)`. One output row per JUDGED query
+   * (a query with no qrels has no defined recall/nDCG denominator):
+   * `(query_id, relevant, hits, precision_at_k, recall_at_k, mrr, ndcg)`.
+   *
+   * Definitions (binary relevance): hits = |top-k ∩ qrels|; MRR = 1/rank
+   * of the first relevant hit (0 when none); DCG = Σ_{relevant hits}
+   * 1/log2(rank+1); IDCG = Σ_{i=1..min(k,|qrels|)} 1/log2(i+1);
+   * nDCG = DCG/IDCG.
+   *
+   * Determinism: DCG and IDCG are LEFT FOLDS over ascending ranks
+   * (`aggregate` over a sorted array / a `sequence`), not a commutative
+   * `sum` — float addition order is pinned, so an oracle that folds in
+   * the same order reproduces every metric bit for bit (q91). MRR is
+   * 1/min(rank), never a float extremum.
+   *
+   * Scale shape: the run is queries×k rows and qrels are judgment-sized —
+   * both tiny next to any corpus. Everything is two equi-joins and a
+   * per-query aggregate; the collected-ranks array is ≤ k elements.
+   */
+  def retrievalMetrics(run: DataFrame, qrels: DataFrame, k: Int,
+                       roundTo: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val relCounts = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("relevant"))
+    val hit = run.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("_minrank"),
+        sort_array(collect_list(col("rank"))).as("_ranks"))
+    val idcg = expr(
+      s"aggregate(sequence(1, int(least($k, relevant))), 0D, " +
+        "(a, i) -> a + 1.0D / log2(i + 1))")
+    val dcg = expr(
+      "aggregate(_ranks, 0D, (a, r) -> a + 1.0D / log2(r + 1))")
+    relCounts.join(hit, Seq("query_id"), "left")
+      .select(col("query_id"), col("relevant"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble),
+          roundTo).as("precision_at_k"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("relevant").cast("double"), roundTo).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("_minrank").cast("double"), lit(0.0)),
+          roundTo).as("mrr"),
+        round(coalesce(dcg / idcg, lit(0.0)), roundTo).as("ndcg"))
   }
 
   /**

@@ -2153,6 +2153,75 @@ object Queries {
         graft.ext.Search.indexedBm25TopK(s, idx, "scan hash filter", k = 20)
           .orderBy("rank")
       }),
+
+    // ---- retrieval-metrics evaluation (precision@k / recall@k / MRR /
+    //      binary nDCG@k): the run is a PORTABLE deterministic ranking
+    //      (md5 over "query_id:doc_id", the q67 portable-hash discipline —
+    //      both engines rank the identical strings), qrels are modulus
+    //      classes, so DuckDB recomputes run, judgments AND every metric.
+    //      DCG/IDCG are pinned as LEFT FOLDS over ascending ranks on both
+    //      sides (Spark `aggregate`, DuckDB `list_reduce`), so the float
+    //      arithmetic agrees bit for bit before the shared round(,4). ----
+    QueryDef("q91_retrieval_metrics",
+      Some("""WITH d AS (SELECT doc_id
+             |          FROM read_parquet('{SFDIR}/documents.parquet')),
+             |q AS (SELECT unnest([1, 2, 3]) AS query_id),
+             |run AS (
+             |  SELECT query_id, doc_id, row_number() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY md5(concat(query_id, ':', doc_id)), doc_id) AS rank
+             |  FROM d CROSS JOIN q),
+             |topk AS (SELECT * FROM run WHERE rank <= 20),
+             |qrels AS (
+             |  SELECT 1 AS query_id, doc_id FROM d WHERE doc_id % 7 = 0
+             |  UNION ALL SELECT 2, doc_id FROM d WHERE doc_id % 11 = 3
+             |  UNION ALL SELECT 3, doc_id FROM d WHERE doc_id % 13 = 5),
+             |rel AS (SELECT query_id, count(*) AS relevant
+             |        FROM qrels GROUP BY query_id),
+             |hit AS (
+             |  SELECT t.query_id, count(*) AS hits, min(rank) AS minrank,
+             |         list_sort(list(rank)) AS ranks
+             |  FROM topk t JOIN qrels USING (query_id, doc_id)
+             |  GROUP BY t.query_id)
+             |SELECT r.query_id, r.relevant,
+             |  coalesce(hits, 0) AS hits,
+             |  round(coalesce(hits, 0)::DOUBLE / 20.0, 4) AS precision_at_k,
+             |  round(coalesce(hits, 0)::DOUBLE / r.relevant::DOUBLE, 4)
+             |    AS recall_at_k,
+             |  round(coalesce(1.0::DOUBLE / minrank::DOUBLE, 0.0), 4) AS mrr,
+             |  round(coalesce(
+             |    list_reduce(list_transform(ranks,
+             |      x -> 1.0::DOUBLE / log2(x + 1)), (a, b) -> a + b)
+             |    / list_reduce(list_transform(
+             |        range(1, least(20, r.relevant) + 1),
+             |        i -> 1.0::DOUBLE / log2(i + 1)), (a, b) -> a + b),
+             |    0.0), 4) AS ndcg
+             |FROM rel r LEFT JOIN hit USING (query_id)
+             |ORDER BY query_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ids = t(s, dir, "documents").select(col("doc_id"))
+        val queryIds = s.range(1, 4).select(col("id").cast("int")
+          .as("query_id"))
+        // the run under evaluation: a portable deterministic ranking
+        // (test-harness input — the OPERATOR under oracle scrutiny is
+        // retrievalMetrics; q86/q90 already pin BM25 runs)
+        val run = ids.crossJoin(queryIds)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(
+              md5(concat_ws(":", col("query_id"), col("doc_id"))),
+              col("doc_id"))))
+          .filter(col("rank") <= 20)
+        val qrels =
+          ids.filter(col("doc_id") % 7 === 0).select(lit(1).as("query_id"),
+              col("doc_id"))
+            .unionAll(ids.filter(col("doc_id") % 11 === 3)
+              .select(lit(2).as("query_id"), col("doc_id")))
+            .unionAll(ids.filter(col("doc_id") % 13 === 5)
+              .select(lit(3).as("query_id"), col("doc_id")))
+        graft.ext.Search.retrievalMetrics(run, qrels, k = 20)
+          .orderBy("query_id")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -227,6 +227,78 @@ object AnnIndexStream {
   }
 }
 
+object PostingsIndexStream {
+
+  /**
+   * Streaming maintenance of a [[graft.ext.Search.buildPostingsIndex]]
+   * directory — the full-text twin of [[AnnIndexStream]]: each
+   * micro-batch of (id, text) documents explodes into postings bucketed
+   * by the index's OWN `buckets` law and commits into the `tb=`
+   * partitions, so a standing corpus index keeps up with an arriving
+   * corpus without rebuilds. Queries stay bit-identical to a fresh
+   * build over everything ingested so far (exact df from the postings
+   * themselves; exact N/avgdl via the per-batch stats deltas below).
+   *
+   * Exactly-once despite foreachBatch's at-least-once replay, twice
+   * over: postings land in a batch-scoped staging dir and rename into
+   * `postings/tb=K/` under DETERMINISTIC `b<batchId>-p<idx>` names
+   * (rename-if-absent — the [[AnnIndexStream.commitBatch]] scheme; the
+   * pre-staging exchange is pinned to `buckets` partitions so part
+   * indices are replay-stable), and the corpus-stats delta writes to
+   * `batch_stats/batch=<id>` with mode overwrite — a replayed batch
+   * rewrites the SAME delta rather than double counting N/avgdl.
+   */
+  def start(docs: DataFrame, indexDir: String, idCol: String, textCol: String,
+            checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, indexDir, idCol, textCol)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow())
+     else w.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
+  private[graft] def commitBatch(batch: DataFrame, batchId: Long,
+                                 indexDir: String, idCol: String,
+                                 textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    // buckets from the index's own base stats (a parquet footer read):
+    // the bucket law MUST be the build's or queries would prune wrongly
+    val (_, _, buckets) = graft.ext.Search.readBaseStats(spark, indexDir)
+    val staging = s"$indexDir/.staging/batch=$batchId"
+    graft.ext.Search.postings(batch, idCol, textCol, buckets)
+      // pinned partition count (see AnnIndexStream): deterministic
+      // row->part mapping makes the rename targets replay-stable
+      .repartition(buckets, col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val partIdx = "part-(\\d+)".r
+    for (tbDir <- fs.listStatus(new Path(staging)) if tbDir.isDirectory) {
+      val target = new Path(s"$indexDir/postings/${tbDir.getPath.getName}")
+      fs.mkdirs(target)
+      for (f <- fs.listStatus(tbDir.getPath)
+           if f.getPath.getName.startsWith("part-")) {
+        val idx = partIdx.findFirstMatchIn(f.getPath.getName)
+          .map(_.group(1)).getOrElse("0")
+        val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")
+        val dest = new Path(target, s"b$batchId-p$idx$suffix")
+        if (!fs.exists(dest)) fs.rename(f.getPath, dest)
+      }
+    }
+    fs.delete(new Path(staging), true)
+    // idempotent per-batch stats delta (replay rewrites, never adds)
+    import spark.implicits._
+    val row = batch.agg(count(lit(1)),
+      sum(size(graft.ext.Search.tokens(col(textCol))).cast("long"))).head()
+    Seq((row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
+      .toDF("n_docs", "total_tokens")
+      .write.mode("overwrite").parquet(s"$indexDir/batch_stats/batch=$batchId")
+  }
+}
+
 object EventStreams {
 
   /** Normalize event-time to session-local TIMESTAMP and apply the

@@ -205,6 +205,112 @@ class SearchSpec extends SparkSpec {
       s"term IN must reach the scan:\n$plan")
   }
 
+  test("streaming postings maintenance: stream over batches == one-shot " +
+      "build; replay-safe commit") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25strm").toString
+    // base index over the first slice; two more slices arrive as files
+    Search.buildPostingsIndex(docs.filter(col("doc_id") < 150),
+      "doc_id", "text", s"$dir/idx", buckets = 8)
+    docs.filter(col("doc_id") >= 150 && col("doc_id") < 320)
+      .write.mode("append").parquet(s"$dir/in")
+    docs.filter(col("doc_id") >= 320)
+      .write.mode("append").parquet(s"$dir/in")
+    val src = spark.read.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
+    val q = graft.streaming.PostingsIndexStream.start(stream, s"$dir/idx",
+      "doc_id", "text", s"$dir/ckpt")
+    q.awaitTermination(120000)
+    // postings identical to a one-shot build over everything
+    Search.buildPostingsIndex(docs, "doc_id", "text", s"$dir/full", buckets = 8)
+    val pInc = spark.read.parquet(s"$dir/idx/postings")
+    val pFull = spark.read.parquet(s"$dir/full/postings")
+    assert(pInc.exceptAll(pFull).count() === 0 &&
+      pFull.exceptAll(pInc).count() === 0, "postings sets differ")
+    // queries bit-identical to the corpus scan over everything ingested
+    val scan = Search.bm25TopK(docs, "doc_id", "text", "spark window merge",
+        k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val got = Search.indexedBm25TopK(spark, s"$dir/idx", "spark window merge",
+        k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got === scan)
+    // replay safety: re-committing batch 0 with the same content is a
+    // no-op for both the postings AND the stats deltas
+    graft.streaming.PostingsIndexStream.commitBatch(
+      spark.read.parquet(s"$dir/in"), 0L, s"$dir/idx", "doc_id", "text")
+    val again = Search.indexedBm25TopK(spark, s"$dir/idx",
+        "spark window merge", k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(again === scan, "replayed commit changed query results")
+  }
+
+  test("retrievalMetrics matches an independent driver-side recomputation " +
+      "over a real BM25 run") {
+    val docs = sf("sf0.001", "documents")
+    val kEval = 15
+    val run = Search.bm25TopKBatch(docs, "doc_id", "text",
+      Seq((1L, "spark window merge"), (2L, "join stream"))
+        .toDF("query_id", "query_text"), k = kEval)
+    // judgments: docs containing every term of the query (deterministic
+    // ground truth, overlaps the BM25 top-k by construction)
+    val w = Search.tokens(col("text"))
+    val qrels =
+      docs.filter(array_contains(w, "spark") && array_contains(w, "window") &&
+          array_contains(w, "merge"))
+        .select(lit(1L).as("query_id"), col("doc_id"))
+      .unionAll(docs.filter(array_contains(w, "join") &&
+          array_contains(w, "stream"))
+        .select(lit(2L).as("query_id"), col("doc_id")))
+    val got = Search.retrievalMetrics(run, qrels, k = kEval)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    val runLocal = run.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val qrelLocal = qrels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (qid <- Seq(1L, 2L)) {
+      val rel = qrelLocal.collect { case (q, d) if q == qid => d }
+      val hits = runLocal.filter(t => t._1 == qid && t._3 <= kEval &&
+        rel.contains(t._2)).sortBy(_._3)
+      def r4(x: Double) = math.rint(x * 1e4) / 1e4
+      val (grel, ghits, gp, gr, gmrr, gndcg) = got(qid)
+      assert(grel === rel.size.toLong && ghits === hits.length.toLong, s"q$qid")
+      assert(gp === r4(hits.length.toDouble / kEval), s"q$qid precision")
+      assert(gr === r4(hits.length.toDouble / rel.size), s"q$qid recall")
+      assert(gmrr === r4(hits.headOption.map(1.0 / _._3).getOrElse(0.0)),
+        s"q$qid mrr")
+      val dcg = hits.foldLeft(0.0)((a, h) =>
+        a + 1.0 / (math.log(h._3 + 1.0) / math.log(2.0)))
+      val idcg = (1 to math.min(kEval, rel.size)).foldLeft(0.0)((a, i) =>
+        a + 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      assert(math.abs(gndcg - dcg / idcg) < 1e-4, s"q$qid ndcg")
+      assert(ghits > 0, s"q$qid should have hits by construction")
+    }
+  }
+
+  test("retrievalMetrics edges: zero-hit query scores 0; unjudged queries " +
+      "are omitted") {
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1), (9L, 10L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 99L), (2L, 10L), (2L, 11L), (2L, 12L))
+      .toDF("query_id", "doc_id")
+    val got = Search.retrievalMetrics(run, qrels, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // query 1: judged but no hits -> all-zero metrics, still a row
+    assert(got(1L) === ((1L, 0L, 0.0, 0.0, 0.0)))
+    // query 2: 1 hit of 3 relevant at rank 1; idcg over min(k=2, 3)=2
+    val idcg2 = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    assert(got(2L)._1 === 3L && got(2L)._2 === 1L)
+    assert(got(2L)._3 === math.rint(1.0 / 3.0 * 1e4) / 1e4) // recall
+    assert(got(2L)._4 === 1.0)                              // mrr
+    assert(got(2L)._5 === math.rint(1.0 / idcg2 * 1e4) / 1e4)
+    // query 9 has no judgments: no row
+    assert(!got.contains(9L) && got.size === 2)
+  }
+
   test("tokenization law: shared with Decontaminate, empty/null safe") {
     val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
