@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|search|search-build|search-append|search-stream|semdedup]
+ *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|search|search-build|search-append|search-stream|semdedup|split]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -42,7 +42,8 @@ object Main {
     "mix-cluster-centroids", "kmeans-iters", "pack-style", "pack-eod",
     "mix-phases", "pack-loader-cols",
     "query", "topk", "embeddings", "search-vec-id", "search-vec-id-col",
-    "search-kcand", "search-index", "search-buckets")
+    "search-kcand", "search-index", "search-buckets",
+    "split-by", "split-fractions", "split-seed")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -112,7 +113,7 @@ object Main {
         case "install" | "validate" | "multi" | "pack" |
              "quality-train" | "quality-score" | "train-centroids" |
              "search" | "semdedup" | "search-build" | "search-append" |
-             "search-stream" =>
+             "search-stream" | "split" =>
           m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
@@ -773,6 +774,25 @@ object Main {
           val top = spark.read.parquet(outP).orderBy("rank").collect()
           println(s"search results: ${top.length} rows -> $outP")
           top.take(10).foreach(r => println(s"  $r"))
+        case "split" =>
+          // exact stratified train/val/test split: fold k gets EXACTLY
+          // floor-of-cumsum ranks within each stratum (portable md5
+          // order); output partitioned by fold for per-fold consumption
+          val raw = rawFlags(args)
+          val idCol = Option(cfg.id).getOrElse("doc_id")
+          val strataCol = raw.getOrElse("split-by", "source")
+          val fracs = raw.getOrElse("split-fractions", "0.8,0.1,0.1")
+            .split(",").map(_.trim.toDouble).toSeq
+          val seed = raw.getOrElse("split-seed", "42").toLong
+          val docs = spark.read.parquet(cfg.input)
+          val outP = s"${cfg.outDir}/split"
+          graft.ext.Mixing.stratifiedSplit(docs, idCol, strataCol, fracs,
+              seed)
+            .write.mode("overwrite").partitionBy("fold").parquet(outP)
+          val sizes = spark.read.parquet(outP).groupBy("fold").count()
+            .orderBy("fold").collect().map(r => s"${r.get(0)}:${r.getLong(1)}")
+          println(s"stratified split by $strataCol -> $outP " +
+            s"(${sizes.mkString(", ")})")
         case "search-stream" =>
           // streaming postings maintenance: watch --input as a DIRECTORY
           // of arriving parquet (id, text) files and commit each

@@ -327,4 +327,101 @@ object Mixing {
     temperatureMix(labeled, "cluster_id", idCol, cost, totalBudget,
       temperature, numBuckets)
   }
+
+  // ------------------------------------------------------------------
+  // Exact stratified split
+  // ------------------------------------------------------------------
+
+  /**
+   * Exact stratified K-fold split — the train/val/test cut that holds the
+   * strata mix constant across folds (per-language, per-source, per-topic
+   * splits): within each stratum, rows order by the PORTABLE hash
+   * md5("<seed>:<id>") (the q67 discipline — any engine reproduces it)
+   * and fold k takes ranks in `(cut_{k-1}, cut_k]` where
+   * `cut_j = floor(n_s * (f_1 + … + f_j))`, the fraction sum evaluated
+   * LEFT TO RIGHT in IEEE doubles (pinned, so 0.8 + 0.1 means the exact
+   * double an oracle computes, not a decimal 0.9). The last fold takes
+   * every remainder rank, so folds partition each stratum exactly —
+   * unlike `randomSplit`, whose per-fold sizes are binomial draws.
+   *
+   * Returns the input plus an int `fold` column (1-based).
+   *
+   * Scale shape: the within-stratum rank is the bucketized two-phase
+   * prefix (the [[temperatureMix]] machinery — order-contiguous range
+   * buckets from ONE splitter collect, per-(stratum, bucket) row_number
+   * plus broadcast exclusive offsets), never a single-task
+   * whole-stratum sort; the only driver traffic is one count per
+   * stratum and the splitter sketches.
+   */
+  def stratifiedSplit(docs: DataFrame, idCol: String, strataCol: String,
+                      fractions: Seq[Double], seed: Long = 42L,
+                      numBuckets: Int = 32,
+                      // test seam (the capPerSource convention): 0 forces
+                      // the bucketed plan on small inputs
+                      smallInputBytes: Long = 64L << 20): DataFrame = {
+    require(fractions.size >= 2, "need at least two folds")
+    require(fractions.forall(_ > 0), "fractions must be positive")
+    require(math.abs(fractions.sum - 1.0) <= 1e-9,
+      s"fractions must sum to 1, got ${fractions.sum}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // K-1 cumulative cut fractions, left-to-right IEEE sum (documented)
+    val cum = fractions.scanLeft(0.0)(_ + _).tail.dropRight(1)
+    // bounded collect: one row per stratum -> its K-1 integer cut ranks
+    val cuts = docs
+      .groupBy(col(strataCol).cast("string").as("_ssrc"))
+      .agg(count(lit(1)).as("_sn"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        (r.getString(0), cum.map(f => math.floor(n * f).toLong))
+      }.toSeq.toDF("_ssrc", "_scuts")
+    val tagged = docs.withColumn("_sh",
+      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+    rankWithinGroup(tagged, strataCol, "_sh", idCol, numBuckets,
+        smallInputBytes)
+      .join(broadcast(cuts),
+        col(strataCol).cast("string") <=> col("_ssrc"))
+      .withColumn("fold",
+        (lit(1) + size(filter(col("_scuts"), c => c < col("_grank"))))
+          .cast("int"))
+      .drop("_sh", "_grank", "_ssrc", "_scuts")
+  }
+
+  /** Deterministic 1-based position of each row within its group under
+    * (orderCol, tieCol) order — the ranking twin of the prefix-cap
+    * machinery: same order-contiguous range buckets, per-(group, bucket)
+    * row_number plus broadcast exclusive COUNT offsets. Adds `_grank`. */
+  private def rankWithinGroup(docs: DataFrame, groupCol: String,
+                              orderCol: String, tieCol: String,
+                              numBuckets: Int,
+                              smallInputBytes: Long = 64L << 20): DataFrame = {
+    val ordKeys = Seq(col(orderCol), col(tieCol))
+    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val effectiveBuckets =
+      if (estBytes <= BigInt(smallInputBytes)) 1 else numBuckets
+    bucketize(docs, groupCol, orderCol, effectiveBuckets) match {
+      case None =>
+        val w = Window.partitionBy(groupCol).orderBy(ordKeys: _*)
+        docs.withColumn("_grank", row_number().over(w).cast("long"))
+      case Some(bucketed) =>
+        // tiny aggregate: groups × numBuckets rows → exclusive offsets
+        val offs = bucketed
+          .groupBy(col(groupCol).cast("string").as("_gsrc"),
+            col("_gbkt").as("_gb"))
+          .agg(count(lit(1)).as("_gtot"))
+          .withColumn("_goff", coalesce(
+            sum("_gtot").over(Window.partitionBy("_gsrc").orderBy("_gb")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("_gsrc", "_gb", "_goff")
+        val w = Window.partitionBy(col(groupCol), col("_gbkt"))
+          .orderBy(ordKeys: _*)
+        bucketed
+          .join(broadcast(offs),
+            col(groupCol).cast("string") <=> col("_gsrc") &&
+              col("_gbkt") === col("_gb"))
+          .withColumn("_grank", col("_goff") + row_number().over(w))
+          .drop("_gbkt", "_gsrc", "_gb", "_goff")
+    }
+  }
 }

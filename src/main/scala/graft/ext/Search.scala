@@ -374,17 +374,20 @@ object Search {
 
   /**
    * Standard retrieval metrics per query — precision@k, recall@k, MRR@k,
-   * binary nDCG@k — over a run table `(query_id, doc_id, rank)` and a
-   * judgments table `(query_id, doc_id)`. One output row per JUDGED query
-   * (a query with no qrels has no defined recall/nDCG denominator):
-   * `(query_id, relevant, hits, precision_at_k, recall_at_k, mrr, ndcg)`.
+   * AP@k, binary nDCG@k — over a run table `(query_id, doc_id, rank)` and
+   * a judgments table `(query_id, doc_id)`. One output row per JUDGED
+   * query (a query with no qrels has no defined recall/AP/nDCG
+   * denominator):
+   * `(query_id, relevant, hits, precision_at_k, recall_at_k, mrr, ap, ndcg)`.
    *
    * Definitions (binary relevance): hits = |top-k ∩ qrels|; MRR = 1/rank
-   * of the first relevant hit (0 when none); DCG = Σ_{relevant hits}
+   * of the first relevant hit (0 when none); AP = (Σ_{j-th relevant hit}
+   * j/rank_j) / |qrels| (TREC convention: total-relevant denominator, so
+   * the mean over queries is MAP@k); DCG = Σ_{relevant hits}
    * 1/log2(rank+1); IDCG = Σ_{i=1..min(k,|qrels|)} 1/log2(i+1);
    * nDCG = DCG/IDCG.
    *
-   * Determinism: DCG and IDCG are LEFT FOLDS over ascending ranks
+   * Determinism: AP, DCG and IDCG are LEFT FOLDS over ascending ranks
    * (`aggregate` over a sorted array / a `sequence`), not a commutative
    * `sum` — float addition order is pinned, so an oracle that folds in
    * the same order reproduces every metric bit for bit (q91). MRR is
@@ -410,6 +413,11 @@ object Search {
         "(a, i) -> a + 1.0D / log2(i + 1))")
     val dcg = expr(
       "aggregate(_ranks, 0D, (a, r) -> a + 1.0D / log2(r + 1))")
+    // the j-th relevant hit (ascending ranks) contributes precision@rank_j
+    // = j/rank_j; folding over j keeps the addition order pinned
+    val apSum = expr(
+      "aggregate(sequence(1, size(_ranks)), 0D, " +
+        "(a, j) -> a + cast(j as double) / element_at(_ranks, j))")
     relCounts.join(hit, Seq("query_id"), "left")
       .select(col("query_id"), col("relevant"),
         coalesce(col("hits"), lit(0L)).as("hits"),
@@ -419,6 +427,8 @@ object Search {
           col("relevant").cast("double"), roundTo).as("recall_at_k"),
         round(coalesce(lit(1.0) / col("_minrank").cast("double"), lit(0.0)),
           roundTo).as("mrr"),
+        round(coalesce(apSum / col("relevant").cast("double"), lit(0.0)),
+          roundTo).as("ap"),
         round(coalesce(dcg / idcg, lit(0.0)), roundTo).as("ndcg"))
   }
 

@@ -2190,6 +2190,10 @@ object Queries {
              |    AS recall_at_k,
              |  round(coalesce(1.0::DOUBLE / minrank::DOUBLE, 0.0), 4) AS mrr,
              |  round(coalesce(
+             |    list_reduce(list_transform(range(1, len(ranks) + 1),
+             |      j -> j::DOUBLE / ranks[j]), (a, b) -> a + b)
+             |    / r.relevant::DOUBLE, 0.0), 4) AS ap,
+             |  round(coalesce(
              |    list_reduce(list_transform(ranks,
              |      x -> 1.0::DOUBLE / log2(x + 1)), (a, b) -> a + b)
              |    / list_reduce(list_transform(
@@ -2222,6 +2226,36 @@ object Queries {
         graft.ext.Search.retrievalMetrics(run, qrels, k = 20)
           .orderBy("query_id")
       }),
+
+    // ---- exact stratified split: per-source train/val/test folds with
+    //      EXACT sizes (floor-of-cumsum cuts over a portable md5 order).
+    //      The oracle recomputes rank, counts and the IEEE left-to-right
+    //      fraction sums (0.8::DOUBLE + 0.1::DOUBLE — a decimal 0.9 would
+    //      be a DIFFERENT cut when n*0.9 grazes an integer), so a hash
+    //      match pins the ordering law, the cut arithmetic and the
+    //      remainder-to-last-fold rule. The engine side is the bucketized
+    //      two-phase prefix rank — no whole-stratum single-task sort. ----
+    QueryDef("q92_stratified_split",
+      Some("""WITH d AS (SELECT doc_id, source
+             |          FROM read_parquet('{SFDIR}/documents.parquet')),
+             |r AS (SELECT doc_id, source,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+             |                   doc_id) AS rk,
+             |        count(*) OVER (PARTITION BY source) AS n
+             |      FROM d)
+             |SELECT doc_id, source,
+             |  CASE WHEN rk <= floor(n::DOUBLE * 0.8::DOUBLE) THEN 1
+             |       WHEN rk <= floor(n::DOUBLE *
+             |                        (0.8::DOUBLE + 0.1::DOUBLE)) THEN 2
+             |       ELSE 3 END AS fold
+             |FROM r ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.ext.Mixing.stratifiedSplit(
+            t(s, dir, "documents").select(col("doc_id"), col("source")),
+            "doc_id", "source", Seq(0.8, 0.1, 0.1), seed = 42L)
+          .select(col("doc_id"), col("source"), col("fold"))
+          .orderBy("doc_id")),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -289,4 +289,51 @@ class MixingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 === ids2, "rerun selected a different subset")
   }
+
+  test("stratifiedSplit: exact per-stratum fold sizes, a partition, " +
+      "deterministic, repartition-invariant") {
+    val docs = skewedDocs(2000).select(col("doc_id"), col("source"))
+    val fracs = Seq(0.8, 0.1, 0.1)
+    val split = Mixing.stratifiedSplit(docs, "doc_id", "source", fracs)
+    val rows = split.collect().map(r => (r.getString(0), r.getString(1),
+      r.getInt(2)))
+    // a partition of the input: every row exactly once, folds in 1..3
+    assert(rows.length === 2000)
+    assert(rows.map(_._1).distinct.length === 2000)
+    assert(rows.forall(t => t._3 >= 1 && t._3 <= 3))
+    // EXACT sizes: fold k within stratum s == cut_k - cut_{k-1} with
+    // cut_j = floor(n_s * left-to-right cumsum) — the operator's contract
+    val bySrc = rows.groupBy(_._2)
+    for ((src, rs) <- bySrc) {
+      val n = rs.length.toLong
+      val cum = fracs.scanLeft(0.0)(_ + _).tail
+      val cuts = cum.dropRight(1).map(f => math.floor(n * f).toLong) :+ n
+      val sizes = (1 to 3).map(k => rs.count(_._3 == k).toLong)
+      val expected = cuts.zip(0L +: cuts.dropRight(1)).map(t => t._1 - t._2)
+      assert(sizes === expected, s"stratum $src sizes")
+    }
+    // deterministic + physical-layout invariant
+    val again = Mixing.stratifiedSplit(docs.repartition(17), "doc_id",
+        "source", fracs)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toMap
+    assert(rows.map(t => t._1 -> t._3).toMap === again)
+    // a different seed reshuffles membership but keeps the exact sizes
+    val other = Mixing.stratifiedSplit(docs, "doc_id", "source", fracs,
+        seed = 7L)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toMap
+    assert(other !== rows.map(t => t._1 -> t._3).toMap)
+    assert((1 to 3).map(k => other.values.count(_ == k)) ===
+      (1 to 3).map(k => rows.count(_._3 == k)))
+  }
+
+  test("stratifiedSplit: bucketed plan == single-window plan, bit-exact") {
+    val docs = skewedDocs(2000).select(col("doc_id"), col("source"))
+    val a = Mixing.stratifiedSplit(docs, "doc_id", "source",
+        Seq(0.7, 0.2, 0.1))
+      .collect().map(r => (r.getString(0), r.getInt(2))).toMap
+    val b = Mixing.stratifiedSplit(docs, "doc_id", "source",
+        Seq(0.7, 0.2, 0.1), numBuckets = 8, smallInputBytes = 0L)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toMap
+    assert(a === b)
+  }
 }

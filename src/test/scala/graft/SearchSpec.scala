@@ -265,7 +265,7 @@ class SearchSpec extends SparkSpec {
     val got = Search.retrievalMetrics(run, qrels, k = kEval)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5), r.getDouble(6)))).toMap
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
     val runLocal = run.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val qrelLocal = qrels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -274,12 +274,15 @@ class SearchSpec extends SparkSpec {
       val hits = runLocal.filter(t => t._1 == qid && t._3 <= kEval &&
         rel.contains(t._2)).sortBy(_._3)
       def r4(x: Double) = math.rint(x * 1e4) / 1e4
-      val (grel, ghits, gp, gr, gmrr, gndcg) = got(qid)
+      val (grel, ghits, gp, gr, gmrr, gap, gndcg) = got(qid)
       assert(grel === rel.size.toLong && ghits === hits.length.toLong, s"q$qid")
       assert(gp === r4(hits.length.toDouble / kEval), s"q$qid precision")
       assert(gr === r4(hits.length.toDouble / rel.size), s"q$qid recall")
       assert(gmrr === r4(hits.headOption.map(1.0 / _._3).getOrElse(0.0)),
         s"q$qid mrr")
+      val ap = hits.zipWithIndex.foldLeft(0.0) { case (a, (h, j)) =>
+        a + (j + 1).toDouble / h._3 } / rel.size
+      assert(math.abs(gap - ap) < 1e-4, s"q$qid ap")
       val dcg = hits.foldLeft(0.0)((a, h) =>
         a + 1.0 / (math.log(h._3 + 1.0) / math.log(2.0)))
       val idcg = (1 to math.min(kEval, rel.size)).foldLeft(0.0)((a, i) =>
@@ -298,15 +301,16 @@ class SearchSpec extends SparkSpec {
     val got = Search.retrievalMetrics(run, qrels, k = 2)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5),
-          r.getDouble(6)))).toMap
+          r.getDouble(6), r.getDouble(7)))).toMap
     // query 1: judged but no hits -> all-zero metrics, still a row
-    assert(got(1L) === ((1L, 0L, 0.0, 0.0, 0.0)))
+    assert(got(1L) === ((1L, 0L, 0.0, 0.0, 0.0, 0.0)))
     // query 2: 1 hit of 3 relevant at rank 1; idcg over min(k=2, 3)=2
     val idcg2 = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
     assert(got(2L)._1 === 3L && got(2L)._2 === 1L)
     assert(got(2L)._3 === math.rint(1.0 / 3.0 * 1e4) / 1e4) // recall
     assert(got(2L)._4 === 1.0)                              // mrr
-    assert(got(2L)._5 === math.rint(1.0 / idcg2 * 1e4) / 1e4)
+    assert(got(2L)._5 === math.rint(1.0 / 3.0 * 1e4) / 1e4) // ap = (1/1)/3
+    assert(got(2L)._6 === math.rint(1.0 / idcg2 * 1e4) / 1e4)
     // query 9 has no judgments: no row
     assert(!got.contains(9L) && got.size === 2)
   }

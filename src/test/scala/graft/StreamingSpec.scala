@@ -390,6 +390,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SemDeDup: monotone batches == batch semDedup, with " +
+      "shuffled in-batch arrival; replay state survives") {
+    import graft.streaming.StreamingSemDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val e = sf("sf0.001", "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val cents = e.filter(col("vec_id").isin(0L, 3L, 11L, 17L))
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Double](0).toSeq).toIndexedSeq
+      val tau = 0.35
+      val rows = e.as[(Long, Seq[Double])].collect().sortBy(_._1)
+      // three monotone-id batches, each REVERSED so arrival order inside
+      // a batch contradicts id order (the processor must sort)
+      val batches = rows.grouped(rows.length / 3 + 1).toSeq.map(_.reverse)
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = StreamingSemDedup.kept(
+          input.toDF().toDF("vec_id", "embedding"),
+          "vec_id", "embedding", cents, threshold = tau)
+        .writeStream.format("memory").queryName("semdedup_kept")
+        .outputMode(OutputMode.Append()).start()
+      for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("semdedup_kept")
+        .as[(Long, Int)].collect().toMap
+      val batch = graft.ext.Dedup.semDedup(e, "vec_id", "embedding", cents,
+          threshold = tau)
+        .select("vec_id", "cluster_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === batch,
+        "stream over monotone batches must equal the batch operator")
+      assert(got.size < rows.length,
+        "sf0.001 embeddings should contain semantic dups")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TTL state: duplicate key dropped within TTL, accepted again after expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
