@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|search|search-build|search-append|search-stream|semdedup|split]
+ *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|search|search-build|search-append|search-stream|search-compact|semdedup|split]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -43,7 +43,7 @@ object Main {
     "mix-phases", "pack-loader-cols",
     "query", "topk", "embeddings", "search-vec-id", "search-vec-id-col",
     "search-kcand", "search-index", "search-buckets",
-    "split-by", "split-fractions", "split-seed")
+    "split-by", "split-fractions", "split-seed", "semdedup-centroids")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -99,7 +99,8 @@ object Main {
       m.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val cfg = GraftConfig(
       input = if (Set("compact", "validate", "ann-compact", "ann-drift",
-                      "ann-split", "ann-maintain", "ann-strip")(m("mode")) ||
+                      "ann-split", "ann-maintain", "ann-strip",
+                      "search-compact")(m("mode")) ||
                   // an indexed search never touches the corpus
                   (m("mode") == "search" && m.contains("search-index")))
                 m.getOrElse("input", "")
@@ -113,7 +114,7 @@ object Main {
         case "install" | "validate" | "multi" | "pack" |
              "quality-train" | "quality-score" | "train-centroids" |
              "search" | "semdedup" | "search-build" | "search-append" |
-             "search-stream" | "split" =>
+             "search-stream" | "search-compact" | "split" =>
           m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
@@ -272,6 +273,8 @@ object Main {
             // standing ANN index for cross-run semantic dedup (embedding
             // method): prior-run near-dups drop, survivors get indexed
             annIndexDir = raw.get("ann-index"),
+            // frozen centroid artifact for --neardup-method semantic
+            semDedupCentroids = raw.get("semdedup-centroids"),
             // connected-components drop policy: one representative per
             // TRANSITIVE duplicate cluster (vs pairwise higher-id drop)
             clusterDrop = raw.get("neardup-clusters").exists(_.toBoolean),
@@ -810,6 +813,13 @@ object Main {
           val n = spark.read.parquet(s"${cfg.outDir}/postings").count()
           println(s"postings index maintained from stream: ${cfg.outDir} " +
             s"($n postings)")
+        case "search-compact" =>
+          // streaming/append maintenance leaves one file per (bucket,
+          // batch); rewrite to ~one per bucket and fold the stream's
+          // stats deltas into the base record (atomic swap, count-gated)
+          val (before, after) =
+            graft.ext.Search.compactPostingsIndex(spark, cfg.outDir)
+          println(s"postings index compacted: $before -> $after files")
         case "search-build" | "search-append" =>
           // persisted BM25 postings index lifecycle (the ann-build/append
           // twin for full text): --out is the index DIRECTORY

@@ -328,15 +328,30 @@ object Dedup {
                cents: IndexedSeq[Seq[Double]], threshold: Double,
                roundTo: Int = 4): DataFrame = {
     val labeled = Similarity.assignClustersWith(docs, vecCol, cents)
+    val dropped = semDedupPairs(docs, idCol, vecCol, cents, threshold, roundTo)
+      .select(col("id_b").as(idCol)).distinct()
+    labeled.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[semDedup]]'s candidate pairs in the near-dup pair shape
+    * `(id_a, id_b)` with `id_a < id_b` — the form the pipeline's shared
+    * drop policies (pairwise higher-id / clusterDrop components) consume,
+    * so `nearDupMethod = "semantic"` plugs into
+    * [[graft.pipeline.CorpusPipeline]] exactly like the minhash and LSH
+    * methods. Same cluster-label blocking key, same rounded-cosine
+    * threshold. */
+  def semDedupPairs(docs: DataFrame, idCol: String, vecCol: String,
+                    cents: IndexedSeq[Seq[Double]], threshold: Double,
+                    roundTo: Int = 4): DataFrame = {
+    val labeled = Similarity.assignClustersWith(docs, vecCol, cents)
     val slim = labeled.select(col(idCol).as("_id"), col("cluster_id").as("_cl"),
       Similarity.unitize(col(vecCol).cast("array<double>")).as("_uv"))
-    val a = slim.select(col("_id").as("_ida"), col("_cl"), col("_uv").as("_uva"))
-    val b = slim.select(col("_id").as("_idb"), col("_cl"), col("_uv").as("_uvb"))
-    val dropped = a.join(b, Seq("_cl"))
-      .filter(col("_ida") < col("_idb") &&
+    val a = slim.select(col("_id").as("id_a"), col("_cl"), col("_uv").as("_uva"))
+    val b = slim.select(col("_id").as("id_b"), col("_cl"), col("_uv").as("_uvb"))
+    a.join(b, Seq("_cl"))
+      .filter(col("id_a") < col("id_b") &&
         round(Similarity.dot(col("_uva"), col("_uvb")), roundTo) >= threshold)
-      .select(col("_idb").as(idCol)).distinct()
-    labeled.join(dropped, Seq(idCol), "left_anti")
+      .select("id_a", "id_b")
   }
 
   def dropNearDupClusters(docs: DataFrame, idCol: String,

@@ -368,6 +368,58 @@ object Search {
       .select("doc_id", "rank", "score")
   }
 
+  /**
+   * Compact a postings index: append/streaming maintenance leaves one
+   * file per (bucket, batch) — rewrite back to ~one file per bucket with
+   * the [[Similarity.compactIndex]] verify-then-atomic-swap discipline
+   * (full row-count check on the rewritten tree; the live `postings/`
+   * swaps only after it passes, and a failed swap restores the original).
+   * The streaming maintainer's `batch_stats/` deltas fold into the base
+   * stats record afterwards, so a long-lived stream's per-batch rows
+   * don't accumulate into query-time reads. Offline maintenance op, like
+   * `ann-compact`: not concurrent with commits. Returns (files before,
+   * files after). */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): (Long, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val post = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val newDir = new org.apache.hadoop.fs.Path(s"$dir/postings-compacting")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$dir/postings-precompact")
+    fs.delete(newDir, true); fs.delete(oldDir, true)
+    def countFiles(p: org.apache.hadoop.fs.Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map { st =>
+        if (st.isDirectory) countFiles(st.getPath)
+        else if (st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith(".")) 0L else 1L
+      }.sum
+    val before = countFiles(post)
+    // effective stats BEFORE touching anything (base + streaming deltas)
+    val (n, t, buckets) = readStats(spark, dir)
+    val data = spark.read.parquet(post.toString)
+    val total = data.count()
+    data.repartition(buckets, col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(newDir.toString)
+    val rewritten = spark.read.parquet(newDir.toString).count()
+    if (rewritten != total) {
+      fs.delete(newDir, true)
+      throw new IllegalStateException(s"postings compaction aborted: " +
+        s"rewrote $rewritten of $total rows; postings left intact")
+    }
+    if (!fs.rename(post, oldDir))
+      throw new IllegalStateException(s"could not stage $post aside")
+    if (!fs.rename(newDir, post)) {
+      fs.rename(oldDir, post)
+      throw new IllegalStateException("swap failed; original postings restored")
+    }
+    fs.delete(oldDir, true)
+    // fold the streaming deltas into the base record, then retire them
+    writeStats(spark, dir, n, t, buckets)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch_stats"), true)
+    (before, countFiles(post))
+  }
+
   // ------------------------------------------------------------------
   // Retrieval evaluation: the metrics side of the search family
   // ------------------------------------------------------------------

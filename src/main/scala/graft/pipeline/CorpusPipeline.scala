@@ -104,6 +104,7 @@ object CorpusPipeline {
           nearDupMethod: String = "minhash",
           embeddingCol: String = "embedding",
           annIndexDir: Option[String] = None,
+          semDedupCentroids: Option[String] = None,
           clusterDrop: Boolean = false,
           stripSpans: Boolean = false,
           spanK: Int = 10, spanMinDocs: Int = 2,
@@ -282,8 +283,21 @@ object CorpusPipeline {
           case _ =>
             exact.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
         }
+      case "semantic" =>
+        // SemDeDup as a pipeline stage: frozen-centroid labels bound the
+        // pairing (the artifact is the blocking-key contract — frozen so
+        // reruns and the streaming twin agree); pairs feed the SAME drop
+        // policies as the other methods
+        require(exact.columns.contains(embeddingCol),
+          s"nearDupMethod=semantic needs column '$embeddingCol' on the corpus")
+        val centPath = semDedupCentroids.getOrElse(throw new
+          IllegalArgumentException("nearDupMethod=semantic needs " +
+            "semDedupCentroids (a trained centroid artifact)"))
+        Dedup.semDedupPairs(exact, idCol, embeddingCol,
+          graft.ext.Similarity.loadClusterCentroids(spark, centPath),
+          threshold = nearDupThreshold)
       case other => throw new IllegalArgumentException(
-        s"unknown nearDupMethod '$other' (minhash | embedding)")
+        s"unknown nearDupMethod '$other' (minhash | embedding | semantic)")
     }
     // cross-run near-dups: nearest indexed neighbor from any prior run
     // clears the threshold -> drop. One standing-index query per run

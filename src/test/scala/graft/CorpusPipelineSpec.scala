@@ -223,6 +223,56 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids === (0L until 40L).toSet, s"canonical-minimum law violated: $ids")
   }
 
+  test("nearDupMethod=semantic: pipeline drops == batch semDedup drops " +
+      "against the same frozen artifact") {
+    val rnd = new scala.util.Random(41)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"alpha w${rnd.nextInt(500)} beta gamma").mkString(" ")
+    val dim = 16
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(1000 + i)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Seq[Float], eps: Double, seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      v.map(x => (x + eps * r.nextGaussian()).toFloat)
+    }
+    // docs 0..3 sit EXACTLY at the 4 centroids (label margins are the
+    // inter-centroid cosines, far beyond any jitter), 4..39 are random
+    val clean = (0L until 40L).map { i =>
+      val v = if (i < 4) vec(100 + i.toInt) else vec(i.toInt)
+      (i, sentence(12), v)
+    }
+    // semantic paraphrases of docs 0..3: fresh text, near-identical
+    // vectors — guaranteed same frozen label as their originals
+    val paraphrases = (0L until 4L).map(i =>
+      (i + 700L, sentence(12), jitter(vec(100 + i.toInt), 0.01, 800 + i.toInt)))
+    val input = Files.createTempDirectory("graft-cp-sem-in").toString
+    val all = (clean ++ paraphrases).toDF("doc_id", "text", "embedding")
+    all.write.mode("overwrite").parquet(input)
+    // frozen centroid artifact (same layout as an index's centroids/)
+    val centPath = Files.createTempDirectory("graft-cp-sem-cent").toString
+    (0 until 4).map(c => (c, vec(100 + c).map(_.toDouble)))
+      .toDF("cent_id", "centv").write.mode("overwrite").parquet(centPath)
+    val out = Files.createTempDirectory("graft-cp-sem").toString
+    val st = CorpusPipeline.run(spark, input, out, "c_sem",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      nearDupThreshold = 0.95, bpeMerges = 60, bpeMaxWords = 2000,
+      nearDupMethod = "semantic", semDedupCentroids = Some(centPath))
+    // law: the pipeline's kept ids == the standalone operator's kept ids
+    // on the same corpus/artifact/threshold (the quality gate kept all 45)
+    val cents = graft.ext.Similarity.loadClusterCentroids(spark, centPath)
+    val expected = graft.ext.Dedup.semDedup(all, "doc_id", "embedding",
+        cents, threshold = 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = spark.read.parquet(s"$out/c_sem/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(st.afterNearDup === expected.size.toLong, s"stats: $st")
+    assert(ids === expected, "pipeline kept set != semDedup kept set")
+    // the 4 planted paraphrases are among the drops
+    assert((700L until 704L).forall(!ids.contains(_)))
+  }
+
   test("clusterDrop: star component keeps one representative; pairwise keeps both spokes") {
     val rnd = new scala.util.Random(67)
     def sentence(n: Int) =

@@ -245,6 +245,40 @@ class SearchSpec extends SparkSpec {
     assert(again === scan, "replayed commit changed query results")
   }
 
+  test("postings compaction: fewer files, stats deltas folded, queries " +
+      "bit-identical") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25cpt").toString
+    Search.buildPostingsIndex(docs.filter(col("doc_id") < 150),
+      "doc_id", "text", dir, buckets = 8)
+    // two streaming commits -> one file per (bucket, batch) + 2 deltas
+    graft.streaming.PostingsIndexStream.commitBatch(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 320), 1L, dir,
+      "doc_id", "text")
+    graft.streaming.PostingsIndexStream.commitBatch(
+      docs.filter(col("doc_id") >= 320), 2L, dir, "doc_id", "text")
+    val before = Search.indexedBm25TopK(spark, dir, "spark window merge",
+        k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val (b, a) = Search.compactPostingsIndex(spark, dir)
+    assert(a < b, s"compaction should shrink the file count ($b -> $a)")
+    // the stream's stats deltas folded into the base record and retired
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch_stats")))
+    val st = spark.read.parquet(s"$dir/stats").head()
+    assert(st.getAs[Long]("n_docs") === docs.count())
+    // queries bit-identical across the rewrite, and still == corpus scan
+    val after = Search.indexedBm25TopK(spark, dir, "spark window merge",
+        k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(after === before)
+    val scan = Search.bm25TopK(docs, "doc_id", "text", "spark window merge",
+        k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(after === scan)
+  }
+
   test("retrievalMetrics matches an independent driver-side recomputation " +
       "over a real BM25 run") {
     val docs = sf("sf0.001", "documents")
