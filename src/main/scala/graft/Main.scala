@@ -366,6 +366,9 @@ object Main {
               nearDupThreshold = raw.getOrElse("neardup-threshold", "0.9").toDouble,
               annIndexDir = raw.get("ann-index"),
               embeddingCol = raw.getOrElse("embedding-col", "embedding"),
+              // frozen centroid artifact: streaming SemDeDup stage (the
+              // batch pipeline's --neardup-method semantic twin)
+              semDedupCentroids = raw.get("semdedup-centroids"),
               stripSpans = raw.get("strip-spans").exists(_.toBoolean),
               spanK = raw.getOrElse("span-window", "10").toInt,
               spanMinDocs = raw.getOrElse("span-min-docs", "2").toInt,

@@ -62,6 +62,7 @@ object StreamingCorpus {
                     numHashes: Int = 32, bands: Int = 8, shingleK: Int = 3,
                     annIndexDir: Option[String] = None,
                     embeddingCol: String = "embedding",
+                    semDedupCentroids: Option[String] = None,
                     stripSpans: Boolean = false,
                     spanK: Int = 10, spanMinDocs: Int = 2,
                     decontamBench: Option[String] = None,
@@ -303,7 +304,57 @@ object StreamingCorpus {
           .select(col("qid").as("doc_id")).distinct()
       case None => spark.range(0).select(col("id").as("doc_id"))
     }
-    val dropIds = vsPrior.unionByName(vsBatch).unionByName(vsIndex).distinct()
+    // 3.6 frozen-centroid SemDeDup across the accumulated stream
+    //     (semDedupCentroids — the streaming twin of the batch pipeline's
+    //     nearDupMethod="semantic"): label this batch's fresh docs with
+    //     the FROZEN artifact (per-batch retraining would drift the
+    //     blocking key), then drop a doc when an earlier row of its
+    //     cluster — a prior batch's SEEN member or a smaller-id row of
+    //     this batch — has rounded cosine >= nearDupThreshold. State
+    //     appends carry ALL of the batch's labeled rows, kept AND
+    //     dropped: the batch operator's drop rule references earlier
+    //     dropped rows too, so survivor-only state (the band state's
+    //     convention) would diverge from CorpusPipeline's semantic path.
+    val semDir = s"$outDir/state/semdedup"
+    val (vsSem, semBatchRows) = cfg.semDedupCentroids match {
+      case Some(path) =>
+        require(fresh.columns.contains(cfg.embeddingCol),
+          s"semDedupCentroids needs column '${cfg.embeddingCol}' on the stream")
+        val cents = centroidCache.computeIfAbsent(path,
+          p => graft.ext.Similarity.loadClusterCentroids(spark, p))
+        val labeled = graft.ext.Similarity
+          .assignClustersWith(fresh, cfg.embeddingCol, cents)
+          .select(col(cfg.idCol).as("doc_id"), col("cluster_id"),
+            graft.ext.Similarity.unitize(col(cfg.embeddingCol)
+              .cast("array<double>")).as("uv"))
+        val prior = stateRead(spark, semDir, labeled).map(_
+          .filter(col("batch_id") =!= batchId) // replay: own rows invisible
+          .select(col("doc_id").as("prior_id"), col("cluster_id"),
+            col("uv").as("_puv")).distinct())
+        val vsPriorSem = prior match {
+          case Some(p) => labeled.join(p, Seq("cluster_id"))
+            .filter(col("prior_id") < col("doc_id") &&
+              round(graft.ext.Similarity.dot(col("uv"), col("_puv")), 4)
+                >= cfg.nearDupThreshold)
+            .select("doc_id").distinct()
+          case None => spark.range(0).select(col("id").as("doc_id"))
+        }
+        val la = labeled.select(col("doc_id").as("_aid"), col("cluster_id"),
+          col("uv").as("_ua"))
+        val lb = labeled.select(col("doc_id"), col("cluster_id"),
+          col("uv").as("_ub"))
+        val inBatchSem = la.join(lb, Seq("cluster_id"))
+          .filter(col("_aid") < col("doc_id") &&
+            round(graft.ext.Similarity.dot(col("_ua"), col("_ub")), 4)
+              >= cfg.nearDupThreshold)
+          .select("doc_id").distinct()
+        (vsPriorSem.unionByName(inBatchSem).distinct(), Some(labeled))
+      case None =>
+        (spark.range(0).select(col("id").as("doc_id")),
+          None: Option[DataFrame])
+    }
+    val dropIds = vsPrior.unionByName(vsBatch).unionByName(vsIndex)
+      .unionByName(vsSem).distinct()
     val dedupSurvivors = sigged.join(
       dropIds.withColumnRenamed("doc_id", cfg.idCol), Seq(cfg.idCol), "left_anti")
 
@@ -496,6 +547,10 @@ object StreamingCorpus {
     // batch-tagged rows are deduplicated on read)
     spanBatchDf.foreach(_.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).parquet(spanDir))
+    // semdedup-state append: ALL of this batch's labeled rows (kept AND
+    // dropped — see stage 3.6; batch-tagged, deduplicated on read)
+    semBatchRows.foreach(_.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).parquet(semDir))
     // mix-state append: this batch's per-source mass + accepted spend
     // (identical rows on replay — deduplicated on read like the others)
     mixBatchRows.foreach { rows =>

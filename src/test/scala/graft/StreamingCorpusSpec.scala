@@ -58,6 +58,78 @@ class StreamingCorpusSpec extends SparkSpec {
       graft.functions.EsMurmur3.shard(r.getString(0), 2) == r.getInt(1)))
   }
 
+  test("semDedupCentroids: monotone stream == batch semDedup, including " +
+      "drops vs earlier DROPPED rows; replay identical") {
+    val rnd = new scala.util.Random(47)
+    def sentence() =
+      (0 until 12).map(_ => s"the w${rnd.nextInt(500)} of and to a").mkString(" ")
+    val dim = 16
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(2000 + i)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    // chain on a plane: a (angle 0) ~ x (θ) ~ y (2θ) with cos θ = 0.96 ≥
+    // τ = 0.95 but cos 2θ ≈ 0.843 < τ — x drops against a, and y must
+    // drop against x EVEN THOUGH x itself was dropped (the all-seen state
+    // rule; survivor-only state would keep y and diverge from the batch
+    // operator)
+    val theta = math.acos(0.96)
+    def onPlane(angle: Double): Seq[Float] = {
+      val v = new Array[Float](dim)
+      v(0) = math.cos(angle).toFloat; v(1) = math.sin(angle).toFloat
+      v.toSeq
+    }
+    val in = Files.createTempDirectory("graft-ssem-in").toString
+    val out = Files.createTempDirectory("graft-ssem-out").toString
+    val ckpt = Files.createTempDirectory("graft-ssem-ck").toString
+    val centPath = Files.createTempDirectory("graft-ssem-cent").toString
+    ((0 -> onPlane(0.0).map(_.toDouble)) +:
+      (1 until 4).map(c => c -> vec(300 + c).map(_.toDouble)))
+      .toDF("cent_id", "centv").write.mode("overwrite").parquet(centPath)
+    val b1 = (0L until 15L).map(i =>
+      (i, sentence(), if (i == 5L) onPlane(0.0) else vec(i.toInt)))
+    val b2 = Seq((700L, sentence(), onPlane(theta))) ++
+      (15L until 19L).map(i => (i + 700L, sentence(), vec(i.toInt)))
+    val b3 = Seq((800L, sentence(), onPlane(2 * theta)),
+      (801L, sentence(), vec(50)))
+    val schema = b1.toDF("doc_id", "text", "embedding").schema
+    val cfg = StreamingCorpus.Config(numShards = 2, qualityMin = 0.3,
+      nearDupThreshold = 0.95, semDedupCentroids = Some(centPath))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = StreamingCorpus.start(stream, out, ckpt, cfg)
+      q.awaitTermination(120000)
+    }
+    def accepted(): Set[Long] = spark.read
+      .schema(graft.streaming.BundleStream.bundleSchema).json(s"$out/data")
+      .select("_id").collect().map(_.getString(0).toLong).toSet
+    b1.toDF("doc_id", "text", "embedding").write.mode("overwrite").parquet(in)
+    drain()
+    b2.toDF("doc_id", "text", "embedding").write.mode("append").parquet(in)
+    drain()
+    b3.toDF("doc_id", "text", "embedding").write.mode("append").parquet(in)
+    drain()
+    val got = accepted()
+    // law: the stream's accepted set == the batch operator over the
+    // concatenated corpus (texts are distinct, so the exact/minhash
+    // stages pass everything through — the semantic stage is the filter)
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text", "embedding")
+    val cents = graft.ext.Similarity.loadClusterCentroids(spark, centPath)
+    val expected = graft.ext.Dedup.semDedup(all, "doc_id", "embedding",
+        cents, threshold = 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected, s"stream != batch semDedup: got $got")
+    // the chain: x (700) dropped against a (5); y (800) dropped against
+    // the DROPPED x — only possible because state keeps non-survivors
+    assert(!got.contains(700L) && !got.contains(800L) && got.contains(5L))
+    // replay: re-running the LAST batch's processing is a no-op (state
+    // reads exclude the batch's own rows; bundle commits are
+    // rename-if-absent)
+    StreamingCorpus.processBatch(
+      spark.read.parquet(in).filter(col("doc_id") >= 800L), 2L, out, cfg)
+    assert(accepted() === expected, "replayed batch changed the output")
+  }
+
   test("annIndexDir: semantic dedup vs the standing index across batches") {
     val rnd = new scala.util.Random(73)
     def sentence() =
