@@ -421,6 +421,73 @@ object Search {
   }
 
   // ------------------------------------------------------------------
+  // Serving-side companions: highlights and facets (the other two
+  // thirds of an ES search response: hits + highlight + aggregations)
+  // ------------------------------------------------------------------
+
+  /**
+   * Match highlighting: for every document matching ≥1 query term, one
+   * row per PRESENT term with its first occurrence position (0-based
+   * token index) and a ±`window`-token snippet centered on it —
+   * `(doc_id, term, pos, snippet)`. Pure integer/array arithmetic over
+   * the shared tokenization law, so an oracle reproduces it exactly.
+   * Map-only: terms are a literal array, the per-term position is an
+   * `array_position` projection, and the snippet a bounded `slice` —
+   * no explode of the corpus tokens, no shuffle. Compose with
+   * [[bm25TopK]] by joining on the top-k ids (highlight k docs, not the
+   * corpus) — the operator takes any doc frame.
+   */
+  def highlights(docs: DataFrame, idCol: String, textCol: String,
+                 query: String, window: Int = 3): DataFrame = {
+    require(window >= 0, "window must be non-negative")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val tok = tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), tok.as("_w"))
+      .select(col("doc_id"), col("_w"),
+        explode(array(terms.map(lit): _*)).as("term"))
+      .withColumn("_p1", array_position(col("_w"), col("term"))) // 1-based, 0 = absent
+      .filter(col("_p1") > 0)
+      .select(col("doc_id"), col("term"),
+        (col("_p1") - 1).cast("int").as("pos"),
+        array_join(slice(col("_w"),
+          greatest(col("_p1") - window, lit(1L)).cast("int"),
+          // center the window: length = (pos + window) - start + 1
+          ((col("_p1") + window) -
+            greatest(col("_p1") - window, lit(1L)) + 1).cast("int")), " ")
+          .as("snippet"))
+  }
+
+  /**
+   * Facet counts over the MATCHED set — the aggregations half of an ES
+   * search response: for each facet column, the top-`topN` values by
+   * document count (ties to the smaller value) among documents matching
+   * ≥1 query term. `(facet, value, docs, rank)`. One matched-set scan
+   * per facet column (map-only match test, small per-facet aggregate);
+   * null facet values count under their own bucket like ES `missing`.
+   */
+  def facets(docs: DataFrame, textCol: String, query: String,
+             facetCols: Seq[String], topN: Int = 10): DataFrame = {
+    require(facetCols.nonEmpty, "need at least one facet column")
+    require(topN > 0, "topN must be positive")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val tok = tokens(col(textCol))
+    val matchedPred = terms.map(t => when(array_contains(tok, t), 1)
+      .otherwise(0)).reduce(_ + _) > 0
+    val matched = docs.filter(matchedPred)
+    facetCols.map { f =>
+      val counted = matched.groupBy(col(f).cast("string").as("value"))
+        .agg(count(lit(1)).as("docs"))
+      counted.select(lit(f).as("facet"), col("value"), col("docs"),
+          row_number().over(Window.orderBy(col("docs").desc,
+            col("value").asc_nulls_first)).as("rank"))
+        .filter(col("rank") <= topN)
+    }.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------------
   // Retrieval evaluation: the metrics side of the search family
   // ------------------------------------------------------------------
 

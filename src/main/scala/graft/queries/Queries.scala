@@ -2256,6 +2256,57 @@ object Queries {
             "doc_id", "source", Seq(0.8, 0.1, 0.1), seed = 42L)
           .select(col("doc_id"), col("source"), col("fold"))
           .orderBy("doc_id")),
+
+    // ---- match highlighting (the `highlight` block of an ES response):
+    //      first-occurrence position per present query term + a ±3-token
+    //      snippet, pure integer/array arithmetic over the shared
+    //      tokenization law — DuckDB recomputes positions and snippets
+    //      from the raw text exactly (list_position / inclusive list
+    //      slicing vs array_position / slice). ----
+    QueryDef("q93_search_highlights",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |t AS (SELECT unnest(['merge', 'spark', 'window']) AS term),
+             |m AS (SELECT doc_id, w, term, list_position(w, term) AS p1
+             |      FROM docs CROSS JOIN t)
+             |SELECT doc_id, term, CAST(p1 - 1 AS INT) AS pos,
+             |  array_to_string(w[greatest(p1 - 3, 1) : p1 + 3], ' ') AS snippet
+             |FROM m WHERE p1 IS NOT NULL AND p1 > 0
+             |ORDER BY doc_id, term""".stripMargin),
+      (s, dir) => graft.ext.Search.highlights(
+          t(s, dir, "documents"), "doc_id", "text", "spark window merge",
+          window = 3)
+        .orderBy("doc_id", "term")),
+
+    // ---- facet counts over the matched set (the `aggregations` block of
+    //      an ES response): per facet column, top-5 values by matched-doc
+    //      count with smaller-value tie-breaks — integer counts, fully
+    //      DuckDB-recomputable. ----
+    QueryDef("q94_search_facets",
+      Some("""WITH docs AS (
+             |  SELECT source, lang,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |m AS (SELECT * FROM docs
+             |      WHERE list_contains(w, 'join') OR list_contains(w, 'stream')),
+             |u AS (
+             |  SELECT 'source' AS facet, source AS value, count(*) AS docs
+             |  FROM m GROUP BY source
+             |  UNION ALL
+             |  SELECT 'lang', lang, count(*) FROM m GROUP BY lang),
+             |r AS (SELECT facet, value, docs,
+             |        row_number() OVER (PARTITION BY facet
+             |          ORDER BY docs DESC, value ASC NULLS FIRST) AS rank
+             |      FROM u)
+             |SELECT facet, value, docs, rank FROM r
+             |WHERE rank <= 5 ORDER BY facet, rank""".stripMargin),
+      (s, dir) => graft.ext.Search.facets(
+          t(s, dir, "documents"), "text", "join stream",
+          Seq("source", "lang"), topN = 5)
+        .orderBy("facet", "rank")),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -349,6 +349,60 @@ class SearchSpec extends SparkSpec {
     assert(!got.contains(9L) && got.size === 2)
   }
 
+  test("highlights: first-occurrence positions and centered snippets " +
+      "match a driver-side recomputation; no corpus exchange") {
+    val docs = sf("sf0.001", "documents")
+    val w = 3
+    val got = Search.highlights(docs, "doc_id", "text", "spark window merge",
+        window = w)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    def tok(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val expected = (for {
+      (id, Some(text)) <- rows
+      t <- Seq("merge", "spark", "window")
+      ws = tok(text)
+      p = ws.indexOf(t) if p >= 0
+    } yield (id, t) -> ((p,
+      ws.slice(math.max(0, p - w), p + w + 1).mkString(" ")))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // snippets contain their term; positions are exact token indices
+    got.foreach { case ((_, t), (_, snip)) =>
+      assert(snip.split(" ").contains(t)) }
+    val plan = Search.highlights(docs, "doc_id", "text", "spark merge")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"highlighting must be map-only:\n$plan")
+  }
+
+  test("facets: matched-set value counts match a driver-side recomputation") {
+    val docs = sf("sf0.001", "documents")
+    val got = Search.facets(docs, "text", "join stream",
+        Seq("source", "lang"), topN = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    def tok(s: String) =
+      if (s == null) Seq.empty
+      else s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val matched = docs.select("text", "source", "lang").collect()
+      .filter { r =>
+        val ws = tok(r.getString(0)); ws.contains("join") || ws.contains("stream")
+      }
+    for (f <- Seq("source", "lang")) {
+      val counts = matched.groupBy(r =>
+          Option(r.getString(if (f == "source") 1 else 2)))
+        .map { case (v, rs) => v -> rs.length.toLong }.toSeq
+        .sortBy { case (v, n) => (-n, v.getOrElse("")) }
+        .take(5)
+      val gf = got.filter(_._1 == f).sortBy(_._4)
+      assert(gf.map(t => (Option(t._2), t._3)) === counts, s"facet $f")
+      assert(gf.map(_._4) === (1 to gf.length))
+    }
+  }
+
   test("tokenization law: shared with Decontaminate, empty/null safe") {
     val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
