@@ -43,7 +43,8 @@ object Main {
     "mix-phases", "pack-loader-cols",
     "query", "topk", "embeddings", "search-vec-id", "search-vec-id-col",
     "search-kcand", "search-index", "search-buckets",
-    "split-by", "split-fractions", "split-seed", "semdedup-centroids")
+    "split-by", "split-fractions", "split-seed", "semdedup-centroids",
+    "facets", "facets-topn", "highlight", "highlight-window")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -780,6 +781,28 @@ object Main {
           val top = spark.read.parquet(outP).orderBy("rank").collect()
           println(s"search results: ${top.length} rows -> $outP")
           top.take(10).foreach(r => println(s"  $r"))
+          // serving-side companions (both need the corpus text: --input)
+          raw.get("facets").foreach { fcols =>
+            require(cfg.input.nonEmpty, "--facets needs --input (the corpus)")
+            val f = graft.ext.Search.facets(docs, textCol, query,
+              fcols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              topN = raw.getOrElse("facets-topn", "10").toInt)
+            f.write.mode("overwrite").parquet(s"${cfg.outDir}/facets")
+            println(s"facets -> ${cfg.outDir}/facets")
+            f.orderBy("facet", "rank").collect()
+              .foreach(r => println(s"  $r"))
+          }
+          if (raw.get("highlight").exists(_.toBoolean)) {
+            require(cfg.input.nonEmpty, "--highlight needs --input (the corpus)")
+            val h = graft.ext.Search.highlights(docs, idCol, textCol, query,
+                window = raw.getOrElse("highlight-window", "3").toInt)
+              .join(spark.read.parquet(outP).select("doc_id"), Seq("doc_id"))
+            h.write.mode("overwrite").parquet(s"${cfg.outDir}/highlights")
+            val hs = spark.read.parquet(s"${cfg.outDir}/highlights")
+              .orderBy("doc_id", "term").collect()
+            println(s"highlights: ${hs.length} rows -> ${cfg.outDir}/highlights")
+            hs.take(10).foreach(r => println(s"  $r"))
+          }
         case "split" =>
           // exact stratified train/val/test split: fold k gets EXACTLY
           // floor-of-cumsum ranks within each stratum (portable md5
