@@ -552,6 +552,49 @@ object Search {
   }
 
   /**
+   * Graded-relevance nDCG@k — the TREC-style companion of
+   * [[retrievalMetrics]]' binary nDCG: qrels carry an integer `grade`
+   * (0 = not relevant; rows with grade ≤ 0 are ignored), gains are
+   * `2^grade − 1`, DCG = Σ_{judged hits} gain/log2(rank+1), and IDCG
+   * re-ranks the query's own grade multiset descending over ideal
+   * positions 1..min(k, judged). One row per judged query:
+   * `(query_id, judged, hits, dcg, idcg, ndcg)`.
+   *
+   * Determinism: both folds run over SORTED arrays (hits by ascending
+   * rank; ideal gains by descending grade) with pinned float order, the
+   * [[retrievalMetrics]] discipline — an oracle folding in the same
+   * order reproduces every value bit for bit.
+   */
+  def gradedNdcg(run: DataFrame, qrels: DataFrame, k: Int,
+                 roundTo: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rel = qrels.select(col("query_id"), col("doc_id"),
+        col("grade").cast("int").as("grade"))
+      .filter(col("grade") > 0).distinct()
+    val relAgg = rel.groupBy("query_id").agg(
+      count(lit(1)).as("judged"),
+      reverse(sort_array(collect_list(col("grade")))).as("_grades"))
+    val hit = run.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"),
+        sort_array(collect_list(struct(col("rank"), col("grade"))))
+          .as("_hits"))
+    // gains fold over ascending ranks; ideal fold over descending grades
+    val dcg = expr("aggregate(_hits, 0D, (a, h) -> " +
+      "a + (pow(2.0D, h.grade) - 1.0D) / log2(h.rank + 1))")
+    val idcg = expr(s"aggregate(slice(_grades, 1, int(least($k, judged))), " +
+      "named_struct('s', 0D, 'i', 0), (a, g) -> named_struct(" +
+      "'s', a.s + (pow(2.0D, g) - 1.0D) / log2(a.i + 2), 'i', a.i + 1)).s")
+    relAgg.join(hit, Seq("query_id"), "left")
+      .select(col("query_id"), col("judged"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(dcg, lit(0.0)), roundTo).as("dcg"),
+        round(idcg, roundTo).as("idcg"),
+        round(coalesce(dcg / idcg, lit(0.0)), roundTo).as("ndcg"))
+  }
+
+  /**
    * Hybrid BM25 + vector search with reciprocal-rank fusion — the
    * published ES/OpenSearch hybrid ranking: each ranker contributes
    * 1/(rrfK + rank) over its top `kCand` candidates, fused score summed

@@ -2307,6 +2307,82 @@ object Queries {
           t(s, dir, "documents"), "text", "join stream",
           Seq("source", "lang"), topN = 5)
         .orderBy("facet", "rank")),
+
+    // ---- graded-relevance nDCG (TREC gains 2^g − 1): the q91 portable
+    //      run with modulus GRADED qrels, one class all-zero-grades to
+    //      pin the grade≤0 ignore rule. DCG folds ascending ranks, IDCG
+    //      folds the grade multiset descending — both matched in DuckDB
+    //      with list_reduce over the identically-sorted lists, and 2^int
+    //      gains are EXACT doubles, so only the shared log2 touches
+    //      float parity (the q91 class, absorbed by round 4). ----
+    QueryDef("q95_graded_ndcg",
+      Some("""WITH d AS (SELECT doc_id
+             |          FROM read_parquet('{SFDIR}/documents.parquet')),
+             |q AS (SELECT unnest([1, 2, 3]) AS query_id),
+             |run AS (
+             |  SELECT query_id, doc_id, row_number() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY md5(concat(query_id, ':', doc_id)), doc_id) AS rank
+             |  FROM d CROSS JOIN q),
+             |topk AS (SELECT * FROM run WHERE rank <= 20),
+             |qrels AS (
+             |  SELECT 1 AS query_id, doc_id,
+             |         CAST(1 + doc_id % 3 AS INT) AS grade
+             |  FROM d WHERE doc_id % 7 = 0
+             |  UNION ALL SELECT 2, doc_id, CAST(1 + doc_id % 4 AS INT)
+             |  FROM d WHERE doc_id % 11 = 3
+             |  UNION ALL SELECT 3, doc_id, CAST(doc_id % 3 AS INT)
+             |  FROM d WHERE doc_id % 13 = 5),
+             |rel AS (SELECT * FROM qrels WHERE grade > 0),
+             |ra AS (SELECT query_id, count(*) AS judged,
+             |         list_sort(list(grade), 'DESC') AS grades
+             |       FROM rel GROUP BY query_id),
+             |hit AS (
+             |  SELECT t.query_id, count(*) AS hits,
+             |    list(t.rank ORDER BY t.rank) AS ranks,
+             |    list(grade ORDER BY t.rank) AS hgrades
+             |  FROM topk t JOIN rel USING (query_id, doc_id)
+             |  GROUP BY t.query_id),
+             |s AS (
+             |  SELECT ra.query_id, ra.judged, coalesce(hits, 0) AS hits,
+             |    coalesce(list_reduce(list_transform(
+             |      range(1, len(ranks) + 1),
+             |      j -> (pow(2.0::DOUBLE, hgrades[j]) - 1.0::DOUBLE)
+             |             / log2(ranks[j] + 1)), (a, b) -> a + b), 0.0) AS dcg,
+             |    list_reduce(list_transform(
+             |      range(1, least(20, ra.judged) + 1),
+             |      j -> (pow(2.0::DOUBLE, grades[j]) - 1.0::DOUBLE)
+             |             / log2(j + 1)), (a, b) -> a + b) AS idcg
+             |  FROM ra LEFT JOIN hit USING (query_id))
+             |SELECT query_id, judged, hits, round(dcg, 4) AS dcg,
+             |  round(idcg, 4) AS idcg,
+             |  round(CASE WHEN hits = 0 THEN 0.0 ELSE dcg / idcg END, 4)
+             |    AS ndcg
+             |FROM s ORDER BY query_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ids = t(s, dir, "documents").select(col("doc_id"))
+        val queryIds = s.range(1, 4).select(col("id").cast("int")
+          .as("query_id"))
+        val run = ids.crossJoin(queryIds)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(
+              md5(concat_ws(":", col("query_id"), col("doc_id"))),
+              col("doc_id"))))
+          .filter(col("rank") <= 20)
+        val qrels =
+          ids.filter(col("doc_id") % 7 === 0)
+            .select(lit(1).as("query_id"), col("doc_id"),
+              (lit(1) + col("doc_id") % 3).cast("int").as("grade"))
+          .unionAll(ids.filter(col("doc_id") % 11 === 3)
+            .select(lit(2).as("query_id"), col("doc_id"),
+              (lit(1) + col("doc_id") % 4).cast("int").as("grade")))
+          .unionAll(ids.filter(col("doc_id") % 13 === 5)
+            .select(lit(3).as("query_id"), col("doc_id"),
+              (col("doc_id") % 3).cast("int").as("grade")))
+        graft.ext.Search.gradedNdcg(run, qrels, k = 20)
+          .orderBy("query_id")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

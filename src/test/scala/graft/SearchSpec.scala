@@ -403,6 +403,39 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("gradedNdcg: TREC gains match a driver-side recomputation; " +
+      "grade<=0 ignored; zero-hit query scores 0") {
+    val run = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 11L, 3), (1L, 13L, 1), (1L, 99L, 2), // 2 hits of 3 judged
+      (2L, 20L, 0), (2L, 21L, 2),               // grade 0 ignored -> 1 hit
+      (3L, 98L, 1)).toDF("query_id", "doc_id", "grade") // judged, no hits
+    val got = Search.gradedNdcg(run, qrels, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def gain(g: Int) = math.pow(2.0, g) - 1.0
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // q1: hits (rank 2, grade 3), (rank 4, grade 1); ideal grades 3,2,1
+    val dcg1 = gain(3) / log2(3) + gain(1) / log2(5)
+    val idcg1 = gain(3) / log2(2) + gain(2) / log2(3) + gain(1) / log2(4)
+    assert(got(1L)._1 === 3L && got(1L)._2 === 2L)
+    assert(got(1L)._3 === r4(dcg1) && got(1L)._4 === r4(idcg1))
+    assert(math.abs(got(1L)._5 - dcg1 / idcg1) < 1e-4)
+    // q2: grade-0 row ignored -> judged 1, one hit at rank 2 grade 2
+    val dcg2 = gain(2) / log2(3)
+    assert(got(2L) === ((1L, 1L, r4(dcg2), r4(gain(2) / log2(2)),
+      r4(dcg2 / (gain(2) / log2(2))))))
+    // q3: judged but never retrieved -> dcg 0, ndcg 0, idcg still defined
+    assert(got(3L)._2 === 0L && got(3L)._3 === 0.0 && got(3L)._5 === 0.0)
+    assert(got(3L)._4 === r4(gain(1) / log2(2)))
+    assert(got.size === 3)
+  }
+
   test("tokenization law: shared with Decontaminate, empty/null safe") {
     val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
