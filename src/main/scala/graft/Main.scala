@@ -41,7 +41,7 @@ object Main {
     "quality-pareto-alpha", "quality-pareto-seed", "mix-cluster-k",
     "mix-cluster-centroids", "kmeans-iters", "pack-style", "pack-eod",
     "mix-phases", "pack-loader-cols",
-    "query", "topk", "embeddings", "search-vec-id", "search-vec-id-col",
+    "query", "embeddings", "search-vec-id", "search-vec-id-col",
     "search-kcand", "search-index", "search-buckets",
     "split-by", "split-fractions", "split-seed", "semdedup-centroids",
     "facets", "facets-topn", "highlight", "highlight-window")
@@ -750,6 +750,9 @@ object Main {
           val textCol = raw.getOrElse("text-col", "text")
           val idCol = Option(cfg.id).getOrElse("doc_id")
           val k = raw.getOrElse("topk", "10").toInt
+          require(!(raw.contains("embeddings") && raw.contains("search-index")),
+            "--embeddings (hybrid) and --search-index are mutually " +
+              "exclusive: the hybrid path scores BM25 on the corpus (--input)")
           lazy val docs = spark.read.parquet(cfg.input)
           val result = raw.get("embeddings") match {
             case Some(embPath) =>
@@ -794,9 +797,14 @@ object Main {
           }
           if (raw.get("highlight").exists(_.toBoolean)) {
             require(cfg.input.nonEmpty, "--highlight needs --input (the corpus)")
-            val h = graft.ext.Search.highlights(docs, idCol, textCol, query,
+            // filter to the top-k ids BEFORE highlighting: the snippet
+            // arithmetic then touches k docs, not the corpus
+            val topIds = spark.read.parquet(outP).select("doc_id")
+            val kDocs = docs.join(
+              org.apache.spark.sql.functions.broadcast(topIds),
+              docs(idCol) === topIds("doc_id"), "left_semi")
+            val h = graft.ext.Search.highlights(kDocs, idCol, textCol, query,
                 window = raw.getOrElse("highlight-window", "3").toInt)
-              .join(spark.read.parquet(outP).select("doc_id"), Seq("doc_id"))
             h.write.mode("overwrite").parquet(s"${cfg.outDir}/highlights")
             val hs = spark.read.parquet(s"${cfg.outDir}/highlights")
               .orderBy("doc_id", "term").collect()

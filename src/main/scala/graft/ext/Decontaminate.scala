@@ -190,11 +190,15 @@ object Decontaminate {
     val spark = corpus.sparkSession
     // distinct benchmark gram hashes, DISTRIBUTED (used twice: bloom
     // aggregate + verify join) — persisted, 8 bytes/gram
+    // localCheckpoint, not persist: materialized once (eager) for the two
+    // consumers (bloom aggregate + verify join), and the blocks are
+    // GC-reclaimed with the frame instead of pinned for the application's
+    // lifetime (a persist here leaks one cached hash set per call)
     val benchHashes = bench
       .select(explode(wordNgrams(col(benchTextCol), n)).as("g"))
       .select(xxhash64(col("g")).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val grams = if (expectedGrams > 0) expectedGrams
                 else math.max(benchHashes.count(), 1L)
     val bloom = benchHashes.stat.bloomFilter("h", grams, fpp)

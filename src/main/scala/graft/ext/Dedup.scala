@@ -328,7 +328,7 @@ object Dedup {
                cents: IndexedSeq[Seq[Double]], threshold: Double,
                roundTo: Int = 4): DataFrame = {
     val labeled = Similarity.assignClustersWith(docs, vecCol, cents)
-    val dropped = semDedupPairs(docs, idCol, vecCol, cents, threshold, roundTo)
+    val dropped = semDedupPairsFrom(labeled, idCol, vecCol, threshold, roundTo)
       .select(col("id_b").as(idCol)).distinct()
     labeled.join(dropped, Seq(idCol), "left_anti")
   }
@@ -342,8 +342,16 @@ object Dedup {
     * threshold. */
   def semDedupPairs(docs: DataFrame, idCol: String, vecCol: String,
                     cents: IndexedSeq[Seq[Double]], threshold: Double,
-                    roundTo: Int = 4): DataFrame = {
-    val labeled = Similarity.assignClustersWith(docs, vecCol, cents)
+                    roundTo: Int = 4): DataFrame =
+    semDedupPairsFrom(Similarity.assignClustersWith(docs, vecCol, cents),
+      idCol, vecCol, threshold, roundTo)
+
+  /** Pair join over an ALREADY-labeled frame — [[semDedup]] labels once
+    * and shares the frame (the argmax-over-nlist labeling is the per-row
+    * cost at scale; computing it twice would double the stage). */
+  private def semDedupPairsFrom(labeled: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                roundTo: Int): DataFrame = {
     val slim = labeled.select(col(idCol).as("_id"), col("cluster_id").as("_cl"),
       Similarity.unitize(col(vecCol).cast("array<double>")).as("_uv"))
     val a = slim.select(col("_id").as("id_a"), col("_cl"), col("_uv").as("_uva"))

@@ -153,8 +153,14 @@ object Search {
         col("idf") * col("tf") * lit(params.k1 + 1.0) /
           (col("tf") + lit(params.k1) *
             (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(stats.avgdl))))
+    // fixed-order sum (the module law): fold contributions in TERM order,
+    // not a commutative sum whose float addition order follows partitioning
     val scored = contrib.groupBy("query_id", "doc_id")
-      .agg(round(sum("contrib"), roundTo).as("score"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("_c"))
+      .withColumn("score", round(
+        expr("aggregate(_c, 0D, (a, x) -> a + x.contrib)"), roundTo))
+      .drop("_c")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -293,7 +299,10 @@ object Search {
   private[graft] def postings(docs: DataFrame, idCol: String, textCol: String,
                               buckets: Int): DataFrame =
     docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      // id keeps its ORIGINAL type (a silent cast("long") would null out
+      // string ids and corrupt the index with no error; parquet stores
+      // any type, and query-side grouping is type-agnostic)
+      .select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("_w"))
       .select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
         explode(col("_w")).as("term"))
@@ -334,9 +343,38 @@ object Search {
     val paths = needed.map(b => s"$root/tb=$b")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val pruned0 =
-      if (paths.isEmpty) spark.read.parquet(root).where(lit(false))
-      else spark.read.option("basePath", root).parquet(paths: _*)
-        .where(col("tb").isin(needed.map(_.asInstanceOf[Any]): _*))
+      if (paths.nonEmpty)
+        spark.read.option("basePath", root).parquet(paths: _*)
+          .where(col("tb").isin(needed.map(_.asInstanceOf[Any]): _*))
+      else {
+        // no needed bucket exists -> nothing can match. Take ANY one
+        // bucket dir for the schema (one listStatus of the root, never a
+        // full-tree listing — keeping the pruning contract above); an
+        // index with no postings at all (all-empty texts) gets a typed
+        // empty frame
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val any =
+          if (fs.exists(rootPath))
+            fs.listStatus(rootPath).filter(_.isDirectory).take(1)
+          else Array.empty[org.apache.hadoop.fs.FileStatus]
+        any.headOption match {
+          case Some(d) => spark.read.option("basePath", root)
+            .parquet(d.getPath.toString).where(lit(false))
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("dl",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("term",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("tf",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("tb",
+                org.apache.spark.sql.types.IntegerType))))
+        }
+      }
     val pruned = pruned0.where(col("term").isin(terms: _*))
     // exact per-term df in ONE bounded aggregate (|terms| longs)
     val dfRow = pruned.agg(

@@ -285,7 +285,13 @@ object PostingsIndexStream {
           .map(_.group(1)).getOrElse("0")
         val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")
         val dest = new Path(target, s"b$batchId-p$idx$suffix")
-        if (!fs.exists(dest)) fs.rename(f.getPath, dest)
+        // a silently-failed rename would DROP these postings while the
+        // stats delta still counts their docs — fail loudly instead (the
+        // foreachBatch retry re-stages and the if-absent guard makes the
+        // already-moved files a no-op)
+        if (!fs.exists(dest) && !fs.rename(f.getPath, dest))
+          throw new java.io.IOException(
+            s"postings commit rename failed: ${f.getPath} -> $dest")
       }
     }
     fs.delete(new Path(staging), true)
