@@ -161,11 +161,22 @@ object Search {
       .withColumn("score", round(
         expr("aggregate(_c, 0D, (a, x) -> a + x.contrib)"), roundTo))
       .drop("_c")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "doc_id", "rank", "score")
+    // per-query top-k as a BOUNDED partial+final aggregate, not a
+    // row_number window: a window partitioned by query_id funnels a
+    // query's ENTIRE matched set through one task (a stopword-ish term at
+    // 100 TB makes that partition corpus-sized). The k-heap aggregate
+    // keeps ≤ k rows per (task, query) map-side, shuffles ≤ k·tasks rows
+    // per query, and never sorts more than k elements in one place.
+    // Ordering law unchanged: (score desc, doc_id asc) via the negated-
+    // score struct; −(−x) restores the rounded score exactly (IEEE
+    // negation is lossless).
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("score")).as("ns"), col("doc_id")), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.ns")).as("score"))
   }
 
   /** Cosine top-k against ONE literal query vector: map-only scoring +
@@ -386,15 +397,19 @@ object Search {
         t -> (if (dfRow.isNullAt(i + 1)) 0L else dfRow.getLong(i + 1)) }.toMap)
     // pivot: each (doc, term) posting is one row, so sum(when) just
     // selects it; a doc missing a term gets tf=0.0 — contributing exactly
-    // +0.0, like the scan path's size(filter)=0
+    // +0.0, like the scan path's size(filter)=0. Pivot columns are named
+    // by the term's POSITION in the sorted term list, never by the term
+    // text itself: a term containing '.' (node.js, a URL) embedded in a
+    // column name would parse as nested-field access downstream.
     val grouped = pruned.groupBy("doc_id").agg(
       first(col("dl")).as("dl"),
-      terms.map(t => coalesce(sum(when(col("term") === t, col("tf"))),
-        lit(0.0)).as(s"tf_$t")): _*)
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("term") === t, col("tf"))), lit(0.0))
+          .as(s"_tf$i") }: _*)
     val lenNorm = lit(params.k1) *
       (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(avgdl))
-    val score = terms.map { t =>
-      val tf = col(s"tf_$t")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"_tf$i")
       lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
     }.reduce(_ + _)
     val scored = grouped
@@ -500,10 +515,16 @@ object Search {
   /**
    * Facet counts over the MATCHED set — the aggregations half of an ES
    * search response: for each facet column, the top-`topN` values by
-   * document count (ties to the smaller value) among documents matching
-   * ≥1 query term. `(facet, value, docs, rank)`. One matched-set scan
-   * per facet column (map-only match test, small per-facet aggregate);
-   * null facet values count under their own bucket like ES `missing`.
+   * document count (ties to the smaller value, NULLs first like ES
+   * `missing`) among documents matching ≥1 query term.
+   * `(facet, value, docs, rank)`.
+   *
+   * Scale shape: ONE corpus scan total — each matched row explodes into
+   * |facetCols| (facet, value) pairs (bounded fan-out, map-only), one
+   * partial+final count on (facet, value), then the per-facet top-N is
+   * the bounded [[graft.functions.TopKAgg]] k-heap — no unpartitioned
+   * rank window, so a high-cardinality facet column can never become a
+   * single-task corpus-sized sort, and F facets cost one pass, not F.
    */
   def facets(docs: DataFrame, textCol: String, query: String,
              facetCols: Seq[String], topN: Int = 10): DataFrame = {
@@ -514,15 +535,21 @@ object Search {
     val tok = tokens(col(textCol))
     val matchedPred = terms.map(t => when(array_contains(tok, t), 1)
       .otherwise(0)).reduce(_ + _) > 0
-    val matched = docs.filter(matchedPred)
-    facetCols.map { f =>
-      val counted = matched.groupBy(col(f).cast("string").as("value"))
-        .agg(count(lit(1)).as("docs"))
-      counted.select(lit(f).as("facet"), col("value"), col("docs"),
-          row_number().over(Window.orderBy(col("docs").desc,
-            col("value").asc_nulls_first)).as("rank"))
-        .filter(col("rank") <= topN)
-    }.reduce(_ unionByName _)
+    val pairs = docs.filter(matchedPred)
+      .select(explode(array(facetCols.map(f =>
+        struct(lit(f).as("facet"), col(f).cast("string").as("value"))): _*))
+        .as("_fv"))
+      .select(col("_fv.facet").as("facet"), col("_fv.value").as("value"))
+    val counted = pairs.groupBy("facet", "value")
+      .agg(count(lit(1)).as("docs"))
+    // ascending heap over (−docs, value): docs DESC, value ASC NULLS FIRST
+    // (struct ordering puts null fields first) — the ES tie-break law
+    counted.groupBy("facet")
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("docs")).as("nd"), col("value")), topN).as("_top"))
+      .select(col("facet"), posexplode(col("_top")))
+      .select(col("facet"), col("col.value").as("value"),
+        (-col("col.nd")).as("docs"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   // ------------------------------------------------------------------
@@ -606,9 +633,15 @@ object Search {
   def gradedNdcg(run: DataFrame, qrels: DataFrame, k: Int,
                  roundTo: Int = 4): DataFrame = {
     require(k > 0, "k must be positive")
-    val rel = qrels.select(col("query_id"), col("doc_id"),
-        col("grade").cast("int").as("grade"))
-      .filter(col("grade") > 0).distinct()
+    // conflicting duplicate judgments (same doc, two grades) collapse to
+    // the MAX grade before anything else — a (query, doc, grade)-distinct
+    // dedup would let both survive, inflating `judged` and duplicating
+    // the doc in the DCG fold (binary retrievalMetrics has no such hazard:
+    // it dedups on (query, doc) outright)
+    val rel = qrels
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("grade").cast("int")).as("grade"))
+      .filter(col("grade") > 0)
     val relAgg = rel.groupBy("query_id").agg(
       count(lit(1)).as("judged"),
       reverse(sort_array(collect_list(col("grade")))).as("_grades"))

@@ -436,6 +436,107 @@ class SearchSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("bm25TopKBatch plan: bounded partial+final top-k aggregate, no " +
+      "per-query rank window") {
+    val docs = sf("sf0.001", "documents")
+    val queries = Seq((1L, "spark window merge"), (2L, "join stream"))
+      .toDF("query_id", "query_text")
+    val plan = Search.bm25TopKBatch(docs, "doc_id", "text", queries, k = 10)
+      .queryExecution.executedPlan.toString
+    // the k-heap TypedImperativeAggregate plans as ObjectHashAggregate
+    // with partial + final modes (map-side combine bounds the shuffle)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_top_k") || plan.contains("top_k"), plan)
+    // and the per-query full sort is gone: a window partitioned by
+    // query_id would funnel a common term's whole matched set into one task
+    assert(!plan.contains("Window"),
+      s"per-query rank window back in the batch path:\n$plan")
+  }
+
+  test("top_k aggregate: ordering, ties, k larger than group, null skip, " +
+      "cross-partition merge") {
+    import graft.functions.TopKAgg.top_k
+    val df = Seq(
+      ("a", 3.0, 1L), ("a", 5.0, 2L), ("a", 5.0, 1L), ("a", 1.0, 9L),
+      ("b", 2.0, 4L)).toDF("g", "score", "id")
+      .repartition(8) // force partial buffers + final merge
+    val got = df.groupBy("g")
+      .agg(top_k(struct((-col("score")).as("ns"), col("id")), 3).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.ns")).as("score"), col("col.id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // group a: (5.0, 1), (5.0, 2) [score desc, id asc], (3.0, 1); the
+    // 1.0 row is cut. group b: k > size -> all rows, no padding
+    assert(got.toSeq === Seq(
+      ("a", 1L, 5.0, 1L), ("a", 2L, 5.0, 2L), ("a", 3L, 3.0, 1L),
+      ("b", 1L, 2.0, 4L)))
+    // null sort keys are skipped, null struct FIELDS order NULLS FIRST
+    val nulls = Seq((1, Some("x")), (1, None), (1, Some("a")))
+      .toDF("g", "v")
+    val ranked = nulls.groupBy("g")
+      .agg(top_k(struct(col("v")), 2).as("t"))
+      .select(posexplode(col("t"))).select(col("col.v"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(ranked.toSeq === Seq(None, Some("a")))
+  }
+
+  test("facets plan: one corpus scan for all facets, no rank window") {
+    val docs = sf("sf0.001", "documents")
+    val df = Search.facets(docs, "text", "join stream",
+      Seq("source", "lang"), topN = 5)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length === 1,
+      s"facets must read the corpus ONCE, saw ${scans.length} scans")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"unbounded facet-value rank window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("indexedBm25TopK handles terms containing '.' (node.js) — " +
+      "bit-identical to the scan path") {
+    val docs = Seq(
+      (1L, "node.js is fast node.js wins"),
+      (2L, "java and node.js and scala"),
+      (3L, "plain text no match"),
+      (4L, "node.js node.js node.js"),
+      (5L, "scala spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25dot").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 4)
+    for (q <- Seq("node.js scala", "node.js", "`back.tick` node.js")) {
+      val scan = Search.bm25TopK(docs, "doc_id", "text", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val idx = Search.indexedBm25TopK(spark, dir, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(idx === scan, s"query '$q'")
+      assert(scan.nonEmpty, s"query '$q' should match")
+    }
+  }
+
+  test("gradedNdcg collapses conflicting duplicate judgments to the max " +
+      "grade") {
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 10L, 0), (1L, 10L, 2), // conflicting: collapse to grade 2
+      (1L, 11L, 1), (1L, 11L, 1)  // exact duplicate: one judgment
+    ).toDF("query_id", "doc_id", "grade")
+    val got = Search.gradedNdcg(run, qrels, k = 5).collect()
+    assert(got.length === 1)
+    val r = got.head
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // judged = 2 docs (not 4 rows); dcg = gain(2)/log2(2) + gain(1)/log2(3)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    val dcg = 3.0 / log2(2) + 1.0 / log2(3)
+    val idcg = 3.0 / log2(2) + 1.0 / log2(3)
+    assert(r.getDouble(3) === r4(dcg) && r.getDouble(4) === r4(idcg))
+  }
+
   test("tokenization law: shared with Decontaminate, empty/null safe") {
     val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
