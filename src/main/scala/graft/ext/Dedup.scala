@@ -309,32 +309,40 @@ object Dedup {
    * cosine pruning. Embeddings are labeled against FROZEN centroids (the
    * deterministic [[Similarity.assignClustersWith]] kernel — same frozen
    * artifact discipline as streaming cluster mixing), then within each
-   * cluster a row is dropped when an earlier row (smaller id) of the SAME
-   * cluster has cosine ≥ `threshold` to it — the deterministic greedy
-   * keep-first variant of the paper's per-group pruning. Returns the kept
-   * rows with their `cluster_id`.
+   * cluster a row is dropped when an EARLIER row of the SAME cluster has
+   * cosine ≥ `threshold` to it. "Earlier" is the `keep` policy:
+   *  - `"first"` (default): smaller id wins — the deterministic greedy
+   *    keep-first variant of the paper's per-group pruning.
+   *  - `"low-similarity"`: the row FARTHER from its cluster centroid wins
+   *    (smaller rounded `dot(unit-vec, centroid)`, ties to the smaller
+   *    id) — the paper's published keep rule: among near-duplicates the
+   *    least-typical example preserves the most diversity.
+   * Returns the kept rows with their `cluster_id`.
    *
    * Scale shape: the quadratic candidate pairing is an equi-join ON THE
    * CLUSTER LABEL, so pair cost is Σ|cluster|², not n² — the label is the
    * LSH-like blocking key, and `nlist` is the knob that bounds it (the
-   * paper runs k=50k on 5B embeddings). Only bare (id, unit-vec) pairs
-   * enter the join; the exact cosine is computed inside the join
+   * paper runs k=50k on 5B embeddings). Only bare (id, unit-vec[, key])
+   * rows enter the join; the exact cosine is computed inside the join
    * projection and thresholded immediately (the cosineNearDupsLsh shuffle
-   * discipline). A degenerate cluster (≫ corpus/nlist) should be re-split
-   * with a finer artifact — the join's skew is AQE-handled but the
-   * quadratic cost is semantic.
+   * discipline); the centroid-similarity key is one codegen'd `cell_dot`
+   * projection per row, never a join. A degenerate cluster (≫
+   * corpus/nlist) should be re-split with a finer artifact — the join's
+   * skew is AQE-handled but the quadratic cost is semantic.
    */
   def semDedup(docs: DataFrame, idCol: String, vecCol: String,
                cents: IndexedSeq[Seq[Double]], threshold: Double,
-               roundTo: Int = 4): DataFrame = {
+               roundTo: Int = 4, keep: String = "first"): DataFrame = {
     val labeled = Similarity.assignClustersWith(docs, vecCol, cents)
-    val dropped = semDedupPairsFrom(labeled, idCol, vecCol, threshold, roundTo)
+    val dropped = semDedupPairsFrom(labeled, idCol, vecCol, threshold,
+        roundTo, cents, keep)
       .select(col("id_b").as(idCol)).distinct()
     labeled.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** [[semDedup]]'s candidate pairs in the near-dup pair shape
-    * `(id_a, id_b)` with `id_a < id_b` — the form the pipeline's shared
+    * `(id_a, id_b)` where `id_a` precedes `id_b` under the keep policy
+    * (keep="first": plain `id_a < id_b`) — the form the pipeline's shared
     * drop policies (pairwise higher-id / clusterDrop components) consume,
     * so `nearDupMethod = "semantic"` plugs into
     * [[graft.pipeline.CorpusPipeline]] exactly like the minhash and LSH
@@ -342,22 +350,42 @@ object Dedup {
     * threshold. */
   def semDedupPairs(docs: DataFrame, idCol: String, vecCol: String,
                     cents: IndexedSeq[Seq[Double]], threshold: Double,
-                    roundTo: Int = 4): DataFrame =
+                    roundTo: Int = 4, keep: String = "first"): DataFrame =
     semDedupPairsFrom(Similarity.assignClustersWith(docs, vecCol, cents),
-      idCol, vecCol, threshold, roundTo)
+      idCol, vecCol, threshold, roundTo, cents, keep)
 
   /** Pair join over an ALREADY-labeled frame — [[semDedup]] labels once
     * and shares the frame (the argmax-over-nlist labeling is the per-row
     * cost at scale; computing it twice would double the stage). */
   private def semDedupPairsFrom(labeled: DataFrame, idCol: String,
                                 vecCol: String, threshold: Double,
-                                roundTo: Int): DataFrame = {
-    val slim = labeled.select(col(idCol).as("_id"), col("cluster_id").as("_cl"),
+                                roundTo: Int, cents: IndexedSeq[Seq[Double]],
+                                keep: String): DataFrame = {
+    val base = labeled.select(col(idCol).as("_id"), col("cluster_id").as("_cl"),
       Similarity.unitize(col(vecCol).cast("array<double>")).as("_uv"))
-    val a = slim.select(col("_id").as("id_a"), col("_cl"), col("_uv").as("_uva"))
-    val b = slim.select(col("_id").as("id_b"), col("_cl"), col("_uv").as("_uvb"))
+    // the precedence key: nothing for keep-first (id order suffices);
+    // rounded centroid similarity for keep-low-similarity — the SAME
+    // measure the labeling argmax used (dot of the unit vector with the
+    // raw frozen centroid, sequential sum), so an oracle recomputes it
+    val slim = keep match {
+      case "first" => base.withColumn("_ck", lit(0.0))
+      case "low-similarity" =>
+        base.withColumn("_ck", round(graft.functions.PqFunctions.cell_dot(
+          col("_uv"), col("_cl").cast("int"),
+          cents.flatten.toArray, cents.head.length), roundTo))
+      case other => throw new IllegalArgumentException(
+        s"unknown semDedup keep policy '$other' (first | low-similarity)")
+    }
+    val a = slim.select(col("_id").as("id_a"), col("_cl"),
+      col("_uv").as("_uva"), col("_ck").as("_cka"))
+    val b = slim.select(col("_id").as("id_b"), col("_cl"),
+      col("_uv").as("_uvb"), col("_ck").as("_ckb"))
+    val precedes =
+      if (keep == "first") col("id_a") < col("id_b")
+      else col("_cka") < col("_ckb") ||
+        (col("_cka") === col("_ckb") && col("id_a") < col("id_b"))
     a.join(b, Seq("_cl"))
-      .filter(col("id_a") < col("id_b") &&
+      .filter(precedes &&
         round(Similarity.dot(col("_uva"), col("_uvb")), roundTo) >= threshold)
       .select("id_a", "id_b")
   }

@@ -241,20 +241,25 @@ object Search {
 
   /** Effective corpus stats: base build/append record plus the streaming
     * maintainer's per-batch deltas (`batch_stats/batch=N`, each written
-    * idempotently by [[graft.streaming.PostingsIndexStream]]). */
+    * idempotently by [[graft.streaming.PostingsIndexStream]]), MINUS the
+    * pending tombstones' mass ([[deleteFromPostingsIndex]]) — so N and
+    * avgdl are exactly those of corpus \ deleted. */
   private[graft] def readStats(spark: org.apache.spark.sql.SparkSession,
                                dir: String): (Long, Long, Int) = {
     val (n0, t0, buckets) = readBaseStats(spark, dir)
     val bs = new org.apache.hadoop.fs.Path(s"$dir/batch_stats")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(bs)) (n0, t0, buckets)
-    else {
-      val r = spark.read.parquet(bs.toString)
-        .agg(sum("n_docs"), sum("total_tokens")).head()
-      (n0 + (if (r.isNullAt(0)) 0L else r.getLong(0)),
-        t0 + (if (r.isNullAt(1)) 0L else r.getLong(1)), buckets)
-    }
+    val (n1, t1) =
+      if (!fs.exists(bs)) (n0, t0)
+      else {
+        val r = spark.read.parquet(bs.toString)
+          .agg(sum("n_docs"), sum("total_tokens")).head()
+        (n0 + (if (r.isNullAt(0)) 0L else r.getLong(0)),
+          t0 + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      }
+    val (dDocs, dTokens) = deleteStats(spark, dir)
+    (n1 - dDocs, t1 - dTokens, buckets)
   }
 
   /** The term→bucket law, shared executor/driver side: Spark's seed-42
@@ -305,8 +310,13 @@ object Search {
       t0 + (if (row.isNullAt(1)) 0L else row.getLong(1)), buckets)
   }
 
-  /** (term, doc_id, tf, dl, tb) postings — the [[bm25TopKBatch]] explode
-    * with the bucket key attached executor-side via the same xxhash64. */
+  /** (term, doc_id, tf, dl, positions, tb) postings — the
+    * [[bm25TopKBatch]] explode with the bucket key attached executor-side
+    * via the same xxhash64. `positions` is the ascending 0-based token
+    * indexes of the term in the doc (the POSITIONAL half of the index:
+    * [[indexedPhraseTopK]] intersects shifted position sets instead of
+    * rescanning text); BM25 queries never read the column (parquet
+    * column pruning), so it costs index bytes, not query time. */
   private[graft] def postings(docs: DataFrame, idCol: String, textCol: String,
                               buckets: Int): DataFrame =
     docs
@@ -316,9 +326,10 @@ object Search {
       .select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("_w"))
       .select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
-        explode(col("_w")).as("term"))
+        posexplode(col("_w")).as(Seq("pos", "term")))
       .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong))
         .cast("int"))
 
@@ -345,6 +356,137 @@ object Search {
     require(terms.nonEmpty, "empty query")
     val (nDocs, totalTokens, buckets) = readStats(spark, dir)
     val avgdl = totalTokens.toDouble / nDocs
+    val pruned = prunedPostings(spark, dir, terms, buckets)
+    // exact per-term df in ONE bounded aggregate (|terms| longs)
+    val dfRow = pruned.agg(
+      count(lit(1)).as("_n"), // force a non-empty agg list even for 1 term
+      terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L))
+        .as(s"df_$t")): _*).head()
+    val stats = CorpusStats(nDocs, totalTokens,
+      terms.zipWithIndex.map { case (t, i) =>
+        t -> (if (dfRow.isNullAt(i + 1)) 0L else dfRow.getLong(i + 1)) }.toMap)
+    // pivot: each (doc, term) posting is one row, so sum(when) just
+    // selects it; a doc missing a term gets tf=0.0 — contributing exactly
+    // +0.0, like the scan path's size(filter)=0. Pivot columns are named
+    // by the term's POSITION in the sorted term list, never by the term
+    // text itself: a term containing '.' (node.js, a URL) embedded in a
+    // column name would parse as nested-field access downstream.
+    val grouped = pruned.groupBy("doc_id").agg(
+      first(col("dl")).as("dl"),
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("term") === t, col("tf"))), lit(0.0))
+          .as(s"_tf$i") }: _*)
+    val lenNorm = lit(params.k1) *
+      (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(avgdl))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"_tf$i")
+      lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
+    }.reduce(_ + _)
+    val scored = grouped
+      .select(col("doc_id"), round(score, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  // ------------------------------------------------------------------
+  // Tombstone deletes: remove documents from a standing postings index
+  // without a rebuild
+  // ------------------------------------------------------------------
+
+  /** The index's tombstone set `(doc_id)`, if any — bounded by the
+    * [[deleteFromPostingsIndex]] contract (a delete list is takedown- or
+    * correction-sized, never corpus-sized). */
+  private[graft] def postingsTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes/ids")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /**
+   * Tombstone documents out of a postings index: queries exclude them
+   * IMMEDIATELY (bounded broadcast anti-join on the pruned postings +
+   * exact stats adjustment), and [[compactPostingsIndex]] later removes
+   * their postings physically and clears the set — so a takedown or a
+   * re-ingest correction never needs a full rebuild.
+   *
+   * Exactness: per-term df is computed from post-anti-join postings at
+   * query time (so it is exact by construction), and N / total-token
+   * decrements are recorded here from the deleted docs' own `dl` rows —
+   * queries against the tombstoned index are BIT-IDENTICAL to a fresh
+   * build over corpus \ ids (the spec law). An id deleted twice is
+   * counted once (new ids are anti-joined against the standing set).
+   *
+   * Contract: `ids` must be ids that were actually indexed (the
+   * append-path discipline); the set stays bounded (it broadcasts into
+   * every query until the next compaction). Offline maintenance op, like
+   * append/compact: not concurrent with commits. One full postings-tree
+   * read to recover the deleted docs' dl (offline cost, the compaction
+   * class); docs indexed with EMPTY token lists have no postings and
+   * correctly decrement only N.
+   */
+  def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, ids: DataFrame,
+                              idCol: String = "doc_id"): Unit = {
+    val newIds0 = ids.select(col(idCol).as("doc_id")).distinct()
+    val newIds = postingsTombstones(spark, dir)
+      .map(old => newIds0.join(old, Seq("doc_id"), "left_anti"))
+      .getOrElse(newIds0)
+      .localCheckpoint() // pin: written below AND aggregated over
+    val nNew = newIds.count()
+    if (nNew == 0) return
+    // token mass of the deleted docs, from their own (distinct) dl rows
+    val post = spark.read.parquet(s"$dir/postings")
+    val row = post.join(broadcast(newIds), Seq("doc_id"))
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(sum(col("dl").cast("long"))).head()
+    val tokensRemoved = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val stats = new org.apache.hadoop.fs.Path(s"$dir/deletes/stats")
+    val (d0, t0) =
+      if (!fs.exists(stats)) (0L, 0L)
+      else {
+        val r = spark.read.parquet(stats.toString).head()
+        (r.getAs[Long]("n_docs_removed"), r.getAs[Long]("tokens_removed"))
+      }
+    newIds.write.mode("append").parquet(s"$dir/deletes/ids")
+    import spark.implicits._
+    Seq((d0 + nNew, t0 + tokensRemoved))
+      .toDF("n_docs_removed", "tokens_removed")
+      .write.mode("overwrite").parquet(stats.toString)
+  }
+
+  /** Net tombstone adjustment to the corpus stats: (docs, tokens) to
+    * subtract. (0, 0) when no deletes are pending. */
+  private def deleteStats(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (Long, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes/stats")
+    if (!fs.exists(p)) (0L, 0L)
+    else {
+      val r = spark.read.parquet(p.toString).head()
+      (r.getAs[Long]("n_docs_removed"), r.getAs[Long]("tokens_removed"))
+    }
+  }
+
+  /** Postings rows for `terms` from a persisted index. The driver computes
+    * the needed `tb=` buckets from the terms alone ([[termBucket]]) and
+    * opens ONLY those directories as explicit paths (≤ |terms| existence
+    * RPCs; never a full-tree listing), with `term IN (...)` pushed into
+    * the parquet reader on top — the shared read path of
+    * [[indexedBm25TopK]] and [[indexedPhraseTopK]]. Tombstoned docs
+    * ([[deleteFromPostingsIndex]]) are anti-joined out against the
+    * bounded delete set, so every consumer (scoring, df aggregates,
+    * position pivots) sees post-delete postings. */
+  private def prunedPostings(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, terms: Seq[String],
+                             buckets: Int): DataFrame = {
     val root = s"$dir/postings"
     val needed = terms.map(termBucket(_, buckets)).distinct.sorted
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -382,38 +524,141 @@ object Search {
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("tf",
                 org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("positions",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.IntegerType, false)),
               org.apache.spark.sql.types.StructField("tb",
                 org.apache.spark.sql.types.IntegerType))))
         }
       }
     val pruned = pruned0.where(col("term").isin(terms: _*))
-    // exact per-term df in ONE bounded aggregate (|terms| longs)
+    postingsTombstones(spark, dir)
+      .map(d => pruned.join(broadcast(d), Seq("doc_id"), "left_anti"))
+      .getOrElse(pruned)
+  }
+
+  // ------------------------------------------------------------------
+  // Phrase (positional) queries: the match_phrase half of real search
+  // traffic — terms must occur ADJACENT and IN ORDER
+  // ------------------------------------------------------------------
+
+  /** Phrase tokens in ORDER — position matters, so unlike [[queryTerms]]
+    * nothing is deduped or sorted. */
+  def phraseTokens(phrase: String): Seq[String] =
+    phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  /** Occurrence count of the exact token sequence `pTerms` inside `tok` —
+    * every start position counts, INCLUDING overlapping ones ("a a a"
+    * contains "a a" twice, the Lucene ExactPhraseScorer convention). A
+    * codegen'd HOF projection: candidate starts 0..len−m tested
+    * element-for-element, no explode, no shuffle. */
+  private def phraseFreq(tok: Column, pTerms: Seq[String]): Column = {
+    val m = pTerms.length
+    val starts = when(size(tok) >= m,
+      filter(sequence(lit(0), size(tok) - lit(m)), i =>
+        pTerms.zipWithIndex.map { case (t, j) =>
+          element_at(tok, i + lit(j + 1)) === lit(t) }.reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+    size(starts).cast("double")
+  }
+
+  /** The phrase score law, shared scan/index side: BM25 with the PHRASE
+    * frequency as tf and the sum of the member terms' idfs (each
+    * occurrence in the phrase counted — the Lucene PhraseWeight
+    * convention) as the combined idf. `idfSum` folds driver-side in
+    * PHRASE order on both paths, so the float arithmetic cannot diverge. */
+  private def phraseScore(idfSum: Double, ptf: Column, dl: Column,
+                          avgdl: Double, p: Bm25Params): Column = {
+    val lenNorm = lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * dl / lit(avgdl))
+    lit(idfSum) * (ptf * lit(p.k1 + 1.0)) / (ptf + lenNorm)
+  }
+
+  /**
+   * Phrase-match top-k for one literal phrase (the ES `match_phrase`
+   * analog): only documents containing the EXACT adjacent in-order token
+   * sequence qualify; score = BM25 with the phrase occurrence count as
+   * tf and Σ idf(term) over the phrase's terms as idf (see
+   * [[phraseScore]]). Same shape as [[bm25TopK]]: map-only scan (the
+   * occurrence count is a HOF projection over the shared tokenization
+   * law), distributed TakeOrdered, rank window over ≤ k rows. Ties break
+   * to the smaller id; scores round to `roundTo` decimals.
+   */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+                 phrase: String, k: Int, params: Bm25Params = Bm25Params(),
+                 roundTo: Int = 4): DataFrame = {
+    val pTerms = phraseTokens(phrase)
+    require(pTerms.nonEmpty, "empty phrase")
+    val distinctTerms = pTerms.distinct.sorted
+    val stats = corpusStats(docs, textCol, distinctTerms)
+    val idfSum = pTerms.foldLeft(0.0)((a, t) => a + stats.idf(t))
+    val tok = tokens(col(textCol))
+    val ptf = phraseFreq(tok, pTerms)
+    val scored = docs
+      .select(col(idCol).as("doc_id"), ptf.as("_ptf"),
+        size(tok).cast("double").as("_dl"))
+      .where(col("_ptf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_ptf"), col("_dl"), stats.avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Phrase-match top-k from a persisted POSITIONAL postings index —
+   * bit-identical output to [[phraseTopK]] over the source corpus, at
+   * Σ_t df(t) posting rows of read instead of two corpus scans. The
+   * phrase count never touches text: a doc's occurrence starts are the
+   * intersection of its per-term position sets shifted by each term's
+   * phrase offset (`pos(t_j) − j`), so adjacency is pure integer set
+   * arithmetic over the stored `positions` arrays. Same pruned-bucket
+   * read, exact df aggregate, driver-folded idf sum and tie-break as the
+   * BM25 twin. Indexes built before the positional schema fail loudly —
+   * rebuild or append-compact to upgrade.
+   */
+  def indexedPhraseTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        phrase: String, k: Int,
+                        params: Bm25Params = Bm25Params(),
+                        roundTo: Int = 4): DataFrame = {
+    val pTerms = phraseTokens(phrase)
+    require(pTerms.nonEmpty, "empty phrase")
+    val distinctTerms = pTerms.distinct.sorted
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val avgdl = totalTokens.toDouble / nDocs
+    val pruned = prunedPostings(spark, dir, distinctTerms, buckets)
+    require(pruned.schema.fieldNames.contains("positions"),
+      s"postings index at $dir predates positional postings (no " +
+        "'positions' column): rebuild it to serve phrase queries")
+    // exact per-term df in ONE bounded aggregate (the indexedBm25TopK law)
     val dfRow = pruned.agg(
-      count(lit(1)).as("_n"), // force a non-empty agg list even for 1 term
-      terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L))
-        .as(s"df_$t")): _*).head()
+      count(lit(1)).as("_n"),
+      distinctTerms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)))
+        .zipWithIndex.map { case (c, i) => c.as(s"_df$i") }: _*).head()
     val stats = CorpusStats(nDocs, totalTokens,
-      terms.zipWithIndex.map { case (t, i) =>
+      distinctTerms.zipWithIndex.map { case (t, i) =>
         t -> (if (dfRow.isNullAt(i + 1)) 0L else dfRow.getLong(i + 1)) }.toMap)
-    // pivot: each (doc, term) posting is one row, so sum(when) just
-    // selects it; a doc missing a term gets tf=0.0 — contributing exactly
-    // +0.0, like the scan path's size(filter)=0. Pivot columns are named
-    // by the term's POSITION in the sorted term list, never by the term
-    // text itself: a term containing '.' (node.js, a URL) embedded in a
-    // column name would parse as nested-field access downstream.
+    val idfSum = pTerms.foldLeft(0.0)((a, t) => a + stats.idf(t))
+    // pivot each term's position set into a positional column (missing
+    // term -> empty set; collect_list skips the non-matching nulls and
+    // each (doc, term) posting is unique, so flatten unwraps 0-or-1 arrays)
+    val idxOf = distinctTerms.zipWithIndex.toMap
     val grouped = pruned.groupBy("doc_id").agg(
       first(col("dl")).as("dl"),
-      terms.zipWithIndex.map { case (t, i) =>
-        coalesce(sum(when(col("term") === t, col("tf"))), lit(0.0))
-          .as(s"_tf$i") }: _*)
-    val lenNorm = lit(params.k1) *
-      (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(avgdl))
-    val score = terms.zipWithIndex.map { case (t, i) =>
-      val tf = col(s"_tf$i")
-      lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
-    }.reduce(_ + _)
+      distinctTerms.zipWithIndex.map { case (t, i) =>
+        flatten(collect_list(when(col("term") === t, col("positions"))))
+          .as(s"_ps$i") }: _*)
+    val starts = pTerms.zipWithIndex.map { case (t, j) =>
+      transform(col(s"_ps${idxOf(t)}"), p => p - lit(j))
+    }.reduce((a, b) => array_intersect(a, b))
     val scored = grouped
-      .select(col("doc_id"), round(score, roundTo).as("score"))
+      .withColumn("_ptf", size(starts).cast("double"))
+      .where(col("_ptf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_ptf"), col("dl"), avgdl, params),
+        roundTo).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
     scored.withColumn("rank",
@@ -448,9 +693,16 @@ object Search {
           st.getPath.getName.startsWith(".")) 0L else 1L
       }.sum
     val before = countFiles(post)
-    // effective stats BEFORE touching anything (base + streaming deltas)
+    // effective stats BEFORE touching anything (base + streaming deltas −
+    // pending tombstones: readStats already nets the delete mass out, so
+    // the post-compaction base record simply inherits it)
     val (n, t, buckets) = readStats(spark, dir)
-    val data = spark.read.parquet(post.toString)
+    // physical removal of tombstoned docs rides the rewrite: anti-join on
+    // the bounded delete set, then the set is retired with the deltas
+    val data0 = spark.read.parquet(post.toString)
+    val data = postingsTombstones(spark, dir)
+      .map(d => data0.join(broadcast(d), Seq("doc_id"), "left_anti"))
+      .getOrElse(data0)
     val total = data.count()
     data.repartition(buckets, col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(newDir.toString)
@@ -467,9 +719,11 @@ object Search {
       throw new IllegalStateException("swap failed; original postings restored")
     }
     fs.delete(oldDir, true)
-    // fold the streaming deltas into the base record, then retire them
+    // fold the streaming deltas AND the tombstone mass into the base
+    // record, then retire both (tombstoned rows are physically gone now)
     writeStats(spark, dir, n, t, buckets)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch_stats"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes"), true)
     (before, countFiles(post))
   }
 
@@ -480,15 +734,18 @@ object Search {
 
   /**
    * Match highlighting: for every document matching ≥1 query term, one
-   * row per PRESENT term with its first occurrence position (0-based
+   * row per OCCURRENCE of each present term — its position (0-based
    * token index) and a ±`window`-token snippet centered on it —
-   * `(doc_id, term, pos, snippet)`. Pure integer/array arithmetic over
-   * the shared tokenization law, so an oracle reproduces it exactly.
-   * Map-only: terms are a literal array, the per-term position is an
-   * `array_position` projection, and the snippet a bounded `slice` —
-   * no explode of the corpus tokens, no shuffle. Compose with
-   * [[bm25TopK]] by joining on the top-k ids (highlight k docs, not the
-   * corpus) — the operator takes any doc frame.
+   * `(doc_id, term, pos, snippet)`. ALL occurrences are reported, not
+   * just the first (the real-positions upgrade: a doc mentioning the
+   * term ten times gets ten snippets, like an ES highlighter's fragment
+   * list). Pure integer/array arithmetic over the shared tokenization
+   * law, so an oracle reproduces it exactly. Map-only scan: terms are a
+   * literal array, per-term occurrence positions are one HOF projection
+   * over the token array, and each snippet a bounded `slice`; the only
+   * row fan-out is the bounded per-occurrence explode — no shuffle.
+   * Compose with [[bm25TopK]] by joining on the top-k ids (highlight k
+   * docs, not the corpus) — the operator takes any doc frame.
    */
   def highlights(docs: DataFrame, idCol: String, textCol: String,
                  query: String, window: Int = 3): DataFrame = {
@@ -496,19 +753,25 @@ object Search {
     val terms = queryTerms(query)
     require(terms.nonEmpty, "empty query")
     val tok = tokens(col(textCol))
+    // 1-based occurrence positions of `term` in the token array (empty
+    // token arrays guard the sequence(): sequence(1, 0) would descend)
+    val occ = when(size(col("_w")) > 0,
+      filter(transform(sequence(lit(1), size(col("_w"))), i =>
+        when(element_at(col("_w"), i) === col("term"), i)),
+        x => x.isNotNull))
     docs
       .select(col(idCol).as("doc_id"), tok.as("_w"))
       .select(col("doc_id"), col("_w"),
         explode(array(terms.map(lit): _*)).as("term"))
-      .withColumn("_p1", array_position(col("_w"), col("term"))) // 1-based, 0 = absent
-      .filter(col("_p1") > 0)
+      .select(col("doc_id"), col("_w"), col("term"),
+        explode(occ).as("_p1")) // absent term -> empty list -> no row
       .select(col("doc_id"), col("term"),
         (col("_p1") - 1).cast("int").as("pos"),
         array_join(slice(col("_w"),
-          greatest(col("_p1") - window, lit(1L)).cast("int"),
+          greatest(col("_p1") - window, lit(1)).cast("int"),
           // center the window: length = (pos + window) - start + 1
           ((col("_p1") + window) -
-            greatest(col("_p1") - window, lit(1L)) + 1).cast("int")), " ")
+            greatest(col("_p1") - window, lit(1)) + 1).cast("int")), " ")
           .as("snippet"))
   }
 
@@ -683,6 +946,15 @@ object Search {
       .select(col("doc_id"), col("rank").as("bm25_rank"))
     val vc = cosineTopK(vecs, vecIdCol, vecCol, queryVec, kCand)
       .select(col("doc_id"), col("rank").as("vec_rank"))
+    rrfFuse(bm, vc, k, rrfK)
+  }
+
+  /** RRF fusion of two bounded candidate rank lists `(doc_id, bm25_rank)`
+    * / `(doc_id, vec_rank)` — the arithmetic tail SHARED by [[hybridTopK]]
+    * and [[hybridTopKIndexed]], so the scan and standing-index paths
+    * cannot diverge in the fusion step. Input is ≤ 2·kCand rows. */
+  private def rrfFuse(bm: DataFrame, vc: DataFrame, k: Int,
+                      rrfK: Int): DataFrame = {
     val fused = bm.join(vc, Seq("doc_id"), "full_outer")
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("bm25_rank")), lit(0.0)) +
@@ -692,5 +964,48 @@ object Search {
     fused.withColumn("rank",
       row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id").asc)))
       .select("doc_id", "rank", "bm25_rank", "vec_rank", "rrf_score")
+  }
+
+  /**
+   * Hybrid BM25 + vector search against STANDING indexes — the
+   * serving-loop shape: the BM25 candidates come from a
+   * [[buildPostingsIndex]] directory (pruned `tb=` buckets, Σ df posting
+   * rows of read) and the vector candidates from a
+   * [[Similarity.buildIndex]] ANN directory (probed `cent_id=` cells
+   * only), so a hybrid query touches ZERO corpus scans — the reason the
+   * reference pipeline builds search indexes at all. Fusion is the
+   * [[hybridTopK]] RRF tail verbatim ([[rrfFuse]]).
+   *
+   * Exactness: the BM25 list is bit-identical to the scan path by the
+   * [[indexedBm25TopK]] guarantee. The vector list is the ANN index's
+   * ranking — approximate at production knobs; with `nprobe` = the
+   * index's nlist, a vectors-stored index, and a non-binding
+   * `kCand·rerankFactor` cut it equals the brute-force [[cosineTopK]]
+   * exactly (the q96 oracle pins that full-fidelity configuration
+   * end-to-end). `syntheticQid` is the query's id in the ANN join and
+   * must not collide with any indexed id (the index self-excludes
+   * qid == nid); ids are caller-typed, so pass a value outside the
+   * corpus id space.
+   */
+  def hybridTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                        postingsDir: String, annDir: String,
+                        query: String, queryVec: Seq[Double], k: Int,
+                        kCand: Int = 50, rrfK: Int = 60,
+                        params: Bm25Params = Bm25Params(),
+                        nprobe: Int = -1, rerankFactor: Int = 64,
+                        syntheticQid: Long = -1L,
+                        rerankCorpus: Option[DataFrame] = None,
+                        rerankIdCol: String = "",
+                        rerankVecCol: String = ""): DataFrame = {
+    import spark.implicits._
+    val bm = indexedBm25TopK(spark, postingsDir, query, kCand, params)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val qdf = Seq((syntheticQid, queryVec)).toDF("qid", "qv")
+    val vc = Similarity.indexTopK(qdf, annDir, "qid", "qv", kCand,
+        nprobe = nprobe, rerankFactor = rerankFactor,
+        rerankCorpus = rerankCorpus, rerankIdCol = rerankIdCol,
+        rerankVecCol = rerankVecCol)
+      .select(col("nid").as("doc_id"), col("rank").as("vec_rank"))
+    rrfFuse(bm, vc, k, rrfK)
   }
 }

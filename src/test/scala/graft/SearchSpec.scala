@@ -349,33 +349,145 @@ class SearchSpec extends SparkSpec {
     assert(!got.contains(9L) && got.size === 2)
   }
 
-  test("highlights: first-occurrence positions and centered snippets " +
+  test("highlights: ALL occurrence positions and centered snippets " +
       "match a driver-side recomputation; no corpus exchange") {
     val docs = sf("sf0.001", "documents")
     val w = 3
     val got = Search.highlights(docs, "doc_id", "text", "spark window merge",
         window = w)
-      .collect().map(r => (r.getLong(0), r.getString(1)) ->
-        ((r.getInt(2), r.getString(3)))).toMap
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(3))).toSet
     val rows = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1)))
     def tok(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val expected = (for {
-      (id, Some(text)) <- rows
+      (id, Some(text)) <- rows.toSeq
       t <- Seq("merge", "spark", "window")
       ws = tok(text)
-      p = ws.indexOf(t) if p >= 0
-    } yield (id, t) -> ((p,
-      ws.slice(math.max(0, p - w), p + w + 1).mkString(" ")))).toMap
+      p <- ws.zipWithIndex.collect { case (`t`, i) => i } // every occurrence
+    } yield (id, t, p,
+      ws.slice(math.max(0, p - w), p + w + 1).mkString(" "))).toSet
     assert(got === expected)
     assert(got.nonEmpty)
-    // snippets contain their term; positions are exact token indices
-    got.foreach { case ((_, t), (_, snip)) =>
+    // repeated terms really produce multiple rows somewhere in the corpus
+    assert(got.groupBy(r => (r._1, r._2)).exists(_._2.size > 1),
+      "expected at least one doc with a repeated query term")
+    got.foreach { case (_, t, _, snip) =>
       assert(snip.split(" ").contains(t)) }
     val plan = Search.highlights(docs, "doc_id", "text", "spark merge")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"highlighting must be map-only:\n$plan")
+  }
+
+  test("phraseTopK: occurrence counts (overlaps included) and scores " +
+      "match a driver-side recomputation; map-only plan") {
+    val docs = sf("sf0.001", "documents")
+    val phrase = "merge spark"
+    val got = Search.phraseTopK(docs, "doc_id", "text", phrase, k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // independent driver-side recomputation of the documented law
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    def tok(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val pts = tok(phrase)
+    val all = rows.map { case (id, s) => id -> tok(s) }
+    val n = all.length
+    val avgdl = all.map(_._2.size).sum.toDouble / n
+    val dfm = pts.distinct.map(t =>
+      t -> all.count(_._2.contains(t)).toDouble).toMap
+    def idf(t: String) = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+    val idfSum = pts.foldLeft(0.0)((a, t) => a + idf(t))
+    val expected = all.flatMap { case (id, ws) =>
+      val ptf = (0 to ws.size - pts.size).count(i =>
+        pts.indices.forall(j => ws(i + j) == pts(j))).toDouble
+      if (ptf == 0) None
+      else Some(id -> math.rint(idfSum * ptf * 2.2 /
+        (ptf + 1.2 * (0.25 + 0.75 * ws.size / avgdl)) * 1e4) / 1e4)
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(got.map(_._1).toSeq === expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case ((_, _, gs), (_, es)) =>
+      assert(math.abs(gs - es) < 1e-9) }
+    assert(got.nonEmpty, "phrase should match at least one doc")
+    // map-only: TakeOrdered, no corpus exchange, no explode
+    val plan = Search.phraseTopK(docs, "doc_id", "text", phrase, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!"Exchange (hashpartitioning|rangepartitioning)".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("phraseTopK counts overlapping occurrences and repeated-term " +
+      "phrases correctly") {
+    val docs = Seq(
+      (1L, "a a a b"),      // "a a" occurs twice (overlap)
+      (2L, "a b a b a"),    // "a b" occurs twice
+      (3L, "b a"),          // "a b" never
+      (4L, "x y")).toDF("doc_id", "text")
+    def matched(phrase: String): Set[Long] =
+      Search.phraseTopK(docs, "doc_id", "text", phrase, k = 10)
+        .collect().map(_.getLong(0)).toSet
+    // overlapping "a a": doc 1 matches (twice: starts 0 and 1); nothing else
+    assert(matched("a a") === Set(1L))
+    // "a b": docs 1 and 2 (doc 3 has the tokens but not adjacent in order)
+    assert(matched("a b") === Set(1L, 2L))
+    // single-token phrase degenerates to term match
+    assert(matched("b") === Set(1L, 2L, 3L))
+    // overlap count feeds the score: doc 1's "a a" ptf is 2, so its score
+    // strictly beats a hypothetical single occurrence at the same length —
+    // check via a one-occurrence sibling of identical dl
+    val sib = Seq((1L, "a a a b"), (2L, "a a x b")).toDF("doc_id", "text")
+    val s = Search.phraseTopK(sib, "doc_id", "text", "a a", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) > s(2L), "two overlapping occurrences must outscore one")
+  }
+
+  test("indexedPhraseTopK is bit-identical to phraseTopK, including " +
+      "repeated-term and dotted phrases") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phraseidx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 16)
+    for (p <- Seq("merge spark", "spark window merge", "window window",
+        "stream join")) {
+      val scan = Search.phraseTopK(docs, "doc_id", "text", p, k = 25)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val idx = Search.indexedPhraseTopK(spark, dir, p, k = 25)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(idx === scan, s"phrase '$p'")
+    }
+    // dotted terms survive the positional pivot too
+    val dotted = Seq((1L, "node.js rocks node.js rocks"), (2L, "rocks node.js"),
+      (3L, "node.js alone")).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-phrasedot").toString
+    Search.buildPostingsIndex(dotted, "doc_id", "text", dir2, buckets = 4)
+    val s2 = Search.phraseTopK(dotted, "doc_id", "text", "node.js rocks", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val i2 = Search.indexedPhraseTopK(spark, dir2, "node.js rocks", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // doc 2 has the tokens REVERSED ("rocks node.js") — order matters
+    assert(i2 === s2 && s2.map(_._1).toSet === Set(1L))
+  }
+
+  test("positional postings survive append + streaming commit + " +
+      "compaction; phrase queries stay bit-identical") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrasemnt").toString
+    Search.buildPostingsIndex(docs.filter(col("doc_id") < 200),
+      "doc_id", "text", dir, buckets = 8)
+    Search.appendToPostingsIndex(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 350),
+      "doc_id", "text", dir)
+    graft.streaming.PostingsIndexStream.commitBatch(
+      docs.filter(col("doc_id") >= 350), 1L, dir, "doc_id", "text")
+    val scan = Search.phraseTopK(docs, "doc_id", "text", "merge spark", k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val before = Search.indexedPhraseTopK(spark, dir, "merge spark", k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(before === scan)
+    Search.compactPostingsIndex(spark, dir)
+    val after = Search.indexedPhraseTopK(spark, dir, "merge spark", k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(after === scan)
   }
 
   test("facets: matched-set value counts match a driver-side recomputation") {
@@ -535,6 +647,85 @@ class SearchSpec extends SparkSpec {
     val dcg = 3.0 / log2(2) + 1.0 / log2(3)
     val idcg = 3.0 / log2(2) + 1.0 / log2(3)
     assert(r.getDouble(3) === r4(dcg) && r.getDouble(4) === r4(idcg))
+  }
+
+  test("hybridTopKIndexed at full fidelity == scan-path hybridTopK; " +
+      "production knobs return a valid fused ranking") {
+    val docs = sf("sf0.001", "documents")
+    val e = sf("sf0.001", "embeddings")
+    val qv = e.filter(col("vec_id") === 11)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-hybridx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", s"$root/bm25",
+      buckets = 16)
+    graft.ext.Similarity.buildIndex(e, "vec_id", "embedding", s"$root/ann",
+      nlist = 8, kmeansIters = 2)
+    val scan = Search.hybridTopK(docs, "doc_id", "text", e, "vec_id",
+        "embedding", "filter merge table", qv, k = 12, kCand = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(4))).toSeq
+    // full fidelity: every cell probed, non-binding cut -> vector side ==
+    // brute cosine, bm25 side == scan by construction -> fused identical
+    val idx = Search.hybridTopKIndexed(spark, s"$root/bm25", s"$root/ann",
+        "filter merge table", qv, k = 12, kCand = 40,
+        nprobe = 8, rerankFactor = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(4))).toSeq
+    assert(idx === scan)
+    // production knobs (partial probes): still a well-formed fused list
+    val prod = Search.hybridTopKIndexed(spark, s"$root/bm25", s"$root/ann",
+        "filter merge table", qv, k = 12, kCand = 40)
+      .collect()
+    assert(prod.length === 12)
+    val rrfs = prod.map(_.getDouble(4)).toSeq
+    assert(rrfs === rrfs.sorted.reverse)
+    prod.foreach { r => assert(!r.isNullAt(2) || !r.isNullAt(3)) }
+  }
+
+  test("postings tombstones: delete -> query == fresh build on corpus \\ " +
+      "ids; compaction removes rows physically and clears the set") {
+    val docs = sf("sf0.001", "documents")
+    val dropIds = Seq(3L, 38L, 97L, 104L, 312L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25del").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft-bm25ref").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    Search.deleteFromPostingsIndex(spark, dir,
+      dropIds.toDF("doc_id"), "doc_id")
+    // double-delete is idempotent (ids recorded once)
+    Search.deleteFromPostingsIndex(spark, dir,
+      Seq(3L, 38L).toDF("doc_id"), "doc_id")
+    val remaining = docs.filter(!col("doc_id").isin(dropIds: _*))
+    Search.buildPostingsIndex(remaining, "doc_id", "text", ref, buckets = 8)
+    for (q <- Seq("spark window merge", "join stream")) {
+      val del = Search.indexedBm25TopK(spark, dir, q, k = 20)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val fresh = Search.indexedBm25TopK(spark, ref, q, k = 20)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val scan = Search.bm25TopK(remaining, "doc_id", "text", q, k = 20)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(del === fresh, s"query '$q' vs fresh rebuild")
+      assert(del === scan, s"query '$q' vs corpus-minus-ids scan")
+      assert(!del.exists(r => dropIds.contains(r._1)))
+    }
+    // phrase queries honor tombstones through the same pruned read
+    val delP = Search.indexedPhraseTopK(spark, dir, "merge spark", k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val scanP = Search.phraseTopK(remaining, "doc_id", "text", "merge spark",
+        k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(delP === scanP)
+    // compaction: physical removal, set cleared, queries unchanged
+    val beforeCpt = Search.indexedBm25TopK(spark, dir, "spark window merge",
+        k = 20).collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    Search.compactPostingsIndex(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")))
+    val ids = spark.read.parquet(s"$dir/postings").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dropIds.forall(!ids.contains(_)), "tombstoned postings survived")
+    val afterCpt = Search.indexedBm25TopK(spark, dir, "spark window merge",
+        k = 20).collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(afterCpt === beforeCpt)
   }
 
   test("tokenization law: shared with Decontaminate, empty/null safe") {

@@ -1454,6 +1454,48 @@ class SimilaritySpec extends SparkSpec {
     assert(qids === Set(0L, 1L, 2L, 3L), s"null queries must be dropped: $qids")
   }
 
+  test("index tombstones: delete -> query == compacted physical removal; " +
+      "deleted ids never surface; set cleared by compaction") {
+    val e = sf("sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-anndel").toString
+    Similarity.buildIndex(e, "vec_id", "embedding", dir,
+      nlist = 8, kmeansIters = 2)
+    val queries = e.filter(col("vec_id") < 6)
+    val baseline = Similarity.indexTopK(queries, dir, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    // tombstone a slice that includes some of the baseline's neighbors
+    val dropIds = baseline.map(_._2).distinct.take(4) ++ Seq(777L)
+    import spark.implicits._
+    Similarity.deleteFromIndex(spark, dir, dropIds.toDF("nid"), "nid")
+    Similarity.deleteFromIndex(spark, dir, // double delete: idempotent
+      dropIds.take(2).toDF("nid"), "nid")
+    assert(spark.read.parquet(s"$dir/deletes/ids").count() ===
+      dropIds.distinct.length.toLong)
+    val tomb = Similarity.indexTopK(queries, dir, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    assert(!tomb.exists(r => dropIds.contains(r._2)),
+      "tombstoned id surfaced in results")
+    assert(tomb !== baseline, "the delete should have changed neighbors")
+    // compaction: physical removal + set cleared + queries identical
+    Similarity.compactIndex(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")))
+    val left = spark.read.parquet(s"$dir/cells").select("nid")
+      .collect().map(_.getLong(0)).toSet
+    assert(dropIds.forall(!left.contains(_)), "tombstoned rows survived")
+    val compacted = Similarity.indexTopK(queries, dir, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    assert(compacted === tomb,
+      "tombstone-time ranking must equal the physically-compacted ranking")
+  }
+
   test("indexTopK rerankVecCol: rerank corpus with a differently-named embedding column") {
     val dim = 12
     val rnd = new scala.util.Random(173)
