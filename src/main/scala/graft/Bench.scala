@@ -678,6 +678,61 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bm25 index 1m failed: ${e.getMessage}"); "{}" } }
 
+    // standing-index HYBRID search at the 1M tier (the serving-loop
+    // shape): postings index + ANN index over the same corpus, then the
+    // fused BM25+vector RRF query from the two indexes vs the scan-path
+    // hybrid over raw tables. The claim under measurement: an indexed
+    // hybrid query costs ~(indexed BM25 + probed ANN), not corpus-scan
+    // seconds — the payoff of building both indexes once.
+    val hybridIndex1mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("hybrid_index_1m") { try {
+        import org.apache.spark.sql.functions.expr
+        val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+          expr("""array_join(transform(
+                    sequence(1, cast(50 + pmod(xxhash64(id), 100) as int)),
+                    i -> concat('w', pmod(xxhash64(id, i), 100))), ' ')""")
+            .as("text"),
+          expr("""transform(sequence(1, 32), j ->
+                    cast(pmod(xxhash64(id, j + 300), 2001) - 1000 as double)
+                    / 1000.0)""").as("embedding"))
+          .repartition(64).cache()
+        docs.count()
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-bench-hybrid").toString
+        val bmBuildSec = time {
+          graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text",
+            s"$root/bm25", buckets = 64)
+        }
+        val annBuildSec = time {
+          graft.ext.Similarity.buildIndex(docs, "doc_id", "embedding",
+            s"$root/ann", nlist = 256, kmeansIters = 2)
+        }
+        val qv = docs.filter(col("doc_id") === 7)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        // scan path once: the corpus-scan cost the indexes avoid
+        var scanTop = Array.empty[Long]
+        val scanSec = time {
+          scanTop = graft.ext.Search.hybridTopK(docs, "doc_id", "text",
+              docs, "doc_id", "embedding", "w3 w17 w42", qv, k = 10)
+            .collect().map(_.getLong(0))
+        }
+        docs.unpersist()
+        var top = Array.empty[Long]
+        val qsecs = (1 to 3).map { _ =>
+          time {
+            top = graft.ext.Search.hybridTopKIndexed(spark, s"$root/bm25",
+                s"$root/ann", "w3 w17 w42", qv, k = 10)
+              .collect().map(_.getLong(0))
+          }
+        }
+        val qMed = qsecs.sorted.apply(qsecs.size / 2)
+        val agree = top.toSet.intersect(scanTop.toSet).size
+        f"""{"rows":1000000,"bm25_build_sec":$bmBuildSec%.3f,"ann_build_sec":$annBuildSec%.3f,"query_sec":$qMed%.3f,"scan_sec":$scanSec%.3f,"k":10,"top10_overlap_vs_scan":$agree,"runs":3}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] hybrid index 1m failed: ${e.getMessage}"); "{}" } }
+
     // streaming carry-packing at the 1M tier: the same corpus arrives as 4
     // micro-batches of 250k docs (REAL token arrays this time — the carry
     // path's cost includes merging carried input_ids, so benching counts
@@ -891,7 +946,9 @@ object Bench {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(pipeRoot), spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(pipeRoot), true)
-        f"""{"rows":$n,"sec":$sec%.3f,"after_quality":${st.afterQuality},"after_lm":${st.afterLm},"after_decontam":${st.afterDecontam},"after_exact":${st.afterExact},"dropped_vs_index":${st.droppedVsIndex},"after_neardup":${st.afterNearDup},"after_mix":${st.afterMix},"total_tokens":${st.totalTokens},"packed_seqs":${st.packedSeqs},"bundle_docs":${st.bundle.totalDocs}}"""
+        val stageJson = st.stageSecs.map { case (k, v) =>
+          f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        f"""{"rows":$n,"sec":$sec%.3f,"after_quality":${st.afterQuality},"after_lm":${st.afterLm},"after_decontam":${st.afterDecontam},"after_exact":${st.afterExact},"dropped_vs_index":${st.droppedVsIndex},"after_neardup":${st.afterNearDup},"after_mix":${st.afterMix},"total_tokens":${st.totalTokens},"packed_seqs":${st.packedSeqs},"bundle_docs":${st.bundle.totalDocs},"stage_secs":$stageJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline full 1m failed: ${e.getMessage}"); "{}" } }
 
@@ -931,7 +988,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"bm25_index_1m":$bm25Index1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"bm25_index_1m":$bm25Index1mJson,"hybrid_index_1m":$hybridIndex1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

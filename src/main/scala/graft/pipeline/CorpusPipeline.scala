@@ -84,7 +84,8 @@ object CorpusPipeline {
                    bundle: BundleSink.Result, afterLm: Long = -1L,
                    droppedVsIndex: Long = -1L, afterDecontam: Long = -1L,
                    packedSeqs: Long = -1L, afterModelQuality: Long = -1L,
-                   afterMix: Long = -1L)
+                   afterMix: Long = -1L,
+                   stageSecs: Seq[(String, Double)] = Nil)
 
   /** Does `dir` hold a complete [[graft.ext.Similarity.buildIndex]] layout? */
   private def annIndexExists(spark: SparkSession, dir: String): Boolean = {
@@ -178,6 +179,19 @@ object CorpusPipeline {
       obsRead(o, "n", fallback)
     val nRows = count(lit(1)).as("n")
 
+    // per-stage wall times at the pipeline's MATERIALIZATION boundaries
+    // (a lazy plan has no per-operator wall time: work executes at the
+    // checkpoints / driver collects / writes, so those are what's timed —
+    // the "which stage dominates" answer pipeline_stats.json exists for).
+    // Lazy stages upstream of a checkpoint bill to that checkpoint.
+    val stageSecs = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def staged[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      stageSecs += name -> ((System.nanoTime() - t0) / 1e9)
+      r
+    }
+
     val raw = spark.read.parquet(input)
     val docs0 =
       if (redactPii) raw.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
@@ -211,7 +225,7 @@ object CorpusPipeline {
         // first action, so the upstream observations fire here (same
         // values: observations keep the first action's result)
         val o = org.apache.spark.sql.Observation("cp_lm")
-        val lm = NgramLm.train(gated, textCol)
+        val lm = staged("lm_train")(NgramLm.train(gated, textCol))
         val kept = NgramLm.filterByScore(gated, textCol, lm, min)
           .drop("lm_score").observe(o, nRows)
         (kept, Some(o))
@@ -235,8 +249,8 @@ object CorpusPipeline {
     val (cleared, obsDecontam) = decontamBench match {
       case Some(path) =>
         val o = org.apache.spark.sql.Observation("cp_decontam")
-        val set = Decontaminate.benchmarkNgrams(
-          spark.read.parquet(path), decontamBenchTextCol, decontamN)
+        val set = staged("decontam_bench_set")(Decontaminate.benchmarkNgrams(
+          spark.read.parquet(path), decontamBenchTextCol, decontamN))
         val kept = Decontaminate.dropContaminated(
           despanned, textCol, set, decontamMinHits).observe(o, nRows)
         (kept, Some(o))
@@ -251,12 +265,12 @@ object CorpusPipeline {
     // instead of re-running the text-processing prefix.
     val wNorm = org.apache.spark.sql.expressions.Window
       .partitionBy("_norm").orderBy(idCol)
-    val exact = cleared
+    val exact = staged("text_prefix_and_exact_dedup")(cleared
       .withColumn("_norm", regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
       .withColumn("_rn", row_number().over(wNorm))
       .filter(col("_rn") === 1).drop("_norm", "_rn")
       .observe(obsExact, nRows)
-      .localCheckpoint()
+      .localCheckpoint())
     val nInput = obsN(obsInput, docs.count())
     val nQuality = obsN(obsSurface, surface.count())
     val nModel = obsModel.map(obsN(_, gated.count())).getOrElse(-1L)
@@ -326,7 +340,8 @@ object CorpusPipeline {
         // the checkpointed `exact` instead.
         near.unionByName(member).distinct()
       }
-    val nVsIndex = priorDrops.map(_.count()).getOrElse(-1L)
+    val nVsIndex = staged("index_dedup_query")(
+      priorDrops.map(_.count()).getOrElse(-1L))
     // two drop policies over the pair graph:
     //  - pairwise (default): drop the higher id of each pair — keeps a
     //    maximal-independent-ish set (two docs that only share a dropped
@@ -428,7 +443,8 @@ object CorpusPipeline {
     // index append — five passes that now read these blocks instead of
     // re-deriving the corpus. Materializing it also fires every pending
     // observation upstream, so ALL stage counts are settled here.
-    val survivors = survivors0.observe(obsSurv, nRows).localCheckpoint()
+    val survivors = staged("neardup_and_mix")(
+      survivors0.observe(obsSurv, nRows).localCheckpoint())
     val nDedup = obsN(obsDedup, deduped.count())
     val nSurvivors = obsN(obsSurv, survivors.count())
 
@@ -438,7 +454,8 @@ object CorpusPipeline {
     // projection here — a separate agg action would run it a second time);
     // coalesce: sum over zero rows is NULL (a run CAN drop everything —
     // e.g. a re-ingest where every doc already near-dups the index).
-    val model = Bpe.train(survivors, textCol, bpeMerges, bpeMaxWords)
+    val model = staged("bpe_train")(
+      Bpe.train(survivors, textCol, bpeMerges, bpeMaxWords))
     val obsTok = org.apache.spark.sql.Observation("cp_tokens")
     val tokenized = survivors
       .withColumn("bpe_tokens", model.tokens(col(textCol)))
@@ -447,9 +464,10 @@ object CorpusPipeline {
       .observe(obsTok, coalesce(sum("bpe_token_cnt"), lit(0L)).as("t"))
 
     val bundleDocs = DocTransform.docsColumnar(tokenized, idCol, None)
-    val res = BundleSink.write(bundleDocs, s"$outDir/$indexName", numShards,
-      partitionMultiples, repartition = true, format = "columnar",
-      indexName = indexName)
+    val res = staged("tokenize_and_bundle_write")(
+      BundleSink.write(bundleDocs, s"$outDir/$indexName", numShards,
+        partitionMultiples, repartition = true, format = "columnar",
+        indexName = indexName))
     val totalTokens = obsRead(obsTok, "t",
       tokenized.agg(coalesce(sum("bpe_token_cnt"), lit(0L))).head().getLong(0))
     Bpe.save(spark, model, s"$outDir/$indexName/bpe_model.json")
@@ -472,7 +490,7 @@ object CorpusPipeline {
     // at `outDir/indexName/packed/`. Derived, stateless output: written
     // after the bundle commit (a crash in between reruns cleanly — unlike
     // the index append below there is no membership guard to strand docs).
-    val nPacked = packMaxLen match {
+    val nPacked = staged("pack")(packMaxLen match {
       case Some(maxLen) =>
         val withIds = tokenized.withColumn("_bpe_ids", model.tokenIds(col(textCol)))
         // packStyle "bins" (default): whole-doc BFD; "chunk": GPT-style
@@ -510,9 +528,9 @@ object CorpusPipeline {
         }
         spark.read.parquet(s"$outDir/$indexName/packed").count()
       case None => -1L
-    }
+    })
 
-    annIndexDir.foreach { dir =>
+    staged("ann_index_maintain")(annIndexDir.foreach { dir =>
       val emb = survivors.select(col(idCol), col(embeddingCol))
       if (annIndexExists(spark, dir)) {
         graft.ext.Similarity.appendToIndex(emb, idCol, embeddingCol, dir)
@@ -525,14 +543,15 @@ object CorpusPipeline {
         graft.ext.Similarity.maintainIndex(spark, dir)
         ()
       }
-    }
+    })
     val stats = Stats(nInput, nQuality, nExact,
       afterNearDup = nDedup,
       totalTokens = totalTokens, bundle = res,
       afterLm = nLm, droppedVsIndex = nVsIndex, afterDecontam = nDecontam,
       packedSeqs = nPacked, afterModelQuality = nModel,
       afterMix =
-        if (mixBudget.isDefined || mixPhases.nonEmpty) nSurvivors else -1L)
+        if (mixBudget.isDefined || mixPhases.nonEmpty) nSurvivors else -1L,
+      stageSecs = stageSecs.toSeq)
     // best-effort: at this point the bundle, BPE model, packed export and
     // index append have ALL committed — a stats-publish hiccup must not
     // fail (and so re-run) a fully-committed run
@@ -567,6 +586,11 @@ object CorpusPipeline {
     rec.put("total_tokens", st.totalTokens)
     rec.put("packed_seqs", st.packedSeqs)
     rec.put("bundle_docs", st.bundle.totalDocs)
+    // which stage dominates the wall clock — the number an optimization
+    // round needs (stage wall seconds at the materialization boundaries)
+    val stages = rec.putObject("stage_secs")
+    st.stageSecs.foreach { case (k, v) =>
+      stages.put(k, math.rint(v * 1000) / 1000) }
     val tmp = new org.apache.hadoop.fs.Path(bundleDir, ".pipeline_stats.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rec)
