@@ -315,6 +315,12 @@ object StreamingCorpus {
     //     dropped: the batch operator's drop rule references earlier
     //     dropped rows too, so survivor-only state (the band state's
     //     convention) would diverge from CorpusPipeline's semantic path.
+    //     GROWTH: this state accumulates one row per doc EVER SEEN and is
+    //     re-read and re-joined by every batch — inherent to the operator
+    //     (each new doc must compare against all earlier same-cluster
+    //     rows), but replay-duplicate rows pile up as extra FILES; fold
+    //     them with [[compactSemDedupState]] during the same offline
+    //     maintenance window as search-compact/ann-compact.
     val semDir = s"$outDir/state/semdedup"
     val (vsSem, semBatchRows) = cfg.semDedupCentroids match {
       case Some(path) =>
@@ -729,5 +735,54 @@ object StreamingCorpus {
         AnnIndexStream.commitBatch(emb, batchId, dir, cfg.idCol, cfg.embeddingCol)
       else build()
     }
+  }
+
+  /**
+   * Fold the accumulated SemDeDup label state (`state/semdedup`) into one
+   * deduplicated snapshot — the state-side compaction story the other
+   * standing artifacts already have (search-compact / ann-compact). The
+   * state grows one row per doc ever seen BY DESIGN (stage 3.6's drop
+   * rule compares each new doc against all earlier same-cluster rows),
+   * but replayed batches append duplicate ROWS and every batch appends a
+   * new FILE — this rewrites to distinct (doc_id, cluster_id, uv) rows in
+   * ~one file per partition, with the verify-then-atomic-swap discipline.
+   *
+   * Compacted rows take `batch_id = -1`: prior-state reads exclude only
+   * the CURRENT batch's id, and no future batch is −1, so the snapshot
+   * stays visible to every later batch. OFFLINE maintenance op — run only
+   * while the stream is stopped after a clean checkpoint commit (a replay
+   * of an old batch after its rows were re-tagged would see its own rows
+   * as prior state and double-drop). Returns (rows before, rows after).
+   */
+  def compactSemDedupState(spark: org.apache.spark.sql.SparkSession,
+                           outDir: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dir = s"$outDir/state/semdedup"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return (0L, 0L)
+    val newDir = new Path(s"$dir-compacting")
+    val oldDir = new Path(s"$dir-precompact")
+    fs.delete(newDir, true); fs.delete(oldDir, true)
+    val data = spark.read.parquet(dir)
+    val before = data.count()
+    val snap = data.drop("batch_id").distinct()
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
+    snap.write.mode(SaveMode.Overwrite).parquet(newDir.toString)
+    val after = spark.read.parquet(newDir.toString).count()
+    val expect = data.drop("batch_id").distinct().count()
+    if (after != expect) {
+      fs.delete(newDir, true)
+      throw new IllegalStateException(s"semdedup state compaction aborted: " +
+        s"snapshot has $after of $expect distinct rows; state left intact")
+    }
+    if (!fs.rename(new Path(dir), oldDir))
+      throw new IllegalStateException(s"could not stage $dir aside")
+    if (!fs.rename(newDir, new Path(dir))) {
+      fs.rename(oldDir, new Path(dir))
+      throw new IllegalStateException("swap failed; original state restored")
+    }
+    fs.delete(oldDir, true)
+    (before, after)
   }
 }

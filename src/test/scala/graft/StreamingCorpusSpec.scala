@@ -128,6 +128,33 @@ class StreamingCorpusSpec extends SparkSpec {
     StreamingCorpus.processBatch(
       spark.read.parquet(in).filter(col("doc_id") >= 800L), 2L, out, cfg)
     assert(accepted() === expected, "replayed batch changed the output")
+    // state compaction (offline, stream stopped): replay duplicates fold
+    // away, later reads see one snapshot, and a FURTHER batch still drops
+    // against the compacted history exactly as against the raw appends
+    val stateRows = spark.read.parquet(s"$out/state/semdedup")
+    val beforeRows = stateRows.count()
+    val distinctRows = stateRows.drop("batch_id").distinct().count()
+    assert(beforeRows > distinctRows,
+      "the replay above should have left duplicate state rows to fold")
+    val (b, a) = StreamingCorpus.compactSemDedupState(spark, out)
+    assert(b === beforeRows && a === distinctRows)
+    val compacted = spark.read.parquet(s"$out/state/semdedup")
+    assert(compacted.count() === distinctRows)
+    assert(compacted.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(-1L))
+    // z at angle 3θ: cos(3θ−2θ)=0.96 ≥ τ against the DROPPED y (800) —
+    // the all-seen rule must keep working from the compacted snapshot
+    val b4 = Seq((900L, sentence(), onPlane(3 * theta)),
+      (901L, sentence(), vec(77)))
+    b4.toDF("doc_id", "text", "embedding").write.mode("append").parquet(in)
+    drain()
+    val all2 = (b1 ++ b2 ++ b3 ++ b4).toDF("doc_id", "text", "embedding")
+    val expected2 = graft.ext.Dedup.semDedup(all2, "doc_id", "embedding",
+        cents, threshold = 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted() === expected2,
+      "post-compaction batch diverged from the batch operator")
+    assert(!accepted().contains(900L), "z must drop against the dropped y")
   }
 
   test("annIndexDir: semantic dedup vs the standing index across batches") {
