@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|search|search-build|search-append|search-stream|search-compact|semdedup|split]
+ *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|ann-delete|search|search-build|search-append|search-stream|search-compact|search-delete|semdedup|split]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -44,7 +44,8 @@ object Main {
     "query", "embeddings", "search-vec-id", "search-vec-id-col",
     "search-kcand", "search-index", "search-buckets",
     "split-by", "split-fractions", "split-seed", "semdedup-centroids",
-    "facets", "facets-topn", "highlight", "highlight-window")
+    "facets", "facets-topn", "highlight", "highlight-window",
+    "phrase", "delete-ids", "semdedup-keep")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -101,7 +102,8 @@ object Main {
     val cfg = GraftConfig(
       input = if (Set("compact", "validate", "ann-compact", "ann-drift",
                       "ann-split", "ann-maintain", "ann-strip",
-                      "search-compact")(m("mode")) ||
+                      "search-compact", "search-delete",
+                      "ann-delete")(m("mode")) ||
                   // an indexed search never touches the corpus
                   (m("mode") == "search" && m.contains("search-index")))
                 m.getOrElse("input", "")
@@ -115,12 +117,13 @@ object Main {
         case "install" | "validate" | "multi" | "pack" |
              "quality-train" | "quality-score" | "train-centroids" |
              "search" | "semdedup" | "search-build" | "search-append" |
-             "search-stream" | "search-compact" | "split" =>
+             "search-stream" | "search-compact" | "search-delete" |
+             "split" =>
           m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
              "ann-drift" | "ann-stream" | "ann-split" | "ann-maintain" |
-             "ann-strip" =>
+             "ann-strip" | "ann-delete" =>
           m.getOrElse("index", "")
         case _          => req("index")
       },
@@ -741,43 +744,73 @@ object Main {
           }
         case "search" =>
           // query-side relevance over a document corpus: BM25 top-k for
-          // --query; with --embeddings + --search-vec-id it fuses the
-          // BM25 and cosine candidate lists via reciprocal-rank fusion
-          // (the ES/OpenSearch hybrid). Results -> --out/search + stdout.
+          // --query, exact adjacent-in-order match for --phrase; with
+          // --embeddings + --search-vec-id it fuses the BM25 and cosine
+          // candidate lists via reciprocal-rank fusion (the ES/OpenSearch
+          // hybrid) — against the raw tables, or with --search-index AND
+          // --ann-index against the two standing indexes (zero corpus
+          // scans). Results -> --out/search + stdout.
           val raw = rawFlags(args)
-          val query = raw.getOrElse("query", throw new
-            IllegalArgumentException("--mode search requires --query"))
+          val queryOpt = raw.get("query")
+          val phraseOpt = raw.get("phrase")
+          require(queryOpt.isDefined ^ phraseOpt.isDefined,
+            "--mode search requires exactly one of --query | --phrase")
           val textCol = raw.getOrElse("text-col", "text")
           val idCol = Option(cfg.id).getOrElse("doc_id")
           val k = raw.getOrElse("topk", "10").toInt
-          require(!(raw.contains("embeddings") && raw.contains("search-index")),
+          val hybridIndexed =
+            raw.contains("search-index") && raw.contains("ann-index")
+          require(!(raw.contains("embeddings") && raw.contains("search-index"))
+              || hybridIndexed,
             "--embeddings (hybrid) and --search-index are mutually " +
-              "exclusive: the hybrid path scores BM25 on the corpus (--input)")
+              "exclusive unless --ann-index makes it a standing-index " +
+              "hybrid (the scan hybrid scores BM25 on the corpus: --input)")
           lazy val docs = spark.read.parquet(cfg.input)
-          val result = raw.get("embeddings") match {
-            case Some(embPath) =>
-              val emb = spark.read.parquet(embPath)
-              val vecCol = raw.getOrElse("vec-col", "embedding")
-              val vecIdCol = raw.getOrElse("search-vec-id-col", idCol)
-              val qvId = raw.getOrElse("search-vec-id", throw new
-                IllegalArgumentException(
-                  "--mode search with --embeddings requires --search-vec-id"))
-              val qv = emb
-                .filter(org.apache.spark.sql.functions.col(vecIdCol) === qvId.toLong)
-                .select(org.apache.spark.sql.functions.col(vecCol)
-                  .cast("array<double>"))
-                .head().getSeq[Double](0).toSeq
-              graft.ext.Search.hybridTopK(docs, idCol, textCol, emb,
-                vecIdCol, vecCol, query, qv, k,
-                kCand = raw.getOrElse("search-kcand", "50").toInt)
-            case None => raw.get("search-index") match {
-              // a persisted postings index (--mode search-build output):
-              // identical results to the corpus scan, pruned-bucket cost
-              case Some(idxDir) =>
-                graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k)
-              case None =>
-                graft.ext.Search.bm25TopK(docs, idCol, textCol, query, k)
-            }
+          def queryVec(): Seq[Double] = {
+            val embPath = raw.getOrElse("embeddings", throw new
+              IllegalArgumentException("hybrid search requires --embeddings"))
+            val emb = spark.read.parquet(embPath)
+            val vecCol = raw.getOrElse("vec-col", "embedding")
+            val vecIdCol = raw.getOrElse("search-vec-id-col", idCol)
+            val qvId = raw.getOrElse("search-vec-id", throw new
+              IllegalArgumentException(
+                "hybrid search requires --search-vec-id"))
+            emb.filter(org.apache.spark.sql.functions.col(vecIdCol) === qvId.toLong)
+              .select(org.apache.spark.sql.functions.col(vecCol)
+                .cast("array<double>"))
+              .head().getSeq[Double](0).toSeq
+          }
+          val result = (phraseOpt, raw.get("search-index")) match {
+            // phrase: positional adjacency — scan or positional index
+            case (Some(p), Some(idxDir)) =>
+              graft.ext.Search.indexedPhraseTopK(spark, idxDir, p, k)
+            case (Some(p), None) =>
+              graft.ext.Search.phraseTopK(docs, idCol, textCol, p, k)
+            case (None, _) =>
+              val query = queryOpt.get
+              if (hybridIndexed)
+                // serving-loop hybrid: postings buckets + probed ANN cells
+                graft.ext.Search.hybridTopKIndexed(spark,
+                  raw("search-index"), raw("ann-index"), query, queryVec(),
+                  k, kCand = raw.getOrElse("search-kcand", "50").toInt)
+              else raw.get("embeddings") match {
+                case Some(embPath) =>
+                  val emb = spark.read.parquet(embPath)
+                  val vecCol = raw.getOrElse("vec-col", "embedding")
+                  val vecIdCol = raw.getOrElse("search-vec-id-col", idCol)
+                  graft.ext.Search.hybridTopK(docs, idCol, textCol, emb,
+                    vecIdCol, vecCol, query, queryVec(), k,
+                    kCand = raw.getOrElse("search-kcand", "50").toInt)
+                case None => raw.get("search-index") match {
+                  // a persisted postings index (--mode search-build
+                  // output): identical results to the corpus scan,
+                  // pruned-bucket cost
+                  case Some(idxDir) =>
+                    graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k)
+                  case None =>
+                    graft.ext.Search.bm25TopK(docs, idCol, textCol, query, k)
+                }
+              }
           }
           val outP = s"${cfg.outDir}/search"
           result.write.mode("overwrite").parquet(outP)
@@ -787,7 +820,8 @@ object Main {
           // serving-side companions (both need the corpus text: --input)
           raw.get("facets").foreach { fcols =>
             require(cfg.input.nonEmpty, "--facets needs --input (the corpus)")
-            val f = graft.ext.Search.facets(docs, textCol, query,
+            require(queryOpt.isDefined, "--facets needs --query (term match)")
+            val f = graft.ext.Search.facets(docs, textCol, queryOpt.get,
               fcols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
               topN = raw.getOrElse("facets-topn", "10").toInt)
             f.write.mode("overwrite").parquet(s"${cfg.outDir}/facets")
@@ -803,11 +837,13 @@ object Main {
             val kDocs = docs.join(
               org.apache.spark.sql.functions.broadcast(topIds),
               docs(idCol) === topIds("doc_id"), "left_semi")
-            val h = graft.ext.Search.highlights(kDocs, idCol, textCol, query,
+            // phrase mode highlights its member terms (every occurrence)
+            val h = graft.ext.Search.highlights(kDocs, idCol, textCol,
+                queryOpt.getOrElse(phraseOpt.get),
                 window = raw.getOrElse("highlight-window", "3").toInt)
             h.write.mode("overwrite").parquet(s"${cfg.outDir}/highlights")
             val hs = spark.read.parquet(s"${cfg.outDir}/highlights")
-              .orderBy("doc_id", "term").collect()
+              .orderBy("doc_id", "term", "pos").collect()
             println(s"highlights: ${hs.length} rows -> ${cfg.outDir}/highlights")
             hs.take(10).foreach(r => println(s"  $r"))
           }
@@ -849,11 +885,36 @@ object Main {
             s"($n postings)")
         case "search-compact" =>
           // streaming/append maintenance leaves one file per (bucket,
-          // batch); rewrite to ~one per bucket and fold the stream's
-          // stats deltas into the base record (atomic swap, count-gated)
+          // batch); rewrite to ~one per bucket, fold the stream's stats
+          // deltas into the base record, and physically remove tombstoned
+          // docs (atomic swap, count-gated)
           val (before, after) =
             graft.ext.Search.compactPostingsIndex(spark, cfg.outDir)
           println(s"postings index compacted: $before -> $after files")
+        case "search-delete" | "ann-delete" =>
+          // tombstone documents/vectors out of a standing index: queries
+          // exclude them immediately, the next compact removes them
+          // physically (--delete-ids = a parquet of ids; --id names its
+          // column, default doc_id / nid)
+          val raw = rawFlags(args)
+          val idsPath = raw.getOrElse("delete-ids", throw new
+            IllegalArgumentException(s"--mode $mode requires --delete-ids " +
+              "<parquet of ids to remove>"))
+          val ids = spark.read.parquet(idsPath)
+          if (mode == "search-delete") {
+            val idCol = Option(cfg.id).getOrElse("doc_id")
+            graft.ext.Search.deleteFromPostingsIndex(spark, cfg.outDir,
+              ids, idCol)
+            val (n, t, _) = graft.ext.Search.readStats(spark, cfg.outDir)
+            println(s"postings tombstones recorded; effective corpus now " +
+              s"$n docs / $t tokens (compact to remove physically)")
+          } else {
+            val idCol = Option(cfg.id).getOrElse("nid")
+            graft.ext.Similarity.deleteFromIndex(spark, cfg.outDir, ids, idCol)
+            val n = spark.read.parquet(s"${cfg.outDir}/deletes/ids").count()
+            println(s"ann tombstones recorded ($n ids pending; compact to " +
+              "remove physically)")
+          }
         case "search-build" | "search-append" =>
           // persisted BM25 postings index lifecycle (the ann-build/append
           // twin for full text): --out is the index DIRECTORY
@@ -882,14 +943,18 @@ object Main {
           val idCol = Option(cfg.id).getOrElse("doc_id")
           val vecCol = raw.getOrElse("vec-col", "embedding")
           val tau = raw.getOrElse("neardup-threshold", "0.9").toDouble
+          // keep policy: "first" (min id) | "low-similarity" (the paper's
+          // farthest-from-centroid representative)
+          val keep = raw.getOrElse("semdedup-keep", "first")
           val docs = spark.read.parquet(cfg.input)
           val cents = graft.ext.Similarity.loadClusterCentroids(spark, centPath)
-          val kept = graft.ext.Dedup.semDedup(docs, idCol, vecCol, cents, tau)
+          val kept = graft.ext.Dedup.semDedup(docs, idCol, vecCol, cents, tau,
+            keep = keep)
           val outP = s"${cfg.outDir}/semdedup"
           kept.write.mode("overwrite").parquet(outP)
           val nIn = docs.count(); val nOut = spark.read.parquet(outP).count()
-          println(s"semdedup: $nIn -> $nOut rows (threshold $tau, " +
-            s"${cents.length} clusters) -> $outP")
+          println(s"semdedup: $nIn -> $nOut rows (threshold $tau, keep " +
+            s"$keep, ${cents.length} clusters) -> $outP")
         case "ann-drift" =>
           // quantizer health: sampled vector->centroid cosine + cell skew
           // vs the stats the index recorded at build time
