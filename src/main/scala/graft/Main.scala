@@ -45,7 +45,8 @@ object Main {
     "search-kcand", "search-index", "search-buckets",
     "split-by", "split-fractions", "split-seed", "semdedup-centroids",
     "facets", "facets-topn", "highlight", "highlight-window",
-    "phrase", "delete-ids", "semdedup-keep")
+    "phrase", "delete-ids", "semdedup-keep", "must", "should", "must-not",
+    "histogram")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -279,6 +280,8 @@ object Main {
             annIndexDir = raw.get("ann-index"),
             // frozen centroid artifact for --neardup-method semantic
             semDedupCentroids = raw.get("semdedup-centroids"),
+            // keep rule for the semantic pairs: first | low-similarity
+            semDedupKeep = raw.getOrElse("semdedup-keep", "first"),
             // connected-components drop policy: one representative per
             // TRANSITIVE duplicate cluster (vs pairwise higher-id drop)
             clusterDrop = raw.get("neardup-clusters").exists(_.toBoolean),
@@ -753,8 +756,11 @@ object Main {
           val raw = rawFlags(args)
           val queryOpt = raw.get("query")
           val phraseOpt = raw.get("phrase")
-          require(queryOpt.isDefined ^ phraseOpt.isDefined,
-            "--mode search requires exactly one of --query | --phrase")
+          val boolMode = Seq("must", "should", "must-not").exists(raw.contains)
+          require(Seq(queryOpt.isDefined, phraseOpt.isDefined, boolMode)
+              .count(identity) == 1,
+            "--mode search requires exactly one of --query | --phrase | " +
+              "bool clauses (--must/--should/--must-not)")
           val textCol = raw.getOrElse("text-col", "text")
           val idCol = Option(cfg.id).getOrElse("doc_id")
           val k = raw.getOrElse("topk", "10").toInt
@@ -780,7 +786,19 @@ object Main {
                 .cast("array<double>"))
               .head().getSeq[Double](0).toSeq
           }
-          val result = (phraseOpt, raw.get("search-index")) match {
+          val result = if (boolMode) {
+            // the ES bool request: must/should/must_not clauses — scan or
+            // pruned postings index
+            val m = raw.getOrElse("must", "")
+            val sh = raw.getOrElse("should", "")
+            val n = raw.getOrElse("must-not", "")
+            raw.get("search-index") match {
+              case Some(idxDir) =>
+                graft.ext.Search.indexedBoolTopK(spark, idxDir, m, sh, n, k)
+              case None =>
+                graft.ext.Search.boolTopK(docs, idCol, textCol, m, sh, n, k)
+            }
+          } else (phraseOpt, raw.get("search-index")) match {
             // phrase: positional adjacency — scan or positional index
             case (Some(p), Some(idxDir)) =>
               graft.ext.Search.indexedPhraseTopK(spark, idxDir, p, k)
@@ -829,6 +847,19 @@ object Main {
             f.orderBy("facet", "rank").collect()
               .foreach(r => println(s"  $r"))
           }
+          raw.get("histogram").foreach { spec =>
+            // --histogram <numCol>:<interval> — ES histogram aggregation
+            require(cfg.input.nonEmpty, "--histogram needs --input (the corpus)")
+            require(queryOpt.isDefined, "--histogram needs --query (term match)")
+            val parts = spec.split(":")
+            require(parts.length == 2,
+              s"--histogram expects <col>:<interval>, got '$spec'")
+            val hdf = graft.ext.Search.histogramFacet(docs, textCol,
+              queryOpt.get, parts(0), parts(1).toDouble)
+            hdf.write.mode("overwrite").parquet(s"${cfg.outDir}/histogram")
+            println(s"histogram -> ${cfg.outDir}/histogram")
+            hdf.orderBy("bucket").collect().foreach(r => println(s"  $r"))
+          }
           if (raw.get("highlight").exists(_.toBoolean)) {
             require(cfg.input.nonEmpty, "--highlight needs --input (the corpus)")
             // filter to the top-k ids BEFORE highlighting: the snippet
@@ -837,9 +868,12 @@ object Main {
             val kDocs = docs.join(
               org.apache.spark.sql.functions.broadcast(topIds),
               docs(idCol) === topIds("doc_id"), "left_semi")
-            // phrase mode highlights its member terms (every occurrence)
-            val h = graft.ext.Search.highlights(kDocs, idCol, textCol,
-                queryOpt.getOrElse(phraseOpt.get),
+            // phrase mode highlights its member terms (every occurrence);
+            // bool mode highlights the must+should union
+            val hq = queryOpt.orElse(phraseOpt).getOrElse(
+              (raw.getOrElse("must", "") + " " +
+                raw.getOrElse("should", "")).trim)
+            val h = graft.ext.Search.highlights(kDocs, idCol, textCol, hq,
                 window = raw.getOrElse("highlight-window", "3").toInt)
             h.write.mode("overwrite").parquet(s"${cfg.outDir}/highlights")
             val hs = spark.read.parquet(s"${cfg.outDir}/highlights")

@@ -666,6 +666,120 @@ object Search {
       .select("doc_id", "rank", "score")
   }
 
+  // ------------------------------------------------------------------
+  // Boolean queries: must / should / must_not — the ES `bool` query,
+  // the most common real-search request shape
+  // ------------------------------------------------------------------
+
+  /** [[queryTerms]] tolerant of empty/null input (bool clauses may be
+    * absent). */
+  private def termsOf(q: String): Seq[String] =
+    if (q == null || q.trim.isEmpty) Seq.empty else queryTerms(q)
+
+  /**
+   * Boolean-query top-k (the ES `bool` query): documents must contain ALL
+   * `must` terms, NONE of the `mustNot` terms, and — when `must` is empty —
+   * at least one `should` term (with `must` present, `should` is a pure
+   * score boost, the ES rule). Score = the [[bm25TopK]] BM25 sum over the
+   * UNION of must+should terms in sorted order (an absent should term
+   * contributes exactly +0.0). At least one of must/should is required.
+   *
+   * Scale shape: identical to [[bm25TopK]] — every clause is an
+   * `array_contains` projection on the shared tokenization, so the plan
+   * stays map-only + distributed TakeOrdered, two corpus reads total.
+   */
+  def boolTopK(docs: DataFrame, idCol: String, textCol: String,
+               must: String, should: String = "", mustNot: String = "",
+               k: Int = 10, params: Bm25Params = Bm25Params(),
+               roundTo: Int = 4): DataFrame = {
+    val mTerms = termsOf(must)
+    val sTerms = termsOf(should)
+    val nTerms = termsOf(mustNot)
+    require(mTerms.nonEmpty || sTerms.nonEmpty,
+      "bool query needs at least one must or should term")
+    val scoring = (mTerms ++ sTerms).distinct.sorted
+    val stats = corpusStats(docs, textCol, scoring)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val mustPred = mTerms.map(t => array_contains(tok, t))
+      .foldLeft(lit(true))(_ && _)
+    val notPred = nTerms.map(t => !array_contains(tok, t))
+      .foldLeft(lit(true))(_ && _)
+    val shouldPred =
+      if (mTerms.nonEmpty) lit(true)
+      else sTerms.map(t => array_contains(tok, t)).reduce(_ || _)
+    val scored = docs
+      .where(mustPred && notPred && shouldPred)
+      .select(col(idCol).as("doc_id"),
+        round(scoreCol(scoring, stats, params, tok, dl), roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Boolean-query top-k from a persisted postings index — bit-identical
+   * to [[boolTopK]] (the [[indexedBm25TopK]] guarantee extended to
+   * clause logic). Reads the pruned buckets of must+should+mustNot
+   * terms; clause tests become pivot predicates (`tf > 0` per must term,
+   * a max-flag for mustNot), df/score come from the same exact pivot
+   * machinery. mustNot postings cost Σ df(t) extra rows of read — the
+   * price of exclusion without a corpus scan.
+   */
+  def indexedBoolTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      must: String, should: String = "", mustNot: String = "",
+                      k: Int = 10, params: Bm25Params = Bm25Params(),
+                      roundTo: Int = 4): DataFrame = {
+    val mTerms = termsOf(must)
+    val sTerms = termsOf(should)
+    val nTerms = termsOf(mustNot)
+    require(mTerms.nonEmpty || sTerms.nonEmpty,
+      "bool query needs at least one must or should term")
+    val scoring = (mTerms ++ sTerms).distinct.sorted
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val avgdl = totalTokens.toDouble / nDocs
+    val readTerms = (scoring ++ nTerms).distinct.sorted
+    val pruned = prunedPostings(spark, dir, readTerms, buckets)
+    val dfRow = pruned.agg(
+      count(lit(1)).as("_n"),
+      scoring.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_df$i") }: _*)
+      .head()
+    val stats = CorpusStats(nDocs, totalTokens,
+      scoring.zipWithIndex.map { case (t, i) =>
+        t -> (if (dfRow.isNullAt(i + 1)) 0L else dfRow.getLong(i + 1)) }.toMap)
+    val grouped = pruned.groupBy("doc_id").agg(
+      first(col("dl")).as("dl"),
+      (scoring.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("term") === t, col("tf"))), lit(0.0))
+          .as(s"_tf$i") } :+
+        coalesce(max(when(
+          if (nTerms.isEmpty) lit(false) else col("term").isin(nTerms: _*),
+          1).otherwise(0)), lit(0)).as("_hasnot")): _*)
+    val mustOk = mTerms.map(t => col(s"_tf${scoring.indexOf(t)}") > 0.0)
+      .foldLeft(lit(true))(_ && _)
+    val shouldOk =
+      if (mTerms.nonEmpty) lit(true)
+      else sTerms.map(t => col(s"_tf${scoring.indexOf(t)}") > 0.0)
+        .reduce(_ || _)
+    val lenNorm = lit(params.k1) *
+      (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(avgdl))
+    val score = scoring.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"_tf$i")
+      lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
+    }.reduce(_ + _)
+    val scored = grouped
+      .where(mustOk && col("_hasnot") === 0 && shouldOk)
+      .select(col("doc_id"), round(score, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
   /**
    * Compact a postings index: append/streaming maintenance leaves one
    * file per (bucket, batch) — rewrite back to ~one file per bucket with
@@ -813,6 +927,29 @@ object Search {
       .select(col("facet"), posexplode(col("_top")))
       .select(col("facet"), col("col.value").as("value"),
         (-col("col.nd")).as("docs"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /**
+   * Histogram facet over the MATCHED set — the ES `histogram` aggregation:
+   * fixed-interval buckets of a numeric column over documents matching ≥1
+   * query term, `(bucket, docs)` with bucket = floor(value/interval) ·
+   * interval (the ES bucketing law) for non-empty buckets; null values
+   * are skipped (ES `missing` unconfigured). One map-only matched scan +
+   * one partial+final count whose cardinality is value-range/interval —
+   * never corpus rows; no window anywhere.
+   */
+  def histogramFacet(docs: DataFrame, textCol: String, query: String,
+                     numCol: String, interval: Double): DataFrame = {
+    require(interval > 0, "interval must be positive")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val tok = tokens(col(textCol))
+    val matchedPred = terms.map(t => when(array_contains(tok, t), 1)
+      .otherwise(0)).reduce(_ + _) > 0
+    docs.filter(matchedPred && col(numCol).isNotNull)
+      .select((floor(col(numCol).cast("double") / lit(interval)) *
+        lit(interval)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("docs"))
   }
 
   // ------------------------------------------------------------------

@@ -106,6 +106,7 @@ object CorpusPipeline {
           embeddingCol: String = "embedding",
           annIndexDir: Option[String] = None,
           semDedupCentroids: Option[String] = None,
+          semDedupKeep: String = "first",
           clusterDrop: Boolean = false,
           stripSpans: Boolean = false,
           spanK: Int = 10, spanMinDocs: Int = 2,
@@ -307,9 +308,13 @@ object CorpusPipeline {
         val centPath = semDedupCentroids.getOrElse(throw new
           IllegalArgumentException("nearDupMethod=semantic needs " +
             "semDedupCentroids (a trained centroid artifact)"))
+        // semDedupKeep orders each pair (keeper first), so the default
+        // pairwise drop-id_b policy realizes the keep rule; clusterDrop's
+        // component-min representative is id-based by definition and
+        // composes with keep="first" only
         Dedup.semDedupPairs(exact, idCol, embeddingCol,
           graft.ext.Similarity.loadClusterCentroids(spark, centPath),
-          threshold = nearDupThreshold)
+          threshold = nearDupThreshold, keep = semDedupKeep)
       case other => throw new IllegalArgumentException(
         s"unknown nearDupMethod '$other' (minhash | embedding | semantic)")
     }

@@ -2573,6 +2573,138 @@ object Queries {
           .select(col("vec_id"), col("cluster_id"))
           .orderBy("vec_id")
       }),
+
+    // ---- batch BM25 (the inverted-postings shape + the bounded k-heap
+    //      top-k): one corpus explode, broadcast query terms, per-(query,
+    //      doc) TERM-ORDER contribution fold, per-query top-k via the
+    //      partial+final TopKAgg heap — no rank window anywhere. The
+    //      oracle recomputes every query's ranking from raw text with the
+    //      SAME ascending-term fold (list_reduce over list(... ORDER BY
+    //      term)) and the batch path's exact association
+    //      ((idf·tf)·(k1+1)), so a hash match pins the postings shape,
+    //      the fold order AND the heap's (score desc, id asc) cut. ----
+    QueryDef("q99_bm25_batch",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |q AS (SELECT * FROM (VALUES
+             |       (1, ['merge', 'spark', 'window']),
+             |       (2, ['join', 'stream']),
+             |       (3, ['filter', 'hash', 'scan'])) AS t(query_id, terms)),
+             |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+             |st AS (SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl
+             |       FROM docs),
+             |df AS (SELECT t.term,
+             |         sum(CASE WHEN list_contains(d.w, t.term) THEN 1
+             |             ELSE 0 END)::DOUBLE AS df
+             |       FROM (SELECT DISTINCT term FROM qt) t CROSS JOIN docs d
+             |       GROUP BY t.term),
+             |contrib AS (
+             |  SELECT qt.query_id, d.doc_id, qt.term,
+             |    ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+             |      * len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |      * (1.2 + 1.0)
+             |      / (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |         + 1.2 * ((1 - 0.75) + 0.75 * len(d.w)::DOUBLE / st.avgdl))
+             |      AS c
+             |  FROM qt JOIN df ON qt.term = df.term, docs d, st
+             |  WHERE list_contains(d.w, qt.term)),
+             |scored AS (
+             |  SELECT query_id, doc_id,
+             |    round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 4)
+             |      AS score
+             |  FROM contrib GROUP BY query_id, doc_id)
+             |SELECT query_id, doc_id, rank, score FROM (
+             |  SELECT query_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 15
+             |ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq((1, "spark window merge"), (2, "join stream"),
+          (3, "filter hash scan")).toDF("query_id", "query_text")
+        graft.ext.Search.bm25TopKBatch(
+            t(s, dir, "documents"), "doc_id", "text", queries, k = 15)
+          .orderBy("query_id", "rank")
+      }),
+
+    // ---- boolean query (the ES `bool` request: must/should/must_not)
+    //      answered from the postings index, q90 discipline: docs must
+    //      contain 'spark', must NOT contain 'join', 'window merge' is a
+    //      pure score boost (must present). Scoring = the q86 BM25 sum
+    //      over the sorted must+should union; the oracle recomputes the
+    //      clause predicate AND the scoring from raw text. A hash match
+    //      pins that clause logic via pivot predicates on pruned postings
+    //      is bit-identical to the corpus-scan bool query. ----
+    QueryDef("q100_bool_search",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df3
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'merge'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'merge'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'spark')
+             |    AND NOT list_contains(w, 'join'))
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q100-boolidx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedBoolTopK(s, idx,
+            must = "spark", should = "window merge", mustNot = "join",
+            k = 15)
+          .orderBy("rank")
+      }),
+
+    // ---- histogram facet over the matched set (the ES `histogram`
+    //      aggregation): fixed-interval buckets of n_chars among docs
+    //      matching >=1 query term, bucket = floor(v/interval)·interval —
+    //      integer counts + exact IEEE divide/floor on both engines, so
+    //      the hash pins the bucketing law and the matched set. ----
+    QueryDef("q101_histogram_facet",
+      Some("""WITH docs AS (
+             |  SELECT n_chars,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |m AS (SELECT * FROM docs
+             |      WHERE (list_contains(w, 'join') OR list_contains(w, 'stream'))
+             |        AND n_chars IS NOT NULL)
+             |SELECT floor(n_chars::DOUBLE / 50.0) * 50.0 AS bucket,
+             |  count(*) AS docs
+             |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin),
+      (s, dir) => graft.ext.Search.histogramFacet(
+          t(s, dir, "documents"), "text", "join stream",
+          "n_chars", interval = 50.0)
+        .orderBy("bucket")),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -273,6 +273,57 @@ class CorpusPipelineSpec extends SparkSpec {
     assert((700L until 704L).forall(!ids.contains(_)))
   }
 
+  test("nearDupMethod=semantic with semDedupKeep=low-similarity: the " +
+      "farthest-from-centroid representative survives; pipeline == operator") {
+    val rnd = new scala.util.Random(43)
+    def sentence(n: Int) =
+      (0 until n).map(_ => s"alpha w${rnd.nextInt(500)} beta gamma").mkString(" ")
+    val dim = 16
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(1000 + i)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Seq[Float], eps: Double, seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      v.map(x => (x + eps * r.nextGaussian()).toFloat)
+    }
+    // originals 0..3 sit EXACTLY at the centroids (csim maximal); their
+    // paraphrases are jittered (strictly lower csim) — keep-first would
+    // keep the smaller-id originals, low-similarity must keep the
+    // paraphrases instead
+    val clean = (0L until 40L).map { i =>
+      val v = if (i < 4) vec(100 + i.toInt) else vec(i.toInt)
+      (i, sentence(12), v)
+    }
+    val paraphrases = (0L until 4L).map(i =>
+      (i + 700L, sentence(12), jitter(vec(100 + i.toInt), 0.01, 800 + i.toInt)))
+    val input = Files.createTempDirectory("graft-cp-skf-in").toString
+    val all = (clean ++ paraphrases).toDF("doc_id", "text", "embedding")
+    all.write.mode("overwrite").parquet(input)
+    val centPath = Files.createTempDirectory("graft-cp-skf-cent").toString
+    (0 until 4).map(c => (c, vec(100 + c).map(_.toDouble)))
+      .toDF("cent_id", "centv").write.mode("overwrite").parquet(centPath)
+    val out = Files.createTempDirectory("graft-cp-skf").toString
+    CorpusPipeline.run(spark, input, out, "c_skf",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      nearDupThreshold = 0.95, bpeMerges = 60, bpeMaxWords = 2000,
+      nearDupMethod = "semantic", semDedupCentroids = Some(centPath),
+      semDedupKeep = "low-similarity")
+    val cents = graft.ext.Similarity.loadClusterCentroids(spark, centPath)
+    val expected = graft.ext.Dedup.semDedup(all, "doc_id", "embedding",
+        cents, threshold = 0.95, keep = "low-similarity")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = spark.read.parquet(s"$out/c_skf/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === expected, "pipeline kept set != low-similarity semDedup")
+    // the policy flipped the representatives: paraphrases survive,
+    // at-centroid originals drop
+    assert((700L until 704L).forall(ids.contains),
+      "jittered paraphrases (lower centroid-sim) must survive")
+    assert((0L until 4L).forall(!ids.contains(_)),
+      "at-centroid originals must drop under keep=low-similarity")
+  }
+
   test("clusterDrop: star component keeps one representative; pairwise keeps both spokes") {
     val rnd = new scala.util.Random(67)
     def sentence(n: Int) =

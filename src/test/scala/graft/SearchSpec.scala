@@ -728,6 +728,80 @@ class SearchSpec extends SparkSpec {
     assert(afterCpt === beforeCpt)
   }
 
+  test("boolTopK semantics on a hand corpus; indexedBoolTopK bit-identical " +
+      "across clause combinations") {
+    val docs = Seq(
+      (1L, "spark window merge fast"), // all clauses
+      (2L, "spark join window"),       // mustNot 'join' -> excluded
+      (3L, "spark alone here"),        // must only, no should terms
+      (4L, "window merge no-required"),// missing must 'spark'
+      (5L, "nothing relevant")).toDF("doc_id", "text")
+    val got = Search.boolTopK(docs, "doc_id", "text",
+        must = "spark", should = "window merge", mustNot = "join", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // docs 1 and 3 qualify (3 via must alone — should is a boost, the ES
+    // rule); 1 outranks 3 (should contributions)
+    assert(got.map(_._1).toSeq === Seq(1L, 3L))
+    assert(got(0)._3 > got(1)._3)
+    // should-only: >=1 should term required
+    val so = Search.boolTopK(docs, "doc_id", "text",
+        must = "", should = "merge window", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(so === Set(1L, 2L, 4L))
+    // should + mustNot, no must
+    val sn = Search.boolTopK(docs, "doc_id", "text",
+        must = "", should = "merge window", mustNot = "join", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(sn === Set(1L, 4L))
+    // index path: bit-identical across combos, on the real corpus
+    val corpus = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-boolidx").toString
+    Search.buildPostingsIndex(corpus, "doc_id", "text", dir, buckets = 16)
+    val combos = Seq(
+      ("spark", "window merge", "join"),
+      ("", "window merge", "join"),
+      ("spark stream", "", ""),
+      ("spark", "", "join"))
+    for ((m, s, n) <- combos) {
+      val scan = Search.boolTopK(corpus, "doc_id", "text", m, s, n, k = 20)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val idx = Search.indexedBoolTopK(spark, dir, m, s, n, k = 20)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(idx === scan, s"bool($m | $s | -$n)")
+    }
+    // the scan plan stays map-only (the bm25TopK shape)
+    val plan = Search.boolTopK(corpus, "doc_id", "text",
+        "spark", "window", "join", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") &&
+      !"Exchange (hashpartitioning|rangepartitioning)".r
+        .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("histogramFacet: ES bucketing law against a driver-side " +
+      "recomputation; nulls skipped; no window") {
+    val docs = sf("sf0.001", "documents")
+    val got = Search.histogramFacet(docs, "text", "join stream",
+        "n_chars", interval = 50.0)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    def tok(s: String) =
+      if (s == null) Seq.empty
+      else s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val expected = docs.select("text", "n_chars").collect()
+      .filter { r =>
+        val ws = tok(r.getString(0))
+        (ws.contains("join") || ws.contains("stream")) && !r.isNullAt(1)
+      }
+      .groupBy(r => math.floor(r.getLong(1).toDouble / 50.0) * 50.0)
+      .map { case (b, rs) => b -> rs.length.toLong }
+    assert(got === expected)
+    assert(got.size > 1, "expected multiple buckets")
+    assert(got.values.sum === expected.values.sum)
+    val plan = Search.histogramFacet(docs, "text", "join", "n_chars", 50.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("tokenization law: shared with Decontaminate, empty/null safe") {
     val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
