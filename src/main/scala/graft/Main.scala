@@ -46,7 +46,7 @@ object Main {
     "split-by", "split-fractions", "split-seed", "semdedup-centroids",
     "facets", "facets-topn", "highlight", "highlight-window",
     "phrase", "delete-ids", "semdedup-keep", "must", "should", "must-not",
-    "histogram")
+    "histogram", "fields", "multi-mode", "min-should-match")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -819,14 +819,26 @@ object Main {
                   graft.ext.Search.hybridTopK(docs, idCol, textCol, emb,
                     vecIdCol, vecCol, query, queryVec(), k,
                     kCand = raw.getOrElse("search-kcand", "50").toInt)
-                case None => raw.get("search-index") match {
+                case None => (raw.get("fields"), raw.get("search-index")) match {
+                  // multi-field (ES multi_match): --fields f1:boost,f2:boost
+                  // [--multi-mode most_fields|best_fields]
+                  case (Some(spec), _) =>
+                    val fs = spec.split(",").map(_.trim).filter(_.nonEmpty)
+                      .map { p =>
+                        val Array(c, b) = p.split(":")
+                        (c, b.toDouble)
+                      }.toSeq
+                    graft.ext.Search.multiFieldTopK(docs, idCol, fs, query, k,
+                      mode = raw.getOrElse("multi-mode", "most_fields"))
                   // a persisted postings index (--mode search-build
                   // output): identical results to the corpus scan,
                   // pruned-bucket cost
-                  case Some(idxDir) =>
+                  case (None, Some(idxDir)) =>
                     graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k)
-                  case None =>
-                    graft.ext.Search.bm25TopK(docs, idCol, textCol, query, k)
+                  case (None, None) =>
+                    graft.ext.Search.bm25TopK(docs, idCol, textCol, query, k,
+                      minShouldMatch =
+                        raw.getOrElse("min-should-match", "1").toInt)
                 }
               }
           }

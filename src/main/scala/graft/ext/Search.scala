@@ -89,11 +89,13 @@ object Search {
    * shuffle except the distributed TakeOrdered) over a two-action plan:
    * stats aggregate, then score+top-k. Ties break to the smaller id;
    * scores round to `roundTo` decimals (the q24 determinism convention).
-   * Only docs matching ≥1 term are ranked.
+   * Only docs matching ≥ `minShouldMatch` DISTINCT terms are ranked (the
+   * ES `minimum_should_match` knob; default 1 = the plain OR match).
    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, query: String,
                k: Int, params: Bm25Params = Bm25Params(),
-               roundTo: Int = 4): DataFrame = {
+               roundTo: Int = 4, minShouldMatch: Int = 1): DataFrame = {
+    require(minShouldMatch >= 1, "minShouldMatch must be >= 1")
     val terms = queryTerms(query)
     require(terms.nonEmpty, "empty query")
     val stats = corpusStats(docs, textCol, terms)
@@ -102,7 +104,7 @@ object Search {
     val matched = terms.map(t => when(array_contains(tok, t), 1).otherwise(0))
       .reduce(_ + _)
     val scored = docs
-      .where(matched > 0)
+      .where(matched >= minShouldMatch)
       .select(col(idCol).as("doc_id"),
         round(scoreCol(terms, stats, params, tok, dl), roundTo).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -177,6 +179,77 @@ object Search {
       .select(col("query_id"), col("col.doc_id").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"),
         (-col("col.ns")).as("score"))
+  }
+
+  /**
+   * Multi-field BM25 top-k — the ES `multi_match` query over weighted
+   * fields: each field is scored with ITS OWN statistics (df/avgdl per
+   * field, the ES per-field index semantics; null text = empty tokens)
+   * and the document score combines per `mode`:
+   *  - `"most_fields"` (default): Σ_f boost_f · bm25_f — fields ADD
+   *    evidence (the same entity described in several fields);
+   *  - `"best_fields"`: max_f boost_f · bm25_f — the dis_max form
+   *    (tie_breaker 0), fields COMPETE (the match lives in one field).
+   * Docs matching ≥1 term in ≥1 field qualify. Fold orders are pinned:
+   * terms sorted within a field, fields combined in GIVEN order (sum is
+   * left-assoc; max is `greatest`), so an oracle reproduces the float
+   * arithmetic exactly.
+   *
+   * Scale shape: the [[bm25TopK]] twin — per-field stats ride ONE bounded
+   * partial+final aggregate (|fields|·(|terms|+1)+1 longs), scoring is a
+   * pure projection over each field's token array, the global top-k is
+   * the distributed TakeOrdered. Map-only; the corpus never shuffles.
+   */
+  def multiFieldTopK(docs: DataFrame, idCol: String,
+                     fields: Seq[(String, Double)], query: String, k: Int,
+                     mode: String = "most_fields",
+                     params: Bm25Params = Bm25Params(),
+                     roundTo: Int = 4): DataFrame = {
+    require(fields.nonEmpty, "need at least one (field, boost)")
+    require(mode == "most_fields" || mode == "best_fields",
+      s"unknown multi-field mode '$mode' (most_fields | best_fields)")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    // per-field stats in ONE aggregate pass: N once, then (Σdl, df...)
+    // per field — tokens(null text) is null, so sizes/contains coalesce
+    val toks = fields.map { case (f, _) => tokens(col(f)) }
+    val aggCols = toks.flatMap { tok =>
+      sum(coalesce(size(tok).cast("long"), lit(0L))) +:
+        terms.map(t => sum(when(array_contains(tok, t), 1L).otherwise(0L)))
+    }
+    val row = docs.agg(count(lit(1)).as("n"), aggCols: _*).head()
+    val nDocs = row.getLong(0)
+    val statsPerField = fields.indices.map { fi =>
+      val base = 1 + fi * (1 + terms.length)
+      CorpusStats(nDocs, row.getLong(base),
+        terms.zipWithIndex.map { case (t, i) =>
+          t -> row.getLong(base + 1 + i) }.toMap)
+    }
+    val fieldScores = fields.zipWithIndex.map { case ((f, boost), fi) =>
+      val tok = toks(fi)
+      val dl = coalesce(size(tok).cast("double"), lit(0.0))
+      // null-field rows score +0.0 for this field (tf reads coalesce to 0)
+      val tf0 = coalesce(tok, array().cast("array<string>"))
+      lit(boost) * scoreCol(terms, statsPerField(fi), params, tf0, dl)
+    }
+    val combined = mode match {
+      case "most_fields" => fieldScores.reduce(_ + _)
+      case "best_fields" =>
+        if (fieldScores.length == 1) fieldScores.head
+        else greatest(fieldScores: _*)
+    }
+    val matched = fields.flatMap { case (f, _) =>
+      terms.map(t => when(array_contains(tokens(col(f)), t), 1).otherwise(0))
+    }.reduce(_ + _)
+    val scored = docs
+      .where(matched > 0)
+      .select(col(idCol).as("doc_id"),
+        round(combined, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
   }
 
   /** Cosine top-k against ONE literal query vector: map-only scoring +

@@ -2705,6 +2705,125 @@ object Queries {
           t(s, dir, "documents"), "text", "join stream",
           "n_chars", interval = 50.0)
         .orderBy("bucket")),
+
+    // ---- multi-field search (the ES `multi_match`, most_fields mode):
+    //      each field scored with ITS OWN df/avgdl (null text = empty
+    //      tokens), document score = boost-weighted SUM across fields in
+    //      given order. Fields: text (boost 1.0) and a derived metadata
+    //      field source+lang (boost 0.5 — a power of two, so the boost
+    //      multiply is IEEE-exact). The oracle recomputes both fields'
+    //      statistics and scores from raw columns with the same pinned
+    //      fold orders (terms sorted within field, fields left-assoc). ----
+    QueryDef("q102_multifield_search",
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w1,
+             |    list_filter(string_split_regex(lower(concat_ws(' ', source, lang)),
+             |                                   '\s+'), x -> x <> '') AS w2
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n,
+             |    sum(coalesce(len(w1), 0))::DOUBLE / count(*) AS avgdl1,
+             |    sum(coalesce(len(w2), 0))::DOUBLE / count(*) AS avgdl2,
+             |    sum(CASE WHEN list_contains(w1, 'en') THEN 1 ELSE 0 END)::DOUBLE AS df1a,
+             |    sum(CASE WHEN list_contains(w1, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1b,
+             |    sum(CASE WHEN list_contains(w1, 'src3') THEN 1 ELSE 0 END)::DOUBLE AS df1c,
+             |    sum(CASE WHEN list_contains(w2, 'en') THEN 1 ELSE 0 END)::DOUBLE AS df2a,
+             |    sum(CASE WHEN list_contains(w2, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2b,
+             |    sum(CASE WHEN list_contains(w2, 'src3') THEN 1 ELSE 0 END)::DOUBLE AS df2c
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |    1.0 * (
+             |        ln(1 + (st.n - st.df1a + 0.5) / (st.df1a + 0.5))
+             |          * (len(list_filter(w1, x -> x = 'en'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w1, x -> x = 'en'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w1)::DOUBLE / st.avgdl1))
+             |      + ln(1 + (st.n - st.df1b + 0.5) / (st.df1b + 0.5))
+             |          * (len(list_filter(w1, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w1, x -> x = 'spark'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w1)::DOUBLE / st.avgdl1))
+             |      + ln(1 + (st.n - st.df1c + 0.5) / (st.df1c + 0.5))
+             |          * (len(list_filter(w1, x -> x = 'src3'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w1, x -> x = 'src3'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w1)::DOUBLE / st.avgdl1)))
+             |    + 0.5 * (
+             |        ln(1 + (st.n - st.df2a + 0.5) / (st.df2a + 0.5))
+             |          * (len(list_filter(w2, x -> x = 'en'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w2, x -> x = 'en'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w2)::DOUBLE / st.avgdl2))
+             |      + ln(1 + (st.n - st.df2b + 0.5) / (st.df2b + 0.5))
+             |          * (len(list_filter(w2, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w2, x -> x = 'spark'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w2)::DOUBLE / st.avgdl2))
+             |      + ln(1 + (st.n - st.df2c + 0.5) / (st.df2c + 0.5))
+             |          * (len(list_filter(w2, x -> x = 'src3'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w2, x -> x = 'src3'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w2)::DOUBLE / st.avgdl2))),
+             |    4) AS score
+             |  FROM docs, st
+             |  WHERE list_contains(w1, 'en') OR list_contains(w1, 'spark')
+             |     OR list_contains(w1, 'src3') OR list_contains(w2, 'en')
+             |     OR list_contains(w2, 'spark') OR list_contains(w2, 'src3'))
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("meta", concat_ws(" ", col("source"), col("lang")))
+        graft.ext.Search.multiFieldTopK(docs, "doc_id",
+            Seq(("text", 1.0), ("meta", 0.5)), "spark en src3", k = 20)
+          .orderBy("rank")
+      }),
+
+    // ---- minimum_should_match (the ES knob): docs must match >= 2 of
+    //      the 3 query terms; scoring is the q86 BM25 sum unchanged. The
+    //      oracle recomputes the distinct-term-count predicate and the
+    //      ranking, pinning that the threshold gates MATCHING only, not
+    //      scoring. ----
+    QueryDef("q103_min_should_match",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df3
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'merge'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'merge'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE (CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END) >= 2)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text", "spark window merge",
+          k = 20, minShouldMatch = 2)
+        .orderBy("rank")),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -802,6 +802,90 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("multiFieldTopK: per-field stats, boost weighting, best_fields " +
+      "max, null fields — against a driver-side recomputation") {
+    val docs = Seq(
+      (1L, "spark fast engine", "docs en"),
+      (2L, "slow thing", "spark de"),
+      (3L, "spark spark spark", null.asInstanceOf[String]),
+      (4L, "nothing here", "also nothing"),
+      (5L, null.asInstanceOf[String], "spark en")).toDF("doc_id", "a", "b")
+    def tok(s: String) =
+      if (s == null) Seq.empty[String]
+      else s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), tok(r.getString(1)), tok(r.getString(2))))
+    val terms = Seq("en", "spark") // sorted
+    val n = rows.length
+    def stats(sel: ((Long, Seq[String], Seq[String])) => Seq[String]) = {
+      val avgdl = rows.map(sel(_).size).sum.toDouble / n
+      val dfm = terms.map(t => t -> rows.count(sel(_).contains(t)).toDouble).toMap
+      (avgdl, dfm)
+    }
+    def bm25(w: Seq[String], avgdl: Double, dfm: Map[String, Double]) =
+      terms.map { t =>
+        val tf = w.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * w.size / avgdl))
+      }.reduce(_ + _)
+    val (avg1, df1) = stats(_._2)
+    val (avg2, df2) = stats(_._3)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val expectedMost = rows.collect {
+      case (id, w1, w2) if terms.exists(t => w1.contains(t) || w2.contains(t)) =>
+        id -> r4(1.0 * bm25(w1, avg1, df1) + 0.5 * bm25(w2, avg2, df2))
+    }.sortBy { case (id, s) => (-s, id) }
+    val gotMost = Search.multiFieldTopK(docs, "doc_id",
+        Seq(("a", 1.0), ("b", 0.5)), "spark en", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(gotMost.map(_._1).toSeq === expectedMost.map(_._1))
+    gotMost.zip(expectedMost).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-9) }
+    // doc 5 (null field a) qualifies via field b; doc 3 (null b) via a
+    assert(gotMost.map(_._1).toSet.intersect(Set(3L, 5L)) === Set(3L, 5L))
+    // best_fields: max instead of sum
+    val expectedBest = rows.collect {
+      case (id, w1, w2) if terms.exists(t => w1.contains(t) || w2.contains(t)) =>
+        id -> r4(math.max(1.0 * bm25(w1, avg1, df1), 0.5 * bm25(w2, avg2, df2)))
+    }.sortBy { case (id, s) => (-s, id) }
+    val gotBest = Search.multiFieldTopK(docs, "doc_id",
+        Seq(("a", 1.0), ("b", 0.5)), "spark en", k = 10,
+        mode = "best_fields")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(gotBest.map(_._1).toSeq === expectedBest.map(_._1))
+    gotBest.zip(expectedBest).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-9) }
+    // map-only plan (the bm25TopK shape)
+    val plan = Search.multiFieldTopK(sf("sf0.001", "documents")
+        .withColumn("meta", concat_ws(" ", col("source"), col("lang"))),
+        "doc_id", Seq(("text", 1.0), ("meta", 0.5)), "spark en", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") &&
+      !"Exchange (hashpartitioning|rangepartitioning)".r
+        .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("bm25TopK minShouldMatch gates matching, not scoring") {
+    val docs = sf("sf0.001", "documents")
+    val q = "spark window merge"
+    val all = Search.bm25TopK(docs, "doc_id", "text", q, k = 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val msm2 = Search.bm25TopK(docs, "doc_id", "text", q, k = 500,
+        minShouldMatch = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // strict subset, scores unchanged for survivors
+    assert(msm2.keySet.subsetOf(all.keySet) && msm2.size < all.size)
+    msm2.foreach { case (id, s) => assert(s === all(id), s"doc $id") }
+    // every survivor really has >= 2 distinct terms
+    val w = Search.tokens(col("text"))
+    val twoPlus = docs.filter(
+        (when(array_contains(w, "spark"), 1).otherwise(0) +
+         when(array_contains(w, "window"), 1).otherwise(0) +
+         when(array_contains(w, "merge"), 1).otherwise(0)) >= 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(msm2.keySet === twoPlus)
+  }
+
   test("tokenization law: shared with Decontaminate, empty/null safe") {
     val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
