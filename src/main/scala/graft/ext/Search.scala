@@ -273,6 +273,78 @@ object Search {
       .select("doc_id", "rank", "score")
   }
 
+  /**
+   * Batch cosine top-k: one row per (query_id, doc_id) in each query's
+   * top-k by exact cosine. `queryVecs` columns: (query_id, vec). Both
+   * sides unitize with the shared kernel; scores round to `roundTo`,
+   * ties to the smaller doc_id (the [[cosineTopK]] law per query).
+   *
+   * Scale shape: the (small by definition) query-vector table BROADCASTS
+   * into a nested-loop join against the corpus — the corpus is read once
+   * and never shuffles — and the per-query top-k is the bounded
+   * [[graft.functions.TopKAgg]] partial+final heap, so no task ever
+   * holds more than k rows per query.
+   */
+  def cosineTopKBatch(vecs: DataFrame, idCol: String, vecCol: String,
+                      queryVecs: DataFrame, qidCol: String, qvecCol: String,
+                      k: Int, roundTo: Int = 4): DataFrame = {
+    val qv = queryVecs.select(col(qidCol).as("query_id"),
+      Similarity.unitize(col(qvecCol).cast("array<double>")).as("_qv"))
+    val scored = vecs
+      .select(col(idCol).as("doc_id"),
+        Similarity.unitize(col(vecCol).cast("array<double>")).as("_rv"))
+      .crossJoin(broadcast(qv))
+      .select(col("query_id"), col("doc_id"),
+        round(Similarity.dot(col("_rv"), col("_qv")), roundTo).as("score"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("score")).as("ns"), col("doc_id")), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.ns")).as("score"))
+  }
+
+  /**
+   * Batch hybrid BM25 + vector search — [[hybridTopK]] for a query TABLE:
+   * `queries` (query_id, query_text) drive [[bm25TopKBatch]], `queryVecs`
+   * (query_id, vec) drive [[cosineTopKBatch]], and each query's two
+   * bounded candidate lists fuse with the same RRF arithmetic. One row
+   * per (query_id, doc_id) in each query's fused top-k. Per query the
+   * result equals the single-query [[hybridTopK]] exactly (spec law).
+   *
+   * Scale shape: two corpus passes total (postings explode + vector
+   * scan) for the WHOLE batch, queries broadcast into both, every
+   * per-query cut is a bounded k-heap — no rank window anywhere, so
+   * neither a stopword term nor the fusion can create a corpus-sized
+   * single-task sort.
+   */
+  def hybridTopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                      vecs: DataFrame, vecIdCol: String, vecCol: String,
+                      queries: DataFrame, queryVecs: DataFrame,
+                      k: Int, kCand: Int = 50, rrfK: Int = 60,
+                      params: Bm25Params = Bm25Params()): DataFrame = {
+    val bm = bm25TopKBatch(docs, idCol, textCol, queries, kCand, params)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val vc = cosineTopKBatch(vecs, vecIdCol, vecCol, queryVecs,
+        "query_id", "vec", kCand)
+      .select(col("query_id"), col("doc_id"), col("rank").as("vec_rank"))
+    val fused = bm.join(vc, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("bm25_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0)))
+    fused.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("rrf_score")).as("ns"), col("doc_id"),
+          col("bm25_rank"), col("vec_rank")), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.bm25_rank").as("bm25_rank"),
+        col("col.vec_rank").as("vec_rank"),
+        (-col("col.ns")).as("rrf_score"))
+  }
+
   // ------------------------------------------------------------------
   // Persisted postings index: build once, query many
   // ------------------------------------------------------------------

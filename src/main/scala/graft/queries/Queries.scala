@@ -2824,6 +2824,92 @@ object Queries {
           t(s, dir, "documents"), "doc_id", "text", "spark window merge",
           k = 20, minShouldMatch = 2)
         .orderBy("rank")),
+
+    // ---- batch hybrid search (two queries, each fusing its own BM25 and
+    //      cosine candidate lists): the q87 fusion law per query, the q99
+    //      batch-BM25 association ((idf·tf)·(k1+1)) and ascending-term
+    //      fold, the heap cut's (rrf desc, doc_id asc) order — all
+    //      recomputed generically in DuckDB. A hash match pins the WHOLE
+    //      batch path: postings shape, broadcast cosine, per-query
+    //      bounded-heap cuts, and the fusion arithmetic. ----
+    QueryDef("q104_hybrid_batch",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |q AS (SELECT * FROM (VALUES
+             |       (1, ['join', 'spark', 'stream'], 7),
+             |       (2, ['filter', 'merge', 'table'], 11))
+             |      AS t(query_id, terms, src_vec)),
+             |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+             |st AS (SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl
+             |       FROM docs),
+             |df AS (SELECT t.term,
+             |         sum(CASE WHEN list_contains(d.w, t.term) THEN 1
+             |             ELSE 0 END)::DOUBLE AS df
+             |       FROM (SELECT DISTINCT term FROM qt) t CROSS JOIN docs d
+             |       GROUP BY t.term),
+             |contrib AS (
+             |  SELECT qt.query_id, d.doc_id, qt.term,
+             |    ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+             |      * len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |      * (1.2 + 1.0)
+             |      / (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |         + 1.2 * ((1 - 0.75) + 0.75 * len(d.w)::DOUBLE / st.avgdl))
+             |      AS c
+             |  FROM qt JOIN df ON qt.term = df.term, docs d, st
+             |  WHERE list_contains(d.w, qt.term)),
+             |bm AS (
+             |  SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY
+             |      round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 4)
+             |        DESC, doc_id) AS bm25_rank
+             |  FROM contrib GROUP BY query_id, doc_id),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |      FROM read_parquet('{SFDIR}/embeddings.parquet')),
+             |u AS (SELECT vec_id,
+             |        CASE WHEN list_dot_product(v, v) > 0
+             |             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |             ELSE v END AS uv
+             |      FROM e),
+             |vr AS (
+             |  SELECT q.query_id, u2.vec_id AS doc_id,
+             |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |      round(list_dot_product(u2.uv, uq.uv), 4) DESC, u2.vec_id)
+             |      AS vec_rank
+             |  FROM q JOIN u uq ON uq.vec_id = q.src_vec CROSS JOIN u u2),
+             |bmk AS (SELECT * FROM bm WHERE bm25_rank <= 40),
+             |vrk AS (SELECT * FROM vr WHERE vec_rank <= 40),
+             |fused AS (
+             |  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+             |    COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             |    b.bm25_rank, v.vec_rank,
+             |    COALESCE(1.0 / (60.0 + b.bm25_rank), 0.0)
+             |      + COALESCE(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf_score
+             |  FROM bmk b FULL OUTER JOIN vrk v
+             |    ON b.query_id = v.query_id AND b.doc_id = v.doc_id)
+             |SELECT query_id, doc_id, rank, bm25_rank, vec_rank, rrf_score
+             |FROM (
+             |  SELECT query_id, doc_id, bm25_rank, vec_rank, rrf_score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY rrf_score DESC, doc_id) AS rank
+             |  FROM fused) x
+             |WHERE rank <= 12
+             |ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        def vecOf(id: Long): Seq[Double] = emb.filter(col("vec_id") === id)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        val queries = Seq((1, "spark join stream"), (2, "filter merge table"))
+          .toDF("query_id", "query_text")
+        val qvecs = Seq((1, vecOf(7)), (2, vecOf(11))).toDF("query_id", "vec")
+        graft.ext.Search.hybridTopKBatch(docs, "doc_id", "text",
+            emb, "vec_id", "embedding", queries, qvecs, k = 12, kCand = 40)
+          .orderBy("query_id", "rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -886,6 +886,40 @@ class SearchSpec extends SparkSpec {
     assert(msm2.keySet === twoPlus)
   }
 
+  test("hybridTopKBatch: per query == single-query hybridTopK; bounded " +
+      "heap plan (no rank window)") {
+    val docs = sf("sf0.001", "documents")
+    val e = sf("sf0.001", "embeddings")
+    def vecOf(id: Long): Seq[Double] = e.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val queries = Seq((1, "spark join stream"), (2, "filter merge table"))
+      .toDF("query_id", "query_text")
+    val qvecs = Seq((1, vecOf(7)), (2, vecOf(11))).toDF("query_id", "vec")
+    val batch = Search.hybridTopKBatch(docs, "doc_id", "text",
+        e, "vec_id", "embedding", queries, qvecs, k = 12, kCand = 30)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getDouble(5)))).toMap
+    for ((qid, qtext, qv) <- Seq((1, "spark join stream", vecOf(7)),
+        (2, "filter merge table", vecOf(11)))) {
+      val single = Search.hybridTopK(docs, "doc_id", "text", e, "vec_id",
+          "embedding", qtext, qv, k = 12, kCand = 30)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(4)))
+      val b = batch.collect { case ((q, d), v) if q == qid => (d, v) }.toMap
+      assert(b.keySet === single.map(_._1).toSet, s"query $qid fused set")
+      single.foreach { case (d, rk, rrf) =>
+        assert(b(d)._1 === rk, s"query $qid doc $d rank")
+        assert(b(d)._2 === rrf, s"query $qid doc $d rrf") }
+    }
+    // plan: bounded heap aggregates, zero per-query rank windows
+    val plan = Search.hybridTopKBatch(docs, "doc_id", "text", e, "vec_id",
+        "embedding", queries, qvecs, k = 5, kCand = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"rank window in the batch hybrid:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("tokenization law: shared with Decontaminate, empty/null safe") {
     val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
