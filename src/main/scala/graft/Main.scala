@@ -771,6 +771,12 @@ object Main {
             "--embeddings (hybrid) and --search-index are mutually " +
               "exclusive unless --ann-index makes it a standing-index " +
               "hybrid (the scan hybrid scores BM25 on the corpus: --input)")
+          // a flag that would be silently ignored is a bug, not a default
+          require(!raw.contains("min-should-match") ||
+              (queryOpt.isDefined && !hybridIndexed &&
+                !raw.contains("embeddings")),
+            "--min-should-match applies to plain --query term search " +
+              "(corpus scan or --search-index) only")
           lazy val docs = spark.read.parquet(cfg.input)
           def queryVec(): Seq[Double] = {
             val embPath = raw.getOrElse("embeddings", throw new
@@ -821,8 +827,16 @@ object Main {
                     kCand = raw.getOrElse("search-kcand", "50").toInt)
                 case None => (raw.get("fields"), raw.get("search-index")) match {
                   // multi-field (ES multi_match): --fields f1:boost,f2:boost
-                  // [--multi-mode most_fields|best_fields]
-                  case (Some(spec), _) =>
+                  // [--multi-mode most_fields|best_fields] — a corpus-scan
+                  // operator: needs --input and conflicts with the index
+                  case (Some(spec), idx) =>
+                    require(idx.isEmpty,
+                      "--fields scans the corpus; it cannot combine with " +
+                        "--search-index (drop one)")
+                    require(cfg.input.nonEmpty,
+                      "--fields needs --input (the corpus)")
+                    require(!raw.contains("min-should-match"),
+                      "--min-should-match is not supported with --fields")
                     val fs = spec.split(",").map(_.trim).filter(_.nonEmpty)
                       .map { p =>
                         val Array(c, b) = p.split(":")
@@ -832,9 +846,11 @@ object Main {
                       mode = raw.getOrElse("multi-mode", "most_fields"))
                   // a persisted postings index (--mode search-build
                   // output): identical results to the corpus scan,
-                  // pruned-bucket cost
+                  // pruned-bucket cost — --min-should-match honored
                   case (None, Some(idxDir)) =>
-                    graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k)
+                    graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k,
+                      minShouldMatch =
+                        raw.getOrElse("min-should-match", "1").toInt)
                   case (None, None) =>
                     graft.ext.Search.bm25TopK(docs, idCol, textCol, query, k,
                       minShouldMatch =

@@ -151,8 +151,12 @@ object Search {
     val contrib = postings
       .join(broadcast(qTerms), Seq("term"))
       .withColumn("idf", element_at(idfByTerm, col("term")))
+      // EXACT [[scoreCol]] association — idf * (tf * (k1+1)) — so the
+      // batch path's per-term contribution is bit-identical to the scan
+      // path's (the batch == single-query law holds to the last ulp, not
+      // just empirically)
       .withColumn("contrib",
-        col("idf") * col("tf") * lit(params.k1 + 1.0) /
+        col("idf") * (col("tf") * lit(params.k1 + 1.0)) /
           (col("tf") + lit(params.k1) *
             (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(stats.avgdl))))
     // fixed-order sum (the module law): fold contributions in TERM order,
@@ -330,9 +334,7 @@ object Search {
         "query_id", "vec", kCand)
       .select(col("query_id"), col("doc_id"), col("rank").as("vec_rank"))
     val fused = bm.join(vc, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf_score",
-        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("bm25_rank")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0)))
+      .withColumn("rrf_score", rrfScoreCol(rrfK))
     fused.groupBy("query_id")
       .agg(graft.functions.TopKAgg.top_k(
         struct((-col("rrf_score")).as("ns"), col("doc_id"),
@@ -364,13 +366,37 @@ object Search {
   // right), so even IEEE non-associativity cannot diverge them.
 
   /** Postings layout version + corpus stats, stored as a tiny parquet
-    * (house convention: `Similarity.buildIndex` model/stats tables). */
+    * (house convention: `Similarity.buildIndex` model/stats tables).
+    * The `tomb_*` triple records which tombstone GENERATION has already
+    * been folded into these base numbers — the crash-window seam between
+    * [[compactPostingsIndex]]'s stats rewrite and its `deletes/` removal:
+    * [[readStats]] subtracts only the UN-folded part of the pending
+    * delete mass, so base-net-plus-still-present-deletes can never
+    * double-subtract (see the epoch rule there). */
   private def writeStats(spark: org.apache.spark.sql.SparkSession, dir: String,
-                         nDocs: Long, totalTokens: Long, buckets: Int): Unit = {
+                         nDocs: Long, totalTokens: Long, buckets: Int,
+                         tombEpoch: Long = -1L, tombDocs: Long = 0L,
+                         tombTokens: Long = 0L): Unit = {
     import spark.implicits._
-    Seq((nDocs, totalTokens, buckets))
-      .toDF("n_docs", "total_tokens", "buckets")
+    Seq((nDocs, totalTokens, buckets, tombEpoch, tombDocs, tombTokens))
+      .toDF("n_docs", "total_tokens", "buckets",
+        "tomb_epoch", "tomb_docs", "tomb_tokens")
       .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Full base record incl. the folded-tombstone triple (absent on
+    * pre-tombstone indexes → (-1, 0, 0): no generation folded yet). */
+  private def readBaseStatsFull(spark: org.apache.spark.sql.SparkSession,
+                                dir: String)
+      : (Long, Long, Int, Long, Long, Long) = {
+    val df = spark.read.parquet(s"$dir/stats")
+    val r = df.head()
+    val has = df.schema.fieldNames.contains("tomb_epoch")
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+      r.getAs[Int]("buckets"),
+      if (has) r.getAs[Long]("tomb_epoch") else -1L,
+      if (has) r.getAs[Long]("tomb_docs") else 0L,
+      if (has) r.getAs[Long]("tomb_tokens") else 0L)
   }
 
   /** Build/append-owned base stats only (streaming batch deltas excluded —
@@ -379,19 +405,26 @@ object Search {
     * count them). */
   private[graft] def readBaseStats(spark: org.apache.spark.sql.SparkSession,
                                    dir: String): (Long, Long, Int) = {
-    val r = spark.read.parquet(s"$dir/stats").head()
-    (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
-      r.getAs[Int]("buckets"))
+    val (n, t, b, _, _, _) = readBaseStatsFull(spark, dir)
+    (n, t, b)
   }
 
   /** Effective corpus stats: base build/append record plus the streaming
     * maintainer's per-batch deltas (`batch_stats/batch=N`, each written
     * idempotently by [[graft.streaming.PostingsIndexStream]]), MINUS the
-    * pending tombstones' mass ([[deleteFromPostingsIndex]]) — so N and
-    * avgdl are exactly those of corpus \ deleted. */
+    * pending tombstones' UN-FOLDED mass ([[deleteFromPostingsIndex]]) —
+    * so N and avgdl are exactly those of corpus \ deleted.
+    *
+    * Epoch rule (the compaction crash-window seam): the deletes record
+    * carries a generation `epoch`; the base record remembers which epoch
+    * (and how much of its mass) a completed stats-fold already absorbed
+    * (`tomb_*`). Same epoch ⇒ subtract only the part beyond the folded
+    * amount (0 right after a compact whose `deletes/` removal hasn't
+    * happened yet — no double subtraction); different epoch ⇒ the whole
+    * pending mass (a fresh generation, nothing folded). */
   private[graft] def readStats(spark: org.apache.spark.sql.SparkSession,
                                dir: String): (Long, Long, Int) = {
-    val (n0, t0, buckets) = readBaseStats(spark, dir)
+    val (n0, t0, buckets, fe, fd, ft) = readBaseStatsFull(spark, dir)
     val bs = new org.apache.hadoop.fs.Path(s"$dir/batch_stats")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -403,8 +436,13 @@ object Search {
         (n0 + (if (r.isNullAt(0)) 0L else r.getLong(0)),
           t0 + (if (r.isNullAt(1)) 0L else r.getLong(1)))
       }
-    val (dDocs, dTokens) = deleteStats(spark, dir)
-    (n1 - dDocs, t1 - dTokens, buckets)
+    deleteStats(spark, dir) match {
+      case None => (n1, t1, buckets)
+      case Some((dDocs, dTokens, epoch)) if epoch == fe =>
+        (n1 - (dDocs - fd), t1 - (dTokens - ft), buckets)
+      case Some((dDocs, dTokens, _)) =>
+        (n1 - dDocs, t1 - dTokens, buckets)
+    }
   }
 
   /** The term→bucket law, shared executor/driver side: Spark's seed-42
@@ -446,13 +484,38 @@ object Search {
   def appendToPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
                             dir: String): Unit = {
     val spark = docs.sparkSession
-    val (n0, t0, buckets) = readBaseStats(spark, dir)
+    requirePositionalPostings(spark, dir)
+    val (n0, t0, buckets, fe, fd, ft) = readBaseStatsFull(spark, dir)
     postings(docs, idCol, textCol, buckets)
       .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
     val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
       .cast("long"))).head()
+    // base rewrite preserves the folded-tombstone triple (readStats'
+    // double-subtract guard) — an append must not forget what a prior
+    // compaction already folded
     writeStats(spark, dir, n0 + row.getLong(0),
-      t0 + (if (row.isNullAt(1)) 0L else row.getLong(1)), buckets)
+      t0 + (if (row.isNullAt(1)) 0L else row.getLong(1)), buckets,
+      fe, fd, ft)
+  }
+
+  /** Refuse to append positional rows into a PRE-positional index: the
+    * mixed-schema result would silently never phrase-match pre-upgrade
+    * docs (their null positions read as "term absent") — a rebuild is
+    * the only honest upgrade. One bounded listing (one bucket dir's
+    * schema), never a full-tree file index. */
+  private[graft] def requirePositionalPostings(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(_.isDirectory).take(1).foreach { d =>
+      require(spark.read.parquet(d.getPath.toString)
+          .schema.fieldNames.contains("positions"),
+        s"postings index at $dir predates positional postings: appending " +
+          "would mix schemas and silently break phrase queries for " +
+          "pre-upgrade documents — rebuild with buildPostingsIndex")
+    }
   }
 
   /** (term, doc_id, tf, dl, positions, tb) postings — the
@@ -496,7 +559,8 @@ object Search {
   def indexedBm25TopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                       query: String, k: Int,
                       params: Bm25Params = Bm25Params(),
-                      roundTo: Int = 4): DataFrame = {
+                      roundTo: Int = 4, minShouldMatch: Int = 1): DataFrame = {
+    require(minShouldMatch >= 1, "minShouldMatch must be >= 1")
     val terms = queryTerms(query)
     require(terms.nonEmpty, "empty query")
     val (nDocs, totalTokens, buckets) = readStats(spark, dir)
@@ -527,7 +591,13 @@ object Search {
       val tf = col(s"_tf$i")
       lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
     }.reduce(_ + _)
+    // minimum_should_match on the index path: count the DISTINCT present
+    // terms from the same pivot columns (grouped rows exist only for
+    // docs with >= 1 term, so the default 1 is a no-op filter)
+    val matchedTerms = terms.indices
+      .map(i => when(col(s"_tf$i") > 0.0, 1).otherwise(0)).reduce(_ + _)
     val scored = grouped
+      .where(matchedTerms >= minShouldMatch)
       .select(col("doc_id"), round(score, roundTo).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
@@ -540,6 +610,23 @@ object Search {
   // Tombstone deletes: remove documents from a standing postings index
   // without a rebuild
   // ------------------------------------------------------------------
+
+  /** Heal an interrupted tombstone-set swap: [[deleteFromPostingsIndex]]
+    * stages the new complete set and swaps directories (rename old aside,
+    * rename staging in) — a crash between the two renames leaves the set
+    * aside under `deletes-old`. Maintenance entry points restore it
+    * before doing anything else, so accumulated tombstones can never be
+    * silently lost. */
+  private def healTombstoneSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/deletes-old")
+    if (!fs.exists(live) && fs.exists(aside)) {
+      if (!fs.rename(aside, live))
+        throw new IllegalStateException(
+          s"could not restore interrupted tombstone swap at $aside")
+    }
+  }
 
   /** The index's tombstone set `(doc_id)`, if any — bounded by the
     * [[deleteFromPostingsIndex]] contract (a delete list is takedown- or
@@ -566,20 +653,33 @@ object Search {
    * build over corpus \ ids (the spec law). An id deleted twice is
    * counted once (new ids are anti-joined against the standing set).
    *
+   * Atomicity: the ids and their mass totals are two facts that must
+   * move together (ids without totals = queries exclude postings but
+   * over-count N forever, and the idempotence anti-join would block the
+   * retry from healing it). The new COMPLETE set (old ∪ new ids + updated
+   * totals + generation epoch) is staged and swapped in as one directory
+   * rename pair; an interrupted swap is restored by [[healTombstoneSwap]]
+   * at the next maintenance call. Every state is therefore either the
+   * old complete set or the new complete set.
+   *
    * Contract: `ids` must be ids that were actually indexed (the
    * append-path discipline); the set stays bounded (it broadcasts into
    * every query until the next compaction). Offline maintenance op, like
-   * append/compact: not concurrent with commits. One full postings-tree
-   * read to recover the deleted docs' dl (offline cost, the compaction
-   * class); docs indexed with EMPTY token lists have no postings and
-   * correctly decrement only N.
+   * append/compact: not concurrent with commits or queries. One full
+   * postings-tree read to recover the deleted docs' dl (offline cost,
+   * the compaction class); docs indexed with EMPTY token lists have no
+   * postings and correctly decrement only N.
    */
   def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession,
                               dir: String, ids: DataFrame,
                               idCol: String = "doc_id"): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    healTombstoneSwap(fs, dir)
     val newIds0 = ids.select(col(idCol).as("doc_id")).distinct()
-    val newIds = postingsTombstones(spark, dir)
-      .map(old => newIds0.join(old, Seq("doc_id"), "left_anti"))
+    val old = postingsTombstones(spark, dir)
+    val newIds = old
+      .map(o => newIds0.join(o, Seq("doc_id"), "left_anti"))
       .getOrElse(newIds0)
       .localCheckpoint() // pin: written below AND aggregated over
     val nNew = newIds.count()
@@ -590,33 +690,47 @@ object Search {
       .select(col("doc_id"), col("dl")).distinct()
       .agg(sum(col("dl").cast("long"))).head()
     val tokensRemoved = if (row.isNullAt(0)) 0L else row.getLong(0)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val stats = new org.apache.hadoop.fs.Path(s"$dir/deletes/stats")
-    val (d0, t0) =
-      if (!fs.exists(stats)) (0L, 0L)
-      else {
-        val r = spark.read.parquet(stats.toString).head()
-        (r.getAs[Long]("n_docs_removed"), r.getAs[Long]("tokens_removed"))
-      }
-    newIds.write.mode("append").parquet(s"$dir/deletes/ids")
+    val (d0, t0, epoch) = deleteStats(spark, dir).getOrElse {
+      // fresh generation: one past whatever the base record last folded
+      val (_, _, _, fe, _, _) = readBaseStatsFull(spark, dir)
+      (0L, 0L, fe + 1)
+    }
+    // stage the complete new set, then swap it in atomically
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/deletes-staging")
+    val live = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/deletes-old")
+    fs.delete(staging, true); fs.delete(aside, true)
+    old.map(_.unionByName(newIds)).getOrElse(newIds)
+      .write.parquet(s"$staging/ids")
     import spark.implicits._
-    Seq((d0 + nNew, t0 + tokensRemoved))
-      .toDF("n_docs_removed", "tokens_removed")
-      .write.mode("overwrite").parquet(stats.toString)
+    Seq((d0 + nNew, t0 + tokensRemoved, epoch))
+      .toDF("n_docs_removed", "tokens_removed", "epoch")
+      .write.parquet(s"$staging/stats")
+    if (fs.exists(live) && !fs.rename(live, aside))
+      throw new IllegalStateException(s"could not stage $live aside")
+    if (!fs.rename(staging, live)) {
+      if (fs.exists(aside)) fs.rename(aside, live)
+      throw new IllegalStateException(
+        "tombstone swap failed; original set restored")
+    }
+    fs.delete(aside, true)
   }
 
-  /** Net tombstone adjustment to the corpus stats: (docs, tokens) to
-    * subtract. (0, 0) when no deletes are pending. */
+  /** The pending tombstone record: (docs removed, tokens removed,
+    * generation epoch), or None when no deletes are pending. Pre-epoch
+    * records (written before the atomic-swap scheme) read as epoch 0. */
   private def deleteStats(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): (Long, Long) = {
+                          dir: String): Option[(Long, Long, Long)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$dir/deletes/stats")
-    if (!fs.exists(p)) (0L, 0L)
+    if (!fs.exists(p)) None
     else {
-      val r = spark.read.parquet(p.toString).head()
-      (r.getAs[Long]("n_docs_removed"), r.getAs[Long]("tokens_removed"))
+      val df = spark.read.parquet(p.toString)
+      val r = df.head()
+      Some((r.getAs[Long]("n_docs_removed"), r.getAs[Long]("tokens_removed"),
+        if (df.schema.fieldNames.contains("epoch")) r.getAs[Long]("epoch")
+        else 0L))
     }
   }
 
@@ -940,6 +1054,7 @@ object Search {
                            dir: String): (Long, Long) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    healTombstoneSwap(fs, dir)
     val post = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val newDir = new org.apache.hadoop.fs.Path(s"$dir/postings-compacting")
     val oldDir = new org.apache.hadoop.fs.Path(s"$dir/postings-precompact")
@@ -979,8 +1094,23 @@ object Search {
     }
     fs.delete(oldDir, true)
     // fold the streaming deltas AND the tombstone mass into the base
-    // record, then retire both (tombstoned rows are physically gone now)
-    writeStats(spark, dir, n, t, buckets)
+    // record, then retire both (tombstoned rows are physically gone now).
+    // The base record remembers WHICH tombstone generation it folded
+    // (epoch + mass): if the crash hits between this write and the
+    // deletes removal below, readStats sees same-epoch deletes and
+    // subtracts only the beyond-folded part — zero — instead of
+    // double-subtracting the whole mass.
+    deleteStats(spark, dir) match {
+      case Some((dDocs, dTokens, epoch)) =>
+        writeStats(spark, dir, n, t, buckets,
+          tombEpoch = epoch, tombDocs = dDocs, tombTokens = dTokens)
+      case None =>
+        // no pending deletes: preserve the previously-folded triple so a
+        // crash-leftover same-epoch record (already retired mass) stays
+        // recognizable
+        val (_, _, _, fe, fd, ft) = readBaseStatsFull(spark, dir)
+        writeStats(spark, dir, n, t, buckets, fe, fd, ft)
+    }
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch_stats"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes"), true)
     (before, countFiles(post))
@@ -1231,6 +1361,13 @@ object Search {
     rrfFuse(bm, vc, k, rrfK)
   }
 
+  /** THE reciprocal-rank-fusion arithmetic — one definition for every
+    * hybrid path (single scan, standing-index, batch), so a future tweak
+    * (e.g. a tie_breaker) cannot silently diverge them. */
+  private def rrfScoreCol(rrfK: Int): Column =
+    coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("bm25_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0))
+
   /** RRF fusion of two bounded candidate rank lists `(doc_id, bm25_rank)`
     * / `(doc_id, vec_rank)` — the arithmetic tail SHARED by [[hybridTopK]]
     * and [[hybridTopKIndexed]], so the scan and standing-index paths
@@ -1238,9 +1375,7 @@ object Search {
   private def rrfFuse(bm: DataFrame, vc: DataFrame, k: Int,
                       rrfK: Int): DataFrame = {
     val fused = bm.join(vc, Seq("doc_id"), "full_outer")
-      .withColumn("rrf_score",
-        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("bm25_rank")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0)))
+      .withColumn("rrf_score", rrfScoreCol(rrfK))
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
       .limit(k)
     fused.withColumn("rank",

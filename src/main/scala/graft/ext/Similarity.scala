@@ -1467,7 +1467,12 @@ object Similarity {
     val newIds = indexTombstones(spark, dir)
       .map(old => newIds0.join(old, Seq("nid"), "left_anti"))
       .getOrElse(newIds0)
-    newIds.write.mode("append").parquet(s"$dir/deletes/ids")
+      // pin: the lineage reads deletes/ids and the write appends to it
+      .localCheckpoint()
+    // a fully-redundant call must not grow the file count — each append
+    // otherwise adds an empty part file the query-side broadcast re-lists
+    if (newIds.count() > 0)
+      newIds.write.mode("append").parquet(s"$dir/deletes/ids")
   }
 
   /** Whether a [[buildIndex]] directory stores full vectors in its cells

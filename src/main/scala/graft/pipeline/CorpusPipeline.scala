@@ -133,6 +133,10 @@ object CorpusPipeline {
     require(mixBudget.isEmpty || mixPhases.isEmpty,
       "mixBudget and mixPhases are mutually exclusive (a phase schedule " +
         "carries its own per-phase budgets)")
+    require(semDedupKeep == "first" || !clusterDrop,
+      "semDedupKeep=low-similarity is incompatible with clusterDrop: the " +
+        "component representative is the min ID by definition, which " +
+        "would silently override the keep policy")
     // Stage counts ride the pipeline's own materializing passes as
     // observe() metrics instead of one count() action per stage: each
     // count() re-ran the un-cached upstream chain (redaction -> scoring ->
@@ -367,8 +371,12 @@ object CorpusPipeline {
     // operators run 2 bounded collects (source masses, bucket splitters)
     // plus the final pass — each would otherwise redo the near-dup
     // anti-join machinery from the exact checkpoint
+    // (this checkpoint is where the near-dup candidate joins actually
+    // materialize on mix runs — time it as its own stage, or the
+    // dominant pipeline cost would vanish from stage_secs)
     val deduped =
-      if (mixBudget.isDefined || mixPhases.nonEmpty) deduped0.localCheckpoint()
+      if (mixBudget.isDefined || mixPhases.nonEmpty)
+        staged("neardup")(deduped0.localCheckpoint())
       else deduped0
 
     // mixture weights AFTER dedup, BEFORE tokenization (the streaming

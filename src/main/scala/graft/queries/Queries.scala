@@ -2581,7 +2581,9 @@ object Queries {
     //      oracle recomputes every query's ranking from raw text with the
     //      SAME ascending-term fold (list_reduce over list(... ORDER BY
     //      term)) and the batch path's exact association
-    //      ((idf·tf)·(k1+1)), so a hash match pins the postings shape,
+    //      (idf·(tf·(k1+1)) — the scan path's scoreCol verbatim, so
+    //      batch == single-query holds to the ulp) — a hash match pins the
+    //      postings shape,
     //      the fold order AND the heap's (score desc, id asc) cut. ----
     QueryDef("q99_bm25_batch",
       Some("""WITH docs AS (
@@ -2603,8 +2605,8 @@ object Queries {
              |contrib AS (
              |  SELECT qt.query_id, d.doc_id, qt.term,
              |    ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
-             |      * len(list_filter(d.w, x -> x = qt.term))::DOUBLE
-             |      * (1.2 + 1.0)
+             |      * (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |         * (1.2 + 1.0))
              |      / (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
              |         + 1.2 * ((1 - 0.75) + 0.75 * len(d.w)::DOUBLE / st.avgdl))
              |      AS c
@@ -2827,7 +2829,8 @@ object Queries {
 
     // ---- batch hybrid search (two queries, each fusing its own BM25 and
     //      cosine candidate lists): the q87 fusion law per query, the q99
-    //      batch-BM25 association ((idf·tf)·(k1+1)) and ascending-term
+    //      batch-BM25 association (idf·(tf·(k1+1)), the scan scoreCol) and
+    //      ascending-term
     //      fold, the heap cut's (rrf desc, doc_id asc) order — all
     //      recomputed generically in DuckDB. A hash match pins the WHOLE
     //      batch path: postings shape, broadcast cosine, per-query
@@ -2852,8 +2855,8 @@ object Queries {
              |contrib AS (
              |  SELECT qt.query_id, d.doc_id, qt.term,
              |    ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
-             |      * len(list_filter(d.w, x -> x = qt.term))::DOUBLE
-             |      * (1.2 + 1.0)
+             |      * (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |         * (1.2 + 1.0))
              |      / (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
              |         + 1.2 * ((1 - 0.75) + 0.75 * len(d.w)::DOUBLE / st.avgdl))
              |      AS c

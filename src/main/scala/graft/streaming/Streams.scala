@@ -267,6 +267,9 @@ object PostingsIndexStream {
     // buckets from the index's own base stats (a parquet footer read):
     // the bucket law MUST be the build's or queries would prune wrongly
     val (_, _, buckets) = graft.ext.Search.readBaseStats(spark, indexDir)
+    // pre-positional indexes must not receive positional rows (mixed
+    // schemas silently break phrase queries for old docs — rebuild)
+    graft.ext.Search.requirePositionalPostings(spark, indexDir)
     val staging = s"$indexDir/.staging/batch=$batchId"
     graft.ext.Search.postings(batch, idCol, textCol, buckets)
       // pinned partition count (see AnnIndexStream): deterministic

@@ -84,8 +84,10 @@ class SearchSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       val b = batch.collect { case ((q, d), v) if q == qid => (d, v) }.toMap
       assert(b.keySet === single.map(_._1).toSet, s"query $qid candidate set")
+      // EXACT equality: the batch contribution uses the scan path's
+      // scoreCol association verbatim, so the two paths agree to the ulp
       single.foreach { case (d, _, sc) =>
-        assert(math.abs(b(d)._2 - sc) < 1e-9, s"query $qid doc $d score") }
+        assert(b(d)._2 === sc, s"query $qid doc $d score") }
     }
   }
 
@@ -726,6 +728,72 @@ class SearchSpec extends SparkSpec {
     val afterCpt = Search.indexedBm25TopK(spark, dir, "spark window merge",
         k = 20).collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(afterCpt === beforeCpt)
+  }
+
+  test("tombstone crash windows: compact interrupted before deletes " +
+      "removal does not double-subtract; interrupted set swap heals") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25crash").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    Search.deleteFromPostingsIndex(spark, dir,
+      Seq(3L, 38L, 97L).toDF("doc_id"), "doc_id")
+    val want = Search.indexedBm25TopK(spark, dir, "spark window merge", k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // snapshot the pending tombstone set, compact, then RESTORE the set —
+    // exactly the state a crash between the stats fold and the deletes
+    // removal leaves behind. The epoch rule must make readStats subtract
+    // zero (base is already net), so queries stay identical.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val snap = new org.apache.hadoop.fs.Path(s"$dir/deletes-snap")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/deletes"), fs, snap, false,
+      spark.sparkContext.hadoopConfiguration)
+    Search.compactPostingsIndex(spark, dir)
+    org.apache.hadoop.fs.FileUtil.copy(fs, snap, fs,
+      new org.apache.hadoop.fs.Path(s"$dir/deletes"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val crashed = Search.indexedBm25TopK(spark, dir, "spark window merge",
+        k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(crashed === want,
+      "crash-leftover tombstones double-subtracted the folded mass")
+    // a FURTHER delete on the crash-leftover state subtracts only the
+    // new ids' mass (same-epoch totals extend the folded baseline)
+    Search.deleteFromPostingsIndex(spark, dir,
+      Seq(104L).toDF("doc_id"), "doc_id")
+    val more = Search.indexedBm25TopK(spark, dir, "spark window merge", k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val oracle = Search.bm25TopK(
+        docs.filter(!col("doc_id").isin(3L, 38L, 97L, 104L)),
+        "doc_id", "text", "spark window merge", k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(more === oracle)
+    // interrupted SET swap: deletes renamed aside but staging never moved
+    // in — the next maintenance call restores it instead of losing ids
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/deletes"),
+      new org.apache.hadoop.fs.Path(s"$dir/deletes-old")))
+    Search.deleteFromPostingsIndex(spark, dir,
+      Seq(104L).toDF("doc_id"), "doc_id") // already deleted: heal + no-op
+    val healed = Search.indexedBm25TopK(spark, dir, "spark window merge",
+        k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(healed === oracle, "interrupted swap lost accumulated tombstones")
+  }
+
+  test("indexedBm25TopK minShouldMatch == scan-path bit-identity") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25msm").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    for (msm <- Seq(1, 2, 3)) {
+      val scan = Search.bm25TopK(docs, "doc_id", "text", "spark window merge",
+          k = 25, minShouldMatch = msm)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val idx = Search.indexedBm25TopK(spark, dir, "spark window merge",
+          k = 25, minShouldMatch = msm)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(idx === scan, s"minShouldMatch=$msm")
+    }
   }
 
   test("boolTopK semantics on a hand corpus; indexedBoolTopK bit-identical " +
