@@ -46,7 +46,8 @@ object Main {
     "split-by", "split-fractions", "split-seed", "semdedup-centroids",
     "facets", "facets-topn", "highlight", "highlight-window",
     "phrase", "delete-ids", "semdedup-keep", "must", "should", "must-not",
-    "histogram", "fields", "multi-mode", "min-should-match")
+    "histogram", "fields", "multi-mode", "min-should-match",
+    "fuzziness", "prefix-match")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -851,6 +852,14 @@ object Main {
                     graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k,
                       minShouldMatch =
                         raw.getOrElse("min-should-match", "1").toInt)
+                  case (None, None) if raw.contains("fuzziness") =>
+                    // ES `fuzzy` query: typo-tolerant term match
+                    graft.ext.Search.fuzzyTopK(docs, idCol, textCol, query, k,
+                      fuzziness = raw("fuzziness").toInt)
+                  case (None, None) if raw.get("prefix-match")
+                      .exists(_.toBoolean) =>
+                    // ES `prefix` query: terms are token prefixes
+                    graft.ext.Search.prefixTopK(docs, idCol, textCol, query, k)
                   case (None, None) =>
                     graft.ext.Search.bm25TopK(docs, idCol, textCol, query, k,
                       minShouldMatch =

@@ -185,6 +185,82 @@ object Search {
         (-col("col.ns")).as("score"))
   }
 
+  // ------------------------------------------------------------------
+  // Relaxed term matching: fuzzy (edit distance) and prefix queries —
+  // the ES `fuzzy` / `prefix` request types
+  // ------------------------------------------------------------------
+
+  /** BM25 top-k under a RELAXED token-match predicate: a token counts as
+    * an occurrence of query term `t` when `matchTok(token, t)` holds
+    * (exact equality gives plain [[bm25TopK]]). tf/df/idf all use the
+    * relaxed counts; fold orders are the bm25TopK laws. Scan-path only by
+    * design: the postings index stores exact terms, so relaxed matching
+    * would need a term-dictionary expansion — an explicit future seam.
+    * Same map-only + TakeOrdered shape; the per-token predicate (edit
+    * distance, prefix test) is the added CPU, not a shuffle. */
+  private def relaxedTopK(docs: DataFrame, idCol: String, textCol: String,
+                          terms: Seq[String], k: Int, params: Bm25Params,
+                          roundTo: Int)
+                         (matchTok: (Column, String) => Column): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val tok = tokens(col(textCol))
+    // relaxed per-term df in ONE bounded aggregate (exists = any token
+    // matches), the corpusStats shape with the predicate swapped in
+    val dfCols = terms.map(t =>
+      sum(when(exists(tok, x => matchTok(x, t)), 1L).otherwise(0L)))
+    val row = docs.agg(count(lit(1)).as("n"),
+      (sum(size(tok).cast("long")) +: dfCols): _*).head()
+    val stats = CorpusStats(row.getLong(0), row.getLong(1),
+      terms.zipWithIndex.map { case (t, i) => t -> row.getLong(i + 2) }.toMap)
+    val dl = size(tok).cast("double")
+    val lenNorm = lit(params.k1) *
+      (lit(1.0 - params.b) + lit(params.b) * dl / lit(stats.avgdl))
+    val score = terms.map { t =>
+      val tf = size(filter(tok, x => matchTok(x, t))).cast("double")
+      lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
+    }.reduce(_ + _)
+    val matched = terms.map(t =>
+      when(exists(tok, x => matchTok(x, t)), 1).otherwise(0)).reduce(_ + _)
+    val scored = docs
+      .where(matched > 0)
+      .select(col(idCol).as("doc_id"), round(score, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Fuzzy-match top-k (the ES `fuzzy` query): a token matches a query
+   * term when their CLASSIC Levenshtein distance is ≤ `fuzziness` —
+   * catches typos ("spork" finds "spark" at fuzziness 1). Scoring is the
+   * BM25 law over the fuzzy tf/df counts (documented deviation from ES's
+   * constant-score prefix family: relevance still carries signal here).
+   * Both Spark and DuckDB implement the same classic DP distance, so the
+   * law is oracle-exact. Map-only scan; the per-(token, term) distance
+   * is the cost knob — keep query terms few.
+   */
+  def fuzzyTopK(docs: DataFrame, idCol: String, textCol: String,
+                query: String, k: Int, fuzziness: Int = 1,
+                params: Bm25Params = Bm25Params(),
+                roundTo: Int = 4): DataFrame = {
+    require(fuzziness >= 0, "fuzziness must be non-negative")
+    relaxedTopK(docs, idCol, textCol, queryTerms(query), k, params, roundTo)(
+      (x, t) => levenshtein(x, lit(t)) <= fuzziness)
+  }
+
+  /**
+   * Prefix-match top-k (the ES `prefix` query): a token matches when it
+   * STARTS WITH the query term ("win" finds "window"/"winners"). Same
+   * BM25-over-relaxed-counts law and map-only shape as [[fuzzyTopK]].
+   */
+  def prefixTopK(docs: DataFrame, idCol: String, textCol: String,
+                 query: String, k: Int, params: Bm25Params = Bm25Params(),
+                 roundTo: Int = 4): DataFrame =
+    relaxedTopK(docs, idCol, textCol, queryTerms(query), k, params, roundTo)(
+      (x, t) => x.startsWith(lit(t)))
+
   /**
    * Multi-field BM25 top-k — the ES `multi_match` query over weighted
    * fields: each field is scored with ITS OWN statistics (df/avgdl per

@@ -2913,6 +2913,87 @@ object Queries {
             emb, "vec_id", "embedding", queries, qvecs, k = 12, kCand = 40)
           .orderBy("query_id", "rank")
       }),
+
+    // ---- fuzzy term matching (the ES `fuzzy` query): a token matches
+    //      when its CLASSIC Levenshtein distance to the query term is
+    //      <= 1 — 'spork' finds 'spark', 'windoe' finds 'window'. Both
+    //      engines implement the same DP distance (integer-exact), so
+    //      the relaxed tf/df counts and the BM25 law over them are
+    //      fully recomputable. ----
+    QueryDef("q105_fuzzy_search",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN len(list_filter(w, x -> levenshtein(x, 'spork') <= 1)) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> levenshtein(x, 'windoe') <= 1)) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> levenshtein(x, 'spork') <= 1))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> levenshtein(x, 'spork') <= 1))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> levenshtein(x, 'windoe') <= 1))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> levenshtein(x, 'windoe') <= 1))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE len(list_filter(w, x -> levenshtein(x, 'spork') <= 1)) > 0
+             |     OR len(list_filter(w, x -> levenshtein(x, 'windoe') <= 1)) > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.fuzzyTopK(
+          t(s, dir, "documents"), "doc_id", "text", "spork windoe",
+          k = 20, fuzziness = 1)
+        .orderBy("rank")),
+
+    // ---- prefix term matching (the ES `prefix` query): a token matches
+    //      when it starts with the query term — 'win' finds 'window',
+    //      'spa' finds 'spark'. Same relaxed-count BM25 law; string
+    //      prefix tests are byte-exact on both engines. ----
+    QueryDef("q106_prefix_search",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN len(list_filter(w, x -> starts_with(x, 'spa'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> starts_with(x, 'win'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> starts_with(x, 'spa')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> starts_with(x, 'spa')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> starts_with(x, 'win')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> starts_with(x, 'win')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE len(list_filter(w, x -> starts_with(x, 'spa'))) > 0
+             |     OR len(list_filter(w, x -> starts_with(x, 'win'))) > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.prefixTopK(
+          t(s, dir, "documents"), "doc_id", "text", "spa win", k = 20)
+        .orderBy("rank")),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -988,6 +988,54 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("fuzzyTopK / prefixTopK: relaxed token matching semantics against " +
+      "a driver-side recomputation") {
+    val docs = Seq(
+      (1L, "spark engine"),          // exact
+      (2L, "spork and fork"),        // distance 1 from spark
+      (3L, "spars parks sprak"),     // spars d1; sprak d2 (transposition)
+      (4L, "window windows winning"),// prefix 'win' x3
+      (5L, "nothing")).toDF("doc_id", "text")
+    val fz = Search.fuzzyTopK(docs, "doc_id", "text", "spark", k = 10,
+        fuzziness = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // spark (0), spork (1), spars (1) match; sprak is distance 2
+    assert(fz.keySet === Set(1L, 2L, 3L))
+    // doc 3 has ONE matching token (spars) — sprak must not count
+    def tok(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = docs.collect().map(r => r.getLong(0) -> tok(r.getString(1)))
+    val n = rows.length
+    val avgdl = rows.map(_._2.size).sum.toDouble / n
+    val dfv = rows.count(_._2.exists(x => lev(x, "spark") <= 1)).toDouble
+    def score(w: Seq[String]): Double = {
+      val tf = w.count(x => lev(x, "spark") <= 1).toDouble
+      val idf = math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+      math.rint(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * w.size / avgdl))
+        * 1e4) / 1e4
+    }
+    rows.filter(_._2.exists(x => lev(x, "spark") <= 1)).foreach {
+      case (id, w) => assert(fz(id) === score(w), s"doc $id") }
+    // prefix: 'win' matches all three win* tokens of doc 4
+    val pf = Search.prefixTopK(docs, "doc_id", "text", "win", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pf === Set(4L))
+    // relaxed tf really counts ALL matching tokens (3 for doc 4):
+    // compare against a 1-token sibling of identical length
+    val sib = Seq((1L, "window alpha beta"), (2L, "window windows winning"))
+      .toDF("doc_id", "text")
+    val ps = Search.prefixTopK(sib, "doc_id", "text", "win", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ps(2L) > ps(1L), "three prefix hits must outscore one")
+  }
+
   test("tokenization law: shared with Decontaminate, empty/null safe") {
     val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
