@@ -775,9 +775,20 @@ object Main {
           // a flag that would be silently ignored is a bug, not a default
           require(!raw.contains("min-should-match") ||
               (queryOpt.isDefined && !hybridIndexed &&
-                !raw.contains("embeddings")),
+                !raw.contains("embeddings") && !raw.contains("fuzziness") &&
+                !raw.get("prefix-match").exists(_.toBoolean)),
             "--min-should-match applies to plain --query term search " +
               "(corpus scan or --search-index) only")
+          val fuzzyOn = raw.contains("fuzziness")
+          val prefixOn = raw.get("prefix-match").exists(_.toBoolean)
+          require(!(fuzzyOn && prefixOn),
+            "--fuzziness and --prefix-match are mutually exclusive")
+          require(!(fuzzyOn || prefixOn) ||
+              (queryOpt.isDefined && !hybridIndexed &&
+                !raw.contains("embeddings") && !raw.contains("fields") &&
+                !raw.contains("search-index")),
+            "--fuzziness/--prefix-match apply to plain --query CORPUS-SCAN " +
+              "search only (the postings index stores exact terms)")
           lazy val docs = spark.read.parquet(cfg.input)
           def queryVec(): Seq[Double] = {
             val embPath = raw.getOrElse("embeddings", throw new

@@ -452,12 +452,28 @@ object Search {
   private def writeStats(spark: org.apache.spark.sql.SparkSession, dir: String,
                          nDocs: Long, totalTokens: Long, buckets: Int,
                          tombEpoch: Long = -1L, tombDocs: Long = 0L,
-                         tombTokens: Long = 0L): Unit = {
+                         tombTokens: Long = 0L,
+                         foldedBatch: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((nDocs, totalTokens, buckets, tombEpoch, tombDocs, tombTokens))
+    Seq((nDocs, totalTokens, buckets, tombEpoch, tombDocs, tombTokens,
+        foldedBatch))
       .toDF("n_docs", "total_tokens", "buckets",
-        "tomb_epoch", "tomb_docs", "tomb_tokens")
+        "tomb_epoch", "tomb_docs", "tomb_tokens", "folded_batch")
       .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The highest streaming-delta batch id a completed compaction already
+    * folded into the base record (−1 on pre-scheme indexes): [[readStats]]
+    * counts only deltas beyond it. NOTE: a NEW streaming checkpoint
+    * restarts batch ids at 0 — compact (which clears both the deltas and
+    * this marker's relevance) before attaching a fresh checkpoint to an
+    * index that already folded higher ids. */
+  private def readFoldedBatch(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Long = {
+    val df = spark.read.parquet(s"$dir/stats")
+    if (df.schema.fieldNames.contains("folded_batch"))
+      df.head().getAs[Long]("folded_batch")
+    else -1L
   }
 
   /** Full base record incl. the folded-tombstone triple (absent on
@@ -500,14 +516,24 @@ object Search {
     * pending mass (a fresh generation, nothing folded). */
   private[graft] def readStats(spark: org.apache.spark.sql.SparkSession,
                                dir: String): (Long, Long, Int) = {
-    val (n0, t0, buckets, fe, fd, ft) = readBaseStatsFull(spark, dir)
-    val bs = new org.apache.hadoop.fs.Path(s"$dir/batch_stats")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // readers heal an interrupted tombstone swap too: without this, a
+    // crash between the delete path's two renames would serve the index
+    // with ZERO tombstones (takedowns resurface) until some maintenance
+    // op happened to run. Two existence probes in the common case.
+    healTombstoneSwap(fs, dir)
+    val (n0, t0, buckets, fe, fd, ft) = readBaseStatsFull(spark, dir)
+    val bs = new org.apache.hadoop.fs.Path(s"$dir/batch_stats")
     val (n1, t1) =
       if (!fs.exists(bs)) (n0, t0)
       else {
+        // only deltas NEWER than what the base record already folded
+        // (folded_batch, written by compaction's stats fold — a crash
+        // before the delta-dir removal cannot double-count)
+        val foldedBatch = readFoldedBatch(spark, dir)
         val r = spark.read.parquet(bs.toString)
+          .where(col("batch") > foldedBatch)
           .agg(sum("n_docs"), sum("total_tokens")).head()
         (n0 + (if (r.isNullAt(0)) 0L else r.getLong(0)),
           t0 + (if (r.isNullAt(1)) 0L else r.getLong(1)))
@@ -561,32 +587,64 @@ object Search {
                             dir: String): Unit = {
     val spark = docs.sparkSession
     requirePositionalPostings(spark, dir)
+    requireNotTombstoned(spark, dir, docs.select(col(idCol).as("doc_id")))
     val (n0, t0, buckets, fe, fd, ft) = readBaseStatsFull(spark, dir)
     postings(docs, idCol, textCol, buckets)
       .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
     val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
       .cast("long"))).head()
-    // base rewrite preserves the folded-tombstone triple (readStats'
-    // double-subtract guard) — an append must not forget what a prior
-    // compaction already folded
+    // base rewrite preserves the folded-tombstone triple AND the folded
+    // streaming-batch watermark (readStats' double-count guards) — an
+    // append must not forget what a prior compaction already folded
     writeStats(spark, dir, n0 + row.getLong(0),
       t0 + (if (row.isNullAt(1)) 0L else row.getLong(1)), buckets,
-      fe, fd, ft)
+      fe, fd, ft, readFoldedBatch(spark, dir))
   }
+
+  /** Refuse to re-ingest a currently-TOMBSTONED id: its new postings
+    * would be anti-joined out by every query (unfindable) while the
+    * append's stats count it present, and the next compaction would
+    * physically delete the corrected rows — silent data loss. The honest
+    * sequence is delete → compact → append; this guard names it. One
+    * bounded broadcast semi-join over the new ids. */
+  private def requireNotTombstoned(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, newIds: DataFrame): Unit =
+    postingsTombstones(spark, dir).foreach { dels =>
+      val clash = newIds.join(broadcast(dels), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"appending ids that are tombstoned in $dir: their postings would " +
+          "be unfindable until compaction physically drops them — run " +
+          "search-compact first, then append the corrected documents")
+    }
+
+  /** [[requireNotTombstoned]] for callers holding the raw doc frame
+    * (the streaming maintainer). */
+  private[graft] def requireNotTombstonedIds(docs: DataFrame, idCol: String,
+                                             dir: String): Unit =
+    requireNotTombstoned(docs.sparkSession, dir,
+      docs.select(col(idCol).as("doc_id")))
 
   /** Refuse to append positional rows into a PRE-positional index: the
     * mixed-schema result would silently never phrase-match pre-upgrade
     * docs (their null positions read as "term absent") — a rebuild is
-    * the only honest upgrade. One bounded listing (one bucket dir's
-    * schema), never a full-tree file index. */
+    * the only honest upgrade. One bounded listing; the sampled file is
+    * the first DATA file found (an empty `tb=` dir left by a crashed
+    * streaming commit must not wedge the check), and only its one footer
+    * is read — never a full-tree file index. */
   private[graft] def requirePositionalPostings(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
     if (!fs.exists(root)) return
-    fs.listStatus(root).filter(_.isDirectory).take(1).foreach { d =>
-      require(spark.read.parquet(d.getPath.toString)
+    val dataFile = fs.listStatus(root).filter(_.isDirectory).iterator
+      .flatMap(d => fs.listStatus(d.getPath).find(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")))
+      .take(1).toSeq.headOption
+    dataFile.foreach { f =>
+      require(spark.read.parquet(f.getPath.toString)
           .schema.fieldNames.contains("positions"),
         s"postings index at $dir predates positional postings: appending " +
           "would mix schemas and silently break phrase queries for " +
@@ -697,10 +755,17 @@ object Search {
                                 dir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(s"$dir/deletes")
     val aside = new org.apache.hadoop.fs.Path(s"$dir/deletes-old")
-    if (!fs.exists(live) && fs.exists(aside)) {
-      if (!fs.rename(aside, live))
+    if (!fs.exists(live)) {
+      if (fs.exists(aside) && !fs.rename(aside, live))
         throw new IllegalStateException(
           s"could not restore interrupted tombstone swap at $aside")
+    } else if (fs.exists(aside)) {
+      // the swap COMPLETED (live present): the aside copy is garbage from
+      // a crash after the second rename — remove it, or a LATER heal
+      // (after compaction retires live) would resurrect the stale set and
+      // subtract already-folded mass with the wrong sign
+      fs.delete(aside, true)
+      ()
     }
   }
 
@@ -1176,19 +1241,38 @@ object Search {
     // deletes removal below, readStats sees same-epoch deletes and
     // subtracts only the beyond-folded part — zero — instead of
     // double-subtracting the whole mass.
+    // the folded-batch watermark: the highest delta this fold absorbed —
+    // a crash between this stats write and the delta-dir removal leaves
+    // same-or-lower batch ids that readStats now filters out instead of
+    // double-counting (the streaming twin of the tombstone epoch rule)
+    val bsPath = new org.apache.hadoop.fs.Path(s"$dir/batch_stats")
+    val foldedBatch =
+      if (!fs.exists(bsPath)) readFoldedBatch(spark, dir)
+      else math.max(readFoldedBatch(spark, dir),
+        spark.read.parquet(bsPath.toString)
+          .agg(max(col("batch").cast("long"))).head() match {
+            case r if r.isNullAt(0) => -1L
+            case r => r.getLong(0)
+          })
     deleteStats(spark, dir) match {
       case Some((dDocs, dTokens, epoch)) =>
         writeStats(spark, dir, n, t, buckets,
-          tombEpoch = epoch, tombDocs = dDocs, tombTokens = dTokens)
+          tombEpoch = epoch, tombDocs = dDocs, tombTokens = dTokens,
+          foldedBatch = foldedBatch)
       case None =>
         // no pending deletes: preserve the previously-folded triple so a
         // crash-leftover same-epoch record (already retired mass) stays
         // recognizable
         val (_, _, _, fe, fd, ft) = readBaseStatsFull(spark, dir)
-        writeStats(spark, dir, n, t, buckets, fe, fd, ft)
+        writeStats(spark, dir, n, t, buckets, fe, fd, ft, foldedBatch)
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch_stats"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes"), true)
+    // any swap leftovers retire with the set they belonged to — a stale
+    // deletes-old surviving this point could be resurrected by a later
+    // heal and subtract already-folded mass
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes-old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes-staging"), true)
     (before, countFiles(post))
   }
 

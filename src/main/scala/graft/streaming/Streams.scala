@@ -270,6 +270,11 @@ object PostingsIndexStream {
     // pre-positional indexes must not receive positional rows (mixed
     // schemas silently break phrase queries for old docs — rebuild)
     graft.ext.Search.requirePositionalPostings(spark, indexDir)
+    // a tombstoned id arriving on the stream is the delete→re-ingest
+    // trap: its rows would be query-invisible yet stats-counted, then
+    // physically dropped at compaction. Fail the batch loudly — compact,
+    // then resume the stream.
+    graft.ext.Search.requireNotTombstonedIds(batch, idCol, indexDir)
     val staging = s"$indexDir/.staging/batch=$batchId"
     graft.ext.Search.postings(batch, idCol, textCol, buckets)
       // pinned partition count (see AnnIndexStream): deterministic
