@@ -42,12 +42,13 @@ object Main {
     "mix-cluster-centroids", "kmeans-iters", "pack-style", "pack-eod",
     "mix-phases", "pack-loader-cols",
     "query", "embeddings", "search-vec-id", "search-vec-id-col",
-    "search-kcand", "search-index", "search-buckets",
+    "search-kcand", "search-index", "search-buckets", "search-positional",
     "split-by", "split-fractions", "split-seed", "semdedup-centroids",
     "facets", "facets-topn", "highlight", "highlight-window",
-    "phrase", "delete-ids", "semdedup-keep", "must", "should", "must-not",
+    "phrase", "slop", "delete-ids", "semdedup-keep", "must", "should",
+    "must-not",
     "histogram", "fields", "multi-mode", "min-should-match",
-    "fuzziness", "prefix-match")
+    "fuzziness", "prefix-match", "max-expansions")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -785,10 +786,13 @@ object Main {
             "--fuzziness and --prefix-match are mutually exclusive")
           require(!(fuzzyOn || prefixOn) ||
               (queryOpt.isDefined && !hybridIndexed &&
-                !raw.contains("embeddings") && !raw.contains("fields") &&
-                !raw.contains("search-index")),
-            "--fuzziness/--prefix-match apply to plain --query CORPUS-SCAN " +
-              "search only (the postings index stores exact terms)")
+                !raw.contains("embeddings") && !raw.contains("fields")),
+            "--fuzziness/--prefix-match apply to plain --query search " +
+              "(corpus scan, or --search-index via the term dictionary)")
+          require(!raw.contains("max-expansions") ||
+              ((fuzzyOn || prefixOn) && raw.contains("search-index")),
+            "--max-expansions caps the term-dictionary expansion: it needs " +
+              "--search-index with --fuzziness or --prefix-match")
           lazy val docs = spark.read.parquet(cfg.input)
           def queryVec(): Seq[Double] = {
             val embPath = raw.getOrElse("embeddings", throw new
@@ -817,11 +821,14 @@ object Main {
                 graft.ext.Search.boolTopK(docs, idCol, textCol, m, sh, n, k)
             }
           } else (phraseOpt, raw.get("search-index")) match {
-            // phrase: positional adjacency — scan or positional index
+            // phrase: positional adjacency — scan or positional index;
+            // --slop relaxes per the position-window law
             case (Some(p), Some(idxDir)) =>
-              graft.ext.Search.indexedPhraseTopK(spark, idxDir, p, k)
+              graft.ext.Search.indexedPhraseTopK(spark, idxDir, p, k,
+                slop = raw.getOrElse("slop", "0").toInt)
             case (Some(p), None) =>
-              graft.ext.Search.phraseTopK(docs, idCol, textCol, p, k)
+              graft.ext.Search.phraseTopK(docs, idCol, textCol, p, k,
+                slop = raw.getOrElse("slop", "0").toInt)
             case (None, _) =>
               val query = queryOpt.get
               if (hybridIndexed)
@@ -851,14 +858,32 @@ object Main {
                       "--min-should-match is not supported with --fields")
                     val fs = spec.split(",").map(_.trim).filter(_.nonEmpty)
                       .map { p =>
-                        val Array(c, b) = p.split(":")
-                        (c, b.toDouble)
+                        val parts = p.split(":")
+                        require(parts.length == 2 && parts(0).nonEmpty,
+                          s"--fields expects comma-separated field:boost " +
+                            s"pairs (e.g. title:2.0,body:1.0); got '$p'")
+                        val b = parts(1).toDoubleOption.getOrElse(
+                          throw new IllegalArgumentException(
+                            s"--fields boost must be numeric; got '$p'"))
+                        (parts(0), b)
                       }.toSeq
                     graft.ext.Search.multiFieldTopK(docs, idCol, fs, query, k,
                       mode = raw.getOrElse("multi-mode", "most_fields"))
                   // a persisted postings index (--mode search-build
                   // output): identical results to the corpus scan,
-                  // pruned-bucket cost — --min-should-match honored
+                  // pruned-bucket cost — --min-should-match honored;
+                  // --fuzziness / --prefix-match route through the term
+                  // dictionary (--max-expansions caps the expansion)
+                  case (None, Some(idxDir)) if raw.contains("fuzziness") =>
+                    graft.ext.Search.indexedFuzzyTopK(spark, idxDir, query, k,
+                      fuzziness = raw("fuzziness").toInt,
+                      maxExpansions =
+                        raw.getOrElse("max-expansions", "0").toInt)
+                  case (None, Some(idxDir)) if raw.get("prefix-match")
+                      .exists(_.toBoolean) =>
+                    graft.ext.Search.indexedPrefixTopK(spark, idxDir, query, k,
+                      maxExpansions =
+                        raw.getOrElse("max-expansions", "0").toInt)
                   case (None, Some(idxDir)) =>
                     graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k,
                       minShouldMatch =
@@ -1005,9 +1030,14 @@ object Main {
           val textCol = raw.getOrElse("text-col", "text")
           val docs = spark.read.parquet(cfg.input)
           if (mode == "search-build")
+            // --search-positional false = BM25-only postings (~half the
+            // build cost and bytes; phrase queries refuse loudly)
             graft.ext.Search.buildPostingsIndex(docs, idCol, textCol,
-              cfg.outDir, buckets = raw.getOrElse("search-buckets", "64").toInt)
+              cfg.outDir, buckets = raw.getOrElse("search-buckets", "64").toInt,
+              positional =
+                raw.getOrElse("search-positional", "true").toBoolean)
           else
+            // append conforms to the index's own flavor
             graft.ext.Search.appendToPostingsIndex(docs, idCol, textCol,
               cfg.outDir)
           val n = spark.read.parquet(s"${cfg.outDir}/stats").head()

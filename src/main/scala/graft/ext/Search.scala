@@ -261,6 +261,157 @@ object Search {
     relaxedTopK(docs, idCol, textCol, queryTerms(query), k, params, roundTo)(
       (x, t) => x.startsWith(lit(t)))
 
+  // ------------------------------------------------------------------
+  // Indexed fuzzy/prefix: term-dictionary expansion — the reason real
+  // engines build indices is that queries never touch the raw corpus
+  // (the reference's whole design: ESContainer.scala:251-285 ships
+  // Lucene indexes precisely so serving never scans Hive). The relaxed
+  // query term expands against the VOCABULARY-sized dictionary, then
+  // ranks via the pruned `tb=` buckets of the expansion terms.
+  // ------------------------------------------------------------------
+
+  /** The index's term dictionary `(term, df)`, summed across build/append/
+    * stream deltas. INVARIANT (all maintenance ops preserve it): the
+    * dictionary is a SUPERSET of the live vocabulary — extra terms (from
+    * tombstoned docs, or duplicates across appends) cost expansion width
+    * but never correctness, because relaxed df/tf are recomputed exactly
+    * from the pruned post-tombstone postings at query time. df here is
+    * therefore ADVISORY: it picks which expansions survive a binding
+    * `maxExpansions` cut (deterministically), and is exact only right
+    * after a build or compact. Pre-dictionary indexes refuse loudly —
+    * `search-compact` (or a rebuild) creates `terms/`. */
+  private[graft] def termDictionary(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/terms")
+    require(fsOf(spark, dir).exists(p),
+      s"postings index at $dir has no term dictionary (terms/): it " +
+        "predates the dictionary scheme — rebuild with buildPostingsIndex " +
+        "or run search-compact to create it, then retry the fuzzy/prefix query")
+    spark.read.parquet(p.toString)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+  }
+
+  /** `isin` tolerant of the empty set (zero-arg isin is invalid). */
+  private def inSet(c: Column, s: Seq[String]): Column =
+    if (s.isEmpty) lit(false) else c.isin(s: _*)
+
+  /** [[relaxedTopK]] answered from a persisted postings index — the
+    * shared machinery of [[indexedFuzzyTopK]] / [[indexedPrefixTopK]].
+    * Bit-identical to the scan path (when `maxExpansions` does not bind):
+    * each query term expands against the dictionary with the SAME match
+    * predicate the scan applies per token, so a doc's relaxed tf is
+    * exactly Σ_{e∈expansion} tf(doc, e) and the relaxed df is the count
+    * of distinct docs holding ≥1 expansion posting — both recomputed from
+    * the pruned, tombstone-anti-joined postings; N/avgdl come from the
+    * exact stats record. Fold orders are the [[relaxedTopK]] laws (terms
+    * sorted, left-assoc sum), so even IEEE addition cannot diverge them.
+    *
+    * Scale shape: ONE vocabulary-sized dictionary pass (|terms| filters,
+    * one bounded collect of the matched expansion — never the corpus),
+    * then the [[indexedBm25TopK]] pruned-bucket read over the expansion
+    * terms' `tb=` directories: Σ_e df(e) posting rows instead of the two
+    * full corpus scans [[relaxedTopK]] pays. `maxExpansions > 0` caps a
+    * runaway expansion (a one-letter prefix) ES-style, keeping the top
+    * terms by (advisory df desc, term asc) — a DOCUMENTED deviation from
+    * scan equality when it binds. */
+  private def indexedRelaxedTopK(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, terms: Seq[String], k: Int,
+                                 params: Bm25Params, roundTo: Int,
+                                 maxExpansions: Int)
+                                (pred: (Column, String) => Column): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    require(maxExpansions >= 0, "maxExpansions must be >= 0 (0 = unlimited)")
+    val dict = termDictionary(spark, dir)
+    // expansion: a vocabulary-sized filter per query term, one bounded
+    // collect (the expansion is at most vocabulary-sized; cap via
+    // maxExpansions for serving)
+    val matched = terms.map(t => dict.filter(pred(col("term"), t))
+        .select(lit(t).as("qt"), col("term"), col("df")))
+      .reduce(_ unionByName _).collect()
+    val expansion: Map[String, Seq[String]] = terms.map { t =>
+      val all = matched.filter(_.getString(0) == t)
+        .map(r => (r.getString(1), r.getLong(2))).toSeq
+      val kept =
+        if (maxExpansions > 0 && all.length > maxExpansions)
+          all.sortBy { case (term, df) => (-df, term) }.take(maxExpansions)
+        else all
+      t -> kept.map(_._1)
+    }.toMap
+    val allExp = expansion.values.flatten.toSeq.distinct.sorted
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    if (allExp.isEmpty)
+      // nothing in the vocabulary matches any query term — empty result,
+      // typed off the index's own postings schema (" " can never be a
+      // token: the tokenization law splits on whitespace)
+      return prunedPostings(spark, dir, Seq(" "), buckets)
+        .where(lit(false))
+        .select(col("doc_id"), lit(0).cast("int").as("rank"),
+          lit(0.0).as("score"))
+    val pruned = prunedPostings(spark, dir, allExp, buckets)
+    // relaxed per-query-term df: DISTINCT docs holding >= 1 expansion
+    // posting, one bounded aggregate (count distinct skips the
+    // non-matching nulls) — exact by construction over the pruned,
+    // post-tombstone postings
+    val dfRow = pruned.agg(count(lit(1)).as("_n"),
+      terms.zipWithIndex.map { case (t, i) =>
+        countDistinct(when(inSet(col("term"), expansion(t)), col("doc_id")))
+          .as(s"_df$i") }: _*).head()
+    val stats = CorpusStats(nDocs, totalTokens,
+      terms.zipWithIndex.map { case (t, i) =>
+        t -> dfRow.getLong(i + 1) }.toMap)
+    // relaxed tf = Σ tf over the term's expansion postings (a token
+    // matches exactly one dictionary term, so the sum IS the scan path's
+    // matching-token count); a doc row exists only when >= 1 expansion
+    // posting exists, which is exactly the scan's `matched > 0` filter
+    val grouped = pruned.groupBy("doc_id").agg(
+      first(col("dl")).as("dl"),
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(inSet(col("term"), expansion(t)), col("tf"))),
+          lit(0.0)).as(s"_tf$i") }: _*)
+    val lenNorm = lit(params.k1) *
+      (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(stats.avgdl))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"_tf$i")
+      lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
+    }.reduce(_ + _)
+    val scored = grouped
+      .select(col("doc_id"), round(score, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Fuzzy-match top-k from a persisted postings index — [[fuzzyTopK]]
+   * answered from the term dictionary + pruned postings instead of two
+   * corpus scans. Bit-identical to the scan path unless `maxExpansions`
+   * binds (see [[indexedRelaxedTopK]]). The levenshtein tests run over
+   * the VOCABULARY (|dict| strings), not over every token of every doc —
+   * the cost profile that makes typo-tolerant serving viable.
+   */
+  def indexedFuzzyTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       query: String, k: Int, fuzziness: Int = 1,
+                       params: Bm25Params = Bm25Params(), roundTo: Int = 4,
+                       maxExpansions: Int = 0): DataFrame = {
+    require(fuzziness >= 0, "fuzziness must be non-negative")
+    indexedRelaxedTopK(spark, dir, queryTerms(query), k, params, roundTo,
+      maxExpansions)((x, t) => levenshtein(x, lit(t)) <= fuzziness)
+  }
+
+  /**
+   * Prefix-match top-k from a persisted postings index — [[prefixTopK]]
+   * via term-dictionary expansion; bit-identical to the scan path unless
+   * `maxExpansions` binds (see [[indexedRelaxedTopK]]).
+   */
+  def indexedPrefixTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        query: String, k: Int,
+                        params: Bm25Params = Bm25Params(), roundTo: Int = 4,
+                        maxExpansions: Int = 0): DataFrame =
+    indexedRelaxedTopK(spark, dir, queryTerms(query), k, params, roundTo,
+      maxExpansions)((x, t) => x.startsWith(lit(t)))
+
   /**
    * Multi-field BM25 top-k — the ES `multi_match` query over weighted
    * fields: each field is scored with ITS OWN statistics (df/avgdl per
@@ -306,11 +457,18 @@ object Search {
           t -> row.getLong(base + 1 + i) }.toMap)
     }
     val fieldScores = fields.zipWithIndex.map { case ((f, boost), fi) =>
-      val tok = toks(fi)
-      val dl = coalesce(size(tok).cast("double"), lit(0.0))
-      // null-field rows score +0.0 for this field (tf reads coalesce to 0)
-      val tf0 = coalesce(tok, array().cast("array<string>"))
-      lit(boost) * scoreCol(terms, statsPerField(fi), params, tf0, dl)
+      // a DEAD field (empty/null across the whole corpus) has avgdl = 0:
+      // its lenNorm would divide 0.0/0.0 = NaN and poison the combined
+      // score for EVERY matched doc — skip it driver-side (it can match
+      // nothing anyway), contributing exactly +0.0 like an absent term
+      if (statsPerField(fi).totalTokens == 0L) lit(0.0)
+      else {
+        val tok = toks(fi)
+        val dl = coalesce(size(tok).cast("double"), lit(0.0))
+        // null-field rows score +0.0 for this field (tf reads coalesce to 0)
+        val tf0 = coalesce(tok, array().cast("array<string>"))
+        lit(boost) * scoreCol(terms, statsPerField(fi), params, tf0, dl)
+      }
     }
     val combined = mode match {
       case "most_fields" => fieldScores.reduce(_ + _)
@@ -547,6 +705,12 @@ object Search {
     }
   }
 
+  /** Filesystem of an index directory (one line everywhere). */
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
   /** The term→bucket law, shared executor/driver side: Spark's seed-42
     * xxhash64 over UTF-8 (== [[Decontaminate.BenchmarkSet.hashGram]]),
     * floorMod into `buckets`. The driver uses it to compute which `tb=`
@@ -565,11 +729,19 @@ object Search {
    * incremental path is [[appendToPostingsIndex]].
    */
   def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
-                         dir: String, buckets: Int = 64): Unit = {
+                         dir: String, buckets: Int = 64,
+                         positional: Boolean = true): Unit = {
     require(buckets > 0, "buckets must be positive")
     val spark = docs.sparkSession
-    postings(docs, idCol, textCol, buckets)
+    postings(docs, idCol, textCol, buckets, positional)
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
+    // term dictionary for relaxed (fuzzy/prefix) query expansion: one
+    // bounded aggregate over the JUST-WRITTEN postings (vocabulary-sized
+    // output; re-reading the index back is cheaper than a second corpus
+    // explode). df here is ADVISORY — see [[termDictionary]].
+    spark.read.parquet(s"$dir/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/terms")
     val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
       .cast("long"))).head()
     writeStats(spark, dir, row.getLong(0),
@@ -586,11 +758,26 @@ object Search {
   def appendToPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
                             dir: String): Unit = {
     val spark = docs.sparkSession
-    requirePositionalPostings(spark, dir)
+    // appends CONFORM to the index's own flavor (positional or BM25-only):
+    // mixed schemas would silently break phrase queries for pre-upgrade
+    // docs (their null positions read as "term absent"), so the flavor is
+    // sniffed from one data-file footer and the new postings are built to
+    // match. An empty index defaults to positional.
+    val positional = indexFlavor(spark, dir).getOrElse(true)
     requireNotTombstoned(spark, dir, docs.select(col(idCol).as("doc_id")))
     val (n0, t0, buckets, fe, fd, ft) = readBaseStatsFull(spark, dir)
-    postings(docs, idCol, textCol, buckets)
+    postings(docs, idCol, textCol, buckets, positional)
       .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
+    // keep the term dictionary a SUPERSET of the live vocabulary (the
+    // [[termDictionary]] invariant): append the new batch's terms. An
+    // index built before the dictionary scheme has no terms/ — appending
+    // a PARTIAL dictionary there would silently break the superset
+    // invariant, so skip (relaxed queries refuse until a search-compact
+    // rebuilds the full dictionary).
+    if (fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/terms")))
+      postings(docs, idCol, textCol, buckets, positional = false)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("append").parquet(s"$dir/terms")
     val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
       .cast("long"))).head()
     // base rewrite preserves the folded-tombstone triple AND the folded
@@ -625,55 +812,63 @@ object Search {
     requireNotTombstoned(docs.sparkSession, dir,
       docs.select(col(idCol).as("doc_id")))
 
-  /** Refuse to append positional rows into a PRE-positional index: the
-    * mixed-schema result would silently never phrase-match pre-upgrade
-    * docs (their null positions read as "term absent") — a rebuild is
-    * the only honest upgrade. One bounded listing; the sampled file is
+  /** The index's postings FLAVOR: Some(true) = positional, Some(false) =
+    * BM25-only (`buildPostingsIndex(positional = false)`, or an index
+    * predating the positional schema), None = no data file yet (empty
+    * index). Maintenance ops (append, streaming commits) build their new
+    * postings to MATCH this flavor — a mixed-schema index would silently
+    * never phrase-match the non-positional docs (their null positions
+    * read as "term absent"). One bounded listing; the sampled file is
     * the first DATA file found (an empty `tb=` dir left by a crashed
-    * streaming commit must not wedge the check), and only its one footer
+    * streaming commit must not wedge the sniff), and only its one footer
     * is read — never a full-tree file index. */
-  private[graft] def requirePositionalPostings(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+  private[graft] def indexFlavor(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Option[Boolean] = {
+    val fs = fsOf(spark, dir)
     val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    if (!fs.exists(root)) return
-    val dataFile = fs.listStatus(root).filter(_.isDirectory).iterator
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).filter(_.isDirectory).iterator
       .flatMap(d => fs.listStatus(d.getPath).find(f => f.isFile &&
         !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith(".")))
       .take(1).toSeq.headOption
-    dataFile.foreach { f =>
-      require(spark.read.parquet(f.getPath.toString)
-          .schema.fieldNames.contains("positions"),
-        s"postings index at $dir predates positional postings: appending " +
-          "would mix schemas and silently break phrase queries for " +
-          "pre-upgrade documents — rebuild with buildPostingsIndex")
-    }
+      .map(f => spark.read.parquet(f.getPath.toString)
+        .schema.fieldNames.contains("positions"))
   }
 
-  /** (term, doc_id, tf, dl, positions, tb) postings — the
+  /** (term, doc_id, tf, dl[, positions], tb) postings — the
     * [[bm25TopKBatch]] explode with the bucket key attached executor-side
     * via the same xxhash64. `positions` is the ascending 0-based token
     * indexes of the term in the doc (the POSITIONAL half of the index:
     * [[indexedPhraseTopK]] intersects shifted position sets instead of
     * rescanning text); BM25 queries never read the column (parquet
-    * column pruning), so it costs index bytes, not query time. */
+    * column pruning), so it costs index bytes, not query time — and
+    * `positional = false` skips it entirely (roughly half the build cost
+    * and index bytes for a corpus that will never phrase-query). */
   private[graft] def postings(docs: DataFrame, idCol: String, textCol: String,
-                              buckets: Int): DataFrame =
-    docs
+                              buckets: Int,
+                              positional: Boolean = true): DataFrame = {
+    val base = docs
       // id keeps its ORIGINAL type (a silent cast("long") would null out
       // string ids and corrupt the index with no error; parquet stores
       // any type, and query-side grouping is type-agnostic)
       .select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("_w"))
-      .select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
-        posexplode(col("_w")).as(Seq("pos", "term")))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).cast("double").as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong))
-        .cast("int"))
+    val grouped =
+      if (positional)
+        base.select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
+            posexplode(col("_w")).as(Seq("pos", "term")))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).cast("double").as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+      else
+        base.select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
+            explode(col("_w")).as("term"))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).cast("double").as("tf"))
+    grouped.withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong))
+      .cast("int"))
+  }
 
   /**
    * BM25 top-k from a persisted postings index — bit-identical output to
@@ -756,7 +951,11 @@ object Search {
     val live = new org.apache.hadoop.fs.Path(s"$dir/deletes")
     val aside = new org.apache.hadoop.fs.Path(s"$dir/deletes-old")
     if (!fs.exists(live)) {
-      if (fs.exists(aside) && !fs.rename(aside, live))
+      // heal runs on the QUERY path too (readStats): two concurrent
+      // readers can race the aside->live rename. A failed rename whose
+      // target now exists means the other healer won — proceed; only a
+      // failure with live STILL absent is a real corruption.
+      if (fs.exists(aside) && !fs.rename(aside, live) && !fs.exists(live))
         throw new IllegalStateException(
           s"could not restore interrupted tombstone swap at $aside")
     } else if (fs.exists(aside)) {
@@ -947,17 +1146,37 @@ object Search {
   def phraseTokens(phrase: String): Seq[String] =
     phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
 
-  /** Occurrence count of the exact token sequence `pTerms` inside `tok` —
+  /** Occurrence count of the token sequence `pTerms` inside `tok` —
     * every start position counts, INCLUDING overlapping ones ("a a a"
     * contains "a a" twice, the Lucene ExactPhraseScorer convention). A
     * codegen'd HOF projection: candidate starts 0..len−m tested
-    * element-for-element, no explode, no shuffle. */
-  private def phraseFreq(tok: Column, pTerms: Seq[String]): Column = {
+    * element-for-element, no explode, no shuffle.
+    *
+    * `slop` relaxes adjacency with a POSITION-WINDOW law: base b matches
+    * when every term t_j appears at SOME index within ±slop of its home
+    * slot b+j (documented deviation from Lucene's SloppyPhraseScorer,
+    * which charges a TOTAL edit-distance budget across terms and needs
+    * slop 2 for a transposition: here "b a" matches the phrase "a b" at
+    * slop 1, because each term is within 1 of its slot — a per-term
+    * window, not a shared budget; slop 0 is the exact adjacent law
+    * either way). Out-of-bounds probes read as non-matches (the guarded
+    * element_at), so a base near the doc edge simply has fewer live
+    * probes. */
+  private def phraseFreq(tok: Column, pTerms: Seq[String],
+                         slop: Int = 0): Column = {
     val m = pTerms.length
     val starts = when(size(tok) >= m,
       filter(sequence(lit(0), size(tok) - lit(m)), i =>
         pTerms.zipWithIndex.map { case (t, j) =>
-          element_at(tok, i + lit(j + 1)) === lit(t) }.reduce(_ && _)))
+          if (slop == 0) element_at(tok, i + lit(j + 1)) === lit(t)
+          else (-slop to slop).map { d =>
+            val idx = i + lit(j + d + 1)
+            // CaseWhen evaluates the branch lazily, so the ANSI-mode
+            // element_at never sees an out-of-bounds index
+            when(idx >= lit(1) && idx <= size(tok),
+              element_at(tok, idx) === lit(t)).otherwise(lit(false))
+          }.reduce(_ || _)
+        }.reduce(_ && _)))
       .otherwise(array().cast("array<int>"))
     size(starts).cast("double")
   }
@@ -981,18 +1200,21 @@ object Search {
    * [[phraseScore]]). Same shape as [[bm25TopK]]: map-only scan (the
    * occurrence count is a HOF projection over the shared tokenization
    * law), distributed TakeOrdered, rank window over ≤ k rows. Ties break
-   * to the smaller id; scores round to `roundTo` decimals.
+   * to the smaller id; scores round to `roundTo` decimals. `slop > 0`
+   * relaxes adjacency per the [[phraseFreq]] position-window law (the ES
+   * `match_phrase` `slop` knob).
    */
   def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
                  phrase: String, k: Int, params: Bm25Params = Bm25Params(),
-                 roundTo: Int = 4): DataFrame = {
+                 roundTo: Int = 4, slop: Int = 0): DataFrame = {
+    require(slop >= 0, "slop must be non-negative")
     val pTerms = phraseTokens(phrase)
     require(pTerms.nonEmpty, "empty phrase")
     val distinctTerms = pTerms.distinct.sorted
     val stats = corpusStats(docs, textCol, distinctTerms)
     val idfSum = pTerms.foldLeft(0.0)((a, t) => a + stats.idf(t))
     val tok = tokens(col(textCol))
-    val ptf = phraseFreq(tok, pTerms)
+    val ptf = phraseFreq(tok, pTerms, slop)
     val scored = docs
       .select(col(idCol).as("doc_id"), ptf.as("_ptf"),
         size(tok).cast("double").as("_dl"))
@@ -1022,7 +1244,8 @@ object Search {
   def indexedPhraseTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                         phrase: String, k: Int,
                         params: Bm25Params = Bm25Params(),
-                        roundTo: Int = 4): DataFrame = {
+                        roundTo: Int = 4, slop: Int = 0): DataFrame = {
+    require(slop >= 0, "slop must be non-negative")
     val pTerms = phraseTokens(phrase)
     require(pTerms.nonEmpty, "empty phrase")
     val distinctTerms = pTerms.distinct.sorted
@@ -1030,8 +1253,9 @@ object Search {
     val avgdl = totalTokens.toDouble / nDocs
     val pruned = prunedPostings(spark, dir, distinctTerms, buckets)
     require(pruned.schema.fieldNames.contains("positions"),
-      s"postings index at $dir predates positional postings (no " +
-        "'positions' column): rebuild it to serve phrase queries")
+      s"postings index at $dir stores no positions (built with " +
+        "positional = false, or predating the positional schema): rebuild " +
+        "with positional postings to serve phrase queries")
     // exact per-term df in ONE bounded aggregate (the indexedBm25TopK law)
     val dfRow = pruned.agg(
       count(lit(1)).as("_n"),
@@ -1050,9 +1274,27 @@ object Search {
       distinctTerms.zipWithIndex.map { case (t, i) =>
         flatten(collect_list(when(col("term") === t, col("positions"))))
           .as(s"_ps$i") }: _*)
-    val starts = pTerms.zipWithIndex.map { case (t, j) =>
-      transform(col(s"_ps${idxOf(t)}"), p => p - lit(j))
-    }.reduce((a, b) => array_intersect(a, b))
+    // slop 0: adjacency is the shifted-position-set intersection (bases
+    // land in [0, dl−m] by construction). slop > 0: the [[phraseFreq]]
+    // position-window law over the SAME base domain — every candidate
+    // base 0..dl−m is kept when each term has a stored position within
+    // ±slop of its home slot b+j. Pure integer set arithmetic either
+    // way; text is never re-read.
+    val starts =
+      if (slop == 0)
+        pTerms.zipWithIndex.map { case (t, j) =>
+          transform(col(s"_ps${idxOf(t)}"), p => p - lit(j))
+        }.reduce((a, b) => array_intersect(a, b))
+      else {
+        val m = pTerms.length
+        when(col("dl") >= lit(m.toDouble),
+          filter(sequence(lit(0), col("dl").cast("int") - lit(m)), b =>
+            pTerms.zipWithIndex.map { case (t, j) =>
+              exists(col(s"_ps${idxOf(t)}"),
+                p => abs(p - (b + lit(j))) <= lit(slop))
+            }.reduce(_ && _)))
+          .otherwise(array().cast("array<int>"))
+      }
     val scored = grouped
       .withColumn("_ptf", size(starts).cast("double"))
       .where(col("_ptf") > 0)
@@ -1273,6 +1515,25 @@ object Search {
     // heal and subtract already-folded mass
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes-old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes-staging"), true)
+    // rewrite the term dictionary EXACTLY from the compacted postings —
+    // retiring append/stream duplicates and tombstoned-only terms, and
+    // CREATING terms/ on a pre-dictionary index (the documented upgrade
+    // path for relaxed queries). Staged + renamed, not overwritten in
+    // place: a crash mid-overwrite could leave a PARTIAL dictionary that
+    // silently under-expands; an interrupted rename leaves terms/ absent,
+    // which relaxed queries refuse loudly. (A crash BEFORE this point
+    // leaves the old dictionary — a superset of the live vocabulary,
+    // still correct for expansion; see [[termDictionary]].)
+    val termsStaging = new org.apache.hadoop.fs.Path(s"$dir/terms-compacting")
+    fs.delete(termsStaging, true)
+    spark.read.parquet(post.toString)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.parquet(termsStaging.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/terms"), true)
+    if (!fs.rename(termsStaging, new org.apache.hadoop.fs.Path(s"$dir/terms")))
+      throw new IllegalStateException(
+        s"could not install the rebuilt term dictionary at $dir/terms — " +
+          "relaxed queries will refuse until a search-compact recreates it")
     (before, countFiles(post))
   }
 

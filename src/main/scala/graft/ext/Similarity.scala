@@ -1421,6 +1421,7 @@ object Similarity {
    */
   def appendToIndex(rows: DataFrame, idCol: String, vecCol: String,
                     dir: String, cellSalt: Int = 1): Unit = {
+    requireNotTombstonedNids(rows, idCol, dir)
     val nlist = // needed only to size the salted exchange; tiny driver read
       if (cellSalt <= 1) 0
       else rows.sparkSession.read.parquet(s"$dir/centroids").count().toInt
@@ -1432,6 +1433,23 @@ object Similarity {
       .transform(saltedCellRepartition(_, cellSalt, nlist)) // see buildIndex
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/cells")
   }
+
+  /** Refuse to re-ingest a currently-TOMBSTONED nid (the
+    * [[graft.ext.Search]] postings-append guard mirrored to the ANN
+    * side): its new cell rows would be anti-joined out of every query
+    * (unfindable) and then physically dropped at ann-compact — silent
+    * data loss. The honest sequence is delete → compact → append. One
+    * bounded broadcast semi-join over the new ids. */
+  private[graft] def requireNotTombstonedNids(rows: DataFrame, idCol: String,
+                                              dir: String): Unit =
+    indexTombstones(rows.sparkSession, dir).foreach { dels =>
+      val clash = rows.select(col(idCol).as("nid"))
+        .join(broadcast(dels), Seq("nid"), "left_semi").limit(1).count()
+      require(clash == 0,
+        s"appending ids that are tombstoned in $dir: their cell rows would " +
+          "be unfindable until compaction physically drops them — run " +
+          "ann-compact first, then append the corrected vectors")
+    }
 
   /** The ANN index's tombstone set `(nid)`, if any — bounded by the
     * [[deleteFromIndex]] contract. */

@@ -2994,6 +2994,155 @@ object Queries {
       (s, dir) => graft.ext.Search.prefixTopK(
           t(s, dir, "documents"), "doc_id", "text", "spa win", k = 20)
         .orderBy("rank")),
+
+    // ---- INDEXED fuzzy matching via the persisted term dictionary (the
+    //      q90 discipline): the Spark side pays the full lifecycle —
+    //      build the postings index incl. terms/, expand the typo'd
+    //      query terms against the VOCABULARY with levenshtein, rank
+    //      from the pruned tb= buckets of the expansion — while the
+    //      oracle recomputes fuzzy BM25 from the RAW TEXT exactly as
+    //      q105 does. A hash match pins that dictionary expansion +
+    //      pruned-postings relaxed scoring is bit-identical to the
+    //      corpus scan: same relaxed tf/df counts, same fixed term
+    //      order, same float arithmetic, same tie-break. ----
+    QueryDef("q107_fuzzy_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN len(list_filter(w, x -> levenshtein(x, 'spork') <= 1)) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> levenshtein(x, 'windoe') <= 1)) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> levenshtein(x, 'spork') <= 1))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> levenshtein(x, 'spork') <= 1))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> levenshtein(x, 'windoe') <= 1))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> levenshtein(x, 'windoe') <= 1))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE len(list_filter(w, x -> levenshtein(x, 'spork') <= 1)) > 0
+             |     OR len(list_filter(w, x -> levenshtein(x, 'windoe') <= 1)) > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q107-fuzzyidx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedFuzzyTopK(s, idx, "spork windoe",
+            k = 20, fuzziness = 1)
+          .orderBy("rank")
+      }),
+
+    // ---- INDEXED prefix matching via the term dictionary: same
+    //      discipline as q107 with the starts_with expansion predicate;
+    //      the oracle is q106's raw-text prefix BM25 verbatim. ----
+    QueryDef("q108_prefix_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN len(list_filter(w, x -> starts_with(x, 'spa'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> starts_with(x, 'win'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> starts_with(x, 'spa')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> starts_with(x, 'spa')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> starts_with(x, 'win')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> starts_with(x, 'win')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE len(list_filter(w, x -> starts_with(x, 'spa'))) > 0
+             |     OR len(list_filter(w, x -> starts_with(x, 'win'))) > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q108-prefixidx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedPrefixTopK(s, idx, "spa win", k = 20)
+          .orderBy("rank")
+      }),
+
+    // ---- phrase match with SLOP (the ES match_phrase `slop` knob),
+    //      answered from the POSITIONAL index: base b matches when every
+    //      term appears within ±slop of its home slot b+j (the documented
+    //      per-term position-window law — a transposition matches at
+    //      slop 1, unlike Lucene's shared-budget scorer which needs 2).
+    //      The Spark side builds the index in-query and intersects stored
+    //      position sets; the oracle recomputes the window law from the
+    //      RAW TEXT with guarded 1-based list probes (w[0] is NULL in
+    //      DuckDB, out-of-range is NULL — coalesce(false) matches the
+    //      Spark side's bounds-guarded element_at exactly). Scoring is
+    //      the q97 phrase-BM25 law with the slop ptf. ----
+    QueryDef("q109_phrase_slop",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |p AS (
+             |  SELECT doc_id, w,
+             |    len(list_filter(range(0, len(w) - 1), b ->
+             |      (coalesce(w[b] = 'spark', false)
+             |       OR coalesce(w[b+1] = 'spark', false)
+             |       OR coalesce(w[b+2] = 'spark', false))
+             |      AND (coalesce(w[b+1] = 'merge', false)
+             |       OR coalesce(w[b+2] = 'merge', false)
+             |       OR coalesce(w[b+3] = 'merge', false))))::DOUBLE AS ptf
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      (ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |       + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)))
+             |      * (ptf * (1.2 + 1.0))
+             |      / (ptf + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)),
+             |      4) AS score
+             |  FROM p, st WHERE ptf > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q109-slopidx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedPhraseTopK(s, idx, "spark merge", k = 20,
+            slop = 1)
+          .orderBy("rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

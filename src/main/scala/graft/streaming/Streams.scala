@@ -201,6 +201,11 @@ object AnnIndexStream {
     // attempt and replay and double-ingest under fresh file names.
     val nlist =
       batch.sparkSession.read.parquet(s"$indexDir/centroids").count().toInt
+    // a tombstoned id arriving on the stream is the delete→re-ingest trap
+    // (the PostingsIndexStream guard mirrored): its rows would be
+    // query-invisible yet physically dropped at ann-compact. Fail the
+    // batch loudly — compact, then resume the stream.
+    graft.ext.Similarity.requireNotTombstonedNids(batch, idCol, indexDir)
     graft.ext.Similarity.encodeForIndex(batch, idCol, vecCol, indexDir)
       .transform(df => // codes-only indexes must not grow a partial vec column
         if (graft.ext.Similarity.indexStoresVectors(batch.sparkSession, indexDir)) df
@@ -267,16 +272,18 @@ object PostingsIndexStream {
     // buckets from the index's own base stats (a parquet footer read):
     // the bucket law MUST be the build's or queries would prune wrongly
     val (_, _, buckets) = graft.ext.Search.readBaseStats(spark, indexDir)
-    // pre-positional indexes must not receive positional rows (mixed
-    // schemas silently break phrase queries for old docs — rebuild)
-    graft.ext.Search.requirePositionalPostings(spark, indexDir)
+    // new postings CONFORM to the index's flavor (positional or
+    // BM25-only): a mixed-schema index would silently never phrase-match
+    // the non-positional docs. Empty index defaults to positional.
+    val positional = graft.ext.Search.indexFlavor(spark, indexDir)
+      .getOrElse(true)
     // a tombstoned id arriving on the stream is the delete→re-ingest
     // trap: its rows would be query-invisible yet stats-counted, then
     // physically dropped at compaction. Fail the batch loudly — compact,
     // then resume the stream.
     graft.ext.Search.requireNotTombstonedIds(batch, idCol, indexDir)
     val staging = s"$indexDir/.staging/batch=$batchId"
-    graft.ext.Search.postings(batch, idCol, textCol, buckets)
+    graft.ext.Search.postings(batch, idCol, textCol, buckets, positional)
       // pinned partition count (see AnnIndexStream): deterministic
       // row->part mapping makes the rename targets replay-stable
       .repartition(buckets, col("tb"))
@@ -303,6 +310,32 @@ object PostingsIndexStream {
       }
     }
     fs.delete(new Path(staging), true)
+    // term-dictionary delta: keep terms/ a SUPERSET of the live
+    // vocabulary (the Search.termDictionary invariant) by committing the
+    // batch's (term, df) rows under the same deterministic-rename scheme
+    // (stage with a pinned 1-partition exchange, rename-if-absent under
+    // b<batchId>-t<idx> names — a replay is a no-op). Skipped when
+    // terms/ is absent (a pre-dictionary index: a PARTIAL dictionary
+    // would silently under-expand — search-compact creates the full one).
+    if (fs.exists(new Path(s"$indexDir/terms"))) {
+      val tStaging = s"$indexDir/.staging-terms/batch=$batchId"
+      graft.ext.Search.postings(batch, idCol, textCol, buckets,
+          positional = false)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .coalesce(1) // vocabulary-delta-sized; pins the part index
+        .write.mode("overwrite").parquet(tStaging)
+      for (f <- fs.listStatus(new Path(tStaging))
+           if f.getPath.getName.startsWith("part-")) {
+        val idx = partIdx.findFirstMatchIn(f.getPath.getName)
+          .map(_.group(1)).getOrElse("0")
+        val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")
+        val dest = new Path(s"$indexDir/terms", s"b$batchId-t$idx$suffix")
+        if (!fs.exists(dest) && !fs.rename(f.getPath, dest))
+          throw new java.io.IOException(
+            s"term-dictionary commit rename failed: ${f.getPath} -> $dest")
+      }
+      fs.delete(new Path(s"$indexDir/.staging-terms/batch=$batchId"), true)
+    }
     // idempotent per-batch stats delta (replay rewrites, never adds)
     import spark.implicits._
     val row = batch.agg(count(lit(1)),

@@ -237,6 +237,15 @@ class SearchSpec extends SparkSpec {
         k = 20)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     assert(got === scan)
+    // the stream maintained the term dictionary too: fuzzy/prefix from
+    // the index == the corpus scan over everything ingested
+    val fzScan = Search.fuzzyTopK(docs, "doc_id", "text", "spork windoe",
+        k = 20, fuzziness = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val fzIdx = Search.indexedFuzzyTopK(spark, s"$dir/idx", "spork windoe",
+        k = 20, fuzziness = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(fzIdx === fzScan, "streamed dictionary must serve fuzzy exactly")
     // replay safety: re-committing batch 0 with the same content is a
     // no-op for both the postings AND the stats deltas
     graft.streaming.PostingsIndexStream.commitBatch(
@@ -245,6 +254,13 @@ class SearchSpec extends SparkSpec {
         "spark window merge", k = 20)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     assert(again === scan, "replayed commit changed query results")
+    // ... and the replayed commit did not duplicate dictionary mass for
+    // relaxed queries either (duplicates would only pad advisory df, but
+    // the b<id>-t<idx> rename-if-absent means not even that happens)
+    val fzAgain = Search.indexedFuzzyTopK(spark, s"$dir/idx", "spork windoe",
+        k = 20, fuzziness = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(fzAgain === fzScan)
   }
 
   test("postings compaction: fewer files, stats deltas folded, queries " +
@@ -1034,6 +1050,205 @@ class SearchSpec extends SparkSpec {
     val ps = Search.prefixTopK(sib, "doc_id", "text", "win", k = 2)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(ps(2L) > ps(1L), "three prefix hits must outscore one")
+  }
+
+  test("phrase slop: per-term position-window semantics; slop 0 == exact " +
+      "adjacency; scan == index bit-identity at every slop") {
+    val docs = Seq(
+      (1L, "alpha beta pad"),        // exact adjacency
+      (2L, "beta alpha pad"),        // transposition — matches at slop 1
+      (3L, "alpha gap beta"),        // one gap — matches at slop 1, ptf 2
+                                     // (bases 0 AND 1 both satisfy the
+                                     // per-term window)
+      (4L, "alpha g1 g2 g3 beta"),   // spread 4 — not at slop 1
+      (5L, "alpha pad pad")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(Search.phraseTopK(docs, "doc_id", "text", "alpha beta",
+      k = 10)) === Set(1L))
+    val s1 = Search.phraseTopK(docs, "doc_id", "text", "alpha beta",
+      k = 10, slop = 1)
+    assert(ids(s1) === Set(1L, 2L, 3L))
+    // docs 2 and 3 share dl=3; doc 3's TWO qualifying bases (higher ptf)
+    // must outscore doc 2's one
+    val sc = s1.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(3L) > sc(2L), "ptf 2 must outscore ptf 1 at equal dl")
+    // slop 2 admits the wide spread too
+    assert(ids(Search.phraseTopK(docs, "doc_id", "text", "alpha beta",
+      k = 10, slop = 2)) === Set(1L, 2L, 3L, 4L))
+    // default == explicit slop 0, bit for bit
+    val d0 = Search.phraseTopK(docs, "doc_id", "text", "alpha beta", k = 10)
+      .collect().toSeq
+    val e0 = Search.phraseTopK(docs, "doc_id", "text", "alpha beta", k = 10,
+      slop = 0).collect().toSeq
+    assert(d0 === e0)
+    // scan == index across slops on the real corpus (incl. a slop that
+    // changes the matched set) — EXACT double equality
+    val corpus = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-slopidx").toString
+    Search.buildPostingsIndex(corpus, "doc_id", "text", dir, buckets = 8)
+    for (slop <- 0 to 2; phrase <- Seq("spark merge", "merge spark window")) {
+      val scan = Search.phraseTopK(corpus, "doc_id", "text", phrase, k = 20,
+          slop = slop)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val idx = Search.indexedPhraseTopK(spark, dir, phrase, k = 20,
+          slop = slop)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(idx === scan, s"phrase '$phrase' slop $slop")
+    }
+  }
+
+  test("indexed fuzzy/prefix == scan path across the full index lifecycle " +
+      "(build, append, tombstone delete, compact)") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dictidx").toString
+    Search.buildPostingsIndex(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", dir, buckets = 8)
+    Search.appendToPostingsIndex(docs.filter(col("doc_id") >= 300),
+      "doc_id", "text", dir)
+    def seqOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // EXACT double equality after an append: the dictionary accumulated
+    // both slices' terms and the relaxed tf/df recompute from postings
+    assert(seqOf(Search.indexedFuzzyTopK(spark, dir, "spork windoe", k = 25,
+        fuzziness = 1)) ===
+      seqOf(Search.fuzzyTopK(docs, "doc_id", "text", "spork windoe", k = 25,
+        fuzziness = 1)), "fuzzy scan == index")
+    assert(seqOf(Search.indexedPrefixTopK(spark, dir, "spa win", k = 25)) ===
+      seqOf(Search.prefixTopK(docs, "doc_id", "text", "spa win", k = 25)),
+      "prefix scan == index")
+    // tombstone a few of the fuzzy winners: the index must now equal the
+    // scan over corpus \ deleted — relaxed df/tf/N/avgdl all adjust
+    val victims = Search.indexedFuzzyTopK(spark, dir, "spork windoe", k = 3,
+      fuzziness = 1).select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    Search.deleteFromPostingsIndex(spark, dir,
+      victims.toDF("doc_id"))
+    val remaining = docs.filter(!col("doc_id").isin(victims: _*))
+    assert(seqOf(Search.indexedFuzzyTopK(spark, dir, "spork windoe", k = 25,
+        fuzziness = 1)) ===
+      seqOf(Search.fuzzyTopK(remaining, "doc_id", "text", "spork windoe",
+        k = 25, fuzziness = 1)), "fuzzy after tombstones")
+    // compact physically drops the tombstones and rebuilds the dictionary
+    // EXACTLY (duplicates + dead terms retired); queries unchanged
+    Search.compactPostingsIndex(spark, dir)
+    assert(seqOf(Search.indexedFuzzyTopK(spark, dir, "spork windoe", k = 25,
+        fuzziness = 1)) ===
+      seqOf(Search.fuzzyTopK(remaining, "doc_id", "text", "spork windoe",
+        k = 25, fuzziness = 1)), "fuzzy after compact")
+    val dict = spark.read.parquet(s"$dir/terms")
+    // post-compact dictionary is exact: one row per live term, df == the
+    // term's live posting count
+    val fromPostings = spark.read.parquet(s"$dir/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    assert(dict.exceptAll(fromPostings).count() === 0 &&
+      fromPostings.exceptAll(dict).count() === 0)
+  }
+
+  test("indexed fuzzy refuses a pre-dictionary index; search-compact " +
+      "creates the dictionary") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nodict").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/terms"), true)
+    val e = intercept[IllegalArgumentException] {
+      Search.indexedFuzzyTopK(spark, dir, "spork", k = 5)
+    }
+    assert(e.getMessage.contains("term dictionary"))
+    // the append path must NOT create a partial dictionary (it would
+    // silently under-expand); only compact/rebuild may
+    Search.appendToPostingsIndex(
+      Seq((100000L, "sporkle")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms")),
+      "append created a partial dictionary")
+    Search.compactPostingsIndex(spark, dir)
+    val scan = Search.fuzzyTopK(
+        docs.select("doc_id", "text")
+          .unionByName(Seq((100000L, "sporkle")).toDF("doc_id", "text")),
+        "doc_id", "text", "spork windoe", k = 25, fuzziness = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val idx = Search.indexedFuzzyTopK(spark, dir, "spork windoe", k = 25,
+        fuzziness = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(idx === scan, "compact-created dictionary must restore equality")
+  }
+
+  test("maxExpansions caps the expansion deterministically by " +
+      "(df desc, term asc); a non-binding cap changes nothing") {
+    val docs = Seq(
+      (1L, "winalpha"),
+      (2L, "winalpha winbeta"),
+      (3L, "wingamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-maxexp").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 4)
+    // vocabulary dfs: winalpha 2, winbeta 1, wingamma 1 — a cap of 2
+    // keeps winalpha (df) then winbeta (term asc tie-break): doc 3 out
+    val capped = Search.indexedPrefixTopK(spark, dir, "win", k = 10,
+      maxExpansions = 2).collect().map(_.getLong(0)).toSet
+    assert(capped === Set(1L, 2L))
+    // a non-binding cap (>= |matches|) is the exact scan result
+    val loose = Search.indexedPrefixTopK(spark, dir, "win", k = 10,
+        maxExpansions = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val scan = Search.prefixTopK(docs, "doc_id", "text", "win", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(loose === scan)
+    // no vocabulary match at all -> typed empty result, no crash
+    assert(Search.indexedFuzzyTopK(spark, dir, "zzzzzzzzz", k = 5,
+      fuzziness = 1).count() === 0)
+  }
+
+  test("positional = false: BM25-only index is bit-identical for term and " +
+      "relaxed queries, refuses phrases loudly, and every maintenance op " +
+      "conforms to the flavor") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nopos").toString
+    Search.buildPostingsIndex(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", dir, buckets = 8, positional = false)
+    assert(Search.indexFlavor(spark, dir) === Some(false))
+    // append + streaming commit CONFORM (no positions column appears)
+    Search.appendToPostingsIndex(
+      docs.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+      "doc_id", "text", dir)
+    graft.streaming.PostingsIndexStream.commitBatch(
+      docs.filter(col("doc_id") >= 400), 1L, dir, "doc_id", "text")
+    assert(!spark.read.parquet(s"$dir/postings")
+      .schema.fieldNames.contains("positions"),
+      "maintenance must conform to the BM25-only flavor")
+    def seqOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(seqOf(Search.indexedBm25TopK(spark, dir, "spark window merge",
+        k = 20)) ===
+      seqOf(Search.bm25TopK(docs, "doc_id", "text", "spark window merge",
+        k = 20)), "BM25 unaffected by the missing positions")
+    assert(seqOf(Search.indexedFuzzyTopK(spark, dir, "spork windoe", k = 20,
+        fuzziness = 1)) ===
+      seqOf(Search.fuzzyTopK(docs, "doc_id", "text", "spork windoe", k = 20,
+        fuzziness = 1)), "fuzzy via the dictionary unaffected")
+    val e = intercept[IllegalArgumentException] {
+      Search.indexedPhraseTopK(spark, dir, "merge spark", k = 5).collect()
+    }
+    assert(e.getMessage.contains("positions"))
+    // compaction preserves the flavor and the results
+    Search.compactPostingsIndex(spark, dir)
+    assert(Search.indexFlavor(spark, dir) === Some(false))
+    assert(seqOf(Search.indexedBm25TopK(spark, dir, "spark window merge",
+        k = 20)) ===
+      seqOf(Search.bm25TopK(docs, "doc_id", "text", "spark window merge",
+        k = 20)))
+    // a positional index still maintains positional appends (flavor sniff,
+    // not a hardcoded default)
+    val pdir = java.nio.file.Files.createTempDirectory("graft-pos").toString
+    Search.buildPostingsIndex(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", pdir, buckets = 8)
+    Search.appendToPostingsIndex(docs.filter(col("doc_id") >= 250),
+      "doc_id", "text", pdir)
+    assert(Search.indexFlavor(spark, pdir) === Some(true))
+    assert(seqOf(Search.indexedPhraseTopK(spark, pdir, "merge spark",
+        k = 20)) ===
+      seqOf(Search.phraseTopK(docs, "doc_id", "text", "merge spark",
+        k = 20)))
   }
 
   test("tokenization law: shared with Decontaminate, empty/null safe") {
