@@ -44,7 +44,8 @@ object Main {
     "query", "embeddings", "search-vec-id", "search-vec-id-col",
     "search-kcand", "search-index", "search-buckets", "search-positional",
     "split-by", "split-fractions", "split-seed", "semdedup-centroids",
-    "facets", "facets-topn", "highlight", "highlight-window",
+    "facets", "facets-topn", "facets-missing", "highlight",
+    "highlight-window",
     "phrase", "slop", "delete-ids", "semdedup-keep", "must", "should",
     "must-not",
     "histogram", "fields", "multi-mode", "min-should-match",
@@ -914,7 +915,8 @@ object Main {
             require(queryOpt.isDefined, "--facets needs --query (term match)")
             val f = graft.ext.Search.facets(docs, textCol, queryOpt.get,
               fcols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-              topN = raw.getOrElse("facets-topn", "10").toInt)
+              topN = raw.getOrElse("facets-topn", "10").toInt,
+              missing = raw.get("facets-missing")) // ES `missing` bucket
             f.write.mode("overwrite").parquet(s"${cfg.outDir}/facets")
             println(s"facets -> ${cfg.outDir}/facets")
             f.orderBy("facet", "rank").collect()

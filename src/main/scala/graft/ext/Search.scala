@@ -935,6 +935,67 @@ object Search {
       .select("doc_id", "rank", "score")
   }
 
+  /**
+   * Batched BM25 from a persisted postings index — the serving-loop shape
+   * for a query TABLE `(query_id, query_text)`: the UNION of the batch's
+   * terms prunes the postings ONCE (≤ |terms| `tb=` dirs, `term IN`
+   * pushed to parquet), per-term df rides one bounded aggregate over the
+   * pruned rows, and each query's top-k is the bounded
+   * [[graft.functions.TopKAgg]] partial+final heap — so a serving loop
+   * pays ONE pruned read per batch instead of per query, with no rank
+   * window anywhere (a stopword term cannot create a corpus-sized
+   * single-task sort). Per query the output is BIT-IDENTICAL to
+   * [[indexedBm25TopK]] — and hence to the corpus scan — because the
+   * contribution uses the scan path's association verbatim
+   * (idf · (tf · (k1+1)) / (tf + lenNorm)) and the per-(query, doc) sum
+   * folds in sorted TERM order (an absent term adds exactly +0.0 in the
+   * pivot path, which IEEE addition cannot distinguish from being
+   * skipped).
+   */
+  def indexedBm25TopKBatch(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, queries: DataFrame, k: Int,
+                           params: Bm25Params = Bm25Params(),
+                           roundTo: Int = 4): DataFrame = {
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val avgdl = totalTokens.toDouble / nDocs
+    // union of the batch's terms: bounded by definition (queries are tiny)
+    val allTerms = queries
+      .select(explode(array_distinct(tokens(col("query_text")))).as("term"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(allTerms.nonEmpty, "batch has no query terms")
+    val pruned = prunedPostings(spark, dir, allTerms, buckets)
+    // exact per-term df in ONE bounded aggregate ((term, doc) postings are
+    // unique, so the row count IS the df) — |terms| longs to the driver
+    val dfMap = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = CorpusStats(nDocs, totalTokens,
+      allTerms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap)
+    val qTerms = queries.select(col("query_id"),
+      explode(array_distinct(tokens(col("query_text")))).as("term"))
+    val idfByTerm = typedLit(allTerms.map(t => t -> stats.idf(t)).toMap)
+    val contrib = pruned
+      .join(broadcast(qTerms), Seq("term"))
+      .withColumn("idf", element_at(idfByTerm, col("term")))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(params.k1 + 1.0)) /
+          (col("tf") + lit(params.k1) *
+            (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(avgdl))))
+    // fixed-order sum: fold contributions in TERM order (the module law)
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("_c"))
+      .withColumn("score", round(
+        expr("aggregate(_c, 0D, (a, x) -> a + x.contrib)"), roundTo))
+      .drop("_c")
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("score")).as("ns"), col("doc_id")), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.ns")).as("score"))
+  }
+
   // ------------------------------------------------------------------
   // Tombstone deletes: remove documents from a standing postings index
   // without a rebuild
@@ -1422,6 +1483,169 @@ object Search {
       .select("doc_id", "rank", "score")
   }
 
+  // ------------------------------------------------------------------
+  // Nested boolean queries with per-clause boosts — the full ES `bool`
+  // shape (bool inside should, clause-level boost), generalizing the
+  // flat [[boolTopK]]
+  // ------------------------------------------------------------------
+
+  /** A node of the ES `bool` tree. `Term` is an analyzed match clause
+    * (its text tokenizes via [[queryTerms]]; multi-term = OR-match,
+    * BM25-sum score in sorted term order); `Bool` nests arbitrarily.
+    * `boost` multiplies the clause's score contribution (the ES
+    * clause-level boost; powers of two are IEEE-exact). */
+  sealed trait BoolNode { def boost: Double }
+  object BoolNode {
+    final case class Term(text: String, boost: Double = 1.0) extends BoolNode
+    final case class Bool(must: Seq[BoolNode] = Nil,
+                          should: Seq[BoolNode] = Nil,
+                          mustNot: Seq[BoolNode] = Nil,
+                          boost: Double = 1.0) extends BoolNode
+  }
+
+  /** Terms that can SCORE (under must/should anywhere in the tree);
+    * mustNot subtrees contribute only presence tests. */
+  private def scoringTermsOf(n: BoolNode): Seq[String] = n match {
+    case BoolNode.Term(text, _) => termsOf(text)
+    case BoolNode.Bool(m, s, _, _) => (m ++ s).flatMap(scoringTermsOf)
+  }
+
+  /** Every term the tree TESTS (incl. mustNot presence probes). */
+  private def allTermsOf(n: BoolNode): Seq[String] = n match {
+    case BoolNode.Term(text, _) => termsOf(text)
+    case BoolNode.Bool(m, s, mn, _) => (m ++ s ++ mn).flatMap(allTermsOf)
+  }
+
+  /** Whether every document matching `n` is GUARANTEED to contain at
+    * least one scoring term — the boundedness requirement: a purely
+    * negative query would match the whole corpus (and be invisible to
+    * the postings index, which only sees docs holding some query term).
+    * must: one positive clause suffices; must-empty: the match requires
+    * SOME should clause, and any of them could be the one, so ALL must
+    * be positive. */
+  private def hasPositiveClause(n: BoolNode): Boolean = n match {
+    case BoolNode.Term(text, _) => termsOf(text).nonEmpty
+    case BoolNode.Bool(m, s, _, _) =>
+      m.exists(hasPositiveClause) ||
+        (m.isEmpty && s.nonEmpty && s.forall(hasPositiveClause))
+  }
+
+  /** The shared predicate/score constructor for both bool-tree paths —
+    * parameterized over how a term's tf is read (token-array HOF on the
+    * scan, pivot column on the index), so the float arithmetic is the
+    * same EXPRESSION on both sides. Laws: a Term scores
+    * boost · Σ_{its terms, sorted} bm25(t); a Bool scores
+    * boost · (must scores ++ guarded should scores, folded left in GIVEN
+    * clause order — must first); a should clause that does not match
+    * contributes exactly +0.0 (the when-guard matters for nested bools,
+    * whose inner must-terms might partially match); mustNot never
+    * scores. Match rule per node: all must ∧ none mustNot ∧ (should
+    * optional when must present, else ≥ 1 should). */
+  private def boolPredScore(node: BoolNode, stats: CorpusStats,
+                            params: Bm25Params, tfOf: String => Column,
+                            dl: Column): (Column, Column) = {
+    val lenNorm = lit(params.k1) *
+      (lit(1.0 - params.b) + lit(params.b) * dl / lit(stats.avgdl))
+    def pred(n: BoolNode): Column = n match {
+      case BoolNode.Term(text, _) =>
+        termsOf(text).map(t => tfOf(t) > lit(0.0)).reduce(_ || _)
+      case BoolNode.Bool(m, s, mn, _) =>
+        val mp = m.map(pred).foldLeft(lit(true))(_ && _)
+        val np = mn.map(c => !pred(c)).foldLeft(lit(true))(_ && _)
+        val sp =
+          if (s.isEmpty || m.nonEmpty) lit(true)
+          else s.map(pred).reduce(_ || _)
+        mp && np && sp
+    }
+    def score(n: BoolNode): Column = n match {
+      case BoolNode.Term(text, boost) =>
+        lit(boost) * termsOf(text).distinct.sorted.map { t =>
+          val tf = tfOf(t)
+          lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
+        }.reduce(_ + _)
+      case BoolNode.Bool(m, s, _, boost) =>
+        val parts = m.map(score) ++
+          s.map(c => when(pred(c), score(c)).otherwise(lit(0.0)))
+        lit(boost) * (if (parts.isEmpty) lit(0.0) else parts.reduce(_ + _))
+    }
+    (pred(node), score(node))
+  }
+
+  /**
+   * Nested-bool top-k over a corpus scan — the full ES `bool` request
+   * (bool inside should, per-clause boost). The tree must have a
+   * positive clause ([[hasPositiveClause]]): purely negative queries are
+   * corpus-sized and refused. Same scale shape as [[bm25TopK]]: every
+   * clause is a token-array projection, map-only + distributed
+   * TakeOrdered, two corpus reads total.
+   */
+  def boolQueryTopK(docs: DataFrame, idCol: String, textCol: String,
+                    node: BoolNode, k: Int,
+                    params: Bm25Params = Bm25Params(),
+                    roundTo: Int = 4): DataFrame = {
+    require(hasPositiveClause(node),
+      "bool tree needs a guaranteed positive (must/should) clause — a " +
+        "purely negative query matches the whole corpus")
+    val scoring = scoringTermsOf(node).distinct.sorted
+    val stats = corpusStats(docs, textCol, scoring)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val (pred, score) = boolPredScore(node, stats, params,
+      t => size(filter(tok, x => x === lit(t))).cast("double"), dl)
+    val scored = docs
+      .where(pred)
+      .select(col(idCol).as("doc_id"), round(score, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Nested-bool top-k from a persisted postings index — bit-identical to
+   * [[boolQueryTopK]]: the pruned read covers every tested term (mustNot
+   * probes included, the [[indexedBoolTopK]] price of exclusion without
+   * a corpus scan), tf pivots feed the SAME [[boolPredScore]] expression
+   * the scan builds, and df/N/avgdl are the exact index statistics.
+   */
+  def indexedBoolQueryTopK(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, node: BoolNode, k: Int,
+                           params: Bm25Params = Bm25Params(),
+                           roundTo: Int = 4): DataFrame = {
+    require(hasPositiveClause(node),
+      "bool tree needs a guaranteed positive (must/should) clause — a " +
+        "purely negative query matches the whole corpus")
+    val scoring = scoringTermsOf(node).distinct.sorted
+    val readTerms = allTermsOf(node).distinct.sorted
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val pruned = prunedPostings(spark, dir, readTerms, buckets)
+    val dfRow = pruned.agg(
+      count(lit(1)).as("_n"),
+      scoring.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_df$i") }: _*)
+      .head()
+    val stats = CorpusStats(nDocs, totalTokens,
+      scoring.zipWithIndex.map { case (t, i) =>
+        t -> (if (dfRow.isNullAt(i + 1)) 0L else dfRow.getLong(i + 1)) }.toMap)
+    val idxOf = readTerms.zipWithIndex.toMap
+    val grouped = pruned.groupBy("doc_id").agg(
+      first(col("dl")).as("dl"),
+      readTerms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("term") === t, col("tf"))), lit(0.0))
+          .as(s"_tf$i") }: _*)
+    val (pred, score) = boolPredScore(node, stats, params,
+      t => col(s"_tf${idxOf(t)}"), col("dl"))
+    val scored = grouped
+      .where(pred)
+      .select(col("doc_id"), round(score, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
   /**
    * Compact a postings index: append/streaming maintenance leaves one
    * file per (bucket, batch) — rewrite back to ~one file per bucket with
@@ -1600,7 +1824,8 @@ object Search {
    * single-task corpus-sized sort, and F facets cost one pass, not F.
    */
   def facets(docs: DataFrame, textCol: String, query: String,
-             facetCols: Seq[String], topN: Int = 10): DataFrame = {
+             facetCols: Seq[String], topN: Int = 10,
+             missing: Option[String] = None): DataFrame = {
     require(facetCols.nonEmpty, "need at least one facet column")
     require(topN > 0, "topN must be positive")
     val terms = queryTerms(query)
@@ -1608,9 +1833,18 @@ object Search {
     val tok = tokens(col(textCol))
     val matchedPred = terms.map(t => when(array_contains(tok, t), 1)
       .otherwise(0)).reduce(_ + _) > 0
+    // ES `missing`: bucket null facet values under an explicit label
+    // instead of the null-first bucket (one knob for all facet columns;
+    // accuracy note: unlike ES shard_size, the per-facet top-N here is
+    // EXACT — counts aggregate globally before the heap cut, so there is
+    // no shard-approximation error to tune away)
+    def valueOf(f: String): Column = missing match {
+      case Some(mv) => coalesce(col(f).cast("string"), lit(mv))
+      case None => col(f).cast("string")
+    }
     val pairs = docs.filter(matchedPred)
       .select(explode(array(facetCols.map(f =>
-        struct(lit(f).as("facet"), col(f).cast("string").as("value"))): _*))
+        struct(lit(f).as("facet"), valueOf(f).as("value"))): _*))
         .as("_fv"))
       .select(col("_fv.facet").as("facet"), col("_fv.value").as("value"))
     val counted = pairs.groupBy("facet", "value")

@@ -3143,6 +3143,178 @@ object Queries {
             slop = 1)
           .orderBy("rank")
       }),
+
+    // ---- batched BM25 from the postings index: the q99 batch fixture
+    //      answered from ONE pruned postings read for the whole batch
+    //      (union of the batch's tb= buckets, df from the pruned rows,
+    //      per-query k-heap — no rank window, no corpus scan). The
+    //      oracle is the q99 raw-text batch recomputation VERBATIM: a
+    //      hash match pins that the serving-loop batch path is
+    //      bit-identical to both the scan batch and the per-query
+    //      indexed path. ----
+    QueryDef("q110_bm25_batch_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |q AS (SELECT * FROM (VALUES
+             |       (1, ['merge', 'spark', 'window']),
+             |       (2, ['join', 'stream']),
+             |       (3, ['filter', 'hash', 'scan'])) AS t(query_id, terms)),
+             |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+             |st AS (SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl
+             |       FROM docs),
+             |df AS (SELECT t.term,
+             |         sum(CASE WHEN list_contains(d.w, t.term) THEN 1
+             |             ELSE 0 END)::DOUBLE AS df
+             |       FROM (SELECT DISTINCT term FROM qt) t CROSS JOIN docs d
+             |       GROUP BY t.term),
+             |contrib AS (
+             |  SELECT qt.query_id, d.doc_id, qt.term,
+             |    ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+             |      * (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |         * (1.2 + 1.0))
+             |      / (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |         + 1.2 * ((1 - 0.75) + 0.75 * len(d.w)::DOUBLE / st.avgdl))
+             |      AS c
+             |  FROM qt JOIN df ON qt.term = df.term, docs d, st
+             |  WHERE list_contains(d.w, qt.term)),
+             |scored AS (
+             |  SELECT query_id, doc_id,
+             |    round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 4)
+             |      AS score
+             |  FROM contrib GROUP BY query_id, doc_id)
+             |SELECT query_id, doc_id, rank, score FROM (
+             |  SELECT query_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 15
+             |ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q110-batchidx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        val queries = Seq((1, "spark window merge"), (2, "join stream"),
+          (3, "filter hash scan")).toDF("query_id", "query_text")
+        graft.ext.Search.indexedBm25TopKBatch(s, idx, queries, k = 15)
+          .orderBy("query_id", "rank")
+      }),
+
+    // ---- NESTED bool with per-clause boosts (the full ES `bool` shape:
+    //      a bool inside should, competing boosts), from the postings
+    //      index: must 'spark', mustNot 'hash', should = boosted
+    //      match('window merge') x2.0 plus a nested AND-bool
+    //      (join AND stream) x0.5. The oracle mirrors the documented
+    //      fold laws — Term folds its terms sorted, clauses fold
+    //      must-then-should in GIVEN order, an unmatched should clause
+    //      contributes exactly 0, boosts multiply (2.0/0.5 are
+    //      IEEE-exact powers of two) — so a hash match pins the whole
+    //      recursive clause algebra against raw text. ----
+    QueryDef("q111_bool_nested",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS dfspark,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS dfmerge,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS dfwindow,
+             |    sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END)::DOUBLE AS dfjoin,
+             |    sum(CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END)::DOUBLE AS dfstream
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.dfspark + 0.5) / (st.dfspark + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + CASE WHEN list_contains(w, 'merge') OR list_contains(w, 'window')
+             |      THEN 2.0 * (
+             |        ln(1 + (st.n - st.dfmerge + 0.5) / (st.dfmerge + 0.5))
+             |          * (len(list_filter(w, x -> x = 'merge'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'merge'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |        + ln(1 + (st.n - st.dfwindow + 0.5) / (st.dfwindow + 0.5))
+             |          * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)))
+             |      ELSE 0 END
+             |    + CASE WHEN list_contains(w, 'join') AND list_contains(w, 'stream')
+             |      THEN 0.5 * (
+             |        ln(1 + (st.n - st.dfjoin + 0.5) / (st.dfjoin + 0.5))
+             |          * (len(list_filter(w, x -> x = 'join'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'join'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |        + ln(1 + (st.n - st.dfstream + 0.5) / (st.dfstream + 0.5))
+             |          * (len(list_filter(w, x -> x = 'stream'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w, x -> x = 'stream'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)))
+             |      ELSE 0 END, 4) AS score
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'spark') AND NOT list_contains(w, 'hash'))
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        import graft.ext.Search.BoolNode
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q111-nestedbool").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        val tree = BoolNode.Bool(
+          must = Seq(BoolNode.Term("spark")),
+          should = Seq(
+            BoolNode.Term("window merge", boost = 2.0),
+            BoolNode.Bool(
+              must = Seq(BoolNode.Term("join"), BoolNode.Term("stream")),
+              boost = 0.5)),
+          mustNot = Seq(BoolNode.Term("hash")))
+        graft.ext.Search.indexedBoolQueryTopK(s, idx, tree, k = 20)
+          .orderBy("rank")
+      }),
+
+    // ---- terms facet with the ES `missing` bucket: null facet values
+    //      group under an explicit label instead of the null-first
+    //      bucket. Nulls are derived deterministically on BOTH sides
+    //      (doc_id % 7 -> null lang) since the test corpus has none;
+    //      the oracle coalesces identically. Top-N stays EXACT (global
+    //      counts before the heap cut — no shard_size approximation to
+    //      tune, the accuracy note ES documents away). ----
+    QueryDef("q112_facets_missing",
+      Some("""WITH docs AS (
+             |  SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang2,
+             |    source,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |m AS (SELECT * FROM docs
+             |      WHERE list_contains(w, 'join') OR list_contains(w, 'stream')),
+             |u AS (
+             |  SELECT 'lang2' AS facet, coalesce(lang2, '(missing)') AS value,
+             |    count(*) AS docs
+             |  FROM m GROUP BY coalesce(lang2, '(missing)')
+             |  UNION ALL
+             |  SELECT 'source', coalesce(source, '(missing)'), count(*)
+             |  FROM m GROUP BY coalesce(source, '(missing)')),
+             |r AS (SELECT facet, value, docs,
+             |        row_number() OVER (PARTITION BY facet
+             |          ORDER BY docs DESC, value ASC NULLS FIRST) AS rank
+             |      FROM u)
+             |SELECT facet, value, docs, rank FROM r
+             |WHERE rank <= 5 ORDER BY facet, rank""".stripMargin),
+      (s, dir) => graft.ext.Search.facets(
+          t(s, dir, "documents").withColumn("lang2",
+            when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang"))),
+          "text", "join stream", Seq("lang2", "source"), topN = 5,
+          missing = Some("(missing)"))
+        .orderBy("facet", "rank")),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -1251,6 +1251,114 @@ class SearchSpec extends SparkSpec {
         k = 20)))
   }
 
+  test("indexedBm25TopKBatch: per query == per-query indexed path == scan " +
+      "batch, one pruned scan, no rank window") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-batchidx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 16)
+    val queries = Seq((1L, "spark window merge"), (2L, "join stream"),
+      (3L, "filter hash scan")).toDF("query_id", "query_text")
+    val batch = Search.indexedBm25TopKBatch(spark, dir, queries, k = 15)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+      .toMap
+    for ((qid, qtext) <- Seq((1L, "spark window merge"), (2L, "join stream"),
+        (3L, "filter hash scan"))) {
+      val single = Search.indexedBm25TopK(spark, dir, qtext, k = 15)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val b = got.collect { case ((q, d), v) if q == qid => (d, v) }.toMap
+      assert(b.keySet === single.map(_._1).toSet, s"query $qid candidates")
+      single.foreach { case (d, rk, sc) =>
+        assert(b(d) === ((rk, sc)), s"query $qid doc $d") }
+    }
+    // ... and bit-identical to the corpus-scan batch (transitivity check)
+    val scanBatch = Search.bm25TopKBatch(docs, "doc_id", "text", queries,
+        k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getDouble(3))).toSet
+    assert(batch.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getDouble(3))).toSet === scanBatch)
+    // plan laws: the whole batch reads the postings ONCE in the scoring
+    // plan, per-query cuts are the bounded heap (no Window anywhere)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window in batch plan:\n$plan")
+    val scans = batch.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1,
+      s"expected ONE postings scan for the whole batch, got ${scans.size}")
+  }
+
+  test("nested bool: clause algebra on a hand corpus; scan == index; " +
+      "purely negative trees refused") {
+    import Search.BoolNode._
+    val docs = Seq(
+      (1L, "spark merge pad"),   // must + should-term -> boosted
+      (2L, "spark pad pad"),     // must only
+      (3L, "spark join pad"),    // nested bool HALF-matched: join w/o
+                                 // stream must contribute NOTHING
+      (4L, "spark join stream"), // nested bool fully matched
+      (5L, "merge join stream"), // missing must -> excluded
+      (6L, "spark merge bad")).toDF("doc_id", "text")
+    val tree = Bool(
+      must = Seq(Term("spark")),
+      should = Seq(Term("merge", boost = 2.0),
+        Bool(must = Seq(Term("join"), Term("stream")), boost = 0.5)),
+      mustNot = Seq(Term("bad")))
+    val got = Search.boolQueryTopK(docs, "doc_id", "text", tree, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L), "match set")
+    // docs 2 and 3 share dl=3 and only the must term scores for both (the
+    // half-matched nested bool is guarded to +0.0): equal scores
+    assert(got(2L) === got(3L),
+      "half-matched nested should-bool must contribute exactly 0")
+    assert(got(4L) > got(2L), "fully-matched nested bool must add score")
+    assert(got(1L) > got(2L), "boosted should term must add score")
+    // scan == index on the real corpus — EXACT double equality
+    val corpus = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbool").toString
+    Search.buildPostingsIndex(corpus, "doc_id", "text", dir, buckets = 8)
+    for (t <- Seq(
+        tree,
+        Bool(should = Seq(Term("spark window"),
+          Bool(must = Seq(Term("merge")), mustNot = Seq(Term("join"))))),
+        Bool(must = Seq(Term("stream"),
+          Bool(should = Seq(Term("filter"), Term("hash")), boost = 4.0))))) {
+      val scan = Search.boolQueryTopK(corpus, "doc_id", "text", t, k = 25)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val idx = Search.indexedBoolQueryTopK(spark, dir, t, k = 25)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(idx === scan, s"tree $t")
+    }
+    // purely negative trees are unbounded -> loud refusal, both paths
+    intercept[IllegalArgumentException] {
+      Search.boolQueryTopK(docs, "doc_id", "text",
+        Bool(mustNot = Seq(Term("bad"))), k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Search.indexedBoolQueryTopK(spark, dir,
+        Bool(must = Seq(Bool(mustNot = Seq(Term("bad"))))), k = 5)
+    }
+  }
+
+  test("facets missing bucket: nulls group under the label; without the " +
+      "knob they stay the null-first bucket") {
+    val docs = Seq(
+      (1L, "join x", "en"), (2L, "join y", null), (3L, "join z", null),
+      (4L, "stream w", "fr"), (5L, "nomatch", null))
+      .toDF("doc_id", "text", "lang")
+    val withMissing = Search.facets(docs, "text", "join stream",
+        Seq("lang"), topN = 10, missing = Some("(missing)"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // doc 5 does not match the query -> its null is NOT counted
+    assert(withMissing === Map("(missing)" -> 2L, "en" -> 1L, "fr" -> 1L))
+    val without = Search.facets(docs, "text", "join stream",
+        Seq("lang"), topN = 10)
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2), r.getInt(3)))
+    // null bucket exists and wins the count-2 top spot (nulls first law)
+    assert(without.head === ((None, 2L, 1)))
+  }
+
   test("tokenization law: shared with Decontaminate, empty/null safe") {
     val docs = Seq((1L, "  A  b\tc "), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
