@@ -664,6 +664,14 @@ object Bench {
           graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text", dir,
             buckets = 64)
         }
+        // the positional-off knob: a BM25-only corpus reclaims the ~2x
+        // positional build tax (same corpus, positions skipped)
+        val dirNopos = java.nio.file.Files
+          .createTempDirectory("graft-bench-bm25nopos").toString
+        val buildNoposSec = time {
+          graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text",
+            dirNopos, buckets = 64, positional = false)
+        }
         docs.unpersist()
         var top = Array.empty[(Long, Double)]
         val qsecs = (1 to 3).map { _ =>
@@ -674,9 +682,65 @@ object Bench {
           }
         }
         val qMed = qsecs.sorted.apply(qsecs.size / 2)
-        f"""{"rows":1000000,"build_sec":$buildSec%.3f,"query_sec":$qMed%.3f,"k":10,"top1_doc":${top.head._1},"top1_score":${top.head._2}%.4f,"runs":3}"""
+        // serving-loop batching: 8 queries as ONE pruned-read batch vs the
+        // per-query loop (the indexedBm25TopKBatch payoff under test)
+        import spark.implicits._
+        val batchQueries = (1 to 8).map(i =>
+          (i.toLong, s"w${i * 3} w${i * 7 + 1} w${i * 11 + 2}"))
+        val batchDf = batchQueries.toDF("query_id", "query_text")
+        val batchSec = time {
+          graft.ext.Search.indexedBm25TopKBatch(spark, dir, batchDf, k = 10)
+            .count()
+        }
+        val perQuerySec = time {
+          batchQueries.foreach { case (_, q) =>
+            graft.ext.Search.indexedBm25TopK(spark, dir, q, k = 10).count()
+          }
+        }
+        f"""{"rows":1000000,"build_sec":$buildSec%.3f,"build_nopos_sec":$buildNoposSec%.3f,"query_sec":$qMed%.3f,"batch8_sec":$batchSec%.3f,"perquery8_sec":$perQuerySec%.3f,"k":10,"top1_doc":${top.head._1},"top1_score":${top.head._2}%.4f,"runs":3}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bm25 index 1m failed: ${e.getMessage}"); "{}" } }
+
+    // indexed fuzzy at the 1M tier: the term-dictionary payoff — a
+    // typo-tolerant query answered from vocabulary expansion + pruned
+    // postings vs the two-full-scan relaxed path. Realistic vocab
+    // (~5000 distinct words, ~50-token docs), fuzziness 1, 2 query terms.
+    val fuzzyIndex1mJson: String =
+      if (!run1m) "{}"
+      else recordDiag("fuzzy_index_1m") { try {
+        import org.apache.spark.sql.functions.expr
+        val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+          expr("""array_join(transform(
+                    sequence(1, cast(30 + pmod(xxhash64(id), 40) as int)),
+                    i -> concat('w', pmod(xxhash64(id, i), 5000))), ' ')""")
+            .as("text")).repartition(64).cache()
+        docs.count()
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bench-fuzzyidx").toString
+        val buildSec = time {
+          graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text", dir,
+            buckets = 64)
+        }
+        var scanTop = Array.empty[(Long, Double)]
+        val scanSec = time {
+          scanTop = graft.ext.Search.fuzzyTopK(docs, "doc_id", "text",
+              "w123 w4567", k = 10, fuzziness = 1)
+            .collect().map(r => (r.getLong(0), r.getDouble(2)))
+        }
+        docs.unpersist()
+        var idxTop = Array.empty[(Long, Double)]
+        val idxSecs = (1 to 3).map { _ =>
+          time {
+            idxTop = graft.ext.Search.indexedFuzzyTopK(spark, dir,
+                "w123 w4567", k = 10, fuzziness = 1)
+              .collect().map(r => (r.getLong(0), r.getDouble(2)))
+          }
+        }
+        val idxMed = idxSecs.sorted.apply(idxSecs.size / 2)
+        val agree = scanTop.sameElements(idxTop)
+        f"""{"rows":1000000,"build_sec":$buildSec%.3f,"scan_sec":$scanSec%.3f,"index_sec":$idxMed%.3f,"scan_index_identical":$agree,"k":10,"runs":3}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fuzzy index 1m failed: ${e.getMessage}"); "{}" } }
 
     // standing-index HYBRID search at the 1M tier (the serving-loop
     // shape): postings index + ANN index over the same corpus, then the
@@ -988,7 +1052,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"bm25_index_1m":$bm25Index1mJson,"hybrid_index_1m":$hybridIndex1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"bm25_index_1m":$bm25Index1mJson,"fuzzy_index_1m":$fuzzyIndex1mJson,"hybrid_index_1m":$hybridIndex1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

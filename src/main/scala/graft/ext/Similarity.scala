@@ -2217,6 +2217,31 @@ object Similarity {
     sigs.join(broadcast(big), Seq("_table", "_sig"), "left_anti")
   }
 
+  /** Scale-aware LSH knobs (tables, bits) for [[cosineNearDupsLsh]].
+    * The join work is Σ_buckets size²/2, so FIXED bits turn quadratic as
+    * the corpus grows: 8 bits at 1M rows means ~3.9k-row buckets ≈ 15e9
+    * candidate dot products (measured 290+ s at 1M×32 — the round-11
+    * pipeline_full_1m dominant stage), where ~64-row buckets at the same
+    * scale cost ~0.7e9. `bits` is therefore sized so buckets average
+    * ~`targetBucket` rows (log2(n/targetBucket), clamped to [8, 20]), and
+    * `tables` so a TRUE pair at cos = threshold still collides somewhere
+    * with probability ≥ `targetRecall`:
+    * p1 = (1 − acos(t)/π)^bits, tables = ⌈ln(1−R)/ln(1−p1)⌉, clamped to
+    * [4, 40]. EXACT duplicates (cos = 1) collide in every table at any
+    * knob setting, so planted-dup recall is 1.0 regardless — the recall
+    * target only governs borderline pairs AT the threshold. */
+  def autoLshKnobs(n: Long, threshold: Double, targetRecall: Double = 0.95,
+                   targetBucket: Long = 64): (Int, Int) = {
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0,1)")
+    val bits = math.max(8, math.min(20, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    val t = math.max(-1.0, math.min(1.0, threshold))
+    val p1 = math.pow(1.0 - math.acos(t) / math.Pi, bits)
+    val tables = math.max(4, math.min(40, math.ceil(
+      math.log(1.0 - targetRecall) / math.log(1.0 - p1)).toInt))
+    (tables, bits)
+  }
+
   /**
    * Scale path for embedding near-dup: random-hyperplane LSH prefilter +
    * exact verify. Candidates = pairs sharing a full `bits`-bit signature in
@@ -2224,6 +2249,9 @@ object Similarity {
    * at threshold t collide in one table with prob (1 - acos(t)/pi)^bits, so
    * tables x that is the recall knob; at the defaults, a cos=0.90 pair is
    * found with p ~ 0.94 and a cos=0.95 pair with p ~ 0.99).
+   * `tables = 0` / `bits = 0` = AUTO: one count() of `df` sizes the knobs
+   * via [[autoLshKnobs]] — the scale-correct setting for corpora whose
+   * size the caller doesn't know statically (the pipeline passes this).
    * Same output contract as [[cosineNearDups]] minus LSH misses.
    *
    * Shuffle discipline (the part that matters at scale): the exact cosine
@@ -2243,9 +2271,12 @@ object Similarity {
                         threshold: Double, dim: Int, tables: Int = 8,
                         bits: Int = 8, roundTo: Int = 4,
                         maxBucket: Int = 10000): DataFrame = {
+    val (tablesR, bitsR) =
+      if (tables == 0 || bits == 0) autoLshKnobs(df.count(), threshold)
+      else (tables, bits)
     val sigs = df.select(col(idCol).as("_nid"), unitize(asDouble(col(vecCol))).as("_v"),
-        posexplode(array((0 until tables).map(t =>
-          lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)))
+        posexplode(array((0 until tablesR).map(t =>
+          lshSignature(asDouble(col(vecCol)), dim, t, bitsR)): _*)))
       .select(col("_nid"), col("_v"), col("pos").as("_table"), col("col").as("_sig"))
     // skew guard: a degenerate bucket (near-identical corpus slice) would
     // otherwise quadratically dominate one join task. PAYLOAD-FREE: bucket

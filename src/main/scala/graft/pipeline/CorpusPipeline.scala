@@ -297,8 +297,16 @@ object CorpusPipeline {
         // frame would throw): zero docs have zero near-dup pairs
         exact.select(size(col(embeddingCol))).head(1) match {
           case Array(row) =>
+            // AUTO LSH knobs (tables = bits = 0): fixed 8-bit signatures
+            // turn quadratic at corpus scale (3.9k-row buckets at 1M ≈
+            // 15e9 candidate dots — the round-11 292 s dominant stage);
+            // the auto sizing targets ~64-row buckets and re-spends some
+            // of the win on extra tables to HOLD the ≥95% recall target
+            // at the threshold. `exact` is checkpointed, so the sizing
+            // count is a cached-block scan.
             graft.ext.Similarity.cosineNearDupsLsh(exact, idCol, embeddingCol,
-              threshold = nearDupThreshold, dim = row.getInt(0))
+              threshold = nearDupThreshold, dim = row.getInt(0),
+              tables = 0, bits = 0)
           case _ =>
             exact.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
         }

@@ -472,6 +472,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH near-dup recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("autoLshKnobs: bits scale with corpus size, tables re-buy the " +
+      "recall target; auto mode matches explicit-knob quality") {
+    // sizing laws: buckets ~targetBucket rows -> bits grows with n; the
+    // analytic collision probability at the threshold stays >= target
+    def recallAt(tables: Int, bits: Int, t: Double): Double = {
+      val p1 = math.pow(1.0 - math.acos(t) / math.Pi, bits)
+      1.0 - math.pow(1.0 - p1, tables)
+    }
+    val (tSmall, bSmall) = Similarity.autoLshKnobs(10000L, 0.9)
+    val (tBig, bBig) = Similarity.autoLshKnobs(1000000L, 0.9)
+    assert(bBig > bSmall, "bits must grow with corpus size")
+    assert(bBig >= 14, s"1M rows needs fine buckets, got $bBig bits")
+    assert(recallAt(tSmall, bSmall, 0.9) >= 0.95)
+    assert(recallAt(tBig, bBig, 0.9) >= 0.95)
+    // exact duplicates collide at ANY knobs (p1 = 1 at cos = 1)
+    assert(recallAt(tBig, bBig, 1.0) === 1.0)
+    // a stricter threshold needs FEWER tables for the same recall
+    val (tStrict, _) = Similarity.autoLshKnobs(1000000L, 0.99)
+    assert(tStrict <= tBig)
+    // auto mode end-to-end (tables = bits = 0): same recall/no-FP laws
+    // as the explicit-knob test on the same fixture
+    val dim = 16
+    val rnd = new scala.util.Random(31)
+    val centers = (0 until 10).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val brute = Similarity.cosineNearDups(corpus, "vec_id", "embedding",
+        threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Similarity.cosineNearDupsLsh(corpus, "vec_id", "embedding",
+        threshold = 0.9, dim = dim, tables = 0, bits = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(brute), s"auto mode false positives: ${auto -- brute}")
+    assert(auto.size.toDouble / brute.size >= 0.95,
+      s"auto-knob recall ${auto.size}/${brute.size}")
+  }
+
   test("crossCorpusNearDups: finds planted cross-side dups, high recall, no false positives") {
     val dim = 16
     val rnd = new scala.util.Random(37)
