@@ -12,7 +12,7 @@ import graft.pipeline.Hive2Es.GraftConfig
  *     [--num-shards N] [--where SQL] [--id COL] [--routing COL]
  *     [--partition-multiples N] [--repartition true|false]
  *     [--format json|parquet] [--compression gzip|zstd|...]
- *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|ann-delete|search|search-build|search-append|search-stream|search-compact|search-delete|semdedup|split]
+ *     [--mode generic|infer|append|stream|compact|validate|install|tokenize|pack|quality-train|quality-score|pipeline|stream-pipeline|multi|ann-build|ann-append|ann-query|ann-stream|ann-compact|ann-strip|ann-split|ann-maintain|ann-drift|ann-delete|search|search-batch|search-build|search-append|search-stream|search-compact|search-delete|semdedup|split]
  *     [--json-source]
  *   (stream modes watch --input as a DIRECTORY of arriving parquet files)
  */
@@ -41,7 +41,7 @@ object Main {
     "quality-pareto-alpha", "quality-pareto-seed", "mix-cluster-k",
     "mix-cluster-centroids", "kmeans-iters", "pack-style", "pack-eod",
     "mix-phases", "pack-loader-cols",
-    "query", "embeddings", "search-vec-id", "search-vec-id-col",
+    "query", "queries", "embeddings", "search-vec-id", "search-vec-id-col",
     "search-kcand", "search-index", "search-buckets", "search-positional",
     "split-by", "split-fractions", "split-seed", "semdedup-centroids",
     "facets", "facets-topn", "facets-missing", "highlight",
@@ -109,7 +109,8 @@ object Main {
                       "search-compact", "search-delete",
                       "ann-delete")(m("mode")) ||
                   // an indexed search never touches the corpus
-                  (m("mode") == "search" && m.contains("search-index")))
+                  (Set("search", "search-batch")(m("mode")) &&
+                    m.contains("search-index")))
                 m.getOrElse("input", "")
               else req("input"),
       outDir = req("out"),
@@ -120,9 +121,9 @@ object Main {
         // bundle root" (per-index validation)
         case "install" | "validate" | "multi" | "pack" |
              "quality-train" | "quality-score" | "train-centroids" |
-             "search" | "semdedup" | "search-build" | "search-append" |
-             "search-stream" | "search-compact" | "search-delete" |
-             "split" =>
+             "search" | "search-batch" | "semdedup" | "search-build" |
+             "search-append" | "search-stream" | "search-compact" |
+             "search-delete" | "split" =>
           m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
@@ -992,6 +993,34 @@ object Main {
           val n = spark.read.parquet(s"${cfg.outDir}/postings").count()
           println(s"postings index maintained from stream: ${cfg.outDir} " +
             s"($n postings)")
+        case "search-batch" =>
+          // batched BM25 (the ES _msearch analog): --queries = a parquet
+          // of (query_id, query_text); with --search-index the whole
+          // batch rides ONE pruned postings read (indexedBm25TopKBatch),
+          // otherwise the corpus-scan batch path. One row per
+          // (query_id, doc_id) in each query's top-k.
+          val raw = rawFlags(args)
+          val k = raw.getOrElse("topk", "10").toInt
+          val qPath = raw.getOrElse("queries", throw new
+            IllegalArgumentException("--mode search-batch requires " +
+              "--queries <parquet with (query_id, query_text)>"))
+          val queries = spark.read.parquet(qPath)
+          val res = raw.get("search-index") match {
+            case Some(idxDir) =>
+              graft.ext.Search.indexedBm25TopKBatch(spark, idxDir, queries, k)
+            case None =>
+              require(cfg.input.nonEmpty,
+                "--mode search-batch needs --input (the corpus) or " +
+                  "--search-index (a postings index)")
+              val idCol = Option(cfg.id).getOrElse("doc_id")
+              val textCol = raw.getOrElse("text-col", "text")
+              graft.ext.Search.bm25TopKBatch(spark.read.parquet(cfg.input),
+                idCol, textCol, queries, k)
+          }
+          res.write.mode("overwrite").parquet(s"${cfg.outDir}/results")
+          val nQ = queries.count()
+          println(s"batch search: $nQ queries, top-$k each -> " +
+            s"${cfg.outDir}/results")
         case "search-compact" =>
           // streaming/append maintenance leaves one file per (bucket,
           // batch); rewrite to ~one per bucket, fold the stream's stats

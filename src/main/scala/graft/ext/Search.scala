@@ -567,6 +567,17 @@ object Search {
     val vc = cosineTopKBatch(vecs, vecIdCol, vecCol, queryVecs,
         "query_id", "vec", kCand)
       .select(col("query_id"), col("doc_id"), col("rank").as("vec_rank"))
+    rrfFuseBatch(bm, vc, k, rrfK)
+  }
+
+  /** THE batch RRF fusion tail — one definition for the scan
+    * ([[hybridTopKBatch]]) and standing-index
+    * ([[hybridTopKIndexedBatch]]) batch paths, as [[rrfFuse]] is for the
+    * single-query paths. Inputs are bounded per-query candidate lists
+    * (≤ kCand rows each); the per-query cut is the TopKAgg heap — no
+    * rank window. */
+  private def rrfFuseBatch(bm: DataFrame, vc: DataFrame, k: Int,
+                           rrfK: Int): DataFrame = {
     val fused = bm.join(vc, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_score", rrfScoreCol(rrfK))
     fused.groupBy("query_id")
@@ -579,6 +590,46 @@ object Search {
         col("col.bm25_rank").as("bm25_rank"),
         col("col.vec_rank").as("vec_rank"),
         (-col("col.ns")).as("rrf_score"))
+  }
+
+  /**
+   * Batch hybrid search against STANDING indexes — the full serving-loop
+   * composition: the whole batch's BM25 candidates ride ONE pruned
+   * postings read ([[indexedBm25TopKBatch]]), the vector candidates come
+   * from the ANN index's probed cells ([[Similarity.indexTopK]] is
+   * batch-native), and each query's fusion is the shared
+   * [[rrfFuseBatch]] heap — a q-query serving batch touches ZERO corpus
+   * scans and no rank windows. Per query the result equals
+   * [[hybridTopKIndexed]] with that query's id as `syntheticQid` (spec
+   * law), and at full-fidelity ANN knobs equals the scan-path
+   * [[hybridTopKBatch]].
+   *
+   * Contract: `queries` (query_id, query_text) and `queryVecs`
+   * (query_id, vec) share the id space, and those query_ids must NOT
+   * collide with any indexed corpus id — the ANN join self-excludes
+   * qid == nid (use negative ids for ad-hoc batches over a non-negative
+   * corpus).
+   */
+  def hybridTopKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+                             postingsDir: String, annDir: String,
+                             queries: DataFrame, queryVecs: DataFrame,
+                             k: Int, kCand: Int = 50, rrfK: Int = 60,
+                             params: Bm25Params = Bm25Params(),
+                             nprobe: Int = -1, rerankFactor: Int = 64,
+                             rerankCorpus: Option[DataFrame] = None,
+                             rerankIdCol: String = "",
+                             rerankVecCol: String = ""): DataFrame = {
+    val bm = indexedBm25TopKBatch(spark, postingsDir, queries, kCand, params)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val vc = Similarity.indexTopK(
+        queryVecs.select(col("query_id").as("qid"), col("vec").as("qv")),
+        annDir, "qid", "qv", kCand,
+        nprobe = nprobe, rerankFactor = rerankFactor,
+        rerankCorpus = rerankCorpus, rerankIdCol = rerankIdCol,
+        rerankVecCol = rerankVecCol)
+      .select(col("qid").as("query_id"), col("nid").as("doc_id"),
+        col("rank").as("vec_rank"))
+    rrfFuseBatch(bm, vc, k, rrfK)
   }
 
   // ------------------------------------------------------------------

@@ -3315,6 +3315,104 @@ object Queries {
           "text", "join stream", Seq("lang2", "source"), topN = 5,
           missing = Some("(missing)"))
         .orderBy("facet", "rank")),
+
+    // ---- batch HYBRID against standing indexes — the full serving-loop
+    //      composition at full-fidelity knobs (probe every cell,
+    //      vectors-stored, non-binding 50·64 shortlist cut): the whole
+    //      batch's BM25 list rides ONE pruned postings read, the vector
+    //      list comes from the ANN index's cells, fusion is the shared
+    //      batch RRF heap. Query ids are NEGATIVE (the documented
+    //      contract: the ANN join self-excludes qid == nid, so batch ids
+    //      must not collide with corpus ids). The oracle recomputes BOTH
+    //      rankers and the fusion from raw tables (the q104 law) — a
+    //      hash match pins the zero-corpus-scan serving path end to end,
+    //      both index lifecycles paid in-query. ----
+    QueryDef("q113_hybrid_batch_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |q AS (SELECT * FROM (VALUES
+             |       (-1, ['join', 'spark', 'stream'], 7),
+             |       (-2, ['filter', 'merge', 'table'], 11))
+             |      AS t(query_id, terms, src_vec)),
+             |qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+             |st AS (SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl
+             |       FROM docs),
+             |df AS (SELECT t.term,
+             |         sum(CASE WHEN list_contains(d.w, t.term) THEN 1
+             |             ELSE 0 END)::DOUBLE AS df
+             |       FROM (SELECT DISTINCT term FROM qt) t CROSS JOIN docs d
+             |       GROUP BY t.term),
+             |contrib AS (
+             |  SELECT qt.query_id, d.doc_id, qt.term,
+             |    ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+             |      * (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |         * (1.2 + 1.0))
+             |      / (len(list_filter(d.w, x -> x = qt.term))::DOUBLE
+             |         + 1.2 * ((1 - 0.75) + 0.75 * len(d.w)::DOUBLE / st.avgdl))
+             |      AS c
+             |  FROM qt JOIN df ON qt.term = df.term, docs d, st
+             |  WHERE list_contains(d.w, qt.term)),
+             |bm AS (
+             |  SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY
+             |      round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 4)
+             |        DESC, doc_id) AS bm25_rank
+             |  FROM contrib GROUP BY query_id, doc_id),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |      FROM read_parquet('{SFDIR}/embeddings.parquet')),
+             |u AS (SELECT vec_id,
+             |        CASE WHEN list_dot_product(v, v) > 0
+             |             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |             ELSE v END AS uv
+             |      FROM e),
+             |vr AS (
+             |  SELECT q.query_id, u2.vec_id AS doc_id,
+             |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |      round(list_dot_product(u2.uv, uq.uv), 4) DESC, u2.vec_id)
+             |      AS vec_rank
+             |  FROM q JOIN u uq ON uq.vec_id = q.src_vec CROSS JOIN u u2),
+             |bmk AS (SELECT * FROM bm WHERE bm25_rank <= 50),
+             |vrk AS (SELECT * FROM vr WHERE vec_rank <= 50),
+             |fused AS (
+             |  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+             |    COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             |    b.bm25_rank, v.vec_rank,
+             |    COALESCE(1.0 / (60.0 + b.bm25_rank), 0.0)
+             |      + COALESCE(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf_score
+             |  FROM bmk b FULL OUTER JOIN vrk v
+             |    ON b.query_id = v.query_id AND b.doc_id = v.doc_id)
+             |SELECT query_id, doc_id, rank, bm25_rank, vec_rank, rrf_score
+             |FROM (
+             |  SELECT query_id, doc_id, bm25_rank, vec_rank, rrf_score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY rrf_score DESC, doc_id) AS rank
+             |  FROM fused) x
+             |WHERE rank <= 12
+             |ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q113-hybatch").toString
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        graft.ext.Search.buildPostingsIndex(
+          docs, "doc_id", "text", s"$root/bm25", buckets = 32)
+        graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding",
+          s"$root/ann", nlist = 16, kmeansIters = 2)
+        def vecOf(id: Long): Seq[Double] = emb.filter(col("vec_id") === id)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        val queries = Seq((-1L, "spark join stream"), (-2L, "filter merge table"))
+          .toDF("query_id", "query_text")
+        val qvecs = Seq((-1L, vecOf(7)), (-2L, vecOf(11)))
+          .toDF("query_id", "vec")
+        graft.ext.Search.hybridTopKIndexedBatch(s, s"$root/bm25",
+            s"$root/ann", queries, qvecs, k = 12, kCand = 50,
+            nprobe = 16, rerankFactor = 64)
+          .orderBy("query_id", "rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -1289,6 +1289,51 @@ class SearchSpec extends SparkSpec {
       s"expected ONE postings scan for the whole batch, got ${scans.size}")
   }
 
+  test("hybridTopKIndexedBatch: per query == single-query hybridTopKIndexed; " +
+      "no rank window; batch ids may be negative (the collision contract)") {
+    val docs = sf("sf0.001", "documents")
+    val emb = sf("sf0.001", "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-hybatch").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", s"$root/bm25",
+      buckets = 16)
+    graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding",
+      s"$root/ann", nlist = 8, kmeansIters = 2)
+    def vecOf(id: Long): Seq[Double] = emb.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val queries = Seq((-1L, "spark join stream"), (-2L, "filter merge table"))
+      .toDF("query_id", "query_text")
+    val qvecs = Seq((-1L, vecOf(7)), (-2L, vecOf(11))).toDF("query_id", "vec")
+    val batch = Search.hybridTopKIndexedBatch(spark, s"$root/bm25",
+      s"$root/ann", queries, qvecs, k = 12, kCand = 30, nprobe = 8,
+      rerankFactor = 64)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), Option(r.get(3)), Option(r.get(4)), r.getDouble(5))))
+      .toMap
+    for ((qid, qtext, vid) <- Seq((-1L, "spark join stream", 7L),
+        (-2L, "filter merge table", 11L))) {
+      val single = Search.hybridTopKIndexed(spark, s"$root/bm25",
+          s"$root/ann", qtext, vecOf(vid), k = 12, kCand = 30, nprobe = 8,
+          rerankFactor = 64, syntheticQid = qid)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), Option(r.get(2)), Option(r.get(3)), r.getDouble(4))))
+        .toMap
+      val b = got.collect { case ((q, d), v) if q == qid => (d, v) }.toMap
+      assert(b === single, s"query $qid batch != single")
+    }
+    // the FUSION cut is the bounded top_k heap (the ANN index path keeps
+    // its own documented per-qid BOUNDED windows internally — those are
+    // two-level-cut rank-over-<=k, not a fusion-side rank window)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("top_k"),
+      s"fusion must cut via the bounded heap:\n$plan")
+    assert(!plan.contains("windowspecdefinition(rrf_score") &&
+      !plan.contains("windowspecdefinition(query_id#"),
+      s"fusion-side rank window in indexed batch:\n$plan")
+  }
+
   test("nested bool: clause algebra on a hand corpus; scan == index; " +
       "purely negative trees refused") {
     import Search.BoolNode._
