@@ -2318,10 +2318,17 @@ object Similarity {
                           threshold: Double, dim: Int, tables: Int = 8,
                           bits: Int = 8, roundTo: Int = 4,
                           maxBucket: Int = 10000): DataFrame = {
+    // tables = 0 / bits = 0 = AUTO (the cosineNearDupsLsh knob law): size
+    // by the LARGER side — per-candidate work is left_bucket × right_bucket
+    // per signature, so the bigger corpus's bucket size is the hazard
+    val (tablesR, bitsR) =
+      if (tables == 0 || bits == 0)
+        autoLshKnobs(math.max(left.count(), right.count()), threshold)
+      else (tables, bits)
     def sigs(df: DataFrame, id: String, outId: String, vOut: String): DataFrame =
       df.select(col(id).as(outId), unitize(asDouble(col(vecCol))).as(vOut),
-          posexplode(array((0 until tables).map(t =>
-            lshSignature(asDouble(col(vecCol)), dim, t, bits)): _*)))
+          posexplode(array((0 until tablesR).map(t =>
+            lshSignature(asDouble(col(vecCol)), dim, t, bitsR)): _*)))
         .select(col(outId), col(vOut), col("pos").as("_table"), col("col").as("_sig"))
     // guard BOTH sides: a degenerate bucket in either corpus concentrates
     // |other-side bucket| x maxBucket candidate pairs into one join task.

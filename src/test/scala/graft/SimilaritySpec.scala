@@ -539,6 +539,13 @@ class SimilaritySpec extends SparkSpec {
     assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
     assert(got.size.toDouble / exact.size >= 0.95,
       s"cross-corpus recall ${got.size}/${exact.size}")
+    // auto knobs (tables = bits = 0) hold the same laws
+    val auto = Similarity.crossCorpusNearDups(left, right, "lid", "rid",
+        "embedding", threshold = 0.9, dim = dim, tables = 0, bits = 0)
+      .select("id_l", "id_r").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact), s"auto false positives: ${auto -- exact}")
+    assert(auto.size.toDouble / exact.size >= 0.95,
+      s"auto cross-corpus recall ${auto.size}/${exact.size}")
   }
 
   test("two-level candidate cuts are output-identical to the single global cut") {
