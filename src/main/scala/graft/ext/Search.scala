@@ -490,6 +490,95 @@ object Search {
       .select("doc_id", "rank", "score")
   }
 
+  /**
+   * Multi-field BM25 top-k from persisted postings indexes — the
+   * [[multiFieldTopK]] semantics answered from one STANDING index per
+   * field (`fields` = (index dir, boost) in scoring order). Each field's
+   * list rides its own pruned `tb=` read + exact df aggregate + pivot
+   * scoring (the [[indexedBm25TopK]] machinery verbatim, boost applied
+   * outside the term sum like the scan path); fields combine per `mode`
+   * over a full-outer join of the bounded per-field MATCH SETS (a doc
+   * absent from a field contributes exactly +0.0 — IEEE-identical to the
+   * scan path's computed zero), so the output is BIT-IDENTICAL to
+   * [[multiFieldTopK]] over the source corpus. A DEAD field (zero tokens
+   * corpus-wide) is skipped driver-side, mirroring the scan guard.
+   *
+   * Contract: every field index was built (and is maintained — appends,
+   * tombstones) over the SAME corpus; the per-index doc counts are
+   * cross-checked loudly. Scale shape: |fields| pruned reads (Σ_t df_f(t)
+   * rows each), joins over match-set-sized frames only, distributed
+   * TakeOrdered — the corpus never scans.
+   */
+  def indexedMultiFieldTopK(spark: org.apache.spark.sql.SparkSession,
+                            fields: Seq[(String, Double)], query: String,
+                            k: Int, mode: String = "most_fields",
+                            params: Bm25Params = Bm25Params(),
+                            roundTo: Int = 4): DataFrame = {
+    require(fields.nonEmpty, "need at least one (indexDir, boost)")
+    require(mode == "most_fields" || mode == "best_fields",
+      s"unknown multi-field mode '$mode' (most_fields | best_fields)")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val statsPerField = fields.map { case (dir, _) => readStats(spark, dir) }
+    val nDocs = statsPerField.map(_._1).distinct
+    require(nDocs.size == 1,
+      s"field indexes disagree on corpus size (${nDocs.mkString(", ")}): " +
+        "multi-field indexes must be built and maintained over the SAME corpus")
+    val perField: Seq[Option[DataFrame]] =
+      fields.zipWithIndex.map { case ((dir, boost), fi) =>
+        val (n, totalTokens, buckets) = statsPerField(fi)
+        // dead field (avgdl = 0): its lenNorm would be 0/0 = NaN — skip,
+        // contributing exactly +0.0 (the multiFieldTopK driver-side guard)
+        if (totalTokens == 0L) None
+        else {
+          val pruned = prunedPostings(spark, dir, terms, buckets)
+          val dfRow = pruned.agg(count(lit(1)).as("_n"),
+            terms.zipWithIndex.map { case (t, i) =>
+              sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_df$i") }: _*)
+            .head()
+          val stats = CorpusStats(n, totalTokens,
+            terms.zipWithIndex.map { case (t, i) =>
+              t -> (if (dfRow.isNullAt(i + 1)) 0L
+                    else dfRow.getLong(i + 1)) }.toMap)
+          val grouped = pruned.groupBy("doc_id").agg(
+            first(col("dl")).as("dl"),
+            terms.zipWithIndex.map { case (t, i) =>
+              coalesce(sum(when(col("term") === t, col("tf"))), lit(0.0))
+                .as(s"_tf$i") }: _*)
+          val lenNorm = lit(params.k1) *
+            (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(stats.avgdl))
+          val score = terms.zipWithIndex.map { case (t, i) =>
+            val tf = col(s"_tf$i")
+            lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) / (tf + lenNorm)
+          }.reduce(_ + _)
+          Some(grouped.select(col("doc_id"),
+            (lit(boost) * score).as(s"_s$fi")))
+        }
+      }
+    val present = perField.flatten
+    require(present.nonEmpty,
+      "every field index is empty (zero tokens corpus-wide)")
+    val joined = present.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    // combine in GIVEN field order; a dead/absent field is exactly +0.0
+    val fieldScores = fields.indices.map { fi =>
+      if (perField(fi).isEmpty) lit(0.0)
+      else coalesce(col(s"_s$fi"), lit(0.0))
+    }
+    val combined = mode match {
+      case "most_fields" => fieldScores.reduce(_ + _)
+      case "best_fields" =>
+        if (fieldScores.length == 1) fieldScores.head
+        else greatest(fieldScores: _*)
+    }
+    val scored = joined
+      .select(col("doc_id"), round(combined, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
   /** Cosine top-k against ONE literal query vector: map-only scoring +
     * distributed TakeOrdered, rank window over the bounded result (the
     * same shape as [[bm25TopK]]). Rows are unitized; the query vector is
@@ -789,9 +878,22 @@ object Search {
     // term dictionary for relaxed (fuzzy/prefix) query expansion: one
     // bounded aggregate over the JUST-WRITTEN postings (vocabulary-sized
     // output; re-reading the index back is cheaper than a second corpus
-    // explode). df here is ADVISORY — see [[termDictionary]].
-    spark.read.parquet(s"$dir/postings")
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // explode). df here is ADVISORY — see [[termDictionary]]. An
+    // all-empty corpus (every text null/empty — e.g. a dead field in a
+    // multi-field layout) writes NO postings part files, so the
+    // read-back would fail schema inference: write the typed empty
+    // dictionary explicitly.
+    val emptyCorpus = indexFlavor(spark, dir).isEmpty
+    (if (emptyCorpus)
+       spark.createDataFrame(
+         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType(Seq(
+           org.apache.spark.sql.types.StructField("term",
+             org.apache.spark.sql.types.StringType),
+           org.apache.spark.sql.types.StructField("df",
+             org.apache.spark.sql.types.LongType))))
+     else spark.read.parquet(s"$dir/postings")
+       .groupBy("term").agg(count(lit(1)).as("df")))
       .write.mode("overwrite").parquet(s"$dir/terms")
     val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
       .cast("long"))).head()

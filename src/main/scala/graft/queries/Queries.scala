@@ -3413,6 +3413,88 @@ object Queries {
             nprobe = 16, rerankFactor = 64)
           .orderBy("query_id", "rank")
       }),
+
+    // ---- multi-field search from STANDING per-field indexes: the q102
+    //      multi_match law (per-field df/avgdl, boost-weighted sum in
+    //      field order) answered from one postings index per field —
+    //      pruned reads + pivot scoring per field, full-outer join of
+    //      the bounded match sets, absent field = exactly +0.0. The
+    //      oracle is q102's raw-column recomputation VERBATIM, so a
+    //      hash match pins that per-field indexing introduces no
+    //      approximation anywhere (the last scan-only request type goes
+    //      indexed). ----
+    QueryDef("q114_multifield_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w1,
+             |    list_filter(string_split_regex(lower(concat_ws(' ', source, lang)),
+             |                                   '\s+'), x -> x <> '') AS w2
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n,
+             |    sum(coalesce(len(w1), 0))::DOUBLE / count(*) AS avgdl1,
+             |    sum(coalesce(len(w2), 0))::DOUBLE / count(*) AS avgdl2,
+             |    sum(CASE WHEN list_contains(w1, 'en') THEN 1 ELSE 0 END)::DOUBLE AS df1a,
+             |    sum(CASE WHEN list_contains(w1, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1b,
+             |    sum(CASE WHEN list_contains(w1, 'src3') THEN 1 ELSE 0 END)::DOUBLE AS df1c,
+             |    sum(CASE WHEN list_contains(w2, 'en') THEN 1 ELSE 0 END)::DOUBLE AS df2a,
+             |    sum(CASE WHEN list_contains(w2, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2b,
+             |    sum(CASE WHEN list_contains(w2, 'src3') THEN 1 ELSE 0 END)::DOUBLE AS df2c
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |    1.0 * (
+             |        ln(1 + (st.n - st.df1a + 0.5) / (st.df1a + 0.5))
+             |          * (len(list_filter(w1, x -> x = 'en'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w1, x -> x = 'en'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w1)::DOUBLE / st.avgdl1))
+             |      + ln(1 + (st.n - st.df1b + 0.5) / (st.df1b + 0.5))
+             |          * (len(list_filter(w1, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w1, x -> x = 'spark'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w1)::DOUBLE / st.avgdl1))
+             |      + ln(1 + (st.n - st.df1c + 0.5) / (st.df1c + 0.5))
+             |          * (len(list_filter(w1, x -> x = 'src3'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w1, x -> x = 'src3'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w1)::DOUBLE / st.avgdl1)))
+             |    + 0.5 * (
+             |        ln(1 + (st.n - st.df2a + 0.5) / (st.df2a + 0.5))
+             |          * (len(list_filter(w2, x -> x = 'en'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w2, x -> x = 'en'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w2)::DOUBLE / st.avgdl2))
+             |      + ln(1 + (st.n - st.df2b + 0.5) / (st.df2b + 0.5))
+             |          * (len(list_filter(w2, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w2, x -> x = 'spark'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w2)::DOUBLE / st.avgdl2))
+             |      + ln(1 + (st.n - st.df2c + 0.5) / (st.df2c + 0.5))
+             |          * (len(list_filter(w2, x -> x = 'src3'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w2, x -> x = 'src3'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w2)::DOUBLE / st.avgdl2))),
+             |    4) AS score
+             |  FROM docs, st
+             |  WHERE list_contains(w1, 'en') OR list_contains(w1, 'spark')
+             |     OR list_contains(w1, 'src3') OR list_contains(w2, 'en')
+             |     OR list_contains(w2, 'spark') OR list_contains(w2, 'src3'))
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q114-mfidx").toString
+        val docs = t(s, dir, "documents")
+          .withColumn("meta", concat_ws(" ", col("source"), col("lang")))
+        graft.ext.Search.buildPostingsIndex(
+          docs, "doc_id", "text", s"$root/text", buckets = 32)
+        graft.ext.Search.buildPostingsIndex(
+          docs, "doc_id", "meta", s"$root/meta", buckets = 32)
+        graft.ext.Search.indexedMultiFieldTopK(s,
+            Seq((s"$root/text", 1.0), (s"$root/meta", 0.5)),
+            "spark en src3", k = 20)
+          .orderBy("rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

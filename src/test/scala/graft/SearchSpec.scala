@@ -1251,6 +1251,49 @@ class SearchSpec extends SparkSpec {
         k = 20)))
   }
 
+  test("indexedMultiFieldTopK == scan multiFieldTopK for both modes; dead " +
+      "fields skipped; corpus-mismatch refused") {
+    val docs = sf("sf0.001", "documents")
+      .withColumn("meta", concat_ws(" ", col("source"), col("lang")))
+      .withColumn("dead", lit(null).cast("string"))
+    val root = java.nio.file.Files.createTempDirectory("graft-mfidx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", s"$root/text",
+      buckets = 8)
+    Search.buildPostingsIndex(docs, "doc_id", "meta", s"$root/meta",
+      buckets = 8)
+    Search.buildPostingsIndex(docs, "doc_id", "dead", s"$root/dead",
+      buckets = 8)
+    def seqOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    for (mode <- Seq("most_fields", "best_fields")) {
+      val scan = seqOf(Search.multiFieldTopK(docs, "doc_id",
+        Seq(("text", 1.0), ("meta", 0.5)), "spark en src3", k = 25,
+        mode = mode))
+      val idx = seqOf(Search.indexedMultiFieldTopK(spark,
+        Seq((s"$root/text", 1.0), (s"$root/meta", 0.5)), "spark en src3",
+        k = 25, mode = mode))
+      assert(idx === scan, s"mode $mode")
+      // an all-null DEAD field contributes exactly +0.0 on both paths
+      val scanDead = seqOf(Search.multiFieldTopK(docs, "doc_id",
+        Seq(("text", 1.0), ("dead", 4.0), ("meta", 0.5)), "spark en src3",
+        k = 25, mode = mode))
+      val idxDead = seqOf(Search.indexedMultiFieldTopK(spark,
+        Seq((s"$root/text", 1.0), (s"$root/dead", 4.0), (s"$root/meta", 0.5)),
+        "spark en src3", k = 25, mode = mode))
+      assert(idxDead === scanDead, s"dead field, mode $mode")
+      assert(idxDead === scan, s"dead field must be a no-op, mode $mode")
+    }
+    // indexes over DIFFERENT corpora are refused loudly
+    val other = java.nio.file.Files.createTempDirectory("graft-mfother").toString
+    Search.buildPostingsIndex(docs.limit(100), "doc_id", "text", other,
+      buckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Search.indexedMultiFieldTopK(spark,
+        Seq((s"$root/text", 1.0), (other, 0.5)), "spark", k = 5)
+    }
+    assert(e.getMessage.contains("corpus size"))
+  }
+
   test("indexedBm25TopKBatch: per query == per-query indexed path == scan " +
       "batch, one pruned scan, no rank window") {
     val docs = sf("sf0.001", "documents")
