@@ -291,6 +291,28 @@ object Search {
       .groupBy("term").agg(sum(col("df")).as("df"))
   }
 
+  /**
+   * Top-N corpus terms by document frequency, straight from the term
+   * dictionary — the ES `terms` aggregation over an analyzed text field
+   * (`(term, df, rank)`, ties to the lexicographically smaller term).
+   * Cost: one vocabulary-sized aggregate + a distributed TakeOrdered —
+   * the corpus is never touched. df is EXACT through builds and
+   * (disjoint-id) appends/stream commits (batch partials sum to the true
+   * count); pending TOMBSTONES are still counted until `search-compact`
+   * physically drops them — the same "counts include deleted docs until
+   * merge" behavior ES documents for its terms aggregation.
+   */
+  def indexedTopTerms(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val top = termDictionary(spark, dir)
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(n)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
+      .select("term", "df", "rank")
+  }
+
   /** `isin` tolerant of the empty set (zero-arg isin is invalid). */
   private def inSet(c: Column, s: Seq[String]): Column =
     if (s.isEmpty) lit(false) else c.isin(s: _*)

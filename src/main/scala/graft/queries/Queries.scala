@@ -3495,6 +3495,35 @@ object Queries {
             "spark en src3", k = 20)
           .orderBy("rank")
       }),
+
+    // ---- top terms by document frequency from the term dictionary —
+    //      the ES `terms` aggregation over an analyzed text field: the
+    //      vocabulary-sized dictionary answers it without touching the
+    //      corpus. The oracle recomputes exact per-term df from raw text
+    //      (distinct (doc, term) pairs), so a hash match pins that the
+    //      dictionary's df really is the exact document frequency right
+    //      after a build (integer counts — no float risk). ----
+    QueryDef("q115_top_terms",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |dt AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM docs),
+             |df AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+             |SELECT term, df, rank FROM (
+             |  SELECT term, df,
+             |    row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+             |  FROM df) x
+             |WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q115-topterms").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedTopTerms(s, idx, n = 15)
+          .orderBy("rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -1251,6 +1251,36 @@ class SearchSpec extends SparkSpec {
         k = 20)))
   }
 
+  test("indexedTopTerms: exact df through build+append; tombstones counted " +
+      "until compact (the ES terms-agg merge law)") {
+    val docs = sf("sf0.001", "documents")
+    def refTop(d: org.apache.spark.sql.DataFrame, n: Int): Seq[(String, Long)] =
+      d.select(col("doc_id"), explode(Search.tokens(col("text"))).as("term"))
+        .distinct().groupBy("term").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (t, df) => (-df, t) }.take(n).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-topterms").toString
+    Search.buildPostingsIndex(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", dir, buckets = 8)
+    Search.appendToPostingsIndex(docs.filter(col("doc_id") >= 250),
+      "doc_id", "text", dir)
+    def got(): Seq[(String, Long)] =
+      Search.indexedTopTerms(spark, dir, n = 12)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got() === refTop(docs, 12),
+      "append-accumulated dictionary df must stay exact for disjoint ids")
+    // tombstones: counts still include deleted docs (documented ES
+    // behavior) ...
+    val victims = docs.filter(col("doc_id") < 50).select("doc_id")
+    Search.deleteFromPostingsIndex(spark, dir, victims)
+    assert(got() === refTop(docs, 12),
+      "pending tombstones are still counted (the ES merge law)")
+    // ... until compact physically drops them and rebuilds the dictionary
+    Search.compactPostingsIndex(spark, dir)
+    assert(got() === refTop(docs.filter(col("doc_id") >= 50), 12),
+      "compact must restore exact post-delete dfs")
+  }
+
   test("indexedMultiFieldTopK == scan multiFieldTopK for both modes; dead " +
       "fields skipped; corpus-mismatch refused") {
     val docs = sf("sf0.001", "documents")
