@@ -2229,7 +2229,15 @@ object Similarity {
     * p1 = (1 − acos(t)/π)^bits, tables = ⌈ln(1−R)/ln(1−p1)⌉, clamped to
     * [4, 40]. EXACT duplicates (cos = 1) collide in every table at any
     * knob setting, so planted-dup recall is 1.0 regardless — the recall
-    * target only governs borderline pairs AT the threshold. */
+    * target only governs borderline pairs AT the threshold.
+    *
+    * The clamps are cost ceilings, not free: when the UNclamped tables
+    * exceed 40 (very large n at a high threshold, e.g. n=100M/t=0.9 wants
+    * bits=20 → ~65 tables) the analytic at-threshold recall lands BELOW
+    * `targetRecall` (~0.84 in that example) — a loud WARN is logged with
+    * the achieved recall so the shortfall is visible; callers needing the
+    * full target can raise `targetBucket` (shallower bits → fewer tables
+    * per unit recall, at more dots per bucket). */
   def autoLshKnobs(n: Long, threshold: Double, targetRecall: Double = 0.95,
                    targetBucket: Long = 64): (Int, Int) = {
     require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0,1)")
@@ -2237,8 +2245,16 @@ object Similarity {
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
     val t = math.max(-1.0, math.min(1.0, threshold))
     val p1 = math.pow(1.0 - math.acos(t) / math.Pi, bits)
-    val tables = math.max(4, math.min(40, math.ceil(
-      math.log(1.0 - targetRecall) / math.log(1.0 - p1)).toInt))
+    val wanted = math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p1)).toInt
+    val tables = math.max(4, math.min(40, wanted))
+    if (wanted > 40) {
+      val achieved = 1.0 - math.pow(1.0 - p1, tables)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"autoLshKnobs(n=$n, t=$threshold): tables clamped $wanted -> 40; " +
+          f"analytic at-threshold recall $achieved%.3f < target $targetRecall%.2f " +
+          "(exact dups still collide everywhere; raise targetBucket to trade " +
+          "bucket size for recall)")
+    }
     (tables, bits)
   }
 

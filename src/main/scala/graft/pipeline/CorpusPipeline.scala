@@ -301,9 +301,11 @@ object CorpusPipeline {
             // turn quadratic at corpus scale (3.9k-row buckets at 1M ≈
             // 15e9 candidate dots — the round-11 292 s dominant stage);
             // the auto sizing targets ~64-row buckets and re-spends some
-            // of the win on extra tables to HOLD the ≥95% recall target
-            // at the threshold. `exact` is checkpointed, so the sizing
-            // count is a cached-block scan.
+            // of the win on extra tables toward the 95% at-threshold
+            // recall target (held exactly until the tables clamp of 40
+            // binds — beyond that autoLshKnobs WARNs the achieved recall;
+            // exact dups collide at any knobs). `exact` is checkpointed,
+            // so the sizing count is a cached-block scan.
             graft.ext.Similarity.cosineNearDupsLsh(exact, idCol, embeddingCol,
               threshold = nearDupThreshold, dim = row.getInt(0),
               tables = 0, bits = 0)

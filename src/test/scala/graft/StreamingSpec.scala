@@ -546,4 +546,155 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("adaptive embed-dedup foundations: signature prefix law + depthFor candidate bound") {
+    import graft.ext.Similarity
+    import graft.streaming.StreamingEmbedDedup
+    import spark.implicits._
+    // prefix law: the b-bit signature IS the low-b-bit mask of the deep one,
+    // for every table — this is what lets the adaptive processor deepen its
+    // comparison mask without re-keying already-banded state
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextGaussian()).toSeq))
+      .toDF("vec_id", "v").withColumn("v", col("v").cast("array<double>"))
+    for (table <- Seq(0, 3); b <- Seq(4, 8, 11)) {
+      val bad = vecs.select(
+        Similarity.lshSignature(col("v"), dim, table, b).as("shallow"),
+        Similarity.lshSignature(col("v"), dim, table, 14)
+          .bitwiseAND(lit((1L << b) - 1L)).as("masked"))
+        .filter(col("shallow") =!= col("masked")).count()
+      assert(bad === 0L, s"prefix law broken at table=$table bits=$b")
+    }
+    // depthFor: monotone in count, clamped at maxBits, and while unclamped
+    // the expected depth-prefix bucket occupancy stays <= targetBucket
+    // (count / 2^(depth - keyBits) <= targetBucket) — the bounded-work law
+    val (keyBits, maxBits, tb) = (8, 20, 64)
+    var last = 0
+    for (c <- Seq(1, 63, 64, 65, 128, 1000, 10000, 1000000)) {
+      val d = StreamingEmbedDedup.depthFor(c, keyBits, maxBits, tb)
+      assert(d >= last, s"depthFor not monotone at $c"); last = d
+      assert(d >= keyBits && d <= maxBits)
+      if (d < maxBits)
+        assert(c.toDouble / (1L << (d - keyBits)) <= tb.toDouble,
+          s"occupancy bound broken at count=$c depth=$d")
+    }
+    assert(StreamingEmbedDedup.depthFor(Int.MaxValue, keyBits, maxBits, tb) === maxBits)
+  }
+
+  test("streaming embedding near-dup AUTO: clones resolve across batches and " +
+      "comparisons stay bounded as accumulated state grows") {
+    import graft.streaming.StreamingEmbedDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dim = 8
+      val rnd = new scala.util.Random(23)
+      def fresh() = Array.fill(dim)(rnd.nextGaussian()).toSeq
+      // small knobs to make depth adaptation visible at test scale:
+      // keyBits=4 -> 16 grouping keys per table, targetBucket=8 -> buckets
+      // outgrow the target ~20x by end of stream
+      val (tables, keyBits, maxBits, targetBucket) = (4, 4, 12, 8)
+      val n = 3000
+      val base = (0L until n.toLong).map(i => (i, fresh()))
+      val input = MemoryStream[(Long, Seq[Double])]
+      val bucketed = StreamingEmbedDedup.bucketedAdaptive(
+        input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim, tables, keyBits, maxBits)
+      val q = bucketed.groupByKey(_.bucket)
+        .transformWithState(
+          new StreamingEmbedDedup.AdaptiveEmbedDupProcessor(
+            0.98, keyBits, maxBits, targetBucket, 10000),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .writeStream.format("memory").queryName("embed_dups_auto")
+        .outputMode(OutputMode.Append()).start()
+      StreamingEmbedDedup.compareCount.reset()
+      // batch 1: half the corpus; batch 2: the rest; batch 3: exact clones —
+      // exact dups share the FULL deep signature, so depth growth can never
+      // hide them (they collide in every table at every epoch)
+      input.addData(base.take(n / 2): _*)
+      q.processAllAvailable()
+      val firstHalf = StreamingEmbedDedup.compareCount.sum()
+      input.addData(base.drop(n / 2): _*)
+      q.processAllAvailable()
+      val secondHalf = StreamingEmbedDedup.compareCount.sum() - firstHalf
+      input.addData((10003L, base(3)._2), (10007L, base(7)._2))
+      q.processAllAvailable()
+      val pairs = spark.table("embed_dups_auto")
+        .filter(col("vec_id") >= 10000L)
+        .select("vec_id", "matched_id").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs.contains((10003L, 3L)) && pairs.contains((10007L, 7L)),
+        s"clones must match their originals through accumulated state, got $pairs")
+      // bounded-work law: with ~188-member end-state buckets a FIXED
+      // keyBits-depth processor pays ~sum(c^2/2) ~= 2.2M dots across
+      // 4 tables; the adaptive mask keeps per-arrival candidates near
+      // targetBucket — assert well under half the fixed cost and within
+      // a generous absolute budget of rows*tables*targetBucket*6
+      val total = StreamingEmbedDedup.compareCount.sum()
+      val fixedCost = tables.toLong * (1 << keyBits) *
+        ((n.toLong / (1 << keyBits)) * (n.toLong / (1 << keyBits)) / 2)
+      assert(total < fixedCost / 2,
+        s"adaptive cost $total should be far under fixed-depth ~$fixedCost")
+      assert(total <= n.toLong * tables * targetBucket * 6,
+        s"adaptive cost $total exceeded the bounded-work budget")
+      // flat cost curve: the second half of the stream arrives into state
+      // twice as large, but per-row cost must not scale with state size
+      // (fixed bits would make it ~3x the first half's)
+      assert(secondHalf <= firstHalf * 5 / 2,
+        s"second-half comparisons $secondHalf vs first-half $firstHalf — " +
+          "per-row cost is scaling with accumulated state")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming embedding near-dup: tables=0/bits=0 routes to AUTO and still " +
+      "finds batch-2 clones") {
+    import graft.streaming.StreamingEmbedDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dim = 16
+      val rnd = new scala.util.Random(31)
+      val centers = (0 until 12).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+      def near(c: Array[Double]) = c.map(x => x + 0.01 * rnd.nextGaussian()).toSeq
+      val originals = (0L until 12L).map(i => (i, near(centers(i.toInt))))
+      val input = MemoryStream[(Long, Seq[Double])]
+      // the public contract under test is the tables=0/bits=0 routing into
+      // matchesAuto (default 10M horizon -> 40 tables x 18 bits; 12 vectors
+      // of dim 16 keep the explode trivial at spec scale)
+      val q = StreamingEmbedDedup.matches(
+          input.toDF().toDF("vec_id", "embedding"),
+          "vec_id", "embedding", dim = dim, tables = 0, bits = 0,
+          threshold = 0.98)
+        .writeStream.format("memory").queryName("embed_dups_auto2")
+        .outputMode(OutputMode.Append()).start()
+      input.addData(originals: _*)
+      q.processAllAvailable()
+      assert(spark.table("embed_dups_auto2").count() === 0)
+      input.addData((103L, near(centers(3))), (107L, near(centers(7))))
+      q.processAllAvailable()
+      val pairs = spark.table("embed_dups_auto2")
+        .select("vec_id", "matched_id").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs === Set((103L, 3L), (107L, 7L)), s"got $pairs")
+      assert(spark.table("embed_dups_auto2").select("cosine").as[Double]
+        .collect().forall(c => c >= 0.98 && c <= 1.0 + 1e-9))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
