@@ -731,8 +731,11 @@ object Bench {
         var idxTop = Array.empty[(Long, Double)]
         val idxSecs = (1 to 3).map { _ =>
           time {
+            // maxExpansions = 0: this entry MEASURES the full-expansion
+            // cost and asserts scan identity (the serving default of 50
+            // would silently shrink both)
             idxTop = graft.ext.Search.indexedFuzzyTopK(spark, dir,
-                "w123 w4567", k = 10, fuzziness = 1)
+                "w123 w4567", k = 10, fuzziness = 1, maxExpansions = 0)
               .collect().map(r => (r.getLong(0), r.getDouble(2)))
           }
         }

@@ -876,16 +876,19 @@ object Main {
                   // pruned-bucket cost — --min-should-match honored;
                   // --fuzziness / --prefix-match route through the term
                   // dictionary (--max-expansions caps the expansion)
+                  // --max-expansions defaults to ES's 50 (the expansion is
+                  // a driver-side collect; unlimited on a large vocabulary
+                  // is a serving hazard) — 0 is the explicit opt-in
                   case (None, Some(idxDir)) if raw.contains("fuzziness") =>
                     graft.ext.Search.indexedFuzzyTopK(spark, idxDir, query, k,
                       fuzziness = raw("fuzziness").toInt,
                       maxExpansions =
-                        raw.getOrElse("max-expansions", "0").toInt)
+                        raw.getOrElse("max-expansions", "50").toInt)
                   case (None, Some(idxDir)) if raw.get("prefix-match")
                       .exists(_.toBoolean) =>
                     graft.ext.Search.indexedPrefixTopK(spark, idxDir, query, k,
                       maxExpansions =
-                        raw.getOrElse("max-expansions", "0").toInt)
+                        raw.getOrElse("max-expansions", "50").toInt)
                   case (None, Some(idxDir)) =>
                     graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k,
                       minShouldMatch =

@@ -412,11 +412,17 @@ object Search {
    * binds (see [[indexedRelaxedTopK]]). The levenshtein tests run over
    * the VOCABULARY (|dict| strings), not over every token of every doc —
    * the cost profile that makes typo-tolerant serving viable.
+   *
+   * `maxExpansions` DEFAULTS to 50 (ES parity — `max_expansions`): the
+   * expansion is collected to the driver and its postings are unioned, so
+   * unlimited expansion of a short high-fuzziness term against a
+   * large-corpus vocabulary is a serving-path latency/OOM hazard.
+   * Pass 0 to opt in to unlimited (exact scan equality).
    */
   def indexedFuzzyTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                        query: String, k: Int, fuzziness: Int = 1,
                        params: Bm25Params = Bm25Params(), roundTo: Int = 4,
-                       maxExpansions: Int = 0): DataFrame = {
+                       maxExpansions: Int = 50): DataFrame = {
     require(fuzziness >= 0, "fuzziness must be non-negative")
     indexedRelaxedTopK(spark, dir, queryTerms(query), k, params, roundTo,
       maxExpansions)((x, t) => levenshtein(x, lit(t)) <= fuzziness)
@@ -425,12 +431,15 @@ object Search {
   /**
    * Prefix-match top-k from a persisted postings index — [[prefixTopK]]
    * via term-dictionary expansion; bit-identical to the scan path unless
-   * `maxExpansions` binds (see [[indexedRelaxedTopK]]).
+   * `maxExpansions` binds (see [[indexedRelaxedTopK]]). Defaults to the
+   * ES `max_expansions` cap of 50 — a one-letter prefix expands to a
+   * vocabulary-sized driver collect otherwise; pass 0 to opt in to
+   * unlimited (exact scan equality).
    */
   def indexedPrefixTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                         query: String, k: Int,
                         params: Bm25Params = Bm25Params(), roundTo: Int = 4,
-                        maxExpansions: Int = 0): DataFrame =
+                        maxExpansions: Int = 50): DataFrame =
     indexedRelaxedTopK(spark, dir, queryTerms(query), k, params, roundTo,
       maxExpansions)((x, t) => x.startsWith(lit(t)))
 
@@ -941,18 +950,22 @@ object Search {
     val positional = indexFlavor(spark, dir).getOrElse(true)
     requireNotTombstoned(spark, dir, docs.select(col(idCol).as("doc_id")))
     val (n0, t0, buckets, fe, fd, ft) = readBaseStatsFull(spark, dir)
-    postings(docs, idCol, textCol, buckets, positional)
-      .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
     // keep the term dictionary a SUPERSET of the live vocabulary (the
-    // [[termDictionary]] invariant): append the new batch's terms. An
-    // index built before the dictionary scheme has no terms/ — appending
-    // a PARTIAL dictionary there would silently break the superset
-    // invariant, so skip (relaxed queries refuse until a search-compact
-    // rebuilds the full dictionary).
+    // [[termDictionary]] invariant): append the new batch's terms BEFORE
+    // the postings land. Crash-ordering matters — an over-full dictionary
+    // (terms written, postings crash) is always safe under the superset
+    // contract, while the reverse order leaves relaxed queries silently
+    // under-expanding against the appended docs' novel terms until a
+    // search-compact rebuilds the dictionary. An index built before the
+    // dictionary scheme has no terms/ — appending a PARTIAL dictionary
+    // there would itself break the superset invariant, so skip (relaxed
+    // queries refuse until a search-compact rebuilds the full dictionary).
     if (fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/terms")))
       postings(docs, idCol, textCol, buckets, positional = false)
         .groupBy("term").agg(count(lit(1)).as("df"))
         .write.mode("append").parquet(s"$dir/terms")
+    postings(docs, idCol, textCol, buckets, positional)
+      .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
     val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
       .cast("long"))).head()
     // base rewrite preserves the folded-tombstone triple AND the folded

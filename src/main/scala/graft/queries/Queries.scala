@@ -3041,8 +3041,10 @@ object Queries {
           .createTempDirectory("graft-q107-fuzzyidx").toString
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        // maxExpansions = 0 (unlimited): the oracle is SCAN semantics —
+        // the default serving cap of 50 is a documented deviation
         graft.ext.Search.indexedFuzzyTopK(s, idx, "spork windoe",
-            k = 20, fuzziness = 1)
+            k = 20, fuzziness = 1, maxExpansions = 0)
           .orderBy("rank")
       }),
 
@@ -3085,7 +3087,9 @@ object Queries {
           .createTempDirectory("graft-q108-prefixidx").toString
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
-        graft.ext.Search.indexedPrefixTopK(s, idx, "spa win", k = 20)
+        // maxExpansions = 0 (unlimited): the oracle is SCAN semantics
+        graft.ext.Search.indexedPrefixTopK(s, idx, "spa win", k = 20,
+            maxExpansions = 0)
           .orderBy("rank")
       }),
 

@@ -1199,6 +1199,39 @@ class SearchSpec extends SparkSpec {
       fuzziness = 1).count() === 0)
   }
 
+  test("maxExpansions DEFAULTS to the ES serving cap of 50 and keeps the " +
+      "(df desc, term asc) determinism when it binds; 0 opts back into " +
+      "unlimited scan equality") {
+    // 60 prefix-sharing terms with distinct dfs: term padXX appears in
+    // 60-XX docs, so by (df desc, term asc) the default cap keeps
+    // pad00..pad49 and drops pad50..pad59
+    val docs = (0 until 60).flatMap { t =>
+      val term = f"pad$t%02d"
+      (0 until (60 - t)).map(d => (t * 100L + d, term))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-defcap").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 4)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val byDefault = Search.indexedPrefixTopK(spark, dir, "pad", k = 4000)
+    val explicit50 = Search.indexedPrefixTopK(spark, dir, "pad", k = 4000,
+      maxExpansions = 50)
+    assert(ids(byDefault) === ids(explicit50),
+      "default must equal an explicit cap of 50")
+    // binding: docs whose only term ranks past 50 by (df desc, term asc)
+    // are unfindable under the cap...
+    assert(!ids(byDefault).exists(_ >= 5000L),
+      "pad50+ docs must be dropped by the default cap")
+    assert(ids(byDefault).exists(_ >= 4900L), "pad49 docs must survive")
+    // ...and the explicit 0 opt-in restores full scan equality
+    val unlimited = Search.indexedPrefixTopK(spark, dir, "pad", k = 4000,
+        maxExpansions = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val scan = Search.prefixTopK(docs, "doc_id", "text", "pad", k = 4000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(unlimited === scan)
+  }
+
   test("positional = false: BM25-only index is bit-identical for term and " +
       "relaxed queries, refuses phrases loudly, and every maintenance op " +
       "conforms to the flavor") {
