@@ -79,6 +79,31 @@ object BenchNearDupProbe {
         exact.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint().count()
       }
     }
+    // (S) targetBucket sweep (arg "sweep"): is the 64-row default optimal
+    // at this tier? Analytic per-(row, table) cost = bits·dim (signature)
+    // + bucket/2·dim (verify), tables re-bought per bits for the same
+    // recall — smaller buckets trade verify dots for more tables (more
+    // signature work AND more exploded shuffle rows). The sweep measures
+    // where the wall-clock minimum actually sits, with pair-identity
+    // asserted across settings.
+    if (args.length > 1 && args(1) == "sweep") {
+      val nRows = exact.count()
+      var basePairs = -1L
+      for (tb <- Seq(256L, 128L, 64L, 32L, 16L)) {
+        val (tables, bits) = graft.ext.Similarity.autoLshKnobs(
+          nRows, threshold = 0.9, targetBucket = tb)
+        val cnt = time(f"S_sweep_tb${tb}_t${tables}_b$bits") {
+          graft.ext.Similarity.cosineNearDupsLsh(exact, "doc_id",
+            "embedding", threshold = 0.9, dim = 32,
+            tables = tables, bits = bits).count()
+        }
+        println(s"PROBE sweep tb=$tb tables=$tables bits=$bits pairs=$cnt")
+        if (basePairs < 0) basePairs = cnt
+        else if (cnt != basePairs)
+          println(s"PROBE sweep PAIR-DRIFT: $cnt vs $basePairs (recall knob)")
+      }
+    }
+
     // (E/F) the FIX: auto LSH knobs (bucket-size-targeted bits, recall-
     // preserving tables) on the same checkpointed frame + the full stage
     val pairsAuto = graft.ext.Similarity.cosineNearDupsLsh(exact, "doc_id",

@@ -49,7 +49,9 @@ object Main {
     "phrase", "slop", "delete-ids", "semdedup-keep", "must", "should",
     "must-not",
     "histogram", "fields", "multi-mode", "min-should-match",
-    "fuzziness", "prefix-match", "max-expansions")
+    "fuzziness", "prefix-match", "max-expansions",
+    "wildcard", "phrase-prefix", "date-histogram", "range-agg",
+    "cardinality")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -784,17 +786,30 @@ object Main {
               "(corpus scan or --search-index) only")
           val fuzzyOn = raw.contains("fuzziness")
           val prefixOn = raw.get("prefix-match").exists(_.toBoolean)
-          require(!(fuzzyOn && prefixOn),
-            "--fuzziness and --prefix-match are mutually exclusive")
-          require(!(fuzzyOn || prefixOn) ||
+          val wildOn = raw.get("wildcard").exists(_.toBoolean)
+          require(Seq(fuzzyOn, prefixOn, wildOn).count(identity) <= 1,
+            "--fuzziness, --prefix-match and --wildcard are mutually " +
+              "exclusive (one relaxed-match mode per request)")
+          require(!(fuzzyOn || prefixOn || wildOn) ||
               (queryOpt.isDefined && !hybridIndexed &&
                 !raw.contains("embeddings") && !raw.contains("fields")),
-            "--fuzziness/--prefix-match apply to plain --query search " +
-              "(corpus scan, or --search-index via the term dictionary)")
+            "--fuzziness/--prefix-match/--wildcard apply to plain --query " +
+              "search (corpus scan, or --search-index via the term dictionary)")
+          require(!raw.contains("min-should-match") || !wildOn,
+            "--min-should-match is not supported with --wildcard")
+          val phrasePrefixOn = raw.get("phrase-prefix").exists(_.toBoolean)
+          require(!phrasePrefixOn || phraseOpt.isDefined,
+            "--phrase-prefix needs --phrase (the last term matches as a " +
+              "prefix)")
+          require(!(phrasePrefixOn && raw.contains("slop")),
+            "--slop applies to exact --phrase only (the phrase-prefix law " +
+              "is adjacency-exact)")
           require(!raw.contains("max-expansions") ||
-              ((fuzzyOn || prefixOn) && raw.contains("search-index")),
+              ((fuzzyOn || prefixOn || wildOn || phrasePrefixOn) &&
+                raw.contains("search-index")),
             "--max-expansions caps the term-dictionary expansion: it needs " +
-              "--search-index with --fuzziness or --prefix-match")
+              "--search-index with --fuzziness, --prefix-match, --wildcard " +
+              "or --phrase-prefix")
           lazy val docs = spark.read.parquet(cfg.input)
           def queryVec(): Seq[Double] = {
             val embPath = raw.getOrElse("embeddings", throw new
@@ -824,7 +839,13 @@ object Main {
             }
           } else (phraseOpt, raw.get("search-index")) match {
             // phrase: positional adjacency — scan or positional index;
-            // --slop relaxes per the position-window law
+            // --slop relaxes per the position-window law; --phrase-prefix
+            // = ES match_phrase_prefix (last term matches as a prefix)
+            case (Some(p), Some(idxDir)) if phrasePrefixOn =>
+              graft.ext.Search.indexedPhrasePrefixTopK(spark, idxDir, p, k,
+                maxExpansions = raw.getOrElse("max-expansions", "50").toInt)
+            case (Some(p), None) if phrasePrefixOn =>
+              graft.ext.Search.phrasePrefixTopK(docs, idCol, textCol, p, k)
             case (Some(p), Some(idxDir)) =>
               graft.ext.Search.indexedPhraseTopK(spark, idxDir, p, k,
                 slop = raw.getOrElse("slop", "0").toInt)
@@ -879,6 +900,10 @@ object Main {
                   // --max-expansions defaults to ES's 50 (the expansion is
                   // a driver-side collect; unlimited on a large vocabulary
                   // is a serving hazard) — 0 is the explicit opt-in
+                  case (None, Some(idxDir)) if wildOn =>
+                    graft.ext.Search.indexedWildcardTopK(spark, idxDir,
+                      query, k, maxExpansions =
+                        raw.getOrElse("max-expansions", "50").toInt)
                   case (None, Some(idxDir)) if raw.contains("fuzziness") =>
                     graft.ext.Search.indexedFuzzyTopK(spark, idxDir, query, k,
                       fuzziness = raw("fuzziness").toInt,
@@ -893,6 +918,10 @@ object Main {
                     graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k,
                       minShouldMatch =
                         raw.getOrElse("min-should-match", "1").toInt)
+                  case (None, None) if wildOn =>
+                    // ES `wildcard` query: * / ? token patterns
+                    graft.ext.Search.wildcardTopK(docs, idCol, textCol,
+                      query, k)
                   case (None, None) if raw.contains("fuzziness") =>
                     // ES `fuzzy` query: typo-tolerant term match
                     graft.ext.Search.fuzzyTopK(docs, idCol, textCol, query, k,
@@ -938,6 +967,64 @@ object Main {
             hdf.write.mode("overwrite").parquet(s"${cfg.outDir}/histogram")
             println(s"histogram -> ${cfg.outDir}/histogram")
             hdf.orderBy("bucket").collect().foreach(r => println(s"  $r"))
+          }
+          raw.get("date-histogram").foreach { spec =>
+            // --date-histogram <tsCol>:<calendarInterval> — ES
+            // date_histogram aggregation over the matched set
+            require(cfg.input.nonEmpty,
+              "--date-histogram needs --input (the corpus)")
+            require(queryOpt.isDefined,
+              "--date-histogram needs --query (term match)")
+            val parts = spec.split(":")
+            require(parts.length == 2,
+              s"--date-histogram expects <tsCol>:<interval>, got '$spec'")
+            val dh = graft.ext.Search.dateHistogramFacet(docs, textCol,
+              queryOpt.get, parts(0), parts(1))
+            dh.write.mode("overwrite").parquet(s"${cfg.outDir}/date_histogram")
+            println(s"date_histogram -> ${cfg.outDir}/date_histogram")
+            dh.orderBy("bucket").collect().foreach(r => println(s"  $r"))
+          }
+          raw.get("range-agg").foreach { spec =>
+            // --range-agg <numCol>:<from>-<to>[,...] with * for an open
+            // end (e.g. value:*-10,10-50,100-*) — the ES range aggregation
+            // over the matched set; ranges may overlap
+            require(cfg.input.nonEmpty, "--range-agg needs --input (the corpus)")
+            require(queryOpt.isDefined, "--range-agg needs --query (term match)")
+            val (colName, rest) = spec.span(_ != ':')
+            require(rest.nonEmpty && colName.nonEmpty,
+              s"--range-agg expects <numCol>:<ranges>, got '$spec'")
+            def bound(s: String): Option[Double] =
+              if (s == "*") None
+              else Some(s.toDoubleOption.getOrElse(throw new
+                IllegalArgumentException(
+                  s"--range-agg bound must be numeric or *, got '$s'")))
+            val ranges = rest.drop(1).split(",").map(_.trim)
+              .filter(_.nonEmpty).map { r =>
+                // split on the LAST '-' so negative from-bounds parse
+                val i = r.lastIndexOf('-')
+                require(i > 0 && i < r.length - 1,
+                  s"--range-agg range expects <from>-<to>, got '$r'")
+                (bound(r.substring(0, i)), bound(r.substring(i + 1)))
+              }.toSeq
+            val rf = graft.ext.Search.rangeFacet(docs, textCol,
+              queryOpt.get, colName, ranges)
+            rf.write.mode("overwrite").parquet(s"${cfg.outDir}/range_agg")
+            println(s"range_agg -> ${cfg.outDir}/range_agg")
+            rf.collect().foreach(r => println(s"  $r"))
+          }
+          raw.get("cardinality").foreach { fieldsSpec =>
+            // --cardinality f1,f2 — the ES cardinality aggregation (exact
+            // form) over the matched set
+            require(cfg.input.nonEmpty,
+              "--cardinality needs --input (the corpus)")
+            require(queryOpt.isDefined,
+              "--cardinality needs --query (term match)")
+            val cf = graft.ext.Search.cardinalityFacet(docs, textCol,
+              queryOpt.get,
+              fieldsSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            cf.write.mode("overwrite").parquet(s"${cfg.outDir}/cardinality")
+            println(s"cardinality -> ${cfg.outDir}/cardinality")
+            cf.collect().foreach(r => println(s"  $r"))
           }
           if (raw.get("highlight").exists(_.toBoolean)) {
             require(cfg.input.nonEmpty, "--highlight needs --input (the corpus)")

@@ -11,7 +11,14 @@ object Verify {
     "q56_pipeline")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg (local iteration only — the driver passes 2): a
+    // comma-separated query-name filter, e.g. "q116,q117"
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet)
+      else None
+    def selected(name: String): Boolean =
+      only.forall(f => f.exists(name.startsWith))
     // same tuned engine config as every other entry point; the historical
     // default here is 4 cpus unless the driver overrides
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,7 +48,7 @@ object Verify {
     // correctness dump (regression triage: a query that got slow or lost its
     // pushdown/broadcast shows up right next to its hash mismatch)
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
@@ -84,6 +91,7 @@ object Verify {
     // {SFDIR} placeholders make oracles self-contained for tables the
     // harness may not have registered as views (documents/embeddings)
     val json = SparkEntry.oracleSql
+      .filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SFDIR}", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -261,6 +261,37 @@ object Search {
     relaxedTopK(docs, idCol, textCol, queryTerms(query), k, params, roundTo)(
       (x, t) => x.startsWith(lit(t)))
 
+  /** Anchored-regex translation of an ES wildcard pattern: `*` matches
+    * any (possibly empty) run, `?` exactly one character, everything
+    * else is literal (regex metacharacters escaped). Shared by the scan
+    * and indexed paths, and simple enough that an oracle's regex engine
+    * (DuckDB `regexp_full_match`) agrees on the subset emitted: only
+    * `.*`, `.`, escaped literals and plain characters ever appear. */
+  private[graft] def wildcardRegex(pattern: String): String =
+    pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\^$.|+()[]{}".contains(c) => "\\" + c
+      case c => c.toString
+    }
+
+  /**
+   * Wildcard-match top-k (the ES `wildcard` query): a token matches a
+   * query pattern when the WHOLE token matches it — `*` any run, `?`
+   * one char (`w?nd*` finds "window"/"windows"). Scoring is the BM25
+   * law over the wildcard tf/df counts (same documented deviation from
+   * ES's constant-score multi-term family as [[fuzzyTopK]]). Map-only
+   * scan + TakeOrdered; the per-token regex is the CPU knob. Patterns
+   * are analyzed like query text (lowercased, whitespace-split), so a
+   * multi-pattern query ORs its patterns exactly as [[bm25TopK]] ORs
+   * terms.
+   */
+  def wildcardTopK(docs: DataFrame, idCol: String, textCol: String,
+                   query: String, k: Int, params: Bm25Params = Bm25Params(),
+                   roundTo: Int = 4): DataFrame =
+    relaxedTopK(docs, idCol, textCol, queryTerms(query), k, params, roundTo)(
+      (x, t) => regexp_like(x, lit("^" + wildcardRegex(t) + "$")))
+
   // ------------------------------------------------------------------
   // Indexed fuzzy/prefix: term-dictionary expansion — the reason real
   // engines build indices is that queries never touch the raw corpus
@@ -281,13 +312,19 @@ object Search {
     * after a build or compact. Pre-dictionary indexes refuse loudly —
     * `search-compact` (or a rebuild) creates `terms/`. */
   private[graft] def termDictionary(spark: org.apache.spark.sql.SparkSession,
-                                    dir: String): DataFrame = {
+                                    dir: String,
+                                    prefilter: Option[Column] = None)
+  : DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/terms")
     require(fsOf(spark, dir).exists(p),
       s"postings index at $dir has no term dictionary (terms/): it " +
         "predates the dictionary scheme — rebuild with buildPostingsIndex " +
         "or run search-compact to create it, then retry the fuzzy/prefix query")
-    spark.read.parquet(p.toString)
+    val raw = spark.read.parquet(p.toString)
+    // a term-level prefilter commutes with the per-term df aggregation —
+    // applying it BEFORE the groupBy cuts the vocabulary-sized shuffle to
+    // candidate terms only (the relaxed-expansion fast path)
+    prefilter.map(raw.filter).getOrElse(raw)
       .groupBy("term").agg(sum(col("df")).as("df"))
   }
 
@@ -339,17 +376,30 @@ object Search {
   private def indexedRelaxedTopK(spark: org.apache.spark.sql.SparkSession,
                                  dir: String, terms: Seq[String], k: Int,
                                  params: Bm25Params, roundTo: Int,
-                                 maxExpansions: Int)
+                                 maxExpansions: Int,
+                                 cheap: (Column, String) => Option[Column] =
+                                   (_, _) => None)
                                 (pred: (Column, String) => Column): DataFrame = {
     require(terms.nonEmpty, "empty query")
     require(maxExpansions >= 0, "maxExpansions must be >= 0 (0 = unlimited)")
-    val dict = termDictionary(spark, dir)
-    // expansion: a vocabulary-sized filter per query term, one bounded
-    // collect (the expansion is at most vocabulary-sized; cap via
-    // maxExpansions for serving)
-    val matched = terms.map(t => dict.filter(pred(col("term"), t))
-        .select(lit(t).as("qt"), col("term"), col("df")))
-      .reduce(_ unionByName _).collect()
+    // NECESSARY-condition prefilter (ES walks a Levenshtein automaton over
+    // its term index for the same reason): the OR of every query term's
+    // cheap test runs BEFORE the dictionary aggregate — candidate terms,
+    // not the whole vocabulary, pay the df shuffle and the exact
+    // (DP-levenshtein/regex) predicate. Purely an optimization: `cheap`
+    // must be implied by `pred`, so the match set is unchanged.
+    val pre = terms.flatMap(t => cheap(col("term"), t)).reduceOption(_ || _)
+    val dict = termDictionary(spark, dir, pre)
+    // expansion: a (prefiltered-)vocabulary-sized filter per query term,
+    // one bounded collect (the expansion is at most vocabulary-sized; cap
+    // via maxExpansions for serving)
+    val matched = terms.map { t =>
+      val p = cheap(col("term"), t) match {
+        case Some(c) => c && pred(col("term"), t)
+        case None => pred(col("term"), t)
+      }
+      dict.filter(p).select(lit(t).as("qt"), col("term"), col("df"))
+    }.reduce(_ unionByName _).collect()
     val expansion: Map[String, Seq[String]] = terms.map { t =>
       val all = matched.filter(_.getString(0) == t)
         .map(r => (r.getString(1), r.getLong(2))).toSeq
@@ -424,8 +474,15 @@ object Search {
                        params: Bm25Params = Bm25Params(), roundTo: Int = 4,
                        maxExpansions: Int = 50): DataFrame = {
     require(fuzziness >= 0, "fuzziness must be non-negative")
+    // cheap necessary condition: |len(term) − len(t)| ≤ f (any edit
+    // changes length by ≤ 1) — prunes the dictionary before the DP; the
+    // exact test uses the THRESHOLD levenshtein (early-exits past f, and
+    // returns −1 above it) instead of the full-distance form
     indexedRelaxedTopK(spark, dir, queryTerms(query), k, params, roundTo,
-      maxExpansions)((x, t) => levenshtein(x, lit(t)) <= fuzziness)
+      maxExpansions,
+      cheap = (x, t) =>
+        Some(abs(length(x) - lit(t.length)) <= lit(fuzziness)))(
+      (x, t) => levenshtein(x, lit(t), fuzziness) >= 0)
   }
 
   /**
@@ -440,8 +497,36 @@ object Search {
                         query: String, k: Int,
                         params: Bm25Params = Bm25Params(), roundTo: Int = 4,
                         maxExpansions: Int = 50): DataFrame =
+    // the prefix test IS already cheap — passing it as the prefilter too
+    // pushes it BEFORE the dictionary's df aggregate
     indexedRelaxedTopK(spark, dir, queryTerms(query), k, params, roundTo,
-      maxExpansions)((x, t) => x.startsWith(lit(t)))
+      maxExpansions,
+      cheap = (x, t) => Some(x.startsWith(lit(t))))(
+      (x, t) => x.startsWith(lit(t)))
+
+  /**
+   * Wildcard top-k from a persisted postings index — [[wildcardTopK]]
+   * via term-dictionary expansion: each pattern expands against the
+   * VOCABULARY with the shared [[wildcardRegex]] full-match law, then
+   * ranks from the expansion terms' pruned `tb=` buckets. Bit-identical
+   * to the scan path unless `maxExpansions` binds (ES `wildcard` also
+   * rewrites through its indexed terms with the same cap family).
+   * Defaults to 50 — a leading-`*` pattern is a vocabulary-sized
+   * expansion otherwise; pass 0 to opt in to unlimited (exact scan
+   * equality).
+   */
+  def indexedWildcardTopK(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, query: String, k: Int,
+                          params: Bm25Params = Bm25Params(), roundTo: Int = 4,
+                          maxExpansions: Int = 50): DataFrame =
+    // cheap necessary condition: the pattern's literal prefix (chars
+    // before the first meta) as a startsWith — regex only on survivors
+    indexedRelaxedTopK(spark, dir, queryTerms(query), k, params, roundTo,
+      maxExpansions,
+      cheap = (x, t) => {
+        val p = t.takeWhile(c => c != '*' && c != '?')
+        if (p.isEmpty) None else Some(x.startsWith(lit(p)))
+      })((x, t) => regexp_like(x, lit("^" + wildcardRegex(t) + "$")))
 
   /**
    * Multi-field BM25 top-k — the ES `multi_match` query over weighted
@@ -1558,6 +1643,187 @@ object Search {
   }
 
   // ------------------------------------------------------------------
+  // match_phrase_prefix: the search-as-you-type phrase form — every
+  // term but the last matches exactly in sequence, the LAST term
+  // matches as a prefix at its slot
+  // ------------------------------------------------------------------
+
+  /** The shared idf law ([[CorpusStats.idf]]) over an explicit df — the
+    * phrase-prefix paths mix exact (fixed-term) and relaxed (prefix) dfs
+    * in one fold, so the scalar form keeps both paths' float arithmetic
+    * pinned to the identical sequence of operations. */
+  private def idfOf(nDocs: Long, df: Long): Double =
+    math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+
+  /** Phrase-prefix idf fold: fixed terms in PHRASE order (repeats count
+    * each occurrence, the [[phraseTopK]] Lucene convention), then the
+    * prefix term's relaxed idf — one left fold shared verbatim by the
+    * scan and indexed paths. */
+  private def phrasePrefixIdfSum(nDocs: Long, fixed: Seq[String],
+                                 fixedDf: Map[String, Long],
+                                 prefixDf: Long): Double =
+    fixed.foldLeft(0.0)((a, t) => a + idfOf(nDocs, fixedDf(t))) +
+      idfOf(nDocs, prefixDf)
+
+  /**
+   * Phrase-prefix top-k (the ES `match_phrase_prefix` query — the
+   * search-as-you-type shape): a base position matches when every term
+   * but the last appears EXACTLY at its slot and the token at the last
+   * slot STARTS WITH the final term ("fast key or" finds "fast key
+   * order"). Scoring is the [[phraseTopK]] BM25 law with the
+   * phrase-prefix occurrence count as tf; the combined idf folds the
+   * fixed terms' exact dfs in phrase order then the prefix term's
+   * RELAXED df (distinct docs holding ≥1 token with the prefix — the
+   * [[prefixTopK]] df notion). Same map-only scan + TakeOrdered shape
+   * as [[phraseTopK]]: the occurrence count is a HOF projection, stats
+   * are one bounded aggregate, no corpus shuffle. A single-term phrase
+   * degenerates to prefix matching under phrase scoring.
+   */
+  def phrasePrefixTopK(docs: DataFrame, idCol: String, textCol: String,
+                       phrase: String, k: Int,
+                       params: Bm25Params = Bm25Params(),
+                       roundTo: Int = 4): DataFrame = {
+    val pTerms = phraseTokens(phrase)
+    require(pTerms.nonEmpty, "empty phrase")
+    val fixed = pTerms.init
+    val prefix = pTerms.last
+    val distinctFixed = fixed.distinct.sorted
+    val m = pTerms.length
+    val tok = tokens(col(textCol))
+    // one bounded aggregate: n, Σdl, exact df per fixed term, relaxed
+    // (prefix) df for the last term
+    val dfCols = distinctFixed.map(t =>
+      sum(when(array_contains(tok, t), 1L).otherwise(0L))) :+
+      sum(when(exists(tok, x => x.startsWith(lit(prefix))), 1L)
+        .otherwise(0L))
+    val row = docs.agg(count(lit(1)).as("n"),
+      (sum(size(tok).cast("long")) +: dfCols): _*).head()
+    val nDocs = row.getLong(0)
+    require(nDocs > 0, "empty corpus")
+    val avgdl = row.getLong(1).toDouble / nDocs
+    val fixedDf = distinctFixed.zipWithIndex
+      .map { case (t, i) => t -> row.getLong(i + 2) }.toMap
+    val prefixDf = row.getLong(distinctFixed.length + 2)
+    val idfSum = phrasePrefixIdfSum(nDocs, fixed, fixedDf, prefixDf)
+    // occurrence count: candidate bases 0..len−m, fixed slots exact,
+    // last slot prefix — overlapping starts count (the phraseFreq law)
+    val starts = when(size(tok) >= m,
+      filter(sequence(lit(0), size(tok) - lit(m)), i =>
+        (fixed.zipWithIndex.map { case (t, j) =>
+          element_at(tok, i + lit(j + 1)) === lit(t)
+        } :+ element_at(tok, i + lit(m)).startsWith(lit(prefix)))
+          .reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+    val scored = docs
+      .select(col(idCol).as("doc_id"),
+        size(starts).cast("double").as("_ptf"),
+        size(tok).cast("double").as("_dl"))
+      .where(col("_ptf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_ptf"), col("_dl"), avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Phrase-prefix top-k from a persisted POSITIONAL postings index —
+   * [[phrasePrefixTopK]] answered from the term dictionary + pruned
+   * `tb=` buckets: the final term expands against the VOCABULARY
+   * (prefix match, `maxExpansions` cap — ES `match_phrase_prefix`
+   * defaults its expansion cap to 50 for exactly this reason; 0 opts in
+   * to unlimited = exact scan equality), and a doc's occurrence starts
+   * are the intersection of the fixed terms' shifted position sets with
+   * the UNION of the expansion terms' positions shifted to the last
+   * slot (a token occupies exactly one term, so the union is
+   * duplicate-free). The prefix term's relaxed df is recomputed exactly
+   * as distinct docs holding ≥1 expansion posting; fixed dfs, idf fold,
+   * tie-break and rounding are the scan law verbatim — bit-identical
+   * unless the cap binds. Cost: one vocabulary-sized dictionary pass +
+   * Σ df postings of the touched terms; the corpus is never scanned.
+   */
+  def indexedPhrasePrefixTopK(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, phrase: String, k: Int,
+                              params: Bm25Params = Bm25Params(),
+                              roundTo: Int = 4,
+                              maxExpansions: Int = 50): DataFrame = {
+    require(maxExpansions >= 0, "maxExpansions must be >= 0 (0 = unlimited)")
+    val pTerms = phraseTokens(phrase)
+    require(pTerms.nonEmpty, "empty phrase")
+    val fixed = pTerms.init
+    val prefix = pTerms.last
+    val distinctFixed = fixed.distinct.sorted
+    val m = pTerms.length
+    // expansion: one vocabulary-sized filter, one bounded collect; a
+    // binding cap keeps the top terms by (advisory df desc, term asc) —
+    // the indexedRelaxedTopK determinism law
+    val matched = termDictionary(spark, dir,
+        prefilter = Some(col("term").startsWith(lit(prefix))))
+      .select(col("term"), col("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expansion =
+      (if (maxExpansions > 0 && matched.length > maxExpansions)
+        matched.sortBy { case (t, df) => (-df, t) }.take(maxExpansions)
+      else matched).map(_._1)
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val avgdl = totalTokens.toDouble / nDocs
+    val allTerms = (distinctFixed ++ expansion).distinct.sorted
+    if (expansion.isEmpty)
+      // no vocabulary term carries the prefix — empty result, typed off
+      // the index's own postings schema (the indexedRelaxedTopK trick)
+      return prunedPostings(spark, dir, Seq(" "), buckets)
+        .where(lit(false))
+        .select(col("doc_id"), lit(0).cast("int").as("rank"),
+          lit(0.0).as("score"))
+    val pruned = prunedPostings(spark, dir, allTerms, buckets)
+    require(pruned.schema.fieldNames.contains("positions"),
+      s"postings index at $dir stores no positions (built with " +
+        "positional = false, or predating the positional schema): rebuild " +
+        "with positional postings to serve phrase-prefix queries")
+    // exact fixed dfs + relaxed prefix df in ONE bounded aggregate over
+    // the pruned, post-tombstone postings
+    val dfRow = pruned.agg(count(lit(1)).as("_n"),
+      (distinctFixed.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L))) :+
+        countDistinct(when(inSet(col("term"), expansion), col("doc_id"))))
+        .zipWithIndex.map { case (c, i) => c.as(s"_df$i") }: _*).head()
+    val fixedDf = distinctFixed.zipWithIndex.map { case (t, i) =>
+      t -> (if (dfRow.isNullAt(i + 1)) 0L else dfRow.getLong(i + 1)) }.toMap
+    val prefixDf = dfRow.getLong(distinctFixed.length + 1)
+    val idfSum = phrasePrefixIdfSum(nDocs, fixed, fixedDf, prefixDf)
+    // pivot per-term position sets + ONE prefix-expansion position set
+    // (flatten unwraps the 0-or-1 collected arrays per role)
+    val idxOf = distinctFixed.zipWithIndex.toMap
+    val grouped = pruned.groupBy("doc_id").agg(
+      first(col("dl")).as("dl"),
+      (distinctFixed.zipWithIndex.map { case (t, i) =>
+        flatten(collect_list(when(col("term") === t, col("positions"))))
+          .as(s"_ps$i") } :+
+        flatten(collect_list(when(inSet(col("term"), expansion),
+          col("positions")))).as("_pp")): _*)
+    // starts = ∩ (fixed set_j − j) ∩ (expansion set − (m−1)): pure
+    // integer set arithmetic over stored positions, text never re-read
+    val shifted = fixed.zipWithIndex.map { case (t, j) =>
+      transform(col(s"_ps${idxOf(t)}"), p => p - lit(j))
+    } :+ transform(col("_pp"), p => p - lit(m - 1))
+    val starts = shifted.reduce((a, b) => array_intersect(a, b))
+    val scored = grouped
+      .withColumn("_ptf", size(starts).cast("double"))
+      .where(col("_ptf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_ptf"), col("dl"), avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  // ------------------------------------------------------------------
   // Boolean queries: must / should / must_not — the ES `bool` query,
   // the most common real-search request shape
   // ------------------------------------------------------------------
@@ -2016,11 +2282,7 @@ object Search {
              missing: Option[String] = None): DataFrame = {
     require(facetCols.nonEmpty, "need at least one facet column")
     require(topN > 0, "topN must be positive")
-    val terms = queryTerms(query)
-    require(terms.nonEmpty, "empty query")
-    val tok = tokens(col(textCol))
-    val matchedPred = terms.map(t => when(array_contains(tok, t), 1)
-      .otherwise(0)).reduce(_ + _) > 0
+    val matchedPred = matchedPredOf(docs, textCol, query)
     // ES `missing`: bucket null facet values under an explicit label
     // instead of the null-first bucket (one knob for all facet columns;
     // accuracy note: unlike ES shard_size, the per-facet top-N here is
@@ -2059,16 +2321,142 @@ object Search {
   def histogramFacet(docs: DataFrame, textCol: String, query: String,
                      numCol: String, interval: Double): DataFrame = {
     require(interval > 0, "interval must be positive")
-    val terms = queryTerms(query)
-    require(terms.nonEmpty, "empty query")
-    val tok = tokens(col(textCol))
-    val matchedPred = terms.map(t => when(array_contains(tok, t), 1)
-      .otherwise(0)).reduce(_ + _) > 0
-    docs.filter(matchedPred && col(numCol).isNotNull)
+    docs.filter(matchedPredOf(docs, textCol, query) && col(numCol).isNotNull)
       .select((floor(col(numCol).cast("double") / lit(interval)) *
         lit(interval)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("docs"))
   }
+
+  /**
+   * Calendar date-histogram — the ES `date_histogram` aggregation with a
+   * `calendar_interval`: rows bucket by `date_trunc(interval, tsCol)`
+   * over the (optionally `filter`ed) input, `(bucket, docs)` for
+   * NON-EMPTY buckets (the [[histogramFacet]] `min_doc_count = 1`
+   * convention; ES gap-fills empty calendar buckets by default — a
+   * presentation concern a consumer adds with a `sequence` join, kept
+   * out of the engine law). Null timestamps are skipped (ES `missing`
+   * unconfigured). One map-only scan + one partial+final count whose
+   * cardinality is the covered calendar span / interval — never corpus
+   * rows; no window anywhere.
+   */
+  def dateHistogramFacet(docs: DataFrame, tsCol: String,
+                         calendarInterval: String,
+                         filter: Option[Column] = None): DataFrame = {
+    val allowed = Set("hour", "day", "week", "month", "quarter", "year")
+    require(allowed(calendarInterval.toLowerCase(java.util.Locale.ROOT)),
+      s"calendarInterval must be one of ${allowed.mkString(", ")}: " +
+        s"got '$calendarInterval'")
+    filter.map(docs.filter).getOrElse(docs)
+      .where(col(tsCol).isNotNull)
+      .select(date_trunc(calendarInterval, col(tsCol)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("docs"))
+  }
+
+  /** [[dateHistogramFacet]] over the MATCHED set of a term query — the
+    * aggs-under-a-query ES request shape (the [[histogramFacet]] filter
+    * law on the time axis). */
+  def dateHistogramFacet(docs: DataFrame, textCol: String, query: String,
+                         tsCol: String, calendarInterval: String): DataFrame =
+    dateHistogramFacet(docs, tsCol, calendarInterval,
+      filter = Some(matchedPredOf(docs, textCol, query)))
+
+  /** The shared "matches ≥1 query term" predicate of the aggregation
+    * family ([[facets]]/[[histogramFacet]]/[[cardinalityFacet]]). */
+  private def matchedPredOf(docs: DataFrame, textCol: String,
+                            query: String): Column = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val tok = tokens(col(textCol))
+    terms.map(t => when(array_contains(tok, t), 1).otherwise(0))
+      .reduce(_ + _) > 0
+  }
+
+  /**
+   * Range aggregation — the ES `range` aggregation: explicit
+   * `[from, to)` buckets (either end open), count per bucket over the
+   * (optionally `filter`ed) input. Ranges MAY OVERLAP and a row counts
+   * in every range containing it (the ES law — this is deliberately not
+   * a single CASE/width_bucket), null values count nowhere. Output
+   * `(range_key, range_from, range_to, docs)` in GIVEN range order,
+   * keys in the ES `from-to` format with `*` for an open end. EVERY
+   * range emits a row (ES emits empty range buckets — unlike
+   * `histogram`/`date_histogram`, the bucket set here is the request,
+   * not the data). Cost: ONE map-only scan with |ranges| conditional
+   * counts folding through one bounded partial+final aggregate — a
+   * |ranges|-long row to the driver, melted locally; the input is
+   * never re-scanned per range and never shuffles.
+   */
+  def rangeFacet(docs: DataFrame, numCol: String,
+                 ranges: Seq[(Option[Double], Option[Double])],
+                 filter: Option[Column] = None): DataFrame = {
+    require(ranges.nonEmpty, "need at least one range")
+    ranges.foreach { case (f, t) =>
+      require(f.isDefined || t.isDefined, "a range needs >= 1 bound")
+      for (a <- f; b <- t) require(a < b, s"empty range [$a, $b)") }
+    val v = col(numCol).cast("double")
+    val cnts = ranges.map { case (fromOpt, toOpt) =>
+      val bounds = fromOpt.map(f => v >= lit(f)).toSeq ++
+        toOpt.map(t => v < lit(t)).toSeq
+      sum(when(v.isNotNull && bounds.reduce(_ && _), 1L).otherwise(0L))
+    }
+    val row = filter.map(docs.filter).getOrElse(docs)
+      .agg(cnts.head.as("_c0"),
+        cnts.tail.zipWithIndex.map { case (c, i) => c.as(s"_c${i + 1}") }: _*)
+      .head()
+    def fmt(b: Option[Double]): String = b.map(_.toString).getOrElse("*")
+    val out = ranges.zipWithIndex.map { case ((f, t), i) =>
+      (s"${fmt(f)}-${fmt(t)}", f, t,
+        if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    out.toDF("range_key", "range_from", "range_to", "docs")
+  }
+
+  /** [[rangeFacet]] over the MATCHED set of a term query — the
+    * aggs-under-a-query ES request shape. */
+  def rangeFacet(docs: DataFrame, textCol: String, query: String,
+                 numCol: String,
+                 ranges: Seq[(Option[Double], Option[Double])]): DataFrame =
+    rangeFacet(docs, numCol, ranges,
+      filter = Some(matchedPredOf(docs, textCol, query)))
+
+  /**
+   * Cardinality aggregation over the MATCHED set — the ES `cardinality`
+   * aggregation on doc-values fields, in its EXACT form: one row with a
+   * `<field>_cardinality` distinct count per requested field, over
+   * documents matching ≥1 query term (null field values don't count —
+   * the ES missing-value law). ES serves this approximately via HLL++;
+   * the sketch form already exists as the mergeable
+   * `hll_sketch_agg`/`hll_union_agg` builtins (q55) for consumers that
+   * want re-aggregatable partials — this entry point is the exact twin
+   * an oracle can reproduce. One map-only matched scan + one
+   * partial+final distinct aggregate per field; no window, no collect.
+   */
+  def cardinalityFacet(docs: DataFrame, textCol: String, query: String,
+                       fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one field")
+    docs.filter(matchedPredOf(docs, textCol, query)).agg(
+      countDistinct(col(fields.head)).as(s"${fields.head}_cardinality"),
+      fields.tail.map(f =>
+        countDistinct(col(f)).as(s"${f}_cardinality")): _*)
+  }
+
+  /**
+   * Vocabulary cardinality straight from a persisted index's term
+   * dictionary — the ES `cardinality` aggregation over an analyzed text
+   * field, answered WITHOUT touching the corpus: one vocabulary-sized
+   * distinct count over `terms/` (the dictionary stores per-delta
+   * partials; the distinct collapses duplicates across appends). Exact
+   * after a build or `search-compact`; while TOMBSTONES are pending the
+   * dictionary is a superset of the live vocabulary, so the count may
+   * include terms all of whose docs are deleted — the same
+   * "counts include deleted docs until merge" behavior as
+   * [[indexedTopTerms]], resolved by compaction.
+   */
+  def indexedCardinality(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    termDictionary(spark, dir).agg(count(lit(1)).as("cardinality"))
 
   // ------------------------------------------------------------------
   // Retrieval evaluation: the metrics side of the search family

@@ -3528,6 +3528,275 @@ object Queries {
         graft.ext.Search.indexedTopTerms(s, idx, n = 15)
           .orderBy("rank")
       }),
+
+    // ---- wildcard term query (the ES `wildcard` request type): a token
+    //      matches when the WHOLE token matches the pattern (`*` any
+    //      run, `?` one char), scored with the relaxed-BM25 law over the
+    //      wildcard tf/df counts (the q105/q106 family). The translated
+    //      regex subset (only `.*`, `.`, literals) means DuckDB's
+    //      regexp_full_match reproduces the match law exactly; terms
+    //      fold sorted ('s*m' < 'w?ndow'). ----
+    QueryDef("q116_wildcard_search",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN len(list_filter(w, x -> regexp_full_match(x, 's.*m'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> regexp_full_match(x, 'w.ndow'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> regexp_full_match(x, 's.*m')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> regexp_full_match(x, 's.*m')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> regexp_full_match(x, 'w.ndow')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> regexp_full_match(x, 'w.ndow')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE len(list_filter(w, x -> regexp_full_match(x, 's.*m'))) > 0
+             |     OR len(list_filter(w, x -> regexp_full_match(x, 'w.ndow'))) > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.wildcardTopK(
+          t(s, dir, "documents"), "doc_id", "text", "s*m w?ndow", k = 20)
+        .orderBy("rank")),
+
+    // ---- INDEXED wildcard via the term dictionary (the q107/q108
+    //      discipline): patterns expand against the VOCABULARY with the
+    //      shared anchored-regex law, ranking from the expansion terms'
+    //      pruned tb= buckets — the oracle recomputes wildcard BM25 from
+    //      the RAW TEXT, so a hash match pins dictionary expansion +
+    //      pruned-postings scoring bit-identical to the corpus scan. ----
+    QueryDef("q117_wildcard_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN len(list_filter(w, x -> regexp_full_match(x, 's.*m'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> regexp_full_match(x, 'w.ndow'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> regexp_full_match(x, 's.*m')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> regexp_full_match(x, 's.*m')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> regexp_full_match(x, 'w.ndow')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> regexp_full_match(x, 'w.ndow')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE len(list_filter(w, x -> regexp_full_match(x, 's.*m'))) > 0
+             |     OR len(list_filter(w, x -> regexp_full_match(x, 'w.ndow'))) > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q117-wildidx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        // maxExpansions = 0 (unlimited): the oracle is SCAN semantics
+        graft.ext.Search.indexedWildcardTopK(s, idx, "s*m w?ndow", k = 20,
+            maxExpansions = 0)
+          .orderBy("rank")
+      }),
+
+    // ---- match_phrase_prefix (the ES search-as-you-type query): base i
+    //      matches when w[i]='key' exactly and w[i+1] STARTS WITH 'or'
+    //      ("key or" finds "key order"); score is the q97 phrase-BM25
+    //      law with tf = the phrase-prefix occurrence count and idf =
+    //      idf(exact df of 'key') + idf(RELAXED df of the 'or' prefix).
+    //      Guarded 1-based probes: range(1, len(w)) keeps i+1 in
+    //      bounds for the 2-term phrase. ----
+    QueryDef("q118_phrase_prefix",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'key') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> starts_with(x, 'or'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |p AS (
+             |  SELECT doc_id, w,
+             |    len(list_filter(range(1, len(w)),
+             |        i -> w[i] = 'key' AND starts_with(w[i+1], 'or')))::DOUBLE AS ptf
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      (ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |       + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)))
+             |      * (ptf * (1.2 + 1.0))
+             |      / (ptf + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)),
+             |      4) AS score
+             |  FROM p, st WHERE ptf > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.phrasePrefixTopK(
+          t(s, dir, "documents"), "doc_id", "text", "key or", k = 20)
+        .orderBy("rank")),
+
+    // ---- INDEXED match_phrase_prefix from the POSITIONAL index: the
+    //      last term expands against the term dictionary (unlimited
+    //      here: the oracle is scan semantics) and a doc's starts are
+    //      the intersection of 'key''s position set with the expansion
+    //      union shifted to the last slot — position set arithmetic,
+    //      text never re-read. Same oracle as q118: a hash match pins
+    //      the indexed path bit-identical to the scan law. ----
+    QueryDef("q119_phrase_prefix_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'key') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> starts_with(x, 'or'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |p AS (
+             |  SELECT doc_id, w,
+             |    len(list_filter(range(1, len(w)),
+             |        i -> w[i] = 'key' AND starts_with(w[i+1], 'or')))::DOUBLE AS ptf
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      (ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |       + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)))
+             |      * (ptf * (1.2 + 1.0))
+             |      / (ptf + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)),
+             |      4) AS score
+             |  FROM p, st WHERE ptf > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q119-ppidx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedPhrasePrefixTopK(s, idx, "key or", k = 20,
+            maxExpansions = 0)
+          .orderBy("rank")
+      }),
+
+    // ---- date_histogram (the ES calendar aggregation): daily buckets
+    //      of click events — date_trunc group-by, non-empty buckets (the
+    //      min_doc_count=1 convention, q101's histogram law on the time
+    //      axis). Bucket cast to DATE on both sides (Spark date_trunc
+    //      yields midnight timestamps, DuckDB yields DATE for day+
+    //      granularity — the cast is presentation, not law). ----
+    QueryDef("q120_date_histogram",
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+             |  count(*) AS docs
+             |FROM read_parquet('{SFDIR}/events.parquet')
+             |WHERE event_type = 'click' AND ts IS NOT NULL
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.ext.Search.dateHistogramFacet(t(s, dir, "events"), "ts",
+            "day", filter = Some(col("event_type") === "click"))
+          .select(col("bucket").cast("date").as("bucket"), col("docs"))
+          .orderBy("bucket")
+      }),
+
+    // ---- range aggregation (the ES `range` agg): explicit [from, to)
+    //      value buckets over purchase events — ranges OVERLAP ('10-50'
+    //      and '25-100' both count a 30) and open ends use '*', the ES
+    //      law verbatim. One scan, |ranges| conditional counts, melted
+    //      driver-side; every requested range emits a row even when
+    //      empty. ----
+    QueryDef("q121_range_agg",
+      Some("""WITH v AS (
+             |  SELECT value FROM read_parquet('{SFDIR}/events.parquet')
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL)
+             |SELECT * FROM (
+             |  SELECT '*-10.0' AS range_key, CAST(NULL AS DOUBLE) AS range_from,
+             |    10.0 AS range_to, (SELECT count(*) FROM v WHERE value < 10.0) AS docs
+             |  UNION ALL
+             |  SELECT '10.0-50.0', 10.0, 50.0,
+             |    (SELECT count(*) FROM v WHERE value >= 10.0 AND value < 50.0)
+             |  UNION ALL
+             |  SELECT '25.0-100.0', 25.0, 100.0,
+             |    (SELECT count(*) FROM v WHERE value >= 25.0 AND value < 100.0)
+             |  UNION ALL
+             |  SELECT '100.0-*', 100.0, CAST(NULL AS DOUBLE),
+             |    (SELECT count(*) FROM v WHERE value >= 100.0)
+             |) ORDER BY range_key""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.ext.Search.rangeFacet(t(s, dir, "events"), "value",
+            Seq((None, Some(10.0)), (Some(10.0), Some(50.0)),
+              (Some(25.0), Some(100.0)), (Some(100.0), None)),
+            filter = Some(col("event_type") === "purchase"))
+          .orderBy("range_key")
+      }),
+
+    // ---- cardinality aggregation (the ES `cardinality` agg, EXACT
+    //      form): distinct lang/source over the matched set — the q94
+    //      facet filter with countDistinct instead of top-N. (The
+    //      mergeable-sketch form is q55's hll_sketch_agg machinery.) ----
+    QueryDef("q122_cardinality_agg",
+      Some("""WITH docs AS (
+             |  SELECT lang, source,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet'))
+             |SELECT count(DISTINCT lang) AS lang_cardinality,
+             |  count(DISTINCT source) AS source_cardinality
+             |FROM docs
+             |WHERE list_contains(w, 'spark') OR list_contains(w, 'window')"""
+        .stripMargin),
+      (s, dir) => graft.ext.Search.cardinalityFacet(
+        t(s, dir, "documents"), "text", "spark window",
+        Seq("lang", "source"))),
+
+    // ---- vocabulary cardinality from the term dictionary: the ES
+    //      cardinality aggregation over an analyzed text field answered
+    //      WITHOUT touching the corpus — one vocabulary-sized distinct
+    //      count over the index's terms/ (exact after a fresh build; the
+    //      oracle recounts distinct tokens from raw text). ----
+    QueryDef("q123_vocab_cardinality_indexed",
+      Some("""SELECT count(DISTINCT x.term) AS cardinality
+             |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                y -> y <> '')) AS term
+             |      FROM read_parquet('{SFDIR}/documents.parquet')) x"""
+        .stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q123-cardidx").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedCardinality(s, idx)
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

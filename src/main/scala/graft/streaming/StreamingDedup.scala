@@ -20,7 +20,15 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
  * Scale notes: state is bounded per bucket (`maxBucket`, same skew guard and
  * rationale as batch — an over-full bucket is a degenerate shingle cluster
  * whose members still meet in their other bands); state lives off-heap in
- * RocksDB with changelog checkpointing. Output carries the ESTIMATED
+ * RocksDB with changelog checkpointing. Unlike the EMBEDDING twin's
+ * fixed-depth sign-LSH (which had only 2^bits distinct buckets and
+ * therefore saturated as state accumulated — the quadratic trap
+ * [[StreamingEmbedDedup]]'s adaptive depth fixes), a minhash band bucket
+ * is a hash of r = numHashes/bands signature slots with a ~2^64 keyspace:
+ * UNRELATED docs land in the same bucket only by matching all r minhash
+ * values, so bucket occupancy grows with true near-duplicate cluster size
+ * (capped by `maxBucket`), not with corpus size — no epoch re-bucketing
+ * needed on this path. Output carries the ESTIMATED
  * jaccard (state holds 32-slot signatures, not full shingle sets); exact
  * verification of flagged pairs is a cheap downstream batch join. The same
  * pair can surface from several bands — consumers key on

@@ -1520,4 +1520,168 @@ class SearchSpec extends SparkSpec {
     assert(toks(3L) === None)
     assert(Search.queryTerms("Window  spark window") === Seq("spark", "window"))
   }
+
+  test("wildcardRegex translation: * and ? map, regex metas escape, " +
+      "whole-token semantics") {
+    assert(Search.wildcardRegex("s*m") === "s.*m")
+    assert(Search.wildcardRegex("w?ndow") === "w.ndow")
+    assert(Search.wildcardRegex("a.b+c(d)[e]{f}|g^h$i\\j") ===
+      "a\\.b\\+c\\(d\\)\\[e\\]\\{f\\}\\|g\\^h\\$i\\\\j")
+    // whole-token match: 'par*' must NOT match a token merely containing
+    // "par" mid-token, and 'p?rt' matches exactly one substituted char
+    val docs = Seq(
+      (1L, "part partition spartan"), (2L, "port depart"), (3L, "pt"))
+      .toDF("doc_id", "text")
+    val ids = Search.wildcardTopK(docs, "doc_id", "text", "par*", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L)) // part, partition — not spartan/depart (anchor)
+    val q = Search.wildcardTopK(docs, "doc_id", "text", "p?rt", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(q === Set(1L, 2L)) // part, port — not pt (? is exactly one char)
+  }
+
+  test("indexedWildcardTopK == scan wildcardTopK bit-identity; binding " +
+      "maxExpansions cuts by (df desc, term asc)") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wildidx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    val scan = Search.wildcardTopK(docs, "doc_id", "text", "s*m w?ndow",
+      k = 25).collect().toSeq
+    val idx = Search.indexedWildcardTopK(spark, dir, "s*m w?ndow", k = 25,
+      maxExpansions = 0).collect().toSeq
+    assert(idx === scan)
+    // binding cap: 's*' expands wide; cap 1 must keep exactly the
+    // highest-df s-term and still rank deterministically
+    val dict = Search.indexedTopTerms(spark, dir, n = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1.startsWith("s"))
+    val topS = dict.sortBy { case (t, df) => (-df, t) }.head._1
+    val capped = Search.indexedWildcardTopK(spark, dir, "s*", k = 25,
+      maxExpansions = 1).collect().toSeq
+    val single = Search.indexedBm25TopK(spark, dir, topS, k = 25)
+      .collect().toSeq
+    assert(capped === single)
+  }
+
+  test("phrasePrefixTopK: last-slot prefix law on a hand corpus, " +
+      "overlapping starts count, single-term degenerates to prefixTopK") {
+    val docs = Seq(
+      (1L, "key order key order"), // bases 0 and 2 -> ptf 2
+      (2L, "key orange"),          // orange startsWith or -> ptf 1
+      (3L, "order key"),           // key at the edge, no next token
+      (4L, "key value order"))     // not adjacent
+      .toDF("doc_id", "text")
+    val got = Search.phrasePrefixTopK(docs, "doc_id", "text", "key or",
+      k = 10).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSet === Set(1L, 2L))
+    // doc 1 has ptf 2 vs doc 2's 1 at comparable dl -> doc 1 ranks first
+    assert(got.head._1 === 1L)
+    // single-term phrase: the phrase-prefix law collapses to exactly the
+    // prefix relaxed-BM25 law (same tf, same relaxed df, same formula)
+    val pp = Search.phrasePrefixTopK(docs, "doc_id", "text", "or", k = 10)
+      .collect().toSeq
+    val pf = Search.prefixTopK(docs, "doc_id", "text", "or", k = 10)
+      .collect().toSeq
+    assert(pp === pf)
+  }
+
+  test("indexedPhrasePrefixTopK == scan bit-identity; repeated fixed " +
+      "term; cap determinism; refuses a positions-free index") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppidx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    for (phrase <- Seq("key or", "fast key or", "merge merge s")) {
+      val scan = Search.phrasePrefixTopK(docs, "doc_id", "text", phrase,
+        k = 25).collect().toSeq
+      val idx = Search.indexedPhrasePrefixTopK(spark, dir, phrase, k = 25,
+        maxExpansions = 0).collect().toSeq
+      assert(idx === scan, s"phrase '$phrase'")
+    }
+    // binding cap 1 on 's': identical to the phrase with the top-df
+    // s-term substituted literally (the expansion-cut determinism law)
+    val topS = Search.indexedTopTerms(spark, dir, n = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1.startsWith("s")).sortBy { case (t, df) => (-df, t) }
+      .head._1
+    val capped = Search.indexedPhrasePrefixTopK(spark, dir, "key s",
+      k = 25, maxExpansions = 1).collect().toSeq
+    // 'key <topS>' expands topS's own prefix set; in this corpus no
+    // s-term prefixes another, so it expands to exactly {topS} — the
+    // phrase the binding cap must reduce to
+    val literal = Search.indexedPhrasePrefixTopK(spark, dir, s"key $topS",
+      k = 25, maxExpansions = 0).collect().toSeq
+    assert(capped === literal)
+    val nopos = java.nio.file.Files.createTempDirectory("graft-ppnopos").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", nopos, buckets = 4,
+      positional = false)
+    val e = intercept[IllegalArgumentException] {
+      Search.indexedPhrasePrefixTopK(spark, nopos, "key or", k = 5).collect()
+    }
+    assert(e.getMessage.contains("positions"))
+  }
+
+  test("dateHistogramFacet: calendar bucketing vs a driver-side " +
+      "recomputation; null ts skipped; bad interval refused") {
+    val events = sf("sf0.001", "events")
+    val got = Search.dateHistogramFacet(events, "ts", "day",
+        filter = Some(col("event_type") === "click"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val ref = events.filter(col("event_type") === "click")
+      .select(date_trunc("day", col("ts")).as("b")).collect()
+      .groupBy(_.getTimestamp(0)).map { case (b, rs) => b -> rs.length.toLong }
+    assert(got === ref)
+    assert(got.values.sum === events.filter(col("event_type") === "click").count())
+    // null timestamps are skipped, non-null still bucket
+    val withNull = Seq((java.sql.Timestamp.valueOf("2024-03-01 10:30:00"), 1),
+      (null.asInstanceOf[java.sql.Timestamp], 2)).toDF("ts", "x")
+    val n = Search.dateHistogramFacet(withNull, "ts", "month").collect()
+    assert(n.length === 1 && n.head.getLong(1) === 1L)
+    intercept[IllegalArgumentException] {
+      Search.dateHistogramFacet(events, "ts", "fortnight")
+    }
+  }
+
+  test("rangeFacet: overlapping ranges both count a row, empty ranges " +
+      "still emit, open ends, nulls skipped, bad ranges refused") {
+    val df = Seq(Some(5.0), Some(30.0), Some(30.0), Some(150.0), None)
+      .toDF("v")
+    val got = Search.rangeFacet(df, "v", Seq(
+        (None, Some(10.0)),        // 5          -> 1
+        (Some(10.0), Some(50.0)),  // 30, 30     -> 2
+        (Some(25.0), Some(100.0)), // 30, 30     -> 2 (overlap with prev)
+        (Some(200.0), None)))      // —          -> 0 (still a row)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(got === Array(("*-10.0", 1L), ("10.0-50.0", 2L),
+      ("25.0-100.0", 2L), ("200.0-*", 0L)))
+    intercept[IllegalArgumentException] {
+      Search.rangeFacet(df, "v", Seq((None, None)))
+    }
+    intercept[IllegalArgumentException] {
+      Search.rangeFacet(df, "v", Seq((Some(5.0), Some(5.0))))
+    }
+  }
+
+  test("cardinalityFacet: distinct over the MATCHED set only, nulls " +
+      "uncounted; indexedCardinality exact through build+append") {
+    val docs = Seq(
+      (1L, "join x", "en", "web"), (2L, "join y", "en", null),
+      (3L, "join z", "fr", "web"), (4L, "nomatch", "de", "print"))
+      .toDF("doc_id", "text", "lang", "source")
+    val row = Search.cardinalityFacet(docs, "text", "join",
+      Seq("lang", "source")).head()
+    assert(row.getLong(0) === 2L) // en, fr — doc 4 unmatched
+    assert(row.getLong(1) === 1L) // web — null source uncounted
+    // index dictionary cardinality: distinct across build+append deltas
+    // (shared vocabulary must not double-count)
+    val corpus = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cardidx").toString
+    Search.buildPostingsIndex(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, buckets = 4)
+    Search.appendToPostingsIndex(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dir)
+    val card = Search.indexedCardinality(spark, dir).head().getLong(0)
+    val exact = corpus.select(explode(Search.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    assert(card === exact)
+  }
 }
