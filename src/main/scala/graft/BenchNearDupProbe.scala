@@ -50,7 +50,9 @@ object BenchNearDupProbe {
     gen.repartition(64).write.parquet(s"$root/in")
     val docs = spark.read.parquet(s"$root/in")
 
-    val autoOnly = args.length > 1 && args(1) == "auto"
+    // "auto" and "sweep" both skip the slow fixed-knob baselines
+    val autoOnly = args.length > 1 &&
+      (args(1) == "auto" || args(1) == "sweep")
     // (A) standalone: LSH pairs count on the RAW frame (the neardup_1m shape)
     if (!autoOnly) time("A_standalone_pairs_count") {
       graft.ext.Similarity.cosineNearDupsLsh(docs, "doc_id", "embedding",

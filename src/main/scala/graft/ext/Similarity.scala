@@ -2310,6 +2310,10 @@ object Similarity {
     // join, which broke canonical equality and recomputed the full pipeline
     // for each side — measured 40+ s vs 18 s at the 1M bench tier, with
     // signature computation (not the join) as the dominant cost.
+    // (probed round 13: a shuffle_hash hint here OOMs building per-task
+    // hash maps over the vector-carrying partitions — SMJ is the right
+    // physical join for this self-join at every scale, and the sort cost
+    // is part of the measured stage floor)
     guarded.as("a").join(guarded.as("b"),
         col("a._table") === col("b._table") && col("a._sig") === col("b._sig"))
       .filter(col("a._nid") < col("b._nid"))
