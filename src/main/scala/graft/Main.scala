@@ -51,7 +51,10 @@ object Main {
     "histogram", "fields", "multi-mode", "min-should-match",
     "fuzziness", "prefix-match", "max-expansions",
     "wildcard", "phrase-prefix", "date-histogram", "range-agg",
-    "cardinality")
+    "cardinality", "significant-terms", "top-hits", "pipeline-aggs",
+    "collapse", "rescore-phrase", "rescore-window", "rescore-weight",
+    "query-weight", "field-factor", "gauss-decay", "boost-mode",
+    "suggest-term", "suggest-prefix", "max-edits")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -109,7 +112,7 @@ object Main {
       input = if (Set("compact", "validate", "ann-compact", "ann-drift",
                       "ann-split", "ann-maintain", "ann-strip",
                       "search-compact", "search-delete",
-                      "ann-delete")(m("mode")) ||
+                      "ann-delete", "suggest")(m("mode")) ||
                   // an indexed search never touches the corpus
                   (Set("search", "search-batch")(m("mode")) &&
                     m.contains("search-index")))
@@ -125,7 +128,7 @@ object Main {
              "quality-train" | "quality-score" | "train-centroids" |
              "search" | "search-batch" | "semdedup" | "search-build" |
              "search-append" | "search-stream" | "search-compact" |
-             "search-delete" | "split" =>
+             "search-delete" | "split" | "suggest" =>
           m.getOrElse("index", "")
         // ann modes address an index DIRECTORY (--out), not a bundle name
         case "ann-build" | "ann-append" | "ann-query" | "ann-compact" |
@@ -751,6 +754,35 @@ object Main {
               throw new IllegalStateException(
                 "rebuild the index (--mode ann-build)")
           }
+        case "suggest" =>
+          // dictionary-backed suggesters (the ES suggest API): term
+          // suggester (--suggest-term, typo corrections within
+          // --max-edits) or completion suggester (--suggest-prefix,
+          // top-df completions) — both answered ENTIRELY from a standing
+          // postings index's term dictionary; no corpus, no --input
+          val raw = rawFlags(args)
+          val idxDir = raw.getOrElse("search-index", throw new
+            IllegalArgumentException(
+              "--mode suggest needs --search-index (the term dictionary)"))
+          val n = raw.getOrElse("topk", "5").toInt
+          val result = (raw.get("suggest-term"), raw.get("suggest-prefix")) match {
+            case (Some(t), None) =>
+              graft.ext.Search.termSuggest(spark, idxDir, t,
+                maxEdits = raw.getOrElse("max-edits", "2").toInt, n = n)
+            case (None, Some(p)) =>
+              require(!raw.contains("max-edits"),
+                "--max-edits applies to --suggest-term only")
+              graft.ext.Search.completionSuggest(spark, idxDir, p, n = n)
+            case _ => throw new IllegalArgumentException(
+              "--mode suggest requires exactly one of --suggest-term | " +
+                "--suggest-prefix")
+          }
+          val outP = s"${cfg.outDir}/suggest"
+          result.write.mode("overwrite").parquet(outP)
+          val rows = spark.read.parquet(outP).orderBy("rank").collect()
+          println(s"suggestions: ${rows.length} rows -> $outP")
+          rows.foreach(r => println(s"  $r"))
+
         case "search" =>
           // query-side relevance over a document corpus: BM25 top-k for
           // --query, exact adjacent-in-order match for --phrase; with
@@ -810,6 +842,29 @@ object Main {
             "--max-expansions caps the term-dictionary expansion: it needs " +
               "--search-index with --fuzziness, --prefix-match, --wildcard " +
               "or --phrase-prefix")
+          // score-reshaping request types: collapse / rescore /
+          // function_score — plain --query corpus scans, one at a time
+          val collapseOn = raw.contains("collapse")
+          val rescoreOn = raw.contains("rescore-phrase")
+          val fnScoreOn = raw.contains("field-factor") ||
+            raw.contains("gauss-decay")
+          require(Seq(collapseOn, rescoreOn, fnScoreOn).count(identity) <= 1,
+            "--collapse, --rescore-phrase and " +
+              "--field-factor/--gauss-decay are mutually exclusive " +
+              "(one request type per search)")
+          require(!(collapseOn || rescoreOn || fnScoreOn) ||
+              (queryOpt.isDefined && !hybridIndexed &&
+                !raw.contains("search-index") && !raw.contains("embeddings") &&
+                !raw.contains("fields") && !fuzzyOn && !prefixOn && !wildOn &&
+                !raw.contains("min-should-match")),
+            "--collapse/--rescore-phrase/--field-factor/--gauss-decay " +
+              "apply to a plain --query corpus scan only")
+          require(Seq("rescore-window", "rescore-weight", "query-weight")
+              .forall(f => !raw.contains(f) || rescoreOn),
+            "--rescore-window/--rescore-weight/--query-weight need " +
+              "--rescore-phrase")
+          require(!raw.contains("boost-mode") || fnScoreOn,
+            "--boost-mode needs --field-factor or --gauss-decay")
           lazy val docs = spark.read.parquet(cfg.input)
           def queryVec(): Seq[Double] = {
             val embPath = raw.getOrElse("embeddings", throw new
@@ -918,6 +973,38 @@ object Main {
                     graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k,
                       minShouldMatch =
                         raw.getOrElse("min-should-match", "1").toInt)
+                  case (None, None) if collapseOn =>
+                    // ES `collapse`: one representative per field value
+                    graft.ext.Search.collapseTopK(docs, idCol, textCol,
+                      query, raw("collapse"), k)
+                  case (None, None) if rescoreOn =>
+                    // ES `rescore`: phrase-rescored primary window
+                    graft.ext.Search.rescoreTopK(docs, idCol, textCol,
+                      query, raw("rescore-phrase"), k,
+                      windowSize = raw.getOrElse("rescore-window", "50").toInt,
+                      queryWeight = raw.getOrElse("query-weight", "1.0").toDouble,
+                      rescoreWeight =
+                        raw.getOrElse("rescore-weight", "1.0").toDouble)
+                  case (None, None) if fnScoreOn =>
+                    // ES `function_score`: field-value-factor (ln1p) ×
+                    // gauss decay, combined per --boost-mode
+                    val ff = raw.get("field-factor").map { spec =>
+                      val parts = spec.split(":")
+                      require(parts.length == 2,
+                        s"--field-factor expects <col>:<factor>, got '$spec'")
+                      (parts(0), parts(1).toDouble)
+                    }
+                    val gd = raw.get("gauss-decay").map { spec =>
+                      val parts = spec.split(":")
+                      require(parts.length == 4,
+                        "--gauss-decay expects " +
+                          s"<col>:<origin>:<scale>:<decay>, got '$spec'")
+                      (parts(0), parts(1).toDouble, parts(2).toDouble,
+                        parts(3).toDouble)
+                    }
+                    graft.ext.Search.functionScoreTopK(docs, idCol, textCol,
+                      query, k, fieldFactor = ff, gaussDecay = gd,
+                      boostMode = raw.getOrElse("boost-mode", "multiply"))
                   case (None, None) if wildOn =>
                     // ES `wildcard` query: * / ? token patterns
                     graft.ext.Search.wildcardTopK(docs, idCol, textCol,
@@ -968,9 +1055,14 @@ object Main {
             println(s"histogram -> ${cfg.outDir}/histogram")
             hdf.orderBy("bucket").collect().foreach(r => println(s"  $r"))
           }
+          require(!raw.contains("pipeline-aggs") ||
+              raw.contains("date-histogram"),
+            "--pipeline-aggs runs over the --date-histogram buckets")
           raw.get("date-histogram").foreach { spec =>
             // --date-histogram <tsCol>:<calendarInterval> — ES
-            // date_histogram aggregation over the matched set
+            // date_histogram aggregation over the matched set;
+            // --pipeline-aggs <window> adds cumulative_sum / derivative /
+            // trailing moving average over the buckets
             require(cfg.input.nonEmpty,
               "--date-histogram needs --input (the corpus)")
             require(queryOpt.isDefined,
@@ -978,11 +1070,42 @@ object Main {
             val parts = spec.split(":")
             require(parts.length == 2,
               s"--date-histogram expects <tsCol>:<interval>, got '$spec'")
-            val dh = graft.ext.Search.dateHistogramFacet(docs, textCol,
+            val hist = graft.ext.Search.dateHistogramFacet(docs, textCol,
               queryOpt.get, parts(0), parts(1))
+            val dh = raw.get("pipeline-aggs")
+              .map(w => graft.ext.Search.pipelineAggs(hist, w.toInt))
+              .getOrElse(hist)
             dh.write.mode("overwrite").parquet(s"${cfg.outDir}/date_histogram")
             println(s"date_histogram -> ${cfg.outDir}/date_histogram")
             dh.orderBy("bucket").collect().foreach(r => println(s"  $r"))
+          }
+          raw.get("significant-terms").foreach { topN =>
+            // --significant-terms <topN> — the ES significant_terms
+            // aggregation (JLH) over the matched set
+            require(cfg.input.nonEmpty,
+              "--significant-terms needs --input (the corpus)")
+            require(queryOpt.isDefined,
+              "--significant-terms needs --query (term match)")
+            val st = graft.ext.Search.significantTermsFacet(docs, textCol,
+              queryOpt.get, topN = topN.toInt)
+            st.write.mode("overwrite")
+              .parquet(s"${cfg.outDir}/significant_terms")
+            println(s"significant_terms -> ${cfg.outDir}/significant_terms")
+            st.orderBy("rank").collect().foreach(r => println(s"  $r"))
+          }
+          raw.get("top-hits").foreach { spec =>
+            // --top-hits <facetCol>:<k> — the ES top_hits sub-aggregation
+            // under a terms bucket
+            require(cfg.input.nonEmpty, "--top-hits needs --input (the corpus)")
+            require(queryOpt.isDefined, "--top-hits needs --query (term match)")
+            val parts = spec.split(":")
+            require(parts.length == 2,
+              s"--top-hits expects <facetCol>:<k>, got '$spec'")
+            val th = graft.ext.Search.topHitsFacet(docs, textCol,
+              queryOpt.get, idCol, parts(0), parts(1).toInt)
+            th.write.mode("overwrite").parquet(s"${cfg.outDir}/top_hits")
+            println(s"top_hits -> ${cfg.outDir}/top_hits")
+            th.orderBy("value", "rank").collect().foreach(r => println(s"  $r"))
           }
           raw.get("range-agg").foreach { spec =>
             // --range-agg <numCol>:<from>-<to>[,...] with * for an open

@@ -2352,6 +2352,338 @@ object Search {
       .groupBy("bucket").agg(count(lit(1)).as("docs"))
   }
 
+  /**
+   * function_score — the ES request type that reshapes relevance with
+   * document-value functions. Supported subset (documented): a
+   * `field_value_factor` with the `ln1p` modifier (function value =
+   * ln(1 + factor·v), missing/null v = 0 → function value 0) and a
+   * `gauss` decay on a numeric field (exp(−(v−origin)²/(2σ²)) with
+   * σ² = −scale²/(2·ln(decayAtScale)), the ES closed form; a null v
+   * scores 1.0 — the ES missing-value behavior for decay functions).
+   * Functions MULTIPLY together (ES score_mode=multiply) and combine
+   * with the BM25 query score per `boostMode`: "multiply" (default) or
+   * "sum". Fold order pinned: bm25, then field factor, then decay —
+   * left-assoc — and the result rounds once at the end, so an oracle
+   * reproduces the float sequence exactly. Same map-only + TakeOrdered
+   * shape as [[bm25TopK]]; the functions are pure projections.
+   */
+  def functionScoreTopK(docs: DataFrame, idCol: String, textCol: String,
+                        query: String, k: Int,
+                        fieldFactor: Option[(String, Double)] = None,
+                        gaussDecay: Option[(String, Double, Double, Double)] =
+                          None,
+                        boostMode: String = "multiply",
+                        params: Bm25Params = Bm25Params(),
+                        roundTo: Int = 4): DataFrame = {
+    require(fieldFactor.isDefined || gaussDecay.isDefined,
+      "function_score needs >= 1 function (fieldFactor / gaussDecay)")
+    require(Set("multiply", "sum")(boostMode),
+      s"boostMode must be multiply or sum: got '$boostMode'")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val stats = corpusStats(docs, textCol, terms)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val matched = terms.map(t => when(array_contains(tok, t), 1).otherwise(0))
+      .reduce(_ + _)
+    val fns = Seq(
+      fieldFactor.map { case (c, factor) =>
+        log(lit(1.0) + lit(factor) * coalesce(col(c).cast("double"), lit(0.0)))
+      },
+      gaussDecay.map { case (c, origin, scale, decay) =>
+        require(scale > 0 && decay > 0 && decay < 1,
+          "gauss decay needs scale > 0 and decayAtScale in (0,1)")
+        val sigma2 = -scale * scale / (2.0 * math.log(decay))
+        val v = col(c).cast("double")
+        when(v.isNull, lit(1.0)).otherwise(
+          exp((v - lit(origin)) * (v - lit(origin)) / lit(-2.0 * sigma2)))
+      }).flatten
+    val fnProduct = fns.reduce(_ * _)
+    val qScore = scoreCol(terms, stats, params, tok, dl)
+    val combined =
+      if (boostMode == "multiply") qScore * fnProduct else qScore + fnProduct
+    val scored = docs
+      .where(matched >= 1)
+      .select(col(idCol).as("doc_id"),
+        round(combined, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Field collapse — the ES `collapse` request: at most ONE document per
+   * value of `collapseCol` in the ranking (the best by the [[bm25TopK]]
+   * score law, ties to the smaller id), then the global top-k of the
+   * representatives. Null collapse values are skipped (the aggregation
+   * family's missing-value convention — ES requires doc values on the
+   * collapse field). Output `(doc_id, value, rank, score)`.
+   *
+   * Scale shape: scoring is the map-only projection; the per-value best
+   * is a bounded [[graft.functions.TopKAgg]] 1-heap (never a rank
+   * window — a dominant collapse value cannot funnel a corpus-sized
+   * partition), and the global cut is a TakeOrdered over the
+   * representative set (≤ |distinct values| rows).
+   */
+  def collapseTopK(docs: DataFrame, idCol: String, textCol: String,
+                   query: String, collapseCol: String, k: Int,
+                   params: Bm25Params = Bm25Params(),
+                   roundTo: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val stats = corpusStats(docs, textCol, terms)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val matched = terms.map(t => when(array_contains(tok, t), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = docs
+      .where(matched >= 1 && col(collapseCol).isNotNull)
+      .select(col(collapseCol).cast("string").as("value"),
+        col(idCol).as("doc_id"),
+        round(scoreCol(terms, stats, params, tok, dl), roundTo).as("score"))
+    val best = scored.groupBy("value")
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("score")).as("ns"), col("doc_id")), 1).as("_top"))
+      .select(col("value"), explode(col("_top")).as("_b"))
+      .select(col("_b.doc_id").as("doc_id"), col("value"),
+        (-col("_b.ns")).as("score"))
+    val cut = best.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    cut.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "value", "rank", "score")
+  }
+
+  /**
+   * Rescore — the ES `rescore` request: the top `windowSize` docs of the
+   * primary BM25 ranking are re-scored as `queryWeight · primary +
+   * rescoreWeight · secondary` where the secondary is the
+   * [[phraseTopK]] score of `rescorePhrase` (0.0 when the phrase does
+   * not occur — ES score_mode=total over a non-matching rescore query),
+   * then the top-k of the REORDERED window is returned (docs outside
+   * the window never re-enter — the ES window law). Both component
+   * scores round to `roundTo` BEFORE combining (they are the published
+   * outputs of their operators), the combination rounds once more.
+   *
+   * Scale shape: the primary is [[bm25TopK]] at k = windowSize
+   * (map-only + TakeOrdered); the secondary scores ONLY the window —
+   * the window ids broadcast into a semi-join, so the phrase HOF runs
+   * over ≤ windowSize docs, not the corpus.
+   */
+  def rescoreTopK(docs: DataFrame, idCol: String, textCol: String,
+                  query: String, rescorePhrase: String, k: Int,
+                  windowSize: Int = 50, queryWeight: Double = 1.0,
+                  rescoreWeight: Double = 1.0,
+                  params: Bm25Params = Bm25Params(),
+                  roundTo: Int = 4): DataFrame = {
+    require(k > 0 && windowSize >= k,
+      s"need windowSize >= k > 0: got windowSize=$windowSize k=$k")
+    val primary = bm25TopK(docs, idCol, textCol, query, windowSize,
+        params, roundTo)
+      .select(col("doc_id"), col("score").as("_primary"))
+    val pTerms = phraseTokens(rescorePhrase)
+    require(pTerms.nonEmpty, "empty rescore phrase")
+    // phrase stats over the FULL corpus (the phraseTopK law — the window
+    // changes which docs are scored, never the statistics)
+    val distinctTerms = pTerms.distinct.sorted
+    val stats = corpusStats(docs, textCol, distinctTerms)
+    val idfSum = pTerms.foldLeft(0.0)((a, t) => a + stats.idf(t))
+    val tok = tokens(col(textCol))
+    val windowDocs = docs.join(broadcast(primary),
+      docs(idCol) === primary("doc_id"))
+    val ptf = phraseFreq(tok, pTerms)
+    val secondary = when(ptf > 0,
+      round(phraseScore(idfSum, ptf, size(tok).cast("double"),
+        stats.avgdl, params), roundTo)).otherwise(lit(0.0))
+    val rescored = windowDocs
+      .select(primary("doc_id"),
+        round(lit(queryWeight) * col("_primary") +
+          lit(rescoreWeight) * secondary, roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    rescored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * Term suggester — the ES `term` suggest: dictionary terms within
+   * `maxEdits` classic Levenshtein of the (analyzed) input term,
+   * EXCLUDING the term itself, ranked by (distance asc, df desc,
+   * suggestion asc) — closer corrections first, popularity breaks ties
+   * (the ES sort=score default collapses to this for the classic
+   * distance). Answered ENTIRELY from the term dictionary: one
+   * vocabulary-sized pass behind the length-window prefilter +
+   * threshold levenshtein ([[indexedFuzzyTopK]]'s expansion machinery,
+   * surfaced as a suggester); the corpus is never touched. df is exact
+   * after a build/compact (the [[indexedTopTerms]] caveat applies while
+   * appends/tombstones pend). Output `(suggestion, distance, df, rank)`.
+   */
+  def termSuggest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  term: String, maxEdits: Int = 2, n: Int = 5): DataFrame = {
+    require(maxEdits >= 1, "maxEdits must be >= 1")
+    require(n > 0, "n must be positive")
+    val t = term.toLowerCase(java.util.Locale.ROOT).trim
+    require(t.nonEmpty && !t.exists(_.isWhitespace),
+      s"term suggester takes ONE analyzed term: got '$term'")
+    val cand = termDictionary(spark, dir,
+        prefilter = Some(abs(length(col("term")) - lit(t.length))
+          <= lit(maxEdits)))
+      .select(col("term").as("suggestion"),
+        levenshtein(col("term"), lit(t), maxEdits).as("distance"),
+        col("df"))
+      .filter(col("distance") >= 1) // -1 = beyond maxEdits; 0 = the term
+    val cut = cand
+      .orderBy(col("distance").asc, col("df").desc, col("suggestion").asc)
+      .limit(n)
+    cut.withColumn("rank", row_number().over(
+        Window.orderBy(col("distance").asc, col("df").desc,
+          col("suggestion").asc)))
+      .select("suggestion", "distance", "df", "rank")
+  }
+
+  /**
+   * Completion suggester — the ES `completion` suggest, served from the
+   * term dictionary instead of a dedicated FST: dictionary terms
+   * carrying the prefix, by (df desc, suggestion asc) — the
+   * [[indexedTopTerms]] ranking restricted to a prefix (pushed BEFORE
+   * the dictionary aggregate). Output `(suggestion, df, rank)`; same
+   * exactness caveat as [[termSuggest]].
+   */
+  def completionSuggest(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, prefix: String, n: Int = 5): DataFrame = {
+    require(n > 0, "n must be positive")
+    val p = prefix.toLowerCase(java.util.Locale.ROOT).trim
+    require(p.nonEmpty, "empty prefix")
+    val cut = termDictionary(spark, dir,
+        prefilter = Some(col("term").startsWith(lit(p))))
+      .select(col("term").as("suggestion"), col("df"))
+      .orderBy(col("df").desc, col("suggestion").asc)
+      .limit(n)
+    cut.withColumn("rank", row_number().over(
+        Window.orderBy(col("df").desc, col("suggestion").asc)))
+      .select("suggestion", "df", "rank")
+  }
+
+  /**
+   * Significant terms over the MATCHED set — the ES `significant_terms`
+   * aggregation with the JLH heuristic: for each vocabulary term,
+   * fg% = (matched docs containing it) / |matched| and
+   * bg% = (corpus docs containing it) / N; terms with fg% > bg% score
+   * `(fg% − bg%) · fg%/bg%` (the published JLH form — absolute lift
+   * times relative lift), everything else is excluded. Output: top-N by
+   * (score desc, term asc), `(term, fg_df, bg_df, score)`, score rounded
+   * to `roundTo` (fixed arithmetic order — idf-style oracle-exactness).
+   * Query terms themselves are not excluded (ES behavior: they
+   * trivially dominate; callers filter if unwanted).
+   *
+   * Scale shape: ONE corpus pass — per doc, distinct tokens explode with
+   * a matched flag, then one partial+final aggregate on term gives
+   * (bg_df, fg_df) together; |matched| rides the same pass as a
+   * conditional count (a second bounded aggregate). The top-N cut is a
+   * distributed TakeOrdered over the vocabulary-sized score frame. No
+   * window, no per-term scans; the explode shuffles bare
+   * (term, flag) pairs — never text, never vectors.
+   */
+  def significantTermsFacet(docs: DataFrame, textCol: String, query: String,
+                            topN: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val matchedPred = matchedPredOf(docs, textCol, query)
+    val tok = tokens(col(textCol))
+    val base = docs.select(matchedPred.as("_m"),
+      explode(array_distinct(tok)).as("term"))
+    val counts = base.groupBy("term").agg(
+      count(lit(1)).as("bg_df"),
+      sum(when(col("_m"), 1L).otherwise(0L)).as("fg_df"))
+    val totals = docs.agg(count(lit(1)).as("_n"),
+      sum(when(matchedPred, 1L).otherwise(0L)).as("_fg")).head()
+    val n = totals.getLong(0)
+    val fgCount = totals.getLong(1)
+    require(fgCount > 0, s"no document matches '$query'")
+    // fixed arithmetic order: fgP, bgP, (fgP - bgP) * (fgP / bgP) — the
+    // oracle reproduces this exact sequence
+    val fgP = col("fg_df").cast("double") / lit(fgCount.toDouble)
+    val bgP = col("bg_df").cast("double") / lit(n.toDouble)
+    val scored = counts
+      .filter(col("fg_df") > 0 && fgP > bgP)
+      .select(col("term"), col("fg_df"), col("bg_df"),
+        round((fgP - bgP) * (fgP / bgP), roundTo).as("score"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(topN)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("term").asc)))
+      .select("term", "fg_df", "bg_df", "score", "rank")
+  }
+
+  /**
+   * Top hits per facet value — the ES `top_hits` sub-aggregation under a
+   * `terms` bucket: for each value of `facetCol`, the k best matched
+   * docs by the [[bm25TopK]] score law, `(value, doc_id, rank, score)`
+   * with ties to the smaller id. Null facet values are skipped (ES
+   * `missing` unconfigured).
+   *
+   * Scale shape: scoring is the map-only [[bm25TopK]] projection; the
+   * per-value cut is the bounded [[graft.functions.TopKAgg]] k-heap
+   * (≤ k rows per (task, value) map-side, ≤ k·tasks shuffled per value)
+   * — NOT a rank window, so a dominant facet value can never funnel a
+   * corpus-sized partition through one task (the bm25TopKBatch
+   * discipline keyed by facet value instead of query id).
+   */
+  def topHitsFacet(docs: DataFrame, textCol: String, query: String,
+                   idCol: String, facetCol: String, k: Int,
+                   params: Bm25Params = Bm25Params(),
+                   roundTo: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val stats = corpusStats(docs, textCol, terms)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val matched = terms.map(t => when(array_contains(tok, t), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = docs
+      .where(matched >= 1 && col(facetCol).isNotNull)
+      .select(col(facetCol).cast("string").as("value"),
+        col(idCol).as("doc_id"),
+        round(scoreCol(terms, stats, params, tok, dl), roundTo).as("score"))
+    scored.groupBy("value")
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("score")).as("ns"), col("doc_id")), k).as("_top"))
+      .select(col("value"), posexplode(col("_top")))
+      .select(col("value"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.ns")).as("score"))
+  }
+
+  /**
+   * ES pipeline aggregations over a (date-)histogram result:
+   * `cumulative_sum` (running doc total), `derivative` (docs − previous
+   * bucket's docs; null for the first bucket — the ES law), and a
+   * trailing `moving_fn` average over `window` buckets INCLUDING the
+   * current one, rounded to `roundTo`. Input: any `(bucket, docs)` frame
+   * ([[dateHistogramFacet]]/[[histogramFacet]] output); output adds
+   * `(cum_docs, deriv, mov_avg)`.
+   *
+   * The global-ordered window here is DELIBERATE and bounded: pipeline
+   * aggs run over the HISTOGRAM, whose row count is the calendar span /
+   * interval (presentation-sized), never the corpus — the single
+   * partition holds e.g. 365 rows for a year of days. The corpus-sized
+   * work already happened inside the histogram's partial+final count.
+   */
+  def pipelineAggs(hist: DataFrame, window: Int = 3,
+                   roundTo: Int = 4): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = Window.orderBy("bucket")
+    hist
+      .withColumn("cum_docs", sum(col("docs"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("deriv", col("docs") - lag(col("docs"), 1).over(w))
+      .withColumn("mov_avg", round(avg(col("docs"))
+        .over(w.rowsBetween(-(window - 1), Window.currentRow)), roundTo))
+  }
+
   /** [[dateHistogramFacet]] over the MATCHED set of a term query — the
     * aggs-under-a-query ES request shape (the [[histogramFacet]] filter
     * law on the time axis). */

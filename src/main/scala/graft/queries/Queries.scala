@@ -3797,6 +3797,321 @@ object Queries {
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.indexedCardinality(s, idx)
       }),
+
+    // ---- significant_terms (the ES aggregation, JLH heuristic): terms
+    //      over-represented in the MATCHED set vs the corpus background —
+    //      score = (fg% − bg%) · fg%/bg% for fg% > bg%, fixed arithmetic
+    //      order, round 6, ties to the smaller term. ONE corpus pass
+    //      (distinct tokens explode with a matched flag), the oracle
+    //      recomputes fg/bg dfs and the exact IEEE sequence from raw
+    //      text. ----
+    QueryDef("q124_significant_terms",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |m AS (
+             |  SELECT *, (list_contains(w, 'spark') OR list_contains(w, 'window')) AS mm
+             |  FROM docs),
+             |t AS (SELECT mm, unnest(list_distinct(w)) AS term FROM m),
+             |counts AS (
+             |  SELECT term, count(*)::BIGINT AS bg_df,
+             |    CAST(sum(CASE WHEN mm THEN 1 ELSE 0 END) AS BIGINT) AS fg_df
+             |  FROM t GROUP BY term),
+             |tot AS (
+             |  SELECT count(*)::DOUBLE AS n,
+             |    CAST(sum(CASE WHEN mm THEN 1 ELSE 0 END) AS DOUBLE) AS fg
+             |  FROM m)
+             |SELECT term, fg_df, bg_df, score, rank FROM (
+             |  SELECT term, fg_df, bg_df,
+             |    round((fg_df::DOUBLE / tot.fg - bg_df::DOUBLE / tot.n)
+             |          * ((fg_df::DOUBLE / tot.fg) / (bg_df::DOUBLE / tot.n)), 6) AS score,
+             |    row_number() OVER (
+             |      ORDER BY round((fg_df::DOUBLE / tot.fg - bg_df::DOUBLE / tot.n)
+             |          * ((fg_df::DOUBLE / tot.fg) / (bg_df::DOUBLE / tot.n)), 6) DESC,
+             |        term ASC) AS rank
+             |  FROM counts, tot
+             |  WHERE fg_df > 0
+             |    AND fg_df::DOUBLE / tot.fg > bg_df::DOUBLE / tot.n) x
+             |WHERE rank <= 10
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.significantTermsFacet(
+          t(s, dir, "documents"), "text", "spark window", topN = 10)
+        .orderBy("rank")),
+
+    // ---- top_hits under a terms bucket (the ES `top_hits`
+    //      sub-aggregation): per source, the 3 best matched docs by the
+    //      q86 BM25 law — per-value cut via the bounded TopKAgg heap
+    //      (never a corpus-sized rank window); the oracle IS the rank
+    //      window (fine at oracle scale). ----
+    QueryDef("q125_top_hits",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT source AS value, doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE (list_contains(w, 'spark') OR list_contains(w, 'window'))
+             |    AND source IS NOT NULL)
+             |SELECT value, doc_id, rank, score FROM (
+             |  SELECT value, doc_id, score,
+             |    row_number() OVER (PARTITION BY value
+             |                       ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 3
+             |ORDER BY value, rank""".stripMargin),
+      (s, dir) => graft.ext.Search.topHitsFacet(
+          t(s, dir, "documents"), "text", "spark window", "doc_id",
+          "source", k = 3)
+        .orderBy("value", "rank")),
+
+    // ---- pipeline aggregations over a date_histogram (the ES
+    //      cumulative_sum / derivative / moving_fn trio): running total,
+    //      bucket-over-bucket delta (null for the first bucket — the ES
+    //      law) and a trailing 3-bucket average over q120's daily click
+    //      histogram. The window runs over the HISTOGRAM (calendar-span
+    //      rows), never the corpus — the corpus-sized work happened in
+    //      the histogram's partial+final count. ----
+    QueryDef("q126_date_histogram_pipeline",
+      Some("""WITH h AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+             |    count(*) AS docs
+             |  FROM read_parquet('{SFDIR}/events.parquet')
+             |  WHERE event_type = 'click' AND ts IS NOT NULL
+             |  GROUP BY 1)
+             |SELECT bucket, docs,
+             |  CAST(sum(docs) OVER (ORDER BY bucket
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+             |  docs - lag(docs) OVER (ORDER BY bucket) AS deriv,
+             |  round(avg(docs) OVER (ORDER BY bucket
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+             |FROM h ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val hist = graft.ext.Search.dateHistogramFacet(t(s, dir, "events"),
+            "ts", "day", filter = Some(col("event_type") === "click"))
+          .select(col("bucket").cast("date").as("bucket"), col("docs"))
+        graft.ext.Search.pipelineAggs(hist, window = 3).orderBy("bucket")
+      }),
+
+    // ---- function_score (the ES score-reshaping request): BM25 ×
+    //      field_value_factor(ln1p) × gauss decay on n_chars — fold
+    //      order pinned (bm25, factor, decay — left-assoc), σ²
+    //      derived with the identical ln/div/mul sequence on both
+    //      engines, one final round. ----
+    QueryDef("q127_function_score",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, n_chars,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |     (ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)))
+             |    * ln(1 + 0.01 * coalesce(n_chars::DOUBLE, 0))
+             |    * exp((n_chars::DOUBLE - 400.0) * (n_chars::DOUBLE - 400.0)
+             |          / (-2.0 * (-(200.0 * 200.0) / (2.0 * ln(0.5))))), 4) AS score
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'spark') OR list_contains(w, 'window'))
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.functionScoreTopK(
+          t(s, dir, "documents"), "doc_id", "text", "spark window", k = 15,
+          fieldFactor = Some(("n_chars", 0.01)),
+          gaussDecay = Some(("n_chars", 400.0, 200.0, 0.5)))
+        .orderBy("rank")),
+
+    // ---- field collapse (the ES `collapse` request): at most one doc
+    //      per source — best by BM25, ties to smaller id — then the
+    //      global top-k of representatives. Spark side: per-value
+    //      TopKAgg 1-heap (no rank window); oracle: the rank window. ----
+    QueryDef("q128_collapse",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, source AS value, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE (list_contains(w, 'spark') OR list_contains(w, 'window'))
+             |    AND source IS NOT NULL),
+             |best AS (
+             |  SELECT doc_id, value, score FROM (
+             |    SELECT doc_id, value, score,
+             |      row_number() OVER (PARTITION BY value
+             |                         ORDER BY score DESC, doc_id) AS rn
+             |    FROM scored) WHERE rn = 1)
+             |SELECT doc_id, value, rank, score FROM (
+             |  SELECT doc_id, value, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM best) x
+             |WHERE rank <= 10
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.collapseTopK(
+          t(s, dir, "documents"), "doc_id", "text", "spark window",
+          "source", k = 10)
+        .orderBy("rank")),
+
+    // ---- rescore (the ES window rescorer): BM25 top-50 window,
+    //      combined = 1.0·primary + 2.0·phrase('fast key') over the
+    //      window only (0 when the phrase is absent), re-ranked top-10.
+    //      Component scores round before combining (they are the
+    //      operators' published outputs), combination rounds once. ----
+    QueryDef("q129_rescore",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'fast') THEN 1 ELSE 0 END)::DOUBLE AS df3,
+             |    sum(CASE WHEN list_contains(w, 'key') THEN 1 ELSE 0 END)::DOUBLE AS df4
+             |  FROM docs),
+             |primary_scored AS (
+             |  SELECT doc_id, w, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS p
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'spark') OR list_contains(w, 'window')),
+             |win AS (
+             |  SELECT doc_id, w, p FROM (
+             |    SELECT doc_id, w, p,
+             |      row_number() OVER (ORDER BY p DESC, doc_id) AS rn
+             |    FROM primary_scored) WHERE rn <= 50),
+             |resc AS (
+             |  SELECT doc_id, round(1.0 * p + 2.0 * (
+             |    CASE WHEN len(list_filter(range(1, len(w)),
+             |        i -> w[i] = 'fast' AND w[i+1] = 'key')) > 0
+             |    THEN round(
+             |      (ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |       + ln(1 + (st.n - st.df4 + 0.5) / (st.df4 + 0.5)))
+             |      * (len(list_filter(range(1, len(w)),
+             |            i -> w[i] = 'fast' AND w[i+1] = 'key'))::DOUBLE * (1.2 + 1.0))
+             |      / (len(list_filter(range(1, len(w)),
+             |            i -> w[i] = 'fast' AND w[i+1] = 'key'))::DOUBLE
+             |         + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4)
+             |    ELSE 0.0 END), 4) AS score
+             |  FROM win, st)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM resc) x
+             |WHERE rank <= 10
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.rescoreTopK(
+          t(s, dir, "documents"), "doc_id", "text", "spark window",
+          "fast key", k = 10, windowSize = 50, queryWeight = 1.0,
+          rescoreWeight = 2.0)
+        .orderBy("rank")),
+
+    // ---- term suggester (the ES `term` suggest): dictionary terms
+    //      within edit distance 2 of the typo 'slorw', closest first,
+    //      popularity then term breaking ties — answered from the
+    //      vocabulary-sized dictionary (fresh build -> exact dfs); the
+    //      oracle recounts per-term dfs from raw text. ----
+    QueryDef("q130_term_suggest",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |dt AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM docs),
+             |df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+             |cand AS (
+             |  SELECT term AS suggestion,
+             |    levenshtein(term, 'slorw')::INT AS distance, df
+             |  FROM df
+             |  WHERE levenshtein(term, 'slorw') BETWEEN 1 AND 2)
+             |SELECT suggestion, distance, df, rank FROM (
+             |  SELECT suggestion, distance, df,
+             |    row_number() OVER (ORDER BY distance, df DESC, suggestion) AS rank
+             |  FROM cand) x
+             |WHERE rank <= 5
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q130-suggest").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.termSuggest(s, idx, "slorw", maxEdits = 2, n = 5)
+          .orderBy("rank")
+      }),
+
+    // ---- completion suggester: s-prefixed dictionary terms by
+    //      (df desc, term asc) — indexedTopTerms restricted to a prefix
+    //      pushed before the dictionary aggregate. ----
+    QueryDef("q131_completion_suggest",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |dt AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM docs),
+             |df AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+             |SELECT suggestion, df, rank FROM (
+             |  SELECT term AS suggestion, df,
+             |    row_number() OVER (ORDER BY df DESC, term) AS rank
+             |  FROM df WHERE starts_with(term, 's')) x
+             |WHERE rank <= 5
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q131-complete").toString
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.completionSuggest(s, idx, "s", n = 5)
+          .orderBy("rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

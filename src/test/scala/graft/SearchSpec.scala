@@ -1661,6 +1661,189 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("significantTermsFacet: JLH law on a hand corpus — matched-only " +
+      "terms dominate, background-common terms excluded, no match refused") {
+    val docs = Seq(
+      (1L, "join zzz alpha"), (2L, "join zzz beta"),    // matched (join)
+      (3L, "noise alpha common"), (4L, "noise beta common"),
+      (5L, "noise common gamma"))
+      .toDF("doc_id", "text")
+    val got = Search.significantTermsFacet(docs, "text", "join", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    // zzz: fg 2/2 = 1.0 vs bg 2/5 = 0.4 -> (0.6)·(2.5) = 1.5 — the top
+    // (tied with 'join' itself at the same counts; 'join' < 'zzz' asc)
+    val byTerm = got.map(g => g._1 -> g).toMap
+    assert(byTerm("zzz")._4 === 1.5)
+    assert(byTerm("join")._4 === 1.5)
+    assert(got.head._1 === "join" && got(1)._1 === "zzz") // tie: term asc
+    // 'common' never matched -> fg_df 0 -> excluded; 'alpha' fg 1/2 = bg
+    // 2/5? 0.5 > 0.4 -> included but scores low
+    assert(!byTerm.contains("common"))
+    assert(byTerm("alpha")._4 < byTerm("zzz")._4)
+    intercept[IllegalArgumentException] {
+      Search.significantTermsFacet(docs, "text", "absentterm")
+    }
+  }
+
+  test("topHitsFacet: per-value top-k by the bm25 law, null facet " +
+      "skipped, bounded heap (no rank window in the plan)") {
+    val docs = Seq(
+      (1L, "join join join", "a"), (2L, "join join", "a"),
+      (3L, "join", "a"), (4L, "join join join join", "b"),
+      (5L, "join", null.asInstanceOf[String]), (6L, "nomatch", "a"))
+      .toDF("doc_id", "text", "source")
+    val got = Search.topHitsFacet(docs, "text", "join", "doc_id",
+      "source", k = 2)
+    val rows = got.orderBy("value", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // a: docs 1,2 by tf; b: doc 4; null and unmatched skipped
+    assert(rows.toSeq === Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 4L, 1)))
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "per-value cut must be the bounded TopKAgg heap, not a rank window")
+    // per-value scores agree with the global bm25 law (same stats)
+    val all = Search.bm25TopK(docs, "doc_id", "text", "join", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.collect().foreach { r =>
+      assert(r.getDouble(3) === all(r.getLong(1)), s"doc ${r.getLong(1)}")
+    }
+  }
+
+  test("pipelineAggs: cumulative/derivative/moving-average laws, null " +
+      "first derivative, trailing window includes current") {
+    val hist = Seq(("2024-01-01", 10L), ("2024-01-02", 30L),
+      ("2024-01-03", 20L), ("2024-01-04", 40L))
+      .toDF("bucket", "docs")
+    val got = Search.pipelineAggs(hist, window = 3).orderBy("bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 10L, 10L, None, 10.0),
+      ("2024-01-02", 30L, 40L, Some(20L), 20.0),
+      ("2024-01-03", 20L, 60L, Some(-10L), 20.0),
+      ("2024-01-04", 40L, 100L, Some(20L), 30.0)))
+  }
+
+  test("functionScoreTopK: gauss peaks at origin, ln1p factor, null " +
+      "field laws, boost modes, validation") {
+    val docs = Seq(
+      (1L, "join", 100.0), (2L, "join", 50.0), (3L, "join", 0.0),
+      (4L, "join", Double.NaN), (5L, "nomatch", 100.0))
+      .toDF("doc_id", "text", "v")
+      .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
+    // gauss only: peak at origin 100 -> doc 1 first; null v scores 1.0
+    // (> any off-origin decay) -> doc 4 ties doc 1 at bm25·1.0
+    val g = Search.functionScoreTopK(docs, "doc_id", "text", "join", k = 10,
+        gaussDecay = Some(("v", 100.0, 50.0, 0.5)))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(g.map(_._1).take(2).toSet === Set(1L, 4L)) // decay 1.0 both
+    assert(g.map(_._1).toSet === Set(1L, 2L, 3L, 4L)) // unmatched out
+    val byId = g.toMap
+    assert(byId(1L) === byId(4L))
+    assert(byId(2L) > byId(3L)) // 50 is closer to origin than 0
+    // field factor only: ln1p(0.1·v); null v -> factor 0 -> score 0
+    val f = Search.functionScoreTopK(docs, "doc_id", "text", "join", k = 10,
+        fieldFactor = Some(("v", 0.1)))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(f(1L) > f(2L) && f(2L) > f(3L))
+    assert(f(3L) === 0.0 && f(4L) === 0.0) // ln1p(0), null->0
+    // sum mode: score = bm25 + fn, so the zero-factor docs keep bm25
+    val sm = Search.functionScoreTopK(docs, "doc_id", "text", "join",
+        k = 10, fieldFactor = Some(("v", 0.1)), boostMode = "sum")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(sm(3L) > 0.0)
+    intercept[IllegalArgumentException] {
+      Search.functionScoreTopK(docs, "doc_id", "text", "join", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Search.functionScoreTopK(docs, "doc_id", "text", "join", k = 1,
+        fieldFactor = Some(("v", 1.0)), boostMode = "max")
+    }
+  }
+
+  test("collapseTopK: one representative per value (best score, id " +
+      "tie-break), null collapse skipped, no rank window") {
+    val docs = Seq(
+      (1L, "join join join", "a"), (2L, "join", "a"),
+      (3L, "join join", "b"), (4L, "join join", "b"),
+      (5L, "join join join join", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val got = Search.collapseTopK(docs, "doc_id", "text", "join",
+      "source", k = 10)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2)))
+    // a -> doc 1 (highest tf); b -> doc 3 (tie with 4, smaller id);
+    // doc 5's null group never appears
+    assert(rows.map(x => (x._1, x._2)).toSet === Set((1L, "a"), (3L, "b")))
+    assert(rows.find(_._1 == 1L).get._3 === 1) // global rank by score
+    // per-value best is the bounded heap + a TakeOrdered global cut; the
+    // only Window is the k-row rank assignment AFTER the cut
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("top_k") && plan.contains("TakeOrderedAndProject"),
+      plan)
+    assert(!plan.contains("row_number() windowspecdefinition(value"),
+      "per-value best must be the bounded heap, not a per-value rank window")
+  }
+
+  test("rescoreTopK: phrase lift reorders INSIDE the window only; " +
+      "window law keeps outsiders out; validation") {
+    // fillers carry the SAME dl as the real docs: BM25 length norm would
+    // otherwise rank a one-token 'join' doc above doc 2 and push it out
+    // of the window before the rescorer ever sees it
+    val filler = (100L to 160L).map(i => (i, "join x0 x1 x2 x3", "-"))
+    val docs = (Seq(
+      (1L, "join join join join join", "-"),   // top primary, no phrase
+      (2L, "join join join fast key", "-"),    // phrase match
+      (3L, "fast key fast key fast key", "-")) // phrase-rich, NO 'join'
+      ++ filler).toDF("doc_id", "text", "x")
+    // windowSize 5: docs 1,2 + 3 fillers; doc 3 never matched the query
+    // so it is not even in the primary ranking
+    val got = Search.rescoreTopK(docs, "doc_id", "text", "join",
+        "fast key", k = 5, windowSize = 5, rescoreWeight = 10.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.head._1 === 2L, "phrase lift must reorder the window")
+    assert(!got.map(_._1).contains(3L), "non-window doc re-entered")
+    // outside the window, phrase-matching doc stays out even at k bound:
+    // shrink window to 1 -> only the primary top survives rescoring
+    val w1 = Search.rescoreTopK(docs, "doc_id", "text", "join",
+        "fast key", k = 1, windowSize = 1, rescoreWeight = 10.0)
+      .collect().map(_.getLong(0))
+    assert(w1.toSeq === Seq(1L))
+    intercept[IllegalArgumentException] {
+      Search.rescoreTopK(docs, "doc_id", "text", "join", "fast key",
+        k = 10, windowSize = 5)
+    }
+  }
+
+  test("termSuggest: (distance, df desc, term) ranking from the " +
+      "dictionary, exact term excluded; completionSuggest == top terms " +
+      "under a prefix") {
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-suggest").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    val got = Search.termSuggest(spark, dir, "slorw", maxEdits = 2, n = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(3)))
+    // sf0.001 vocab: slow (d1), sort (d2) — ordered closest-first
+    assert(got.map(_._1).toSeq === Seq("slow", "sort"))
+    assert(got.map(_._2).toSeq === Seq(1, 2))
+    // the exact term never suggests itself
+    val self = Search.termSuggest(spark, dir, "slow", maxEdits = 2, n = 20)
+      .collect().map(_.getString(0))
+    assert(!self.contains("slow") && self.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Search.termSuggest(spark, dir, "two words")
+    }
+    // completion law: == indexedTopTerms restricted to the prefix
+    val comp = Search.completionSuggest(spark, dir, "s", n = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ref = Search.indexedTopTerms(spark, dir, n = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1.startsWith("s")).sortBy { case (t, df) => (-df, t) }
+      .take(10)
+    assert(comp.toSeq === ref.toSeq)
+  }
+
   test("cardinalityFacet: distinct over the MATCHED set only, nulls " +
       "uncounted; indexedCardinality exact through build+append") {
     val docs = Seq(
