@@ -54,7 +54,8 @@ object Main {
     "cardinality", "significant-terms", "top-hits", "pipeline-aggs",
     "collapse", "rescore-phrase", "rescore-window", "rescore-weight",
     "query-weight", "field-factor", "gauss-decay", "boost-mode",
-    "suggest-term", "suggest-prefix", "max-edits")
+    "suggest-term", "suggest-prefix", "max-edits",
+    "negative-query", "negative-boost")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -848,17 +849,21 @@ object Main {
           val rescoreOn = raw.contains("rescore-phrase")
           val fnScoreOn = raw.contains("field-factor") ||
             raw.contains("gauss-decay")
-          require(Seq(collapseOn, rescoreOn, fnScoreOn).count(identity) <= 1,
-            "--collapse, --rescore-phrase and " +
+          val boostingOn = raw.contains("negative-query")
+          require(!raw.contains("negative-boost") || boostingOn,
+            "--negative-boost needs --negative-query")
+          require(Seq(collapseOn, rescoreOn, fnScoreOn, boostingOn)
+              .count(identity) <= 1,
+            "--collapse, --rescore-phrase, --negative-query and " +
               "--field-factor/--gauss-decay are mutually exclusive " +
               "(one request type per search)")
-          require(!(collapseOn || rescoreOn || fnScoreOn) ||
+          require(!(collapseOn || rescoreOn || fnScoreOn || boostingOn) ||
               (queryOpt.isDefined && !hybridIndexed &&
                 !raw.contains("search-index") && !raw.contains("embeddings") &&
                 !raw.contains("fields") && !fuzzyOn && !prefixOn && !wildOn &&
                 !raw.contains("min-should-match")),
-            "--collapse/--rescore-phrase/--field-factor/--gauss-decay " +
-              "apply to a plain --query corpus scan only")
+            "--collapse/--rescore-phrase/--field-factor/--gauss-decay/" +
+              "--negative-query apply to a plain --query corpus scan only")
           require(Seq("rescore-window", "rescore-weight", "query-weight")
               .forall(f => !raw.contains(f) || rescoreOn),
             "--rescore-window/--rescore-weight/--query-weight need " +
@@ -973,6 +978,12 @@ object Main {
                     graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k,
                       minShouldMatch =
                         raw.getOrElse("min-should-match", "1").toInt)
+                  case (None, None) if boostingOn =>
+                    // ES `boosting` query: negative terms demote
+                    graft.ext.Search.boostingTopK(docs, idCol, textCol,
+                      query, raw("negative-query"), k,
+                      negativeBoost =
+                        raw.getOrElse("negative-boost", "0.5").toDouble)
                   case (None, None) if collapseOn =>
                     // ES `collapse`: one representative per field value
                     graft.ext.Search.collapseTopK(docs, idCol, textCol,

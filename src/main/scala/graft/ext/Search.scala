@@ -2414,6 +2414,47 @@ object Search {
   }
 
   /**
+   * Boosting query — the ES `boosting` request: documents matching the
+   * positive query rank by BM25, and documents ALSO matching ≥1
+   * negative term are DEMOTED (score × `negativeBoost`), not excluded —
+   * the difference from bool must_not. Negative-only docs never rank
+   * (no positive evidence). Law: positive score per [[bm25TopK]]
+   * (rounded — the published output), then the demotion multiplies and
+   * rounds once more; ties to the smaller id. Same map-only +
+   * TakeOrdered shape; the negative test is one more array_contains
+   * projection on the same token array.
+   */
+  def boostingTopK(docs: DataFrame, idCol: String, textCol: String,
+                   positive: String, negative: String, k: Int,
+                   negativeBoost: Double = 0.5,
+                   params: Bm25Params = Bm25Params(),
+                   roundTo: Int = 4): DataFrame = {
+    require(negativeBoost >= 0 && negativeBoost <= 1,
+      s"negativeBoost in [0,1]: got $negativeBoost")
+    val pTerms = queryTerms(positive)
+    val nTerms = queryTerms(negative)
+    require(pTerms.nonEmpty, "empty positive query")
+    require(nTerms.nonEmpty, "empty negative query")
+    val stats = corpusStats(docs, textCol, pTerms)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val matched = pTerms.map(t => when(array_contains(tok, t), 1)
+      .otherwise(0)).reduce(_ + _)
+    val negHit = nTerms.map(t => array_contains(tok, t)).reduce(_ || _)
+    val pos = round(scoreCol(pTerms, stats, params, tok, dl), roundTo)
+    val scored = docs
+      .where(matched >= 1)
+      .select(col(idCol).as("doc_id"),
+        round(when(negHit, pos * lit(negativeBoost)).otherwise(pos),
+          roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
    * Field collapse — the ES `collapse` request: at most ONE document per
    * value of `collapseCol` in the ranking (the best by the [[bm25TopK]]
    * score law, ties to the smaller id), then the global top-k of the

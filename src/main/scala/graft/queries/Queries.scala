@@ -4112,6 +4112,50 @@ object Queries {
         graft.ext.Search.completionSuggest(s, idx, "s", n = 5)
           .orderBy("rank")
       }),
+
+    // ---- boosting query (the ES `boosting` request): positive BM25
+    //      ranking with docs matching the negative query DEMOTED by
+    //      0.3 — not excluded (the must_not difference). Component
+    //      positive score rounds first (it is bm25TopK's published
+    //      output), the demotion rounds once more. ----
+    QueryDef("q132_boosting",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id,
+             |    round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS pos,
+             |    (list_contains(w, 'slow') OR list_contains(w, 'dup')) AS neg
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'spark') OR list_contains(w, 'window')),
+             |combined AS (
+             |  SELECT doc_id,
+             |    round(CASE WHEN neg THEN pos * 0.3 ELSE pos END, 4) AS score
+             |  FROM scored)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM combined) x
+             |WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.boostingTopK(
+          t(s, dir, "documents"), "doc_id", "text", "spark window",
+          "slow dup", k = 15, negativeBoost = 0.3)
+        .orderBy("rank")),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -1844,6 +1844,29 @@ class SearchSpec extends SparkSpec {
     assert(comp.toSeq === ref.toSeq)
   }
 
+  test("boostingTopK: negative terms DEMOTE, never exclude; " +
+      "negative-only docs never rank; boost bounds enforced") {
+    val docs = Seq(
+      (1L, "join join"), (2L, "join join slow"),
+      (3L, "slow slow"), (4L, "join"))
+      .toDF("doc_id", "text")
+    val got = Search.boostingTopK(docs, "doc_id", "text", "join", "slow",
+      k = 10, negativeBoost = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val byId = got.toMap
+    // doc 2 matched 'slow' -> demoted but PRESENT; doc 3 (negative only)
+    // absent; demotion is exactly x0.5 of its positive score
+    assert(got.map(_._1).toSet === Set(1L, 2L, 4L))
+    val pos = Search.bm25TopK(docs, "doc_id", "text", "join", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(2L) === math.rint(pos(2L) * 0.5 * 1e4) / 1e4)
+    assert(byId(1L) === pos(1L))
+    intercept[IllegalArgumentException] {
+      Search.boostingTopK(docs, "doc_id", "text", "join", "slow", k = 1,
+        negativeBoost = 1.5)
+    }
+  }
+
   test("cardinalityFacet: distinct over the MATCHED set only, nulls " +
       "uncounted; indexedCardinality exact through build+append") {
     val docs = Seq(
