@@ -43,6 +43,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // temp-dir hygiene (round-13 finding: 12 createTempDirectory sites,
+    // zero deletions — a disk-full truncated an r12 capture, and the
+    // residue's page-cache/disk pressure polluted entries downstream of
+    // the 10M tier). Every bench temp dir registers here; `drainTmp()`
+    // runs between sections (an index dir can outlive its creating lambda
+    // — annCurve's top1 re-reads it — so per-section draining is the
+    // earliest safe point), and the end-of-main finally guarantees zero
+    // graft-bench-* residue even on a crash.
+    val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def newTmp(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      tmpDirs += d
+      d
+    }
+    def rmrf(path: String): Unit = try {
+      import java.nio.file.{Files, Paths, Path}
+      val root = Paths.get(path)
+      if (Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cleanup failed for $path: ${e.getMessage}") }
+    def drainTmp(): Unit = { tmpDirs.foreach(rmrf); tmpDirs.clear() }
+    sys.addShutdownHook(drainTmp())
+
     // per-entry GC + JIT accounting (BASELINE.md round 7: the 1M tier swings
     // 2-4x run-to-run and the fixed-heap experiment disproved the
     // heap-growth hypothesis — so instead of re-running configurations
@@ -79,12 +106,25 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     }
 
-    // "only1m" (arg 2): run JUST the 1M scale tier — the fixed-heap
-    // experiment (BASELINE.md round 7) showed -Xms=-Xmx+AlwaysPreTouch
-    // stabilizes the 1M entries but evicts the page cache under the query
-    // suite; this mode gets the stable ANN numbers without that tax:
+    // tier (arg 2) — the suite grew past what a closing-capture window
+    // fits (958 -> 1685 s in round 13), so heavy tiers gate explicitly:
+    //   full   (default): everything, search_index_10m runs LAST
+    //   quick : query suite + sink + scans only (< 10 min) — no ANN
+    //           curves, no neardup, no 1M/10M tiers
+    //   skip1m: queries + curves + neardup, no 1M/10M tiers
+    //   no10m : everything except the 10M decade entry
+    //   only1m: JUST the 1M+10M scale tiers — the fixed-heap experiment
+    //           (BASELINE.md round 7) showed -Xms=-Xmx+AlwaysPreTouch
+    //           stabilizes the 1M entries but evicts the page cache under
+    //           the query suite; this mode gets stable ANN numbers without
+    //           that tax:
     //   java -Xms64g -Xmx64g -XX:+AlwaysPreTouch ... graft.Bench <sf> only1m
-    val only1m = args.lift(1).contains("only1m")
+    val tier = args.lift(1).getOrElse("full")
+    require(Set("full", "quick", "skip1m", "no10m", "only1m")(tier),
+      s"unknown bench tier '$tier' (full|quick|skip1m|no10m|only1m)")
+    val only1m = tier == "only1m"
+    // curve/neardup sections (10k-40k rows): everything but quick/only1m
+    val runCurves = !only1m && tier != "quick"
     val results =
       if (only1m) Seq.empty
       else Queries.all.map { q =>
@@ -95,7 +135,7 @@ object Bench {
 
     // end-to-end sink pipeline (scan -> docs -> es_shard -> bundle write),
     // measured for both bundle formats
-    val sinkDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
+    val sinkDir = newTmp("graft-bench-sink")
     def sinkDocsDf = DocTransform.docs(Tables.load(spark, sfDir, "lineitem")
       .withColumn("li_id", org.apache.spark.sql.functions.concat_ws("-",
         org.apache.spark.sql.functions.col("l_orderkey"),
@@ -155,6 +195,8 @@ object Bench {
       spark.read.parquet(s"$sinkDir/bench_idx_col/data")
         .agg(fsum("l_extendedprice")).write.mode("overwrite").format("noop").save()
     }
+
+    drainTmp() // sink bundle dirs: last read by the scan entries above
 
     // ANN recall/latency curves: every method's top-1 against brute-force
     // ground truth. Two corpora: "uniform" = the testdata embeddings (iid
@@ -238,7 +280,7 @@ object Bench {
     }
     import org.apache.spark.sql.functions.col
     val uniformCurve =
-      if (only1m) Seq.empty[(String, Double, Double)]
+      if (!runCurves) Seq.empty[(String, Double, Double)]
       else annCurve(Tables.load(spark, sfDir, "embeddings"), col("vec_id") % 20 === 0,
         tag = "uniform")
     // deterministic clustered corpus: 10k vectors, 64-dim, 100 centers,
@@ -259,7 +301,7 @@ object Bench {
     // cluster 0 — recall became a single-cluster coin flip and the PQ
     // entries swung 1.0 <-> 0.48 across otherwise-equivalent code layouts.
     val clusteredCurve =
-      if (only1m) Seq.empty[(String, Double, Double)]
+      if (!runCurves) Seq.empty[(String, Double, Double)]
       else annCurve(clusteredEmb, col("vec_id") < 100, tag = "clustered")
     // attribute-filtered ANN on a persisted index, fixed 0.5 selectivity:
     // the filtered path pushes the predicate into the probed cell scan and
@@ -270,13 +312,12 @@ object Bench {
     // splits every cluster 50/50 — geometry-INDEPENDENT, so the number
     // isolates the filtered path (id%2 would make whole clusters
     // single-label, turning the metric into a cross-cluster probe test).
-    val annFilteredJson: String = if (only1m) "{}" else recordDiag("ann_index_filtered") { try {
+    val annFilteredJson: String = if (!runCurves) "{}" else recordDiag("ann_index_filtered") { try {
       import graft.ext.Similarity
       val emb = clusteredEmb
         .withColumn("label", ((col("vec_id") / 100) % 2).cast("int")).cache()
       emb.count()
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-bench-annidx-filtered").toString
+      val dir = newTmp("graft-bench-annidx-filtered")
       val t0 = System.nanoTime()
       Similarity.buildIndex(emb, "vec_id", "embedding", dir,
         nlist = 50, kmeansIters = 2, m = 8, k = 16, payloadCols = Seq("label"))
@@ -306,6 +347,8 @@ object Bench {
       f"""{"rows":10000,"selectivity":0.5,"build_sec":$buildSec%.3f,"query_sec":$plainSec%.3f,"filtered_query_sec":$filteredSec%.3f,"recall":${recall(plain, truthPlain)}%.3f,"filtered_recall":${recall(filtered, truthFiltered)}%.3f}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] filtered ann failed: ${e.getMessage}"); "{}" } }
+    drainTmp() // filtered-ann index dir
+
     // embedding near-dup at scale: all-pairs brute vs LSH prefilter + exact
     // verify on the same clustered corpus (10k rows -> brute is 50M pairs;
     // LSH joins only bucket collisions). recall = |lsh| / |brute| since the
@@ -327,8 +370,8 @@ object Bench {
       f"""{"rows":$n,"brute_sec":$tB%.3f,"lsh_sec":$tL%.3f,"brute_pairs":$bruteCnt,"lsh_pairs":$lshCnt,"recall":$rec%.3f}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] neardup failed: ${e.getMessage}"); "{}" } }
-    val neardupJson = if (only1m) "{}" else neardupAt("neardup")(clusteredEmb)
-    val neardupBigJson = if (only1m) "{}" else {
+    val neardupJson = if (!runCurves) "{}" else neardupAt("neardup")(clusteredEmb)
+    val neardupBigJson = if (!runCurves) "{}" else {
       val rnd = new scala.util.Random(43)
       val dim = 64
       val centers = Array.fill(800)(Array.fill(dim)(rnd.nextGaussian()))
@@ -349,7 +392,8 @@ object Bench {
     // No driver-side materialization — the same shape generates 1e9 rows on
     // a real cluster. Reported separately from `total` like the other
     // recall sections.
-    val run1m = !args.lift(1).contains("skip1m")
+    val run1m = !Set("skip1m", "quick")(tier)
+    val run10m = run1m && tier != "no10m"
     import org.apache.spark.sql.functions.udf
     val dim1m = 64
     // clustered ANN corpus: cluster = id % 20k (50 rows/cluster), center
@@ -397,7 +441,7 @@ object Bench {
         tag = "clustered_1m",
         onTruth = t => truth1m = t,
         extra = Seq("ivf_pq_index" -> { (queries, emb, nlist, nprobe) =>
-          val dir = java.nio.file.Files.createTempDirectory("graft-bench-annidx").toString
+          val dir = newTmp("graft-bench-annidx")
           val t0 = System.nanoTime()
           graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", dir,
             nlist = nlist, kmeansIters = 2, m = 8, k = 16)
@@ -414,7 +458,7 @@ object Bench {
         // footprint path (cells are PQ codes, no vectors) — same results as
         // the full index, cells bytes reported alongside for the contrast
         "ivf_pq_index_lean" -> { (queries, emb, nlist, nprobe) =>
-          val dir = java.nio.file.Files.createTempDirectory("graft-bench-annidx-lean").toString
+          val dir = newTmp("graft-bench-annidx-lean")
           val t0 = System.nanoTime()
           graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", dir,
             nlist = nlist, kmeansIters = 2, m = 8, k = 16, storeVectors = false)
@@ -437,6 +481,8 @@ object Bench {
         // entry above. The residual ADC ordering improvement is pinned
         // where it is resolvable (SimilaritySpec: twin top-1 7/8 vs 3/8).
         repeats = 3)
+    drainTmp() // the 1M curve's six ivf_pq_index(+lean) dirs (3 repeats each)
+
     // near-dup at 1M: brute all-pairs is 5e11 dots — physically off the
     // table, which is the point. Ground truth comes from PLANTED clones
     // instead: ids with id%20==19 are jittered copies of id-1 (cosine
@@ -532,8 +578,8 @@ object Bench {
         val nlist1m = math.max(4, (math.sqrt(1000000.0) / 2).round.toInt)
         val shortlist = 64
         def layout(residual: Boolean): (Double, Double, Double) = {
-          val dir = java.nio.file.Files.createTempDirectory(
-            s"graft-bench-shortlist-${if (residual) "res" else "raw"}").toString
+          val dir = newTmp(
+            s"graft-bench-shortlist-${if (residual) "res" else "raw"}")
           val t0 = System.nanoTime()
           graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", dir,
             nlist = nlist1m, kmeansIters = 2, m = 8, k = 16,
@@ -561,6 +607,8 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq shortlist 1m failed: ${e.getMessage}"); "{}" } }
 
+
+    drainTmp() // shortlist raw/res index dirs
 
     // trainer-export tier at 1M docs: packing's counts-only assignment and
     // the temperature mix's two-phase prefix cap, both on deterministic
@@ -658,16 +706,14 @@ object Bench {
                     i -> concat('w', pmod(xxhash64(id, i), 100))), ' ')""")
             .as("text")).repartition(64).cache()
         docs.count()
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-bench-bm25idx").toString
+        val dir = newTmp("graft-bench-bm25idx")
         val buildSec = time {
           graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text", dir,
             buckets = 64)
         }
         // the positional-off knob: a BM25-only corpus reclaims the ~2x
         // positional build tax (same corpus, positions skipped)
-        val dirNopos = java.nio.file.Files
-          .createTempDirectory("graft-bench-bm25nopos").toString
+        val dirNopos = newTmp("graft-bench-bm25nopos")
         val buildNoposSec = time {
           graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text",
             dirNopos, buckets = 64, positional = false)
@@ -711,6 +757,8 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bm25 index 1m failed: ${e.getMessage}"); "{}" } }
 
+    drainTmp() // bm25idx + bm25nopos dirs
+
     // indexed fuzzy at the 1M tier: the term-dictionary payoff — a
     // typo-tolerant query answered from vocabulary expansion + pruned
     // postings vs the two-full-scan relaxed path. Realistic vocab
@@ -725,8 +773,7 @@ object Bench {
                     i -> concat('w', pmod(xxhash64(id, i), 5000))), ' ')""")
             .as("text")).repartition(64).cache()
         docs.count()
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-bench-fuzzyidx").toString
+        val dir = newTmp("graft-bench-fuzzyidx")
         val buildSec = time {
           graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text", dir,
             buckets = 64)
@@ -755,59 +802,8 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fuzzy index 1m failed: ${e.getMessage}"); "{}" } }
 
-    // the 10M decade: indexed BM25 + fuzzy query times at 10M rows vs a
-    // 1M twin with the SAME per-term posting-list profile (vocabulary
-    // scales with the corpus — 5k terms at 1M, 50k at 10M — so a query
-    // term's df is ~10k docs at BOTH tiers). The claim under measurement,
-    // now measured rather than argued: indexed query cost scales with the
-    // POSTINGS TOUCHED (Σ df of the query terms + a vocabulary-sized
-    // dictionary pass for fuzzy), not with corpus size — query times must
-    // be flat across the decade while the corpus (and build) are 10×.
-    // positional = false on both: bm25/fuzzy never read positions and the
-    // build halves (the knob bm25_index_1m carries as build_nopos_sec).
-    val searchIndex10mJson: String =
-      if (!run1m) "{}"
-      else recordDiag("search_index_10m") { try {
-        import org.apache.spark.sql.functions.expr
-        def corpus(n: Long, vocab: Int) =
-          spark.range(n).select(col("id").as("doc_id"),
-            expr(s"""array_join(transform(
-                      sequence(1, cast(30 + pmod(xxhash64(id), 40) as int)),
-                      i -> concat('w', pmod(xxhash64(id, i), $vocab))), ' ')""")
-              .as("text")).repartition(64)
-        def buildAt(n: Long, vocab: Int, tag: String): (String, Double) = {
-          val docs = corpus(n, vocab).cache(); docs.count()
-          val dir = java.nio.file.Files
-            .createTempDirectory(s"graft-bench-sidx$tag").toString
-          val sec = time {
-            graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text", dir,
-              buckets = 64, positional = false)
-          }
-          docs.unpersist()
-          (dir, sec)
-        }
-        val (dir1m, build1mSec) = buildAt(1000000L, 5000, "1m")
-        val (dir10m, build10mSec) = buildAt(10000000L, 50000, "10m")
-        def med3(f: => Unit): Double = {
-          val secs = (1 to 3).map(_ => time(f)); secs.sorted.apply(1)
-        }
-        // same df profile at both tiers: each term ~ n/vocab · avg tf
-        val bm1m = med3 { graft.ext.Search
-          .indexedBm25TopK(spark, dir1m, "w123 w4567", k = 10).count(); () }
-        val bm10m = med3 { graft.ext.Search
-          .indexedBm25TopK(spark, dir10m, "w123 w4567", k = 10).count(); () }
-        // fuzzy pays the vocabulary-sized dictionary pass on top: 10× the
-        // vocabulary — the entry records how much of the query is
-        // dictionary-bound vs postings-bound across the decade
-        val fz1m = med3 { graft.ext.Search
-          .indexedFuzzyTopK(spark, dir1m, "w123", k = 10, fuzziness = 1)
-          .count(); () }
-        val fz10m = med3 { graft.ext.Search
-          .indexedFuzzyTopK(spark, dir10m, "w123", k = 10, fuzziness = 1)
-          .count(); () }
-        f"""{"rows_small":1000000,"rows_big":10000000,"build_1m_sec":$build1mSec%.3f,"build_10m_sec":$build10mSec%.3f,"bm25_q_1m_sec":$bm1m%.3f,"bm25_q_10m_sec":$bm10m%.3f,"fuzzy_q_1m_sec":$fz1m%.3f,"fuzzy_q_10m_sec":$fz10m%.3f,"k":10,"runs":3}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] search index 10m failed: ${e.getMessage}"); "{}" } }
+
+    drainTmp() // fuzzyidx dir
 
     // standing-index HYBRID search at the 1M tier (the serving-loop
     // shape): postings index + ANN index over the same corpus, then the
@@ -829,8 +825,7 @@ object Bench {
                     / 1000.0)""").as("embedding"))
           .repartition(64).cache()
         docs.count()
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-bench-hybrid").toString
+        val root = newTmp("graft-bench-hybrid")
         val bmBuildSec = time {
           graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text",
             s"$root/bm25", buckets = 64)
@@ -863,6 +858,8 @@ object Bench {
         f"""{"rows":1000000,"bm25_build_sec":$bmBuildSec%.3f,"ann_build_sec":$annBuildSec%.3f,"query_sec":$qMed%.3f,"scan_sec":$scanSec%.3f,"k":10,"top10_overlap_vs_scan":$agree,"runs":3}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] hybrid index 1m failed: ${e.getMessage}"); "{}" } }
+
+    drainTmp() // hybrid bm25+ann root
 
     // streaming carry-packing at the 1M tier: the same corpus arrives as 4
     // micro-batches of 250k docs (REAL token arrays this time — the carry
@@ -963,7 +960,7 @@ object Bench {
       else recordDiag("pipeline_1m") { try {
         import org.apache.spark.sql.functions.{concat, expr, length => flength, pmod, when, xxhash64}
         val n = 1000000L
-        val pipeRoot = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
+        val pipeRoot = newTmp("graft-bench-pipe")
         val textGen = expr(
           "concat_ws(' ', transform(sequence(1, cast(30 + pmod(xxhash64(b), 40) as int)), " +
             "j -> CASE WHEN pmod(xxhash64(b, j), 2) = 0 " +
@@ -1023,7 +1020,7 @@ object Bench {
       else recordDiag("pipeline_full_1m") { try {
         import org.apache.spark.sql.functions.{concat, expr, length => flength, pmod, when, xxhash64}
         val n = 1000000L
-        val pipeRoot = java.nio.file.Files.createTempDirectory("graft-bench-pipefull").toString
+        val pipeRoot = newTmp("graft-bench-pipefull")
         val textGen = expr(
           "concat_ws(' ', transform(sequence(1, cast(30 + pmod(xxhash64(b), 40) as int)), " +
             "j -> CASE WHEN pmod(xxhash64(b, j), 2) = 0 " +
@@ -1083,6 +1080,95 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline full 1m failed: ${e.getMessage}"); "{}" } }
 
+    // the 10M decade: indexed BM25 + fuzzy query times at 10M rows vs a
+    // 1M twin with the SAME per-term posting-list profile (vocabulary
+    // scales with the corpus — 5k terms at 1M, 50k at 10M — so a query
+    // term's df is ~10k docs at BOTH tiers). The claim under measurement,
+    // now measured rather than argued: indexed query cost scales with the
+    // POSTINGS TOUCHED (Σ df of the query terms + a vocabulary-sized
+    // dictionary pass for fuzzy), not with corpus size — query times must
+    // be flat across the decade while the corpus (and build) are 10×.
+    // positional = false on both: bm25/fuzzy never read positions and the
+    // build halves (the knob bm25_index_1m carries as build_nopos_sec).
+    // Runs LAST in the suite (round-13 finding: its ~10× index IO ran
+    // mid-suite and deterministically polluted hybrid_index_1m's build —
+    // 27.9 s band -> 98.5 s in both captures — via page-cache/disk
+    // pressure; no entry reads the caches it dirties when it runs last).
+    // Incremental maintenance across the decade rides here too: append
+    // the last 1M docs to a 9M index vs the full 10M rebuild — the
+    // append path re-reads NO existing postings (new-rows shuffle + terms
+    // delta + stats merge), so append_1m_sec must track the 1M build,
+    // not the 10M one.
+    val searchIndex10mJson: String =
+      if (!run10m) "{}"
+      else recordDiag("search_index_10m") { try {
+        import org.apache.spark.sql.functions.expr
+        def corpus(n: Long, vocab: Int) =
+          spark.range(n).select(col("id").as("doc_id"),
+            expr(s"""array_join(transform(
+                      sequence(1, cast(30 + pmod(xxhash64(id), 40) as int)),
+                      i -> concat('w', pmod(xxhash64(id, i), $vocab))), ' ')""")
+              .as("text")).repartition(64)
+        def buildAt(n: Long, vocab: Int, tag: String): (String, Double) = {
+          val docs = corpus(n, vocab).cache(); docs.count()
+          val dir = newTmp(s"graft-bench-sidx$tag")
+          val sec = time {
+            graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text", dir,
+              buckets = 64, positional = false)
+          }
+          docs.unpersist()
+          (dir, sec)
+        }
+        val (dir1m, build1mSec) = buildAt(1000000L, 5000, "1m")
+        val (dir10m, build10mSec) = buildAt(10000000L, 50000, "10m")
+        def med3(f: => Unit): Double = {
+          val secs = (1 to 3).map(_ => time(f)); secs.sorted.apply(1)
+        }
+        // same df profile at both tiers: each term ~ n/vocab · avg tf
+        val bm1m = med3 { graft.ext.Search
+          .indexedBm25TopK(spark, dir1m, "w123 w4567", k = 10).count(); () }
+        val bm10m = med3 { graft.ext.Search
+          .indexedBm25TopK(spark, dir10m, "w123 w4567", k = 10).count(); () }
+        // fuzzy pays the vocabulary-sized dictionary pass on top: 10× the
+        // vocabulary — the entry records how much of the query is
+        // dictionary-bound vs postings-bound across the decade
+        val fz1m = med3 { graft.ext.Search
+          .indexedFuzzyTopK(spark, dir1m, "w123", k = 10, fuzziness = 1)
+          .count(); () }
+        val fz10m = med3 { graft.ext.Search
+          .indexedFuzzyTopK(spark, dir10m, "w123", k = 10, fuzziness = 1)
+          .count(); () }
+        // incremental build: 9M base + 1M append == the 10M corpus (same
+        // generator ids, same 50k vocabulary => identical postings modulo
+        // file layout). The append exercises the terms-first crash
+        // ordering at this size; the query identity check pins that the
+        // incrementally-built index serves the same top-k.
+        val (dir9m, build9mSec) = buildAt(9000000L, 50000, "9m")
+        val appendDocs = spark.range(9000000L, 10000000L)
+          .select(col("id").as("doc_id"),
+            expr(s"""array_join(transform(
+                      sequence(1, cast(30 + pmod(xxhash64(id), 40) as int)),
+                      i -> concat('w', pmod(xxhash64(id, i), 50000))), ' ')""")
+              .as("text")).repartition(64).cache()
+        appendDocs.count()
+        val append1mSec = time {
+          graft.ext.Search.appendToPostingsIndex(appendDocs, "doc_id",
+            "text", dir9m)
+        }
+        appendDocs.unpersist()
+        val appendTop = graft.ext.Search
+          .indexedBm25TopK(spark, dir9m, "w123 w4567", k = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        val rebuildTop = graft.ext.Search
+          .indexedBm25TopK(spark, dir10m, "w123 w4567", k = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        val appendIdentical = appendTop == rebuildTop
+        f"""{"rows_small":1000000,"rows_big":10000000,"build_1m_sec":$build1mSec%.3f,"build_10m_sec":$build10mSec%.3f,"bm25_q_1m_sec":$bm1m%.3f,"bm25_q_10m_sec":$bm10m%.3f,"fuzzy_q_1m_sec":$fz1m%.3f,"fuzzy_q_10m_sec":$fz10m%.3f,"build_9m_sec":$build9mSec%.3f,"append_1m_sec":$append1mSec%.3f,"append_equals_rebuild":$appendIdentical,"k":10,"runs":3}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] search index 10m failed: ${e.getMessage}"); "{}" } }
+
+    drainTmp()
+
     val annJson = s"""{"uniform":${curveJson(uniformCurve)},"clustered":${curveJson(clusteredCurve)},"clustered_1m":${curveJson(ann1mCurve)}}"""
 
     val all = results :+ ("sink_bundle" -> sinkSec) :+
@@ -1119,7 +1205,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"bm25_index_1m":$bm25Index1mJson,"fuzzy_index_1m":$fuzzyIndex1mJson,"search_index_10m":$searchIndex10mJson,"hybrid_index_1m":$hybridIndex1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","tier":"$tier","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"bm25_index_1m":$bm25Index1mJson,"fuzzy_index_1m":$fuzzyIndex1mJson,"search_index_10m":$searchIndex10mJson,"hybrid_index_1m":$hybridIndex1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

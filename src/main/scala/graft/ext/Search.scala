@@ -91,10 +91,22 @@ object Search {
    * scores round to `roundTo` decimals (the q24 determinism convention).
    * Only docs matching ≥ `minShouldMatch` DISTINCT terms are ranked (the
    * ES `minimum_should_match` knob; default 1 = the plain OR match).
+   *
+   * `searchAfter` = the ES `search_after` keyset cursor: the (score,
+   * doc_id) sort values of the LAST hit of the previous page. The page
+   * keeps only docs strictly after that key in (score desc, doc_id asc)
+   * order, so page-2-of-k == rows k+1..2k of a single-shot top-2k,
+   * hash-exact — and unlike offset pagination the cursor filter rides
+   * the same map-only scan + TakeOrdered (deep pages never sort more
+   * than k rows per partition). The comparison uses the ROUNDED score —
+   * the published sort key — so a cursor copied from a previous page's
+   * output row paginates exactly. `rank` restarts at 1 per page (ES
+   * returns hits, not global ranks).
    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, query: String,
                k: Int, params: Bm25Params = Bm25Params(),
-               roundTo: Int = 4, minShouldMatch: Int = 1): DataFrame = {
+               roundTo: Int = 4, minShouldMatch: Int = 1,
+               searchAfter: Option[(Double, Any)] = None): DataFrame = {
     require(minShouldMatch >= 1, "minShouldMatch must be >= 1")
     val terms = queryTerms(query)
     require(terms.nonEmpty, "empty query")
@@ -107,6 +119,7 @@ object Search {
       .where(matched >= minShouldMatch)
       .select(col(idCol).as("doc_id"),
         round(scoreCol(terms, stats, params, tok, dl), roundTo).as("score"))
+      .transform(afterFilter(searchAfter))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
     // rank assignment runs over ≤ k rows (bounded), AFTER the distributed
@@ -354,6 +367,17 @@ object Search {
   private def inSet(c: Column, s: Seq[String]): Column =
     if (s.isEmpty) lit(false) else c.isin(s: _*)
 
+  /** The `search_after` keyset predicate over the (score desc, doc_id
+    * asc) sort: keep rows strictly after the cursor. Compares the
+    * ROUNDED score (the published sort key), so a cursor copied from a
+    * previous page's output row resumes exactly. */
+  private def afterFilter(after: Option[(Double, Any)])
+                         (scored: DataFrame): DataFrame = after match {
+    case Some((s, id)) => scored.where(col("score") < lit(s) ||
+      (col("score") === lit(s) && col("doc_id") > lit(id)))
+    case None => scored
+  }
+
   /** [[relaxedTopK]] answered from a persisted postings index — the
     * shared machinery of [[indexedFuzzyTopK]] / [[indexedPrefixTopK]].
     * Bit-identical to the scan path (when `maxExpansions` does not bind):
@@ -387,8 +411,15 @@ object Search {
     // cheap test runs BEFORE the dictionary aggregate — candidate terms,
     // not the whole vocabulary, pay the df shuffle and the exact
     // (DP-levenshtein/regex) predicate. Purely an optimization: `cheap`
-    // must be implied by `pred`, so the match set is unchanged.
-    val pre = terms.flatMap(t => cheap(col("term"), t)).reduceOption(_ || _)
+    // must be implied by `pred`, so the match set is unchanged — BUT the
+    // dictionary is shared by ALL terms, so the OR is only a valid
+    // prefilter when EVERY term contributed a cheap condition; a term
+    // with no cheap test (e.g. a leading-`*` wildcard) must see the full
+    // vocabulary, so the prefilter is dropped entirely in that case.
+    val cheaps = terms.map(t => cheap(col("term"), t))
+    val pre =
+      if (cheaps.forall(_.isDefined)) cheaps.flatten.reduceOption(_ || _)
+      else None
     val dict = termDictionary(spark, dir, pre)
     // expansion: a (prefiltered-)vocabulary-sized filter per query term,
     // one bounded collect (the expansion is at most vocabulary-sized; cap
@@ -1161,7 +1192,8 @@ object Search {
   def indexedBm25TopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                       query: String, k: Int,
                       params: Bm25Params = Bm25Params(),
-                      roundTo: Int = 4, minShouldMatch: Int = 1): DataFrame = {
+                      roundTo: Int = 4, minShouldMatch: Int = 1,
+                      searchAfter: Option[(Double, Any)] = None): DataFrame = {
     require(minShouldMatch >= 1, "minShouldMatch must be >= 1")
     val terms = queryTerms(query)
     require(terms.nonEmpty, "empty query")
@@ -1201,6 +1233,7 @@ object Search {
     val scored = grouped
       .where(matchedTerms >= minShouldMatch)
       .select(col("doc_id"), round(score, roundTo).as("score"))
+      .transform(afterFilter(searchAfter))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
     scored.withColumn("rank",
@@ -1771,18 +1804,23 @@ object Search {
     val (nDocs, totalTokens, buckets) = readStats(spark, dir)
     val avgdl = totalTokens.toDouble / nDocs
     val allTerms = (distinctFixed ++ expansion).distinct.sorted
+    // positional-schema check FIRST (it needs only the postings schema,
+    // not the expansion): a non-positional index must refuse loudly even
+    // when the prefix matches no vocabulary term — an empty result from
+    // an index that could never serve the query would mask the misuse
+    val schemaProbe = prunedPostings(spark, dir, Seq(" "), buckets)
+    require(schemaProbe.schema.fieldNames.contains("positions"),
+      s"postings index at $dir stores no positions (built with " +
+        "positional = false, or predating the positional schema): rebuild " +
+        "with positional postings to serve phrase-prefix queries")
     if (expansion.isEmpty)
       // no vocabulary term carries the prefix — empty result, typed off
       // the index's own postings schema (the indexedRelaxedTopK trick)
-      return prunedPostings(spark, dir, Seq(" "), buckets)
+      return schemaProbe
         .where(lit(false))
         .select(col("doc_id"), lit(0).cast("int").as("rank"),
           lit(0.0).as("score"))
     val pruned = prunedPostings(spark, dir, allTerms, buckets)
-    require(pruned.schema.fieldNames.contains("positions"),
-      s"postings index at $dir stores no positions (built with " +
-        "positional = false, or predating the positional schema): rebuild " +
-        "with positional postings to serve phrase-prefix queries")
     // exact fixed dfs + relaxed prefix df in ONE bounded aggregate over
     // the pruned, post-tombstone postings
     val dfRow = pruned.agg(count(lit(1)).as("_n"),
@@ -2398,10 +2436,16 @@ object Search {
         when(v.isNull, lit(1.0)).otherwise(
           exp((v - lit(origin)) * (v - lit(origin)) / lit(-2.0 * sigma2)))
       }).flatten
-    val fnProduct = fns.reduce(_ * _)
     val qScore = scoreCol(terms, stats, params, tok, dl)
+    // multiply mode folds LEFT from the query score — ((bm25 × f1) × f2)
+    // — matching the documented "bm25, then field factor, then decay"
+    // association and the oracle's evaluation order exactly (IEEE
+    // multiplication is non-associative; the fold order is part of the
+    // contract). sum mode keeps ES score_mode=multiply semantics:
+    // qScore + (f1 × f2).
     val combined =
-      if (boostMode == "multiply") qScore * fnProduct else qScore + fnProduct
+      if (boostMode == "multiply") fns.foldLeft(qScore)(_ * _)
+      else qScore + fns.reduce(_ * _)
     val scored = docs
       .where(matched >= 1)
       .select(col(idCol).as("doc_id"),

@@ -4156,6 +4156,58 @@ object Queries {
           t(s, dir, "documents"), "doc_id", "text", "spark window",
           "slow dup", k = 15, negativeBoost = 0.3)
         .orderBy("rank")),
+
+    // ---- search_after keyset pagination (the ES deep-pagination law:
+    //      page 2 fetched with the last hit's (score, doc_id) cursor ==
+    //      rows 11..20 of the single-shot top-20, hash-exact). The Spark
+    //      side REALLY paginates — top-10 first, cursor = its last row,
+    //      then a second query with the keyset filter; the oracle takes
+    //      rank 11..20 of one global ranking and renumbers. rank restarts
+    //      per page (ES returns hits, not global ranks). ----
+    QueryDef("q133_search_after",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df3
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'merge'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'merge'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'merge') OR list_contains(w, 'spark')
+             |     OR list_contains(w, 'window'))
+             |SELECT doc_id, (grank - 10)::INT AS rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS grank
+             |  FROM scored) x
+             |WHERE grank BETWEEN 11 AND 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val page1 = graft.ext.Search.bm25TopK(docs, "doc_id", "text",
+            "spark window merge", k = 10)
+          .orderBy("rank").collect()
+        val cursor = (page1.last.getDouble(2), page1.last.getLong(0))
+        graft.ext.Search.bm25TopK(docs, "doc_id", "text",
+            "spark window merge", k = 10, searchAfter = Some(cursor))
+          .orderBy("rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

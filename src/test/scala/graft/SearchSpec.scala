@@ -1263,6 +1263,15 @@ class SearchSpec extends SparkSpec {
       Search.indexedPhraseTopK(spark, dir, "merge spark", k = 5).collect()
     }
     assert(e.getMessage.contains("positions"))
+    // phrase-prefix must refuse loudly EVEN when the prefix expansion is
+    // empty (regression: the typed-empty early return used to run before
+    // the positional-schema check, silently returning nothing from an
+    // index that could never serve the query)
+    val e2 = intercept[IllegalArgumentException] {
+      Search.indexedPhrasePrefixTopK(spark, dir,
+        "merge zzzznosuchprefix", k = 5).collect()
+    }
+    assert(e2.getMessage.contains("positions"))
     // compaction preserves the flavor and the results
     Search.compactPostingsIndex(spark, dir)
     assert(Search.indexFlavor(spark, dir) === Some(false))
@@ -1561,6 +1570,61 @@ class SearchSpec extends SparkSpec {
     val single = Search.indexedBm25TopK(spark, dir, topS, k = 25)
       .collect().toSeq
     assert(capped === single)
+    // MIXED leading-wildcard: '*dow' has no literal prefix so it must see
+    // the FULL vocabulary — the 's*m' term's cheap prefilter must not be
+    // applied to the shared dictionary (regression: the OR-of-Some
+    // prefilter filtered the vocabulary to s-terms and '*dow' silently
+    // missed 'window', breaking bit-identity)
+    val scanMixed = Search.wildcardTopK(docs, "doc_id", "text", "s*m *dow",
+      k = 25).collect().toSeq
+    val idxMixed = Search.indexedWildcardTopK(spark, dir, "s*m *dow",
+      k = 25, maxExpansions = 0).collect().toSeq
+    assert(idxMixed === scanMixed)
+    // and the leading-wildcard term really contributes matches (the bug
+    // made this expansion empty, so an === on two empty seqs can't pass
+    // vacuously): '*dow' alone must hit the docs containing 'window'
+    val onlyLead = Search.indexedWildcardTopK(spark, dir, "*dow", k = 25,
+      maxExpansions = 0).collect().toSeq
+    assert(onlyLead.nonEmpty)
+    assert(onlyLead === Search.wildcardTopK(docs, "doc_id", "text", "*dow",
+      k = 25).collect().toSeq)
+  }
+
+  test("search_after keyset pagination: pages partition the single-shot " +
+      "ranking exactly; indexed == scan; cursor from the published row") {
+    val docs = sf("sf0.001", "documents")
+    val q = "spark window merge"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val all30 = rows(Search.bm25TopK(docs, "doc_id", "text", q, k = 30))
+    // three 10-row pages, each cursor copied from the PREVIOUS page's
+    // last published row — pages must tile the single-shot ranking
+    var cursor: Option[(Double, Any)] = None
+    val paged = (1 to 3).flatMap { _ =>
+      val page = rows(Search.bm25TopK(docs, "doc_id", "text", q, k = 10,
+        searchAfter = cursor))
+      cursor = Some((page.last._2, page.last._1))
+      page
+    }
+    assert(paged === all30)
+    // indexed path: same law, bit-identical to the scan pages
+    val dir = java.nio.file.Files.createTempDirectory("graft-sa-idx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    var icursor: Option[(Double, Any)] = None
+    val ipaged = (1 to 3).flatMap { _ =>
+      val page = rows(Search.indexedBm25TopK(spark, dir, q, k = 10,
+        searchAfter = icursor))
+      icursor = Some((page.last._2, page.last._1))
+      page
+    }
+    assert(ipaged === all30)
+    // a cursor past the last match yields an empty page, not an error
+    val tail = rows(Search.bm25TopK(docs, "doc_id", "text", q, k = 10,
+      searchAfter = Some((all30.last._2, all30.last._1))))
+    val deepAll = rows(Search.bm25TopK(docs, "doc_id", "text", q, k = 100000))
+    val after30 = deepAll.drop(30).take(10)
+    assert(tail === after30) // continues exactly where page 3 ended
   }
 
   test("phrasePrefixTopK: last-slot prefix law on a hand corpus, " +
