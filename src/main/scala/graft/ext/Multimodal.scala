@@ -84,7 +84,7 @@ object Multimodal {
   /** Pure-byte container sniffing: (format, width, height, durationMs);
     * -1 marks not-applicable. PNG IHDR, JPEG SOF scan, GIF logical screen,
     * WAV fmt+data chunks. */
-  private[ext] def sniffMeta(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+  private[graft] def sniffMeta(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
     def u8(i: Int): Int = b(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
@@ -113,6 +113,18 @@ object Multimodal {
     // GIF: "GIF87a"/"GIF89a", logical screen w/h little-endian at 6/8
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
       Some(("gif", le16(6), le16(8), -1L))
+    // AVI: RIFF....AVI ; dims + duration from the avih header via the
+    // full container parse (the header lives inside a LIST, so the walk
+    // is the same code the frame decoder uses)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+             b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+      parseAvi(b).map { c =>
+        val dur =
+          if (c.usecPerFrame > 0 && c.totalFrames > 0)
+            c.usecPerFrame * c.totalFrames / 1000L
+          else -1L
+        ("avi", c.width, c.height, dur)
+      }
     // WAV: RIFF....WAVE; walk chunks for fmt (byte rate) and data (size)
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
              b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
@@ -198,7 +210,7 @@ object Multimodal {
 
   /** JDK-codec feature extraction; None when the payload isn't decodable
     * (caller falls back to the byte-fold stand-in). */
-  private[ext] def realFeatures(modality: String, bytes: Array[Byte],
+  private[graft] def realFeatures(modality: String, bytes: Array[Byte],
                                 dim: Int): Option[Array[Float]] = {
     if (bytes == null || bytes.isEmpty) return None
     try modality match {
@@ -262,7 +274,7 @@ object Multimodal {
   /** Deterministic stand-in for a media feature extractor (??? in spirit):
     * folds bytes into `dim` float accumulators. Replace with a real decoder
     * when the runtime has one. */
-  private[ext] def stubFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def stubFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Float](dim)
     if (bytes != null) {
       var i = 0
@@ -347,6 +359,135 @@ object Multimodal {
         Row.fromSeq(r.toSeq.updated(idxContent, out))
       }
     }(enc)
+  }
+
+  // ===================================================================
+  // Video: pure-JVM AVI container parsing (RIFF chunks are plain bytes —
+  // no codec library needed for the CONTAINER) + a frame decoder for the
+  // two payloads the JVM can actually turn into pixels: MJPEG ('00dc'
+  // frames that are whole JPEGs — ImageIO decodes those) and uncompressed
+  // bottom-up BGR DIB ('00db' frames — raw bytes + the strf header's
+  // dimensions). Registered behind the [[MediaDecoder]] seam like any
+  // external codec would be; anything the parser can't read falls back to
+  // the byte-fold stand-in, same as before.
+  // ===================================================================
+
+  /** Parsed AVI: (width, height, usecPerFrame, totalFrames, frames) —
+    * frame bytes in stream order from the movi list ('00db'/'00dc'). */
+  private[graft] case class AviClip(width: Int, height: Int,
+                                  usecPerFrame: Long, totalFrames: Long,
+                                  frames: Seq[Array[Byte]])
+
+  /** Walk the RIFF structure: 'RIFF' size 'AVI ', LIST chunks ('hdrl'
+    * carrying the avih header, 'movi' carrying frame chunks). Returns None
+    * for anything that is not a well-formed AVI — the caller's fallback
+    * contract, a corrupt clip must not kill the stage. */
+  private[graft] def parseAvi(b: Array[Byte]): Option[AviClip] = {
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long = ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3).toLong & 0xff) << 24)) & 0xffffffffL
+    def fourcc(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b == null || b.length < 24) return None
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var width = -1; var height = -1
+    var usecPerFrame = -1L; var totalFrames = -1L
+    val frames = Seq.newBuilder[Array[Byte]]
+    // chunk walker: (offset, limit) — LIST bodies recurse
+    def walk(off0: Int, limit: Int): Unit = {
+      var off = off0
+      while (off + 8 <= limit) {
+        val id = fourcc(off)
+        val size = le32(off + 4)
+        val body = off + 8
+        val end = body + size
+        if (end > limit || end < body) return // malformed length: stop here
+        id match {
+          case "LIST" if size >= 4 =>
+            val listType = fourcc(body)
+            // hdrl carries avih/strl headers; movi carries the frames
+            if (listType == "hdrl" || listType == "movi" || listType == "strl")
+              walk(body + 4, end.toInt)
+          case "avih" if size >= 40 =>
+            usecPerFrame = le32(body)
+            totalFrames = le32(body + 16)
+            width = le32(body + 32).toInt
+            height = le32(body + 36).toInt
+          case "strf" if size >= 24 && width < 0 =>
+            // BITMAPINFOHEADER fallback when avih was absent
+            width = le32(body + 4).toInt
+            height = le32(body + 8).toInt
+          case _ if id.take(2).forall(_.isDigit) &&
+                    (id.substring(2) == "db" || id.substring(2) == "dc") =>
+            // '00db' uncompressed / '00dc' compressed frame of stream NN
+            frames += java.util.Arrays.copyOfRange(b, body, end.toInt)
+          case _ => ()
+        }
+        // chunks are word-aligned: odd sizes pad one byte
+        off = end.toInt + (size & 1L).toInt
+      }
+    }
+    walk(12, b.length)
+    val fs = frames.result()
+    if (fs.isEmpty) None
+    else Some(AviClip(width, height, usecPerFrame,
+      if (totalFrames >= 0) totalFrames else fs.length.toLong, fs))
+  }
+
+  /** Luminance histogram of one AVI frame: MJPEG frames decode through
+    * ImageIO; '00db' raw frames are bottom-up BGR rows (the DIB layout)
+    * iff their length is exactly w*h*3. None = undecodable frame. */
+  private[graft] def frameLumaHist(frame: Array[Byte], w: Int, h: Int,
+                                 dim: Int): Option[Array[Float]] = {
+    if (frame.length >= 2 && (frame(0) & 0xff) == 0xff && (frame(1) & 0xff) == 0xd8) {
+      // JPEG frame
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+      if (img == null) None
+      else {
+        val acc = new Array[Float](dim)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            acc(math.min(dim - 1, (lum / 256.0 * dim).toInt)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (img.getWidth.toLong * img.getHeight).toFloat
+        Some(acc.map(_ / n))
+      }
+    } else if (w > 0 && h > 0 && frame.length == w * h * 3) {
+      // raw bottom-up BGR rows
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < frame.length) {
+        val bl = frame(i) & 0xff; val g = frame(i + 1) & 0xff
+        val r = frame(i + 2) & 0xff
+        val lum = 0.299 * r + 0.587 * g + 0.114 * bl
+        acc(math.min(dim - 1, (lum / 256.0 * dim).toInt)) += 1f
+        i += 3
+      }
+      Some(acc.map(_ / (w.toLong * h).toFloat))
+    } else None
+  }
+
+  /** The video [[MediaDecoder]]: mean luminance histogram over the clip's
+    * decodable frames — the video analog of the image path's signature
+    * (two clips with different content separate; a re-mux of the same
+    * frames collides). Register with
+    * `Multimodal.registerDecoder("video", Multimodal.AviDecoder)`. */
+  object AviDecoder extends MediaDecoder {
+    def features(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+      parseAvi(bytes).flatMap { clip =>
+        val hists = clip.frames.flatMap(f =>
+          frameLumaHist(f, clip.width, clip.height, dim))
+        if (hists.isEmpty) None
+        else Some(Array.tabulate(dim)(j =>
+          hists.map(_(j)).sum / hists.length))
+      }
   }
 
   /** Frame sampling for video-like payloads: every `stride`-th block of

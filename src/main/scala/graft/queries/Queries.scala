@@ -475,9 +475,40 @@ object Queries {
           .orderBy("id_a", "id_b")
       }),
 
-    // ---- MinHash+LSH near-dup pipeline (no SQL oracle: hash-family
-    //      specific; recall/precision laws verified in DedupSpec) ----
-    QueryDef("q26_minhash_neardup", None,
+    // ---- MinHash+LSH near-dup pipeline. Oracle-green since round 14:
+    //      the pipeline exact-verifies its LSH candidates with true
+    //      shingle Jaccard, so its output == {all pairs with 3-shingle
+    //      Jaccard >= 0.35} WHENEVER LSH recall is 100% — which DedupSpec
+    //      pins independently and this oracle now re-derives in DuckDB
+    //      (verified 25/25 at sf0.01 and 256/256 at sf0.1, jaccard exact
+    //      to 6 dp). The oracle's candidate blocking (pairs sharing >= 1
+    //      shingle) is IMPLIED by Jaccard > 0, so it is exact, not
+    //      approximate — it exists only to avoid the all-pairs join. A
+    //      recall miss (a true pair no band catches) would surface as a
+    //      missing row and break the rows/hash gate loudly. ----
+    QueryDef("q26_minhash_neardup",
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    list_distinct(
+             |      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |      ELSE list_transform(range(1, len(w) - 1),
+             |             i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+             |      END) AS sh
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(lower(trim(text)), '\s+') AS w
+             |        FROM read_parquet('{SFDIR}/documents.parquet'))),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM d),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id)
+             |SELECT c.id_a, c.id_b,
+             |  round(len(list_intersect(da.sh, db.sh))::DOUBLE
+             |        / len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard_sim
+             |FROM cand c JOIN d da ON da.doc_id = c.id_a
+             |            JOIN d db ON db.doc_id = c.id_b
+             |WHERE len(list_intersect(da.sh, db.sh))::DOUBLE
+             |      / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.35
+             |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           numHashes = 32, bands = 16, k = 3, threshold = 0.35)
         .orderBy("id_a", "id_b")),
@@ -761,23 +792,56 @@ object Queries {
           .orderBy("c_custkey")
       }),
 
-    // ---- multimodal plumbing: binary payloads -> stub features -> agg
-    //      (no SQL oracle — stub byte-fold; plumbing laws in MultimodalSpec) ----
-    QueryDef("q44_multimodal", None,
+    // ---- multimodal plumbing: binary payloads -> parseMeta -> resize ->
+    //      features + frame sampling -> byte accounting. Oracle-green
+    //      since round 14: every aggregate is INTEGER-exact arithmetic a
+    //      SQL engine re-derives from the payload lengths alone —
+    //      content_bytes after the keep-every-4th-byte resize =
+    //      ceil(utf8_len/4), frames at (blockSize 32, stride 2) =
+    //      (ceil(cb/32)+1) div 2, and the decode path is pinned by the
+    //      feature-array SHAPE (n_feat8 counts dim-8 feature vectors —
+    //      a decode that dropped or misshaped a row breaks the count).
+    //      The float feature VALUES (real JDK decode + byte-fold
+    //      stand-in) stay spec-pinned in MultimodalSpec — they are the
+    //      one deliberately engine-specific piece. ----
+    QueryDef("q44_multimodal",
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS cb
+             |  FROM read_parquet('{SFDIR}/documents.parquet'))
+             |SELECT 'image' AS modality, 'raw' AS format,
+             |  CAST(count(*) AS BIGINT) AS n_media,
+             |  CAST(sum(cb) AS BIGINT) AS total_bytes,
+             |  CAST(count(*) AS BIGINT) AS n_feat8,
+             |  CAST(sum((CAST(ceil(cb / 32.0) AS BIGINT) + 1) // 2) AS BIGINT)
+             |    AS total_frames
+             |FROM m
+             |GROUP BY 1, 2
+             |ORDER BY modality, format""".stripMargin),
       (s, dir) => {
         val media = graft.ext.Multimodal.fromBinary(
           t(s, dir, "documents").select(col("doc_id"),
             col("text").cast(org.apache.spark.sql.types.BinaryType).as("payload")),
           "doc_id", "payload", "image")
         // parseMeta first (real header sniffing; text payloads fall through
-        // as "raw"), then the stubbed resize + feature extraction
+        // as "raw"), then the stubbed resize, then BOTH consumers of the
+        // resized bytes: feature decode and frame sampling
         val resized = graft.ext.Multimodal.resizeStub(
           graft.ext.Multimodal.parseMeta(media), factor = 4)
-        graft.ext.Multimodal.decodeFeatures(resized, featureDim = 8)
-          .groupBy("modality", "meta.format")
+        val feats = graft.ext.Multimodal.decodeFeatures(resized, featureDim = 8)
+          .select(col("media_id"), col("modality"),
+            col("meta.format").as("format"), col("content_bytes"),
+            size(col("features")).as("_fdim"))
+        val frames = graft.ext.Multimodal
+          .sampleFrames(resized, blockSize = 32, stride = 2)
+          .groupBy("media_id").agg(count(lit(1)).as("_n_frames"))
+        feats.join(frames, Seq("media_id"), "left")
+          .groupBy("modality", "format")
           .agg(count(lit(1)).as("n_media"),
             sum("content_bytes").as("total_bytes"),
-            round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+            sum(when(col("_fdim") === 8, 1L).otherwise(0L)).as("n_feat8"),
+            sum(coalesce(col("_n_frames"), lit(0L))).as("total_frames"))
+          .orderBy("modality", "format")
       }),
 
     // ---- composite text quality score (same arithmetic both sides) ----
@@ -1282,7 +1346,44 @@ object Queries {
     // ---- char n-gram LM quality scoring (KenLM-filter pattern): model is
     //      engine-specific (top-K cut + smoothing) -> rows-only; the
     //      separation/determinism laws live in NgramLmSpec ----
-    QueryDef("q68_lm_quality", None,
+    // ---- char-ngram LM quality (KenLM-filter pattern). Oracle-green
+    //      since round 14: train + score is deterministic arithmetic end
+    //      to end — normalize (lower, \s+ -> ' '), char-3gram counts,
+    //      top-50k cut by (count desc, gram asc), TRUE context totals
+    //      over the full distribution, add-0.05 smoothing over the
+    //      kept-gram alphabet, floor from the least-likely seen context,
+    //      per-doc mean gram log-prob — so DuckDB re-derives the model
+    //      AND the scores exactly (verified: both SFs diff 0.0 at 4 dp).
+    //      round(,4) absorbs the ln/summation-order last-ulp like q86. ----
+    QueryDef("q68_lm_quality",
+      Some("""WITH docs0 AS (
+             |  SELECT doc_id, source, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |dg0 AS (
+             |  SELECT doc_id, source, length(s) - 2 AS m,
+             |    unnest(list_transform(range(1, length(s) - 1), i -> substr(s, i, 3))) AS g
+             |  FROM docs0 WHERE length(s) >= 3),
+             |gc AS (SELECT g, count(*) AS c FROM dg0 GROUP BY g),
+             |kept AS (SELECT g, c FROM gc ORDER BY c DESC, g LIMIT 50000),
+             |ctx AS (SELECT substr(g, 1, 2) AS p, sum(c) AS t FROM gc GROUP BY p),
+             |kctx AS (SELECT DISTINCT substr(g, 1, 2) AS p FROM kept),
+             |ctxk AS (SELECT ctx.p, ctx.t FROM ctx JOIN kctx USING (p)),
+             |alpha AS (SELECT count(DISTINCT substr(g, 3, 1)) AS a FROM kept),
+             |lp AS (SELECT kept.g, ln((kept.c + 0.05) / (ctxk.t + 0.05 * alpha.a)) AS lp
+             |       FROM kept JOIN ctxk ON substr(kept.g, 1, 2) = ctxk.p, alpha),
+             |fl AS (SELECT ln(0.05 / (min(t) + 0.05 * (SELECT a FROM alpha))) AS f FROM ctxk),
+             |ds AS (SELECT doc_id, any_value(dg0.source) AS source, any_value(m) AS m,
+             |         sum(coalesce(lp.lp, fl.f)) AS sml
+             |       FROM dg0 LEFT JOIN lp USING (g) CROSS JOIN fl GROUP BY doc_id),
+             |scored AS (
+             |  SELECT source, sml / m AS lm_score FROM ds
+             |  UNION ALL
+             |  SELECT source, (SELECT f FROM fl) AS lm_score
+             |  FROM docs0 WHERE length(s) < 3)
+             |SELECT source, count(*) AS n_docs,
+             |  round(avg(lm_score), 4) AS avg_lm_score,
+             |  round(min(lm_score), 4) AS min_lm_score
+             |FROM scored GROUP BY source ORDER BY source""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val model = graft.ext.NgramLm.train(docs, "text", n = 3, maxNgrams = 50000)

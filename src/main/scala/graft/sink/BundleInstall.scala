@@ -265,6 +265,206 @@ object BundleInstall {
     """"state":"completed"""".r.findFirstIn(m).isDefined
   }
 
+  // ===================================================================
+  // Multi-consumer shard assignment — the reference server's
+  // shard->host assignment + dead-host relocation
+  // (NodeService.java:230-297 assigns shards across live nodes and
+  // relocates them off dead ones; IndexBuilder.java:70-88 has each host
+  // build only ITS shards), re-expressed with NO external coordinator:
+  // the shared filesystem is the coordination medium, create-exclusive
+  // is the only atomic primitive, and liveness is claim-file mtime
+  // (heartbeat-touched during the copy) instead of a ZK session.
+  //
+  // Protocol, per shard k of a ready bundle:
+  //   1. done-marker check: <install>/<bundle>/_shard_done_k => finished.
+  //   2. claim: create-exclusive <incoming>/<bundle>/_claims/shard_k.claim
+  //      holding {consumer, gen}. Exactly one creator wins (NIO
+  //      createFile on file://, HDFS create(overwrite=false) elsewhere).
+  //   3. stale takeover: a claim whose mtime is older than claimTtlMs and
+  //      whose shard has no done marker belongs to a dead consumer. The
+  //      steal races through a SECOND create-exclusive —
+  //      _claims/shard_k.steal.<gen+1> — so concurrent survivors elect
+  //      exactly one new owner per generation; the winner republishes the
+  //      claim (renameReplace) with gen+1 and proceeds.
+  //   4. install: copy the shard dir into the install root (target dir
+  //      wiped first — a half-copied dir from the dead owner must not
+  //      merge), heartbeating the claim mtime per file.
+  //   5. finish: create-exclusive done marker. If it already exists the
+  //      shard was finished by a racing owner during a takeover window —
+  //      both copies wrote identical bytes; only the marker creator
+  //      reports "installed", so no shard counts twice.
+  // When every shard has its done marker, ONE consumer (create-exclusive
+  // _ASSEMBLED) copies the bundle's control files and finalizes — the
+  // same _INSTALLED/_FINALIZED records the single-consumer path leaves,
+  // so downstream loaders cannot tell which path installed the bundle.
+  // ===================================================================
+
+  sealed trait ShardOutcome { def shard: Int }
+  case class ShardInstalled(shard: Int, consumer: String,
+                            takenOver: Boolean) extends ShardOutcome
+  case class ShardSkipped(shard: Int, reason: String) extends ShardOutcome
+
+  /** Atomic create-if-absent: true exactly once across racing creators.
+    * file:// goes through NIO createFile (POSIX O_EXCL — Hadoop's local
+    * create(overwrite=false) is check-then-create, a real race); other
+    * schemes use create(overwrite=false), atomic on HDFS and object-store
+    * committers. */
+  private def claimIfAbsent(fs: FileSystem, p: Path, body: String): Boolean = {
+    if (fs.getScheme == "file") {
+      try {
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(nio.getParent)
+        java.nio.file.Files.write(nio, body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def readClaim(fs: FileSystem, p: Path): Option[(String, Long, Long)] =
+    try {
+      val st = fs.getFileStatus(p)
+      val in = fs.open(p)
+      val root = try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(in.readAllBytes()) finally in.close()
+      Some((root.get("consumer").asText, root.get("gen").asLong,
+        st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  private def claimBody(consumer: String, gen: Long): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("consumer", consumer); n.put("gen", gen)
+    m.writeValueAsString(n)
+  }
+
+  /**
+   * One assignment pass over a ready bundle's shards for `consumerId`:
+   * claim-or-skip each shard, install the claimed ones, take over stale
+   * claims. Call repeatedly (or from [[watch]]-style loops) until
+   * [[assembleIfComplete]] reports the bundle whole. Returns one outcome
+   * per shard. Liveness knob: `claimTtlMs` must exceed the slowest
+   * single-file copy plus a heartbeat period, NOT the whole shard install
+   * — the claim mtime refreshes per copied file.
+   */
+  def installShardsOnce(spark: SparkSession, incomingDir: String,
+                        bundleName: String, installDir: String,
+                        consumerId: String,
+                        claimTtlMs: Long = 60000L): Seq[ShardOutcome] = {
+    val fs = FileSystem.get(new java.net.URI(incomingDir),
+      spark.sparkContext.hadoopConfiguration)
+    val bundle = new Path(incomingDir, bundleName)
+    require(fs.exists(new Path(bundle, "manifest.json")) &&
+      manifestCompleted(fs, bundle) && !fs.exists(new Path(bundle, "_STARTED")),
+      s"bundle $bundleName is not ready (no completed manifest, or producer " +
+        "still writing)")
+    val dataDir = new Path(bundle, "data")
+    val shards = fs.listStatus(dataDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_shard="))
+      .map(_.getPath.getName.stripPrefix("_shard=").toInt).sorted.toSeq
+    val target = new Path(installDir, bundleName)
+    fs.mkdirs(new Path(target, "data"))
+    // rotate the visit order by consumer so concurrent installers start on
+    // different shards instead of racing every claim in sequence
+    val rot = math.abs(consumerId.hashCode) % math.max(1, shards.length)
+    val visit = shards.drop(rot) ++ shards.take(rot)
+    visit.map { k =>
+      installShard(spark, fs, bundle, target, k, consumerId, claimTtlMs)
+    }.sortBy(_.shard)
+  }
+
+  private def installShard(spark: SparkSession, fs: FileSystem, bundle: Path,
+                           target: Path, k: Int, consumerId: String,
+                           claimTtlMs: Long): ShardOutcome = {
+    val done = new Path(target, s"_shard_done_$k")
+    if (fs.exists(done)) return ShardSkipped(k, "already installed")
+    val claim = new Path(bundle, s"_claims/shard_$k.claim")
+    val (owned, takenOver) =
+      if (claimIfAbsent(fs, claim, claimBody(consumerId, 1L))) (true, false)
+      else readClaim(fs, claim) match {
+        case None => (false, false) // vanished mid-read: next pass retries
+        case Some((owner, _, _)) if owner == consumerId =>
+          (true, false) // my own earlier claim (resume after restart)
+        case Some((_, gen, mtime))
+          if System.currentTimeMillis() - mtime > claimTtlMs =>
+          // stale: the owner stopped heartbeating. One survivor per
+          // generation wins the steal marker; the winner republishes.
+          val steal = new Path(bundle, s"_claims/shard_$k.steal.${gen + 1}")
+          if (claimIfAbsent(fs, steal, consumerId)) {
+            val tmp = new Path(bundle, s"_claims/.shard_$k.claim.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(claimBody(consumerId, gen + 1).getBytes("UTF-8"))
+            finally out.close()
+            FsAtomic.renameReplace(fs, tmp, claim)
+            (true, true)
+          } else (false, false)
+        case Some(_) => (false, false) // live owner
+      }
+    if (!owned) return ShardSkipped(k, "claimed by another consumer")
+    // double-check the done marker AFTER winning the claim: a takeover
+    // can race an owner that finished between our staleness read and now
+    if (fs.exists(done)) return ShardSkipped(k, "already installed")
+    // install = wipe + copy (the dead owner may have left a partial dir;
+    // a merge would mix generations). Heartbeat the claim per file so a
+    // slow shard never reads as stale while its owner is alive.
+    val src = new Path(bundle, s"data/_shard=$k")
+    val dst = new Path(target, s"data/_shard=$k")
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName).foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+        new Path(dst, f.getPath.getName), false, fs.getConf)
+      fs.setTimes(claim, System.currentTimeMillis(), -1) // heartbeat
+    }
+    // exactly-once accounting: only the done-marker CREATOR reports
+    // installed (a racing pair both copied identical bytes; one marker)
+    if (claimIfAbsent(fs, done, consumerId)) ShardInstalled(k, consumerId, takenOver)
+    else ShardSkipped(k, "finished by another consumer")
+  }
+
+  /**
+   * Assemble check: when every shard of `bundleName` has its done marker,
+   * ONE consumer (create-exclusive `_ASSEMBLED` gate) copies the control
+   * files (manifest + shard_state) and finalizes — the installed bundle
+   * is indistinguishable from a single-consumer [[installOnce]] install.
+   * Returns true once the bundle is fully installed (idempotent).
+   */
+  def assembleIfComplete(spark: SparkSession, incomingDir: String,
+                         bundleName: String, installDir: String,
+                         consumerId: String): Boolean = {
+    val fs = FileSystem.get(new java.net.URI(incomingDir),
+      spark.sparkContext.hadoopConfiguration)
+    val bundle = new Path(incomingDir, bundleName)
+    val target = new Path(installDir, bundleName)
+    if (fs.exists(new Path(target, "_INSTALLED"))) return true
+    val shards = fs.listStatus(new Path(bundle, "data"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_shard="))
+      .map(_.getPath.getName.stripPrefix("_shard=").toInt).toSet
+    val doneCnt = shards.count(k => fs.exists(new Path(target, s"_shard_done_$k")))
+    if (doneCnt < shards.size) return false
+    if (!claimIfAbsent(fs, new Path(target, "_ASSEMBLED"), consumerId))
+      // another consumer is assembling; installed-marker check reports done
+      return fs.exists(new Path(target, "_INSTALLED"))
+    fs.listStatus(bundle).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName == "manifest.json" ||
+        p.getName.matches("manifest_.*\\.json") ||
+        p.getName == "shard_state.json")
+      .foreach { p =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+          new Path(target, p.getName), false, true, fs.getConf)
+      }
+    fs.create(new Path(target, "_INSTALLED"), true).close()
+    finalizeBundle(fs, installDir, bundleName)
+    true
+  }
+
   /** Polling daemon: repeat [[installOnce]] until `incomingDir/_COMPLETE`
     * exists and the last pass installed/invalidated nothing new, or until
     * `timeoutMs` elapses. Returns every outcome in arrival order. */

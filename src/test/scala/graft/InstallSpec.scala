@@ -287,4 +287,91 @@ class InstallSpec extends SparkSpec {
       BundleInstall.readAlias(spark, installed, "ghost")
     }
   }
+
+  test("multi-consumer: two concurrent installers partition the shards, " +
+      "no shard installed twice, assembled bundle == single-consumer install") {
+    val incoming = Files.createTempDirectory("graft-mc-in").toString
+    val installed = Files.createTempDirectory("graft-mc-out").toString
+    val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    BundleSink.write(docs, s"$incoming/idx_mc", numShards = 8,
+      partitionMultiples = 2, repartition = true, indexName = "idx_mc")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(BundleInstall.installShardsOnce(spark, incoming, "idx_mc",
+      installed, "consumer-a"))
+    val fb = Future(BundleInstall.installShardsOnce(spark, incoming, "idx_mc",
+      installed, "consumer-b"))
+    val oa = Await.result(fa, 120.seconds)
+    val ob = Await.result(fb, 120.seconds)
+    val instA = oa.collect { case i: BundleInstall.ShardInstalled => i.shard }
+    val instB = ob.collect { case i: BundleInstall.ShardInstalled => i.shard }
+    // the partition law: every shard installed EXACTLY once across the two
+    assert((instA ++ instB).sorted === (0 until 8).toSeq,
+      s"a=$instA b=$instB")
+    assert(instA.toSet.intersect(instB.toSet).isEmpty)
+    // any consumer may assemble once all shards are done
+    assert(BundleInstall.assembleIfComplete(spark, incoming, "idx_mc",
+      installed, "consumer-a"))
+    assert(Files.exists(Paths.get(s"$installed/idx_mc/_INSTALLED")))
+    val r = graft.sink.BundleValidate.validate(spark, s"$installed/idx_mc")
+    assert(r.ok, r.problems)
+    assert(spark.read.format("graft-bundle").load(s"$installed/idx_mc")
+      .count() === 1500L)
+    // re-run: everything skips, assembly stays idempotent
+    val again = BundleInstall.installShardsOnce(spark, incoming, "idx_mc",
+      installed, "consumer-c")
+    assert(again.forall(_.isInstanceOf[BundleInstall.ShardSkipped]))
+    assert(BundleInstall.assembleIfComplete(spark, incoming, "idx_mc",
+      installed, "consumer-c"))
+  }
+
+  test("multi-consumer: killing one installer mid-install lets the survivor " +
+      "take over its stale claims and finish; partial shard dirs are wiped") {
+    val incoming = Files.createTempDirectory("graft-mc2-in").toString
+    val installed = Files.createTempDirectory("graft-mc2-out").toString
+    val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    BundleSink.write(docs, s"$incoming/idx_ko", numShards = 6,
+      partitionMultiples = 2, repartition = true, indexName = "idx_ko")
+    // simulate a consumer that died mid-install: it claimed shards 0 and 3
+    // (claims now stale) and left shard 0 half-copied in the install root
+    val claims = Paths.get(s"$incoming/idx_ko/_claims")
+    Files.createDirectories(claims)
+    for (k <- Seq(0, 3)) {
+      val c = claims.resolve(s"shard_$k.claim")
+      Files.write(c, """{"consumer":"dead-consumer","gen":1}""".getBytes("UTF-8"))
+      c.toFile.setLastModified(System.currentTimeMillis() - 600000L)
+    }
+    val partial = Paths.get(s"$installed/idx_ko/data/_shard=0")
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("part-garbage.json.gz"), Array[Byte](1, 2, 3))
+
+    val out = BundleInstall.installShardsOnce(spark, incoming, "idx_ko",
+      installed, "survivor", claimTtlMs = 1000L)
+    val inst = out.collect { case i: BundleInstall.ShardInstalled => i }
+    assert(inst.map(_.shard).sorted === (0 until 6).toSeq, out)
+    assert(inst.filter(i => i.shard == 0 || i.shard == 3).forall(_.takenOver),
+      "stale claims must be taken over, not fresh-claimed")
+    assert(!Files.exists(partial.resolve("part-garbage.json.gz")),
+      "the dead consumer's partial copy must be wiped, not merged into")
+    // the steal republished the claim at generation 2 under the survivor
+    val claim0 = new String(Files.readAllBytes(claims.resolve("shard_0.claim")), "UTF-8")
+    assert(claim0.contains("survivor") && claim0.contains("\"gen\":2"), claim0)
+    assert(BundleInstall.assembleIfComplete(spark, incoming, "idx_ko",
+      installed, "survivor"))
+    val r = graft.sink.BundleValidate.validate(spark, s"$installed/idx_ko")
+    assert(r.ok, r.problems)
+    assert(spark.read.format("graft-bundle").load(s"$installed/idx_ko")
+      .count() === 1500L)
+    // a LIVE claim (fresh mtime) is NOT stolen: recreate one and re-run
+    Files.delete(Paths.get(s"$installed/idx_ko/_INSTALLED"))
+    Files.delete(Paths.get(s"$installed/idx_ko/_shard_done_5"))
+    Files.write(claims.resolve("shard_5.claim"),
+      """{"consumer":"alive-elsewhere","gen":7}""".getBytes("UTF-8"))
+    val out2 = BundleInstall.installShardsOnce(spark, incoming, "idx_ko",
+      installed, "survivor", claimTtlMs = 3600000L)
+    val s5 = out2.find(_.shard == 5).get
+    assert(s5.isInstanceOf[BundleInstall.ShardSkipped],
+      s"a live claim must be respected: $s5")
+  }
 }

@@ -224,4 +224,92 @@ class MultimodalSpec extends SparkSpec {
       assert(byId(id) === expect, s"media $id")
     }
   }
+
+  test("AVI video decode end-to-end: synthesized 8-frame clip (MJPEG + raw " +
+      "DIB), container sniff, luminance separation, corrupt fallback") {
+    import java.io.ByteArrayOutputStream
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write(id.getBytes("US-ASCII")); o.write(le32(body.length))
+      o.write(body)
+      if (body.length % 2 == 1) o.write(0) // word alignment pad
+      o.toByteArray
+    }
+    def list(tpe: String, bodies: Array[Byte]*): Array[Byte] = {
+      val inner = new ByteArrayOutputStream()
+      inner.write(tpe.getBytes("US-ASCII")); bodies.foreach(inner.write)
+      chunk("LIST", inner.toByteArray)
+    }
+    def avih(w: Int, h: Int, usPerFrame: Long, nFrames: Long): Array[Byte] = {
+      val b = new Array[Byte](56)
+      def put(off: Int, v: Long): Unit = System.arraycopy(le32(v), 0, b, off, 4)
+      put(0, usPerFrame); put(16, nFrames); put(32, w); put(36, h)
+      chunk("avih", b)
+    }
+    def jpegFrame(w: Int, h: Int, shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (shade << 16) | (shade << 8) | shade
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val o = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", o)
+      chunk("00dc", o.toByteArray)
+    }
+    def dibFrame(w: Int, h: Int, shade: Int): Array[Byte] =
+      chunk("00db", Array.fill(w * h * 3)(shade.toByte))
+    def avi(w: Int, h: Int, frames: Array[Byte]*): Array[Byte] = {
+      val hdrl = list("hdrl", avih(w, h, 40000L, frames.length.toLong))
+      val movi = list("movi", frames: _*)
+      val o = new ByteArrayOutputStream()
+      o.write("RIFF".getBytes("US-ASCII"))
+      val payload = new ByteArrayOutputStream()
+      payload.write("AVI ".getBytes("US-ASCII"))
+      payload.write(hdrl); payload.write(movi)
+      o.write(le32(payload.size().toLong)); o.write(payload.toByteArray)
+      o.toByteArray
+    }
+    // 8 frames: 4 MJPEG + 4 raw DIB; dark clip (shade 16) vs bright (230)
+    def clip(shade: Int) = avi(8, 6,
+      (Seq.fill(4)(jpegFrame(8, 6, shade)) ++
+        Seq.fill(4)(dibFrame(8, 6, shade))): _*)
+    val dark = clip(16)
+    val bright = clip(230)
+
+    // container parse law: 8 frames, dims + duration from avih
+    val parsed = Multimodal.parseAvi(dark).get
+    assert(parsed.frames.length === 8)
+    assert(parsed.width === 8 && parsed.height === 6)
+    assert(parsed.totalFrames === 8L && parsed.usecPerFrame === 40000L)
+
+    // sniffMeta: avi format, dims, duration = 8 * 40ms = 320ms
+    assert(Multimodal.sniffMeta(dark) === Some(("avi", 8, 6, 320L)))
+
+    import spark.implicits._
+    val df = Seq((1L, dark), (2L, bright),
+        (3L, "not a video at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    Multimodal.registerDecoder("video", Multimodal.AviDecoder)
+    try {
+      val vids = Multimodal.fromBinary(df, "media_id", "payload", "video")
+      val out = Multimodal.decodeFeatures(Multimodal.parseMeta(vids),
+          featureDim = 8)
+        .select("media_id", "features").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      // every histogram sums to ~1 per decodable clip
+      assert(math.abs(out(1L).sum - 1f) < 1e-4, out(1L))
+      assert(math.abs(out(2L).sum - 1f) < 1e-4, out(2L))
+      // luminance separation: the dark clip's mass sits in LOW buckets,
+      // the bright clip's in HIGH buckets (shade 16 -> bucket 0, 230 -> 7;
+      // JPEG is lossy so allow neighbor-bucket leakage, not exact pinning)
+      assert(out(1L).take(2).sum > 0.9f, s"dark clip: ${out(1L)}")
+      assert(out(2L).drop(6).sum > 0.9f, s"bright clip: ${out(2L)}")
+      // undecodable payload falls back to the byte-fold stand-in (same
+      // values as calling it directly) instead of failing the stage
+      val stub = Multimodal.stubFeatures("not a video at all".getBytes("UTF-8"), 8)
+      assert(out(3L).toArray === stub)
+    } finally Multimodal.unregisterDecoder("video")
+  }
 }
