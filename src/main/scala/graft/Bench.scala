@@ -67,7 +67,11 @@ object Bench {
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cleanup failed for $path: ${e.getMessage}") }
-    def drainTmp(): Unit = { tmpDirs.foreach(rmrf); tmpDirs.clear() }
+    def drainTmp(): Unit = {
+      tmpDirs.foreach(rmrf); tmpDirs.clear()
+      // the query suite's in-query index lifecycles scratch here
+      graft.queries.Queries.sweepScratch()
+    }
     sys.addShutdownHook(drainTmp())
 
     // per-entry GC + JIT accounting (BASELINE.md round 7: the 1M tier swings

@@ -55,7 +55,9 @@ object Main {
     "collapse", "rescore-phrase", "rescore-window", "rescore-weight",
     "query-weight", "field-factor", "gauss-decay", "boost-mode",
     "suggest-term", "suggest-prefix", "max-edits",
-    "negative-query", "negative-boost")
+    "negative-query", "negative-boost",
+    "span-near", "span-slop", "span-first", "geo-distance",
+    "parent-col", "score-mode", "min-children", "search-after")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -796,10 +798,16 @@ object Main {
           val queryOpt = raw.get("query")
           val phraseOpt = raw.get("phrase")
           val boolMode = Seq("must", "should", "must-not").exists(raw.contains)
-          require(Seq(queryOpt.isDefined, phraseOpt.isDefined, boolMode)
-              .count(identity) == 1,
+          val spanNearOn = raw.contains("span-near")
+          val spanFirstOn = raw.contains("span-first")
+          val geoOn = raw.contains("geo-distance")
+          require(Seq(queryOpt.isDefined, phraseOpt.isDefined, boolMode,
+              spanNearOn, spanFirstOn, geoOn).count(identity) == 1,
             "--mode search requires exactly one of --query | --phrase | " +
-              "bool clauses (--must/--should/--must-not)")
+              "bool clauses (--must/--should/--must-not) | --span-near | " +
+              "--span-first | --geo-distance")
+          require(!raw.contains("span-slop") || spanNearOn,
+            "--span-slop needs --span-near")
           val textCol = raw.getOrElse("text-col", "text")
           val idCol = Option(cfg.id).getOrElse("doc_id")
           val k = raw.getOrElse("topk", "10").toInt
@@ -852,10 +860,36 @@ object Main {
           val boostingOn = raw.contains("negative-query")
           require(!raw.contains("negative-boost") || boostingOn,
             "--negative-boost needs --negative-query")
-          require(Seq(collapseOn, rescoreOn, fnScoreOn, boostingOn)
+          // has_child (ES parent-child): --parent-col turns a plain
+          // --query into a parent ranking by child-score aggregate
+          val hasChildOn = raw.contains("parent-col")
+          require(Seq("score-mode", "min-children")
+              .forall(f => !raw.contains(f) || hasChildOn),
+            "--score-mode/--min-children need --parent-col (has_child)")
+          require(!hasChildOn || (queryOpt.isDefined &&
+              !raw.contains("search-index") && !raw.contains("embeddings") &&
+              !raw.contains("fields") && !fuzzyOn && !prefixOn && !wildOn),
+            "--parent-col (has_child) applies to a plain --query corpus scan")
+          // search_after (ES keyset pagination): plain --query term search
+          val searchAfterOpt = raw.get("search-after").map { spec =>
+            val i = spec.lastIndexOf(':')
+            require(i > 0 && i < spec.length - 1,
+              s"--search-after expects <lastScore>:<lastDocId>, got '$spec'")
+            val id = spec.substring(i + 1)
+            (spec.substring(0, i).toDouble,
+              id.toLongOption.getOrElse(id): Any)
+          }
+          require(searchAfterOpt.isEmpty || (queryOpt.isDefined &&
+              !hybridIndexed && !raw.contains("embeddings") &&
+              !raw.contains("fields") && !fuzzyOn && !prefixOn && !wildOn &&
+              !hasChildOn && !collapseOn && !rescoreOn && !fnScoreOn &&
+              !boostingOn),
+            "--search-after paginates plain --query term search (corpus " +
+              "scan or --search-index)")
+          require(Seq(collapseOn, rescoreOn, fnScoreOn, boostingOn, hasChildOn)
               .count(identity) <= 1,
-            "--collapse, --rescore-phrase, --negative-query and " +
-              "--field-factor/--gauss-decay are mutually exclusive " +
+            "--collapse, --rescore-phrase, --negative-query, --parent-col " +
+              "and --field-factor/--gauss-decay are mutually exclusive " +
               "(one request type per search)")
           require(!(collapseOn || rescoreOn || fnScoreOn || boostingOn) ||
               (queryOpt.isDefined && !hybridIndexed &&
@@ -885,7 +919,49 @@ object Main {
                 .cast("array<double>"))
               .head().getSeq[Double](0).toSeq
           }
-          val result = if (boolMode) {
+          val result = if (spanNearOn) {
+            // ES span_near (in_order): single-term clauses in order within
+            // a width budget — scan or positional index
+            val clauses = raw("span-near").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+            val sl = raw.getOrElse("span-slop", "0").toInt
+            raw.get("search-index") match {
+              case Some(idxDir) =>
+                graft.ext.Search.indexedSpanNearTopK(spark, idxDir, clauses,
+                  sl, k)
+              case None =>
+                graft.ext.Search.spanNearTopK(docs, idCol, textCol, clauses,
+                  sl, k)
+            }
+          } else if (spanFirstOn) {
+            // ES span_first: occurrences within the first <end> positions
+            val parts = raw("span-first").split(":")
+            require(parts.length == 2,
+              s"--span-first expects <term>:<end>, got '${raw("span-first")}'")
+            raw.get("search-index") match {
+              case Some(idxDir) =>
+                graft.ext.Search.indexedSpanFirstTopK(spark, idxDir,
+                  parts(0), parts(1).toInt, k)
+              case None =>
+                graft.ext.Search.spanFirstTopK(docs, idCol, textCol,
+                  parts(0), parts(1).toInt, k)
+            }
+          } else if (geoOn) {
+            // ES geo_distance: nearest rows within a radius of the point
+            val p = raw("geo-distance").split(":")
+            require(p.length == 5, "--geo-distance expects " +
+              s"<latCol>:<lonCol>:<lat>:<lon>:<radiusKm>, got " +
+              s"'${raw("geo-distance")}'")
+            require(cfg.input.nonEmpty, "--geo-distance needs --input")
+            graft.ext.Search.geoDistanceTopK(docs, idCol, p(0), p(1),
+              p(2).toDouble, p(3).toDouble, p(4).toDouble, k)
+          } else if (hasChildOn) {
+            // ES has_child: parents ranked by child-score aggregate
+            graft.ext.Search.hasChildTopK(docs, raw("parent-col"), textCol,
+              queryOpt.get, k,
+              scoreMode = raw.getOrElse("score-mode", "max"),
+              minChildren = raw.getOrElse("min-children", "1").toInt)
+          } else if (boolMode) {
             // the ES bool request: must/should/must_not clauses — scan or
             // pruned postings index
             val m = raw.getOrElse("must", "")
@@ -977,7 +1053,8 @@ object Main {
                   case (None, Some(idxDir)) =>
                     graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k,
                       minShouldMatch =
-                        raw.getOrElse("min-should-match", "1").toInt)
+                        raw.getOrElse("min-should-match", "1").toInt,
+                      searchAfter = searchAfterOpt)
                   case (None, None) if boostingOn =>
                     // ES `boosting` query: negative terms demote
                     graft.ext.Search.boostingTopK(docs, idCol, textCol,
@@ -1031,7 +1108,8 @@ object Main {
                   case (None, None) =>
                     graft.ext.Search.bm25TopK(docs, idCol, textCol, query, k,
                       minShouldMatch =
-                        raw.getOrElse("min-should-match", "1").toInt)
+                        raw.getOrElse("min-should-match", "1").toInt,
+                      searchAfter = searchAfterOpt)
                 }
               }
           }

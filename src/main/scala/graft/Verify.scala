@@ -95,6 +95,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SFDIR}", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sweep the in-query index scratch (q70/q90/q97/... lifecycles):
+    // 21 per-run dirs otherwise accumulate in /tmp across runs
+    graft.queries.Queries.sweepScratch()
     spark.stop()
   }
 }

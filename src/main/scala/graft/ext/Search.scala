@@ -1676,6 +1676,343 @@ object Search {
   }
 
   // ------------------------------------------------------------------
+  // geo_distance: the ES geo query — filter by great-circle distance
+  // from a query point, rank nearest-first
+  // ------------------------------------------------------------------
+
+  /** Haversine great-circle distance in km as ONE codegen'd projection
+    * (mean Earth radius 6371.0088 km, the ES/Lucene constant). Shared
+    * verbatim by the query and any oracle re-derivation: d = 2R·asin(√(
+    * sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column,
+                  lon2: Column): Column = {
+    val rad = math.Pi / 180.0
+    val dphi = (lat2 - lat1) * lit(rad) / lit(2.0)
+    val dlmb = (lon2 - lon1) * lit(rad) / lit(2.0)
+    val a = sin(dphi) * sin(dphi) +
+      cos(lat1 * lit(rad)) * cos(lat2 * lit(rad)) * sin(dlmb) * sin(dlmb)
+    lit(2.0 * 6371.0088) * asin(sqrt(a))
+  }
+
+  /**
+   * geo_distance top-k (the ES `geo_distance` query + `_geo_distance`
+   * sort): rows within `radiusKm` of the query point, nearest first,
+   * ties to the smaller id; distances round to `roundTo` (the published
+   * sort key, like the BM25 score convention). Map-only scan — the
+   * haversine is one codegen'd trig projection, the radius filter runs
+   * BEFORE the distributed TakeOrdered, so a selective radius prunes the
+   * sort input the way a pushed filter prunes a scan. At index scale
+   * this composes with any coarse spatial pre-filter (a bounding-box
+   * where-clause pushes to parquet; the exact haversine then runs over
+   * survivors only — the Lucene bkd-then-exact shape).
+   */
+  def geoDistanceTopK(docs: DataFrame, idCol: String, latCol: String,
+                      lonCol: String, qLat: Double, qLon: Double,
+                      radiusKm: Double, k: Int,
+                      roundTo: Int = 4): DataFrame = {
+    require(radiusKm > 0, "radiusKm must be positive")
+    // bounding-box NECESSARY condition first (pure comparisons push to
+    // the scan; 1 deg latitude = 111.19 km at the Lucene radius, and the
+    // longitude window widens by 1/cos(lat) — clamped at the poles where
+    // the box degenerates to all-longitudes)
+    val latPad = radiusKm / 111.19492664455873
+    val qLatR = math.max(-90.0, math.min(90.0, qLat))
+    val cosLat = math.cos(qLatR * math.Pi / 180.0)
+    val lonPad = if (cosLat < 1e-9) 360.0 else latPad / cosLat
+    // the box is implied by the UNROUNDED radius filter below (meridian
+    // distance >= 111.19 km/deg bounds Δlat; the 1/cos widening bounds
+    // Δlon away from the poles), so it is a pure pushdown optimization —
+    // dropped when it would wrap the antimeridian, where a single
+    // interval cannot express the window
+    val wraps = lonPad >= 180.0 || qLon - lonPad < -180.0 || qLon + lonPad > 180.0
+    val boxed = docs
+      .where(col(latCol) >= qLat - latPad && col(latCol) <= qLat + latPad)
+      .where(if (wraps) lit(true)
+        else col(lonCol) >= qLon - lonPad && col(lonCol) <= qLon + lonPad)
+    val d = haversineKm(lit(qLat), lit(qLon),
+      col(latCol).cast("double"), col(lonCol).cast("double"))
+    val scored = boxed
+      .select(col(idCol).as("doc_id"), d.as("_d"))
+      .where(col("_d") <= lit(radiusKm)) // exact filter; rounding is display
+      .select(col("doc_id"), round(col("_d"), roundTo).as("distance_km"))
+      .orderBy(col("distance_km").asc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("distance_km").asc,
+        col("doc_id").asc)))
+      .select("doc_id", "rank", "distance_km")
+  }
+
+  // ------------------------------------------------------------------
+  // parent-child: the ES has_child query (join-field / nested-doc
+  // surface) — parents ranked by their matching children's scores
+  // ------------------------------------------------------------------
+
+  /**
+   * has_child top-k (the ES `has_child` query with `score_mode`):
+   * parents with ≥ `minChildren` children matching the BM25 query rank
+   * by an aggregate of the matching children's scores — `"max"` (ES
+   * default), `"sum"`, `"avg"`, or `"none"` (filter only: score 0.0,
+   * ties resolve by parent id — the constant_score form). Child scores
+   * are [[bm25TopK]]'s law verbatim (same stats, rounding AFTER the
+   * aggregate); the parent key is just a column on the child table (the
+   * ES join-field denormalized the Spark way — no separate parent scan
+   * needed to rank).
+   *
+   * Scale shape: ONE map-only child scan (stats agg + score projection),
+   * then a partial+final aggregate on the parent key — no join, no
+   * window; the TakeOrdered runs over parent aggregates.
+   */
+  def hasChildTopK(children: DataFrame, parentCol: String, textCol: String,
+                   query: String, k: Int, scoreMode: String = "max",
+                   minChildren: Int = 1,
+                   params: Bm25Params = Bm25Params(),
+                   roundTo: Int = 4): DataFrame = {
+    require(Set("max", "sum", "avg", "none")(scoreMode),
+      s"score_mode must be max|sum|avg|none: got '$scoreMode'")
+    require(minChildren >= 1, "minChildren must be >= 1")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val stats = corpusStats(children, textCol, terms)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val matched = terms.map(t => when(array_contains(tok, t), 1).otherwise(0))
+      .reduce(_ + _)
+    val child = children
+      .where(matched >= 1)
+      .select(col(parentCol).as("parent_id"),
+        scoreCol(terms, stats, params, tok, dl).as("_cs"))
+    val agg = scoreMode match {
+      case "max" => max(col("_cs"))
+      case "sum" => sum(col("_cs"))
+      case "avg" => avg(col("_cs"))
+      case "none" => lit(0.0)
+    }
+    val scored = child.groupBy("parent_id")
+      .agg(round(agg, roundTo).as("score"),
+        count(lit(1)).as("_nc"))
+      .where(col("_nc") >= minChildren)
+      .select(col("parent_id"), col("score"))
+      .orderBy(col("score").desc, col("parent_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc,
+        col("parent_id").asc)))
+      .select("parent_id", "rank", "score")
+  }
+
+  /**
+   * nested query top-k (the ES `nested` query): documents whose
+   * array-of-struct field contains ≥ `minMatched` elements satisfying
+   * `pred` — ON THE SAME ELEMENT, the whole reason ES nested docs exist
+   * (a flattened mapping matches when DIFFERENT elements each satisfy
+   * part of a conjunction; nested does not). Ranked by matched-element
+   * count desc (the inner-hits evidence), id asc; output carries the
+   * count (`n_matched`). One map-only scan — the element predicate is a
+   * codegen'd HOF filter over the array column, no explode, no shuffle
+   * before the TakeOrdered.
+   */
+  def nestedTopK(docs: DataFrame, idCol: String, itemsCol: String,
+                 pred: Column => Column, k: Int,
+                 minMatched: Int = 1): DataFrame = {
+    require(minMatched >= 1, "minMatched must be >= 1")
+    val n = size(filter(col(itemsCol), e => pred(e)))
+    val scored = docs
+      .select(col(idCol).as("doc_id"), n.as("n_matched"))
+      .where(col("n_matched") >= minMatched)
+      .orderBy(col("n_matched").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("n_matched").desc,
+        col("doc_id").asc)))
+      .select("doc_id", "rank", "n_matched")
+  }
+
+  // ------------------------------------------------------------------
+  // span queries: span_near (in-order proximity with a width budget)
+  // and span_first (match within the first `end` positions) — the ES
+  // span family over the same position machinery as the phrase paths
+  // ------------------------------------------------------------------
+
+  /** The span_near in-order match-count law, shared verbatim by the scan
+    * and indexed paths: tf = #{p₁ ∈ pos(t₁) : the GREEDY chain
+    * p₂ = min{q ∈ pos(t₂) : q > p₁}, p₃ = min{q ∈ pos(t₃) : q > p₂}, …
+    * exists and (p_m − p₁ + 1 − m) ≤ slop}. Greedy minimal completion
+    * minimizes p_m for a given p₁, so "the chain satisfies the budget"
+    * ⇔ "SOME in-order tuple from p₁ does" — the count is exact, not a
+    * heuristic, and each p₁ is counted once (no combinatorial blowup).
+    * `posCols(j)` = term j's sorted position array for the doc. */
+  private def spanNearTf(posCols: Seq[Column], slop: Int): Column = {
+    val m = posCols.length
+    size(filter(posCols.head, p1 => {
+      val pm = posCols.tail.foldLeft(p1)((prev, ps) =>
+        array_min(filter(ps, q => q > prev)))
+      // an incomplete chain leaves pm null; null comparisons are null and
+      // filter keeps only TRUE — exactly the "no match from p1" case
+      pm - p1 + lit(1 - m) <= lit(slop)
+    })).cast("double")
+  }
+
+  /**
+   * span_near top-k (the ES `span_near` query with `in_order: true` and
+   * single-term clauses): a document matches when its tokens contain the
+   * clause terms in order within a span of at most `clauses.length +
+   * slop` positions; tf = the [[spanNearTf]] greedy count, score = the
+   * phrase convention (Σ idf over clauses × BM25 tf saturation — spans
+   * are phrase-shaped evidence, so they score like phrases). Map-only
+   * scan + TakeOrdered, ties to the smaller id, round(`roundTo`).
+   * slop 0 with adjacent clauses degenerates to [[phraseTopK]]'s exact
+   * law on distinct-term phrases.
+   */
+  def spanNearTopK(docs: DataFrame, idCol: String, textCol: String,
+                   clauses: Seq[String], slop: Int, k: Int,
+                   params: Bm25Params = Bm25Params(),
+                   roundTo: Int = 4): DataFrame = {
+    require(clauses.nonEmpty, "span_near needs >= 1 clause")
+    require(slop >= 0, "slop must be non-negative")
+    val terms = clauses.map(c => { val t = queryTerms(c)
+      require(t.length == 1, s"span clauses are single terms: got '$c'"); t.head })
+    val distinctTerms = terms.distinct.sorted
+    val stats = corpusStats(docs, textCol, distinctTerms)
+    val idfSum = terms.foldLeft(0.0)((a, t) => a + stats.idf(t))
+    val tok = tokens(col(textCol))
+    val posOf = distinctTerms.map(t => t ->
+      filter(sequence(lit(0), size(tok) - 1),
+        i => element_at(tok, i + 1) === lit(t))).toMap
+    val tf = spanNearTf(terms.map(posOf), slop)
+    val scored = docs
+      .select(col(idCol).as("doc_id"), tf.as("_stf"),
+        size(tok).cast("double").as("_dl"))
+      .where(col("_stf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_stf"), col("_dl"), stats.avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /** [[spanNearTopK]] from a persisted POSITIONAL postings index —
+    * bit-identical output at Σ df posting rows of read: per-term position
+    * sets pivot from the stored arrays (the [[indexedPhraseTopK]] shape),
+    * the chain law is [[spanNearTf] verbatim, df/idf from the same exact
+    * bounded aggregate. */
+  def indexedSpanNearTopK(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, clauses: Seq[String], slop: Int,
+                          k: Int, params: Bm25Params = Bm25Params(),
+                          roundTo: Int = 4): DataFrame = {
+    require(clauses.nonEmpty, "span_near needs >= 1 clause")
+    require(slop >= 0, "slop must be non-negative")
+    val terms = clauses.map(c => { val t = queryTerms(c)
+      require(t.length == 1, s"span clauses are single terms: got '$c'"); t.head })
+    val distinctTerms = terms.distinct.sorted
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val avgdl = totalTokens.toDouble / nDocs
+    val pruned = prunedPostings(spark, dir, distinctTerms, buckets)
+    require(pruned.schema.fieldNames.contains("positions"),
+      s"postings index at $dir stores no positions (built with " +
+        "positional = false, or predating the positional schema): rebuild " +
+        "with positional postings to serve span queries")
+    val dfRow = pruned.agg(
+      count(lit(1)).as("_n"),
+      distinctTerms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)))
+        .zipWithIndex.map { case (c, i) => c.as(s"_df$i") }: _*).head()
+    val stats = CorpusStats(nDocs, totalTokens,
+      distinctTerms.zipWithIndex.map { case (t, i) =>
+        t -> (if (dfRow.isNullAt(i + 1)) 0L else dfRow.getLong(i + 1)) }.toMap)
+    val idfSum = terms.foldLeft(0.0)((a, t) => a + stats.idf(t))
+    val idxOf = distinctTerms.zipWithIndex.toMap
+    val grouped = pruned.groupBy("doc_id").agg(
+      first(col("dl")).as("dl"),
+      distinctTerms.zipWithIndex.map { case (t, i) =>
+        flatten(collect_list(when(col("term") === t, col("positions"))))
+          .as(s"_ps$i") }: _*)
+    val tf = spanNearTf(terms.map(t => col(s"_ps${idxOf(t)}")), slop)
+    val scored = grouped
+      .withColumn("_stf", tf)
+      .where(col("_stf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_stf"), col("dl"), avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * span_first top-k (the ES `span_first` query over a single-term
+   * match): only occurrences at token positions < `end` count; tf = that
+   * truncated occurrence count, score = the phrase convention with the
+   * term's own idf. The "title match" workhorse when a corpus stores
+   * title+body as one field. Map-only scan + TakeOrdered.
+   */
+  def spanFirstTopK(docs: DataFrame, idCol: String, textCol: String,
+                    term: String, end: Int, k: Int,
+                    params: Bm25Params = Bm25Params(),
+                    roundTo: Int = 4): DataFrame = {
+    require(end >= 1, "end must be >= 1")
+    val ts = queryTerms(term)
+    require(ts.length == 1, s"span_first matches a single term: got '$term'")
+    val t = ts.head
+    val stats = corpusStats(docs, textCol, Seq(t))
+    val tok = tokens(col(textCol))
+    // positions are 0-based, so "span ends within the first `end`
+    // positions" = occurrence index < end
+    val tf = size(filter(slice(tok, 1, end), x => x === lit(t))).cast("double")
+    val scored = docs
+      .select(col(idCol).as("doc_id"), tf.as("_stf"),
+        size(tok).cast("double").as("_dl"))
+      .where(col("_stf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(stats.idf(t), col("_stf"), col("_dl"), stats.avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /** [[spanFirstTopK]] from a persisted POSITIONAL postings index:
+    * ONE term's postings (≤ df rows), tf = stored positions < `end`,
+    * bit-identical scores. */
+  def indexedSpanFirstTopK(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, term: String, end: Int, k: Int,
+                           params: Bm25Params = Bm25Params(),
+                           roundTo: Int = 4): DataFrame = {
+    require(end >= 1, "end must be >= 1")
+    val ts = queryTerms(term)
+    require(ts.length == 1, s"span_first matches a single term: got '$term'")
+    val t = ts.head
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val avgdl = totalTokens.toDouble / nDocs
+    val pruned = prunedPostings(spark, dir, Seq(t), buckets)
+    require(pruned.schema.fieldNames.contains("positions"),
+      s"postings index at $dir stores no positions (built with " +
+        "positional = false, or predating the positional schema): rebuild " +
+        "with positional postings to serve span queries")
+    val dfCnt = pruned.agg(count(lit(1))).head().getLong(0)
+    val stats = CorpusStats(nDocs, totalTokens, Map(t -> dfCnt))
+    val scored = pruned
+      .select(col("doc_id"), col("dl"),
+        size(filter(col("positions"), p => p < lit(end))).cast("double")
+          .as("_stf"))
+      .where(col("_stf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(stats.idf(t), col("_stf"), col("dl"), avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  // ------------------------------------------------------------------
   // match_phrase_prefix: the search-as-you-type phrase form — every
   // term but the last matches exactly in sequence, the LAST term
   // matches as a prefix at its slot

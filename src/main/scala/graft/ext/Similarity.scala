@@ -2237,23 +2237,58 @@ object Similarity {
     * `targetRecall` (~0.84 in that example) — a loud WARN is logged with
     * the achieved recall so the shortfall is visible; callers needing the
     * full target can raise `targetBucket` (shallower bits → fewer tables
-    * per unit recall, at more dots per bucket). */
+    * per unit recall, at more dots per bucket).
+    *
+    * `strict = true` makes the recall target a FLOOR instead of a WARN:
+    * `targetBucket` doubles (shallower signatures — each table catches
+    * more, so fewer tables buy the same recall) until the analytic
+    * at-threshold recall meets `targetRecall` inside the table clamp.
+    * n=100M/t=0.9 resolves to (35 tables, 16 bits): recall 0.953 at ~32×
+    * the candidate-join work of the clamped 64-row buckets — the honest
+    * price of the floor, paid knowingly instead of silently under-
+    * recalling. Throws (never silently degrades) if even the 8-bit floor
+    * cannot meet the target — a threshold too low for LSH to serve. */
   def autoLshKnobs(n: Long, threshold: Double, targetRecall: Double = 0.95,
-                   targetBucket: Long = 64): (Int, Int) = {
+                   targetBucket: Long = 64, strict: Boolean = false): (Int, Int) = {
     require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0,1)")
-    val bits = math.max(8, math.min(20, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
     val t = math.max(-1.0, math.min(1.0, threshold))
-    val p1 = math.pow(1.0 - math.acos(t) / math.Pi, bits)
-    val wanted = math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p1)).toInt
-    val tables = math.max(4, math.min(40, wanted))
-    if (wanted > 40) {
+    def knobsAt(tb: Long): (Int, Int, Int, Double) = {
+      val bits = math.max(8, math.min(20, math.ceil(
+        math.log(math.max(1.0, n.toDouble / tb)) / math.log(2.0)).toInt))
+      val p1 = math.pow(1.0 - math.acos(t) / math.Pi, bits)
+      val wanted = math.ceil(
+        math.log(1.0 - targetRecall) / math.log(1.0 - p1)).toInt
+      val tables = math.max(4, math.min(40, wanted))
       val achieved = 1.0 - math.pow(1.0 - p1, tables)
+      (tables, bits, wanted, achieved)
+    }
+    var tb = targetBucket
+    var (tables, bits, wanted, achieved) = knobsAt(tb)
+    if (strict) {
+      // shallower bits per doubling; bits bottoms out at 8, where recall
+      // is as high as the family gets — past that the target is unmeetable
+      while (achieved < targetRecall && bits > 8) {
+        tb *= 2
+        val k = knobsAt(tb); tables = k._1; bits = k._2; wanted = k._3
+        achieved = k._4
+      }
+      require(achieved >= targetRecall,
+        f"autoLshKnobs strict: recall $targetRecall%.2f unreachable at " +
+          f"threshold $threshold (best achievable $achieved%.3f at bits=8, " +
+          "tables=40) — lower targetRecall or use a higher threshold")
+      if (tb != targetBucket)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"autoLshKnobs strict(n=$n, t=$threshold): targetBucket raised " +
+            f"$targetBucket -> $tb (bits=$bits, tables=$tables) to meet " +
+            f"recall $targetRecall%.2f (achieved $achieved%.3f) — " +
+            f"~${tb / targetBucket}x the candidate-join work")
+    } else if (wanted > 40) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         f"autoLshKnobs(n=$n, t=$threshold): tables clamped $wanted -> 40; " +
           f"analytic at-threshold recall $achieved%.3f < target $targetRecall%.2f " +
           "(exact dups still collide everywhere; raise targetBucket to trade " +
-          "bucket size for recall)")
+          "bucket size for recall, or pass strict = true to make the " +
+          "target a floor)")
     }
     (tables, bits)
   }
@@ -2286,9 +2321,11 @@ object Similarity {
   def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, dim: Int, tables: Int = 8,
                         bits: Int = 8, roundTo: Int = 4,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 10000,
+                        strictRecall: Boolean = false): DataFrame = {
     val (tablesR, bitsR) =
-      if (tables == 0 || bits == 0) autoLshKnobs(df.count(), threshold)
+      if (tables == 0 || bits == 0)
+        autoLshKnobs(df.count(), threshold, strict = strictRecall)
       else (tables, bits)
     val sigs = df.select(col(idCol).as("_nid"), unitize(asDouble(col(vecCol))).as("_v"),
         posexplode(array((0 until tablesR).map(t =>

@@ -302,13 +302,20 @@ object CorpusPipeline {
             // 15e9 candidate dots — the round-11 292 s dominant stage);
             // the auto sizing targets ~64-row buckets and re-spends some
             // of the win on extra tables toward the 95% at-threshold
-            // recall target (held exactly until the tables clamp of 40
-            // binds — beyond that autoLshKnobs WARNs the achieved recall;
-            // exact dups collide at any knobs). `exact` is checkpointed,
-            // so the sizing count is a cached-block scan.
+            // recall target — STRICT since round 14: the 95% at-threshold
+            // target is a floor, not advisory. At corpus sizes where the
+            // tables clamp would bind (100M+ at t=0.9), autoLshKnobs
+            // raises targetBucket (shallower signatures, fewer tables per
+            // unit recall) until the analytic recall meets the target,
+            // WARNing the cost multiplier — a curation pipeline must not
+            // silently under-recall its dedup as the corpus grows. At the
+            // 1M bench tier strict is a no-op (recall already 0.95+ at
+            // the default knobs). Exact dups collide at any knobs.
+            // `exact` is checkpointed, so the sizing count is a
+            // cached-block scan.
             graft.ext.Similarity.cosineNearDupsLsh(exact, idCol, embeddingCol,
               threshold = nearDupThreshold, dim = row.getInt(0),
-              tables = 0, bits = 0)
+              tables = 0, bits = 0, strictRecall = true)
           case _ =>
             exact.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
         }

@@ -27,6 +27,31 @@ case class QueryDef(name: String, oracle: Option[String],
                     build: (SparkSession, String) => DataFrame)
 
 object Queries {
+
+  /** Scratch root for the in-query index lifecycles (q70/q90/q97/...):
+    * every per-query temp dir nests under ONE sweepable parent so the
+    * mains that run the whole suite (Verify, Bench) can delete it at
+    * exit — 21 per-run index dirs otherwise accumulate in /tmp across
+    * runs (the round-13 disk-full class of failure). */
+  val scratchRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-query-scratch")
+
+  private[graft] def scratch(prefix: String): String = {
+    java.nio.file.Files.createDirectories(scratchRoot)
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+  }
+
+  /** Recursive delete of the scratch root (call from mains at exit). */
+  def sweepScratch(): Unit = try {
+    if (java.nio.file.Files.exists(scratchRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratchRoot)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  } catch { case _: Exception => () }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
@@ -1478,8 +1503,7 @@ object Queries {
     QueryDef("q70_ann_index", None,
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-q70-annidx").toString
+        val idxDir = scratch("graft-q70-annidx")
         graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", idxDir,
           nlist = 16, kmeansIters = 2, m = 8, k = 16)
         graft.ext.Similarity.indexTopK(
@@ -1500,8 +1524,7 @@ object Queries {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") % 25 === 0)
         def build(storeVectors: Boolean, residual: Boolean): String = {
-          val d = java.nio.file.Files
-            .createTempDirectory("graft-q71-annidx").toString
+          val d = scratch("graft-q71-annidx")
           graft.ext.Similarity.buildIndex(emb, "vec_id", "embedding", d,
             nlist = 16, kmeansIters = 2, m = 8, k = 16,
             storeVectors = storeVectors, residual = residual)
@@ -1527,8 +1550,7 @@ object Queries {
         // shortlists once the cut binds and may legitimately diverge;
         // that relation is a recall-overlap bound, not equality.
         def leanFrom(fullDir: String): String = {
-          val d = java.nio.file.Files
-            .createTempDirectory("graft-q71-annidx-lean").toString
+          val d = scratch("graft-q71-annidx-lean")
           graft.ext.Similarity.stripVectors(s, fullDir, d)
           d
         }
@@ -2247,8 +2269,7 @@ object Queries {
              |WHERE rank <= 20
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q90-bm25idx").toString
+        val idx = scratch("graft-q90-bm25idx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.indexedBm25TopK(s, idx, "scan hash filter", k = 20)
@@ -2559,8 +2580,7 @@ object Queries {
              |WHERE rank <= 15
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q96-hybrid").toString
+        val root = scratch("graft-q96-hybrid")
         val docs = t(s, dir, "documents")
         val emb = t(s, dir, "embeddings")
         graft.ext.Search.buildPostingsIndex(
@@ -2619,8 +2639,7 @@ object Queries {
              |WHERE rank <= 20
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q97-phraseidx").toString
+        val idx = scratch("graft-q97-phraseidx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.indexedPhraseTopK(s, idx, "merge spark", k = 20)
@@ -2777,8 +2796,7 @@ object Queries {
              |WHERE rank <= 15
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q100-boolidx").toString
+        val idx = scratch("graft-q100-boolidx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.indexedBoolTopK(s, idx,
@@ -3138,8 +3156,7 @@ object Queries {
              |WHERE rank <= 20
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q107-fuzzyidx").toString
+        val idx = scratch("graft-q107-fuzzyidx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         // maxExpansions = 0 (unlimited): the oracle is SCAN semantics —
@@ -3184,8 +3201,7 @@ object Queries {
              |WHERE rank <= 20
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q108-prefixidx").toString
+        val idx = scratch("graft-q108-prefixidx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         // maxExpansions = 0 (unlimited): the oracle is SCAN semantics
@@ -3240,8 +3256,7 @@ object Queries {
              |WHERE rank <= 20
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q109-slopidx").toString
+        val idx = scratch("graft-q109-slopidx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.indexedPhraseTopK(s, idx, "spark merge", k = 20,
@@ -3298,8 +3313,7 @@ object Queries {
              |ORDER BY query_id, rank""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q110-batchidx").toString
+        val idx = scratch("graft-q110-batchidx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         val queries = Seq((1, "spark window merge"), (2, "join stream"),
@@ -3369,8 +3383,7 @@ object Queries {
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
         import graft.ext.Search.BoolNode
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q111-nestedbool").toString
+        val idx = scratch("graft-q111-nestedbool")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         val tree = BoolNode.Bool(
@@ -3498,8 +3511,7 @@ object Queries {
              |ORDER BY query_id, rank""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q113-hybatch").toString
+        val root = scratch("graft-q113-hybatch")
         val docs = t(s, dir, "documents")
         val emb = t(s, dir, "embeddings")
         graft.ext.Search.buildPostingsIndex(
@@ -3587,8 +3599,7 @@ object Queries {
              |WHERE rank <= 20
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q114-mfidx").toString
+        val root = scratch("graft-q114-mfidx")
         val docs = t(s, dir, "documents")
           .withColumn("meta", concat_ws(" ", col("source"), col("lang")))
         graft.ext.Search.buildPostingsIndex(
@@ -3622,8 +3633,7 @@ object Queries {
              |WHERE rank <= 15
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q115-topterms").toString
+        val idx = scratch("graft-q115-topterms")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.indexedTopTerms(s, idx, n = 15)
@@ -3710,8 +3720,7 @@ object Queries {
              |WHERE rank <= 20
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q117-wildidx").toString
+        val idx = scratch("graft-q117-wildidx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         // maxExpansions = 0 (unlimited): the oracle is SCAN semantics
@@ -3799,8 +3808,7 @@ object Queries {
              |WHERE rank <= 20
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q119-ppidx").toString
+        val idx = scratch("graft-q119-ppidx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.indexedPhrasePrefixTopK(s, idx, "key or", k = 20,
@@ -3892,8 +3900,7 @@ object Queries {
              |      FROM read_parquet('{SFDIR}/documents.parquet')) x"""
         .stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q123-cardidx").toString
+        val idx = scratch("graft-q123-cardidx")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.indexedCardinality(s, idx)
@@ -4181,8 +4188,7 @@ object Queries {
              |WHERE rank <= 5
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q130-suggest").toString
+        val idx = scratch("graft-q130-suggest")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.termSuggest(s, idx, "slorw", maxEdits = 2, n = 5)
@@ -4206,8 +4212,7 @@ object Queries {
              |WHERE rank <= 5
              |ORDER BY rank""".stripMargin),
       (s, dir) => {
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-q131-complete").toString
+        val idx = scratch("graft-q131-complete")
         graft.ext.Search.buildPostingsIndex(
           t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
         graft.ext.Search.completionSuggest(s, idx, "s", n = 5)
@@ -4307,6 +4312,207 @@ object Queries {
         val cursor = (page1.last.getDouble(2), page1.last.getLong(0))
         graft.ext.Search.bm25TopK(docs, "doc_id", "text",
             "spark window merge", k = 10, searchAfter = Some(cursor))
+          .orderBy("rank")
+      }),
+
+    // ---- span_near (ES span family, in_order single-term clauses):
+    //      tf = greedy-chain count — #{p1 in pos(spark): the minimal
+    //      in-order completion p2 = min pos(window) > p1, p3 = min
+    //      pos(merge) > p2 exists with width budget p3-p1-2 <= slop} —
+    //      a law both engines compute exactly from positions (greedy
+    //      minimal completion makes "exists a tuple" decidable per p1
+    //      with no combinatorial blowup). Spark side answers from a
+    //      PERSISTED positional index built in-query (the q109
+    //      convention), so the hash pins scan-law == indexed-positions
+    //      through the oracle. Score = the phrase convention. ----
+    QueryDef("q134_span_near",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df3
+             |  FROM docs),
+             |p AS (
+             |  SELECT doc_id, w,
+             |    len(list_filter(
+             |      list_filter(range(0, len(w)), i -> w[i+1] = 'spark'),
+             |      a -> list_min(list_filter(
+             |             list_filter(range(0, len(w)), i -> w[i+1] = 'merge'),
+             |             r -> r > list_min(list_filter(
+             |                    list_filter(range(0, len(w)), i -> w[i+1] = 'window'),
+             |                    q -> q > a)))) - a - 2 <= 6))::DOUBLE AS stf
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      (ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |       + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |       + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5)))
+             |      * (stf * (1.2 + 1.0))
+             |      / (stf + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)),
+             |      4) AS score
+             |  FROM p, st WHERE stf > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = scratch("graft-q134-spanidx")
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedSpanNearTopK(s, idx,
+            Seq("spark", "window", "merge"), slop = 6, k = 20)
+          .orderBy("rank")
+      }),
+
+    // ---- span_first (ES span family): only occurrences inside the
+    //      first `end` token positions count — the title-match shape on
+    //      a combined field. tf = truncated occurrence count; score =
+    //      the phrase convention with the term's own idf (document-wide
+    //      df — position truncation changes the EVIDENCE, not the term's
+    //      rarity). ----
+    QueryDef("q135_span_first",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1
+             |  FROM docs),
+             |p AS (
+             |  SELECT doc_id, w,
+             |    len(list_filter(w[1:10], x -> x = 'spark'))::DOUBLE AS stf
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |      * (stf * (1.2 + 1.0))
+             |      / (stf + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)),
+             |      4) AS score
+             |  FROM p, st WHERE stf > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.spanFirstTopK(
+          t(s, dir, "documents"), "doc_id", "text", "spark", end = 10,
+          k = 20)
+        .orderBy("rank")),
+
+    // ---- geo_distance (the ES geo query + _geo_distance sort):
+    //      haversine at the Lucene mean-Earth radius 6371.0088, filter
+    //      on the EXACT distance (rounding is display only — the box
+    //      pushdown is then provably implied), nearest-first with id
+    //      tie-breaks. Coordinates derive from o_orderkey by integer
+    //      arithmetic both engines compute identically; round(,4)
+    //      absorbs libm-vs-JVM trig last-ulps (the q86 ln convention). ----
+    QueryDef("q136_geo_distance",
+      Some("""WITH c AS (SELECT o_orderkey,
+             |    (o_orderkey * 17) % 18000 / 100.0 - 90.0 AS lat,
+             |    (o_orderkey * 31) % 36000 / 100.0 - 180.0 AS lon
+             |  FROM read_parquet('{SFDIR}/orders.parquet')),
+             |d AS (SELECT o_orderkey AS doc_id,
+             |    2 * 6371.0088 * asin(sqrt(
+             |      sin(radians(lat - 10.0) / 2) ^ 2 +
+             |      cos(radians(10.0)) * cos(radians(lat))
+             |        * sin(radians(lon - 20.0) / 2) ^ 2)) AS dist
+             |  FROM c)
+             |SELECT doc_id, rank, distance_km FROM (
+             |  SELECT doc_id, round(dist, 4) AS distance_km,
+             |    row_number() OVER (ORDER BY round(dist, 4), doc_id) AS rank
+             |  FROM d WHERE dist <= 1500.0) x
+             |WHERE rank <= 50
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val pts = t(s, dir, "orders").select(col("o_orderkey"),
+          (pmod(col("o_orderkey") * 17, lit(18000)) / 100.0 - 90.0).as("lat"),
+          (pmod(col("o_orderkey") * 31, lit(36000)) / 100.0 - 180.0).as("lon"))
+        graft.ext.Search.geoDistanceTopK(pts, "o_orderkey", "lat", "lon",
+            qLat = 10.0, qLon = 20.0, radiusKm = 1500.0, k = 50)
+          .orderBy("rank")
+      }),
+
+    // ---- has_child (the ES parent-child query, score_mode max):
+    //      parents = documents sources, children = the documents; a
+    //      source ranks by its BEST matching child's BM25 score, with
+    //      minChildren gating sparse parents. Child scores stay
+    //      UNROUNDED into the aggregate (rounding after max — the
+    //      published parent score), so the oracle recomputes the exact
+    //      same float path. One child scan + one partial+final agg on
+    //      the parent key; no join. ----
+    QueryDef("q137_has_child",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |child AS (
+             |  SELECT source,
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)) AS cs
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'spark') OR list_contains(w, 'window')),
+             |parent AS (
+             |  SELECT source AS parent_id, round(max(cs), 4) AS score
+             |  FROM child GROUP BY source HAVING count(*) >= 3)
+             |SELECT parent_id, rank, score FROM (
+             |  SELECT parent_id, score,
+             |    row_number() OVER (ORDER BY score DESC, parent_id) AS rank
+             |  FROM parent) x
+             |WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.hasChildTopK(
+          t(s, dir, "documents"), "source", "text", "spark window",
+          k = 15, scoreMode = "max", minChildren = 3)
+        .orderBy("rank")),
+
+    // ---- nested query (the ES `nested` mapping/query): the conjunction
+    //      must hold ON THE SAME array element — at sf0.01 a flattened
+    //      mapping (any quantity>45 AND any discount<0.02 across
+    //      DIFFERENT items) matches 2551 orders where nested matches
+    //      848, the exact false-positive class nested docs exist to
+    //      kill (pinned as a spec law). Orders assemble their lineitem
+    //      structs in-query; rank = matched-element count, id ties. ----
+    QueryDef("q138_nested_query",
+      Some("""WITH m AS (
+             |  SELECT l_orderkey AS doc_id,
+             |    CAST(sum(CASE WHEN l_quantity > 45 AND l_discount < 0.02
+             |             THEN 1 ELSE 0 END) AS INT) AS n_matched
+             |  FROM read_parquet('{SFDIR}/lineitem.parquet')
+             |  GROUP BY 1 HAVING n_matched >= 1)
+             |SELECT doc_id, rank, n_matched FROM (
+             |  SELECT doc_id, n_matched,
+             |    row_number() OVER (ORDER BY n_matched DESC, doc_id) AS rank
+             |  FROM m) x
+             |WHERE rank <= 30
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val nested = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"), col("l_discount")))
+            .as("items"))
+        graft.ext.Search.nestedTopK(nested, "l_orderkey", "items",
+            e => e.getField("l_quantity") > 45 &&
+              e.getField("l_discount") < 0.02, k = 30)
           .orderBy("rank")
       }),
   )

@@ -1590,6 +1590,166 @@ class SearchSpec extends SparkSpec {
       k = 25).collect().toSeq)
   }
 
+  test("geoDistanceTopK: haversine law on known city pairs, radius filter " +
+      "exact, box pushdown result-neutral, pole/antimeridian guards") {
+    // Paris (48.8566, 2.3522) -> London (51.5074, -0.1278): 343.6 km
+    // (the textbook haversine fixture); Tokyo is ~9,700 km from Paris
+    val pts = Seq(
+      (1L, 51.5074, -0.1278), // London
+      (2L, 35.6762, 139.6503), // Tokyo
+      (3L, 48.8566, 2.3522), // Paris itself (distance 0)
+      (4L, 48.86, 2.36)) // ~600 m away
+      .toDF("doc_id", "lat", "lon")
+    val got = Search.geoDistanceTopK(pts, "doc_id", "lat", "lon",
+        qLat = 48.8566, qLon = 2.3522, radiusKm = 400.0, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got.map(_._1) === Seq(3L, 4L, 1L)) // self, neighbor, London
+    assert(got.head._2 === 0.0)
+    assert(math.abs(got(2)._2 - 343.55) < 0.5, s"Paris-London: ${got(2)._2}")
+    // radius excludes Tokyo, includes London at 344 < 400
+    assert(!got.map(_._1).contains(2L))
+    // box pushdown is result-neutral near the antimeridian (the box is
+    // dropped there, never wrapped wrong): query at lon 179.9 with a
+    // point across the seam at -179.9 (~22 km away at lat 0)
+    val seam = Seq((1L, 0.0, 179.9), (2L, 0.0, -179.9), (3L, 0.0, 170.0))
+      .toDF("doc_id", "lat", "lon")
+    val seamGot = Search.geoDistanceTopK(seam, "doc_id", "lat", "lon",
+        qLat = 0.0, qLon = 179.9, radiusKm = 100.0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(seamGot === Set(1L, 2L), s"antimeridian neighbor must match: $seamGot")
+    // pole: cos(lat) ~ 0 degenerates the lon window to all-longitudes
+    val pole = Seq((1L, 89.95, 0.0), (2L, 89.95, 180.0))
+      .toDF("doc_id", "lat", "lon")
+    assert(Search.geoDistanceTopK(pole, "doc_id", "lat", "lon",
+        qLat = 89.95, qLon = 90.0, radiusKm = 50.0, k = 10)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("hasChildTopK: score modes (max/sum/avg/none), minChildren gate, " +
+      "child scores aggregate UNROUNDED") {
+    val docs = Seq(
+      (1L, "p1", "spark spark spark"), // strong child
+      (2L, "p1", "spark"),             // weak child
+      (3L, "p2", "spark"),             // p2: one matching child
+      (4L, "p2", "nothing here"),
+      (5L, "p3", "window window"))     // p3 matches via 'window'
+      .toDF("doc_id", "src", "text")
+    def top(mode: String, minc: Int = 1) =
+      Search.hasChildTopK(docs, "src", "text", "spark window", k = 10,
+        scoreMode = mode, minChildren = minc)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val mx = top("max"); val sm = top("sum"); val av = top("avg")
+    assert(mx.map(_._1).toSet === Set("p1", "p2", "p3"))
+    // p1's max = its strong child alone; sum = strong + weak > max
+    val p1max = mx.find(_._1 == "p1").get._2
+    val p1sum = sm.find(_._1 == "p1").get._2
+    val p1avg = av.find(_._1 == "p1").get._2
+    assert(p1sum > p1max && p1avg < p1max)
+    // p2's single matching child: max == sum == avg
+    assert(sm.find(_._1 == "p2").get._2 === mx.find(_._1 == "p2").get._2)
+    // none = filter-only: score 0, order by parent id
+    val none = top("none")
+    assert(none.forall(_._2 === 0.0))
+    assert(none.map(_._1) === Seq("p1", "p2", "p3"))
+    // minChildren = 2: only p1 has two matching children
+    assert(top("max", minc = 2).map(_._1) === Seq("p1"))
+    // invalid mode refused
+    intercept[IllegalArgumentException] {
+      Search.hasChildTopK(docs, "src", "text", "spark", k = 1,
+        scoreMode = "median")
+    }
+  }
+
+  test("nestedTopK: conjunction binds to the SAME element (the flattened " +
+      "false-positive law), minMatched gate, count ranking") {
+    // doc 1: one element satisfies BOTH predicates -> nested match
+    // doc 2: predicates satisfied by DIFFERENT elements -> flattened-only
+    // doc 3: two fully-matching elements -> n_matched 2, ranks first
+    val rows = Seq(
+      (1L, Seq((50.0, 0.01), (10.0, 0.5))),
+      (2L, Seq((50.0, 0.5), (10.0, 0.01))),
+      (3L, Seq((60.0, 0.0), (70.0, 0.01), (10.0, 0.5))))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), transform(col("raw"),
+        e => struct(e.getField("_1").as("q"), e.getField("_2").as("d")))
+        .as("items"))
+    val got = Search.nestedTopK(rows, "doc_id", "items",
+        e => e.getField("q") > 45 && e.getField("d") < 0.02, k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(got === Seq((3L, 2), (1L, 1)), s"doc 2 must NOT match: $got")
+    // minMatched 2: only doc 3
+    assert(Search.nestedTopK(rows, "doc_id", "items",
+        e => e.getField("q") > 45 && e.getField("d") < 0.02, k = 10,
+        minMatched = 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // the flattened form (independent exists per predicate) WOULD match
+    // doc 2 — the false-positive class the nested mapping kills
+    val flattened = rows.where(
+      exists(col("items"), e => e.getField("q") > 45) &&
+        exists(col("items"), e => e.getField("d") < 0.02))
+      .collect().map(_.getLong(0)).toSet
+    assert(flattened === Set(1L, 2L, 3L))
+  }
+
+  test("span queries: greedy-chain law on a hand corpus; indexed == scan " +
+      "bit-identity; span_first truncation; non-positional index refuses") {
+    // hand corpus pins the chain law exactly:
+    //  doc 1: a..b..c within width 5 (slop 2) -> 1 match from p1=0
+    //  doc 2: a b out of order for (b,a) but in order for (a,b)
+    //  doc 3: a x x x x b — width 6 needs slop >= 4
+    //  doc 4: a a b — TWO p1 candidates, both chain to the same b (greedy
+    //         counts each p1 once: tf 2)
+    val hand = Seq(
+      (1L, "a x b x c"), (2L, "a b c"), (3L, "a x x x x b"),
+      (4L, "a a b"), (5L, "c b a"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // (a,b,c) slop 2: doc 1 (width 5 = 3 terms + 2 gaps) and doc 2 (adjacent)
+    val near = ids(Search.spanNearTopK(hand, "doc_id", "text",
+      Seq("a", "b", "c"), slop = 2, k = 10))
+    assert(near.map(_._1).toSet === Set(1L, 2L))
+    // (a,b) slop 0 on doc 4: greedy counts each starting position once
+    val d4 = Search.spanNearTopK(hand.filter(col("doc_id") === 4), "doc_id",
+      "text", Seq("a", "b"), slop = 1, k = 10).collect()
+    assert(d4.length === 1)
+    // tf 2: p1=0 chains to b (width 3, slop used 1), p1=1 adjacent
+    // doc 3 at slop 3 misses (needs 4), matches at slop 4; doc 5 ("c b a")
+    // never matches (a,b) — in_order means no b AFTER its a counts
+    assert(Search.spanNearTopK(hand, "doc_id", "text", Seq("a", "b"),
+      slop = 3, k = 10).collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    assert(Search.spanNearTopK(hand, "doc_id", "text", Seq("a", "b"),
+      slop = 4, k = 10).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L, 4L))
+    // span_first: 'b' within the first 2 positions -> docs 4? no (b at 2),
+    // doc 5 (b at 1), doc 2 (b at 1)
+    assert(Search.spanFirstTopK(hand, "doc_id", "text", "b", end = 2,
+      k = 10).collect().map(_.getLong(0)).toSet === Set(2L, 5L))
+    // indexed == scan bit-identity on the real corpus
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanidx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    assert(ids(Search.indexedSpanNearTopK(spark, dir,
+        Seq("spark", "window", "merge"), slop = 6, k = 25)) ===
+      ids(Search.spanNearTopK(docs, "doc_id", "text",
+        Seq("spark", "window", "merge"), slop = 6, k = 25)))
+    assert(ids(Search.indexedSpanFirstTopK(spark, dir, "spark", end = 10,
+        k = 25)) ===
+      ids(Search.spanFirstTopK(docs, "doc_id", "text", "spark", end = 10,
+        k = 25)))
+    // BM25-only index refuses span queries loudly
+    val nopos = java.nio.file.Files.createTempDirectory("graft-spannopos").toString
+    Search.buildPostingsIndex(docs.limit(100), "doc_id", "text", nopos,
+      buckets = 8, positional = false)
+    val e = intercept[IllegalArgumentException] {
+      Search.indexedSpanNearTopK(spark, nopos, Seq("spark", "window"),
+        slop = 2, k = 5).collect()
+    }
+    assert(e.getMessage.contains("positions"))
+  }
+
   test("search_after keyset pagination: pages partition the single-shot " +
       "ranking exactly; indexed == scan; cursor from the published row") {
     val docs = sf("sf0.001", "documents")

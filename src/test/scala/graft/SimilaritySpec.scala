@@ -491,6 +491,26 @@ class SimilaritySpec extends SparkSpec {
     // a stricter threshold needs FEWER tables for the same recall
     val (tStrict, _) = Similarity.autoLshKnobs(1000000L, 0.99)
     assert(tStrict <= tBig)
+    // strict recall floor: at n=100M/t=0.9 the default knobs clamp to 40
+    // tables and under-recall (~0.84, the documented WARN case); strict
+    // mode must raise targetBucket until the ANALYTIC recall meets the
+    // target with no manual overrides
+    val (tCl, bCl) = Similarity.autoLshKnobs(100000000L, 0.9)
+    assert(recallAt(tCl, bCl, 0.9) < 0.95, "precondition: the clamp binds")
+    val (tFl, bFl) = Similarity.autoLshKnobs(100000000L, 0.9, strict = true)
+    assert(recallAt(tFl, bFl, 0.9) >= 0.95,
+      s"strict knobs ($tFl, $bFl) recall ${recallAt(tFl, bFl, 0.9)}")
+    assert(tFl <= 40, "strict must stay inside the tables clamp")
+    assert(bFl < bCl, "strict buys recall with SHALLOWER signatures")
+    // strict is a NO-OP where the default already meets the target (the
+    // 1M bench tier must not change knobs)
+    assert(Similarity.autoLshKnobs(1000000L, 0.9, strict = true) ===
+      ((tBig, bBig)))
+    // an unmeetable floor throws instead of silently degrading
+    intercept[IllegalArgumentException] {
+      Similarity.autoLshKnobs(100000000L, 0.2, targetRecall = 0.999,
+        strict = true)
+    }
     // auto mode end-to-end (tables = bits = 0): same recall/no-FP laws
     // as the explicit-knob test on the same fixture
     val dim = 16
