@@ -4,10 +4,12 @@
 # graft.Bench in a bare JVM against sf0.1, leave bench_out.json in the
 # repo root. Run from /root/repo on an otherwise idle box.
 #
-# Usage: scripts/closing_bench.sh [sfDir]   (default /root/testdata/sf0.1)
+# Usage: scripts/closing_bench.sh [sfDir] [tier]
+#   (defaults /root/testdata/sf0.1 full; tiers: full|quick|skip1m|no10m|only1m)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SFDIR="${1:-/root/testdata/sf0.1}"
+TIER="${2:-full}"
 
 sbt -batch package
 
@@ -20,4 +22,4 @@ done
 sleep 2
 
 JAR=$(ls target/scala-2.13/*.jar | grep -v -- '-tests' | head -1)
-exec java -Xmx96g -cp "$JAR:/opt/spark/jars/*" graft.Bench "$SFDIR"
+exec java -Xmx96g -cp "$JAR:/opt/spark/jars/*" graft.Bench "$SFDIR" "$TIER"

@@ -1802,6 +1802,52 @@ object Search {
   }
 
   /**
+   * Score explanation (the ES `_explain` API): one row per (doc, term)
+   * decomposing the BM25 score — tf, df, idf, the length-norm factor,
+   * and the term's contribution — plus the total (which is exactly
+   * [[bm25TopK]]'s published score: the contributions sum in sorted term
+   * order before rounding). Only MATCHING terms explain (tf > 0, the ES
+   * convention); docs matching nothing produce no rows. The relevance
+   * debugger's workhorse: "why did doc X outrank doc Y" answers from
+   * the per-term rows without re-deriving the formula by hand.
+   */
+  def explainScore(docs: DataFrame, idCol: String, textCol: String,
+                   query: String, params: Bm25Params = Bm25Params(),
+                   roundTo: Int = 4): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "empty query")
+    val stats = corpusStats(docs, textCol, terms)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val lenNorm = lit(params.k1) *
+      (lit(1.0 - params.b) + lit(params.b) * dl / lit(stats.avgdl))
+    val matched = terms.map(t => when(array_contains(tok, t), 1).otherwise(0))
+      .reduce(_ + _)
+    val baseCols = Seq(col(idCol).as("doc_id"), dl.as("_dl"),
+      lenNorm.as("_ln"),
+      round(scoreCol(terms, stats, params, tok, dl), roundTo).as("score")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(tok, x => x === lit(t))).cast("double").as(s"_tf$i")
+      }
+    val base = docs
+      .where(matched >= 1)
+      .select(baseCols: _*)
+    val rows = terms.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"_tf$i")
+      base.where(tf > 0).select(
+        col("doc_id"), lit(t).as("term"),
+        tf.cast("long").as("tf"),
+        lit(stats.df.getOrElse(t, 0L)).as("df"),
+        round(lit(stats.idf(t)), 6).as("idf"),
+        col("_dl").cast("long").as("dl"),
+        round(lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) /
+          (tf + col("_ln")), 6).as("contribution"),
+        col("score"))
+    }.reduce(_ unionByName _)
+    rows.orderBy("doc_id", "term")
+  }
+
+  /**
    * nested query top-k (the ES `nested` query): documents whose
    * array-of-struct field contains ≥ `minMatched` elements satisfying
    * `pred` — ON THE SAME ELEMENT, the whole reason ES nested docs exist

@@ -4515,6 +4515,77 @@ object Queries {
               e.getField("l_discount") < 0.02, k = 30)
           .orderBy("rank")
       }),
+
+    // ---- _explain (the ES explain API): per-(doc, term) BM25 score
+    //      decomposition — tf/df/idf/length-norm/contribution — for the
+    //      q86 query's top-5 docs; the total equals bm25TopK's published
+    //      score exactly (contributions sum unrounded in sorted term
+    //      order, round once). Only matching terms explain (tf > 0). ----
+    QueryDef("q139_explain",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END) AS df1,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END) AS df2,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END) AS df3
+             |  FROM docs),
+             |per AS (
+             |  SELECT doc_id, len(w)::DOUBLE AS dl,
+             |    len(list_filter(w, x -> x = 'merge'))::DOUBLE AS tf1,
+             |    len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf2,
+             |    len(list_filter(w, x -> x = 'window'))::DOUBLE AS tf3,
+             |    1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl) AS ln_
+             |  FROM docs, st
+             |  WHERE list_contains(w, 'merge') OR list_contains(w, 'spark')
+             |     OR list_contains(w, 'window')),
+             |scored AS (
+             |  SELECT per.*,
+             |    ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) AS idf1,
+             |    ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) AS idf2,
+             |    ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5)) AS idf3,
+             |    round(ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |            * (tf1 * 2.2) / (tf1 + ln_)
+             |        + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |            * (tf2 * 2.2) / (tf2 + ln_)
+             |        + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |            * (tf3 * 2.2) / (tf3 + ln_), 4) AS score
+             |  FROM per, st),
+             |top5 AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+             |    FROM scored) x WHERE rk <= 5),
+             |expl AS (
+             |  SELECT doc_id, 'merge' AS term, tf1::BIGINT AS tf,
+             |    (SELECT df1::BIGINT FROM st) AS df, round(idf1, 6) AS idf,
+             |    dl::BIGINT AS dl, round(idf1 * (tf1 * 2.2) / (tf1 + ln_), 6)
+             |      AS contribution, score
+             |  FROM top5 WHERE tf1 > 0
+             |  UNION ALL
+             |  SELECT doc_id, 'spark', tf2::BIGINT,
+             |    (SELECT df2::BIGINT FROM st), round(idf2, 6),
+             |    dl::BIGINT, round(idf2 * (tf2 * 2.2) / (tf2 + ln_), 6), score
+             |  FROM top5 WHERE tf2 > 0
+             |  UNION ALL
+             |  SELECT doc_id, 'window', tf3::BIGINT,
+             |    (SELECT df3::BIGINT FROM st), round(idf3, 6),
+             |    dl::BIGINT, round(idf3 * (tf3 * 2.2) / (tf3 + ln_), 6), score
+             |  FROM top5 WHERE tf3 > 0)
+             |SELECT * FROM expl ORDER BY doc_id, term""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val top5 = graft.ext.Search.bm25TopK(docs, "doc_id", "text",
+            "spark window merge", k = 5)
+          .collect().map(_.getLong(0)).toSeq
+        // stats MUST come from the full corpus (df/avgdl/N are corpus
+        // facts); only the OUTPUT rows narrow to the top-5 docs
+        graft.ext.Search.explainScore(docs, "doc_id", "text",
+            "spark window merge")
+          .filter(col("doc_id").isin(top5: _*))
+          .orderBy("doc_id", "term")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

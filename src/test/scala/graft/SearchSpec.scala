@@ -1662,6 +1662,32 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("explainScore: contributions sum to the published bm25TopK score; " +
+      "only matching terms explain; df/idf are corpus facts") {
+    val docs = sf("sf0.001", "documents")
+    val q = "spark window merge"
+    val ranked = Search.bm25TopK(docs, "doc_id", "text", q, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expl = Search.explainScore(docs, "doc_id", "text", q)
+      .filter(col("doc_id").isin(ranked.keys.toSeq: _*))
+      .collect()
+    // per-doc: the explain's score column IS the published ranking score,
+    // and the unrounded contributions re-sum to it within rounding
+    val byDoc = expl.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.head.getDouble(7) === ranked(id))
+      val sum = rows.sortBy(_.getString(1)).map(_.getDouble(6)).sum
+      assert(math.abs(sum - ranked(id)) < 1e-3,
+        s"doc $id: contributions $sum vs score ${ranked(id)}")
+    }
+    // only matching terms appear (tf > 0 everywhere)
+    assert(expl.forall(_.getLong(2) > 0))
+    // df is a corpus fact: same value on every row of a term
+    expl.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).distinct.length === 1)
+    }
+  }
+
   test("nestedTopK: conjunction binds to the SAME element (the flattened " +
       "false-positive law), minMatched gate, count ranking") {
     // doc 1: one element satisfies BOTH predicates -> nested match
