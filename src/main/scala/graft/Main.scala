@@ -875,9 +875,13 @@ object Main {
             val i = spec.lastIndexOf(':')
             require(i > 0 && i < spec.length - 1,
               s"--search-after expects <lastScore>:<lastDocId>, got '$spec'")
-            val id = spec.substring(i + 1)
-            (spec.substring(0, i).toDouble,
-              id.toLongOption.getOrElse(id): Any)
+            // the id stays a STRING literal: Spark casts a string literal
+            // to the id COLUMN's type, so numeric ids compare numerically
+            // and string ids lexicographically — the order page 1 was
+            // sorted by. An eager toLong here would force numeric
+            // coercion onto string-id corpora and skip/duplicate rows at
+            // page boundaries.
+            (spec.substring(0, i).toDouble, spec.substring(i + 1): Any)
           }
           require(searchAfterOpt.isEmpty || (queryOpt.isDefined &&
               !hybridIndexed && !raw.contains("embeddings") &&

@@ -1715,15 +1715,25 @@ object Search {
     // the scan; 1 deg latitude = 111.19 km at the Lucene radius, and the
     // longitude window widens by 1/cos(lat) — clamped at the poles where
     // the box degenerates to all-longitudes)
-    val latPad = radiusKm / 111.19492664455873
+    // the box is implied by the UNROUNDED radius filter below, PROVIDED
+    // the extents are the spherical-cap ones: Δlat is bounded by the
+    // angular radius c = r/R (meridian distance = R·Δφ exactly), but the
+    // cap's true maximum longitude extent is asin(sin c / cos φ) — the
+    // circle bulges east/west at its mid latitudes, exceeding the naive
+    // c/cos φ whenever sin|φ| > c/√2 (a correctness review caught a
+    // dropped in-radius sliver at the naive pad). A cap touching a pole
+    // spans ALL longitudes. Tiny epsilons absorb double rounding at the
+    // boundary; the box stays a pure pushdown — dropped when it would
+    // wrap the antimeridian, where one interval cannot express it.
+    val cRad = radiusKm / 6371.0088
+    val latPad = math.toDegrees(cRad) + 1e-9
     val qLatR = math.max(-90.0, math.min(90.0, qLat))
+    val capHitsPole = math.abs(qLatR) + math.toDegrees(cRad) >= 90.0 - 1e-9
     val cosLat = math.cos(qLatR * math.Pi / 180.0)
-    val lonPad = if (cosLat < 1e-9) 360.0 else latPad / cosLat
-    // the box is implied by the UNROUNDED radius filter below (meridian
-    // distance >= 111.19 km/deg bounds Δlat; the 1/cos widening bounds
-    // Δlon away from the poles), so it is a pure pushdown optimization —
-    // dropped when it would wrap the antimeridian, where a single
-    // interval cannot express the window
+    val sinRatio = if (cosLat < 1e-12) 2.0 else math.sin(cRad) / cosLat
+    val lonPad =
+      if (capHitsPole || sinRatio >= 1.0) 360.0
+      else math.toDegrees(math.asin(sinRatio)) + 1e-9
     val wraps = lonPad >= 180.0 || qLon - lonPad < -180.0 || qLon + lonPad > 180.0
     val boxed = docs
       .where(col(latCol) >= qLat - latPad && col(latCol) <= qLat + latPad)
@@ -1823,28 +1833,29 @@ object Search {
       (lit(1.0 - params.b) + lit(params.b) * dl / lit(stats.avgdl))
     val matched = terms.map(t => when(array_contains(tok, t), 1).otherwise(0))
       .reduce(_ + _)
-    val baseCols = Seq(col(idCol).as("doc_id"), dl.as("_dl"),
-      lenNorm.as("_ln"),
-      round(scoreCol(terms, stats, params, tok, dl), roundTo).as("score")) ++
-      terms.zipWithIndex.map { case (t, i) =>
-        size(filter(tok, x => x === lit(t))).cast("double").as(s"_tf$i")
-      }
-    val base = docs
-      .where(matched >= 1)
-      .select(baseCols: _*)
-    val rows = terms.zipWithIndex.map { case (t, i) =>
-      val tf = col(s"_tf$i")
-      base.where(tf > 0).select(
-        col("doc_id"), lit(t).as("term"),
-        tf.cast("long").as("tf"),
+    // ONE corpus scan: per-term (term, tf, df, idf) structs explode in
+    // place — df/idf are driver-folded constants inside the struct, so
+    // the row-to-m-rows expansion costs a projection, not m re-scans
+    val termStructs = terms.map { t =>
+      struct(lit(t).as("term"),
+        size(filter(tok, x => x === lit(t))).cast("double").as("tf"),
         lit(stats.df.getOrElse(t, 0L)).as("df"),
-        round(lit(stats.idf(t)), 6).as("idf"),
+        lit(stats.idf(t)).as("idf"))
+    }
+    docs
+      .where(matched >= 1)
+      .select(col(idCol).as("doc_id"), dl.as("_dl"), lenNorm.as("_ln"),
+        round(scoreCol(terms, stats, params, tok, dl), roundTo).as("score"),
+        explode(array(termStructs: _*)).as("_e"))
+      .where(col("_e.tf") > 0)
+      .select(col("doc_id"), col("_e.term").as("term"),
+        col("_e.tf").cast("long").as("tf"), col("_e.df").as("df"),
+        round(col("_e.idf"), 6).as("idf"),
         col("_dl").cast("long").as("dl"),
-        round(lit(stats.idf(t)) * (tf * lit(params.k1 + 1.0)) /
-          (tf + col("_ln")), 6).as("contribution"),
+        round(col("_e.idf") * (col("_e.tf") * lit(params.k1 + 1.0)) /
+          (col("_e.tf") + col("_ln")), 6).as("contribution"),
         col("score"))
-    }.reduce(_ unionByName _)
-    rows.orderBy("doc_id", "term")
+      .orderBy("doc_id", "term")
   }
 
   /**
@@ -1922,9 +1933,14 @@ object Search {
     val stats = corpusStats(docs, textCol, distinctTerms)
     val idfSum = terms.foldLeft(0.0)((a, t) => a + stats.idf(t))
     val tok = tokens(col(textCol))
+    // empty-token guard (the phraseFreq convention): sequence(0, -1) on a
+    // zero-token doc yields the DESCENDING [0, -1] and element_at(tok, 0)
+    // throws unconditionally — such docs have no positions at all
     val posOf = distinctTerms.map(t => t ->
-      filter(sequence(lit(0), size(tok) - 1),
-        i => element_at(tok, i + 1) === lit(t))).toMap
+      when(size(tok) >= 1,
+        filter(sequence(lit(0), size(tok) - 1),
+          i => element_at(tok, i + 1) === lit(t)))
+        .otherwise(array().cast("array<int>"))).toMap
     val tf = spanNearTf(terms.map(posOf), slop)
     val scored = docs
       .select(col(idCol).as("doc_id"), tf.as("_stf"),

@@ -32,10 +32,13 @@ object Queries {
     * every per-query temp dir nests under ONE sweepable parent so the
     * mains that run the whole suite (Verify, Bench) can delete it at
     * exit — 21 per-run index dirs otherwise accumulate in /tmp across
-    * runs (the round-13 disk-full class of failure). */
+    * runs (the round-13 disk-full class of failure). PER-PROCESS (pid
+    * suffix): a shared root would let one finishing run's sweep delete a
+    * CONCURRENT run's live index dirs mid-read (Verify exiting while the
+    * closing bench is mid-suite is a real overlap on this box). */
   val scratchRoot: java.nio.file.Path =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-query-scratch")
+      s"graft-query-scratch-${ProcessHandle.current().pid()}")
 
   private[graft] def scratch(prefix: String): String = {
     java.nio.file.Files.createDirectories(scratchRoot)
@@ -823,7 +826,9 @@ object Queries {
     //      SQL engine re-derives from the payload lengths alone —
     //      content_bytes after the keep-every-4th-byte resize =
     //      ceil(utf8_len/4), frames at (blockSize 32, stride 2) =
-    //      (ceil(cb/32)+1) div 2, and the decode path is pinned by the
+    //      (max(ceil(cb/32), 1)+1) div 2 (sampleFrames emits ONE empty
+    //      frame for a zero-byte payload — sequence(0, greatest(n-1, 0))
+    //      includes index 0), and the decode path is pinned by the
     //      feature-array SHAPE (n_feat8 counts dim-8 feature vectors —
     //      a decode that dropped or misshaped a row breaks the count).
     //      The float feature VALUES (real JDK decode + byte-fold
@@ -838,8 +843,8 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n_media,
              |  CAST(sum(cb) AS BIGINT) AS total_bytes,
              |  CAST(count(*) AS BIGINT) AS n_feat8,
-             |  CAST(sum((CAST(ceil(cb / 32.0) AS BIGINT) + 1) // 2) AS BIGINT)
-             |    AS total_frames
+             |  CAST(sum((greatest(CAST(ceil(cb / 32.0) AS BIGINT), 1) + 1) // 2)
+             |    AS BIGINT) AS total_frames
              |FROM m
              |GROUP BY 1, 2
              |ORDER BY modality, format""".stripMargin),

@@ -331,11 +331,21 @@ object BundleInstall {
   private def readClaim(fs: FileSystem, p: Path): Option[(String, Long, Long)] =
     try {
       val st = fs.getFileStatus(p)
-      val in = fs.open(p)
-      val root = try new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(in.readAllBytes()) finally in.close()
-      Some((root.get("consumer").asText, root.get("gen").asLong,
-        st.getModificationTime))
+      // parse failures do NOT abort the pass: a zero-byte claim (a racing
+      // reader between create and close on HDFS, or a failed write inside
+      // claimIfAbsent) reads as owner "<unreadable>" — nobody's id — so
+      // the TTL+steal path HEALS it instead of every pass crashing on it
+      val parsed = try {
+        val in = fs.open(p)
+        val root = try new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(in.readAllBytes()) finally in.close()
+        for {
+          c <- Option(root).flatMap(r => Option(r.get("consumer")))
+          g <- Option(root.get("gen"))
+        } yield (c.asText, g.asLong)
+      } catch { case _: Exception => None }
+      val (c, g) = parsed.getOrElse(("<unreadable>", 0L))
+      Some((c, g, st.getModificationTime))
     } catch { case _: java.io.FileNotFoundException => None }
 
   private def claimBody(consumer: String, gen: Long): String = {
@@ -438,7 +448,8 @@ object BundleInstall {
    */
   def assembleIfComplete(spark: SparkSession, incomingDir: String,
                          bundleName: String, installDir: String,
-                         consumerId: String): Boolean = {
+                         consumerId: String,
+                         claimTtlMs: Long = 60000L): Boolean = {
     val fs = FileSystem.get(new java.net.URI(incomingDir),
       spark.sparkContext.hadoopConfiguration)
     val bundle = new Path(incomingDir, bundleName)
@@ -449,9 +460,23 @@ object BundleInstall {
       .map(_.getPath.getName.stripPrefix("_shard=").toInt).toSet
     val doneCnt = shards.count(k => fs.exists(new Path(target, s"_shard_done_$k")))
     if (doneCnt < shards.size) return false
-    if (!claimIfAbsent(fs, new Path(target, "_ASSEMBLED"), consumerId))
-      // another consumer is assembling; installed-marker check reports done
-      return fs.exists(new Path(target, "_INSTALLED"))
+    val gate = new Path(target, "_ASSEMBLED")
+    if (!claimIfAbsent(fs, gate, consumerId)) {
+      if (fs.exists(new Path(target, "_INSTALLED"))) return true
+      // the gate's own dead-assembler path (same crash model as the shard
+      // claims): a consumer that died between winning the gate and writing
+      // _INSTALLED must not wedge the bundle forever. Assembly is
+      // idempotent (overwrite-copies of control files, overwrite marker,
+      // marker-gated finalize), so a survivor can simply REDO it once the
+      // gate goes stale — a racing pair of stealers both assembling is
+      // harmless for the same reason.
+      val stale = try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(gate).getModificationTime > claimTtlMs
+      } catch { case _: java.io.FileNotFoundException => false }
+      if (!stale) return false
+      fs.setTimes(gate, System.currentTimeMillis(), -1) // re-arm the TTL
+    }
     fs.listStatus(bundle).filter(_.isFile).map(_.getPath)
       .filter(p => p.getName == "manifest.json" ||
         p.getName.matches("manifest_.*\\.json") ||

@@ -374,4 +374,41 @@ class InstallSpec extends SparkSpec {
     assert(s5.isInstanceOf[BundleInstall.ShardSkipped],
       s"a live claim must be respected: $s5")
   }
+
+  test("multi-consumer healing: unreadable claims heal via TTL+steal; a " +
+      "dead assembler's stale _ASSEMBLED gate is taken over") {
+    val incoming = Files.createTempDirectory("graft-mc3-in").toString
+    val installed = Files.createTempDirectory("graft-mc3-out").toString
+    val docs = DocTransform.docs(sf("sf0.001", "orders"), "o_orderkey", Some("o_custkey"))
+    BundleSink.write(docs, s"$incoming/idx_heal", numShards = 4,
+      partitionMultiples = 2, repartition = true, indexName = "idx_heal")
+    // a ZERO-BYTE claim (failed write / racing reader artifact) on shard 1
+    // with a stale mtime: must heal through the steal path, not crash
+    val claims = Paths.get(s"$incoming/idx_heal/_claims")
+    Files.createDirectories(claims)
+    val broken = claims.resolve("shard_1.claim")
+    Files.write(broken, Array.emptyByteArray)
+    broken.toFile.setLastModified(System.currentTimeMillis() - 600000L)
+    val out = BundleInstall.installShardsOnce(spark, incoming, "idx_heal",
+      installed, "healer", claimTtlMs = 1000L)
+    val inst = out.collect { case i: BundleInstall.ShardInstalled => i }
+    assert(inst.map(_.shard).sorted === (0 until 4).toSeq, out)
+    assert(inst.find(_.shard == 1).get.takenOver,
+      "the unreadable claim must heal via takeover")
+    // dead assembler: _ASSEMBLED exists (stale), _INSTALLED does not —
+    // a survivor must take the gate over instead of wedging forever
+    val gate = Paths.get(s"$installed/idx_heal/_ASSEMBLED")
+    Files.write(gate, "dead-assembler".getBytes("UTF-8"))
+    gate.toFile.setLastModified(System.currentTimeMillis() - 600000L)
+    assert(!Files.exists(Paths.get(s"$installed/idx_heal/_INSTALLED")))
+    // a FRESH gate is respected (returns false, no takeover)
+    assert(!BundleInstall.assembleIfComplete(spark, incoming, "idx_heal",
+      installed, "survivor", claimTtlMs = 3600000L))
+    // a STALE gate is taken over and assembly completes
+    assert(BundleInstall.assembleIfComplete(spark, incoming, "idx_heal",
+      installed, "survivor", claimTtlMs = 1000L))
+    assert(Files.exists(Paths.get(s"$installed/idx_heal/_INSTALLED")))
+    val r = graft.sink.BundleValidate.validate(spark, s"$installed/idx_heal")
+    assert(r.ok, r.problems)
+  }
 }

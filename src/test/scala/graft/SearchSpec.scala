@@ -1624,6 +1624,16 @@ class SearchSpec extends SparkSpec {
     assert(Search.geoDistanceTopK(pole, "doc_id", "lat", "lon",
         qLat = 89.95, qLon = 90.0, radiusKm = 50.0, k = 10)
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // mid-latitude cap BULGE (review regression): the circle's true max
+    // longitude extent is asin(sin c / cos phi) — a point near the east
+    // tangent sits IN radius (1499.78 km <= 1500) but OUTSIDE the naive
+    // c/cos(phi) box (dlon 13.6999 > 13.6979); the box must not drop it
+    val bulge = Seq((1L, 10.286757, 33.699921), (2L, 10.0, 20.0))
+      .toDF("doc_id", "lat", "lon")
+    val bGot = Search.geoDistanceTopK(bulge, "doc_id", "lat", "lon",
+        qLat = 10.0, qLon = 20.0, radiusKm = 1500.0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(bGot === Set(1L, 2L), s"cap-bulge point dropped by the box: $bGot")
   }
 
   test("hasChildTopK: score modes (max/sum/avg/none), minChildren gate, " +
@@ -1727,9 +1737,11 @@ class SearchSpec extends SparkSpec {
     //  doc 3: a x x x x b — width 6 needs slop >= 4
     //  doc 4: a a b — TWO p1 candidates, both chain to the same b (greedy
     //         counts each p1 once: tf 2)
+    // doc 6 is EMPTY text (review regression: sequence(0, -1) +
+    // element_at(tok, 0) crashed the whole scan before the tf filter)
     val hand = Seq(
       (1L, "a x b x c"), (2L, "a b c"), (3L, "a x x x x b"),
-      (4L, "a a b"), (5L, "c b a"))
+      (4L, "a a b"), (5L, "c b a"), (6L, ""))
       .toDF("doc_id", "text")
     def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
       df.orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
