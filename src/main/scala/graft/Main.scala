@@ -871,18 +871,36 @@ object Main {
               !raw.contains("fields") && !fuzzyOn && !prefixOn && !wildOn),
             "--parent-col (has_child) applies to a plain --query corpus scan")
           // search_after (ES keyset pagination): plain --query term search
-          val searchAfterOpt = raw.get("search-after").map { spec =>
+          val searchAfterRaw = raw.get("search-after").map { spec =>
             val i = spec.lastIndexOf(':')
             require(i > 0 && i < spec.length - 1,
               s"--search-after expects <lastScore>:<lastDocId>, got '$spec'")
-            // the id stays a STRING literal: Spark casts a string literal
-            // to the id COLUMN's type, so numeric ids compare numerically
-            // and string ids lexicographically — the order page 1 was
-            // sorted by. An eager toLong here would force numeric
-            // coercion onto string-id corpora and skip/duplicate rows at
-            // page boundaries.
-            (spec.substring(0, i).toDouble, spec.substring(i + 1): Any)
+            (spec.substring(0, i).toDouble, spec.substring(i + 1))
           }
+          // the cursor id parses to the id COLUMN's resolved type (read
+          // from the corpus / index postings schema at the use site): a
+          // string-vs-numeric comparison in Spark promotes BOTH sides to
+          // DOUBLE, so a string cursor against a long id column loses
+          // integer precision past 2^53 and can skip/duplicate rows at a
+          // page boundary. An eager toLong without looking at the schema
+          // would be the mirror bug on string-id corpora.
+          def typedCursor(idType: org.apache.spark.sql.types.DataType)
+          : Option[(Double, Any)] = searchAfterRaw.map { case (s, id) =>
+            import org.apache.spark.sql.types._
+            val typed: Any = idType match {
+              case LongType => id.toLong
+              case IntegerType => id.toInt
+              case ShortType => id.toShort
+              case ByteType => id.toByte
+              case _: DecimalType => new java.math.BigDecimal(id)
+              case FloatType => id.toFloat
+              case DoubleType => id.toDouble
+              case _ => id // strings (and exotica) compare as-is
+            }
+            (s, typed)
+          }
+          val searchAfterOpt: Option[(Double, Any)] =
+            searchAfterRaw.map { case (s, id) => (s, id: Any) }
           require(searchAfterOpt.isEmpty || (queryOpt.isDefined &&
               !hybridIndexed && !raw.contains("embeddings") &&
               !raw.contains("fields") && !fuzzyOn && !prefixOn && !wildOn &&
@@ -960,7 +978,10 @@ object Main {
             graft.ext.Search.geoDistanceTopK(docs, idCol, p(0), p(1),
               p(2).toDouble, p(3).toDouble, p(4).toDouble, k)
           } else if (hasChildOn) {
-            // ES has_child: parents ranked by child-score aggregate
+            // ES has_child: parents ranked by child-score aggregate.
+            // --score-mode defaults to "max" — a DELIBERATE deviation
+            // from ES's default of "none" (constant score); pass
+            // --score-mode none for ES-default parity.
             graft.ext.Search.hasChildTopK(docs, raw("parent-col"), textCol,
               queryOpt.get, k,
               scoreMode = raw.getOrElse("score-mode", "max"),
@@ -1058,7 +1079,9 @@ object Main {
                     graft.ext.Search.indexedBm25TopK(spark, idxDir, query, k,
                       minShouldMatch =
                         raw.getOrElse("min-should-match", "1").toInt,
-                      searchAfter = searchAfterOpt)
+                      searchAfter = typedCursor(spark.read
+                        .parquet(s"$idxDir/postings")
+                        .schema("doc_id").dataType))
                   case (None, None) if boostingOn =>
                     // ES `boosting` query: negative terms demote
                     graft.ext.Search.boostingTopK(docs, idCol, textCol,
@@ -1113,7 +1136,7 @@ object Main {
                     graft.ext.Search.bm25TopK(docs, idCol, textCol, query, k,
                       minShouldMatch =
                         raw.getOrElse("min-should-match", "1").toInt,
-                      searchAfter = searchAfterOpt)
+                      searchAfter = typedCursor(docs.schema(idCol).dataType))
                 }
               }
           }

@@ -1691,7 +1691,12 @@ object Search {
     val dlmb = (lon2 - lon1) * lit(rad) / lit(2.0)
     val a = sin(dphi) * sin(dphi) +
       cos(lat1 * lit(rad)) * cos(lat2 * lit(rad)) * sin(dlmb) * sin(dlmb)
-    lit(2.0 * 6371.0088) * asin(sqrt(a))
+    // clamp before the root: for near-antipodal pairs floating rounding
+    // can push the radicand fractionally above 1, and asin(>1) = NaN —
+    // which a radius filter would then silently DROP (a point ~20015 km
+    // away is outside any sane radius, but "NaN, excluded" is the wrong
+    // reason and breaks distance projections)
+    lit(2.0 * 6371.0088) * asin(sqrt(least(a, lit(1.0))))
   }
 
   /**
@@ -1761,9 +1766,12 @@ object Search {
   /**
    * has_child top-k (the ES `has_child` query with `score_mode`):
    * parents with ≥ `minChildren` children matching the BM25 query rank
-   * by an aggregate of the matching children's scores — `"max"` (ES
-   * default), `"sum"`, `"avg"`, or `"none"` (filter only: score 0.0,
-   * ties resolve by parent id — the constant_score form). Child scores
+   * by an aggregate of the matching children's scores — `"max"`, `"sum"`,
+   * `"avg"`, or `"none"` (filter only: score 0.0, ties resolve by parent
+   * id — the constant_score form). DELIBERATE DEVIATION from ES: the ES
+   * default score_mode is `"none"`; this engine defaults to `"max"`
+   * because a ranked parent list is the useful analytic answer (pass
+   * `"none"` explicitly for ES-default parity). Child scores
    * are [[bm25TopK]]'s law verbatim (same stats, rounding AFTER the
    * aggregate); the parent key is just a column on the child table (the
    * ES join-field denormalized the Spark way — no separate parent scan

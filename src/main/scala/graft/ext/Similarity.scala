@@ -2317,17 +2317,30 @@ object Similarity {
    *
    * `maxBucket` caps degenerate buckets (all-identical corpora) the same way
    * Dedup.minHashNearDups does.
+   *
+   * `shuffleFloat32` (opt-in): carry the unit vector through the
+   * signature exchange as float32 instead of float64, halving the
+   * dominant shuffle's bytes (at 10M rows x 32 dims x strict knobs the
+   * float64 exchange is ~98 GB — past a 100 GB-class local disk; float32
+   * is ~52 GB). The verify dot still accumulates in double after a cast;
+   * the per-component rounding (~1e-7 relative) perturbs `sim` in the
+   * ~6th decimal, so a pair within 1e-6 of `threshold` can flip vs the
+   * float64 path. Correct for dedup thresholds (0.9/0.95 with planted
+   * margins); keep OFF anywhere an oracle pins exact float sequences.
    */
   def cosineNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, dim: Int, tables: Int = 8,
                         bits: Int = 8, roundTo: Int = 4,
                         maxBucket: Int = 10000,
-                        strictRecall: Boolean = false): DataFrame = {
+                        strictRecall: Boolean = false,
+                        shuffleFloat32: Boolean = false): DataFrame = {
     val (tablesR, bitsR) =
       if (tables == 0 || bits == 0)
         autoLshKnobs(df.count(), threshold, strict = strictRecall)
       else (tables, bits)
-    val sigs = df.select(col(idCol).as("_nid"), unitize(asDouble(col(vecCol))).as("_v"),
+    val unitV = unitize(asDouble(col(vecCol)))
+    val carried = if (shuffleFloat32) unitV.cast("array<float>") else unitV
+    val sigs = df.select(col(idCol).as("_nid"), carried.as("_v"),
         posexplode(array((0 until tablesR).map(t =>
           lshSignature(asDouble(col(vecCol)), dim, t, bitsR)): _*)))
       .select(col("_nid"), col("_v"), col("pos").as("_table"), col("col").as("_sig"))
@@ -2351,11 +2364,16 @@ object Similarity {
     // hash maps over the vector-carrying partitions — SMJ is the right
     // physical join for this self-join at every scale, and the sort cost
     // is part of the measured stage floor)
+    // float32-carried vectors cast back to double AT THE DOT (a no-op
+    // projection when _v is already float64): accumulation stays double
+    val dotV = if (shuffleFloat32)
+      dot(asDouble(col("a._v")), asDouble(col("b._v")))
+    else dot(col("a._v"), col("b._v"))
     guarded.as("a").join(guarded.as("b"),
         col("a._table") === col("b._table") && col("a._sig") === col("b._sig"))
       .filter(col("a._nid") < col("b._nid"))
       .select(col("a._nid").as("id_a"), col("b._nid").as("id_b"),
-        round(dot(col("a._v"), col("b._v")), roundTo).as("sim"))
+        round(dotV, roundTo).as("sim"))
       .filter(col("sim") >= threshold)
       .groupBy("id_a", "id_b").agg(first("sim").as("sim"))
   }

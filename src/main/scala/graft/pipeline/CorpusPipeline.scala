@@ -120,6 +120,7 @@ object CorpusPipeline {
           packStyle: String = "bins",
           packEodToken: Option[Int] = None,
           packLoaderCols: Boolean = false,
+          exactSnapshotDir: Option[String] = None,
           qualityModel: Option[graft.ext.QualityModel] = None,
           qualityProbMin: Double = 0.5,
           qualityParetoAlpha: Option[Double] = None,
@@ -276,6 +277,16 @@ object CorpusPipeline {
       .filter(col("_rn") === 1).drop("_norm", "_rn")
       .observe(obsExact, nRows)
       .localCheckpoint())
+    // optional post-exact snapshot (bench/debug seam): the near-dup
+    // stage's exact input frame, persisted so an ISOLATED replay of that
+    // stage (the 10M tier's median-of-3 protocol) times the same rows the
+    // in-pipeline run saw — re-deriving them would re-run (and re-time)
+    // the whole text prefix. One extra write of the checkpointed blocks;
+    // never on when unset.
+    exactSnapshotDir.foreach { d =>
+      staged("exact_snapshot_write")(
+        exact.write.mode("overwrite").parquet(d))
+    }
     val nInput = obsN(obsInput, docs.count())
     val nQuality = obsN(obsSurface, surface.count())
     val nModel = obsModel.map(obsN(_, gated.count())).getOrElse(-1L)

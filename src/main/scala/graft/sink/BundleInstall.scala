@@ -396,12 +396,12 @@ object BundleInstall {
     val done = new Path(target, s"_shard_done_$k")
     if (fs.exists(done)) return ShardSkipped(k, "already installed")
     val claim = new Path(bundle, s"_claims/shard_$k.claim")
-    val (owned, takenOver) =
-      if (claimIfAbsent(fs, claim, claimBody(consumerId, 1L))) (true, false)
+    val (owned, takenOver, myGen) =
+      if (claimIfAbsent(fs, claim, claimBody(consumerId, 1L))) (true, false, 1L)
       else readClaim(fs, claim) match {
-        case None => (false, false) // vanished mid-read: next pass retries
-        case Some((owner, _, _)) if owner == consumerId =>
-          (true, false) // my own earlier claim (resume after restart)
+        case None => (false, false, 0L) // vanished mid-read: next pass retries
+        case Some((owner, gen, _)) if owner == consumerId =>
+          (true, false, gen) // my own earlier claim (resume after restart)
         case Some((_, gen, mtime))
           if System.currentTimeMillis() - mtime > claimTtlMs =>
           // stale: the owner stopped heartbeating. One survivor per
@@ -413,30 +413,67 @@ object BundleInstall {
             try out.write(claimBody(consumerId, gen + 1).getBytes("UTF-8"))
             finally out.close()
             FsAtomic.renameReplace(fs, tmp, claim)
-            (true, true)
-          } else (false, false)
-        case Some(_) => (false, false) // live owner
+            (true, true, gen + 1)
+          } else (false, false, 0L)
+        case Some(_) => (false, false, 0L) // live owner
       }
     if (!owned) return ShardSkipped(k, "claimed by another consumer")
     // double-check the done marker AFTER winning the claim: a takeover
     // can race an owner that finished between our staleness read and now
     if (fs.exists(done)) return ShardSkipped(k, "already installed")
-    // install = wipe + copy (the dead owner may have left a partial dir;
-    // a merge would mix generations). Heartbeat the claim per file so a
-    // slow shard never reads as stale while its owner is alive.
+    // GENERATION-FENCED install (a stalled-but-alive owner is NOT a dead
+    // one): copy into a PRIVATE per-(consumer, gen) temp dir — never into
+    // dst — then publish with delete+rename and re-verify the claim
+    // before the done marker. The unfenced wipe+copy-in-place form had a
+    // real hole: owner A stalls past the TTL mid-copy, stealer B wipes
+    // dst and starts recopying, A wakes and finishes its REMAINING files
+    // into the dir B wiped, A creates the done marker, B dies -> done
+    // marker over a dst missing the files only-A had copied. With private
+    // staging, dst only ever transitions empty -> one owner's COMPLETE
+    // copy, and a superseded owner aborts at the fence instead of
+    // publishing. Heartbeat the claim per copied file so a slow shard
+    // never reads as stale while its owner is alive.
     val src = new Path(bundle, s"data/_shard=$k")
     val dst = new Path(target, s"data/_shard=$k")
-    fs.delete(dst, true)
-    fs.mkdirs(dst)
-    fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName).foreach { f =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
-        new Path(dst, f.getPath.getName), false, fs.getConf)
-      fs.setTimes(claim, System.currentTimeMillis(), -1) // heartbeat
+    val stage = new Path(target, s"data/.shard_$k.install.$consumerId.$myGen")
+    fs.delete(stage, true)
+    fs.mkdirs(stage)
+    try
+      fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName).foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new Path(stage, f.getPath.getName), false, fs.getConf)
+        fs.setTimes(claim, System.currentTimeMillis(), -1) // heartbeat
+      }
+    catch { case _: java.io.IOException =>
+      // a successor's post-publish sweep deleting this (superseded)
+      // staging dir mid-copy lands here — same outcome as the fence
+      fs.delete(stage, true)
+      return ShardSkipped(k, "superseded during install (staging swept)")
     }
-    // exactly-once accounting: only the done-marker CREATOR reports
-    // installed (a racing pair both copied identical bytes; one marker)
-    if (claimIfAbsent(fs, done, consumerId)) ShardInstalled(k, consumerId, takenOver)
-    else ShardSkipped(k, "finished by another consumer")
+    // FENCE: publish only while the claim still names (me, my gen). A
+    // stolen claim means a successor owns the shard now — abort and let
+    // the successor's complete copy win; my staging dir is swept.
+    readClaim(fs, claim) match {
+      case Some((owner, gen, _)) if owner == consumerId && gen == myGen =>
+        fs.delete(dst, true)
+        if (!fs.rename(stage, dst)) {
+          fs.delete(stage, true)
+          return ShardSkipped(k, "publish rename lost to a racing owner")
+        }
+        // sweep abandoned staging dirs of dead prior owners for this shard
+        try fs.listStatus(new Path(target, "data"))
+          .filter(_.getPath.getName.startsWith(s".shard_$k.install."))
+          .foreach(s => fs.delete(s.getPath, true))
+        catch { case _: Exception => () }
+        // exactly-once accounting: only the done-marker CREATOR reports
+        // installed (racing complete copies are identical bytes; one marker)
+        if (claimIfAbsent(fs, done, consumerId))
+          ShardInstalled(k, consumerId, takenOver)
+        else ShardSkipped(k, "finished by another consumer")
+      case _ =>
+        fs.delete(stage, true)
+        ShardSkipped(k, "superseded during install (claim stolen)")
+    }
   }
 
   /**
