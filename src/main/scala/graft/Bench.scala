@@ -1226,15 +1226,18 @@ object Bench {
     // strict-recall auto-knobbed stage over 10M x 32-dim vectors with
     // 500k planted exact-clone pairs (id % 20 == 19 clones id-1, cosine
     // 1.0 — collides in every table at any knobs, so planted recall must
-    // be 1.0). float32 signature carry (see cosineNearDupsLsh scaladoc):
-    // the float64 exchange at (tables=35, bits=16) is ~98 GB — past this
-    // box's free disk. Single run by design: the entry measures the
-    // candidate-join floor one decade above the adjudicated 1M number,
-    // and its ~n^1.5 growth IS the finding (the knob law trades bucket
-    // size against tables under the 95% recall floor; candidate dots
-    // scale ~ tables x n x bucket).
+    // be 1.0). STAGED in 6 sequential table-group passes with the float32
+    // signature carry: the single-pass float64 exchange at the strict
+    // knobs (tables=35, bits=16) is ~98 GB and even the float32 one
+    // (~50 GB) plus its SMJ spill overflows this box's ~80 GB scratch —
+    // measured, not hypothesized: the single-pass probe died on ENOSPC.
+    // cosineNearDupsLshStaged divides the peak footprint by the pass
+    // count at unchanged total work/recall. Gated OUT of the `full` tier
+    // (its 2.7e10 candidate dots are a ~30-60 min single run — the
+    // committed only10mpipe capture + BASELINE.md carry the number);
+    // runs in only10mpipe.
     val embedNeardup10mJson: String =
-      if (!run10mPipe) "{}"
+      if (tier != "only10mpipe") "{}"
       else recordDiag("embed_neardup_10m") { try {
         val n10 = 10000000L
         val dimE = 32
@@ -1251,8 +1254,8 @@ object Bench {
         var plantedFound10 = 0L
         quiesce()
         val sec = time {
-          val pairs = graft.ext.Similarity.cosineNearDupsLsh(df10, "vec_id",
-            "embedding", threshold = 0.9, dim = dimE,
+          val pairs = graft.ext.Similarity.cosineNearDupsLshStaged(df10,
+            "vec_id", "embedding", threshold = 0.9, dim = dimE, passes = 6,
             tables = 0, bits = 0, strictRecall = true,
             shuffleFloat32 = true).cache()
           found10 = pairs.count()
@@ -1262,7 +1265,7 @@ object Bench {
         }
         df10.unpersist()
         val rec10 = plantedFound10.toDouble / planted10
-        f"""{"rows":$n10,"dim":$dimE,"lsh_sec":$sec%.3f,"tables":$kt,"bits":$kb,"planted_pairs":$planted10,"found_pairs":$found10,"planted_recall":$rec10%.4f,"runs":1,"shuffle_float32":true,"quiesce":"sync+2s"}"""
+        f"""{"rows":$n10,"dim":$dimE,"lsh_sec":$sec%.3f,"tables":$kt,"bits":$kb,"passes":6,"planted_pairs":$planted10,"found_pairs":$found10,"planted_recall":$rec10%.4f,"runs":1,"shuffle_float32":true,"quiesce":"sync+2s"}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] embed neardup 10m failed: ${e.getMessage}"); "{}" } }
     drainTmp()

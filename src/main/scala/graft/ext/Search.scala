@@ -559,6 +559,74 @@ object Search {
         if (p.isEmpty) None else Some(x.startsWith(lit(p)))
       })((x, t) => regexp_like(x, lit("^" + wildcardRegex(t) + "$")))
 
+  /** Per-field score combination — the ONE float law shared by the scan
+    * and indexed multi-field paths (bit-identity depends on both calling
+    * this): most_fields = left-assoc field-order sum; best_fields =
+    * greatest, plus `tb · (sum − greatest)` when the dis_max tie_breaker
+    * is set (tb = 0 keeps the bare greatest expression). */
+  private def combineFieldScores(fieldScores: Seq[Column], mode: String,
+                                 tieBreaker: Double): Column = mode match {
+    case "most_fields" => fieldScores.reduce(_ + _)
+    case "best_fields" =>
+      val mx =
+        if (fieldScores.length == 1) fieldScores.head
+        else greatest(fieldScores: _*)
+      if (tieBreaker == 0.0) mx
+      else mx + lit(tieBreaker) * (fieldScores.reduce(_ + _) - mx)
+  }
+
+  /** Literal prefix of a regex pattern: the chars before the first regex
+    * metacharacter — a NECESSARY startsWith condition for a full-match of
+    * the pattern (sound only because the prefix is meta-free: every match
+    * of `^pat$` starts with it). Empty when the pattern leads with a meta
+    * (e.g. `.*ing`) — then NO cheap prefilter exists and the dictionary
+    * pass must see the full vocabulary (the r13 leading-`*` lesson: a
+    * shared prefilter is only valid when EVERY term contributes one). */
+  private[graft] def regexLiteralPrefix(pattern: String): String =
+    pattern.takeWhile(c => !"\\^$.|?*+()[]{}".contains(c))
+
+  /**
+   * Regexp-match top-k (the ES `regexp` query, the `wildcard` sibling):
+   * a token matches a query pattern when the WHOLE token matches it —
+   * the ES/Lucene regexp convention of implicit anchoring (`sp[aeiou]rk`
+   * finds "spark"/"spork"; `wind(ow|y)` finds "window" only as
+   * `wind(ow|y).*`-style patterns would). Scoring is the BM25 law over
+   * the regexp tf/df counts (the [[fuzzyTopK]] documented deviation from
+   * ES's constant-score multi-term family). Map-only scan + TakeOrdered;
+   * the per-token regex is the CPU knob. Patterns are analyzed like
+   * query text (lowercased, whitespace-split), so a multi-pattern query
+   * ORs its patterns exactly as [[bm25TopK]] ORs terms. Use the portable
+   * subset (classes, alternation, quantifiers) if an external engine
+   * must agree on matches.
+   */
+  def regexpTopK(docs: DataFrame, idCol: String, textCol: String,
+                 query: String, k: Int, params: Bm25Params = Bm25Params(),
+                 roundTo: Int = 4): DataFrame =
+    relaxedTopK(docs, idCol, textCol, queryTerms(query), k, params, roundTo)(
+      (x, t) => regexp_like(x, lit("^(?:" + t + ")$")))
+
+  /**
+   * Regexp top-k from a persisted postings index — [[regexpTopK]] via
+   * term-dictionary expansion: each pattern full-matches against the
+   * VOCABULARY, then ranks from the expansion terms' pruned `tb=`
+   * buckets. Bit-identical to the scan path unless `maxExpansions` binds
+   * (defaults to 50 — a `.*`-leading pattern is a vocabulary-sized
+   * expansion otherwise; pass 0 for unlimited / exact scan equality).
+   * The cheap prefilter is the pattern's literal prefix when one is
+   * extractable; a prefixless pattern drops the prefilter entirely
+   * (see [[indexedRelaxedTopK]] — the OR-prefilter validity rule).
+   */
+  def indexedRegexpTopK(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, query: String, k: Int,
+                        params: Bm25Params = Bm25Params(), roundTo: Int = 4,
+                        maxExpansions: Int = 50): DataFrame =
+    indexedRelaxedTopK(spark, dir, queryTerms(query), k, params, roundTo,
+      maxExpansions,
+      cheap = (x, t) => {
+        val p = regexLiteralPrefix(t)
+        if (p.isEmpty) None else Some(x.startsWith(lit(p)))
+      })((x, t) => regexp_like(x, lit("^(?:" + t + ")$")))
+
   /**
    * Multi-field BM25 top-k — the ES `multi_match` query over weighted
    * fields: each field is scored with ITS OWN statistics (df/avgdl per
@@ -566,8 +634,14 @@ object Search {
    * and the document score combines per `mode`:
    *  - `"most_fields"` (default): Σ_f boost_f · bm25_f — fields ADD
    *    evidence (the same entity described in several fields);
-   *  - `"best_fields"`: max_f boost_f · bm25_f — the dis_max form
-   *    (tie_breaker 0), fields COMPETE (the match lives in one field).
+   *  - `"best_fields"`: max_f boost_f · bm25_f — the dis_max form,
+   *    fields COMPETE (the match lives in one field). `tieBreaker` (the
+   *    ES dis_max / multi_match `tie_breaker`, default 0, common usage
+   *    0.3) lets the non-best fields contribute: score = max + tb · (Σ_f
+   *    − max), algebraically max + tb·Σ(others) but pinned in THIS float
+   *    form (Σ_f is the left-assoc field-order sum, max is `greatest`)
+   *    so an oracle reproduces it; tb = 0 keeps the bare `greatest`
+   *    expression — bit-identical to the pre-knob behavior.
    * Docs matching ≥1 term in ≥1 field qualify. Fold orders are pinned:
    * terms sorted within a field, fields combined in GIVEN order (sum is
    * left-assoc; max is `greatest`), so an oracle reproduces the float
@@ -582,10 +656,16 @@ object Search {
                      fields: Seq[(String, Double)], query: String, k: Int,
                      mode: String = "most_fields",
                      params: Bm25Params = Bm25Params(),
-                     roundTo: Int = 4): DataFrame = {
+                     roundTo: Int = 4,
+                     tieBreaker: Double = 0.0): DataFrame = {
     require(fields.nonEmpty, "need at least one (field, boost)")
     require(mode == "most_fields" || mode == "best_fields",
       s"unknown multi-field mode '$mode' (most_fields | best_fields)")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tie_breaker must be in [0, 1]: got $tieBreaker")
+    require(tieBreaker == 0.0 || mode == "best_fields",
+      "tie_breaker only applies to best_fields (dis_max); " +
+        "most_fields already sums every field")
     val terms = queryTerms(query)
     require(terms.nonEmpty, "empty query")
     // per-field stats in ONE aggregate pass: N once, then (Σdl, df...)
@@ -617,12 +697,7 @@ object Search {
         lit(boost) * scoreCol(terms, statsPerField(fi), params, tf0, dl)
       }
     }
-    val combined = mode match {
-      case "most_fields" => fieldScores.reduce(_ + _)
-      case "best_fields" =>
-        if (fieldScores.length == 1) fieldScores.head
-        else greatest(fieldScores: _*)
-    }
+    val combined = combineFieldScores(fieldScores, mode, tieBreaker)
     val matched = fields.flatMap { case (f, _) =>
       terms.map(t => when(array_contains(tokens(col(f)), t), 1).otherwise(0))
     }.reduce(_ + _)
@@ -660,10 +735,16 @@ object Search {
                             fields: Seq[(String, Double)], query: String,
                             k: Int, mode: String = "most_fields",
                             params: Bm25Params = Bm25Params(),
-                            roundTo: Int = 4): DataFrame = {
+                            roundTo: Int = 4,
+                            tieBreaker: Double = 0.0): DataFrame = {
     require(fields.nonEmpty, "need at least one (indexDir, boost)")
     require(mode == "most_fields" || mode == "best_fields",
       s"unknown multi-field mode '$mode' (most_fields | best_fields)")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tie_breaker must be in [0, 1]: got $tieBreaker")
+    require(tieBreaker == 0.0 || mode == "best_fields",
+      "tie_breaker only applies to best_fields (dis_max); " +
+        "most_fields already sums every field")
     val terms = queryTerms(query)
     require(terms.nonEmpty, "empty query")
     val statsPerField = fields.map { case (dir, _) => readStats(spark, dir) }
@@ -711,12 +792,7 @@ object Search {
       if (perField(fi).isEmpty) lit(0.0)
       else coalesce(col(s"_s$fi"), lit(0.0))
     }
-    val combined = mode match {
-      case "most_fields" => fieldScores.reduce(_ + _)
-      case "best_fields" =>
-        if (fieldScores.length == 1) fieldScores.head
-        else greatest(fieldScores: _*)
-    }
+    val combined = combineFieldScores(fieldScores, mode, tieBreaker)
     val scored = joined
       .select(col("doc_id"), round(combined, roundTo).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -1758,6 +1834,139 @@ object Search {
       .select("doc_id", "rank", "distance_km")
   }
 
+  /**
+   * geo_bounding_box (the ES filter query): rows whose point lies inside
+   * the box, inclusive edges (the ES convention). `left > right` means
+   * the box CROSSES THE ANTIMERIDIAN (e.g. 170 to −170): the longitude
+   * test becomes the OR of the two half-intervals — the case a naive
+   * `BETWEEN` silently empties. Pure comparisons: the whole predicate
+   * pushes to the parquet scan (PushedFilters), no trig anywhere.
+   * Output: (doc_id, lat, lon), caller orders.
+   */
+  def geoBoundingBox(docs: DataFrame, idCol: String, latCol: String,
+                     lonCol: String, top: Double, left: Double,
+                     bottom: Double, right: Double): DataFrame = {
+    require(top >= bottom, s"top ($top) must be >= bottom ($bottom)")
+    val lonPred =
+      if (left <= right) col(lonCol) >= left && col(lonCol) <= right
+      else col(lonCol) >= left || col(lonCol) <= right // antimeridian box
+    docs
+      .where(col(latCol) >= bottom && col(latCol) <= top && lonPred)
+      .select(col(idCol).as("doc_id"),
+        col(latCol).cast("double").as("lat"),
+        col(lonCol).cast("double").as("lon"))
+  }
+
+  /** Even-odd (ray-casting) point-in-polygon as ONE codegen'd projection
+    * over a LITERAL vertex list — the planar test on (lon, lat) treated
+    * as x/y (the ES geo_polygon law for non-pole, non-antimeridian
+    * polygons; callers with crossing polygons split them first). A point
+    * is inside when a ray to +x crosses an odd number of edges; the
+    * crossing test `(yi > y) != (yj > y) && x < (xj−xi)·(y−yi)/(yj−yi) +
+    * xi` is the numerically-standard form (no division by zero: the
+    * first conjunct already excludes yi == yj), and every operation is
+    * plain IEEE arithmetic on shared literals, so an external engine
+    * evaluating the same formula agrees bit-for-bit. Boundary points
+    * follow the raycast's half-open convention (ES makes no boundary
+    * promise either). */
+  def pointInPolygon(lat: Column, lon: Column,
+                     vertices: Seq[(Double, Double)]): Column = {
+    require(vertices.length >= 3, "polygon needs >= 3 (lat, lon) vertices")
+    val crossings = vertices.indices.map { i =>
+      val (yi, xi) = vertices(i)
+      val (yj, xj) = vertices((i + 1) % vertices.length)
+      when((lit(yi) > lat) =!= (lit(yj) > lat) &&
+        lon < (lit(xj) - lit(xi)) * (lat - lit(yi)) /
+          (lit(yj) - lit(yi)) + lit(xi), 1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /**
+   * geo_polygon (the ES filter query): rows whose point falls inside the
+   * literal polygon — [[pointInPolygon]] pushed over a bounding-box
+   * prefilter (min/max of the vertices, pure comparisons that reach the
+   * scan; the exact raycast runs over box survivors only — the Lucene
+   * bkd-then-exact shape). Output: (doc_id, lat, lon), caller orders.
+   */
+  def geoPolygon(docs: DataFrame, idCol: String, latCol: String,
+                 lonCol: String, vertices: Seq[(Double, Double)]): DataFrame = {
+    require(vertices.length >= 3, "polygon needs >= 3 (lat, lon) vertices")
+    val lats = vertices.map(_._1); val lons = vertices.map(_._2)
+    docs
+      .where(col(latCol) >= lats.min && col(latCol) <= lats.max &&
+        col(lonCol) >= lons.min && col(lonCol) <= lons.max)
+      .where(pointInPolygon(col(latCol).cast("double"),
+        col(lonCol).cast("double"), vertices))
+      .select(col(idCol).as("doc_id"),
+        col(latCol).cast("double").as("lat"),
+        col(lonCol).cast("double").as("lon"))
+  }
+
+  /** Geohash cell of a point at `precision` chars (1..12) as one codegen
+    * projection: the standard base32 encoding — longitude halves the
+    * world on even interleaved bits, latitude on odd, 5 bits per char
+    * over the alphabet 0-9 b-z (no a/i/l/o). Computed ARITHMETICALLY
+    * (scaled integer cell coords + bit interleave), not by successive
+    * halving: floor((lon+180)/360 · 2^lonBits) is exact integer math any
+    * engine reproduces, where binary midpoint comparisons can disagree
+    * in the last ulp. Edge clamp: lon = 180 / lat = 90 land in the top
+    * cell (the encoding's half-open convention). */
+  def geohash(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12,
+      s"geohash precision must be 1..12: got $precision")
+    val totalBits = precision * 5
+    val lonBits = (totalBits + 1) / 2 // even positions (MSB first) = lon
+    val latBits = totalBits / 2
+    val ix = least(floor((lon + lit(180.0)) / lit(360.0) *
+      lit(math.pow(2, lonBits))), lit(math.pow(2, lonBits) - 1)).cast("long")
+    val iy = least(floor((lat + lit(90.0)) / lit(180.0) *
+      lit(math.pow(2, latBits))), lit(math.pow(2, latBits) - 1)).cast("long")
+    // interleave: result bit (totalBits-1-p) takes lon bit for even p,
+    // lat bit for odd p — a static sum of shifted single-bit extracts
+    val interleaved = (0 until totalBits).map { p =>
+      val outShift = totalBits - 1 - p
+      val (src, srcBit) =
+        if (p % 2 == 0) (ix, lonBits - 1 - p / 2)
+        else (iy, latBits - 1 - p / 2)
+      shiftleft(shiftright(src, srcBit).bitwiseAND(lit(1L)), outShift)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val chars = (0 until precision).map { c =>
+      val sh = (precision - 1 - c) * 5
+      element_at(
+        array(alphabet.map(ch => lit(ch.toString)): _*),
+        (shiftright(interleaved, sh).bitwiseAND(lit(31L)) + 1L).cast("int"))
+    }
+    concat(chars: _*)
+  }
+
+  /**
+   * geohash_grid aggregation (the ES geo bucketing facet): documents
+   * bucket by their [[geohash]] cell at `precision`, non-empty cells
+   * return (geohash, docs) with an exact top-N by (docs desc, geohash
+   * asc) — the ES tie-break law, and exact where ES shard_size
+   * approximates. One map-only projection + one partial+final count
+   * (cardinality = occupied cells, never corpus rows) + the bounded
+   * [[graft.functions.TopKAgg]] heap — no corpus-sized window. Null
+   * coordinates are skipped (ES missing unconfigured).
+   */
+  def geohashGridFacet(docs: DataFrame, latCol: String, lonCol: String,
+                       precision: Int, topN: Int = 10): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counted = docs
+      .where(col(latCol).isNotNull && col(lonCol).isNotNull)
+      .select(geohash(col(latCol).cast("double"),
+        col(lonCol).cast("double"), precision).as("geohash"))
+      .groupBy("geohash").agg(count(lit(1)).as("docs"))
+    counted
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("docs")).as("nd"), col("geohash")), topN).as("_top"))
+      .select(posexplode(col("_top")))
+      .select(col("col.geohash").as("geohash"), (-col("col.nd")).as("docs"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   // ------------------------------------------------------------------
   // parent-child: the ES has_child query (join-field / nested-doc
   // surface) — parents ranked by their matching children's scores
@@ -2795,6 +3004,186 @@ object Search {
       .where(col(tsCol).isNotNull)
       .select(date_trunc(calendarInterval, col(tsCol)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("docs"))
+  }
+
+  /**
+   * percentiles aggregation over the MATCHED set — the ES `percentiles`
+   * aggregation scoped by the search query: for each requested percent
+   * (ES convention: 0..100), the value of `numCol` at that rank among
+   * documents matching ≥1 query term. EXACT by default (linear
+   * interpolation — Spark's `percentile`, one distributed sort-based
+   * aggregate): where ES's t-digest is a per-shard memory compromise,
+   * the distributed exact form is affordable here and is the oracled
+   * law. `approximate = true` switches to `approx_percentile`
+   * (engine-specific sketch — spec-bounded, not oracle-comparable).
+   * Output: (percent, value), one row per requested percent. Null
+   * values are skipped (both forms' aggregate semantics).
+   */
+  def percentilesFacet(docs: DataFrame, textCol: String, query: String,
+                       numCol: String, percents: Seq[Double],
+                       approximate: Boolean = false,
+                       roundTo: Int = 4): DataFrame = {
+    require(percents.nonEmpty, "need at least one percent")
+    require(percents.forall(p => p >= 0.0 && p <= 100.0),
+      "percents are ES-style 0..100")
+    val fr = percents.map(_ / 100.0)
+    val agg =
+      if (approximate)
+        expr(s"approx_percentile($numCol, array(${fr.mkString(",")}), 10000)")
+      else expr(s"percentile($numCol, array(${fr.mkString(",")}))")
+    docs.filter(matchedPredOf(docs, textCol, query))
+      .agg(agg.as("_v"))
+      .select(posexplode(col("_v")))
+      .select(element_at(array(percents.map(lit): _*), col("pos").cast("int") + 1)
+        .as("percent"),
+        // approx_percentile preserves the INPUT column's type (a long
+        // column yields longs); the facet publishes doubles either way
+        round(col("col").cast("double"), roundTo).as("value"))
+  }
+
+  // ------------------------------------------------------------------
+  // more_like_this: the ES MLT query — "find documents like this one"
+  // ------------------------------------------------------------------
+
+  /** The shared MLT term-selection law: from per-like-doc term
+    * frequencies, keep tf >= minTermFreq and corpus df >= minDocFreq,
+    * score each survivor tf · idf (the engine's BM25 idf) ROUNDED to 6
+    * decimals (absorbs libm-vs-JVM ln last-ulps so an external oracle
+    * selects identically), keep the top maxQueryTerms by (score desc,
+    * term asc). Returns terms in sorted order (the bm25 fold law). */
+  private def selectMltTerms(tf: Map[String, Int], df: Map[String, Long],
+                             nDocs: Long, maxQueryTerms: Int,
+                             minTermFreq: Int, minDocFreq: Int): Seq[String] = {
+    val scored = tf.toSeq
+      .filter { case (_, f) => f >= minTermFreq }
+      .flatMap { case (t, f) =>
+        val d = df.getOrElse(t, 0L)
+        if (d < minDocFreq) None
+        else {
+          val idf = math.log(1.0 + (nDocs - d + 0.5) / (d + 0.5))
+          Some((t, BigDecimal(f * idf)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+    scored.sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1).sorted
+  }
+
+  /** Driver-side twin of [[tokens]] for ONE text (the like doc). */
+  private def tokenizeOne(text: String): Seq[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  /**
+   * more_like_this top-k (the ES MLT query, like = an existing document):
+   * extract the like-doc's most significant terms — per-doc tf >=
+   * `minTermFreq` (ES default 2), corpus df >= `minDocFreq` (ES default
+   * 5), top `maxQueryTerms` (ES default 25) by tf·idf with ties to the
+   * smaller term — then rank the corpus with [[bm25TopK]]'s law verbatim
+   * over the selected terms. Corpus stats cover the WHOLE corpus (the
+   * like doc included — ES index-stats semantics); the like doc itself is
+   * EXCLUDED from the hits (the ES like-by-id convention), with ranks
+   * reassigned over the surviving page.
+   *
+   * Scale shape: one id-pushdown fetch of the like doc (a single text to
+   * the driver), one candidate-bounded df aggregate (explode of
+   * array_intersect — candidate terms only, never the vocabulary), then
+   * the map-only bm25 scan + distributed TakeOrdered.
+   */
+  def moreLikeThisTopK(docs: DataFrame, idCol: String, textCol: String,
+                       likeId: Any, k: Int, maxQueryTerms: Int = 25,
+                       minTermFreq: Int = 2, minDocFreq: Int = 5,
+                       params: Bm25Params = Bm25Params(),
+                       roundTo: Int = 4): DataFrame = {
+    val likeRows = docs.filter(col(idCol) === lit(likeId))
+      .select(col(textCol)).head(2)
+    require(likeRows.length == 1,
+      s"like doc $likeId: expected exactly one row, got ${likeRows.length}")
+    val tf = tokenizeOne(Option(likeRows(0).getString(0)).getOrElse(""))
+      .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val cands = tf.filter(_._2 >= minTermFreq).keys.toSeq.sorted
+    require(cands.nonEmpty,
+      s"no like-doc term reaches min_term_freq=$minTermFreq")
+    // candidate df + N in ONE pass (N rides as a count of all rows via a
+    // second aggregate would rescan; the corpus count here is the same
+    // bounded partial+final count every stats pass pays)
+    val dfMap = docs.select(explode(array_distinct(array_intersect(
+        tokens(col(textCol)), array(cands.map(lit): _*)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = docs.count()
+    val selected = selectMltTerms(tf, dfMap, nDocs, maxQueryTerms,
+      minTermFreq, minDocFreq)
+    require(selected.nonEmpty,
+      s"no candidate term reaches min_doc_freq=$minDocFreq")
+    // top-(k+1) then drop the like doc: the remaining prefix of k rows IS
+    // the top-k over "everyone else" whether or not the like doc ranked
+    val page = bm25TopK(docs, idCol, textCol, selected.mkString(" "),
+        k + 1, params, roundTo)
+      .filter(col("doc_id") =!= lit(likeId))
+      .orderBy("rank").limit(k)
+    page.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("score").desc,
+        col("doc_id").asc)).as("rank"),
+      col("score"))
+  }
+
+  /**
+   * more_like_this with free TEXT (the ES `like` = text form): the same
+   * term-selection law as [[moreLikeThisTopK]] with tf from the given
+   * text; nothing is excluded from the hits (there is no source doc).
+   */
+  def moreLikeThisTextTopK(docs: DataFrame, idCol: String, textCol: String,
+                           likeText: String, k: Int, maxQueryTerms: Int = 25,
+                           minTermFreq: Int = 2, minDocFreq: Int = 5,
+                           params: Bm25Params = Bm25Params(),
+                           roundTo: Int = 4): DataFrame = {
+    val tf = tokenizeOne(likeText).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val cands = tf.filter(_._2 >= minTermFreq).keys.toSeq.sorted
+    require(cands.nonEmpty,
+      s"no like-text term reaches min_term_freq=$minTermFreq")
+    val dfMap = docs.select(explode(array_distinct(array_intersect(
+        tokens(col(textCol)), array(cands.map(lit): _*)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selected = selectMltTerms(tf, dfMap, docs.count(), maxQueryTerms,
+      minTermFreq, minDocFreq)
+    require(selected.nonEmpty,
+      s"no candidate term reaches min_doc_freq=$minDocFreq")
+    bm25TopK(docs, idCol, textCol, selected.mkString(" "), k, params, roundTo)
+  }
+
+  /**
+   * more_like_this from a persisted postings index — the
+   * [[moreLikeThisTextTopK]] semantics answered from a standing index:
+   * candidate df reads the TERM DICTIONARY (a candidate-filtered
+   * vocabulary aggregate — never the corpus), N from the exact stats
+   * record, ranking via [[indexedBm25TopK]]'s pruned `tb=` buckets.
+   * Bit-identical to the scan form over the indexed corpus right after a
+   * build or compact; through appends/tombstones the dictionary df is
+   * ADVISORY (see [[termDictionary]]) — selection can differ near the
+   * maxQueryTerms cut until a compact, while the RANKING stays exact for
+   * whatever terms are selected (df/tf recompute from pruned postings).
+   */
+  def indexedMoreLikeThisTopK(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, likeText: String, k: Int,
+                              maxQueryTerms: Int = 25, minTermFreq: Int = 2,
+                              minDocFreq: Int = 5,
+                              params: Bm25Params = Bm25Params(),
+                              roundTo: Int = 4): DataFrame = {
+    val tf = tokenizeOne(likeText).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val cands = tf.filter(_._2 >= minTermFreq).keys.toSeq.sorted
+    require(cands.nonEmpty,
+      s"no like-text term reaches min_term_freq=$minTermFreq")
+    val dfMap = termDictionary(spark, dir, Some(inSet(col("term"), cands)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nDocs, _, _) = readStats(spark, dir)
+    val selected = selectMltTerms(tf, dfMap, nDocs, maxQueryTerms,
+      minTermFreq, minDocFreq)
+    require(selected.nonEmpty,
+      s"no candidate term reaches min_doc_freq=$minDocFreq")
+    indexedBm25TopK(spark, dir, selected.mkString(" "), k, params, roundTo)
   }
 
   /**

@@ -2338,12 +2338,32 @@ object Similarity {
       if (tables == 0 || bits == 0)
         autoLshKnobs(df.count(), threshold, strict = strictRecall)
       else (tables, bits)
+    lshPairsForTables(df, idCol, vecCol, threshold, dim, 0 until tablesR,
+      bitsR, roundTo, maxBucket, shuffleFloat32)
+      .groupBy("id_a", "id_b").agg(first("sim").as("sim"))
+  }
+
+  /** One LSH candidate-join pass over an explicit TABLE-ID subset —
+    * accepted (verified) pairs, possibly duplicated across tables within
+    * the subset (callers dedupe). The extracted core of
+    * [[cosineNearDupsLsh]]; [[cosineNearDupsLshStaged]] calls it per
+    * table group so the exchange/spill footprint of one pass divides by
+    * the group count. */
+  private def lshPairsForTables(df: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, dim: Int,
+                                tableIds: Seq[Int], bits: Int, roundTo: Int,
+                                maxBucket: Int,
+                                shuffleFloat32: Boolean): DataFrame = {
     val unitV = unitize(asDouble(col(vecCol)))
     val carried = if (shuffleFloat32) unitV.cast("array<float>") else unitV
+    // _table carries the GLOBAL table id so signatures never collide
+    // across tables regardless of which pass computes them
     val sigs = df.select(col(idCol).as("_nid"), carried.as("_v"),
-        posexplode(array((0 until tablesR).map(t =>
-          lshSignature(asDouble(col(vecCol)), dim, t, bitsR)): _*)))
-      .select(col("_nid"), col("_v"), col("pos").as("_table"), col("col").as("_sig"))
+        posexplode(array(tableIds.map(t =>
+          struct(lit(t).as("t"),
+            lshSignature(asDouble(col(vecCol)), dim, t, bits).as("s"))): _*)))
+      .select(col("_nid"), col("_v"), col("col.t").as("_table"),
+        col("col.s").as("_sig"))
     // skew guard: a degenerate bucket (near-identical corpus slice) would
     // otherwise quadratically dominate one join task. PAYLOAD-FREE: bucket
     // sizes come from a bare-key groupBy (partial+final agg, no vectors
@@ -2375,6 +2395,50 @@ object Similarity {
       .select(col("a._nid").as("id_a"), col("b._nid").as("id_b"),
         round(dotV, roundTo).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /**
+   * Disk-bounded [[cosineNearDupsLsh]]: the `tables` hash tables run as
+   * `passes` SEQUENTIAL groups, each pass shuffling only its group's
+   * signatures — the peak exchange + sort-spill footprint divides by
+   * `passes` while total work (and recall: the union of the groups is
+   * the same table set, and a pair's accepted `sim` is identical from
+   * every table) is unchanged. Each pass's accepted pairs are
+   * localCheckpoint'ed (lineage truncation releases that pass's shuffle
+   * files to the ContextCleaner before the next pass starts — the whole
+   * point; a lazy union would pin every pass's shuffle on disk at once),
+   * then the bounded accepted-pair union dedupes once.
+   *
+   * When to use: corpora where tables × n × vectorBytes approaches local
+   * scratch (the measured point: 10M × 32 dims at the strict-recall
+   * knobs (35, 16) is a ~50 GB float32 exchange + comparable SMJ spill —
+   * past an ~80 GB scratch disk in one pass, comfortable in 5). On a
+   * cluster, passes also bound the per-stage shuffle a single executor
+   * wave must absorb.
+   */
+  def cosineNearDupsLshStaged(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, dim: Int, passes: Int,
+                              tables: Int = 0, bits: Int = 0,
+                              roundTo: Int = 4, maxBucket: Int = 10000,
+                              strictRecall: Boolean = false,
+                              shuffleFloat32: Boolean = true): DataFrame = {
+    require(passes >= 1, "passes must be >= 1")
+    val (tablesR, bitsR) =
+      if (tables == 0 || bits == 0)
+        autoLshKnobs(df.count(), threshold, strict = strictRecall)
+      else (tables, bits)
+    require(passes <= tablesR, s"passes ($passes) > tables ($tablesR)")
+    val perPass = (tablesR + passes - 1) / passes
+    val parts = (0 until tablesR).grouped(perPass).toSeq.map { group =>
+      val accepted = lshPairsForTables(df, idCol, vecCol, threshold, dim,
+        group, bitsR, roundTo, maxBucket, shuffleFloat32)
+        .localCheckpoint() // eager: materializes + truncates lineage
+      // the pass's shuffle files are now unreferenced; nudge the
+      // ContextCleaner so they leave the disk before the next pass fills it
+      System.gc()
+      accepted
+    }
+    parts.reduce(_ unionByName _)
       .groupBy("id_a", "id_b").agg(first("sim").as("sim"))
   }
 

@@ -4591,6 +4591,404 @@ object Queries {
           .filter(col("doc_id").isin(top5: _*))
           .orderBy("doc_id", "term")
       }),
+
+    // ---- regexp query (the ES `regexp` term query, the wildcard
+    //      sibling): whole-token anchored regex match, BM25 over the
+    //      regexp tf/df counts (the relaxed-match family law). The
+    //      pattern subset is portable (classes + quantifiers valid in
+    //      both Java regex and RE2), so DuckDB's regexp_full_match is
+    //      the same predicate our anchored regexp_like applies. ----
+    QueryDef("q140_regexp_search",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN len(list_filter(w, x -> regexp_full_match(x, 'sp[aeiou]rk'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> regexp_full_match(x, 'wind[a-z]+'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> regexp_full_match(x, 'sp[aeiou]rk')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> regexp_full_match(x, 'sp[aeiou]rk')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> regexp_full_match(x, 'wind[a-z]+')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> regexp_full_match(x, 'wind[a-z]+')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE len(list_filter(w, x -> regexp_full_match(x, 'sp[aeiou]rk'))) > 0
+             |     OR len(list_filter(w, x -> regexp_full_match(x, 'wind[a-z]+'))) > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.regexpTopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          "sp[aeiou]rk wind[a-z]+", k = 20)
+        .orderBy("rank")),
+
+    // ---- regexp from a STANDING index: dictionary expansion with the
+    //      literal-prefix prefilter (dropped entirely for the
+    //      prefixless pattern — the r13 leading-wildcard guard), pruned
+    //      tb= buckets, maxExpansions 0 => bit-identical to the scan,
+    //      so the SAME scan-law oracle gates both. ----
+    QueryDef("q141_regexp_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN len(list_filter(w, x -> regexp_full_match(x, 'sp[aeiou]rk'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN len(list_filter(w, x -> regexp_full_match(x, '[a-z]*indow'))) > 0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> regexp_full_match(x, 'sp[aeiou]rk')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> regexp_full_match(x, 'sp[aeiou]rk')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> regexp_full_match(x, '[a-z]*indow')))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> regexp_full_match(x, '[a-z]*indow')))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE len(list_filter(w, x -> regexp_full_match(x, 'sp[aeiou]rk'))) > 0
+             |     OR len(list_filter(w, x -> regexp_full_match(x, '[a-z]*indow'))) > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = scratch("graft-q141-regexpidx")
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        // '[a-z]*indow' has NO literal prefix -> exercises the
+        // full-vocabulary path; maxExpansions 0 = exact scan equality
+        graft.ext.Search.indexedRegexpTopK(s, idx,
+            "sp[aeiou]rk [a-z]*indow", k = 20, maxExpansions = 0)
+          .orderBy("rank")
+      }),
+
+    // ---- dis_max tie_breaker (the ES multi_match best_fields knob,
+    //      default-usage 0.3): score = max + tb * (sum - max), both
+    //      sides computing the IDENTICAL float sequence (per-field
+    //      scores as in q102, greatest, left-assoc field-order sum).
+    //      tb = 0 equivalence to q102's best_fields is a SearchSpec
+    //      law. ----
+    QueryDef("q142_dismax_tiebreak",
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> x <> '') AS w1,
+             |    list_filter(string_split_regex(lower(concat_ws(' ', source, lang)),
+             |                                   '\s+'), x -> x <> '') AS w2
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n,
+             |    sum(coalesce(len(w1), 0))::DOUBLE / count(*) AS avgdl1,
+             |    sum(coalesce(len(w2), 0))::DOUBLE / count(*) AS avgdl2,
+             |    sum(CASE WHEN list_contains(w1, 'en') THEN 1 ELSE 0 END)::DOUBLE AS df1a,
+             |    sum(CASE WHEN list_contains(w1, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1b,
+             |    sum(CASE WHEN list_contains(w1, 'src3') THEN 1 ELSE 0 END)::DOUBLE AS df1c,
+             |    sum(CASE WHEN list_contains(w2, 'en') THEN 1 ELSE 0 END)::DOUBLE AS df2a,
+             |    sum(CASE WHEN list_contains(w2, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2b,
+             |    sum(CASE WHEN list_contains(w2, 'src3') THEN 1 ELSE 0 END)::DOUBLE AS df2c
+             |  FROM docs),
+             |fields AS (
+             |  SELECT doc_id,
+             |    1.0 * (
+             |        ln(1 + (st.n - st.df1a + 0.5) / (st.df1a + 0.5))
+             |          * (len(list_filter(w1, x -> x = 'en'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w1, x -> x = 'en'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w1)::DOUBLE / st.avgdl1))
+             |      + ln(1 + (st.n - st.df1b + 0.5) / (st.df1b + 0.5))
+             |          * (len(list_filter(w1, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w1, x -> x = 'spark'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w1)::DOUBLE / st.avgdl1))
+             |      + ln(1 + (st.n - st.df1c + 0.5) / (st.df1c + 0.5))
+             |          * (len(list_filter(w1, x -> x = 'src3'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w1, x -> x = 'src3'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w1)::DOUBLE / st.avgdl1))) AS f1,
+             |    0.5 * (
+             |        ln(1 + (st.n - st.df2a + 0.5) / (st.df2a + 0.5))
+             |          * (len(list_filter(w2, x -> x = 'en'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w2, x -> x = 'en'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w2)::DOUBLE / st.avgdl2))
+             |      + ln(1 + (st.n - st.df2b + 0.5) / (st.df2b + 0.5))
+             |          * (len(list_filter(w2, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w2, x -> x = 'spark'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w2)::DOUBLE / st.avgdl2))
+             |      + ln(1 + (st.n - st.df2c + 0.5) / (st.df2c + 0.5))
+             |          * (len(list_filter(w2, x -> x = 'src3'))::DOUBLE * (1.2 + 1.0))
+             |          / (len(list_filter(w2, x -> x = 'src3'))::DOUBLE
+             |             + 1.2 * ((1 - 0.75) + 0.75 * len(w2)::DOUBLE / st.avgdl2))) AS f2
+             |  FROM docs, st
+             |  WHERE list_contains(w1, 'en') OR list_contains(w1, 'spark')
+             |     OR list_contains(w1, 'src3') OR list_contains(w2, 'en')
+             |     OR list_contains(w2, 'spark') OR list_contains(w2, 'src3')),
+             |scored AS (
+             |  SELECT doc_id,
+             |    round(greatest(f1, f2) + 0.3 * ((f1 + f2) - greatest(f1, f2)), 4) AS score
+             |  FROM fields)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("meta", concat_ws(" ", col("source"), col("lang")))
+        graft.ext.Search.multiFieldTopK(docs, "doc_id",
+            Seq(("text", 1.0), ("meta", 0.5)), "spark en src3", k = 20,
+            mode = "best_fields", tieBreaker = 0.3)
+          .orderBy("rank")
+      }),
+
+    // ---- geo_bounding_box (ES filter query) CROSSING the antimeridian
+    //      (left 150 > right -160): the lon predicate is the OR of two
+    //      half-intervals — the case a naive BETWEEN empties. Integer-
+    //      derived coords, pure comparisons: exact on both engines. ----
+    QueryDef("q143_geo_bbox",
+      Some("""WITH c AS (SELECT o_orderkey AS doc_id,
+             |    (o_orderkey * 17) % 18000 / 100.0 - 90.0 AS lat,
+             |    (o_orderkey * 31) % 36000 / 100.0 - 180.0 AS lon
+             |  FROM read_parquet('{SFDIR}/orders.parquet'))
+             |SELECT doc_id, lat, lon FROM c
+             |WHERE lat >= -10.0 AND lat <= 40.0
+             |  AND (lon >= 150.0 OR lon <= -160.0)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val pts = t(s, dir, "orders").select(col("o_orderkey"),
+          (pmod(col("o_orderkey") * 17, lit(18000)) / 100.0 - 90.0).as("lat"),
+          (pmod(col("o_orderkey") * 31, lit(36000)) / 100.0 - 180.0).as("lon"))
+        graft.ext.Search.geoBoundingBox(pts, "o_orderkey", "lat", "lon",
+            top = 40.0, left = 150.0, bottom = -10.0, right = -160.0)
+          .orderBy("doc_id")
+      }),
+
+    // ---- geo_polygon (ES filter query): even-odd raycast against a
+    //      literal pentagon, the identical IEEE edge formula on both
+    //      engines (shared literals, same division) — exact compare.
+    //      The bounding-box prefilter is implied by the raycast. ----
+    QueryDef("q144_geo_polygon",
+      Some("""WITH c AS (SELECT o_orderkey AS doc_id,
+             |    (o_orderkey * 17) % 18000 / 100.0 - 90.0 AS lat,
+             |    (o_orderkey * 31) % 36000 / 100.0 - 180.0 AS lon
+             |  FROM read_parquet('{SFDIR}/orders.parquet')),
+             |r AS (SELECT doc_id, lat, lon,
+             |    (CASE WHEN ((0.0 > lat) <> (30.0 > lat)) AND lon < (10.0 - 0.0) * (lat - 0.0) / (30.0 - 0.0) + 0.0 THEN 1 ELSE 0 END
+             |   + CASE WHEN ((30.0 > lat) <> (40.0 > lat)) AND lon < (40.0 - 10.0) * (lat - 30.0) / (40.0 - 30.0) + 10.0 THEN 1 ELSE 0 END
+             |   + CASE WHEN ((40.0 > lat) <> (10.0 > lat)) AND lon < (50.0 - 40.0) * (lat - 40.0) / (10.0 - 40.0) + 40.0 THEN 1 ELSE 0 END
+             |   + CASE WHEN ((10.0 > lat) <> (-10.0 > lat)) AND lon < (25.0 - 50.0) * (lat - 10.0) / (-10.0 - 10.0) + 50.0 THEN 1 ELSE 0 END
+             |   + CASE WHEN ((-10.0 > lat) <> (0.0 > lat)) AND lon < (0.0 - 25.0) * (lat - -10.0) / (0.0 - -10.0) + 25.0 THEN 1 ELSE 0 END) AS cr
+             |  FROM c)
+             |SELECT doc_id, lat, lon FROM r WHERE cr % 2 = 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val pts = t(s, dir, "orders").select(col("o_orderkey"),
+          (pmod(col("o_orderkey") * 17, lit(18000)) / 100.0 - 90.0).as("lat"),
+          (pmod(col("o_orderkey") * 31, lit(36000)) / 100.0 - 180.0).as("lon"))
+        graft.ext.Search.geoPolygon(pts, "o_orderkey", "lat", "lon",
+            Seq((0.0, 0.0), (30.0, 10.0), (40.0, 40.0), (10.0, 50.0),
+              (-10.0, 25.0)))
+          .orderBy("doc_id")
+      }),
+
+    // ---- geohash_grid aggregation (ES geo facet): cells at precision 3
+    //      by doc count, exact top-10 (docs desc, geohash asc). The
+    //      geohash derives ARITHMETICALLY (scaled-int cell coords + bit
+    //      interleave + base32) — the oracle spells out the identical
+    //      integer math, so the strings match byte-for-byte. ----
+    QueryDef("q145_geohash_grid",
+      Some("""WITH c AS (SELECT
+             |    (o_orderkey * 17) % 18000 / 100.0 - 90.0 AS lat,
+             |    (o_orderkey * 31) % 36000 / 100.0 - 180.0 AS lon
+             |  FROM read_parquet('{SFDIR}/orders.parquet')),
+             |cells AS (SELECT
+             |    least(floor((lon + 180.0) / 360.0 * 256), 255)::BIGINT AS ix,
+             |    least(floor((lat + 90.0) / 180.0 * 128), 127)::BIGINT AS iy
+             |  FROM c),
+             |v AS (SELECT
+             |    ((ix >> 7) & 1) * 16384 + ((iy >> 6) & 1) * 8192
+             |  + ((ix >> 6) & 1) * 4096  + ((iy >> 5) & 1) * 2048
+             |  + ((ix >> 5) & 1) * 1024  + ((iy >> 4) & 1) * 512
+             |  + ((ix >> 4) & 1) * 256   + ((iy >> 3) & 1) * 128
+             |  + ((ix >> 3) & 1) * 64    + ((iy >> 2) & 1) * 32
+             |  + ((ix >> 2) & 1) * 16    + ((iy >> 1) & 1) * 8
+             |  + ((ix >> 1) & 1) * 4     + ((iy >> 0) & 1) * 2
+             |  + ((ix >> 0) & 1) * 1 AS h
+             |  FROM cells),
+             |g AS (SELECT
+             |    substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((h >> 10) & 31 AS INT) + 1, 1)
+             | || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((h >> 5) & 31 AS INT) + 1, 1)
+             | || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(h & 31 AS INT) + 1, 1) AS geohash
+             |  FROM v),
+             |counted AS (SELECT geohash, count(*) AS docs FROM g GROUP BY geohash)
+             |SELECT geohash, docs, rank FROM (
+             |  SELECT geohash, docs,
+             |    row_number() OVER (ORDER BY docs DESC, geohash) AS rank
+             |  FROM counted) x
+             |WHERE rank <= 10
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val pts = t(s, dir, "orders").select(
+          (pmod(col("o_orderkey") * 17, lit(18000)) / 100.0 - 90.0).as("lat"),
+          (pmod(col("o_orderkey") * 31, lit(36000)) / 100.0 - 180.0).as("lon"))
+        graft.ext.Search.geohashGridFacet(pts, "lat", "lon",
+            precision = 3, topN = 10)
+          .orderBy("rank")
+      }),
+
+    // ---- ES `percentiles` aggregation over the MATCHED set: exact
+    //      linear-interpolation percentiles of n_chars among docs
+    //      matching the query (Spark percentile == DuckDB quantile_cont,
+    //      the q39-established parity); the approx twin is spec-bounded
+    //      (PercentilesSpec), not registered — sketch estimates are
+    //      engine-specific by construction. ----
+    QueryDef("q146_percentiles_agg",
+      Some("""WITH docs AS (
+             |  SELECT n_chars, list_filter(string_split_regex(lower(text), '\s+'),
+             |                              x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |m AS (SELECT n_chars FROM docs
+             |  WHERE list_contains(w, 'spark') OR list_contains(w, 'window'))
+             |SELECT CAST(25.0 AS DOUBLE) AS percent, round(quantile_cont(n_chars, 0.25), 4) AS value FROM m
+             |UNION ALL
+             |SELECT CAST(50.0 AS DOUBLE), round(quantile_cont(n_chars, 0.50), 4) FROM m
+             |UNION ALL
+             |SELECT CAST(75.0 AS DOUBLE), round(quantile_cont(n_chars, 0.75), 4) FROM m
+             |UNION ALL
+             |SELECT CAST(95.0 AS DOUBLE), round(quantile_cont(n_chars, 0.95), 4) FROM m
+             |ORDER BY percent""".stripMargin),
+      (s, dir) => graft.ext.Search.percentilesFacet(
+          t(s, dir, "documents"), "text", "spark window", "n_chars",
+          Seq(25.0, 50.0, 75.0, 95.0))
+        .orderBy("percent")),
+
+    // ---- more_like_this (the ES MLT query, like = doc 7): term
+    //      selection at the ES defaults (max_query_terms 25,
+    //      min_term_freq 2, min_doc_freq 5) by tf·idf rounded to 6
+    //      (absorbs libm-vs-JVM ln last-ulps in the SELECTION ordering;
+    //      ties to the smaller term), then the q86 BM25 law over the
+    //      selected terms with the like doc EXCLUDED from the hits but
+    //      INCLUDED in every corpus statistic (ES index-stats
+    //      semantics). The dynamic-term score sum is pinned left-assoc
+    //      in term order on both engines: Spark folds a sorted literal
+    //      term list, DuckDB uses the ordered aggregate
+    //      sum(contrib ORDER BY term) — sequential by construction;
+    //      absent terms contribute exactly +0.0 so skipping them (the
+    //      join form) is IEEE-identical. ----
+    QueryDef("q147_more_like_this",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl
+             |       FROM docs),
+             |cand AS (
+             |  SELECT term, count(*) AS tf FROM (
+             |    SELECT unnest(w) AS term FROM docs WHERE doc_id = 7)
+             |  GROUP BY term HAVING count(*) >= 2),
+             |cdf AS (
+             |  SELECT c.term, c.tf, count(*)::DOUBLE AS df
+             |  FROM cand c JOIN docs d ON list_contains(d.w, c.term)
+             |  GROUP BY c.term, c.tf HAVING count(*) >= 5),
+             |sel AS (
+             |  SELECT term, df FROM (
+             |    SELECT term, df,
+             |      row_number() OVER (
+             |        ORDER BY round(tf * ln(1 + (st.n - df + 0.5) / (df + 0.5)), 6) DESC,
+             |                 term) AS rk
+             |    FROM cdf, st) x
+             |  WHERE rk <= 25),
+             |scored AS (
+             |  SELECT d.doc_id,
+             |    round(sum(
+             |      ln(1 + (st.n - sel.df + 0.5) / (sel.df + 0.5))
+             |        * (len(list_filter(d.w, x -> x = sel.term))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(d.w, x -> x = sel.term))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(d.w)::DOUBLE / st.avgdl))
+             |      ORDER BY sel.term), 4) AS score
+             |  FROM docs d JOIN sel ON list_contains(d.w, sel.term), st
+             |  WHERE d.doc_id <> 7
+             |  GROUP BY d.doc_id)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.moreLikeThisTopK(
+          t(s, dir, "documents"), "doc_id", "text", likeId = 7L, k = 15)
+        .orderBy("rank")),
+
+    // ---- more_like_this from a STANDING index (like = free text — doc
+    //      7's text, fetched in-query): candidate df from the term
+    //      dictionary (exact on a fresh build), ranking via the pruned
+    //      tb= buckets; bit-identical to the scan text-form, whose law
+    //      (NO exclusion: free text has no source doc) the oracle pins. ----
+    QueryDef("q148_mlt_indexed",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl
+             |       FROM docs),
+             |cand AS (
+             |  SELECT term, count(*) AS tf FROM (
+             |    SELECT unnest(w) AS term FROM docs WHERE doc_id = 7)
+             |  GROUP BY term HAVING count(*) >= 2),
+             |cdf AS (
+             |  SELECT c.term, c.tf, count(*)::DOUBLE AS df
+             |  FROM cand c JOIN docs d ON list_contains(d.w, c.term)
+             |  GROUP BY c.term, c.tf HAVING count(*) >= 5),
+             |sel AS (
+             |  SELECT term, df FROM (
+             |    SELECT term, df,
+             |      row_number() OVER (
+             |        ORDER BY round(tf * ln(1 + (st.n - df + 0.5) / (df + 0.5)), 6) DESC,
+             |                 term) AS rk
+             |    FROM cdf, st) x
+             |  WHERE rk <= 25),
+             |scored AS (
+             |  SELECT d.doc_id,
+             |    round(sum(
+             |      ln(1 + (st.n - sel.df + 0.5) / (sel.df + 0.5))
+             |        * (len(list_filter(d.w, x -> x = sel.term))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(d.w, x -> x = sel.term))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(d.w)::DOUBLE / st.avgdl))
+             |      ORDER BY sel.term), 4) AS score
+             |  FROM docs d JOIN sel ON list_contains(d.w, sel.term), st
+             |  GROUP BY d.doc_id)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val likeText = docs.filter(col("doc_id") === 7L)
+          .select(col("text")).head().getString(0)
+        val idx = scratch("graft-q148-mltidx")
+        graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text", idx,
+          buckets = 32)
+        graft.ext.Search.indexedMoreLikeThisTopK(s, idx, likeText, k = 15)
+          .orderBy("rank")
+      }),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -472,6 +472,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH near-dup recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("cosineNearDupsLshStaged == cosineNearDupsLsh: same pairs, same " +
+      "sims, at any pass split; float32 carry preserves the pair set at " +
+      "a margined threshold") {
+    val dim = 16
+    val rnd = new scala.util.Random(77)
+    val centers = (0 until 10).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val single = pairsOf(Similarity.cosineNearDupsLsh(corpus, "vec_id",
+      "embedding", threshold = 0.9, dim = dim, tables = 9, bits = 8))
+    for (passes <- Seq(1, 3, 9)) {
+      val staged = pairsOf(Similarity.cosineNearDupsLshStaged(corpus,
+        "vec_id", "embedding", threshold = 0.9, dim = dim, passes = passes,
+        tables = 9, bits = 8, shuffleFloat32 = false))
+      assert(staged === single, s"passes=$passes diverged from single-pass")
+    }
+    // float32 carry: same PAIR SET (sims may move ~1e-6; the corpus has
+    // no pair within 1e-4 of the threshold by construction — checked)
+    val margin = single.values.map(s => math.abs(s - 0.9)).min
+    assert(margin > 1e-4, s"fixture pair sits on the threshold ($margin)")
+    val f32 = pairsOf(Similarity.cosineNearDupsLshStaged(corpus, "vec_id",
+      "embedding", threshold = 0.9, dim = dim, passes = 3,
+      tables = 9, bits = 8, shuffleFloat32 = true))
+    assert(f32.keySet === single.keySet)
+    f32.foreach { case (k, s) =>
+      assert(math.abs(s - single(k)) <= 1e-4, s"$k: $s vs ${single(k)}") }
+  }
+
   test("autoLshKnobs: bits scale with corpus size, tables re-buy the " +
       "recall target; auto mode matches explicit-knob quality") {
     // sizing laws: buckets ~targetBucket rows -> bits grows with n; the
