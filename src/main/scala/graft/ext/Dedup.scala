@@ -48,8 +48,8 @@ object Dedup {
   // arithmetic never overflows a long even under ANSI mode; the mod makes
   // each h_i a genuine pseudo-permutation (without it the map is monotonic
   // and every hash would select the same global-min shingle).
-  private val MinhashPrime = 4294967311L // first prime > 2^32
-  private def perm(seed: Int): (Long, Long) = {
+  private[graft] val MinhashPrime = 4294967311L // first prime > 2^32
+  private[graft] def perm(seed: Int): (Long, Long) = {
     val r = new scala.util.Random(seed * 2654435761L)
     (r.nextInt((1 << 30) - 1).toLong + 1L, r.nextInt(Int.MaxValue).toLong)
   }

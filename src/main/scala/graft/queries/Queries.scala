@@ -541,13 +541,68 @@ object Queries {
           numHashes = 32, bands = 16, k = 3, threshold = 0.35)
         .orderBy("id_a", "id_b")),
 
-    // ---- SimHash + fingerprint (no SQL oracle: custom hash exprs) ----
-    QueryDef("q27_simhash", None,
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          Dedup.simhash(col("text")).as("simhash"),
-          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id")),
+    // ---- SimHash fingerprinting, PORTABLE hash form (oracle-green
+    //      round 15; was no-oracle while it rode xxhash64). The simhash
+    //      LAW — per-bit majority vote over token-occurrence hashes,
+    //      fingerprint bit b = vote > 0 — is pinned hash-exact by
+    //      deriving the 60-bit token hash from md5 (first 15 hex chars,
+    //      exact integer parse on both engines: Spark conv(.,16,10),
+    //      DuckDB CAST('0x'||. AS BIGINT)). The SERVING simhash64 keeps
+    //      the xxhash64 family (one codegen hash vs an md5 per token) —
+    //      its bit layout stays differentially pinned in DedupSpec; this
+    //      query makes the algorithm itself externally recomputable,
+    //      votes, empty-doc zero-fingerprint and all. hamming_to_first =
+    //      bit_count(xor(fp, fp(min doc))) — the dedup decision quantity,
+    //      so XOR/popcount ride the oracle too. ----
+    QueryDef("q27_simhash", {
+      val votes = (0 until 60).map(b =>
+        s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n             |    ")
+      val fpExpr = (0 until 60).map(b =>
+        s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString("\n             |      + ")
+      Some(s"""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |tok AS (
+             |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+             |  FROM (SELECT doc_id, unnest(w) AS t FROM docs)),
+             |votes AS (
+             |  SELECT doc_id,
+             |    $votes
+             |  FROM tok GROUP BY doc_id),
+             |fp AS (
+             |  SELECT d.doc_id,
+             |    ($fpExpr)::BIGINT AS simhash
+             |  FROM docs d LEFT JOIN votes v USING (doc_id)),
+             |f0 AS (SELECT simhash AS fp0 FROM fp ORDER BY doc_id LIMIT 1)
+             |SELECT fp.doc_id, fp.simhash,
+             |  CAST(bit_count(xor(fp.simhash, f0.fp0)) AS INT) AS hamming_to_first
+             |FROM fp, f0
+             |ORDER BY fp.doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = graft.ext.Search.tokens(col("text"))
+        val h = transform(toks, tk =>
+          conv(substring(md5(tk), 1, 15), 16, 10).cast("long"))
+        // per-bit occurrence vote in one pass per bit over the bounded
+        // token array; fingerprint bit b set iff the vote is positive.
+        // CASE WHEN on a NULL vote (empty/null text) falls to 0 — the
+        // zero fingerprint, same as the oracle's LEFT JOIN form.
+        val fp = (0 until 60).map { b =>
+          val vote = aggregate(h, lit(0L), (acc, x) =>
+            acc + (shiftright(x, b).bitwiseAND(lit(1L)) * 2 - 1))
+          when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val withFp = docs.select(col("doc_id"), fp.as("simhash"))
+        val fp0 = withFp.orderBy("doc_id").select("simhash")
+          .head().getLong(0)
+        withFp.select(col("doc_id"), col("simhash"),
+          bit_count(col("simhash").bitwiseXOR(lit(fp0))).cast("int")
+            .as("hamming_to_first"))
+          .orderBy("doc_id")
+      }),
 
     // ---- tumbling-window aggregation (batch form) ----
     QueryDef("q28_tumbling",
@@ -987,15 +1042,51 @@ object Queries {
         max(col("o_totalprice")).cast("double").as("price_max"),
         min(col("o_orderdate").cast(DateType)).as("date_min"),
         max(col("o_orderdate").cast(DateType)).as("date_max"))),
-    // ---- group-level MinHash sketches (TypedImperativeAggregate): pairwise
-    //      source similarity with NO pair join over documents (no SQL
-    //      oracle — sketch estimate; error bound in MinHashSketchSpec) ----
-    QueryDef("q53_sketch_similarity", None,
+    // ---- group-level MinHash sketches (TypedImperativeAggregate):
+    //      pairwise source similarity with NO pair join over documents.
+    //      PORTABLE hash form (oracle-green round 15; was no-oracle while
+    //      the element hashes rode xxhash64): element hash = first 8 hex
+    //      chars of md5(token) (32-bit exact parse on both engines), and
+    //      the sketch law — slot i = min over the group's tokens of
+    //      (a_i·h + b_i) mod P, the exact MinHashSig permutation family
+    //      with its published (a, b, P) constants — is re-derived by
+    //      DuckDB as 32 plain MIN aggregates, pinning the
+    //      TypedImperativeAggregate's merge (elementwise min is the
+    //      union's signature) hash-exact. est_jaccard = agreeing-slot
+    //      fraction. (Assumes every source has >= 1 non-empty doc — an
+    //      all-empty source would sketch to Long.MaxValue slots engine-
+    //      side but vanish from the SQL's token stream.) ----
+    QueryDef("q53_sketch_similarity", {
+      val slots = (0 until 32).map { i =>
+        val (a, b) = graft.ext.Dedup.perm(i)
+        s"min(($a * h + $b) % ${graft.ext.Dedup.MinhashPrime}) AS m$i"
+      }.mkString(",\n             |    ")
+      val eq = (0 until 32).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString("\n             |    + ")
+      Some(s"""WITH docs AS (
+             |  SELECT source, list_filter(string_split_regex(lower(text), '\\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |tok AS (
+             |  SELECT source, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h
+             |  FROM (SELECT source, unnest(list_distinct(w)) AS t FROM docs)),
+             |sk AS (
+             |  SELECT source,
+             |    $slots
+             |  FROM tok GROUP BY source)
+             |SELECT a.source AS s1, b.source AS s2,
+             |  round(($eq) / 32.0, 4) AS est_jaccard
+             |FROM sk a JOIN sk b ON a.source < b.source
+             |ORDER BY s1, s2""".stripMargin)
+    },
       (s, dir) => {
         import graft.functions.MinHashSketchAgg._
+        val toks = graft.ext.Search.tokens(col("text"))
+        val h = transform(array_distinct(toks), tk =>
+          conv(substring(md5(tk), 1, 8), 16, 10).cast("long"))
         val sketches = t(s, dir, "documents")
-          .withColumn("h", graft.ext.Dedup.shingleHashes(col("text"), 1))
-          .groupBy("source").agg(minhash_sketch(col("h"), 128).as("sk"))
+          .withColumn("h", h)
+          .groupBy("source").agg(minhash_sketch(col("h"), 32).as("sk"))
         val a = sketches.alias("a")
         val b = sketches.alias("b")
         a.join(b, col("a.source") < col("b.source"))
