@@ -57,7 +57,10 @@ object Main {
     "suggest-term", "suggest-prefix", "max-edits",
     "negative-query", "negative-boost",
     "span-near", "span-slop", "span-first", "geo-distance",
-    "parent-col", "score-mode", "min-children", "search-after")
+    "parent-col", "score-mode", "min-children", "search-after",
+    "regexp", "tie-breaker", "geo-box", "geo-polygon", "geohash-grid",
+    "percentiles", "more-like", "mlt-text", "min-term-freq",
+    "min-doc-freq", "max-query-terms")
 
   /** Reference ArgsParser spellings accepted verbatim (parity: a reference
     * user's command line works unchanged). */
@@ -801,11 +804,20 @@ object Main {
           val spanNearOn = raw.contains("span-near")
           val spanFirstOn = raw.contains("span-first")
           val geoOn = raw.contains("geo-distance")
+          val geoBoxOn = raw.contains("geo-box")
+          val geoPolyOn = raw.contains("geo-polygon")
+          val ghGridOn = raw.contains("geohash-grid")
+          val mltOn = raw.contains("more-like") || raw.contains("mlt-text")
+          require(!(raw.contains("more-like") && raw.contains("mlt-text")),
+            "--more-like (by doc id) and --mlt-text (free text) are " +
+              "mutually exclusive")
           require(Seq(queryOpt.isDefined, phraseOpt.isDefined, boolMode,
-              spanNearOn, spanFirstOn, geoOn).count(identity) == 1,
+              spanNearOn, spanFirstOn, geoOn, geoBoxOn, geoPolyOn,
+              ghGridOn, mltOn).count(identity) == 1,
             "--mode search requires exactly one of --query | --phrase | " +
               "bool clauses (--must/--should/--must-not) | --span-near | " +
-              "--span-first | --geo-distance")
+              "--span-first | --geo-distance | --geo-box | --geo-polygon | " +
+              "--geohash-grid | --more-like/--mlt-text")
           require(!raw.contains("span-slop") || spanNearOn,
             "--span-slop needs --span-near")
           val textCol = raw.getOrElse("text-col", "text")
@@ -828,14 +840,16 @@ object Main {
           val fuzzyOn = raw.contains("fuzziness")
           val prefixOn = raw.get("prefix-match").exists(_.toBoolean)
           val wildOn = raw.get("wildcard").exists(_.toBoolean)
-          require(Seq(fuzzyOn, prefixOn, wildOn).count(identity) <= 1,
-            "--fuzziness, --prefix-match and --wildcard are mutually " +
-              "exclusive (one relaxed-match mode per request)")
-          require(!(fuzzyOn || prefixOn || wildOn) ||
+          val regexpOn = raw.get("regexp").exists(_.toBoolean)
+          require(Seq(fuzzyOn, prefixOn, wildOn, regexpOn).count(identity) <= 1,
+            "--fuzziness, --prefix-match, --wildcard and --regexp are " +
+              "mutually exclusive (one relaxed-match mode per request)")
+          require(!(fuzzyOn || prefixOn || wildOn || regexpOn) ||
               (queryOpt.isDefined && !hybridIndexed &&
                 !raw.contains("embeddings") && !raw.contains("fields")),
-            "--fuzziness/--prefix-match/--wildcard apply to plain --query " +
-              "search (corpus scan, or --search-index via the term dictionary)")
+            "--fuzziness/--prefix-match/--wildcard/--regexp apply to plain " +
+              "--query search (corpus scan, or --search-index via the " +
+              "term dictionary)")
           require(!raw.contains("min-should-match") || !wildOn,
             "--min-should-match is not supported with --wildcard")
           val phrasePrefixOn = raw.get("phrase-prefix").exists(_.toBoolean)
@@ -977,6 +991,84 @@ object Main {
             require(cfg.input.nonEmpty, "--geo-distance needs --input")
             graft.ext.Search.geoDistanceTopK(docs, idCol, p(0), p(1),
               p(2).toDouble, p(3).toDouble, p(4).toDouble, k)
+          } else if (geoBoxOn) {
+            // ES geo_bounding_box: inclusive box filter; left > right
+            // crosses the antimeridian. First k hits by id (the filter
+            // form has no score — id order is the deterministic page).
+            val p = raw("geo-box").split(":")
+            require(p.length == 6, "--geo-box expects " +
+              s"<latCol>:<lonCol>:<top>:<left>:<bottom>:<right>, got " +
+              s"'${raw("geo-box")}'")
+            require(cfg.input.nonEmpty, "--geo-box needs --input")
+            val hits = graft.ext.Search.geoBoundingBox(docs, idCol, p(0),
+                p(1), p(2).toDouble, p(3).toDouble, p(4).toDouble,
+                p(5).toDouble)
+              .orderBy("doc_id").limit(k)
+            hits.withColumn("rank", org.apache.spark.sql.functions
+              .row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy("doc_id")))
+          } else if (geoPolyOn) {
+            // ES geo_polygon: even-odd raycast filter; vertices as
+            // lat,lon;lat,lon;... — first k hits by id
+            val p = raw("geo-polygon").split(":")
+            require(p.length == 3, "--geo-polygon expects " +
+              s"<latCol>:<lonCol>:<lat,lon;lat,lon;...>, got " +
+              s"'${raw("geo-polygon")}'")
+            require(cfg.input.nonEmpty, "--geo-polygon needs --input")
+            val verts = p(2).split(";").toSeq.map { v =>
+              val xy = v.split(",")
+              require(xy.length == 2, s"bad polygon vertex '$v'")
+              (xy(0).toDouble, xy(1).toDouble)
+            }
+            val hits = graft.ext.Search.geoPolygon(docs, idCol, p(0), p(1),
+                verts)
+              .orderBy("doc_id").limit(k)
+            hits.withColumn("rank", org.apache.spark.sql.functions
+              .row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy("doc_id")))
+          } else if (ghGridOn) {
+            // ES geohash_grid aggregation: top cells by doc count
+            val p = raw("geohash-grid").split(":")
+            require(p.length == 3, "--geohash-grid expects " +
+              s"<latCol>:<lonCol>:<precision>, got '${raw("geohash-grid")}'")
+            require(cfg.input.nonEmpty, "--geohash-grid needs --input")
+            graft.ext.Search.geohashGridFacet(docs, p(0), p(1),
+              precision = p(2).toInt, topN = k)
+          } else if (mltOn) {
+            // ES more_like_this: by doc id (--more-like, corpus scan,
+            // like doc excluded) or free text (--mlt-text, scan or
+            // --search-index via the term dictionary)
+            require(cfg.input.nonEmpty || raw.contains("search-index"),
+              "--more-like/--mlt-text need --input (or --search-index " +
+                "for the free-text indexed form)")
+            val maxQ = raw.getOrElse("max-query-terms", "25").toInt
+            val minTf = raw.getOrElse("min-term-freq", "2").toInt
+            val minDf = raw.getOrElse("min-doc-freq", "5").toInt
+            (raw.get("more-like"), raw.get("mlt-text"),
+              raw.get("search-index")) match {
+              case (Some(id), _, None) =>
+                // parse the like id to the id COLUMN's type (the
+                // search_after lesson: string-vs-long promotes to double)
+                val typed: Any = docs.schema(idCol).dataType match {
+                  case org.apache.spark.sql.types.LongType => id.toLong
+                  case org.apache.spark.sql.types.IntegerType => id.toInt
+                  case _ => id
+                }
+                graft.ext.Search.moreLikeThisTopK(docs, idCol, textCol,
+                  likeId = typed, k = k, maxQueryTerms = maxQ,
+                  minTermFreq = minTf, minDocFreq = minDf)
+              case (None, Some(text), Some(idxDir)) =>
+                graft.ext.Search.indexedMoreLikeThisTopK(spark, idxDir,
+                  text, k, maxQueryTerms = maxQ, minTermFreq = minTf,
+                  minDocFreq = minDf)
+              case (None, Some(text), None) =>
+                graft.ext.Search.moreLikeThisTextTopK(docs, idCol, textCol,
+                  text, k, maxQueryTerms = maxQ, minTermFreq = minTf,
+                  minDocFreq = minDf)
+              case _ => throw new IllegalArgumentException(
+                "--more-like is a corpus-scan form (no --search-index); " +
+                  "use --mlt-text with --search-index for the indexed form")
+            }
           } else if (hasChildOn) {
             // ES has_child: parents ranked by child-score aggregate.
             // --score-mode defaults to "max" — a DELIBERATE deviation
@@ -1051,8 +1143,11 @@ object Main {
                             s"--fields boost must be numeric; got '$p'"))
                         (parts(0), b)
                       }.toSeq
+                    // --tie-breaker: the dis_max knob (best_fields only)
                     graft.ext.Search.multiFieldTopK(docs, idCol, fs, query, k,
-                      mode = raw.getOrElse("multi-mode", "most_fields"))
+                      mode = raw.getOrElse("multi-mode", "most_fields"),
+                      tieBreaker =
+                        raw.getOrElse("tie-breaker", "0.0").toDouble)
                   // a persisted postings index (--mode search-build
                   // output): identical results to the corpus scan,
                   // pruned-bucket cost — --min-should-match honored;
@@ -1061,6 +1156,10 @@ object Main {
                   // --max-expansions defaults to ES's 50 (the expansion is
                   // a driver-side collect; unlimited on a large vocabulary
                   // is a serving hazard) — 0 is the explicit opt-in
+                  case (None, Some(idxDir)) if regexpOn =>
+                    graft.ext.Search.indexedRegexpTopK(spark, idxDir,
+                      query, k, maxExpansions =
+                        raw.getOrElse("max-expansions", "50").toInt)
                   case (None, Some(idxDir)) if wildOn =>
                     graft.ext.Search.indexedWildcardTopK(spark, idxDir,
                       query, k, maxExpansions =
@@ -1120,6 +1219,10 @@ object Main {
                     graft.ext.Search.functionScoreTopK(docs, idCol, textCol,
                       query, k, fieldFactor = ff, gaussDecay = gd,
                       boostMode = raw.getOrElse("boost-mode", "multiply"))
+                  case (None, None) if regexpOn =>
+                    // ES `regexp` query: whole-token anchored regex
+                    graft.ext.Search.regexpTopK(docs, idCol, textCol,
+                      query, k)
                   case (None, None) if wildOn =>
                     // ES `wildcard` query: * / ? token patterns
                     graft.ext.Search.wildcardTopK(docs, idCol, textCol,
@@ -1157,6 +1260,23 @@ object Main {
             println(s"facets -> ${cfg.outDir}/facets")
             f.orderBy("facet", "rank").collect()
               .foreach(r => println(s"  $r"))
+          }
+          raw.get("percentiles").foreach { spec =>
+            // --percentiles <numCol>:<p1,p2,...> — the ES percentiles
+            // aggregation (exact form) over the matched set
+            require(cfg.input.nonEmpty,
+              "--percentiles needs --input (the corpus)")
+            require(queryOpt.isDefined,
+              "--percentiles needs --query (term match)")
+            val parts = spec.split(":")
+            require(parts.length == 2,
+              s"--percentiles expects <col>:<p1,p2,...>, got '$spec'")
+            val pdf = graft.ext.Search.percentilesFacet(docs, textCol,
+              queryOpt.get, parts(0),
+              parts(1).split(",").map(_.trim.toDouble).toSeq)
+            pdf.write.mode("overwrite").parquet(s"${cfg.outDir}/percentiles")
+            println(s"percentiles -> ${cfg.outDir}/percentiles")
+            pdf.orderBy("percent").collect().foreach(r => println(s"  $r"))
           }
           raw.get("histogram").foreach { spec =>
             // --histogram <numCol>:<interval> — ES histogram aggregation

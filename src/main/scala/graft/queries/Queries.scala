@@ -4849,7 +4849,7 @@ object Queries {
       }),
 
     // ---- geo_bounding_box (ES filter query) CROSSING the antimeridian
-    //      (left 150 > right -160): the lon predicate is the OR of two
+    //      (left 100 > right -100): the lon predicate is the OR of two
     //      half-intervals — the case a naive BETWEEN empties. Integer-
     //      derived coords, pure comparisons: exact on both engines. ----
     QueryDef("q143_geo_bbox",
@@ -4858,15 +4858,15 @@ object Queries {
              |    (o_orderkey * 31) % 36000 / 100.0 - 180.0 AS lon
              |  FROM read_parquet('{SFDIR}/orders.parquet'))
              |SELECT doc_id, lat, lon FROM c
-             |WHERE lat >= -10.0 AND lat <= 40.0
-             |  AND (lon >= 150.0 OR lon <= -160.0)
+             |WHERE lat >= -60.0 AND lat <= 60.0
+             |  AND (lon >= 100.0 OR lon <= -100.0)
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val pts = t(s, dir, "orders").select(col("o_orderkey"),
           (pmod(col("o_orderkey") * 17, lit(18000)) / 100.0 - 90.0).as("lat"),
           (pmod(col("o_orderkey") * 31, lit(36000)) / 100.0 - 180.0).as("lon"))
         graft.ext.Search.geoBoundingBox(pts, "o_orderkey", "lat", "lon",
-            top = 40.0, left = 150.0, bottom = -10.0, right = -160.0)
+            top = 60.0, left = 100.0, bottom = -60.0, right = -100.0)
           .orderBy("doc_id")
       }),
 
