@@ -286,13 +286,18 @@ object BundleInstall {
   //      _claims/shard_k.steal.<gen+1> — so concurrent survivors elect
   //      exactly one new owner per generation; the winner republishes the
   //      claim (renameReplace) with gen+1 and proceeds.
-  //   4. install: copy the shard dir into the install root (target dir
-  //      wiped first — a half-copied dir from the dead owner must not
-  //      merge), heartbeating the claim mtime per file.
-  //   5. finish: create-exclusive done marker. If it already exists the
-  //      shard was finished by a racing owner during a takeover window —
-  //      both copies wrote identical bytes; only the marker creator
-  //      reports "installed", so no shard counts twice.
+  //   4. install (generation-fenced): copy into a PRIVATE per-
+  //      (consumer, gen) staging dir — dst is never written in place —
+  //      heartbeating the claim mtime per file; then re-read the claim
+  //      and, ONLY while it still names this consumer+gen, publish via
+  //      delete(dst)+rename(staging). A stalled-but-alive owner whose
+  //      claim was stolen aborts at the fence (its staging dir sweeps);
+  //      dst only ever transitions empty -> one owner's COMPLETE copy.
+  //   5. finish: create-exclusive done marker, AFTER the publish rename.
+  //      If it already exists the shard was finished by a racing owner
+  //      during a takeover window — racing publishes are complete
+  //      identical-byte copies; only the marker creator reports
+  //      "installed", so no shard counts twice.
   // When every shard has its done marker, ONE consumer (create-exclusive
   // _ASSEMBLED) copies the bundle's control files and finalizes — the
   // same _INSTALLED/_FINALIZED records the single-consumer path leaves,
