@@ -5,7 +5,11 @@
 # repo root. Run from /root/repo on an otherwise idle box.
 #
 # Usage: scripts/closing_bench.sh [sfDir] [tier]
-#   (defaults /root/testdata/sf0.1 full; tiers: full|quick|skip1m|no10m|only1m)
+#   (defaults /root/testdata/sf0.1 full;
+#    tiers: full|quick|skip1m|no10m|only1m|only10mpipe|10m|10membed|all)
+# Round-16 protocol: the driver's official capture is tier `full` (no 10M
+# entries, fits the wall budget); the closing protocol ALSO runs tier `10m`
+# separately and commits it as bench_out_10m.json.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SFDIR="${1:-/root/testdata/sf0.1}"

@@ -110,27 +110,45 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     }
 
-    // tier (arg 2) — the suite grew past what a closing-capture window
-    // fits (958 -> 1685 s in round 13), so heavy tiers gate explicitly:
-    //   full   (default): everything, search_index_10m runs LAST
+    // tier (arg 2) — the suite grew past what a single capture window
+    // fits (958 -> 1685 s in round 13; round 15's everything-tier hit
+    // ~58-60 min and the driver's wall budget killed it mid-write,
+    // rc=124, leaving BENCH_r15.json empty). The DEFAULT tier must
+    // finish well inside the driver's budget, so the 10M decade entries
+    // live in their OWN tier, captured and committed separately by the
+    // closing protocol:
+    //   full  (default; the driver's official BENCH_r{N} capture):
+    //          query suite + sink + scans + curves + ALL 1M tiers —
+    //          NO 10M entries (the r14 equivalent ran 33 min rc=0)
+    //   10m  : JUST the 10M decade — sink_10m, pipeline_full_10m,
+    //          search_index_10m (absolute last; r14 pollution rule).
+    //          The staged strict-embed entry stays OUT: it is the one
+    //          documented superlinear point (~4,200 s measured, carried
+    //          in BASELINE.md) — re-measure via 10membed only when
+    //          Similarity's LSH code changes.
+    //   10membed: 10m + embed_neardup_10m (the staged strict point)
+    //   all  : everything — the old round-15 "full"; local use only
     //   quick : query suite + sink + scans only (< 10 min) — no ANN
     //           curves, no neardup, no 1M/10M tiers
     //   skip1m: queries + curves + neardup, no 1M/10M tiers
-    //   no10m : everything except the 10M decade entry
-    //   only1m: JUST the 1M+10M scale tiers — the fixed-heap experiment
+    //   no10m : alias of full (kept for muscle memory)
+    //   only1m: JUST the 1M scale tiers — the fixed-heap experiment
     //           (BASELINE.md round 7) showed -Xms=-Xmx+AlwaysPreTouch
     //           stabilizes the 1M entries but evicts the page cache under
     //           the query suite; this mode gets stable ANN numbers without
     //           that tax:
     //   java -Xms64g -Xmx64g -XX:+AlwaysPreTouch ... graft.Bench <sf> only1m
-    //   only10mpipe: JUST the 10M curation-pipeline tier (local sizing /
-    //           capture runs for pipeline_full_10m without the 30-min suite)
+    //   only10mpipe: pipeline_full_10m + staged embed (the round-15
+    //           capture shape, kept for cross-round comparability)
     val tier = args.lift(1).getOrElse("full")
-    require(Set("full", "quick", "skip1m", "no10m", "only1m", "only10mpipe")(tier),
-      s"unknown bench tier '$tier' (full|quick|skip1m|no10m|only1m|only10mpipe)")
-    // both "only" tiers skip the query suite + sink + scan sections
-    val only1m = tier == "only1m" || tier == "only10mpipe"
-    // curve/neardup sections (10k-40k rows): everything but quick/only1m
+    require(Set("full", "quick", "skip1m", "no10m", "only1m", "only10mpipe",
+      "10m", "10membed", "all")(tier),
+      s"unknown bench tier '$tier' " +
+        "(full|quick|skip1m|no10m|only1m|only10mpipe|10m|10membed|all)")
+    // scale-only tiers skip the query suite + sink + scan sections
+    val tenMOnly = Set("10m", "10membed")(tier)
+    val only1m = tier == "only1m" || tier == "only10mpipe" || tenMOnly
+    // curve/neardup sections (10k-40k rows): everything but quick/only-*
     val runCurves = !only1m && tier != "quick"
     val results =
       if (only1m) Seq.empty
@@ -399,10 +417,14 @@ object Bench {
     // No driver-side materialization — the same shape generates 1e9 rows on
     // a real cluster. Reported separately from `total` like the other
     // recall sections.
-    val run1m = !Set("skip1m", "quick", "only10mpipe")(tier)
-    val run10m = run1m && tier != "no10m"
-    // the 10M curation-pipeline tier (round-15): full tier OR its own mode
+    val run1m = Set("full", "no10m", "only1m", "all")(tier)
+    // 10M decade entries: ONLY in the explicit 10M tiers (and "all") —
+    // the round-16 budget split that keeps the driver's default capture
+    // inside its wall clock
+    val run10m = Set("10m", "10membed", "all")(tier)
     val run10mPipe = run10m || tier == "only10mpipe"
+    val runEmbed10m = Set("10membed", "only10mpipe", "all")(tier)
+    val runSink10m = Set("10m", "10membed", "all")(tier)
     // contention-aware 10M protocol (round-15): the 10M build swung
     // 244/352/683 s across same-code captures — any real regression would
     // hide inside that spread. Every timed 10M-tier phase now (a) runs
@@ -1103,6 +1125,62 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline full 1m failed: ${e.getMessage}"); "{}" } }
 
+    // ===== 10M sink decade (round 16) =====
+    // THE reference-parity operator (the per-shard bundle sink) at 10M
+    // docs — its largest prior measurement was the sf0.1 suite entry
+    // (~600k docs). Scan-shaped synthetic rows -> DocTransform.docs ->
+    // es_shard fan-out -> per-shard json bundles, median-of-3 behind the
+    // quiesce protocol, then ONE validate pass that must come back clean
+    // (0 misplaced docs, counts == manifest == shard_state listing).
+    // 32 shards x 4 multiples = 128 write tasks — the local[32] stand-in
+    // for a production shard count. docs/s is the headline; the suite's
+    // 8-shard sf0.1 band (148-201k docs/s) is NOT directly comparable
+    // (different doc shape + shard count) — this entry starts its own.
+    val sink10mJson: String =
+      if (!runSink10m) "{}"
+      else recordDiag("sink_10m") { try {
+        import org.apache.spark.sql.functions.{col, concat, lit, pmod, xxhash64}
+        val n = 10000000L
+        val gen = spark.range(n).select(
+          col("id").as("doc_id"),
+          concat(lit("cust"), pmod(xxhash64(col("id"), lit(7)), lit(100000L)))
+            .as("route"),
+          pmod(col("id"), lit(997L)).cast("int").as("f_int"),
+          (pmod(xxhash64(col("id"), lit(11)), lit(100000L)) / 100.0)
+            .as("f_double"),
+          concat(lit("cat-"), pmod(xxhash64(col("id"), lit(13)), lit(5000L)))
+            .as("category"),
+          concat(lit("synthetic doc body "), col("id").cast("string"),
+            lit(" lorem ipsum dolor sit amet consectetur adipiscing elit"))
+            .as("body"))
+        val docsDf = DocTransform.docs(gen, "doc_id", Some("route"))
+        val root = newTmp("graft-bench-sink10m")
+        var written = 0L
+        val secs = (1 to 3).map { i =>
+          quiesce()
+          time {
+            written = BundleSink.write(docsDf, s"$root/idx_$i",
+              numShards = 32, partitionMultiples = 4,
+              repartition = true).totalDocs
+          }
+        }.sorted
+        require(written == n, s"sink_10m wrote $written docs, expected $n")
+        // validate the LAST written bundle: placement (es_shard(_routing)
+        // == _shard for every doc), per-shard counts vs manifest,
+        // file/byte listing vs shard_state — the `--mode validate` pass
+        val vSec = time {
+          val rep = graft.sink.BundleValidate.validate(spark, s"$root/idx_3")
+          require(rep.ok,
+            s"sink_10m validate failed: ${rep.problems.mkString("; ")}")
+          require(rep.totalDocs == n,
+            s"sink_10m validate totalDocs ${rep.totalDocs} != $n")
+        }
+        rmrf(root); tmpDirs -= root // multi-GB: free before the pipeline tier
+        val med = secs(1)
+        f"""{"rows":$n,"num_shards":32,"write_secs":[${secs.map(s => f"$s%.3f").mkString(",")}],"write_med3_sec":$med%.3f,"docs_per_sec":${(n / med).round},"validate_sec":$vSec%.3f,"validate_ok":true,"misplaced":0,"runs":3,"quiesce":"sync+2s before every timed run"}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sink 10m failed: ${e.getMessage}"); "{}" } }
+
     // ===== 10M curation-pipeline tier (round 15) =====
     // The scale decade for the CURATION path, the way search_index_10m is
     // the decade for the serving path. The full stage stack — surface
@@ -1192,7 +1270,7 @@ object Bench {
           snap.select(col("doc_id").as("bid")), Seq("bid"), "left_semi").count()
         val ndDrops = st.afterExact - st.afterNearDup
         val inPipeNeardup = st.stageSecs.collectFirst {
-          case ("neardup", v) => v }.getOrElse(-1.0)
+          case ("neardup", v) => v }
         val replays = (1 to 2).map { _ =>
           quiesce()
           time {
@@ -1204,7 +1282,10 @@ object Bench {
           }
         }
         snap.unpersist()
-        val ndSamples = inPipeNeardup +: replays
+        // a missing in-pipeline stage timing is DROPPED, not fed as a -1
+        // sentinel (median of [-1, r1, r2] would be min(r1, r2) — a
+        // silently flattering number)
+        val ndSamples = inPipeNeardup.toSeq ++ replays
         val ndMed = ndSamples.sorted.apply(ndSamples.size / 2)
         def arrP(xs: Seq[Double]): String =
           xs.map(x => f"$x%.3f").mkString("[", ",", "]")
@@ -1232,12 +1313,12 @@ object Bench {
     // (~50 GB) plus its SMJ spill overflows this box's ~80 GB scratch —
     // measured, not hypothesized: the single-pass probe died on ENOSPC.
     // cosineNearDupsLshStaged divides the peak footprint by the pass
-    // count at unchanged total work/recall. Gated OUT of the `full` tier
-    // (its 2.7e10 candidate dots are a ~30-60 min single run — the
-    // committed only10mpipe capture + BASELINE.md carry the number);
-    // runs in only10mpipe.
+    // count at unchanged total work/recall. Gated OUT of full AND the
+    // plain 10m tier (its 2.7e10 candidate dots are a ~70 min single
+    // run — the committed only10mpipe capture + BASELINE.md carry the
+    // number); runs only in 10membed/only10mpipe/all.
     val embedNeardup10mJson: String =
-      if (tier != "only10mpipe") "{}"
+      if (!runEmbed10m) "{}"
       else recordDiag("embed_neardup_10m") { try {
         val n10 = 10000000L
         val dimE = 32
@@ -1432,7 +1513,7 @@ object Bench {
       }
     } catch { case _: Throwable => "unknown" }
     val stamp = java.time.Instant.now().toString
-    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","tier":"$tier","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"bm25_index_1m":$bm25Index1mJson,"fuzzy_index_1m":$fuzzyIndex1mJson,"search_index_10m":$searchIndex10mJson,"hybrid_index_1m":$hybridIndex1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"pipeline_full_10m":$pipelineFull10mJson,"embed_neardup_10m":$embedNeardup10mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","git_head":"$gitHead","generated_at":"$stamp","tier":"$tier","value":$total,"unit":"sec","queries":$qs,"sink_docs_per_sec":$docsPerSec,"ann_curve":$annJson,"ann_index_1m":$annIndexJson,"ann_index_filtered":$annFilteredJson,"hier_quantizer_1m":$hierJson,"neardup":$neardupJson,"neardup_big":$neardupBigJson,"neardup_1m":$neardup1mJson,"pq_shortlist_1m":$pqShortlist1mJson,"pack_1m":$pack1mJson,"pack_carry_1m":$packCarry1mJson,"chunk_1m":$chunk1mJson,"mix_1m":$mix1mJson,"bm25_1m":$bm251mJson,"bm25_index_1m":$bm25Index1mJson,"fuzzy_index_1m":$fuzzyIndex1mJson,"search_index_10m":$searchIndex10mJson,"sink_10m":$sink10mJson,"hybrid_index_1m":$hybridIndex1mJson,"pipeline_1m":$pipeline1mJson,"pipeline_full_1m":$pipelineFull1mJson,"pipeline_full_10m":$pipelineFull10mJson,"embed_neardup_10m":$embedNeardup10mJson,"diag":$diagJson,"shuffle_read_bytes":${shuffleRead.get},"shuffle_write_bytes":${shuffleWrite.get},"disk_spill_bytes":${spilled.get},"sf":"$sfDir"}"""
     // file copy first (survives any stdout interleaving — round 1's driver
     // parse came back null), then the bare JSON as the program's LAST line,
     // after spark.stop() so no shutdown logging can split it

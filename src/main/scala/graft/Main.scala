@@ -24,6 +24,7 @@ object Main {
     "text-col", "bpe-merges", "bpe-max-words", "bpe-model",
     "type-name", "hive-input-fields", "index-col",
     "quality-min", "neardup-threshold", "neardup-method", "embedding-col",
+    "embed-staged-passes",
     "redact-pii", "lm-min-score",
     "bulk-actions", "bulk-size", "alias", "final-index-setting",
     "install-compact", "poll-ms", "timeout-ms",
@@ -290,6 +291,9 @@ object Main {
             lmMinScore = raw.get("lm-min-score").map(_.toDouble),
             nearDupMethod = raw.getOrElse("neardup-method", "minhash"),
             embeddingCol = raw.getOrElse("embedding-col", "embedding"),
+            // opt-in past the strict-LSH scale gate: staged table-group
+            // passes bound the peak signature-exchange footprint
+            embedStagedPasses = raw.get("embed-staged-passes").map(_.toInt),
             // standing ANN index for cross-run semantic dedup (embedding
             // method): prior-run near-dups drop, survivors get indexed
             annIndexDir = raw.get("ann-index"),

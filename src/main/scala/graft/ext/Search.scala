@@ -581,9 +581,31 @@ object Search {
     * of `^pat$` starts with it). Empty when the pattern leads with a meta
     * (e.g. `.*ing`) — then NO cheap prefilter exists and the dictionary
     * pass must see the full vocabulary (the r13 leading-`*` lesson: a
-    * shared prefilter is only valid when EVERY term contributes one). */
-  private[graft] def regexLiteralPrefix(pattern: String): String =
-    pattern.takeWhile(c => !"\\^$.|?*+()[]{}".contains(c))
+    * shared prefilter is only valid when EVERY term contributes one).
+    * A TOP-LEVEL alternation voids the prefix entirely: in `cat|dog`
+    * the chars before `|` constrain only the LEFT branch — "dog" matches
+    * the pattern without starting with "cat" — so any non-empty prefix
+    * would drop the other branches' vocabulary. `|` inside a group
+    * (`wind(ow|y)`) is fine: takeWhile already stopped at `(`, and the
+    * group's matches all still start with the literal head. */
+  private[graft] def regexLiteralPrefix(pattern: String): String = {
+    var depth = 0; var inClass = false; var esc = false
+    var topAlt = false
+    pattern.foreach { c =>
+      if (esc) esc = false
+      else c match {
+        case '\\'                              => esc = true
+        case '[' if !inClass                   => inClass = true
+        case ']' if inClass                    => inClass = false
+        case '(' if !inClass                   => depth += 1
+        case ')' if !inClass && depth > 0      => depth -= 1
+        case '|' if !inClass && depth == 0     => topAlt = true
+        case _                                 => ()
+      }
+    }
+    if (topAlt) ""
+    else pattern.takeWhile(c => !"\\^$.|?*+()[]{}".contains(c))
+  }
 
   /**
    * Regexp-match top-k (the ES `regexp` query, the `wildcard` sibling):

@@ -52,6 +52,16 @@ import org.apache.spark.sql.functions._
  *        `nearDupThreshold` over `embeddingCol` — semantic similarity
  *        (catches paraphrases/translations MinHash can't), for corpora that
  *        carry embeddings. Same bucketed shuffle shape, same skew caps.
+ *        SCALE-GATED (round 16): the strict-recall knob law is superlinear
+ *        in corpus size (measured round 15: 40-110 s at 1M docs vs
+ *        4,197 s at 10M — ~40x for 10x the rows — and the single-pass
+ *        signature exchange at 10M is ~98 GB, past a typical scratch
+ *        disk: ENOSPC measured). Above [[EmbedStrictGateDocs]] docs the
+ *        stage REFUSES to run unless `embedStagedPasses` is set (the
+ *        staged table-group form that divides the peak footprint by the
+ *        pass count) — use `"minhash"` (measured linear through 10M) or
+ *        `"semantic"` (SemDeDup; pair cost bounded by the cluster-size
+ *        squares) for corpora past the gate.
  *    With `annIndexDir` set (embedding method only), the stage ALSO dedups
  *    against every PRIOR run: docs whose nearest indexed neighbor
  *    ([[graft.ext.Similarity.indexTopK]]) clears the threshold are dropped,
@@ -79,6 +89,16 @@ import org.apache.spark.sql.functions._
  */
 object CorpusPipeline {
 
+  /** Corpus size above which `nearDupMethod = "embedding"` refuses to run
+    * without an explicit `embedStagedPasses` opt-in. The strict-recall
+    * hyperplane-LSH knob law is superlinear: measured (round 15, 32-dim,
+    * t=0.9) 40-110 s at 1M docs vs 4,196.9 s at 10M staged — and the
+    * single-pass signature exchange at 10M is ~98 GB (ENOSPC on an ~80 GB
+    * scratch disk, measured). 5M is where the curve visibly leaves linear
+    * while the staged form still finishes in a working session; past it a
+    * pipeline must CHOOSE the cost rather than inherit it silently. */
+  val EmbedStrictGateDocs: Long = 5000000L
+
   case class Stats(input: Long, afterQuality: Long, afterExact: Long,
                    afterNearDup: Long, totalTokens: Long,
                    bundle: BundleSink.Result, afterLm: Long = -1L,
@@ -104,6 +124,8 @@ object CorpusPipeline {
           lmMinScore: Option[Double] = None,
           nearDupMethod: String = "minhash",
           embeddingCol: String = "embedding",
+          embedStagedPasses: Option[Int] = None,
+          embedGateDocs: Long = EmbedStrictGateDocs,
           annIndexDir: Option[String] = None,
           semDedupCentroids: Option[String] = None,
           semDedupKeep: String = "first",
@@ -324,9 +346,36 @@ object CorpusPipeline {
             // the default knobs). Exact dups collide at any knobs.
             // `exact` is checkpointed, so the sizing count is a
             // cached-block scan.
-            graft.ext.Similarity.cosineNearDupsLsh(exact, idCol, embeddingCol,
-              threshold = nearDupThreshold, dim = row.getInt(0),
-              tables = 0, bits = 0, strictRecall = true)
+            val nDocs = exact.count()
+            // SCALE GATE (round 16): the strict path is the one measured
+            // superlinear stage in the repo — refusing here is the honest
+            // alternative to silently signing the user up for hours of
+            // wall and a possible ENOSPC. The staged opt-in bounds the
+            // peak exchange footprint (total work unchanged).
+            if (nDocs > embedGateDocs && embedStagedPasses.isEmpty)
+              throw new IllegalArgumentException(
+                s"nearDupMethod=embedding at $nDocs docs exceeds the " +
+                s"$embedGateDocs-doc strict-LSH scale gate: the " +
+                "strict-recall knob law is superlinear (measured 40-110 s " +
+                "at 1M vs 4,197 s at 10M, 32-dim t=0.9; single-pass " +
+                "signature exchange ~98 GB at 10M — ENOSPC on an 80 GB " +
+                "scratch). Either opt in with embedStagedPasses " +
+                "(--embed-staged-passes N, e.g. 6 — staged table groups " +
+                "bound the peak footprint), or use nearDupMethod=minhash " +
+                "(linear through 10M) / semantic (SemDeDup, cluster-" +
+                "bounded pair cost) for corpora this size.")
+            embedStagedPasses match {
+              case Some(p) =>
+                graft.ext.Similarity.cosineNearDupsLshStaged(exact, idCol,
+                  embeddingCol, threshold = nearDupThreshold,
+                  dim = row.getInt(0), passes = p, tables = 0, bits = 0,
+                  strictRecall = true, shuffleFloat32 = true)
+              case None =>
+                graft.ext.Similarity.cosineNearDupsLsh(exact, idCol,
+                  embeddingCol, threshold = nearDupThreshold,
+                  dim = row.getInt(0), tables = 0, bits = 0,
+                  strictRecall = true)
+            }
           case _ =>
             exact.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
         }

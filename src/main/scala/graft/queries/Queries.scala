@@ -603,8 +603,8 @@ object Queries {
         // every bit's fold: 57 s). The aggregate is the boundary that
         // keeps each token hashing exactly once.
         // PACKED vote counters: per-bit set-counts ride 10 aggregate
-        // longs (6 ten-bit lanes each; dl <= 1023 tokens per doc by the
-        // generator, asserted via the count lane) instead of 60 separate
+        // longs (6 ten-bit lanes each; dl <= 1023 tokens per doc or the
+        // guard below raises) instead of 60 separate
         // sum columns — the 60-buffer aggregate's ANALYSIS+codegen cost
         // ~9 s of data-independent driver time per run; lanes cut it to
         // ~2 s. vote_b > 0  <=>  2*count_b > n_tokens.
@@ -626,9 +626,18 @@ object Queries {
             .bitwiseAND(lit(1023L))
           when(cnt * 2 > col("_n"), lit(1L << b)).otherwise(lit(0L))
         })
+        // LOUD lane-bound enforcement: a doc with >1023 tokens would
+        // carry a bit's count into the neighbor lane and silently corrupt
+        // the fingerprint — fail the row instead (null _n = no tokens,
+        // condition is null -> falls through to the fingerprint).
+        val guardedFp = when(col("_n") > 1023,
+          raise_error(concat(
+            lit("q27 simhash: doc exceeds the 1023-token vote-lane bound"
+              + " (use wider lanes): doc_id="),
+            col("doc_id").cast("string")))).otherwise(fp)
         val withFp = docs.select(col("doc_id"))
           .join(votes, Seq("doc_id"), "left")
-          .select(col("doc_id"), fp.as("simhash"))
+          .select(col("doc_id"), guardedFp.as("simhash"))
         // the reference fingerprint rides the SAME plan as a broadcast
         // 1-row frame (identical canonical subplan -> the vote aggregate
         // computes once and is exchange-reused), instead of a separate

@@ -28,6 +28,15 @@ import org.apache.spark.sql.SparkSession
  */
 object BundleInstall {
 
+  /** Test-only fault injection for the per-shard install protocol
+    * (InstallSpec's chaos law). Invoked with (point, shard) at each
+    * protocol step — "claimed", "copied" (per file), "fenced",
+    * "pre-publish" (between delete(dst) and rename — THE r15-ADVICE
+    * window), "published", "done". A hook that throws models the
+    * consumer dying at that exact point; the default is a no-op and the
+    * production path never assigns it. */
+  private[graft] var chaosHook: (String, Int) => Unit = (_, _) => ()
+
   sealed trait Outcome { def bundle: String }
   case class Installed(bundle: String, docs: Long, compacted: Boolean) extends Outcome
   case class Invalid(bundle: String, problems: Seq[String]) extends Outcome
@@ -423,6 +432,7 @@ object BundleInstall {
         case Some(_) => (false, false, 0L) // live owner
       }
     if (!owned) return ShardSkipped(k, "claimed by another consumer")
+    chaosHook("claimed", k)
     // double-check the done marker AFTER winning the claim: a takeover
     // can race an owner that finished between our staleness read and now
     if (fs.exists(done)) return ShardSkipped(k, "already installed")
@@ -448,6 +458,7 @@ object BundleInstall {
         org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
           new Path(stage, f.getPath.getName), false, fs.getConf)
         fs.setTimes(claim, System.currentTimeMillis(), -1) // heartbeat
+        chaosHook("copied", k)
       }
     catch { case _: java.io.IOException =>
       // a successor's post-publish sweep deleting this (superseded)
@@ -460,7 +471,18 @@ object BundleInstall {
     // the successor's complete copy win; my staging dir is swept.
     readClaim(fs, claim) match {
       case Some((owner, gen, _)) if owner == consumerId && gen == myGen =>
+        chaosHook("fenced", k)
+        // Done-marker check BEFORE touching dst: a marker can only exist
+        // after some owner fully published (racing copies are identical
+        // bytes), so deleting a done-marked dst here would risk a
+        // marker-over-missing-shard hole if we died between delete and
+        // rename. An existing marker means the shard is complete — keep it.
+        if (fs.exists(done)) {
+          fs.delete(stage, true)
+          return ShardSkipped(k, "finished by another consumer")
+        }
         fs.delete(dst, true)
+        chaosHook("pre-publish", k)
         if (!fs.rename(stage, dst)) {
           fs.delete(stage, true)
           return ShardSkipped(k, "publish rename lost to a racing owner")
@@ -470,11 +492,13 @@ object BundleInstall {
           .filter(_.getPath.getName.startsWith(s".shard_$k.install."))
           .foreach(s => fs.delete(s.getPath, true))
         catch { case _: Exception => () }
+        chaosHook("published", k)
         // exactly-once accounting: only the done-marker CREATOR reports
         // installed (racing complete copies are identical bytes; one marker)
-        if (claimIfAbsent(fs, done, consumerId))
+        if (claimIfAbsent(fs, done, consumerId)) {
+          chaosHook("done", k)
           ShardInstalled(k, consumerId, takenOver)
-        else ShardSkipped(k, "finished by another consumer")
+        } else ShardSkipped(k, "finished by another consumer")
       case _ =>
         fs.delete(stage, true)
         ShardSkipped(k, "superseded during install (claim stolen)")

@@ -221,6 +221,33 @@ class CorpusPipelineSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$outE/c_em/data")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids === (0L until 40L).toSet, s"canonical-minimum law violated: $ids")
+
+    // ---- round-16 scale-gate routing law (ADVICE/VERDICT task 3) ----
+    // Above embedGateDocs, the strict embedding path must REFUSE without
+    // the staged opt-in (the measured superlinear decade: 4,197 s /
+    // ENOSPC at 10M), citing the alternatives; with embedStagedPasses
+    // set, it runs the staged table-group form and drops the SAME docs.
+    val outG = Files.createTempDirectory("graft-cp3-gate").toString
+    val ex = intercept[IllegalArgumentException] {
+      CorpusPipeline.run(spark, input, outG, "c_gate",
+        numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+        nearDupThreshold = 0.95, bpeMerges = 60, bpeMaxWords = 2000,
+        nearDupMethod = "embedding", embedGateDocs = 10L)
+    }
+    assert(ex.getMessage.contains("strict-LSH scale gate"), ex.getMessage)
+    assert(ex.getMessage.contains("embed-staged-passes"), ex.getMessage)
+    assert(ex.getMessage.contains("minhash"), ex.getMessage)
+    val outS = Files.createTempDirectory("graft-cp3-staged").toString
+    val stS = CorpusPipeline.run(spark, input, outS, "c_st",
+      numShards = 2, partitionMultiples = 2, qualityMin = 0.3,
+      nearDupThreshold = 0.95, bpeMerges = 60, bpeMaxWords = 2000,
+      nearDupMethod = "embedding", embedGateDocs = 10L,
+      embedStagedPasses = Some(2))
+    assert(stS.afterNearDup === 40L,
+      s"staged opt-in past the gate must drop the same paraphrases: $stS")
+    val idsS = spark.read.parquet(s"$outS/c_st/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsS === ids, "staged pass set must equal the single-pass drops")
   }
 
   test("nearDupMethod=semantic: pipeline drops == batch semDedup drops " +

@@ -20,7 +20,11 @@ class GeoMltSpec extends SparkSpec {
     val docs = sf("sf0.001", "documents")
     val idx = tmpDir("regexpidx")
     Search.buildPostingsIndex(docs, "doc_id", "text", idx, buckets = 8)
-    for (q <- Seq("sp[aeiou]rk", "[a-z]*indow sp[aeiou]rk", "wind[a-z]+")) {
+    // the alternation patterns are the r15-ADVICE regression: a top-level
+    // '|' must void the dictionary prefilter (a "cat" prefix would drop
+    // every "dog"-branch term), while a grouped one keeps its prefix
+    for (q <- Seq("sp[aeiou]rk", "[a-z]*indow sp[aeiou]rk", "wind[a-z]+",
+                  "spark|window", "wind(ow|y)")) {
       val scan = Search.regexpTopK(docs, "doc_id", "text", q, k = 25)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
       val indexed = Search.indexedRegexpTopK(spark, idx, q, k = 25,
@@ -44,6 +48,16 @@ class GeoMltSpec extends SparkSpec {
     assert(Search.regexLiteralPrefix("[a-z]*indow") === "")
     assert(Search.regexLiteralPrefix("plain") === "plain")
     assert(Search.regexLiteralPrefix("a\\d+") === "a")
+  }
+
+  test("regexLiteralPrefix: top-level alternation voids the prefix; " +
+    "grouped/class/escaped '|' does not") {
+    assert(Search.regexLiteralPrefix("cat|dog") === "")      // right branch free
+    assert(Search.regexLiteralPrefix("cat|dog|cow") === "")
+    assert(Search.regexLiteralPrefix("ab\\|cd") === "ab")    // escaped: literal
+    assert(Search.regexLiteralPrefix("wind(ow|y)") === "wind") // grouped: sound
+    assert(Search.regexLiteralPrefix("a[|]b") === "a")       // class: literal
+    assert(Search.regexLiteralPrefix("(cat|dog)s") === "")   // leading meta
   }
 
   // ---------- dis_max tie_breaker ----------

@@ -411,4 +411,143 @@ class InstallSpec extends SparkSpec {
     val r = graft.sink.BundleValidate.validate(spark, s"$installed/idx_heal")
     assert(r.ok, r.problems)
   }
+
+  // ---------- round-16 chaos laws (VERDICT task 5 / r15 ADVICE) ----------
+
+  private class ChaosKill extends RuntimeException("chaos kill")
+
+  /** The marker-over-missing-shard invariant: a done marker may only ever
+    * cover a dst dir holding the COMPLETE source file set. */
+  private def assertDoneImpliesComplete(incoming: String, installed: String,
+                                        name: String, shards: Int,
+                                        ctx: String): Unit =
+    for (k <- 0 until shards
+         if Files.exists(Paths.get(s"$installed/$name/_shard_done_$k"))) {
+      val srcDir = Paths.get(s"$incoming/$name/data/_shard=$k")
+      val dstDir = Paths.get(s"$installed/$name/data/_shard=$k")
+      assert(Files.exists(dstDir), s"[$ctx] done marker over MISSING shard $k")
+      val src = Files.list(srcDir)
+      val srcFiles = try {
+        import scala.jdk.CollectionConverters._
+        src.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => p.getFileName.toString -> Files.size(p)).toMap
+      } finally src.close()
+      val dst = Files.list(dstDir)
+      val dstFiles = try {
+        import scala.jdk.CollectionConverters._
+        dst.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => p.getFileName.toString -> Files.size(p)).toMap
+      } finally dst.close()
+      assert(dstFiles === srcFiles,
+        s"[$ctx] done marker over INCOMPLETE shard $k: dst=$dstFiles src=$srcFiles")
+    }
+
+  test("chaos law: a consumer killed at ANY protocol point leaves an " +
+      "assemblable bundle and never a done marker over a missing/incomplete " +
+      "shard (50 seeds x random kill points)") {
+    val incoming = Files.createTempDirectory("graft-chaos-in").toString
+    val installed0 = Files.createTempDirectory("graft-chaos-out").toString
+    // one immutable bundle (3 shards, 25 docs); per-seed state = a fresh
+    // install root + wiped claims
+    val docs = DocTransform.docs(sf("sf0.001", "nation"), "n_nationkey", None)
+    BundleSink.write(docs, s"$incoming/idx_ch", numShards = 3,
+      partitionMultiples = 2, repartition = true, indexName = "idx_ch")
+    val claims = Paths.get(s"$incoming/idx_ch/_claims")
+    def wipe(dir: java.nio.file.Path): Unit = if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(dir)
+      try all.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally all.close()
+    }
+    try {
+      for (seed <- 0 until 50) {
+        wipe(claims)
+        val installed = s"$installed0/run_$seed"
+        val rnd = new scala.util.Random(seed)
+        // victim: dies at the Nth protocol step it reaches (N in [1, 16] —
+        // wide enough to land in every window incl. per-file copies of a
+        // later shard; overshooting N just means a clean full install)
+        val killAt = 1 + rnd.nextInt(16)
+        val steps = new java.util.concurrent.atomic.AtomicInteger(0)
+        BundleInstall.chaosHook = (_, _) =>
+          if (steps.incrementAndGet() == killAt) throw new ChaosKill
+        val died = try {
+          BundleInstall.installShardsOnce(spark, incoming, "idx_ch",
+            installed, s"victim-$seed"); false
+        } catch { case _: ChaosKill => true }
+        BundleInstall.chaosHook = (_, _) => ()
+        // THE invariant, checked at the instant of death
+        assertDoneImpliesComplete(incoming, installed, "idx_ch", 3,
+          s"seed=$seed killAt=$killAt died=$died post-kill")
+        // age every claim the victim left, then a survivor finishes
+        if (Files.exists(claims)) {
+          import scala.jdk.CollectionConverters._
+          val s = Files.list(claims)
+          try s.iterator().asScala.foreach(
+            _.toFile.setLastModified(System.currentTimeMillis() - 600000L))
+          finally s.close()
+        }
+        val out = BundleInstall.installShardsOnce(spark, incoming, "idx_ch",
+          installed, s"survivor-$seed", claimTtlMs = 1000L)
+        assertDoneImpliesComplete(incoming, installed, "idx_ch", 3,
+          s"seed=$seed post-survivor")
+        // every shard done exactly once across victim+survivor; assembly
+        // completes and validates — the bundle is indistinguishable from a
+        // single-consumer install
+        for (k <- 0 until 3)
+          assert(Files.exists(Paths.get(s"$installed/idx_ch/_shard_done_$k")),
+            s"seed=$seed: shard $k not finished: $out")
+        assert(BundleInstall.assembleIfComplete(spark, incoming, "idx_ch",
+          installed, s"survivor-$seed", claimTtlMs = 1000L), s"seed=$seed")
+        val rep = graft.sink.BundleValidate.validate(spark, s"$installed/idx_ch")
+        assert(rep.ok, s"seed=$seed: ${rep.problems}")
+        assert(spark.read.format("graft-bundle").load(s"$installed/idx_ch")
+          .count() === 25L, s"seed=$seed")
+      }
+    } finally BundleInstall.chaosHook = (_, _) => ()
+  }
+
+  test("fence done-marker check: a racing owner's late publish during my " +
+      "copy makes me SKIP, never delete the done-marked dst (r15 ADVICE)") {
+    val incoming = Files.createTempDirectory("graft-fence-in").toString
+    val installed = Files.createTempDirectory("graft-fence-out").toString
+    val docs = DocTransform.docs(sf("sf0.001", "nation"), "n_nationkey", None)
+    BundleSink.write(docs, s"$incoming/idx_f", numShards = 2,
+      partitionMultiples = 2, repartition = true, indexName = "idx_f")
+    // while THIS consumer copies shard 0, simulate a prior owner's late
+    // publish landing: dst appears complete AND done-marked between the
+    // top-of-install done check and the fence
+    import scala.jdk.CollectionConverters._
+    val hitPrePublish = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    BundleInstall.chaosHook = (point, k) => point match {
+      case "copied" if k == 0 && !injected.getAndSet(true) =>
+        val src = Paths.get(s"$incoming/idx_f/data/_shard=0")
+        val dst = Paths.get(s"$installed/idx_f/data/_shard=0")
+        Files.createDirectories(dst)
+        val s = Files.list(src)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach(f =>
+          Files.copy(f, dst.resolve(f.getFileName.toString)))
+        finally s.close()
+        Files.write(Paths.get(s"$installed/idx_f/_shard_done_0"),
+          "late-owner".getBytes("UTF-8"))
+      case "pre-publish" if k == 0 => hitPrePublish.set(true)
+      case _ => ()
+    }
+    try {
+      val out = BundleInstall.installShardsOnce(spark, incoming, "idx_f",
+        installed, "racer")
+      val s0 = out.find(_.shard == 0).get
+      assert(s0.isInstanceOf[BundleInstall.ShardSkipped],
+        s"must skip the done-marked shard, got $s0")
+      assert(!hitPrePublish.get(),
+        "fence must not reach delete(dst)+rename once the done marker exists")
+      // the late owner's dst survived untouched and the bundle assembles
+      assert(Files.exists(Paths.get(s"$installed/idx_f/data/_shard=0")))
+      assert(BundleInstall.assembleIfComplete(spark, incoming, "idx_f",
+        installed, "racer"))
+      val rep = graft.sink.BundleValidate.validate(spark, s"$installed/idx_f")
+      assert(rep.ok, rep.problems)
+    } finally BundleInstall.chaosHook = (_, _) => ()
+  }
 }
