@@ -58,6 +58,9 @@ object Main {
     "suggest-term", "suggest-prefix", "max-edits",
     "negative-query", "negative-boost",
     "span-near", "span-slop", "span-first", "geo-distance",
+    "span-or", "span-not", "span-pre", "span-post",
+    "terms-set", "msm-field",
+    "stats", "extended-stats", "percentile-ranks",
     "parent-col", "score-mode", "min-children", "search-after",
     "regexp", "tie-breaker", "geo-box", "geo-polygon", "geohash-grid",
     "percentiles", "more-like", "mlt-text", "min-term-freq",
@@ -807,6 +810,9 @@ object Main {
           val boolMode = Seq("must", "should", "must-not").exists(raw.contains)
           val spanNearOn = raw.contains("span-near")
           val spanFirstOn = raw.contains("span-first")
+          val spanOrOn = raw.contains("span-or")
+          val spanNotOn = raw.contains("span-not")
+          val termsSetOn = raw.contains("terms-set")
           val geoOn = raw.contains("geo-distance")
           val geoBoxOn = raw.contains("geo-box")
           val geoPolyOn = raw.contains("geo-polygon")
@@ -816,14 +822,21 @@ object Main {
             "--more-like (by doc id) and --mlt-text (free text) are " +
               "mutually exclusive")
           require(Seq(queryOpt.isDefined, phraseOpt.isDefined, boolMode,
-              spanNearOn, spanFirstOn, geoOn, geoBoxOn, geoPolyOn,
+              spanNearOn, spanFirstOn, spanOrOn, spanNotOn, termsSetOn,
+              geoOn, geoBoxOn, geoPolyOn,
               ghGridOn, mltOn).count(identity) == 1,
             "--mode search requires exactly one of --query | --phrase | " +
               "bool clauses (--must/--should/--must-not) | --span-near | " +
-              "--span-first | --geo-distance | --geo-box | --geo-polygon | " +
+              "--span-first | --span-or | --span-not | --terms-set | " +
+              "--geo-distance | --geo-box | --geo-polygon | " +
               "--geohash-grid | --more-like/--mlt-text")
-          require(!raw.contains("span-slop") || spanNearOn,
-            "--span-slop needs --span-near")
+          require(!raw.contains("span-slop") ||
+              spanNearOn || spanOrOn || spanNotOn,
+            "--span-slop needs --span-near/--span-or/--span-not")
+          require(!(raw.contains("span-pre") || raw.contains("span-post")) ||
+              spanNotOn, "--span-pre/--span-post need --span-not")
+          require(!raw.contains("msm-field") || termsSetOn,
+            "--msm-field needs --terms-set")
           val textCol = raw.getOrElse("text-col", "text")
           val idCol = Option(cfg.id).getOrElse("doc_id")
           val k = raw.getOrElse("topk", "10").toInt
@@ -986,6 +999,53 @@ object Main {
                 graft.ext.Search.spanFirstTopK(docs, idCol, textCol,
                   parts(0), parts(1).toInt, k)
             }
+          } else if (spanOrOn) {
+            // ES span_or (standalone or inside span_near): clauses
+            // comma-separated, alternatives pipe-separated —
+            // --span-or "spark,window|merge" [--span-slop N]
+            val clauses = raw("span-or").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+              .map(_.split("\\|").map(_.trim).filter(_.nonEmpty).toSeq)
+            val sl = raw.getOrElse("span-slop", "0").toInt
+            raw.get("search-index") match {
+              case Some(idxDir) =>
+                graft.ext.Search.indexedSpanOrNearTopK(spark, idxDir,
+                  clauses, sl, k)
+              case None =>
+                graft.ext.Search.spanOrNearTopK(docs, idCol, textCol,
+                  clauses, sl, k)
+            }
+          } else if (spanNotOn) {
+            // ES span_not: --span-not "<inc1,inc2>:<exc1,exc2>"
+            // [--span-slop N --span-pre N --span-post N]
+            val parts = raw("span-not").split(":")
+            require(parts.length == 2, "--span-not expects " +
+              s"<include terms>:<exclude terms>, got '${raw("span-not")}'")
+            val inc = parts(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val exc = parts(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val sl = raw.getOrElse("span-slop", "0").toInt
+            val pre = raw.getOrElse("span-pre", "0").toInt
+            val post = raw.getOrElse("span-post", "0").toInt
+            raw.get("search-index") match {
+              case Some(idxDir) =>
+                graft.ext.Search.indexedSpanNotTopK(spark, idxDir, inc, sl,
+                  exc, pre, post, k)
+              case None =>
+                graft.ext.Search.spanNotTopK(docs, idCol, textCol, inc, sl,
+                  exc, pre, post, k)
+            }
+          } else if (termsSetOn) {
+            // ES terms_set: --terms-set "a,b,c" --msm-field <numeric col
+            // or integer literal> (default 1 = plain OR)
+            require(cfg.input.nonEmpty, "--terms-set needs --input")
+            val ts = raw("terms-set").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+            val msmSpec = raw.getOrElse("msm-field", "1")
+            val msm =
+              if (msmSpec.matches("-?\\d+"))
+                org.apache.spark.sql.functions.lit(msmSpec.toInt)
+              else org.apache.spark.sql.functions.col(msmSpec)
+            graft.ext.Search.termsSetTopK(docs, idCol, textCol, ts, msm, k)
           } else if (geoOn) {
             // ES geo_distance: nearest rows within a radius of the point
             val p = raw("geo-distance").split(":")
@@ -1281,6 +1341,52 @@ object Main {
             pdf.write.mode("overwrite").parquet(s"${cfg.outDir}/percentiles")
             println(s"percentiles -> ${cfg.outDir}/percentiles")
             pdf.orderBy("percent").collect().foreach(r => println(s"  $r"))
+          }
+          raw.get("stats").foreach { numCol =>
+            // --stats <numCol> — the ES stats aggregation over the
+            // matched set (count/min/max/avg/sum)
+            require(cfg.input.nonEmpty, "--stats needs --input (the corpus)")
+            require(queryOpt.isDefined, "--stats needs --query (term match)")
+            val sdf = graft.ext.Search.statsFacet(docs, textCol,
+              queryOpt.get, numCol)
+            sdf.write.mode("overwrite").parquet(s"${cfg.outDir}/stats")
+            println(s"stats -> ${cfg.outDir}/stats")
+            sdf.collect().foreach(r => println(s"  $r"))
+          }
+          raw.get("extended-stats").foreach { spec =>
+            // --extended-stats <numCol>[:<sigma>] — the ES extended_stats
+            // aggregation (adds sum_of_squares/variance/std/±sigma bounds)
+            require(cfg.input.nonEmpty,
+              "--extended-stats needs --input (the corpus)")
+            require(queryOpt.isDefined,
+              "--extended-stats needs --query (term match)")
+            val parts = spec.split(":")
+            require(parts.length <= 2,
+              s"--extended-stats expects <col>[:<sigma>], got '$spec'")
+            val sigma = if (parts.length == 2) parts(1).toDouble else 2.0
+            val edf = graft.ext.Search.extendedStatsFacet(docs, textCol,
+              queryOpt.get, parts(0), sigma)
+            edf.write.mode("overwrite").parquet(s"${cfg.outDir}/extended_stats")
+            println(s"extended_stats -> ${cfg.outDir}/extended_stats")
+            edf.collect().foreach(r => println(s"  $r"))
+          }
+          raw.get("percentile-ranks").foreach { spec =>
+            // --percentile-ranks <numCol>:<v1,v2,...> — the inverse of
+            // --percentiles: percent of matched observations <= each value
+            require(cfg.input.nonEmpty,
+              "--percentile-ranks needs --input (the corpus)")
+            require(queryOpt.isDefined,
+              "--percentile-ranks needs --query (term match)")
+            val parts = spec.split(":")
+            require(parts.length == 2,
+              s"--percentile-ranks expects <col>:<v1,v2,...>, got '$spec'")
+            val rdf = graft.ext.Search.percentileRanksFacet(docs, textCol,
+              queryOpt.get, parts(0),
+              parts(1).split(",").map(_.trim.toDouble).toSeq)
+            rdf.write.mode("overwrite")
+              .parquet(s"${cfg.outDir}/percentile_ranks")
+            println(s"percentile_ranks -> ${cfg.outDir}/percentile_ranks")
+            rdf.orderBy("value").collect().foreach(r => println(s"  $r"))
           }
           raw.get("histogram").foreach { spec =>
             // --histogram <numCol>:<interval> — ES histogram aggregation

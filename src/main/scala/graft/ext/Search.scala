@@ -2314,6 +2314,300 @@ object Search {
   }
 
   // ------------------------------------------------------------------
+  // span_or / span_not: the remaining ES span-family compositors, over
+  // the same greedy-chain position machinery as span_near/span_first.
+  // span_or = the union of alternative single-term spans (standalone, or
+  // as a CLAUSE of a span_near chain); span_not = include spans minus
+  // those an exclude occurrence shadows within a [pre, post] window.
+  // ------------------------------------------------------------------
+
+  /** Parse span_or clauses: each inner Seq is one clause's alternative
+    * single terms (a 1-element Seq = a plain span_term clause). */
+  private def parseOrClauses(clauses: Seq[Seq[String]]): Seq[Seq[String]] =
+    clauses.map { c =>
+      val ts = c.flatMap(queryTerms).distinct.sorted
+      require(ts.nonEmpty, "a span_or clause needs >= 1 term")
+      ts
+    }
+
+  /** Per-term 0-based position array over the shared tokenization law —
+    * the span scan paths' pivot (empty-token guard per phraseFreq). */
+  private def scanPositions(tok: Column, t: String): Column =
+    when(size(tok) >= 1,
+      filter(sequence(lit(0), size(tok) - 1),
+        i => element_at(tok, i + 1) === lit(t)))
+      .otherwise(array().cast("array<int>"))
+
+  /**
+   * span_near over span_or clauses (the ES `span_near` whose clauses may
+   * be `span_or`s of single terms; `in_order: true`): clause j's position
+   * set is the UNION of its alternatives' positions, and the greedy
+   * chain law ([[spanNearTf]]) runs over the union sets — 1-term clauses
+   * recover [[spanNearTopK]] exactly. A SINGLE multi-term clause is the
+   * standalone `span_or` query: the chain degenerates to "any
+   * occurrence", tf = |union|. Scoring: clause idf uses the clause's
+   * UNION df (#docs holding ANY alternative — a span_or clause is one
+   * subquery, so its rarity is the union's, not its alternatives' sum),
+   * idfSum = left-assoc Σ over clauses in query order, score = the
+   * phrase convention. Map-only scan + TakeOrdered.
+   */
+  def spanOrNearTopK(docs: DataFrame, idCol: String, textCol: String,
+                     clauses: Seq[Seq[String]], slop: Int, k: Int,
+                     params: Bm25Params = Bm25Params(),
+                     roundTo: Int = 4): DataFrame = {
+    require(clauses.nonEmpty, "span_near needs >= 1 clause")
+    require(slop >= 0, "slop must be non-negative")
+    val alts = parseOrClauses(clauses)
+    val distinctTerms = alts.flatten.distinct.sorted
+    val tok = tokens(col(textCol))
+    // ONE stats pass: N, Σdl, each clause's union df
+    val dfAggs = alts.map(ts =>
+      sum(when(ts.map(t => array_contains(tok, t)).reduce(_ || _), 1L)
+        .otherwise(0L)))
+    val row = docs.agg(count(lit(1)).as("_n"),
+      (sum(size(tok).cast("long")).as("_tot") +:
+        dfAggs.zipWithIndex.map { case (c, i) => c.as(s"_df$i") }): _*).head()
+    val nDocs = row.getLong(0)
+    val avgdl = row.getLong(1).toDouble / nDocs
+    val idfSum = alts.indices.foldLeft(0.0) { (a, j) =>
+      a + idfOf(nDocs, if (row.isNullAt(j + 2)) 0L else row.getLong(j + 2)) }
+    val posOf = distinctTerms.map(t => t -> scanPositions(tok, t)).toMap
+    // union = concat: alternatives are DISTINCT terms, so their position
+    // sets are disjoint (no double counting); the chain law never needs
+    // sorted inputs (filter + array_min are order-free)
+    val clausePos = alts.map(ts => concat(ts.map(posOf): _*))
+    val tf = spanNearTf(clausePos, slop)
+    val scored = docs
+      .select(col(idCol).as("doc_id"), tf.as("_stf"),
+        size(tok).cast("double").as("_dl"))
+      .where(col("_stf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_stf"), col("_dl"), avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /** Standalone `span_or`: the 1-clause form of [[spanOrNearTopK]] —
+    * tf = total occurrences of ANY alternative, idf from the union df. */
+  def spanOrTopK(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int,
+                 params: Bm25Params = Bm25Params(),
+                 roundTo: Int = 4): DataFrame =
+    spanOrNearTopK(docs, idCol, textCol, Seq(terms), slop = 0, k = k,
+      params = params, roundTo = roundTo)
+
+  /** [[spanOrNearTopK]] from a persisted POSITIONAL postings index —
+    * bit-identical at Σ df posting rows of read: per-term positions from
+    * the stored arrays, clause union dfs from ONE bounded countDistinct
+    * aggregate over the pruned postings. */
+  def indexedSpanOrNearTopK(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, clauses: Seq[Seq[String]],
+                            slop: Int, k: Int,
+                            params: Bm25Params = Bm25Params(),
+                            roundTo: Int = 4): DataFrame = {
+    require(clauses.nonEmpty, "span_near needs >= 1 clause")
+    require(slop >= 0, "slop must be non-negative")
+    val alts = parseOrClauses(clauses)
+    val distinctTerms = alts.flatten.distinct.sorted
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val avgdl = totalTokens.toDouble / nDocs
+    val pruned = prunedPostings(spark, dir, distinctTerms, buckets)
+    require(pruned.schema.fieldNames.contains("positions"),
+      s"postings index at $dir stores no positions (built with " +
+        "positional = false, or predating the positional schema): rebuild " +
+        "with positional postings to serve span queries")
+    val dfAggs = alts.map(ts =>
+      countDistinct(when(col("term").isin(ts: _*), col("doc_id"))))
+    val dfRow = pruned.agg(dfAggs.head.as("_df0"),
+      dfAggs.tail.zipWithIndex.map { case (c, i) => c.as(s"_df${i + 1}") }: _*)
+      .head()
+    val idfSum = alts.indices.foldLeft(0.0) { (a, j) =>
+      a + idfOf(nDocs, dfRow.getLong(j)) }
+    val idxOf = distinctTerms.zipWithIndex.toMap
+    val grouped = pruned.groupBy("doc_id").agg(
+      first(col("dl")).as("dl"),
+      distinctTerms.zipWithIndex.map { case (t, i) =>
+        flatten(collect_list(when(col("term") === t, col("positions"))))
+          .as(s"_ps$i") }: _*)
+    val clausePos = alts.map(ts =>
+      concat(ts.map(t => col(s"_ps${idxOf(t)}")): _*))
+    val tf = spanNearTf(clausePos, slop)
+    val scored = grouped
+      .withColumn("_stf", tf)
+      .where(col("_stf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_stf"), col("dl"), avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /** The span_not tf law, shared verbatim by the scan and indexed paths:
+    * tf = #{p₁ ∈ pos(t₁) : the greedy in-order chain completes within
+    * the slop budget (the [[spanNearTf]] law, span = [p₁, p_m]) AND no
+    * exclude occurrence q lies in [p₁ − pre, p_m + post]}. Lucene's
+    * SpanNotQuery rejects enumerated include spans that an exclusion
+    * overlaps (dist extended by pre/post); our include enumerator is the
+    * greedy-minimal chain, so the rejected set is decided against the
+    * MINIMAL span from each start — the same spans [[spanNearTf]]
+    * counts. */
+  private def spanNotTf(posCols: Seq[Column], slop: Int, excPos: Column,
+                        pre: Int, post: Int): Column = {
+    val m = posCols.length
+    size(filter(posCols.head, p1 => {
+      val pm = posCols.tail.foldLeft(p1)((prev, ps) =>
+        array_min(filter(ps, q => q > prev)))
+      (pm - p1 + lit(1 - m) <= lit(slop)) &&
+        size(filter(excPos,
+          q => q >= p1 - lit(pre) && q <= pm + lit(post))) === lit(0)
+    })).cast("double")
+  }
+
+  /**
+   * span_not top-k (the ES `span_not` query): include = an in-order
+   * span_near chain of single terms (a 1-element `include` is the plain
+   * span_term form), exclude = any of `exclude`'s terms occurring within
+   * `pre` positions before the span start through `post` positions after
+   * the span end (ES `pre`/`post`, default 0 = overlap-only). tf = the
+   * surviving-span count ([[spanNotTf]]); idfSum = Σ idf over the
+   * include terms (the phrase convention — exclusion changes the
+   * EVIDENCE, not the include terms' rarity); score = the phrase
+   * convention. Map-only scan + TakeOrdered.
+   */
+  def spanNotTopK(docs: DataFrame, idCol: String, textCol: String,
+                  include: Seq[String], slop: Int, exclude: Seq[String],
+                  pre: Int = 0, post: Int = 0, k: Int = 10,
+                  params: Bm25Params = Bm25Params(),
+                  roundTo: Int = 4): DataFrame = {
+    require(include.nonEmpty, "span_not needs >= 1 include clause")
+    require(slop >= 0 && pre >= 0 && post >= 0,
+      "slop/pre/post must be non-negative")
+    val terms = include.map(c => { val t = queryTerms(c)
+      require(t.length == 1, s"span clauses are single terms: got '$c'"); t.head })
+    val exc = exclude.flatMap(queryTerms).distinct.sorted
+    require(exc.nonEmpty, "span_not needs >= 1 exclude term")
+    val distinctTerms = terms.distinct.sorted
+    val stats = corpusStats(docs, textCol, distinctTerms)
+    val idfSum = terms.foldLeft(0.0)((a, t) => a + stats.idf(t))
+    val tok = tokens(col(textCol))
+    val posOf = (distinctTerms ++ exc).distinct
+      .map(t => t -> scanPositions(tok, t)).toMap
+    val excPos = concat(exc.map(posOf): _*)
+    val tf = spanNotTf(terms.map(posOf), slop, excPos, pre, post)
+    val scored = docs
+      .select(col(idCol).as("doc_id"), tf.as("_stf"),
+        size(tok).cast("double").as("_dl"))
+      .where(col("_stf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_stf"), col("_dl"), stats.avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /** [[spanNotTopK]] from a persisted POSITIONAL postings index —
+    * bit-identical: include-term positions AND exclude-term positions
+    * both pivot from the pruned postings (an excluded-only doc never
+    * scores, so pruning to include∪exclude terms loses nothing); df/idf
+    * of the include terms from the same bounded aggregate. */
+  def indexedSpanNotTopK(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, include: Seq[String], slop: Int,
+                         exclude: Seq[String], pre: Int = 0, post: Int = 0,
+                         k: Int = 10, params: Bm25Params = Bm25Params(),
+                         roundTo: Int = 4): DataFrame = {
+    require(include.nonEmpty, "span_not needs >= 1 include clause")
+    require(slop >= 0 && pre >= 0 && post >= 0,
+      "slop/pre/post must be non-negative")
+    val terms = include.map(c => { val t = queryTerms(c)
+      require(t.length == 1, s"span clauses are single terms: got '$c'"); t.head })
+    val exc = exclude.flatMap(queryTerms).distinct.sorted
+    require(exc.nonEmpty, "span_not needs >= 1 exclude term")
+    val distinctInc = terms.distinct.sorted
+    val allTerms = (distinctInc ++ exc).distinct.sorted
+    val (nDocs, totalTokens, buckets) = readStats(spark, dir)
+    val avgdl = totalTokens.toDouble / nDocs
+    val pruned = prunedPostings(spark, dir, allTerms, buckets)
+    require(pruned.schema.fieldNames.contains("positions"),
+      s"postings index at $dir stores no positions (built with " +
+        "positional = false, or predating the positional schema): rebuild " +
+        "with positional postings to serve span queries")
+    val dfRow = pruned.agg(
+      count(lit(1)).as("_n"),
+      distinctInc.map(t => sum(when(col("term") === t, 1L).otherwise(0L)))
+        .zipWithIndex.map { case (c, i) => c.as(s"_df$i") }: _*).head()
+    val stats = CorpusStats(nDocs, totalTokens,
+      distinctInc.zipWithIndex.map { case (t, i) =>
+        t -> (if (dfRow.isNullAt(i + 1)) 0L else dfRow.getLong(i + 1)) }.toMap)
+    val idfSum = terms.foldLeft(0.0)((a, t) => a + stats.idf(t))
+    val idxOf = allTerms.zipWithIndex.toMap
+    val grouped = pruned.groupBy("doc_id").agg(
+      first(col("dl")).as("dl"),
+      allTerms.zipWithIndex.map { case (t, i) =>
+        flatten(collect_list(when(col("term") === t, col("positions"))))
+          .as(s"_ps$i") }: _*)
+    val excPos = concat(exc.map(t => col(s"_ps${idxOf(t)}")): _*)
+    val tf = spanNotTf(terms.map(t => col(s"_ps${idxOf(t)}")), slop,
+      excPos, pre, post)
+    val scored = grouped
+      .withColumn("_stf", tf)
+      .where(col("_stf") > 0)
+      .select(col("doc_id"), round(
+        phraseScore(idfSum, col("_stf"), col("dl"), avgdl, params),
+        roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  /**
+   * terms_set top-k (the ES `terms_set` query): like a bool-should over
+   * `terms`, but the minimum number of matching DISTINCT terms comes
+   * from a PER-DOCUMENT expression `msm` (the ES
+   * `minimum_should_match_field` / `_script` — e.g. `least(lit(2),
+   * col("required_matches"))`). The effective bound is
+   * `greatest(msm, 1)` — a null/zero/negative per-doc value degrades to
+   * the plain OR match, and a value above the term count matches
+   * nothing, both the Lucene CoveringQuery edges. Scoring is
+   * [[bm25TopK]]'s law verbatim over the sorted distinct terms (only
+   * present terms contribute — absent terms add exactly +0.0). Scan-only
+   * by nature: the per-doc bound reads a document field, which a
+   * postings index does not carry.
+   */
+  def termsSetTopK(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], msm: Column, k: Int,
+                   params: Bm25Params = Bm25Params(),
+                   roundTo: Int = 4): DataFrame = {
+    val ts = terms.flatMap(queryTerms).distinct.sorted
+    require(ts.nonEmpty, "terms_set needs >= 1 term")
+    val stats = corpusStats(docs, textCol, ts)
+    val tok = tokens(col(textCol))
+    val dl = size(tok).cast("double")
+    val matched = ts.map(t => when(array_contains(tok, t), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = docs
+      .where(matched >= greatest(coalesce(msm.cast("int"), lit(1)), lit(1)))
+      .select(col(idCol).as("doc_id"),
+        round(scoreCol(ts, stats, params, tok, dl), roundTo).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "rank", "score")
+  }
+
+  // ------------------------------------------------------------------
   // match_phrase_prefix: the search-as-you-type phrase form — every
   // term but the last matches exactly in sequence, the LAST term
   // matches as a prefix at its slot
@@ -3061,6 +3355,98 @@ object Search {
         // approx_percentile preserves the INPUT column's type (a long
         // column yields longs); the facet publishes doubles either way
         round(col("col").cast("double"), roundTo).as("value"))
+  }
+
+  /**
+   * stats aggregation over the MATCHED set — the ES `stats` agg on a
+   * numeric field: ONE row (count, min, max, avg, sum), nulls skipped
+   * (the ES missing-value law: count = docs WITH a value). Values
+   * publish as doubles rounded to `roundTo`; for an integral column the
+   * sum accumulates exactly in the input type before the single cast,
+   * so the result is engine-exact (a double column's sum is
+   * order-dependent — the rounding absorbs it, the other facets'
+   * convention). One map-only matched scan + one partial+final
+   * aggregate; no window, no collect.
+   */
+  def statsFacet(docs: DataFrame, textCol: String, query: String,
+                 numCol: String, roundTo: Int = 4): DataFrame = {
+    val m = docs.filter(matchedPredOf(docs, textCol, query) &&
+      col(numCol).isNotNull)
+    m.agg(count(col(numCol)).as("cnt"),
+      round(min(col(numCol)).cast("double"), roundTo).as("min_value"),
+      round(max(col(numCol)).cast("double"), roundTo).as("max_value"),
+      round(sum(col(numCol)).cast("double") /
+        count(col(numCol)).cast("double"), roundTo).as("avg_value"),
+      round(sum(col(numCol)).cast("double"), roundTo).as("sum_value"))
+  }
+
+  /**
+   * extended_stats aggregation over the MATCHED set — [[statsFacet]]
+   * plus sum_of_squares, POPULATION variance (the ES default:
+   * Σx²/n − mean²), std_deviation, and the ±`sigma` std bounds (ES
+   * `sigma`, default 2). The derived doubles compute from the exact
+   * integral sums in the SAME arithmetic an external oracle can write
+   * (sumsq/n − avg·avg, sqrt, avg ± sigma·std — each IEEE-determined
+   * from the two exact sums), so hash-equality pins the whole derivation
+   * chain. Squares accumulate in LONG for integral inputs (int·int
+   * would wrap).
+   */
+  def extendedStatsFacet(docs: DataFrame, textCol: String, query: String,
+                         numCol: String, sigma: Double = 2.0,
+                         roundTo: Int = 4): DataFrame = {
+    val m = docs.filter(matchedPredOf(docs, textCol, query) &&
+      col(numCol).isNotNull)
+    val isIntegral = Set("integer", "long", "short", "byte")(
+      docs.schema(numCol).dataType.typeName)
+    val sq =
+      if (isIntegral) col(numCol).cast("long") * col(numCol).cast("long")
+      else col(numCol).cast("double") * col(numCol).cast("double")
+    val n = count(col(numCol)).cast("double")
+    val avg = sum(col(numCol)).cast("double") / n
+    val variance = sum(sq).cast("double") / n - avg * avg
+    val std = sqrt(variance)
+    m.agg(count(col(numCol)).as("cnt"),
+      round(min(col(numCol)).cast("double"), roundTo).as("min_value"),
+      round(max(col(numCol)).cast("double"), roundTo).as("max_value"),
+      round(avg, roundTo).as("avg_value"),
+      round(sum(col(numCol)).cast("double"), roundTo).as("sum_value"),
+      round(sum(sq).cast("double"), roundTo).as("sum_of_squares"),
+      round(variance, roundTo).as("variance"),
+      round(std, roundTo).as("std_deviation"),
+      round(avg + lit(sigma) * std, roundTo).as("std_upper"),
+      round(avg - lit(sigma) * std, roundTo).as("std_lower"))
+  }
+
+  /**
+   * percentile_ranks aggregation over the MATCHED set — the inverse of
+   * [[percentilesFacet]]: for each requested value, the PERCENT of
+   * observations ≤ it (one row per value, `(value, percent)`). This is
+   * the exact step-CDF form — 100 · |{x : x ≤ v}| / n — the twin an
+   * external oracle reproduces; ES's TDigest additionally interpolates
+   * between neighboring centroids, a sketch artifact not a semantic
+   * (the [[cardinalityFacet]] exact-twin convention). Nulls are skipped.
+   * One matched scan + one aggregate for ALL requested values.
+   */
+  def percentileRanksFacet(docs: DataFrame, textCol: String, query: String,
+                           numCol: String, values: Seq[Double],
+                           roundTo: Int = 4): DataFrame = {
+    require(values.nonEmpty, "need at least one value")
+    val v = col(numCol).cast("double")
+    val les = values.map(x => sum(when(v <= lit(x), 1L).otherwise(0L)))
+    val row = docs.filter(matchedPredOf(docs, textCol, query) && v.isNotNull)
+      .agg(count(lit(1)).as("_n"),
+        les.zipWithIndex.map { case (c, i) => c.as(s"_le$i") }: _*).head()
+    val n = row.getLong(0)
+    val out = values.zipWithIndex.map { case (x, i) =>
+      val le = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+      (x, if (n == 0L) 0.0 else 100.0 * le.toDouble / n.toDouble)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // rounding through the shared round() column keeps the published
+    // value on the same rounding law as every other facet
+    out.toDF("value", "_p")
+      .select(col("value"), round(col("_p"), roundTo).as("percent"))
   }
 
   // ------------------------------------------------------------------

@@ -5127,6 +5127,238 @@ object Queries {
         graft.ext.Search.indexedMoreLikeThisTopK(s, idx, likeText, k = 15)
           .orderBy("rank")
       }),
+
+    // ---- span_or inside span_near (ES span family): clause 2 is the
+    //      UNION of alternatives ('window' | 'merge') — its positions
+    //      merge, its df is the union df (#docs with ANY alternative;
+    //      one subquery, one rarity), and the q134 greedy-chain law runs
+    //      over the union sets. Spark answers from a PERSISTED
+    //      positional index built in-query, so the hash pins
+    //      scan-law == indexed-positions through the oracle. ----
+    QueryDef("q149_span_or_near",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'window') OR list_contains(w, 'merge')
+             |             THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |p AS (
+             |  SELECT doc_id, w,
+             |    len(list_filter(
+             |      list_filter(range(0, len(w)), i -> w[i+1] = 'spark'),
+             |      a -> list_min(list_filter(
+             |             list_filter(range(0, len(w)),
+             |               i -> w[i+1] = 'merge' OR w[i+1] = 'window'),
+             |             q -> q > a)) - a - 1 <= 4))::DOUBLE AS stf
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      (ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |       + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)))
+             |      * (stf * (1.2 + 1.0))
+             |      / (stf + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)),
+             |      4) AS score
+             |  FROM p, st WHERE stf > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = scratch("graft-q149-spanoridx")
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedSpanOrNearTopK(s, idx,
+            Seq(Seq("spark"), Seq("window", "merge")), slop = 4, k = 20)
+          .orderBy("rank")
+      }),
+
+    // ---- span_not (ES span family): include = the greedy span_near
+    //      chain spark->window (slop 6, span [a, b]); a 'merge'
+    //      occurrence within [a-1, b+1] (pre=1, post=1) KILLS that span.
+    //      tf = surviving-span count; idf = the include terms' (the
+    //      phrase convention — exclusion changes the evidence, not the
+    //      rarity). Incomplete chains leave b NULL: both engines drop
+    //      them through null-propagating comparisons, the q134 law. ----
+    QueryDef("q150_span_not",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM docs),
+             |p AS (
+             |  SELECT doc_id, w,
+             |    len(list_filter(
+             |      list_filter(range(0, len(w)), i -> w[i+1] = 'spark'),
+             |      a -> (list_min(list_filter(
+             |              list_filter(range(0, len(w)), i -> w[i+1] = 'window'),
+             |              q -> q > a)) - a - 1 <= 6)
+             |        AND len(list_filter(
+             |              list_filter(range(0, len(w)), i -> w[i+1] = 'merge'),
+             |              q -> q >= a - 1
+             |               AND q <= list_min(list_filter(
+             |                      list_filter(range(0, len(w)), i -> w[i+1] = 'window'),
+             |                      qq -> qq > a)) + 1)) = 0))::DOUBLE AS stf
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      (ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |       + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)))
+             |      * (stf * (1.2 + 1.0))
+             |      / (stf + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)),
+             |      4) AS score
+             |  FROM p, st WHERE stf > 0)
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        val idx = scratch("graft-q150-spannotidx")
+        graft.ext.Search.buildPostingsIndex(
+          t(s, dir, "documents"), "doc_id", "text", idx, buckets = 32)
+        graft.ext.Search.indexedSpanNotTopK(s, idx,
+            include = Seq("spark", "window"), slop = 6,
+            exclude = Seq("merge"), pre = 1, post = 1, k = 20)
+          .orderBy("rank")
+      }),
+
+    // ---- terms_set (the ES terms_set query): the q103 bool-should
+    //      scoring law, but minimum_should_match comes from a PER-DOC
+    //      expression (the minimum_should_match_field form) —
+    //      1 + doc_id % 3 here, so required matches cycle 1/2/3 across
+    //      the corpus and the hash pins the per-doc gating. Scan-only by
+    //      nature (the bound reads a document field a postings index
+    //      does not carry). ----
+    QueryDef("q151_terms_set",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |st AS (
+             |  SELECT count(*) AS n, sum(len(w))::DOUBLE / count(*) AS avgdl,
+             |    sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |    sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             |    sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df3
+             |  FROM docs),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'merge'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'merge'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'spark'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl))
+             |    + ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5))
+             |        * (len(list_filter(w, x -> x = 'window'))::DOUBLE * (1.2 + 1.0))
+             |        / (len(list_filter(w, x -> x = 'window'))::DOUBLE
+             |           + 1.2 * ((1 - 0.75) + 0.75 * len(w)::DOUBLE / st.avgdl)), 4) AS score
+             |  FROM docs, st
+             |  WHERE (CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)
+             |      >= greatest(CAST(doc_id % 3 + 1 AS INTEGER), 1))
+             |SELECT doc_id, rank, score FROM (
+             |  SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) x
+             |WHERE rank <= 20
+             |ORDER BY rank""".stripMargin),
+      (s, dir) => graft.ext.Search.termsSetTopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "merge"),
+          msm = col("doc_id") % 3 + 1, k = 20)
+        .orderBy("rank")),
+
+    // ---- extended_stats aggregation (ES extended_stats, sigma 2) over
+    //      the matched set: every derived double (avg, population
+    //      variance Σx²/n − mean², std, ±2σ bounds) computes from the
+    //      two EXACT integral sums in the same IEEE operation order on
+    //      both engines — the hash pins the whole derivation chain, not
+    //      just the inputs. DuckDB's BIGINT sums cast to DOUBLE before
+    //      each derivation, exactly like the Spark long sums. ----
+    QueryDef("q152_extended_stats",
+      Some("""WITH docs AS (
+             |  SELECT n_chars, list_filter(string_split_regex(lower(text), '\s+'),
+             |                              x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |m AS (SELECT n_chars FROM docs
+             |  WHERE (list_contains(w, 'spark') OR list_contains(w, 'window'))
+             |    AND n_chars IS NOT NULL),
+             |s AS (SELECT count(n_chars) AS cnt, min(n_chars) AS mn,
+             |        max(n_chars) AS mx, sum(n_chars) AS s1,
+             |        sum(n_chars * n_chars) AS s2
+             |      FROM m)
+             |SELECT cnt,
+             |  round(mn::DOUBLE, 4) AS min_value,
+             |  round(mx::DOUBLE, 4) AS max_value,
+             |  round(s1::DOUBLE / cnt::DOUBLE, 4) AS avg_value,
+             |  round(s1::DOUBLE, 4) AS sum_value,
+             |  round(s2::DOUBLE, 4) AS sum_of_squares,
+             |  round(s2::DOUBLE / cnt::DOUBLE
+             |        - (s1::DOUBLE / cnt::DOUBLE) * (s1::DOUBLE / cnt::DOUBLE), 4)
+             |    AS variance,
+             |  round(sqrt(s2::DOUBLE / cnt::DOUBLE
+             |        - (s1::DOUBLE / cnt::DOUBLE) * (s1::DOUBLE / cnt::DOUBLE)), 4)
+             |    AS std_deviation,
+             |  round(s1::DOUBLE / cnt::DOUBLE
+             |        + 2.0 * sqrt(s2::DOUBLE / cnt::DOUBLE
+             |          - (s1::DOUBLE / cnt::DOUBLE) * (s1::DOUBLE / cnt::DOUBLE)), 4)
+             |    AS std_upper,
+             |  round(s1::DOUBLE / cnt::DOUBLE
+             |        - 2.0 * sqrt(s2::DOUBLE / cnt::DOUBLE
+             |          - (s1::DOUBLE / cnt::DOUBLE) * (s1::DOUBLE / cnt::DOUBLE)), 4)
+             |    AS std_lower
+             |FROM s""".stripMargin),
+      (s, dir) => graft.ext.Search.extendedStatsFacet(
+          t(s, dir, "documents"), "text", "spark window", "n_chars",
+          sigma = 2.0)),
+
+    // ---- percentile_ranks aggregation (the inverse of q146): percent
+    //      of matched observations <= each requested value, in the exact
+    //      step-CDF form both engines compute identically (ES's TDigest
+    //      interpolation is a sketch artifact — the q55/cardinality
+    //      exact-twin convention, documented on the operator). ----
+    QueryDef("q153_percentile_ranks",
+      Some("""WITH docs AS (
+             |  SELECT n_chars, list_filter(string_split_regex(lower(text), '\s+'),
+             |                              x -> x <> '') AS w
+             |  FROM read_parquet('{SFDIR}/documents.parquet')),
+             |m AS (SELECT n_chars::DOUBLE AS v FROM docs
+             |  WHERE (list_contains(w, 'spark') OR list_contains(w, 'window'))
+             |    AND n_chars IS NOT NULL),
+             |s AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN v <= 200.0 THEN 1 ELSE 0 END) AS le1,
+             |    sum(CASE WHEN v <= 500.0 THEN 1 ELSE 0 END) AS le2,
+             |    sum(CASE WHEN v <= 1000.0 THEN 1 ELSE 0 END) AS le3,
+             |    sum(CASE WHEN v <= 2000.0 THEN 1 ELSE 0 END) AS le4
+             |  FROM m)
+             |SELECT value, percent FROM (
+             |  SELECT CAST(200.0 AS DOUBLE) AS value,
+             |    round(100.0 * le1::DOUBLE / n::DOUBLE, 4) AS percent FROM s
+             |  UNION ALL SELECT CAST(500.0 AS DOUBLE),
+             |    round(100.0 * le2::DOUBLE / n::DOUBLE, 4) FROM s
+             |  UNION ALL SELECT CAST(1000.0 AS DOUBLE),
+             |    round(100.0 * le3::DOUBLE / n::DOUBLE, 4) FROM s
+             |  UNION ALL SELECT CAST(2000.0 AS DOUBLE),
+             |    round(100.0 * le4::DOUBLE / n::DOUBLE, 4) FROM s) x
+             |ORDER BY value""".stripMargin),
+      (s, dir) => graft.ext.Search.percentileRanksFacet(
+          t(s, dir, "documents"), "text", "spark window", "n_chars",
+          Seq(200.0, 500.0, 1000.0, 2000.0))
+        .orderBy("value")),
   )
 
   def all: Seq[QueryDef] = relational ++ ext ++ extra

@@ -1788,6 +1788,133 @@ class SearchSpec extends SparkSpec {
     assert(e.getMessage.contains("positions"))
   }
 
+  test("span_or / span_not: union + exclusion laws on a hand corpus; " +
+      "indexed == scan bit-identity; 1-term clauses recover span_near") {
+    val hand = Seq(
+      (1L, "a x b x c"), (2L, "a b c"), (3L, "a x x x x b"),
+      (4L, "a a b"), (5L, "c b a"), (6L, ""), (7L, "a z c"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // span_or clause (b|z) chained after a, slop 1: doc 7 "a z c" matches
+    // via the z alternative, docs 2/4 via b; doc 1 "a x b" width 3 needs
+    // slop 1 — matches; doc 3 width 6 does not
+    assert(Search.spanOrNearTopK(hand, "doc_id", "text",
+        Seq(Seq("a"), Seq("b", "z")), slop = 1, k = 10)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L, 7L))
+    // 1-term clauses == spanNearTopK exactly (scores included)
+    assert(ids(Search.spanOrNearTopK(hand, "doc_id", "text",
+        Seq(Seq("a"), Seq("b")), slop = 3, k = 10)) ===
+      ids(Search.spanNearTopK(hand, "doc_id", "text", Seq("a", "b"),
+        slop = 3, k = 10)))
+    // standalone span_or: tf = occurrences of ANY alternative; doc 4
+    // "a a b" has tf 3 for (a|b)
+    val or4 = Search.spanOrTopK(hand.filter(col("doc_id") === 4), "doc_id",
+      "text", Seq("a", "b"), k = 10).collect()
+    assert(or4.length === 1 && or4.head.getLong(0) === 4L)
+    // span_not: (a then b, slop 4) minus spans with c inside [p1-1, pm+1].
+    // doc 1 "a x b x c": span [0,2], c at 4 > 2+1 -> SURVIVES;
+    // doc 2 "a b c": span [0,1], c at 2 <= 1+1 -> killed;
+    // doc 4 "a a b": no c at all -> both spans survive (tf 2)
+    val sn = Search.spanNotTopK(hand, "doc_id", "text",
+      include = Seq("a", "b"), slop = 4, exclude = Seq("c"),
+      pre = 1, post = 1, k = 10)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(sn === Set(1L, 3L, 4L), s"got $sn")
+    // pre/post 0 = overlap-only: single-term spans of different terms
+    // never overlap, so nothing is excluded
+    assert(Search.spanNotTopK(hand, "doc_id", "text", include = Seq("a", "b"),
+        slop = 4, exclude = Seq("c"), pre = 0, post = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+    // indexed == scan bit-identity on the real corpus
+    val docs = sf("sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanoridx").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", dir, buckets = 8)
+    assert(ids(Search.indexedSpanOrNearTopK(spark, dir,
+        Seq(Seq("spark"), Seq("window", "merge")), slop = 4, k = 25)) ===
+      ids(Search.spanOrNearTopK(docs, "doc_id", "text",
+        Seq(Seq("spark"), Seq("window", "merge")), slop = 4, k = 25)))
+    assert(ids(Search.indexedSpanNotTopK(spark, dir,
+        include = Seq("spark", "window"), slop = 6, exclude = Seq("merge"),
+        pre = 1, post = 1, k = 25)) ===
+      ids(Search.spanNotTopK(docs, "doc_id", "text",
+        include = Seq("spark", "window"), slop = 6, exclude = Seq("merge"),
+        pre = 1, post = 1, k = 25)))
+  }
+
+  test("terms_set: per-doc minimum_should_match gates matches; constant " +
+      "bound == bm25 minShouldMatch; null/zero degrade to OR; " +
+      "impossible bound matches nothing") {
+    val docs = sf("sf0.001", "documents")
+    val terms = Seq("spark", "window", "merge")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // constant per-doc bound 2 == the bool minimum_should_match law
+    assert(rows(Search.termsSetTopK(docs, "doc_id", "text", terms,
+        msm = lit(2), k = 20)) ===
+      rows(Search.bm25TopK(docs, "doc_id", "text", "spark window merge",
+        k = 20, minShouldMatch = 2)))
+    // null and zero bounds degrade to the plain OR match (>= 1)
+    assert(rows(Search.termsSetTopK(docs, "doc_id", "text", terms,
+        msm = lit(null).cast("int"), k = 20)) ===
+      rows(Search.termsSetTopK(docs, "doc_id", "text", terms,
+        msm = lit(0), k = 20)))
+    // a bound above the term count matches nothing
+    assert(Search.termsSetTopK(docs, "doc_id", "text", terms,
+      msm = lit(4), k = 20).count() === 0L)
+    // per-doc gating actually varies: the doc_id-cycled bound is a
+    // SUBSET of the OR match and a SUPERSET of the all-terms match
+    val cycled = Search.termsSetTopK(docs, "doc_id", "text", terms,
+      msm = col("doc_id") % 3 + 1, k = 1000)
+      .collect().map(_.getLong(0)).toSet
+    val or = Search.termsSetTopK(docs, "doc_id", "text", terms,
+      msm = lit(1), k = 1000).collect().map(_.getLong(0)).toSet
+    val all3 = Search.termsSetTopK(docs, "doc_id", "text", terms,
+      msm = lit(3), k = 1000).collect().map(_.getLong(0)).toSet
+    assert(cycled.subsetOf(or) && all3.subsetOf(cycled ++ all3))
+    assert(cycled !== or, "the per-doc bound must actually gate something")
+  }
+
+  test("stats / extended_stats / percentile_ranks facets: derived values " +
+      "match a driver-side recomputation over the matched set") {
+    val docs = sf("sf0.001", "documents")
+    val matched = docs.filter(
+      array_contains(Search.tokens(col("text")), "spark") ||
+      array_contains(Search.tokens(col("text")), "window"))
+      .select(col("n_chars")).collect().map(_.getLong(0))
+    val n = matched.length.toLong
+    val s1 = matched.sum
+    val s2 = matched.map(x => x * x).sum
+    val avg = s1.toDouble / n
+    val variance = s2.toDouble / n - avg * avg
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val st = Search.statsFacet(docs, "text", "spark window", "n_chars").head()
+    assert(st.getLong(0) === n)
+    assert(st.getDouble(1) === matched.min.toDouble)
+    assert(st.getDouble(2) === matched.max.toDouble)
+    assert(math.abs(st.getDouble(3) - avg) < 1e-3)
+    assert(st.getDouble(4) === s1.toDouble)
+    val ext = Search.extendedStatsFacet(docs, "text", "spark window",
+      "n_chars", sigma = 2.0).head()
+    assert(ext.getLong(0) === n)
+    assert(ext.getDouble(5) === s2.toDouble)
+    assert(math.abs(ext.getDouble(6) - variance) < 1e-2)
+    assert(math.abs(ext.getDouble(7) - math.sqrt(variance)) < 1e-2)
+    assert(math.abs(ext.getDouble(8) - (avg + 2 * math.sqrt(variance))) < 1e-2)
+    assert(math.abs(ext.getDouble(9) - (avg - 2 * math.sqrt(variance))) < 1e-2)
+    // percentile_ranks: exact step CDF, monotone, 100 at max value
+    val vals = Seq(matched.min.toDouble - 1, avg, matched.max.toDouble)
+    val pr = Search.percentileRanksFacet(docs, "text", "spark window",
+      "n_chars", vals).orderBy("value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(pr.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      s"percent must be monotone in value: ${pr.toSeq}")
+    assert(pr.head._2 === 0.0, "below-min value ranks 0%")
+    assert(pr.last._2 === 100.0, "max value ranks 100%")
+    val expMid = r4(100.0 * matched.count(_ <= avg).toDouble / n)
+    assert(math.abs(pr(1)._2 - expMid) < 1e-9, s"${pr(1)._2} vs $expMid")
+  }
+
   test("search_after keyset pagination: pages partition the single-shot " +
       "ranking exactly; indexed == scan; cursor from the published row") {
     val docs = sf("sf0.001", "documents")
