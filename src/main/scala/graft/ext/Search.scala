@@ -1879,6 +1879,58 @@ object Search {
         col(lonCol).cast("double").as("lon"))
   }
 
+  /**
+   * geo_shape query, ENVELOPE subset (the ES `geo_shape` with an
+   * `envelope` query shape over docs that carry envelope extents): each
+   * document's shape is its [latMin, latMax] × [lonMin, lonMax] box,
+   * the query shape is the literal envelope (`top`/`left`/`bottom`/
+   * `right`, the ES top-left + bottom-right convention), and `relation`
+   * picks the spatial predicate — pure inclusive interval algebra, one
+   * codegen'd conjunction that pushes to the scan:
+   *  - `"intersects"` (ES default): the boxes overlap;
+   *  - `"within"`: the doc box lies inside the query envelope;
+   *  - `"contains"`: the doc box contains the query envelope;
+   *  - `"disjoint"`: no overlap (the intersects negation).
+   * Non-crossing envelopes only (left <= right — antimeridian-crossing
+   * doc shapes would need the [[geoBoundingBox]] split convention;
+   * callers split first). Filter-form result (no score): doc_id + the
+   * extents, the [[geoBoundingBox]] deterministic-page convention.
+   */
+  def geoShapeEnvelope(docs: DataFrame, idCol: String,
+                       latMinCol: String, latMaxCol: String,
+                       lonMinCol: String, lonMaxCol: String,
+                       top: Double, left: Double, bottom: Double,
+                       right: Double, relation: String = "intersects"
+                      ): DataFrame = {
+    require(top >= bottom, s"top ($top) must be >= bottom ($bottom)")
+    require(left <= right,
+      s"left ($left) must be <= right ($right): the envelope subset " +
+        "does not cross the antimeridian (split the query box first)")
+    val (laMin, laMax) = (col(latMinCol), col(latMaxCol))
+    val (loMin, loMax) = (col(lonMinCol), col(lonMaxCol))
+    val intersects = laMin <= lit(top) && laMax >= lit(bottom) &&
+      loMin <= lit(right) && loMax >= lit(left)
+    val within = laMin >= lit(bottom) && laMax <= lit(top) &&
+      loMin >= lit(left) && loMax <= lit(right)
+    val contains = laMin <= lit(bottom) && laMax >= lit(top) &&
+      loMin <= lit(left) && loMax >= lit(right)
+    val pred = relation match {
+      case "intersects" => intersects
+      case "within"     => within
+      case "contains"   => contains
+      case "disjoint"   => !intersects
+      case other => throw new IllegalArgumentException(
+        s"unknown geo_shape relation '$other' " +
+          "(intersects | within | contains | disjoint)")
+    }
+    docs.where(pred)
+      .select(col(idCol).as("doc_id"),
+        laMin.cast("double").as("lat_min"),
+        laMax.cast("double").as("lat_max"),
+        loMin.cast("double").as("lon_min"),
+        loMax.cast("double").as("lon_max"))
+  }
+
   /** Even-odd (ray-casting) point-in-polygon as ONE codegen'd projection
     * over a LITERAL vertex list — the planar test on (lon, lat) treated
     * as x/y (the ES geo_polygon law for non-pole, non-antimeridian

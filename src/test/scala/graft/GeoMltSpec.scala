@@ -165,6 +165,40 @@ class GeoMltSpec extends SparkSpec {
     assert(want.nonEmpty && want.size < grid.size)
   }
 
+  test("geoShapeEnvelope: relation algebra on a hand fixture; disjoint is " +
+      "the exact complement of intersects; bad inputs refuse") {
+    // query envelope: lat [-10, 30], lon [0, 40]
+    val boxes = Seq(
+      (1L,   0.0, 10.0,  5.0, 15.0),  // strictly inside -> within
+      (2L, -20.0, 40.0, -5.0, 50.0),  // strictly covers -> contains
+      (3L,  25.0, 35.0, 35.0, 45.0),  // corner overlap  -> intersects
+      (4L,  50.0, 60.0, 90.0, 99.0),  // far away        -> disjoint
+      (5L, -10.0, 30.0,  0.0, 40.0),  // EXACT match: within AND contains
+      (6L,  30.0, 31.0, 40.0, 41.0))  // touches the corner point: inclusive
+      .toDF("doc_id", "lat_min", "lat_max", "lon_min", "lon_max")
+    def rel(r: String): Set[Long] =
+      graft.ext.Search.geoShapeEnvelope(boxes, "doc_id", "lat_min",
+        "lat_max", "lon_min", "lon_max", top = 30.0, left = 0.0,
+        bottom = -10.0, right = 40.0, relation = r)
+        .collect().map(_.getLong(0)).toSet
+    assert(rel("intersects") === Set(1L, 2L, 3L, 5L, 6L))
+    assert(rel("within") === Set(1L, 5L))
+    assert(rel("contains") === Set(2L, 5L))
+    assert(rel("disjoint") === Set(4L))
+    // disjoint == complement of intersects, always
+    assert((rel("intersects") ++ rel("disjoint")) ===
+      (1L to 6L).toSet)
+    intercept[IllegalArgumentException] {
+      graft.ext.Search.geoShapeEnvelope(boxes, "doc_id", "lat_min",
+        "lat_max", "lon_min", "lon_max", 30.0, 100.0, -10.0, -100.0)
+    } // antimeridian-crossing query envelope refused in the subset
+    intercept[IllegalArgumentException] {
+      graft.ext.Search.geoShapeEnvelope(boxes, "doc_id", "lat_min",
+        "lat_max", "lon_min", "lon_max", 30.0, 0.0, -10.0, 40.0,
+        relation = "overlaps")
+    }
+  }
+
   test("geohash matches published reference values and clamps the edges") {
     val pts = Seq(
       (1L, 57.64911, 10.40744), // canonical: u4pruydqqvj
