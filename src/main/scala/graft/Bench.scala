@@ -1175,9 +1175,20 @@ object Bench {
           require(rep.totalDocs == n,
             s"sink_10m validate totalDocs ${rep.totalDocs} != $n")
         }
+        // the COLUMNAR decade point (one quiesced run): typed doc fields
+        // instead of json strings — the scale-path format (prunes to one
+        // column on the consumer side); docsColumnar keeps the same
+        // es_shard fan-out, so placement semantics are identical
+        val colDf = graft.transform.DocTransform.docsColumnar(
+          gen, "doc_id", Some("route"))
+        quiesce()
+        val colSec = time {
+          BundleSink.write(colDf, s"$root/idx_col", numShards = 32,
+            partitionMultiples = 4, repartition = true, format = "columnar")
+        }
         rmrf(root); tmpDirs -= root // multi-GB: free before the pipeline tier
         val med = secs(1)
-        f"""{"rows":$n,"num_shards":32,"write_secs":[${secs.map(s => f"$s%.3f").mkString(",")}],"write_med3_sec":$med%.3f,"docs_per_sec":${(n / med).round},"validate_sec":$vSec%.3f,"validate_ok":true,"misplaced":0,"runs":3,"quiesce":"sync+2s before every timed run"}"""
+        f"""{"rows":$n,"num_shards":32,"write_secs":[${secs.map(s => f"$s%.3f").mkString(",")}],"write_med3_sec":$med%.3f,"docs_per_sec":${(n / med).round},"columnar_write_sec":$colSec%.3f,"columnar_docs_per_sec":${(n / colSec).round},"validate_sec":$vSec%.3f,"validate_ok":true,"misplaced":0,"runs":3,"quiesce":"sync+2s before every timed run"}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sink 10m failed: ${e.getMessage}"); "{}" } }
 
