@@ -129,6 +129,15 @@ object Dedup {
     val withSig = hashed.withColumn("_sig", minhashSignature(col("_sh"), numHashes))
     val cands = lshCandidates(withSig.select(col(idCol), col("_sig")), idCol, "_sig",
       numHashes, bands)
+    // NOTE (round-16 optimization pass, measured): a candidate-id
+    // semi-join prefilter on `slim` (guide §3.2 shape) was tried here and
+    // REGRESSED the 1M A/B ~2-3x (22.2/13.9 s -> 39.2/47.3 s medians).
+    // In the sparse-candidate regime AQE already broadcasts the small
+    // pair table into both verify joins, so the heavy shingle arrays
+    // never shuffle — the prefilter only added a third reference to the
+    // LSH candidate subtree (recomputed, not stage-reused) and an extra
+    // broadcast round; and in the dup-heavy regime the id set is not
+    // small, so it cannot win there either. Keep the direct joins.
     val slim = hashed.select(col(idCol), col("_sh"))
     cands
       .join(slim.withColumnsRenamed(Map(idCol -> "id_a", "_sh" -> "_sh_a")), "id_a")

@@ -1250,24 +1250,30 @@ object Search {
   private[graft] def postings(docs: DataFrame, idCol: String, textCol: String,
                               buckets: Int,
                               positional: Boolean = true): DataFrame = {
-    val base = docs
+    // per-(doc, term) aggregation WITHOUT a shuffle: all of a document's
+    // tokens live in its own input row, so tf/positions/dl are a row-local
+    // one-pass kernel ([[graft.functions.TermPostings]], differential-spec
+    // pinned against the posexplode+groupBy formulation this replaces).
+    // The old form paid one full Exchange of the entire postings volume
+    // (partial ObjectHashAggregate -> hash exchange on (doc, dl, term) ->
+    // final) on every index build — pure overhead, since the partial
+    // aggregate had already fully grouped each doc's tokens inside its
+    // task (one doc never spans input rows). Guide §2.3/§2.4.
+    val entries = docs
       // id keeps its ORIGINAL type (a silent cast("long") would null out
       // string ids and corrupt the index with no error; parquet stores
       // any type, and query-side grouping is type-agnostic)
       .select(col(idCol).as("doc_id"),
-        tokens(col(textCol)).as("_w"))
+        explode(graft.functions.EsFunctions.term_postings(
+          col(textCol), positional)).as("_e"))
     val grouped =
       if (positional)
-        base.select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
-            posexplode(col("_w")).as(Seq("pos", "term")))
-          .groupBy("doc_id", "dl", "term")
-          .agg(count(lit(1)).cast("double").as("tf"),
-            sort_array(collect_list(col("pos"))).as("positions"))
+        entries.select(col("doc_id"), col("_e.dl").as("dl"),
+          col("_e.term").as("term"), col("_e.tf").as("tf"),
+          col("_e.positions").as("positions"))
       else
-        base.select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
-            explode(col("_w")).as("term"))
-          .groupBy("doc_id", "dl", "term")
-          .agg(count(lit(1)).cast("double").as("tf"))
+        entries.select(col("doc_id"), col("_e.dl").as("dl"),
+          col("_e.term").as("term"), col("_e.tf").as("tf"))
     grouped.withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong))
       .cast("int"))
   }

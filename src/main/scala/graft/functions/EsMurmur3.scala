@@ -116,6 +116,11 @@ object EsFunctions {
   def window_hashes(text: Column, k: Int): Column =
     GraftSqlBridge.column(WindowHashesExpr(GraftSqlBridge.expression(text), k))
 
+  /** One-pass per-doc term postings entries (see [[TermPostings]]). */
+  def term_postings(text: Column, positional: Boolean): Column =
+    GraftSqlBridge.column(
+      TermPostingsExpr(GraftSqlBridge.expression(text), positional))
+
   /** One-pass codegen'd MinHash signature (see [[MinHashSig]]). */
   def minhash_sig(hashes: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(hashes), numHashes))

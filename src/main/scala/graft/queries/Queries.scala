@@ -1055,9 +1055,14 @@ object Queries {
              |ORDER BY c_nationkey""".stripMargin),
       (s, dir) => t(s, dir, "customer")
         .groupBy("c_nationkey")
-        .agg(array_join(
+        // nullif aligns the empty-group case with the oracle at EVERY sf:
+        // DuckDB's array_to_string([]) is NULL while Spark's array_join([])
+        // is "" — a nation with no rich customers (sf0.001) diverged. A
+        // non-empty join can never be "" (custkeys are non-empty), so this
+        // changes nothing where groups are populated (sf0.01/sf0.1).
+        .agg(nullif(array_join(
             sort_array(collect_list(when(col("c_acctbal") > 9000, col("c_custkey"))))
-              .cast("array<string>"), ",").as("rich_keys"),
+              .cast("array<string>"), ","), lit("")).as("rich_keys"),
           count(lit(1)).as("n"))
         .orderBy("c_nationkey")),
 
@@ -1448,15 +1453,19 @@ object Queries {
              |  mode(l_linestatus) AS mode_status,
              |  median(l_quantity) AS median_qty,
              |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-             |  round(skewness(l_quantity), 4) AS skew_qty
+             |  round(skewness(l_quantity), 4) + 0.0 AS skew_qty
              |FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      // `+ 0.0` on BOTH sides normalizes IEEE negative zero: a skewness
+      // that rounds to zero carried sign -0.0 in DuckDB vs 0.0 in Spark
+      // (sf0.001-only divergence); adding +0.0 is the identity on every
+      // other double and maps -0.0 -> 0.0 in both engines.
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(mode(col("l_linestatus")).as("mode_status"),
           median(col("l_quantity")).as("median_qty"),
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-          round(skewness(col("l_quantity")), 4).as("skew_qty"))
+          (round(skewness(col("l_quantity")), 4) + lit(0.0)).as("skew_qty"))
         .orderBy("l_returnflag")),
 
     // ---- recursive CTE (Spark 4 WITH RECURSIVE): a generated spine joined

@@ -2279,4 +2279,72 @@ class SearchSpec extends SparkSpec {
       .agg(countDistinct(col("t"))).head().getLong(0)
     assert(card === exact)
   }
+
+  test("postings(): row-local kernel == posexplode+groupBy formulation, " +
+    "and its build plan carries NO exchange") {
+    // adversarial corpus: leading/trailing/multi whitespace runs, tabs and
+    // newlines, repeated terms (tf > 1, gapped positions), case folding,
+    // unicode (combining marks, CJK, Turkish dotted I), empty and null
+    // texts, a one-token doc
+    val docs = Seq(
+      (1L, "  The  quick\tbrown\nfox the THE the  "),
+      (2L, "a a a b b a"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "İstanbul STRASSE ÅÄÖ über"),
+      (6L, "汉字 汉字テスト"),
+      (7L, "solo"),
+      (8L, " x y   z ") //  is \s; NBSP is NOT \s in Java
+    ).toDF("doc_id", "text")
+    for (positional <- Seq(true, false)) {
+      val got = Search.postings(docs, "doc_id", "text", buckets = 8,
+        positional = positional)
+      // the formulation the kernel replaced (bit-compat reference)
+      val base = docs.select(col("doc_id"),
+        Search.tokens(col("text")).as("_w"))
+      val ref0 =
+        if (positional)
+          base.select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
+              posexplode(col("_w")).as(Seq("pos", "term")))
+            .groupBy("doc_id", "dl", "term")
+            .agg(count(lit(1)).cast("double").as("tf"),
+              sort_array(collect_list(col("pos"))).as("positions"))
+        else
+          base.select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
+              explode(col("_w")).as("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(count(lit(1)).cast("double").as("tf"))
+      val ref = ref0.withColumn("tb",
+        pmod(xxhash64(col("term")), lit(8L)).cast("int"))
+      assert(got.columns.toSeq === ref.columns.toSeq)
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"postings sets differ (positional=$positional):\n" +
+          s"extra=${got.exceptAll(ref).collect().take(5).toSeq}\n" +
+          s"missing=${ref.exceptAll(got).collect().take(5).toSeq}")
+      // sf0.001 corpus too (real text shapes)
+      val corpus = sf("sf0.001", "documents").limit(200)
+      val g2 = Search.postings(corpus, "doc_id", "text", 16, positional)
+      val b2 = corpus.select(col("doc_id"), Search.tokens(col("text")).as("_w"))
+      val r2 = (if (positional)
+        b2.select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
+            posexplode(col("_w")).as(Seq("pos", "term")))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).cast("double").as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+      else
+        b2.select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
+            explode(col("_w")).as("term"))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).cast("double").as("tf")))
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(16L)).cast("int"))
+      assert(g2.exceptAll(r2).isEmpty && r2.exceptAll(g2).isEmpty,
+        s"sf0.001 postings sets differ (positional=$positional)")
+    }
+    // the build-side plan law: scan -> generate -> project, zero exchanges
+    // (the whole point of the kernel — guide §2.4, remove shuffles outright)
+    val plan = Search.postings(sf("sf0.001", "documents"), "doc_id", "text",
+      32, positional = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"postings build must be shuffle-free, got:\n$plan")
+  }
 }
