@@ -62,6 +62,22 @@ object BenchAB {
           rmrf(dir); s
         }
         docs.unpersist(); out
+      case "postings1m_parquet" =>
+        // same corpus but read from PARQUET (uncached) — the realistic
+        // build input shape (the 10M tier builds from parquet): shows the
+        // stats-pass observe() saving that a cached corpus hides
+        val dir0 = java.nio.file.Files.createTempDirectory("graft-ab-corpus").toString
+        bm25Docs.write.mode("overwrite").parquet(dir0)
+        val docs = spark.read.parquet(dir0)
+        val out = (1 to reps).map { _ =>
+          val dir = java.nio.file.Files.createTempDirectory("graft-ab-idx").toString
+          val s = time {
+            graft.ext.Search.buildPostingsIndex(docs, "doc_id", "text", dir,
+              buckets = 64)
+          }
+          rmrf(dir); s
+        }
+        rmrf(dir0); out
       case "neardup1m" =>
         // pipeline-shaped corpus: 40-token docs, ids with pmod(id,20)<2
         // form planted near-pairs (share 40 tokens, differ in 1 → jaccard
@@ -91,6 +107,27 @@ object BenchAB {
               .write.mode("overwrite").format("noop").save()
           }
         }
+      case "ann_phases" =>
+        // q70/q71 anatomy at sf0.1: time each lifecycle phase separately
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        emb.count()
+        (1 to reps).foreach { r =>
+          val d = java.nio.file.Files.createTempDirectory("graft-ab-ann").toString
+          val tBuild = time { graft.ext.Similarity.buildIndex(emb, "vec_id",
+            "embedding", d, nlist = 16, kmeansIters = 2, m = 8, k = 16) }
+          val lean = java.nio.file.Files.createTempDirectory("graft-ab-lean").toString
+          val tStrip = time { graft.ext.Similarity.stripVectors(spark, d, lean) }
+          val q = emb.filter(col("vec_id") % 25 === 0)
+          val tQuery = time { graft.ext.Similarity.indexTopK(q, d,
+            "vec_id", "embedding", k = 3, nprobe = 4).collect() }
+          val tQueryLean = time { graft.ext.Similarity.indexTopK(q, lean,
+            "vec_id", "embedding", k = 3, nprobe = 4,
+            rerankCorpus = Some(emb), rerankIdCol = "vec_id").collect() }
+          println(f"ANNPHASES rep=$r build=$tBuild%.2f strip=$tStrip%.2f " +
+            f"query=$tQuery%.2f queryLean=$tQueryLean%.2f")
+          rmrf(d); rmrf(lean)
+        }
+        Seq(0.0)
       case "postings_plan" =>
         // evidence capture: the postings-build plan (formatted), for
         // plans/r16/ — run with the before-jar first on the classpath to
@@ -102,15 +139,25 @@ object BenchAB {
         docs.unpersist()
         Seq(0.0)
       case other =>
-        // any suite query by name at sf0.1
-        val q = graft.queries.Queries.all.find(_.name == other)
-          .getOrElse(sys.error(s"unknown op/query $other"))
-        (1 to reps).map { _ =>
-          time {
-            q.build(spark, "/root/testdata/sf0.1")
-              .write.mode("overwrite").format("noop").save()
+        // any comma-separated list of suite queries by name at sf0.1:
+        // each query timed `reps` times; per-query medians print here and
+        // the combined secs return below (for single-name runs)
+        val names = other.split(",").map(_.trim).filter(_.nonEmpty)
+        val out = names.flatMap { name =>
+          val q = graft.queries.Queries.all.find(_.name == name)
+            .getOrElse(sys.error(s"unknown op/query $name"))
+          val qs = (1 to reps).map { _ =>
+            time {
+              q.build(spark, "/root/testdata/sf0.1")
+                .write.mode("overwrite").format("noop").save()
+            }
           }
+          val warm = qs.drop(1).sorted
+          println(f"ABQ $name secs=${qs.map(s => f"$s%.2f").mkString(",")} " +
+            f"median_after_warm=${warm(warm.size / 2)}%.3f")
+          qs
         }
+        out.toSeq
     }
     val sorted = secs.drop(1).sorted
     val med = if (sorted.nonEmpty) sorted(sorted.size / 2) else secs.head

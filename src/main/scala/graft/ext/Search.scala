@@ -1118,7 +1118,17 @@ object Search {
                          positional: Boolean = true): Unit = {
     require(buckets > 0, "buckets must be positive")
     val spark = docs.sparkSession
+    // the corpus token total rides the postings write as an observe()
+    // metric (sum(tf) over the written entries == sum(size(tokens)) over
+    // the corpus: empty/null-text docs contribute no entries and no
+    // tokens), so the stats publish below needs NO second tokenize pass —
+    // the old `docs.agg(count, sum(size(tokens)))` re-scanned and
+    // re-tokenized the whole corpus once per build (guide §1.2: don't
+    // compute things twice). tf is an exact integer carried as double:
+    // the sum stays exact below 2^53 tokens.
+    val obsTok = org.apache.spark.sql.Observation()
     postings(docs, idCol, textCol, buckets, positional)
+      .observe(obsTok, coalesce(sum(col("tf")), lit(0.0)).as("_tt"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
     // term dictionary for relaxed (fuzzy/prefix) query expansion: one
     // bounded aggregate over the JUST-WRITTEN postings (vocabulary-sized
@@ -1140,10 +1150,14 @@ object Search {
      else spark.read.parquet(s"$dir/postings")
        .groupBy("term").agg(count(lit(1)).as("df")))
       .write.mode("overwrite").parquet(s"$dir/terms")
-    val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
-      .cast("long"))).head()
-    writeStats(spark, dir, row.getLong(0),
-      if (row.isNullAt(1)) 0L else row.getLong(1), buckets)
+    // nDocs counts EVERY corpus row (empty/null texts included — the BM25
+    // N the scan path uses): a bare count() is satisfied from parquet
+    // row-group metadata / cached partition counts, no tokenize
+    val totalTokens = obsTok.get("_tt") match {
+      case d: java.lang.Double => d.toLong
+      case other => other.asInstanceOf[Number].longValue()
+    }
+    writeStats(spark, dir, docs.count(), totalTokens, buckets)
   }
 
   /** Incremental maintenance (the ann-append story): NEW docs' postings
@@ -1178,15 +1192,20 @@ object Search {
       postings(docs, idCol, textCol, buckets, positional = false)
         .groupBy("term").agg(count(lit(1)).as("df"))
         .write.mode("append").parquet(s"$dir/terms")
+    // token-total delta rides the append write (same observe() trick as
+    // [[buildPostingsIndex]] — no extra tokenize pass over the new docs)
+    val obsTok = org.apache.spark.sql.Observation()
     postings(docs, idCol, textCol, buckets, positional)
+      .observe(obsTok, coalesce(sum(col("tf")), lit(0.0)).as("_tt"))
       .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
-    val row = docs.agg(count(lit(1)), sum(size(tokens(col(textCol)))
-      .cast("long"))).head()
+    val dTok = obsTok.get("_tt") match {
+      case d: java.lang.Double => d.toLong
+      case other => other.asInstanceOf[Number].longValue()
+    }
     // base rewrite preserves the folded-tombstone triple AND the folded
     // streaming-batch watermark (readStats' double-count guards) — an
     // append must not forget what a prior compaction already folded
-    writeStats(spark, dir, n0 + row.getLong(0),
-      t0 + (if (row.isNullAt(1)) 0L else row.getLong(1)), buckets,
+    writeStats(spark, dir, n0 + docs.count(), t0 + dTok, buckets,
       fe, fd, ft, readFoldedBatch(spark, dir))
   }
 
