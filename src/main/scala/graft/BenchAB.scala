@@ -128,6 +128,62 @@ object BenchAB {
           rmrf(d); rmrf(lean)
         }
         Seq(0.0)
+      case "embedlsh1m" | "embedlsh1m_strict" =>
+        // the neardup_1m corpus VERBATIM (Bench.scala cloneGen: ids with
+        // id % 20 == 19 are jittered clones of id-1 → 50k planted pairs at
+        // cosine ~1), 64-dim float vectors. Plain mode = the bench entry's
+        // knobs (bits=16, tables=8); _strict = the pipeline stage's knobs
+        // (auto-sized, strict recall floor — 25 tables x 14 bits at 1M).
+        val dim = 64
+        val cloneGen = udf { (id: Long) =>
+          val base = if (id % 20L == 19L) id - 1L else id
+          val r = new scala.util.Random(base * 2654435761L + 13L)
+          val v = Array.fill(dim)(r.nextGaussian().toFloat)
+          if (base != id) {
+            val rj = new scala.util.Random(id * 7L + 3L)
+            v.map(x => (x + 0.01 * rj.nextGaussian()).toFloat)
+          } else v
+        }
+        val df = spark.range(1000000L).select(col("id").as("vec_id"),
+          cloneGen(col("id")).as("embedding")).repartition(64).cache()
+        df.count()
+        val strict = op.endsWith("_strict")
+        var found = 0L
+        var planted = 0L
+        val out = (1 to reps).map { _ =>
+          val t = time {
+            val pairs =
+              if (strict) graft.ext.Similarity.cosineNearDupsLsh(df,
+                "vec_id", "embedding", threshold = 0.9, dim = dim,
+                tables = 0, bits = 0, strictRecall = true).cache()
+              else graft.ext.Similarity.cosineNearDupsLsh(df,
+                "vec_id", "embedding", threshold = 0.9, dim = dim,
+                bits = 16).cache()
+            found = pairs.count()
+            planted = pairs.filter(col("id_b") === col("id_a") + 1 &&
+              col("id_b") % 20 === 19).count()
+            pairs.unpersist()
+          }
+          println(f"EMBEDLSH found=$found planted_found=$planted sec=$t%.2f")
+          t
+        }
+        df.unpersist(); out
+      case "embedlsh_plan" =>
+        // evidence capture: the LSH candidate+verify plan (formatted) for
+        // plans/r17/ — before-jar prints the vector-carrying SMJ shape,
+        // after-jar the bare-signature + broadcast-verify shape
+        val dim = 64
+        val cloneGen = udf { (id: Long) =>
+          val r = new scala.util.Random(id * 2654435761L + 13L)
+          Array.fill(dim)(r.nextGaussian().toFloat)
+        }
+        val df = spark.range(1000000L).select(col("id").as("vec_id"),
+          cloneGen(col("id")).as("embedding"))
+        println(graft.ext.Similarity.cosineNearDupsLsh(df, "vec_id",
+            "embedding", threshold = 0.9, dim = dim, bits = 16)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        Seq(0.0)
       case "postings_plan" =>
         // evidence capture: the postings-build plan (formatted), for
         // plans/r16/ — run with the before-jar first on the classpath to
