@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap for forked run/test JVMs (override via SPARK_DRIVER_MEM). In
+  // local[32] mode ONE JVM is driver + all 32 executor task slots, so the
+  // old 8g default left ~150 MB of execution memory per concurrent task —
+  // the measured GC/sort cliff on the vector-heavy 1M bench entries (a
+  // 64g cap is ~1.2 GB/task, in line with per-core executor sizing on a
+  // 128 GiB box; Xmx is a cap, not a reservation). Cluster deployments
+  // size executors via spark-submit and never read this.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

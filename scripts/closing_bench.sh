@@ -26,4 +26,9 @@ done
 sleep 2
 
 JAR=$(ls target/scala-2.13/*.jar | grep -v -- '-tests' | head -1)
-exec java -Xmx96g -cp "$JAR:/opt/spark/jars/*" graft.Bench "$SFDIR" "$TIER"
+# JDK17 module opens (what spark-submit / the sbt fork inject): a bare JVM
+# without them crashes any path that serializes under storage-memory
+# pressure (Kryo + java.nio needs them) — first hit by the broadcast-verify
+# LSH at small heaps, latent everywhere else.
+ADDOPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+exec java $ADDOPENS -Xmx96g -cp "$JAR:/opt/spark/jars/*" graft.Bench "$SFDIR" "$TIER"

@@ -19,6 +19,36 @@ object BenchAB {
     val spark = GraftSession.get("graft-bench-ab")
     spark.sparkContext.setLogLevel("ERROR")
 
+    // per-rep diag (the Bench listener, scoped to this JVM): shuffle
+    // bytes + spill are DETERMINISTIC per plan shape, so they separate a
+    // structural change from box noise when wall-clock swings 2-4x
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def diag[T](tag: String)(f: => T): T = {
+      val (r0, w0, s0, g0) = (shuffleRead.get, shuffleWrite.get, spilled.get, gcMs())
+      val out = f
+      println(f"DIAG $tag shuffle_read_mb=${(shuffleRead.get - r0) / 1e6}%.0f " +
+        f"shuffle_write_mb=${(shuffleWrite.get - w0) / 1e6}%.0f " +
+        f"spill_mb=${(spilled.get - s0) / 1e6}%.0f gc_ms=${gcMs() - g0}")
+      out
+    }
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -150,39 +180,45 @@ object BenchAB {
         val strict = op.endsWith("_strict")
         var found = 0L
         var planted = 0L
-        val out = (1 to reps).map { _ =>
-          val t = time {
-            val pairs =
-              if (strict) graft.ext.Similarity.cosineNearDupsLsh(df,
-                "vec_id", "embedding", threshold = 0.9, dim = dim,
-                tables = 0, bits = 0, strictRecall = true).cache()
-              else graft.ext.Similarity.cosineNearDupsLsh(df,
-                "vec_id", "embedding", threshold = 0.9, dim = dim,
-                bits = 16).cache()
-            found = pairs.count()
-            planted = pairs.filter(col("id_b") === col("id_a") + 1 &&
-              col("id_b") % 20 === 19).count()
-            pairs.unpersist()
+        val out = (1 to reps).map { r =>
+          diag(s"embedlsh rep=$r") {
+            val t = time {
+              val pairs =
+                if (strict) graft.ext.Similarity.cosineNearDupsLsh(df,
+                  "vec_id", "embedding", threshold = 0.9, dim = dim,
+                  tables = 0, bits = 0, strictRecall = true).cache()
+                else graft.ext.Similarity.cosineNearDupsLsh(df,
+                  "vec_id", "embedding", threshold = 0.9, dim = dim,
+                  bits = 16).cache()
+              found = pairs.count()
+              planted = pairs.filter(col("id_b") === col("id_a") + 1 &&
+                col("id_b") % 20 === 19).count()
+              pairs.unpersist()
+            }
+            println(f"EMBEDLSH found=$found planted_found=$planted sec=$t%.2f")
+            t
           }
-          println(f"EMBEDLSH found=$found planted_found=$planted sec=$t%.2f")
-          t
         }
         df.unpersist(); out
       case "embedlsh_plan" =>
         // evidence capture: the LSH candidate+verify plan (formatted) for
         // plans/r17/ — before-jar prints the vector-carrying SMJ shape,
-        // after-jar the bare-signature + broadcast-verify shape
+        // after-jar the bare-signature + broadcast-verify shape. Input is
+        // cached + materialized like the bench entry so the planner sees
+        // the real (InMemoryRelation) stats, not a UDF guess.
         val dim = 64
         val cloneGen = udf { (id: Long) =>
           val r = new scala.util.Random(id * 2654435761L + 13L)
           Array.fill(dim)(r.nextGaussian().toFloat)
         }
         val df = spark.range(1000000L).select(col("id").as("vec_id"),
-          cloneGen(col("id")).as("embedding"))
+          cloneGen(col("id")).as("embedding")).repartition(64).cache()
+        df.count()
         println(graft.ext.Similarity.cosineNearDupsLsh(df, "vec_id",
             "embedding", threshold = 0.9, dim = dim, bits = 16)
           .queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        df.unpersist()
         Seq(0.0)
       case "postings_plan" =>
         // evidence capture: the postings-build plan (formatted), for

@@ -1128,6 +1128,7 @@ object Search {
     // the sum stays exact below 2^53 tokens.
     val obsTok = org.apache.spark.sql.Observation()
     postings(docs, idCol, textCol, buckets, positional)
+      .transform(boundBuildFiles(_))
       .observe(obsTok, coalesce(sum(col("tf")), lit(0.0)).as("_tt"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/postings")
     // term dictionary for relaxed (fuzzy/prefix) query expansion: one
@@ -1196,6 +1197,7 @@ object Search {
     // [[buildPostingsIndex]] — no extra tokenize pass over the new docs)
     val obsTok = org.apache.spark.sql.Observation()
     postings(docs, idCol, textCol, buckets, positional)
+      .transform(boundBuildFiles(_))
       .observe(obsTok, coalesce(sum(col("tf")), lit(0.0)).as("_tt"))
       .write.mode("append").partitionBy("tb").parquet(s"$dir/postings")
     val dTok = obsTok.get("_tt") match {
@@ -1266,6 +1268,24 @@ object Search {
     * column pruning), so it costs index bytes, not query time — and
     * `positional = false` skips it entirely (roughly half the build cost
     * and index bytes for a corpus that will never phrase-query). */
+  /** Bound the file count of a map-side `partitionBy("tb")` postings write
+    * (guide §6): the zero-exchange build writes straight from scan tasks,
+    * so output files = scan-tasks × buckets — fine locally (≤ a few
+    * thousand) but a 100 TB corpus is hundreds of thousands of scan tasks
+    * and the same write would leave tens of millions of small parquet
+    * files. `spark.graft.postings.filesPerBucket` (0/unset = off, the
+    * local default) applies a NARROW coalesce — no exchange, the build
+    * plan stays shuffle-free — so each of the ≤ filesPerBucket merged
+    * tasks writes at most one file per bucket: files ≤ filesPerBucket ×
+    * buckets. The knob trades build parallelism for file count; cluster
+    * deployments size it to (target file size ÷ per-bucket bytes), e.g.
+    * ~200 at 100 TB/32 buckets for ~0.5–1 GB files. */
+  private def boundBuildFiles(entries: DataFrame): DataFrame = {
+    val n = entries.sparkSession.conf
+      .get("spark.graft.postings.filesPerBucket", "0").toInt
+    if (n > 0) entries.coalesce(n) else entries
+  }
+
   private[graft] def postings(docs: DataFrame, idCol: String, textCol: String,
                               buckets: Int,
                               positional: Boolean = true): DataFrame = {
@@ -2730,16 +2750,25 @@ object Search {
     val fixed = pTerms.init
     val prefix = pTerms.last
     val distinctFixed = fixed.distinct.sorted
-    val m = pTerms.length
-    val tok = tokens(col(textCol))
+    // ONE row-local codegen kernel per pass computes (dl, ptf, df flags)
+    // from a single tokenize ([[graft.functions.PhrasePrefixStats]]) —
+    // the HOF formulation this replaces (`filter(sequence(...))` starts
+    // scan + `exists(startsWith)` + per-expression re-tokenize) is
+    // CodegenFallback: an interpreted lambda per candidate start and 3-4
+    // tokenizes per row per pass. Bit-identical by the kernel's
+    // differential spec; same two-pass shape (bounded stats aggregate,
+    // then the map-only scoring scan).
+    val statsCol = graft.functions.EsFunctions.phrase_prefix_stats(
+      col(textCol), fixed, prefix)
     // one bounded aggregate: n, Σdl, exact df per fixed term, relaxed
     // (prefix) df for the last term
-    val dfCols = distinctFixed.map(t =>
-      sum(when(array_contains(tok, t), 1L).otherwise(0L))) :+
-      sum(when(exists(tok, x => x.startsWith(lit(prefix))), 1L)
-        .otherwise(0L))
-    val row = docs.agg(count(lit(1)).as("n"),
-      (sum(size(tok).cast("long")) +: dfCols): _*).head()
+    val dfCols = distinctFixed.indices.map(i =>
+      coalesce(sum(element_at(col("_s.hits"), lit(i + 1)).cast("long")),
+        lit(0L))) :+
+      coalesce(sum(element_at(col("_s.hits"), lit(distinctFixed.length + 1))
+        .cast("long")), lit(0L))
+    val row = docs.select(statsCol.as("_s")).agg(count(lit(1)).as("n"),
+      (sum(col("_s.dl").cast("long")) +: dfCols): _*).head()
     val nDocs = row.getLong(0)
     require(nDocs > 0, "empty corpus")
     val avgdl = row.getLong(1).toDouble / nDocs
@@ -2747,19 +2776,11 @@ object Search {
       .map { case (t, i) => t -> row.getLong(i + 2) }.toMap
     val prefixDf = row.getLong(distinctFixed.length + 2)
     val idfSum = phrasePrefixIdfSum(nDocs, fixed, fixedDf, prefixDf)
-    // occurrence count: candidate bases 0..len−m, fixed slots exact,
-    // last slot prefix — overlapping starts count (the phraseFreq law)
-    val starts = when(size(tok) >= m,
-      filter(sequence(lit(0), size(tok) - lit(m)), i =>
-        (fixed.zipWithIndex.map { case (t, j) =>
-          element_at(tok, i + lit(j + 1)) === lit(t)
-        } :+ element_at(tok, i + lit(m)).startsWith(lit(prefix)))
-          .reduce(_ && _)))
-      .otherwise(array().cast("array<int>"))
     val scored = docs
-      .select(col(idCol).as("doc_id"),
-        size(starts).cast("double").as("_ptf"),
-        size(tok).cast("double").as("_dl"))
+      .select(col(idCol).as("doc_id"), statsCol.as("_s"))
+      .select(col("doc_id"),
+        col("_s.ptf").cast("double").as("_ptf"),
+        col("_s.dl").cast("double").as("_dl"))
       .where(col("_ptf") > 0)
       .select(col("doc_id"), round(
         phraseScore(idfSum, col("_ptf"), col("_dl"), avgdl, params),

@@ -2334,13 +2334,33 @@ object Similarity {
                         maxBucket: Int = 10000,
                         strictRecall: Boolean = false,
                         shuffleFloat32: Boolean = false): DataFrame = {
+    val n = df.count()
     val (tablesR, bitsR) =
       if (tables == 0 || bits == 0)
-        autoLshKnobs(df.count(), threshold, strict = strictRecall)
+        autoLshKnobs(n, threshold, strict = strictRecall)
       else (tables, bits)
     lshPairsForTables(df, idCol, vecCol, threshold, dim, 0 until tablesR,
-      bitsR, roundTo, maxBucket, shuffleFloat32)
+      bitsR, roundTo, maxBucket, shuffleFloat32,
+      broadcastVerify = broadcastVerifyFits(df, n, dim))
       .groupBy("id_a", "id_b").agg(first("sim").as("sim"))
+  }
+
+  /** Whether the corpus' unit-vector table fits the broadcast-verify
+    * budget (guide §8 "broadcast the plan" / §3.1): when it does, the LSH
+    * candidate join shuffles BARE (id, table, sig) rows — ~24 bytes each
+    * instead of the 8·dim-byte unit vector every signature row otherwise
+    * carries — and the exact-verify dot reads both vectors from one
+    * broadcast hash relation instead. The estimate is the UnsafeRow
+    * footprint of (id, array<double> dim); the knob
+    * `spark.graft.lsh.broadcastVerifyMaxBytes` (default 1g, 0 disables)
+    * bounds what each executor must hold, the same budget conversation as
+    * `autoBroadcastJoinThreshold` — at corpus sizes past it (the 10M+
+    * tiers, any 100 TB-class corpus) the vector-carrying exchange remains
+    * the scale path, staged when scratch disk binds. */
+  private def broadcastVerifyFits(df: DataFrame, n: Long, dim: Int): Boolean = {
+    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.graft.lsh.broadcastVerifyMaxBytes", "1g"))
+    maxBytes > 0 && n * (8L * dim + 56L) <= maxBytes
   }
 
   /** One LSH candidate-join pass over an explicit TABLE-ID subset —
@@ -2353,7 +2373,11 @@ object Similarity {
                                 threshold: Double, dim: Int,
                                 tableIds: Seq[Int], bits: Int, roundTo: Int,
                                 maxBucket: Int,
-                                shuffleFloat32: Boolean): DataFrame = {
+                                shuffleFloat32: Boolean,
+                                broadcastVerify: Boolean = false): DataFrame = {
+    if (broadcastVerify)
+      return lshPairsBroadcastVerify(df, idCol, vecCol, threshold, dim,
+        tableIds, bits, roundTo, maxBucket, shuffleFloat32)
     val unitV = unitize(asDouble(col(vecCol)))
     val carried = if (shuffleFloat32) unitV.cast("array<float>") else unitV
     // _table carries the GLOBAL table id so signatures never collide
@@ -2397,6 +2421,49 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** [[lshPairsForTables]] with the §8 discipline taken one step further:
+    * the signature exchange carries BARE (_nid, _table, _sig) rows — the
+    * unit vector (8·dim bytes, the whole payload) never shuffles at all —
+    * and the exact-verify dot reads both endpoints from ONE broadcast of
+    * the corpus' (id, unit-vector) table, reused by both attach joins
+    * (identical canonical plan → one BroadcastExchange). At the 1M/64-dim
+    * bench point this turns a ~4.5 GB vector-carrying SMJ (the measured
+    * driver-bench GC cliff at small heaps) into a ~190 MB bare-key SMJ
+    * plus a ~550 MB broadcast built once. Accepted pairs and their `sim`
+    * are bit-identical to the carry path: same signatures, same oversized
+    * guard, same dot expression on the same float width (the
+    * `shuffleFloat32` knob narrows the BROADCAST the same way it narrows
+    * the carried column, so each mode's output is unchanged). */
+  private def lshPairsBroadcastVerify(df: DataFrame, idCol: String,
+                                      vecCol: String, threshold: Double,
+                                      dim: Int, tableIds: Seq[Int], bits: Int,
+                                      roundTo: Int, maxBucket: Int,
+                                      shuffleFloat32: Boolean): DataFrame = {
+    val unitV = unitize(asDouble(col(vecCol)))
+    val stored = if (shuffleFloat32) unitV.cast("array<float>") else unitV
+    val vecs = df.select(col(idCol).as("_vid"), stored.as("_v"))
+    val sigs = df.select(col(idCol).as("_nid"),
+        posexplode(array(tableIds.map(t =>
+          struct(lit(t).as("t"),
+            lshSignature(asDouble(col(vecCol)), dim, t, bits).as("s"))): _*)))
+      .select(col("_nid"), col("col.t").as("_table"), col("col.s").as("_sig"))
+    val guarded = oversizedGuard(sigs, maxBucket)
+    val cand = guarded.as("a").join(guarded.as("b"),
+        col("a._table") === col("b._table") && col("a._sig") === col("b._sig"))
+      .filter(col("a._nid") < col("b._nid"))
+      .select(col("a._nid").as("id_a"), col("b._nid").as("id_b"))
+    // verify map-side: candidates stream through two broadcast hash joins
+    // (no exchange touches them) and only accepted (id, id, sim) triplets
+    // survive to the caller's dedup — nothing heavier ever shuffles
+    val dotV = if (shuffleFloat32)
+      dot(asDouble(col("va._v")), asDouble(col("vb._v")))
+    else dot(col("va._v"), col("vb._v"))
+    cand.join(broadcast(vecs.as("va")), col("id_a") === col("va._vid"))
+      .join(broadcast(vecs.as("vb")), col("id_b") === col("vb._vid"))
+      .select(col("id_a"), col("id_b"), round(dotV, roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /**
    * Disk-bounded [[cosineNearDupsLsh]]: the `tables` hash tables run as
    * `passes` SEQUENTIAL groups, each pass shuffling only its group's
@@ -2423,15 +2490,18 @@ object Similarity {
                               strictRecall: Boolean = false,
                               shuffleFloat32: Boolean = true): DataFrame = {
     require(passes >= 1, "passes must be >= 1")
+    val nStaged = df.count()
     val (tablesR, bitsR) =
       if (tables == 0 || bits == 0)
-        autoLshKnobs(df.count(), threshold, strict = strictRecall)
+        autoLshKnobs(nStaged, threshold, strict = strictRecall)
       else (tables, bits)
     require(passes <= tablesR, s"passes ($passes) > tables ($tablesR)")
     val perPass = (tablesR + passes - 1) / passes
+    val bcastVerify = broadcastVerifyFits(df, nStaged, dim)
     val parts = (0 until tablesR).grouped(perPass).toSeq.map { group =>
       val accepted = lshPairsForTables(df, idCol, vecCol, threshold, dim,
-        group, bitsR, roundTo, maxBucket, shuffleFloat32)
+        group, bitsR, roundTo, maxBucket, shuffleFloat32,
+        broadcastVerify = bcastVerify)
         .localCheckpoint() // eager: materializes + truncates lineage
       // the pass's shuffle files are now unreferenced; nudge the
       // ContextCleaner so they leave the disk before the next pass fills it

@@ -121,6 +121,12 @@ object EsFunctions {
     GraftSqlBridge.column(
       TermPostingsExpr(GraftSqlBridge.expression(text), positional))
 
+  /** One-pass per-doc phrase-prefix stats (see [[PhrasePrefixStats]]). */
+  def phrase_prefix_stats(text: Column, fixed: Seq[String],
+                          prefix: String): Column =
+    GraftSqlBridge.column(
+      PhrasePrefixStatsExpr(GraftSqlBridge.expression(text), fixed, prefix))
+
   /** One-pass codegen'd MinHash signature (see [[MinHashSig]]). */
   def minhash_sig(hashes: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(hashes), numHashes))

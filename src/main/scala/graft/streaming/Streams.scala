@@ -283,14 +283,50 @@ object PostingsIndexStream {
     // then resume the stream.
     graft.ext.Search.requireNotTombstonedIds(batch, idCol, indexDir)
     val staging = s"$indexDir/.staging/batch=$batchId"
+    // the batch's token total rides the staged write as an observe()
+    // metric (sum(tf) over the postings == sum(size(tokens)) over the
+    // batch — the buildPostingsIndex trick, guide §1.2): the stats delta
+    // below needs no second tokenize pass. A replayed batch re-runs this
+    // write and observes the SAME deterministic values, so the
+    // replay-idempotence of the stats delta is unchanged.
+    val obsTok = org.apache.spark.sql.Observation()
     graft.ext.Search.postings(batch, idCol, textCol, buckets, positional)
       // pinned partition count (see AnnIndexStream): deterministic
       // row->part mapping makes the rename targets replay-stable
       .repartition(buckets, col("tb"))
+      .observe(obsTok, coalesce(sum(col("tf")), lit(0.0)).as("_tt"))
       .write.mode("overwrite").partitionBy("tb").parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val partIdx = "part-(\\d+)".r
+    // term-dictionary delta DERIVED from the just-staged postings (they
+    // hold one row per (doc, term) by construction, so df(term) is a
+    // bare count) instead of a THIRD tokenize pass over the batch — read
+    // it back before the staging dir renames away. Batch-delta-sized.
+    // Same superset invariant, same rename-if-absent replay safety; an
+    // empty batch stages no data files (nothing to read, nothing to add).
+    val stagedHasData = fs.exists(new Path(staging)) &&
+      fs.listStatus(new Path(staging)).filter(_.isDirectory).exists(d =>
+        fs.listStatus(d.getPath).exists(f => f.isFile &&
+          f.getPath.getName.startsWith("part-")))
+    if (stagedHasData && fs.exists(new Path(s"$indexDir/terms"))) {
+      val tStaging = s"$indexDir/.staging-terms/batch=$batchId"
+      spark.read.parquet(staging)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .coalesce(1) // vocabulary-delta-sized; pins the part index
+        .write.mode("overwrite").parquet(tStaging)
+      for (f <- fs.listStatus(new Path(tStaging))
+           if f.getPath.getName.startsWith("part-")) {
+        val idx = partIdx.findFirstMatchIn(f.getPath.getName)
+          .map(_.group(1)).getOrElse("0")
+        val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")
+        val dest = new Path(s"$indexDir/terms", s"b$batchId-t$idx$suffix")
+        if (!fs.exists(dest) && !fs.rename(f.getPath, dest))
+          throw new java.io.IOException(
+            s"term-dictionary commit rename failed: ${f.getPath} -> $dest")
+      }
+      fs.delete(new Path(s"$indexDir/.staging-terms/batch=$batchId"), true)
+    }
     for (tbDir <- fs.listStatus(new Path(staging)) if tbDir.isDirectory) {
       val target = new Path(s"$indexDir/postings/${tbDir.getPath.getName}")
       fs.mkdirs(target)
@@ -310,37 +346,16 @@ object PostingsIndexStream {
       }
     }
     fs.delete(new Path(staging), true)
-    // term-dictionary delta: keep terms/ a SUPERSET of the live
-    // vocabulary (the Search.termDictionary invariant) by committing the
-    // batch's (term, df) rows under the same deterministic-rename scheme
-    // (stage with a pinned 1-partition exchange, rename-if-absent under
-    // b<batchId>-t<idx> names — a replay is a no-op). Skipped when
-    // terms/ is absent (a pre-dictionary index: a PARTIAL dictionary
-    // would silently under-expand — search-compact creates the full one).
-    if (fs.exists(new Path(s"$indexDir/terms"))) {
-      val tStaging = s"$indexDir/.staging-terms/batch=$batchId"
-      graft.ext.Search.postings(batch, idCol, textCol, buckets,
-          positional = false)
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .coalesce(1) // vocabulary-delta-sized; pins the part index
-        .write.mode("overwrite").parquet(tStaging)
-      for (f <- fs.listStatus(new Path(tStaging))
-           if f.getPath.getName.startsWith("part-")) {
-        val idx = partIdx.findFirstMatchIn(f.getPath.getName)
-          .map(_.group(1)).getOrElse("0")
-        val suffix = f.getPath.getName.replaceAll("part-\\d+-[0-9a-f-]+", "")
-        val dest = new Path(s"$indexDir/terms", s"b$batchId-t$idx$suffix")
-        if (!fs.exists(dest) && !fs.rename(f.getPath, dest))
-          throw new java.io.IOException(
-            s"term-dictionary commit rename failed: ${f.getPath} -> $dest")
-      }
-      fs.delete(new Path(s"$indexDir/.staging-terms/batch=$batchId"), true)
-    }
-    // idempotent per-batch stats delta (replay rewrites, never adds)
+    // idempotent per-batch stats delta (replay rewrites, never adds):
+    // n_docs is a bare count (every batch row, empty/null texts included);
+    // the token total came off the staged write above — no extra tokenize
     import spark.implicits._
-    val row = batch.agg(count(lit(1)),
-      sum(size(graft.ext.Search.tokens(col(textCol))).cast("long"))).head()
-    Seq((row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
+    val nDocs = batch.count()
+    val dTok = obsTok.get("_tt") match {
+      case d: java.lang.Double => d.toLong
+      case other => other.asInstanceOf[Number].longValue()
+    }
+    Seq((nDocs, dTok))
       .toDF("n_docs", "total_tokens")
       .write.mode("overwrite").parquet(s"$indexDir/batch_stats/batch=$batchId")
   }

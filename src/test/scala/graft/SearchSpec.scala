@@ -2347,4 +2347,97 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"postings build must be shuffle-free, got:\n$plan")
   }
+
+  test("phrase_prefix_stats kernel == HOF formulation (dl, ptf, df flags) " +
+    "on an adversarial corpus and sf0.001") {
+    val adversarial = Seq(
+      (1L, "  key Order KEY or ORDERED key or  "),
+      (2L, "key or key or key or"), // overlapping starts
+      (3L, "or key"),               // prefix before fixed: no start
+      (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "key"),                  // too short for the phrase
+      (7L, "KEY\tOR\nkey oracle"),
+      (8L, "orx key ory key"),
+      (9L, "汉字 key or 汉字")
+    ).toDF("doc_id", "text")
+    for ((fixedPhrase, prefix) <- Seq((Seq("key"), "or"),
+        (Seq.empty[String], "or"), (Seq("key", "or"), "key"))) {
+      val distinctFixed = fixedPhrase.distinct.sorted
+      val m = fixedPhrase.length + 1
+      for (corpus <- Seq(adversarial, sf("sf0.001", "documents").limit(300))) {
+        val tok = Search.tokens(col("text"))
+        val starts = when(size(tok) >= m,
+          filter(sequence(lit(0), size(tok) - lit(m)), i =>
+            (fixedPhrase.zipWithIndex.map { case (t, j) =>
+              element_at(tok, i + lit(j + 1)) === lit(t)
+            } :+ element_at(tok, i + lit(m)).startsWith(lit(prefix)))
+              .reduce(_ && _)))
+          .otherwise(array().cast("array<int>"))
+        // null text: HOF gives (null dl, 0 ptf, 0-flags); kernel gives a
+        // null struct — both normalize to (-1, 0, zeros) here. The query
+        // semantics only read ptf > 0 rows, identical either way.
+        val refHits = array((distinctFixed.map(t =>
+          coalesce(when(array_contains(tok, t), 1).otherwise(0), lit(0))) :+
+          coalesce(when(exists(tok, x => x.startsWith(lit(prefix))), 1)
+            .otherwise(0), lit(0))): _*)
+        val ref = corpus.select(col("doc_id"),
+          coalesce(size(tok), lit(-1)).as("dl"),
+          coalesce(size(starts), lit(0)).as("ptf"),
+          refHits.as("hits"))
+        val s = graft.functions.EsFunctions.phrase_prefix_stats(
+          col("text"), fixedPhrase, prefix)
+        val zeroHits = array(
+          Seq.fill(distinctFixed.length + 1)(lit(0)): _*)
+        val gotDf = corpus.select(col("doc_id"), s.as("_k"))
+          .select(col("doc_id"),
+            coalesce(col("_k.dl"), lit(-1)).as("dl"),
+            coalesce(col("_k.ptf"), lit(0)).as("ptf"),
+            coalesce(col("_k.hits"), zeroHits).as("hits"))
+        assert(gotDf.exceptAll(ref).isEmpty && ref.exceptAll(gotDf).isEmpty,
+          s"kernel != HOF for phrase=${fixedPhrase :+ prefix}: " +
+            s"extra=${gotDf.exceptAll(ref).collect().take(3).toSeq} " +
+            s"missing=${ref.exceptAll(gotDf).collect().take(3).toSeq}")
+      }
+    }
+  }
+
+  test("filesPerBucket knob bounds build output files (<= knob x buckets), " +
+    "keeps the build shuffle-free, and leaves the index bit-identical") {
+    // many input partitions so the UNbounded map-side write would leave
+    // more than filesPerBucket files in at least one bucket
+    val docs = sf("sf0.001", "documents").limit(400).repartition(16)
+    val knob = "spark.graft.postings.filesPerBucket"
+    def filesUnder(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
+    val free = java.nio.file.Files.createTempDirectory("graft-fpb-free").toString
+    val bound = java.nio.file.Files.createTempDirectory("graft-fpb-bound").toString
+    Search.buildPostingsIndex(docs, "doc_id", "text", free, buckets = 4)
+    spark.conf.set(knob, "2")
+    try Search.buildPostingsIndex(docs, "doc_id", "text", bound, buckets = 4)
+    finally spark.conf.unset(knob)
+    assert(filesUnder(s"$free/postings").size > 2 * 4,
+      "precondition: the unbounded build should exceed the bound")
+    assert(filesUnder(s"$bound/postings").size <= 2 * 4,
+      s"bounded build wrote ${filesUnder(s"$bound/postings").size} files")
+    // the knob must not reintroduce a shuffle: coalesce is narrow (the
+    // exchange-free postings law holds with the bound applied)
+    val plan2 = Search.postings(sf("sf0.001", "documents"), "doc_id",
+        "text", 4).coalesce(2).queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"),
+      s"bounded postings build must stay shuffle-free, got:\n$plan2")
+    // bit-identical index: same postings rows, same stats, same queries
+    val pFree = spark.read.parquet(s"$free/postings")
+    val pBound = spark.read.parquet(s"$bound/postings")
+    assert(pFree.exceptAll(pBound).isEmpty && pBound.exceptAll(pFree).isEmpty,
+      "bounded build's postings differ from the unbounded build's")
+    assert(Search.readStats(spark, bound) === Search.readStats(spark, free))
+    val qf = Search.indexedBm25TopK(spark, free, "spark data", k = 5).collect()
+    val qb = Search.indexedBm25TopK(spark, bound, "spark data", k = 5).collect()
+    assert(qf.toSeq === qb.toSeq)
+  }
 }

@@ -506,6 +506,63 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(s - single(k)) <= 1e-4, s"$k: $s vs ${single(k)}") }
   }
 
+  test("broadcast-verify LSH == vector-carry LSH: identical pairs and sims " +
+      "in both float widths; broadcast plan shuffles no vectors") {
+    val dim = 16
+    val rnd = new scala.util.Random(59)
+    val centers = (0 until 10).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val knob = "spark.graft.lsh.broadcastVerifyMaxBytes"
+    def withKnob[A](v: String)(f: => A): A = {
+      val old = spark.conf.getOption(knob)
+      spark.conf.set(knob, v)
+      try f finally old match {
+        case Some(o) => spark.conf.set(knob, o)
+        case None => spark.conf.unset(knob)
+      }
+    }
+    for (f32 <- Seq(false, true)) {
+      // knob=0 disables broadcast-verify -> the vector-carrying exchange
+      val carry = withKnob("0")(pairsOf(Similarity.cosineNearDupsLshStaged(
+        corpus, "vec_id", "embedding", threshold = 0.9, dim = dim,
+        passes = 1, tables = 9, bits = 8, shuffleFloat32 = f32)))
+      val bcast = withKnob("1g")(pairsOf(Similarity.cosineNearDupsLshStaged(
+        corpus, "vec_id", "embedding", threshold = 0.9, dim = dim,
+        passes = 1, tables = 9, bits = 8, shuffleFloat32 = f32)))
+      assert(carry.nonEmpty, "fixture should contain near-dup pairs")
+      assert(bcast === carry,
+        s"broadcast-verify diverged from the carry path (float32=$f32)")
+    }
+    // plan law: in broadcast mode the candidate join's exchange carries
+    // bare (id, table, sig) rows — the vectors reach the verify dot via
+    // broadcast hash joins only, and the identical broadcast subtree is
+    // built once (the second attach join reuses the first's exchange)
+    val plan = withKnob("1g")(Similarity.cosineNearDupsLsh(corpus, "vec_id",
+        "embedding", threshold = 0.9, dim = dim, tables = 9, bits = 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"broadcast-verify plan lacks BroadcastHashJoin:\n$plan")
+    // formatted explain prints each operator as a "(n) Exchange" block
+    // whose next "Input [...]" line lists the columns it carries
+    val lines = plan.linesIterator.toIndexedSeq
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input"))
+          .getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, s"expected a signature exchange:\n$plan")
+    assert(!exchangeInputs.exists(_.contains("_v#")),
+      s"an Exchange carries the vector column:\n$exchangeInputs")
+  }
+
   test("autoLshKnobs: bits scale with corpus size, tables re-buy the " +
       "recall target; auto mode matches explicit-knob quality") {
     // sizing laws: buckets ~targetBucket rows -> bits grows with n; the
