@@ -38,6 +38,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE SMJ->SHJ conversion (guide §3.1): when EVERY post-shuffle
+      // partition of a join is under this size, hash-join it instead of
+      // sorting both sides. Per-partition-gated, so the deliberately-SMJ
+      // heavy joins (vector-carrying LSH above the broadcast-verify knob,
+      // minhash verify) can never convert — only the small match-set /
+      // anti joins skip their sorts. Default 0 (off) upstream; 64m
+      // mirrors autoBroadcastJoinThreshold. (preferSortMergeJoin stays
+      // true: a STATIC flip would let the planner pick SHJ from
+      // estimates, which OOMs on the vector self-joins — the r13 probe.)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        s"${64 * 1024 * 1024}")
       .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
