@@ -38,17 +38,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE SMJ->SHJ conversion (guide §3.1): when EVERY post-shuffle
-      // partition of a join is under this size, hash-join it instead of
-      // sorting both sides. Per-partition-gated, so the deliberately-SMJ
-      // heavy joins (vector-carrying LSH above the broadcast-verify knob,
-      // minhash verify) can never convert — only the small match-set /
-      // anti joins skip their sorts. Default 0 (off) upstream; 64m
-      // mirrors autoBroadcastJoinThreshold. (preferSortMergeJoin stays
-      // true: a STATIC flip would let the planner pick SHJ from
-      // estimates, which OOMs on the vector self-joins — the r13 probe.)
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        s"${64 * 1024 * 1024}")
+      // NOTE (round-17 audit, guide §3.1/§9): AQE's SMJ->SHJ conversion
+      // (`spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m`)
+      // was measured per-query on every SMJ-bearing suite query
+      // (q88/q98 anti, q114 full-outer, q87/q104 RRF tails, q26/q35/q03)
+      // over interleaved A/B JVMs: NO delta outside noise at sf0.1 — the
+      // suite's shuffle joins are either bounded ranking tails above
+      // TakeOrdered or match-set-sized, where the sort is sub-100 ms.
+      // Left at the upstream default (0 = off) rather than shipping an
+      // unmeasurable behavior change; a STATIC preferSortMergeJoin=false
+      // flip stays off too (the planner would pick SHJ from estimates,
+      // which OOMs the vector-carrying self-joins — the r13 probe).
       .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
