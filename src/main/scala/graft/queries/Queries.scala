@@ -1737,11 +1737,22 @@ object Queries {
           graft.ext.Similarity.stripVectors(s, fullDir, d)
           d
         }
-        val rawFullDir = build(storeVectors = true, residual = false)
+        // the raw and residual trained builds are independent jobs into
+        // disjoint scratch dirs — submit both up front (guide §2.6) so
+        // the residual build's stages backfill the raw build's idle
+        // slots; every downstream phase (strip, queries, identity
+        // requires) still runs in its pinned order on the finished
+        // artifacts, which are byte-identical to the sequential form.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fRaw = Future(build(storeVectors = true, residual = false))
+        val fRes = Future(build(storeVectors = true, residual = true))
+        val rawFullDir = Await.result(fRaw, Duration.Inf)
         val rawFull = res(rawFullDir, rerank = false)
         val rows = Seq(false, true).map { residual =>
           val fullDir =
-            if (residual) build(storeVectors = true, residual = true)
+            if (residual) Await.result(fRes, Duration.Inf)
             else rawFullDir
           val full = if (residual) res(fullDir, rerank = false) else rawFull
           val lean = res(leanFrom(fullDir), rerank = true)
@@ -3761,10 +3772,19 @@ object Queries {
         val root = scratch("graft-q114-mfidx")
         val docs = t(s, dir, "documents")
           .withColumn("meta", concat_ws(" ", col("source"), col("lang")))
-        graft.ext.Search.buildPostingsIndex(
-          docs, "doc_id", "text", s"$root/text", buckets = 32)
-        graft.ext.Search.buildPostingsIndex(
-          docs, "doc_id", "meta", s"$root/meta", buckets = 32)
+        // the two per-field builds are INDEPENDENT jobs into disjoint
+        // dirs — submit them concurrently (guide §2.6: overlap
+        // independent jobs so one build's scheduling tail backfills the
+        // other's idle slots). Each build's artifact is byte-identical
+        // to the sequential form; only the wall-clock overlaps.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val builds = Seq("text" -> s"$root/text", "meta" -> s"$root/meta")
+          .map { case (field, d) => Future(
+            graft.ext.Search.buildPostingsIndex(
+              docs, "doc_id", field, d, buckets = 32)) }
+        builds.foreach(Await.result(_, Duration.Inf))
         graft.ext.Search.indexedMultiFieldTopK(s,
             Seq((s"$root/text", 1.0), (s"$root/meta", 0.5)),
             "spark en src3", k = 20)
